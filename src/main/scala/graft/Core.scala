@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A declared engine query: the Spark program plus (optionally) the ANSI-SQL
+  * oracle the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism contract (SURVEY.md §2B): every query ends in a total ORDER BY
+  * (unique tie-breaker) and every aggregate of a floating column goes through
+  * exact DECIMAL arithmetic before being cast back to DOUBLE, so the Spark
+  * parquet dump and the DuckDB result are bit-identical.
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QDef {
+  def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, None)
+}
+
+/** Loaders for the driver testdata (TESTDATA.md / FIXTURES.md §B).
+  *
+  * `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS) which Spark
+  * only reads under `spark.sql.legacy.parquet.nanosAsLong`; we normalize it to
+  * TIMESTAMP_NTZ (µs) here so every query sees a proper timestamp column. The
+  * DuckDB oracle matches with `CAST(ts AS TIMESTAMP)` (ns → µs truncation).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
+  /** Raw events with `ts` still a nanosecond epoch long (for streaming file
+    * sources that need an explicit schema). */
+  def eventsRawTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+}
+
+/** Numeric-parity helpers (Spark ↔ DuckDB bit-exact doubles).
+  *
+  * Summing doubles is order-dependent, so any `sum(double)` can differ between
+  * engines in the last ulp and break hash-compare. Instead: cast each addend to
+  * an exact DECIMAL, sum (exact, order-free), and cast the final result to
+  * DOUBLE. Ratios (avg) are then a single double division of two identical
+  * values — also exact.
+  */
+object X {
+  /** Exact sum of a (≤2-decimal) double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact sum at 4 decimals (for products like extprice*(1-disc)). */
+  def dsum4(c: Column): Column = sum(c.cast("decimal(24,4)")).cast("double")
+  /** Exact avg: decimal sum / count, divided as doubles. */
+  def davg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.{QDef, Tables, X}
+import org.apache.spark.sql.functions._
+
+/** Aggregation queries (SURVEY.md §2B "Aggregations"; reference anchor:
+  * batch `COUNT(*)` over a streaming table, tutorial/guide.md:51-56, :88-96).
+  *
+  * All double-column sums go through exact DECIMAL accumulation (see [[graft.X]])
+  * so results are independent of partial-aggregation order — both the DuckDB
+  * hash-compare and a 1000-executor run produce identical bits. Spark plans all
+  * of these as partial (map-side) + final hash aggregates automatically.
+  */
+object Aggs {
+
+  private val sumQtyDec = "SUM(CAST(l_quantity AS DECIMAL(18,2)))"
+
+  val all: Seq[QDef] = Seq(
+    QDef(
+      "q_agg_global",
+      s"""SELECT count(*) AS n_rows,
+         |  CAST($sumQtyDec AS DOUBLE) AS sum_qty,
+         |  CAST($sumQtyDec AS DOUBLE) / count(l_quantity) AS avg_qty,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        X.dsum(col("l_quantity")).as("sum_qty"),
+        X.davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        X.dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // TPC-H Q1 shape — the canonical hash group-by with map-side combine.
+    QDef(
+      "q_agg_groupby_hash",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST($sumQtyDec AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST($sumQtyDec AS DOUBLE) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          X.dsum(col("l_quantity")).as("sum_qty"),
+          X.dsum(col("l_extendedprice")).as("sum_base_price"),
+          X.dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QDef(
+      "q_agg_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL sketch — approximate by design, so no SQL oracle; AggSpec asserts
+    // the estimate is within 5% of the exact distinct count.
+    QDef.noOracle("q_agg_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    QDef(
+      "q_agg_rollup",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      // Expressed in SQL: Spark's ambiguous-self-join check misfires on
+      // rollup() over a 4-table join chain (same result plan either way).
+      s.sql(
+        s"""SELECT r_name, n_name,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_orders
+           |FROM parquet.`$d/region.parquet` r
+           |JOIN parquet.`$d/nation.parquet` n ON n_regionkey = r_regionkey
+           |JOIN parquet.`$d/customer.parquet` c ON c_nationkey = n_nationkey
+           |JOIN parquet.`$d/orders.parquet` o ON o_custkey = c_custkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    QDef(
+      "q_agg_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), X.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    QDef(
+      "q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  count(*) AS n
+           |FROM parquet.`$d/lineitem.parquet`
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    QDef(
+      "q_agg_having",
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 800
+        |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq_dec"),
+          count(lit(1)).as("n"))
+        .filter(col("sq_dec") > 800)
+        .select(col("l_partkey"), col("sq_dec").cast("double").as("sum_qty"), col("n"))
+        .orderBy("l_partkey")
+    },
+  )
+}

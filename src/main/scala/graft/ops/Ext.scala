@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** North-star LLM-data-pipeline extensions (SURVEY.md §2B "North-star
+  * extensions" + the builder prompt's training-data-pipeline operators):
+  * exact/near dedup, similarity search, text analysis, multimodal join.
+  *
+  * Scale posture: every query is a shuffle-respecting DataFrame program —
+  * dedup partitions by a *hash* of the text (not the full text, so 100 TB of
+  * document bodies never become shuffle keys), MinHash is one explode +
+  * two hash-aggregations, cosine top-k broadcasts only the query vector.
+  */
+object Ext {
+
+  /** 64 dims; element-wise ops stay inside codegen'd higher-order functions. */
+  private def dot(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)")
+  private def norm2(a: String): org.apache.spark.sql.Column =
+    sqrt(expr(s"aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v)"))
+
+  /** DuckDB-side dot/norm over list<float> with the same left-fold order. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+
+  val all: Seq[QDef] = Seq(
+    QDef(
+      "q_ext_exact_dedup",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Partition by md5(text), not text: same groups (128-bit collision-free
+      // in practice) but the shuffle key is 16 bytes instead of the document
+      // body — the difference between feasible and not at 100 TB.
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // MinHash + LSH near-duplicate candidates. No SQL oracle (LSH is
+    // probabilistic); ExtSpec asserts the planted near-duplicates are found.
+    // Pipeline: word 3-shingles → 16 minhashes (xxhash64, seeds 0..15) →
+    // 4 bands × 4 rows → band-signature buckets → intra-bucket pairs.
+    QDef.noOracle("q_ext_minhash_neardup") { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      // Plant deterministic near-duplicates (doc_id + 1,000,000 = original
+      // text + a short tail) so the candidate-pair output is non-empty and
+      // recall is testable at any scale factor.
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text"))
+      val corpus = docs.unionByName(planted)
+
+      val shingles = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
+            .stripMargin)).as("sh"))
+
+      val minhashes = shingles
+        .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 15)")).as("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(min(xxhash64(concat(col("sh"), lit("#"), col("seed").cast("string")))).as("mh"))
+
+      val bandSigs = minhashes
+        .withColumn("band", expr("seed div 4"))
+        .groupBy("doc_id", "band")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh AS string)), ',')").as("sig"))
+
+      val buckets = bandSigs
+        .groupBy("band", "sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+
+      buckets
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Brute-force cosine top-k vs. the vec_id=0 query vector — the exact
+    // baseline for ANN. Only the 64-float query vector is broadcast; the
+    // corpus side streams through codegen'd array arithmetic.
+    QDef(
+      "q_ext_cosine_topk",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(${duckDot("v.embedding", "q.qe")} /
+         |        (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}), 6) AS cos_sim
+         |FROM embeddings v, q
+         |WHERE v.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot("embedding", "qe") / (norm2("embedding") * norm2("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    QDef(
+      "q_ext_text_stats",
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  n_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          col("n_chars"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(split(col("text"), " "))).as("avg_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID by stopword heuristic (n-gram-style marker words). The
+    // oracle runs the identical rule, so this checks the *pipeline*, not
+    // linguistic truth (the synthetic corpus is English-ish word soup).
+    QDef(
+      "q_ext_lang_id",
+      """SELECT doc_id, lang,
+        |  CASE WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %' THEN 'de'
+        |       WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% la %' THEN 'es'
+        |       WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% et %' THEN 'fr'
+        |       WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% a %' THEN 'en'
+        |       ELSE 'unk' END AS pred_lang,
+        |  (CASE WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %' THEN 'de'
+        |       WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% la %' THEN 'es'
+        |       WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% et %' THEN 'fr'
+        |       WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% a %' THEN 'en'
+        |       ELSE 'unk' END = lang) AS correct
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def has(wrd: String) = padded.like(s"% $wrd %")
+      val pred = when(has("der") || has("und"), "de")
+        .when(has("el") || has("la"), "es")
+        .when(has("le") || has("et"), "fr")
+        .when(has("the") || has("a"), "en")
+        .otherwise("unk")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          (pred === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+
+    QDef(
+      "q_ext_quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  (length(text) BETWEEN 100 AND 500) AS len_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast("double") / length(col("text"))).as("punct_ratio"),
+          (size(expr("filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is'))"))
+            .cast("double") / size(toks)).as("stop_ratio"),
+          length(col("text")).between(100, 500).as("len_ok"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: md5 content hash of the normalized text (the
+    // deterministic, engine-portable analog of a rolling hash).
+    QDef(
+      "q_ext_fingerprint",
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  substring(md5(lower(trim(text))), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val fp = md5(lower(trim(col("text"))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"), substring(fp, 1, 8).as("fp8"))
+        .orderBy("doc_id")
+    },
+
+    // BPE-ish token counting: letter runs, digit runs, single punctuation.
+    QDef(
+      "q_ext_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("int")
+            .as("n_bpe_tokens"),
+          size(split(col("text"), " ")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+
+    QDef(
+      "q_ext_multimodal_cols",
+      s"""SELECT d.doc_id, d.lang, e.label,
+         |  round(${duckNorm("e.embedding")}, 6) AS vnorm
+         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |WHERE e.label < 5 AND d.text LIKE '%data%'
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb  = Tables.embeddings(s, d)
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .filter(col("label") < 5 && col("text").like("%data%"))
+        .select(col("doc_id"), col("lang"), col("label"),
+          round(norm2("embedding"), 6).as("vnorm"))
+        .orderBy("doc_id")
+    },
+  )
+}

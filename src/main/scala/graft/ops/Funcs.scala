@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function family queries (SURVEY.md §2B "Scalar functions"; anchor:
+  * the Flink session's built-in function surface, Readme.md:78).
+  *
+  * Cross-engine parity notes baked into these queries:
+  *  - day-of-week: Spark `weekday` (Mon=0)+1 == DuckDB `isodow` (Mon=1).
+  *  - `round` on DOUBLE differs at .5 boundaries between engines (binary vs
+  *    decimal-string rounding), so rounding happens on exact DECIMAL values or
+  *    after transcendentals (where boundaries have measure ~0).
+  *  - `ceil/floor` return BIGINT in Spark but DOUBLE in DuckDB → cast.
+  *  - Spark `split` == DuckDB `string_split`; Spark `get_json_object` ==
+  *    DuckDB `json_extract_string`.
+  */
+object Funcs {
+
+  val all: Seq[QDef] = Seq(
+    QDef(
+      "q_fn_string",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  concat(p_brand, '-', p_type) AS cat,
+        |  trim(p_type) AS tr,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  string_split(p_name, ' ') AS words,
+        |  (p_name LIKE '%bolt%') AS has_bolt
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+          trim(col("p_type")).as("tr"),
+          length(col("p_name")).as("len"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          split(col("p_name"), " ").as("words"),
+          col("p_name").like("%bolt%").as("has_bolt"))
+        .orderBy("p_partkey")
+    },
+
+    QDef(
+      "q_fn_date",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          (weekday(col("o_orderdate")) + 1).as("dow"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon_start"),
+          datediff(to_date(lit("2000-01-01")), col("o_orderdate")).as("days_to_y2k"),
+          date_add(col("o_orderdate"), 30).as("plus30"))
+        .orderBy("o_orderkey")
+    },
+
+    QDef(
+      "q_fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r1,
+        |  abs(l_discount - 0.05) AS ab,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ce,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+        |  round(ln(l_extendedprice), 6) AS lnp,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  round(power(l_quantity, 2), 6) AS pw,
+        |  l_orderkey % 7 AS md,
+        |  CAST(l_quantity AS DECIMAL(5,1)) AS qdec
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, r1, ab, ce, fl, lnp, sq, pw, md, qdec""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("r1"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          ceil(col("l_quantity")).as("ce"),
+          floor(col("l_tax") * 100).as("fl"),
+          round(log(col("l_extendedprice")), 6).as("lnp"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(pow(col("l_quantity"), 2), 6).as("pw"),
+          pmod(col("l_orderkey"), lit(7L)).as("md"),
+          col("l_quantity").cast("decimal(5,1)").as("qdec"))
+        .orderBy("l_orderkey", "l_linenumber", "r1", "ab", "ce", "fl", "lnp",
+          "sq", "pw", "md", "qdec")
+    },
+
+    QDef(
+      "q_fn_case_cast",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS band,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("band"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_orderdate").cast("date").cast("string").as("date_str"))
+        .orderBy("o_orderkey")
+    },
+
+    QDef(
+      "q_fn_array",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1:3] AS head3,
+        |  list_transform(embedding[1:3], x -> x * 2.0::FLOAT) AS scaled,
+        |  list_sort(embedding[1:3]) AS sorted3,
+        |  list_contains(embedding, 0.0::FLOAT) AS has_zero
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          slice(col("embedding"), 1, 3).as("head3"),
+          expr("transform(slice(embedding, 1, 3), x -> x * float('2.0'))").as("scaled"),
+          array_sort(slice(col("embedding"), 1, 3)).as("sorted3"),
+          array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
+        .orderBy("vec_id")
+    },
+
+    QDef(
+      "q_fn_map",
+      """SELECT p_partkey,
+        |  map_keys(MAP {'brand': p_brand, 'type': p_type}) AS mkeys,
+        |  (MAP {'brand': p_brand, 'type': p_type}['brand'])[1] AS bval,
+        |  CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INTEGER) AS msize
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          map_keys(m).as("mkeys"),
+          element_at(m, "brand").as("bval"),
+          size(m).as("msize"))
+        .orderBy("p_partkey")
+    },
+
+    QDef(
+      "q_fn_json",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS k_high
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          (from_json(col("props"), lit("k INT")).getField("k") >= 50).as("k_high"))
+        .orderBy("event_id")
+    },
+  )
+}

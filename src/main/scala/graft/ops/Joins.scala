@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join queries (SURVEY.md §2B "Joins").
+  *
+  * The reference's one join is the processing-time lookup join
+  * (`/root/reference/tutorial/guide.md:119-140`): enrich a fact stream with the
+  * current dimension row by equi-key. Batch analog = `q_join_broadcast_lookup`
+  * with an explicit `broadcast()` of the dimension — the Spark-first translation
+  * of Flink's async-lookup hints (guide.md:122-138): a broadcast hash join does
+  * the "lookup" in-memory on every executor with zero shuffle of the fact side,
+  * which is exactly the property the async lookup cache gives Flink.
+  *
+  * Scale notes (100 TB posture):
+  *  - broadcast only dimension tables (customer/part/nation…); fact-fact joins
+  *    use shuffle hash / sort-merge on the join key, which AQE can re-plan.
+  *  - the as-of join is expressed as range-join + windowed pick-latest; at
+  *    cluster scale the same plan shuffles both sides once by key and sorts —
+  *    no broadcast of the big side, no driver collect.
+  *  - theta/self joins are pre-filtered *before* the join so the quadratic
+  *    blowup is bounded by the sampled key space, not the raw row count.
+  */
+object Joins {
+
+  val all: Seq[QDef] = Seq(
+    QDef(
+      "q_join_broadcast_lookup",
+      """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type,
+        |       e.value, c.c_name, c.c_mktsegment, c.c_acctbal
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val c = Tables.customer(s, d)
+      e.join(broadcast(c), e("user_id") === c("c_custkey"), "inner")
+        .select(e("event_id"), e("ts"), e("user_id"), e("event_type"), e("value"),
+          c("c_name"), c("c_mktsegment"), c("c_acctbal"))
+        .orderBy("event_id")
+    },
+
+    QDef(
+      "q_join_shuffle_inner",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus, l.l_quantity
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      // merge hint => sort-merge join: both sides shuffle on the key, the plan
+      // that survives two fact tables at 100 TB (no broadcast possible).
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .select(li("l_orderkey"), li("l_linenumber"), o("o_custkey"),
+          o("o_orderstatus"), li("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    QDef(
+      "q_join_left_outer",
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    },
+
+    QDef(
+      "q_join_right_outer",
+      """SELECT p.p_partkey, p.p_name, l.l_orderkey, l.l_linenumber, l.l_quantity
+        |FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY p.p_partkey, l.l_orderkey NULLS FIRST, l.l_linenumber NULLS FIRST,
+        |         l.l_quantity NULLS FIRST""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p  = Tables.part(s, d)
+      li.join(p, li("l_partkey") === p("p_partkey"), "right")
+        .select(p("p_partkey"), p("p_name"), li("l_orderkey"), li("l_linenumber"),
+          li("l_quantity"))
+        .orderBy(col("p_partkey").asc, col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first, col("l_quantity").asc_nulls_first)
+    },
+
+    QDef(
+      "q_join_full_outer",
+      """SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+        |FROM customer c FULL JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |ORDER BY c.c_custkey NULLS FIRST, s.s_suppkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val c  = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+        .select(c("c_custkey"), c("c_name"), su("s_suppkey"), su("s_name"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+    },
+
+    QDef(
+      "q_join_left_semi",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    QDef(
+      "q_join_left_anti",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    QDef(
+      "q_join_cross",
+      """SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r.r_regionkey, n.n_nationkey""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      r.crossJoin(n)
+        .select(r("r_regionkey"), r("r_name"), n("n_nationkey"), n("n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
+    },
+
+    QDef(
+      "q_join_theta_range",
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.event_type,
+        |       a.value AS a_value, b.value AS b_value
+        |FROM events a JOIN events b
+        |  ON a.event_type = b.event_type AND a.value < b.value
+        |WHERE a.event_id % 101 = 0 AND b.event_id % 101 = 0
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // Pre-filter both sides to a deterministic key sample BEFORE the theta
+      // join: bounds the quadratic pair space at any scale factor.
+      val ev = Tables.events(s, d).filter(col("event_id") % 101 === 0)
+      val a = ev.select(col("event_id").as("a_id"), col("event_type"),
+        col("value").as("a_value"))
+      val b = ev.select(col("event_id").as("b_id"),
+        col("event_type").as("b_type"), col("value").as("b_value"))
+      a.join(b, a("event_type") === b("b_type") && a("a_value") < b("b_value"))
+        .select("a_id", "b_id", "event_type", "a_value", "b_value")
+        .orderBy("a_id", "b_id")
+    },
+
+    QDef(
+      "q_join_interval",
+      """SELECT e1.event_id AS a_id, e2.event_id AS b_id, e1.user_id,
+        |       CAST(e1.ts AS TIMESTAMP) AS a_ts, CAST(e2.ts AS TIMESTAMP) AS b_ts
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+        | AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val e1 = ev.select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"))
+      val e2 = ev.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+      // equi-key on user + time-range residual: Spark plans this as a hash
+      // join on user_id with the range as a post-join filter — linear shuffle,
+      // pair blowup bounded by per-user event density in the hour window.
+      e1.join(e2, e1("user_id") === e2("b_user") &&
+          e2("b_ts") > e1("a_ts") &&
+          e2("b_ts") <= e1("a_ts") + expr("INTERVAL 1 HOUR"))
+        .select("a_id", "b_id", "user_id", "a_ts", "b_ts")
+        .orderBy("a_id", "b_id")
+    },
+
+    QDef(
+      "q_join_asof",
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |         o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |)
+        |SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      // As-of join (latest order at or before the event): Spark has no native
+      // operator, so: equi-join on key + range predicate, then windowed
+      // pick-latest. Both sides shuffle once on the key; the window sort is
+      // per-event (small groups). No broadcast of either fact side.
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, d)
+      val j = e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      j.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("event_id")
+    },
+  )
+}
