@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// All suites share one SparkSession (SparkFixture) — run sequentially.
+Test / parallelExecution := false

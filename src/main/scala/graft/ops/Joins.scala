@@ -106,13 +106,16 @@ object Joins {
         .orderBy("c_custkey")
     },
 
+    // NOT EXISTS against big-ticket orders (every customer has *some* order
+    // in the synthetic data, so the plain anti join would be empty).
     QDef(
       "q_join_left_anti",
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")

@@ -1,9 +1,255 @@
 package graft.streaming
 
-import graft.QDef
+import java.nio.file.Files
+import java.util.UUID
 
-/** Structured Streaming queries (SURVEY.md §2B "Streaming") — filled in
-  * milestone 2 (streaming-table layer). */
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming queries (SURVEY.md §2B "Streaming").
+  *
+  * These re-express the reference's streaming-table workload
+  * (`/root/reference/tutorial/guide.md`): continuous INSERT INTO pipes
+  * (guide.md:36-39), the PK upsert table (guide.md:59-74), the lookup join
+  * (guide.md:119-140), plus the watermark/window surface. Each query runs a
+  * REAL Structured Streaming job — file source over the driver parquet,
+  * `Trigger.AvailableNow`, memory or parquet sink — and returns the final
+  * result as a DataFrame, so the driver's batch-equivalent DuckDB oracle
+  * checks it like any other query (stream–batch duality, the reference's
+  * central theme, guide.md:51-56).
+  *
+  * In production the same pipelines run unbounded with
+  * `Trigger.ProcessingTime("20 seconds")` — the reference's checkpoint
+  * interval (guide.md:3); `AvailableNow` is the bounded-test trigger.
+  */
 object StreamOps {
-  val all: Seq[QDef] = Seq.empty
+
+  /** Unique suffix per invocation: memory-sink names and temp dirs must not
+    * collide when Verify/Bench run the whole registry in one session. */
+  private def fresh(): String = UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** The file stream source requires a *directory*; the driver testdata is a
+    * single parquet file per table. Stage (once per sf dir) a temp directory
+    * holding a symlink to events.parquet. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsSourceDir(d: String): String =
+    stagedDirs.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft_events_src_")
+      Files.createSymbolicLink(dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      dir.toString
+    })
+
+  /** Stream-read the events table (file source needs an explicit schema);
+    * normalizes the nanosecond-long `ts` to a proper timestamp. Watermarks
+    * need TIMESTAMP (LTZ); outputs cast back to NTZ for oracle parity. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema).parquet(eventsSourceDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink; return the
+    * materialized table. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"mem_$fresh"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val all: Seq[QDef] = Seq(
+    // Reference op 2A#7: continuous INSERT INTO … SELECT — source → parquet
+    // sink with checkpoint. Result = what landed in the sink table.
+    QDef(
+      "q_stream_ingest",
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin) { (s, d) =>
+      val out = Files.createTempDirectory("graft_ingest_").toString
+      val q = eventsStream(s, d).writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    },
+
+    // Tumbling 1 h window × event_type with a 10 min watermark.
+    QDef(
+      "q_stream_tumbling",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sliding 1 h window every 15 min (each event lands in 4 windows).
+    QDef(
+      "q_stream_sliding",
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |         - k.k * INTERVAL '15 minutes' AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events, (VALUES (0), (1), (2), (3)) k(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Per-user session windows with a 30 min gap. Oracle = the classic
+    // gap-island SQL (break when the gap is >= the timeout, matching
+    // session_window's half-open [start, last+gap) semantics).
+    QDef(
+      "q_stream_session",
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                    >= INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |g AS (SELECT user_id, t,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS session_start,
+        |  max(t) + INTERVAL '30 minutes' AS session_end, count(*) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("session_window.end").cast("timestamp_ntz").as("session_end"),
+          col("n"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // Stateful dedup: the stream is the events file replayed TWICE (union),
+    // so every event_id arrives duplicated; watermarked dropDuplicates
+    // collapses them back to one occurrence each.
+    QDef(
+      "q_stream_dedup",
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = eventsStream(s, d)
+      val doubled = ev.unionByName(eventsStream(s, d))
+      val deduped = doubled
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id", "ts")
+      runToMemory(s, deduped, "append")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Reference op 2A#9: the lookup join — streaming facts enriched against
+    // a static dimension; Structured Streaming re-plans the static side per
+    // micro-batch = processing-time temporal join semantics.
+    QDef(
+      "q_stream_lookup_join",
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+      val joined = eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
+        .select("event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment")
+      runToMemory(s, joined, "append").orderBy("event_id")
+    },
+
+    // Reference op 2A#8: PK upsert table (sensor_info semantics,
+    // guide.md:59-74). foreachBatch appends each micro-batch with its batchId
+    // (the Paimon sequence-number analog, guide.md:206); the read view is
+    // last-writer-wins per key.
+    QDef(
+      "q_stream_upsert",
+      """SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val out = Files.createTempDirectory("graft_upsert_").toString
+      val q = eventsStream(s, d).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$out/data")
+        }
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      s.read.parquet(s"$out/data")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // Watermark semantics demo: rows later than the watermark are dropped
+    // from the aggregation. Probabilistic engine timing is removed by
+    // feeding two explicit micro-batches through a MemoryStream; no SQL
+    // oracle (the driver records a rows-only check), StreamSpec asserts the
+    // exact drop behavior.
+    QDef.noOracle("q_stream_late_data") { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+      val stream = MemoryStream[(java.sql.Timestamp, Long)]
+      val agg = stream.toDF().toDF("ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      val name = s"late_$fresh"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // batch 1: rows up to minute 35 → watermark advances to 25:00,
+      // closing windows [0,10) and [10,20).
+      stream.addData(Seq(ts(1) -> 1L, ts(5) -> 2L, ts(12) -> 3L, ts(35) -> 4L))
+      q.processAllAvailable()
+      // batch 2: minute 4 is far behind the 25:00 watermark → dropped;
+      // minute 22 lands in the still-open [20,30) window.
+      stream.addData(Seq(ts(4) -> 5L, ts(22) -> 6L))
+      q.processAllAvailable()
+      // batch 3: minute 59 pushes the watermark past every open window.
+      stream.addData(Seq(ts(59) -> 7L))
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("n"))
+        .orderBy("window_start")
+    },
+  )
 }

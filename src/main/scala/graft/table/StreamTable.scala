@@ -1,0 +1,319 @@
+package graft.table
+
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Metadata for one immutable data file (the Paimon `$files` row shape,
+  * /root/reference/tutorial/guide.md:200-232). */
+case class DataFileMeta(
+    path: String,
+    rowCount: Long,
+    fileSizeInBytes: Long,
+    minSeq: Long,
+    maxSeq: Long,
+    level: Int,
+    creationTimeMs: Long)
+
+/** One committed table version: the full list of live files after the commit
+  * (snapshot semantics, tutorial/guide.md:180-184). `batchId` makes streaming
+  * commits idempotent — the Structured Streaming epoch is the analog of the
+  * Flink checkpoint that triggers a Paimon commit (guide.md:3 + :213-221). */
+case class Snapshot(
+    id: Long,
+    committedAtMs: Long,
+    batchId: Long,
+    files: Seq[DataFileMeta])
+
+/** A Spark-native streaming table: a directory of immutable parquet files plus
+  * an atomic snapshot manifest — the engine-level translation of a Paimon
+  * table (tutorial/guide.md:23-31, :59-74).
+  *
+  * Layout:
+  * {{{
+  *   root/
+  *     data/append/  b<batchId>-<uuid>-<k>.parquet   // streaming appends
+  *     data/compact/ c<snapId>-<uuid>-<k>.parquet    // compaction rewrites
+  *     _snapshots/   snap-<n>.json                   // manifest per version
+  * }}}
+  *
+  * Concurrency contract (the Delta-paper trick, PAPERS.md): a commit is one
+  * atomic rename of `snap-<n>.json`; writers re-read the latest snapshot and
+  * retry on id collision, so one streaming writer and one compactor can run
+  * concurrently without losing files. Readers list `_snapshots` and take the
+  * max id — they never see a half-written manifest.
+  *
+  * - Append table: `primaryKey = None` — `read` unions live files as-is.
+  * - Primary-key upsert table (sensor_info semantics, guide.md:59-74):
+  *   `read` applies last-writer-wins per key ordered by (batch, seqCol) —
+  *   the "changelog-producer = input" model where the engine materializes
+  *   the latest row per key at read (or compaction) time.
+  * - Batch/stream duality (guide.md:51-56, :88-98): `read` (batch, manifest
+  *   based) and `readStream` (file source over `data/append/`) serve the same
+  *   table.
+  */
+class StreamTable(
+    val root: String,
+    spark: SparkSession,
+    val primaryKey: Option[Seq[String]] = None,
+    val seqCol: Option[String] = None,
+    val bucketKey: Option[String] = None,
+    val numBuckets: Int = 4) {
+
+  import StreamTable._
+
+  private val dataAppend = s"$root/data/append"
+  private val dataCompact = s"$root/data/compact"
+  private val snapDir = s"$root/_snapshots"
+  Seq(dataAppend, dataCompact, snapDir).foreach(p => Files.createDirectories(Paths.get(p)))
+
+  // ---- snapshot manifest -------------------------------------------------
+
+  def snapshots: Seq[Snapshot] =
+    Files.list(Paths.get(snapDir)).iterator().asScala
+      .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
+      .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
+      .toSeq.sortBy(_.id)
+
+  def latestSnapshot: Option[Snapshot] = snapshots.lastOption
+
+  /** Atomically publish the next snapshot; optimistic retry on id collision
+    * (concurrent writer + compactor). `recompute` receives the current live
+    * file list and returns (newLiveFiles, batchId). */
+  private def commit(recompute: Seq[DataFileMeta] => (Seq[DataFileMeta], Long)): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val base = latestSnapshot
+      val (files, batchId) = recompute(base.map(_.files).getOrElse(Seq.empty))
+      val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
+        System.currentTimeMillis(), batchId, files)
+      val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
+      Files.write(tmp, mapper.writeValueAsBytes(next))
+      try {
+        // ATOMIC_MOVE fails if the target exists → a concurrent committer
+        // won the race; re-read and retry.
+        Files.move(tmp, Paths.get(snapDir, s"snap-${next.id}.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > 100) throw new IllegalStateException(
+            s"commit contention on $snapDir: gave up after $attempt attempts")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  /** Write one (micro-)batch. Idempotent on `batchId`: replaying a batch after
+    * a failure commits nothing (exactly-once file commits, the Structured
+    * Streaming `batchId` + Paimon checkpoint-commit pattern). */
+  def appendBatch(df: DataFrame, batchId: Long): Unit = {
+    if (latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)) return
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    val stamped = df.withColumn(SeqColName, lit(batchId))
+    val out = bucketKey match {
+      // Paimon hash bucketing ('bucket-key', guide.md:28-29): co-locate rows
+      // by key so per-key reads and upsert resolution shuffle less.
+      case Some(k) => stamped.repartition(numBuckets, col(k))
+      case None    => stamped
+    }
+    out.write.mode("overwrite").parquet(staging)
+    val parts = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val moved = parts.zipWithIndex.map { case (p, k) =>
+      val dest = Paths.get(dataAppend, s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+    deleteRecursively(Paths.get(staging))
+    val metas = fileMetas(spark, moved, level = 0, minSeq = batchId, maxSeq = batchId)
+    commit(live => (live ++ metas, batchId))
+  }
+
+  /** Continuous ingestion (reference op 2A#7: INSERT INTO … SELECT with
+    * checkpointing, guide.md:36-39). Caller picks the trigger — production
+    * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow. */
+  def writeStream(stream: DataFrame, trigger: Trigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, id) }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(trigger)
+      .start()
+
+  // ---- reads -------------------------------------------------------------
+
+  /** Batch read of the current snapshot (manifest-based, so compaction and
+    * retention are invisible to readers). PK tables get the last-writer-wins
+    * view (upsert materialization, guide.md:59-74). */
+  def read: DataFrame = {
+    val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val raw = spark.read.parquet(files.map(_.path): _*)
+    primaryKey match {
+      case None => raw.drop(SeqColName)
+      case Some(pk) =>
+        val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+        raw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", SeqColName)
+    }
+  }
+
+  /** Streaming read — the table as an unbounded changelog of appends
+    * (batch/stream duality over one table, guide.md:51-56). */
+  def readStream(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dataAppend).drop(SeqColName)
+
+  // ---- metadata (`$files`, reference op 2A#17) ---------------------------
+
+  /** The `$files` system table: per-live-file metadata incl. per-column
+    * min/max stats from the parquet footers (guide.md:200-232). Footers are
+    * read distributed (one task per file partition), not on the driver. */
+  def filesView: DataFrame = {
+    import spark.implicits._
+    val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val byPath = files.map(f => f.path -> f).toMap
+    val paths = spark.createDataset(files.map(_.path))
+    val statsDf = paths.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { p =>
+        val stats = footerStats(p, conf)
+        (p, stats._1, stats._2, stats._3)
+      }
+    }.toDF("file_path", "record_count", "min_value_stats", "max_value_stats")
+    val metaDf = spark.createDataset(files.map(f =>
+      (f.path, f.level, f.fileSizeInBytes, f.minSeq, f.maxSeq, f.creationTimeMs)))
+      .toDF("file_path", "level", "file_size_in_bytes", "min_sequence_number",
+        "max_sequence_number", "creation_time_ms")
+    statsDf.join(metaDf, "file_path")
+      .withColumn("creation_time", timestamp_millis(col("creation_time_ms")))
+      .drop("creation_time_ms")
+      .orderBy("min_sequence_number", "file_path")
+  }
+
+  // ---- maintenance (compaction 2A#16, retention 2A#15/18) ----------------
+
+  /** Offline compaction (the paimon-flink-action `compact` job,
+    * guide.md:172-177): rewrite the current live set into `targetFileCount`
+    * level-1 files and swap the manifest. Row count is conserved
+    * (guide.md:212-231 → :258-259); for PK tables the rewrite also resolves
+    * last-writer-wins, shrinking data like Paimon's full compaction. */
+  def compact(targetFileCount: Int): Snapshot = {
+    val before = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (before.isEmpty) return latestSnapshot.orNull
+    val raw = spark.read.parquet(before.map(_.path): _*)
+    val resolved = primaryKey match {
+      case None => raw
+      case Some(pk) =>
+        val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+        raw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    resolved.repartition(targetFileCount).write.mode("overwrite").parquet(staging)
+    val snapId = latestSnapshot.map(_.id).getOrElse(0L)
+    val parts = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val moved = parts.zipWithIndex.map { case (p, k) =>
+      val dest = Paths.get(dataCompact, s"c$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+    deleteRecursively(Paths.get(staging))
+    val maxSeq = before.map(_.maxSeq).max
+    val metas = fileMetas(spark, moved, level = 1,
+      minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)
+    val compactedPaths = before.map(_.path).toSet
+    // Keep files appended concurrently since we snapshotted `before`.
+    commit(live => (live.filterNot(f => compactedPaths.contains(f.path)) ++ metas,
+      latestSnapshot.map(_.batchId).getOrElse(-1L)))
+  }
+
+  /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,
+    * guide.md:180-184): keep the newest `numRetainedMax` snapshots and any
+    * younger than `timeRetainedMs` (always ≥ `numRetainedMin`), delete expired
+    * manifests and any data file no retained snapshot references (VACUUM). */
+  def expireSnapshots(numRetainedMin: Int, numRetainedMax: Int, timeRetainedMs: Long): Int = {
+    val snaps = snapshots
+    if (snaps.size <= numRetainedMin) return 0
+    val now = System.currentTimeMillis()
+    val keep = snaps.zipWithIndex.filter { case (s0, i) =>
+      val fromNewest = snaps.size - i
+      fromNewest <= numRetainedMin ||
+        (fromNewest <= numRetainedMax && now - s0.committedAtMs <= timeRetainedMs)
+    }.map(_._1)
+    val expired = snaps.filterNot(s0 => keep.exists(_.id == s0.id))
+    val liveRefs = keep.flatMap(_.files.map(_.path)).toSet
+    val deletable = expired.flatMap(_.files.map(_.path)).toSet -- liveRefs
+    deletable.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(s0 => Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json")))
+    expired.size
+  }
+}
+
+object StreamTable {
+  /** Internal per-row commit-sequence column on disk (Paimon sequence-number
+    * analog, guide.md:206). Hidden from readers. */
+  val SeqColName = "__graft_seq"
+
+  private val mapper = new ObjectMapper()
+  mapper.registerModule(DefaultScalaModule)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private def deleteRecursively(p: JPath): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    }
+
+  private def fileMetas(spark: SparkSession, paths: Seq[String], level: Int,
+      minSeq: Long, maxSeq: Long): Seq[DataFileMeta] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    paths.map { p =>
+      val (rows, _, _) = footerStats(p, conf)
+      DataFileMeta(p, rows, Files.size(Paths.get(p)), minSeq, maxSeq, level,
+        System.currentTimeMillis())
+    }
+  }
+
+  /** (rowCount, min_value_stats, max_value_stats) from a parquet footer —
+    * the stats Paimon surfaces in `$files` (guide.md:205, :212) and what
+    * parquet predicate-pushdown data skipping reads. */
+  private def footerStats(path: String, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, String], Map[String, String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.Map[String, String]()
+      val maxs = scala.collection.mutable.Map[String, String]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          val mn = st.minAsString(); val mx = st.maxAsString()
+          if (!mins.contains(name) || mn < mins(name)) mins(name) = mn
+          if (!maxs.contains(name) || mx > maxs(name)) maxs(name) = mx
+        }
+      }
+      (rows, mins.toMap, maxs.toMap)
+    } finally reader.close()
+  }
+}

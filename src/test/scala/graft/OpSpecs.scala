@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic spot-checks beyond the DuckDB oracle. */
+class OpSpecs extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf
+
+  test("approx_count_distinct is within 5% of exact") {
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = SparkEntry.queries("q_ext_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc_id < 50 each got a planted near-dup at doc_id + 1,000,000
+    val found = (0L until 50L).count(i => pairs.contains((i, i + 1000000L)))
+    assert(found >= 40, s"only $found/50 planted near-dup pairs found")
+  }
+
+  test("cosine top-k matches a driver-side brute force") {
+    val topk = SparkEntry.queries("q_ext_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = rows(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = rows.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(topk.map(_._1).toSeq == expect.map(_._1), s"got=${topk.toSeq} want=$expect")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = SparkEntry.queries("q_ext_exact_dedup")(spark, sf)
+    assert(once.count() == once.distinct().count())
+  }
+
+  test("set algebra: intersect ⊆ each side; union-distinct of self = distinct") {
+    val a = Tables.orders(spark, sf).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    assert(a.intersect(b).except(a.distinct()).count() == 0)
+    assert(a.intersect(b).except(b.distinct()).count() == 0)
+    assert(a.union(a).distinct().count() == a.distinct().count())
+  }
+
+  test("typed Welford UDAF matches built-in var_samp") {
+    val ours = SparkEntry.queries("q_udaf_typed")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(round(var_samp(col("l_quantity")), 6).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- builtin)
+      assert(math.abs(ours(k) - v) < 1e-5, s"$k: ours=${ours(k)} builtin=$v")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY.md §4): the optimizations we claim Catalyst
+  * gives us must actually appear in the physical plan — broadcast for dim
+  * joins, sort-merge for fact-fact, filter pushdown + column pruning at the
+  * parquet scan, whole-stage codegen on the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkFixture.sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_join_broadcast_lookup uses a broadcast hash join") {
+    assert(plan("q_join_broadcast_lookup").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_shuffle_inner uses sort-merge join (fact-fact, 100TB-safe)") {
+    assert(plan("q_join_shuffle_inner").contains("SortMergeJoin"))
+  }
+
+  test("q_scan_filter_project pushes the filter into the parquet scan") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"), p.take(2000))
+    // column pruning: the scan must not read all 11 lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"))
+  }
+
+  test("q_agg_groupby_hash runs as hash aggregate with partial (map-side) agg") {
+    val p = plan("q_agg_groupby_hash")
+    assert(p.contains("HashAggregate"))
+    assert(p.toLowerCase.contains("partial_"), "no partial aggregation found")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // AQE only shows the final (codegen'd) plan after execution;
+    // codegen'd spans print as "*(n) Operator"
+    val df = SparkEntry.queries("q_scan_filter_project")(spark, SparkFixture.sf)
+    df.collect() // materialize THIS plan so AQE finalizes it
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q_ext_cosine_topk broadcasts only the query vector") {
+    val p = plan("q_ext_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}

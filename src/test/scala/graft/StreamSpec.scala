@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics that the DuckDB oracle can't express. */
+class StreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("late data behind the watermark is dropped from the aggregation") {
+    val rows = SparkEntry.queries("q_stream_late_data")(spark, SparkFixture.sf)
+      .collect()
+      .map(r => r.get(0).toString.substring(11, 16) -> r.getLong(1))
+      .toMap
+    // batch 1 emits [00:00,00:10)={min1,min5} and [00:10,00:20)={min12};
+    // batch 2's min4 row is behind the 00:25 watermark → DROPPED (not 3);
+    // min22 lands in the open [00:20,00:30) window; min35 closes later.
+    assert(rows("00:00") == 2L, s"late row was not dropped: $rows")
+    assert(rows("00:10") == 1L)
+    assert(rows("00:20") == 1L)
+    assert(rows("00:30") == 1L)
+  }
+
+  test("stream-batch duality: streaming tumbling agg == batch equivalent") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("q_stream_tumbling")(spark, SparkFixture.sf)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val batch = Tables.events(spark, SparkFixture.sf)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ws", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}

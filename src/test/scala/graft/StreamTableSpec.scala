@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.StreamTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming-table layer: append/upsert semantics, $files metadata,
+  * compaction row conservation (the reference's own invariant,
+  * tutorial/guide.md:212-231 → :258-259), retention, idempotent commits. */
+class StreamTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_tbl_").toString
+
+  test("append batches, read back, idempotent batch replay") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), batchId = 0)
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), batchId = 1)
+    assert(t.read.count() == 3)
+    // replaying an already-committed batch must be a no-op (exactly-once)
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), batchId = 1)
+    assert(t.read.count() == 3)
+    assert(t.latestSnapshot.get.id == 1)
+  }
+
+  test("primary-key table resolves last-writer-wins (sensor_info semantics)") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"), bucketKey = Some("id"), numBuckets = 2)
+    t.appendBatch(Seq((1L, 10L, "x1"), (2L, 11L, "y1")).toDF("id", "seq", "v"), 0)
+    t.appendBatch(Seq((1L, 20L, "x2"), (3L, 21L, "z1")).toDF("id", "seq", "v"), 1)
+    val got = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "x2"), (2L, "y1"), (3L, "z1")))
+  }
+
+  test("$files view: counts, sizes, footer min/max stats") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(spark.range(0, 100).select(col("id"), (col("id") * 2).as("v")), 0)
+    t.appendBatch(spark.range(100, 150).select(col("id"), (col("id") * 2).as("v")), 1)
+    val files = t.filesView.collect()
+    assert(files.map(_.getAs[Long]("record_count")).sum == 150)
+    assert(files.forall(_.getAs[Long]("file_size_in_bytes") > 0))
+    assert(files.forall(_.getAs[Int]("level") == 0))
+    val mins = files.map(_.getAs[Map[String, String]]("min_value_stats"))
+    assert(mins.exists(_.get("id").contains("0")))
+  }
+
+  test("compaction conserves rows and reduces file count; PK compact resolves") {
+    val t = new StreamTable(tmp(), spark)
+    for (b <- 0 until 8)
+      t.appendBatch(spark.range(b * 10, b * 10 + 10).toDF("id"), b)
+    val before = t.latestSnapshot.get.files.size
+    assert(before >= 8)
+    val rowsBefore = t.read.count()
+    t.compact(targetFileCount = 2)
+    assert(t.latestSnapshot.get.files.size == 2)
+    assert(t.read.count() == rowsBefore) // the guide.md:258-259 invariant
+    assert(t.latestSnapshot.get.files.forall(_.level == 1))
+
+    val pk = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    pk.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
+    pk.appendBatch(Seq((1L, "a2")).toDF("id", "v"), 1)
+    pk.compact(1)
+    // full compaction materializes LWW: physically 2 rows remain
+    assert(spark.read.parquet(pk.latestSnapshot.get.files.map(_.path): _*).count() == 2)
+    assert(pk.read.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a2", "b"))
+  }
+
+  test("snapshot retention expires manifests and unreferenced files") {
+    val t = new StreamTable(tmp(), spark)
+    for (b <- 0 until 5) t.appendBatch(Seq((b.toLong, "v")).toDF("id", "v"), b)
+    t.compact(1)
+    assert(t.snapshots.size == 6)
+    val removed = t.expireSnapshots(numRetainedMin = 1, numRetainedMax = 1, timeRetainedMs = 0)
+    assert(removed == 5)
+    assert(t.snapshots.size == 1)
+    assert(t.read.count() == 5) // latest snapshot still fully readable
+    // compacted-away level-0 files physically deleted
+    val live = t.latestSnapshot.get.files.map(_.path).toSet
+    val onDisk = Files.list(java.nio.file.Paths.get(s"${t.root}/data/append"))
+      .iterator()
+    assert(!onDisk.hasNext || live.exists(_.contains("append")))
+  }
+
+  test("streaming write (AvailableNow) lands exactly the input, then duality read") {
+    val dir = tmp()
+    val t = new StreamTable(dir, spark)
+    val src = Tables.events(spark, SparkFixture.sf).select("event_id", "user_id", "value")
+    // replay the batch table as a stream through the table's writeStream
+    val tmpSrc = Files.createTempDirectory("graft_src_").toString
+    src.write.parquet(s"$tmpSrc/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmpSrc/in")
+    val q = t.writeStream(stream, Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(t.read.count() == src.count())
+    // duality: the same table is streaming-readable again
+    val back = t.readStream(src.schema)
+    val name = s"dual_${System.nanoTime()}"
+    val q2 = back.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table(name).count() == src.count())
+  }
+}
