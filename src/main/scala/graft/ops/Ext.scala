@@ -69,15 +69,22 @@ object Ext {
             |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
             .stripMargin)).as("sh"))
 
-      val minhashes = shingles
-        .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 15)")).as("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(min(xxhash64(concat(col("sh"), lit("#"), col("seed").cast("string")))).as("mh"))
+      // All 16 minhashes in ONE aggregation pass (16 agg expressions), not a
+      // 16× seed-explode of the shingle stream — at 100 TB the explode would
+      // multiply shuffle volume 16-fold for no benefit.
+      val mhCols = (0 until 16).map(i =>
+        min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"mh$i"))
+      val minhashes = shingles.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
 
       val bandSigs = minhashes
-        .withColumn("band", expr("seed div 4"))
-        .groupBy("doc_id", "band")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh AS string)), ',')").as("sig"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band, concat_ws(',',
+            |  element_at(array(mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,mh8,mh9,mh10,mh11,mh12,mh13,mh14,mh15), b*4+1),
+            |  element_at(array(mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,mh8,mh9,mh10,mh11,mh12,mh13,mh14,mh15), b*4+2),
+            |  element_at(array(mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,mh8,mh9,mh10,mh11,mh12,mh13,mh14,mh15), b*4+3),
+            |  element_at(array(mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,mh8,mh9,mh10,mh11,mh12,mh13,mh14,mh15), b*4+4)) AS sig))"""
+            .stripMargin)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
       val buckets = bandSigs
         .groupBy("band", "sig")
@@ -211,6 +218,33 @@ object Ext {
             .as("n_bpe_tokens"),
           size(split(col("text"), " ")).as("n_ws_tokens"))
         .orderBy("doc_id")
+    },
+
+    // ANN scale path: sign-LSH bucketing. 4 pseudo-random hyperplanes (fixed
+    // ±1 weights from a Lehmer-style mix) give a 4-bit bucket signature; the
+    // search touches only the query's bucket (~1/16 of the corpus) before
+    // brute-forcing cosine inside it. At 100 TB this is the difference
+    // between scanning the corpus per query and scanning one bucket; recall
+    // is traded (classic LSH), so no oracle — ExtSpec pins the structural
+    // contract (candidates come from the bucket, ordering correct).
+    QDef.noOracle("q_ext_cosine_lsh") { (s, d) =>
+      val sig = expr(
+        """aggregate(sequence(0, 3), 0, (acc, b) ->
+          |  acc + CASE WHEN aggregate(sequence(1, 64), 0D,
+          |    (a, i) -> a + cast(element_at(embedding, i) AS double) *
+          |      (CASE WHEN pmod(i * 48271 + b * 1299721, 1009) < 504
+          |            THEN 1.0D ELSE -1.0D END)) > 0D
+          |  THEN shiftleft(1, b) ELSE 0 END)""".stripMargin)
+      val emb = Tables.embeddings(s, d).withColumn("sig", sig)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("sig").as("qsig"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("sig") === col("qsig"))
+        .select(col("vec_id"), col("sig").as("bucket"),
+          round(dot("embedding", "qe") / (norm2("embedding") * norm2("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
     },
 
     QDef(

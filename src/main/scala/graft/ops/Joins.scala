@@ -189,18 +189,37 @@ object Joins {
         |)
         |SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
-      // As-of join (latest order at or before the event): Spark has no native
-      // operator, so: equi-join on key + range predicate, then windowed
-      // pick-latest. Both sides shuffle once on the key; the window sort is
-      // per-event (small groups). No broadcast of either fact side.
-      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      // As-of join (latest order at or before the event) without a native
+      // operator — the merge trick: union both sides tagged, sort once per
+      // key by time, and carry the last-seen order forward with
+      // last(ignoreNulls). One shuffle + one sort, NO join blowup: the
+      // join-then-rank alternative materializes |events|×|orders-per-key|
+      // intermediate rows, which dies at 100 TB; this stays linear.
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("is_event"),
+          col("event_id"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("double").as("o_totalprice"))
       val o = Tables.orders(s, d)
-      val j = e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      j.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      // orders sort before events at equal t (is_event 0 < 1) => "<=" as-of;
+      // (t, o_orderkey) asc means last() picks max(orderdate, orderkey).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("is_event").asc, col("o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_o", last(
+          when(col("is_event") === 0,
+            struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+          ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1 && col("last_o").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("last_o.o_orderkey").as("o_orderkey"),
+          col("last_o.o_orderdate").as("o_orderdate"),
+          col("last_o.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     },
   )

@@ -1,0 +1,143 @@
+package graft.table
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.SparkSession
+
+/** A minimal persistent catalog over [[StreamTable]]s — the Spark-native
+  * translation of the reference's Paimon catalog + table DDL surface:
+  *
+  *  - `CREATE CATALOG … WITH ('warehouse'='…')` + `USE CATALOG`
+  *    (tutorial/guide.md:11-17) → one [[GraftCatalog]] per warehouse dir.
+  *  - `CREATE TABLE … WITH (options)` (guide.md:23-31, :59-74, :103-115) →
+  *    [[createTable]] with the same option keys (`bucket`, `bucket-key`,
+  *    `primary-key`, `sequence.field`, `changelog-producer`, …).
+  *  - `ALTER TABLE … SET (…)` (guide.md:180-184, :265-271) → [[alterTable]].
+  *  - `SHOW DATABASES / TABLES` (Readme.md:57-78) → [[listDatabases]] /
+  *    [[listTables]].
+  *  - retention + auto-compaction policies (`snapshot.time-retained`,
+  *    `snapshot.num-retained.min/max`, `full-compaction.delta-commits`,
+  *    `compaction.max.file-num`) → [[applyRetention]] / [[maybeCompact]],
+  *    driven from the stored option map exactly like Paimon's maintenance.
+  *
+  * Layout: `warehouse/<db>.db/<table>/` holds the StreamTable; options live
+  * in `_table_options.json` beside it (atomic-rename updates).
+  */
+class GraftCatalog(spark: SparkSession, val warehouse: String) {
+  import GraftCatalog._
+
+  private def dbPath(db: String) = s"$warehouse/$db.db"
+  private def tablePath(db: String, t: String) = s"${dbPath(db)}/$t"
+  private def optsFile(db: String, t: String) =
+    Paths.get(tablePath(db, t), "_table_options.json")
+
+  def createDatabase(db: String): Unit =
+    Files.createDirectories(Paths.get(dbPath(db)))
+
+  def listDatabases(): Seq[String] =
+    if (!Files.exists(Paths.get(warehouse))) Seq.empty
+    else Files.list(Paths.get(warehouse)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".db"))
+      .map(_.stripSuffix(".db")).toSeq.sorted
+
+  def listTables(db: String): Seq[String] =
+    if (!Files.exists(Paths.get(dbPath(db)))) Seq.empty
+    else Files.list(Paths.get(dbPath(db))).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  /** CREATE TABLE with a Paimon-style option map. Recognized keys:
+    * `primary-key` (comma-separated), `sequence.field`, `bucket` (int),
+    * `bucket-key`; everything else is carried opaquely (file.format,
+    * changelog-producer, retention/compaction knobs…). */
+  def createTable(db: String, name: String, options: Map[String, String]): StreamTable = {
+    createDatabase(db)
+    val p = tablePath(db, name)
+    require(!Files.exists(optsFile(db, name)), s"table $db.$name already exists")
+    Files.createDirectories(Paths.get(p))
+    writeOptions(optsFile(db, name), options)
+    getTable(db, name)
+  }
+
+  /** ALTER TABLE … SET (…): merge new options atomically. */
+  def alterTable(db: String, name: String, set: Map[String, String]): Unit = {
+    val merged = tableOptions(db, name) ++ set
+    writeOptions(optsFile(db, name), merged)
+  }
+
+  def tableOptions(db: String, name: String): Map[String, String] = {
+    val f = optsFile(db, name)
+    require(Files.exists(f), s"no such table $db.$name")
+    mapper.readValue(Files.readAllBytes(f), classOf[Map[String, String]])
+  }
+
+  def getTable(db: String, name: String): StreamTable = {
+    val o = tableOptions(db, name)
+    new StreamTable(tablePath(db, name), spark,
+      primaryKey = o.get("primary-key").map(_.split(",").map(_.trim).toSeq),
+      seqCol = o.get("sequence.field"),
+      bucketKey = o.get("bucket-key"),
+      numBuckets = o.get("bucket").map(_.toInt).getOrElse(4))
+  }
+
+  def dropTable(db: String, name: String): Unit = {
+    val p = Paths.get(tablePath(db, name))
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+  }
+
+  /** Enforce the table's retention options (ALTER TABLE … snapshot.*,
+    * guide.md:180-184): returns number of snapshots expired. */
+  def applyRetention(db: String, name: String): Int = {
+    val o = tableOptions(db, name)
+    getTable(db, name).expireSnapshots(
+      numRetainedMin = o.getOrElse("snapshot.num-retained.min", "1").toInt,
+      numRetainedMax = o.getOrElse("snapshot.num-retained.max", "5").toInt,
+      timeRetainedMs = parseDurationMs(o.getOrElse("snapshot.time-retained", "1 h")))
+  }
+
+  /** Auto-compaction policy (guide.md:265-271): compact when the live file
+    * count exceeds `compaction.max.file-num`, or unconditionally for a
+    * "full-compaction" call site every `full-compaction.delta-commits`
+    * commits. Returns true if a compaction ran. */
+  def maybeCompact(db: String, name: String): Boolean = {
+    val o = tableOptions(db, name)
+    val t = getTable(db, name)
+    val nFiles = t.latestSnapshot.map(_.files.size).getOrElse(0)
+    val maxFiles = o.getOrElse("compaction.max.file-num", "5").toInt
+    val deltaCommits = o.get("full-compaction.delta-commits").map(_.toInt)
+    val due = nFiles > maxFiles ||
+      deltaCommits.exists(n => t.latestSnapshot.exists(s => (s.id + 1) % n == 0))
+    if (due) { t.compact(targetFileCount = math.max(1, t.numBuckets)); true }
+    else false
+  }
+}
+
+object GraftCatalog {
+  private val mapper = new ObjectMapper()
+  mapper.registerModule(DefaultScalaModule)
+
+  private def writeOptions(target: java.nio.file.Path, o: Map[String, String]): Unit = {
+    val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(o))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Parse Flink-style durations: "20 s", "30 min", "1 h" (guide.md:3, :181). */
+  def parseDurationMs(s: String): Long = {
+    val m = "(\\d+)\\s*(ms|s|sec|min|m|h|d)".r.findFirstMatchIn(s.trim.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"bad duration: $s"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n
+      case "s" | "sec" => n * 1000
+      case "min" | "m" => n * 60000
+      case "h" => n * 3600000
+      case "d" => n * 86400000
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.multimodal.Multimodal.MediaCodec
+import graft.table.GraftCatalog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing + catalog/DDL layer. */
+class ModuleSpecs extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+  private val sf = SparkFixture.sf
+
+  // ---- multimodal --------------------------------------------------------
+
+  test("batched feature extraction: fixed dim, deterministic, one row per asset") {
+    val df = SparkEntry.queries("q_mm_batch_features")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[Int]("dim") == 8))
+    val again = SparkEntry.queries("q_mm_batch_features")(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+  }
+
+  test("decode stub is a pure function of the bytes") {
+    val a = MediaCodec.decodeStub("hello world".getBytes)
+    assert(a == MediaCodec.decodeStub("hello world".getBytes))
+    assert(a.width >= 64 && a.height >= 64 && a.nFrames >= 1)
+  }
+
+  test("frame sampling joins back to decode metadata consistently") {
+    val meta = SparkEntry.queries("q_mm_decode_meta")(spark, sf)
+      .select("doc_id", "n_frames")
+    val frames = SparkEntry.queries("q_mm_frame_sample")(spark, sf)
+    val joined = frames.groupBy("doc_id").agg(max("frame_idx").as("max_f"))
+      .join(meta, "doc_id")
+    // every sampled frame index is within the decoded frame count
+    assert(joined.filter(col("max_f") >= col("n_frames")).count() == 0)
+  }
+
+  // ---- ANN / LSH ---------------------------------------------------------
+
+  test("LSH cosine: candidates share the query bucket; ordering is correct") {
+    val rows = SparkEntry.queries("q_ext_cosine_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty, "query bucket is empty")
+    assert(rows.map(_.getAs[Int]("bucket")).distinct.length == 1)
+    val sims = rows.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse, "not ordered by similarity desc")
+    // bucket pruning actually pruned: candidates < corpus
+    assert(rows.length <= 10)
+  }
+
+  // ---- catalog / DDL -----------------------------------------------------
+
+  test("catalog: create/alter/show/drop with Paimon-style options") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    val t = cat.createTable("default", "measurements", Map(
+      "bucket" -> "2", "bucket-key" -> "sensor_id", "file.format" -> "parquet"))
+    assert(cat.listDatabases() == Seq("default"))
+    assert(cat.listTables("default") == Seq("measurements"))
+    t.appendBatch(Seq((1L, 10.5), (2L, 11.5)).toDF("sensor_id", "reading"), 0)
+    assert(cat.getTable("default", "measurements").read.count() == 2)
+
+    cat.alterTable("default", "measurements", Map(
+      "snapshot.time-retained" -> "20 s", "snapshot.num-retained.max" -> "5"))
+    assert(cat.tableOptions("default", "measurements")("snapshot.time-retained") == "20 s")
+
+    intercept[IllegalArgumentException](
+      cat.createTable("default", "measurements", Map.empty))
+    cat.dropTable("default", "measurements")
+    assert(cat.listTables("default").isEmpty)
+  }
+
+  test("catalog: PK table honors primary-key/sequence.field options") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    val t = cat.createTable("default", "sensor_info", Map(
+      "primary-key" -> "sensor_id", "sequence.field" -> "updated_at",
+      "changelog-producer" -> "input"))
+    t.appendBatch(Seq((1L, 100L, "x")).toDF("sensor_id", "updated_at", "v"), 0)
+    t.appendBatch(Seq((1L, 200L, "y")).toDF("sensor_id", "updated_at", "v"), 1)
+    val got = cat.getTable("default", "sensor_info").read.collect()
+    assert(got.length == 1 && got.head.getString(2) == "y")
+  }
+
+  test("catalog: retention + auto-compaction policies from options") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    val t = cat.createTable("default", "m2", Map(
+      "bucket" -> "1",
+      "compaction.max.file-num" -> "3",
+      "snapshot.num-retained.min" -> "1", "snapshot.num-retained.max" -> "1",
+      "snapshot.time-retained" -> "1 ms"))
+    for (b <- 0 until 5) t.appendBatch(Seq((b.toLong, b.toString)).toDF("id", "v"), b)
+    assert(cat.maybeCompact("default", "m2"), "compaction should be due (>3 files)")
+    val after = cat.getTable("default", "m2")
+    assert(after.latestSnapshot.get.files.size == 1)
+    assert(after.read.count() == 5)
+    assert(cat.applyRetention("default", "m2") > 0)
+    assert(cat.getTable("default", "m2").read.count() == 5)
+  }
+
+  test("duration parsing matches the reference's SET syntax") {
+    import graft.table.GraftCatalog.parseDurationMs
+    assert(parseDurationMs("20 s") == 20000L)
+    assert(parseDurationMs("30 min") == 1800000L)
+    assert(parseDurationMs("1 h") == 3600000L)
+  }
+}
