@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[QDef] =
     Scans.all ++ Joins.all ++ Aggs.all ++ Windows.all ++ SetOps.all ++
       Funcs.all ++ Udfs.all ++ Ext.all ++ graft.multimodal.Multimodal.all ++
-      graft.streaming.StreamOps.all
+      graft.sources.Datagen.all ++ graft.streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature operation: the enrichment lookup join

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.QDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Datagen sources (reference ops 2A#1-2) + changelog rendering (2A#19).
+  *
+  * The reference drives everything from Flink's datagen connector: an
+  * unbounded random source at 1000 rows/s (Readme.md:88-101) and a bounded
+  * 1..1000 sequence (Readme.md:132-154). Spark-native analogs:
+  * `spark.range` for bounded sequences and the `rate-micro-batch` streaming
+  * source for deterministic unbounded generation.
+  */
+object Datagen {
+
+  val all: Seq[QDef] = Seq(
+    // Bounded sequence datagen (sensor_info shape, Readme.md:132-154):
+    // sequence key + derived payload columns. Payloads are deterministic
+    // arithmetic on the key (not rand()) so DuckDB replays them exactly.
+    QDef(
+      "q_source_datagen_bounded",
+      """SELECT CAST(id AS BIGINT) AS sensor_id,
+        |  CAST(id % 180 - 90 AS DOUBLE) + id / 1000.0 AS latitude,
+        |  CAST(id % 360 - 180 AS DOUBLE) + id / 500.0 AS longitude,
+        |  CAST(id % 4 AS INTEGER) AS generation
+        |FROM range(1, 1001) t(id) ORDER BY sensor_id""".stripMargin) { (s, d) =>
+      s.range(1, 1001)
+        .select(col("id").as("sensor_id"),
+          ((col("id") % 180 - 90).cast("double") + col("id") / 1000.0).as("latitude"),
+          ((col("id") % 360 - 180).cast("double") + col("id") / 500.0).as("longitude"),
+          (col("id") % 4).cast("int").as("generation"))
+        .orderBy("sensor_id")
+    },
+
+    // Unbounded datagen analog (measurements shape, Readme.md:88-101):
+    // rate-micro-batch emits exactly rowsPerBatch values per trigger — the
+    // deterministic stand-in for 'rows-per-second'='1000'. One batch here;
+    // production would run Trigger.ProcessingTime("20 seconds") forever.
+    QDef(
+      "q_source_rate_stream",
+      """SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS min_v,
+        |  CAST(999 AS BIGINT) AS max_v""".stripMargin) { (s, d) =>
+      val name = s"rate_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("startTimestamp", 0L)
+        .load()
+        .select(col("value"),
+          pmod(col("value") * 37, lit(1000)).as("sensor_id"),
+          round(pmod(col("value") * 7919, lit(451)) / 10.0, 1).as("reading"))
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+      s.table(name).agg(count(lit(1)).as("n_rows"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    },
+
+    // Changelog op rendering (2A#19): streaming results carry a change-type
+    // column; an append-only pipe is all '+I' (exactly what the reference's
+    // tableau outputs show, Readme.md:113-127).
+    QDef(
+      "q_stream_changelog",
+      """SELECT '+I' AS op, event_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamOps.changelogScan(s, d)
+    },
+  )
+}

@@ -63,6 +63,14 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Append-only streaming scan with the changelog op column (+I), rendered
+    * through a real streaming job (reference 2A#19). */
+  def changelogScan(s: SparkSession, d: String): DataFrame = {
+    val tagged = eventsStream(s, d)
+      .select(lit("+I").as("op"), col("event_id"), col("event_type"))
+    runToMemory(s, tagged, "append").orderBy("event_id")
+  }
+
   val all: Seq[QDef] = Seq(
     // Reference op 2A#7: continuous INSERT INTO … SELECT — source → parquet
     // sink with checkpoint. Result = what landed in the sink table.

@@ -177,6 +177,32 @@ class StreamTable(
   def readStream(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dataAppend).drop(SeqColName)
 
+  /** Incremental changelog read between two snapshots (the
+    * `changelog-producer = 'input'` model, guide.md:69-73: upstream change
+    * rows pass through raw, no changelog-normalize operator). Rows from files
+    * added after `fromId` are tagged `+I`; on PK tables, rows whose key
+    * already existed at `fromId` are tagged `+U` instead. */
+  def changesBetween(fromId: Long, toId: Long): DataFrame = {
+    val snaps = snapshots
+    def files(id: Long) = snaps.find(_.id == id)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id")).files
+    val oldPaths = files(fromId).map(_.path).toSet
+    val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
+      .filter(_.level == 0) // compaction rewrites are not logical changes
+    if (newFiles.isEmpty) return spark.emptyDataFrame
+    val added = spark.read.parquet(newFiles.map(_.path): _*)
+    primaryKey match {
+      case None => added.drop(SeqColName).withColumn("op", lit("+I"))
+      case Some(pk) =>
+        val oldKeys = spark.read.parquet(files(fromId).map(_.path): _*)
+          .select(pk.map(col): _*).distinct()
+          .withColumn("__existed", lit(1))
+        added.join(oldKeys, pk, "left")
+          .withColumn("op", when(col("__existed").isNull, "+I").otherwise("+U"))
+          .drop("__existed", SeqColName)
+    }
+  }
+
   // ---- metadata (`$files`, reference op 2A#17) ---------------------------
 
   /** The `$files` system table: per-live-file metadata incl. per-column

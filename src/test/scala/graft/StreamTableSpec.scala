@@ -86,6 +86,18 @@ class StreamTableSpec extends AnyFunSuite {
     assert(!onDisk.hasNext || live.exists(_.contains("append")))
   }
 
+  test("incremental changelog read tags +I for new keys, +U for updates") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
+    t.appendBatch(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), 1)
+    val ch = t.changesBetween(0, 1).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[String]("op")))
+    assert(ch.toSeq == Seq((1L, "a2", "+U"), (3L, "c", "+I")))
+    // compaction adds no logical changes
+    t.compact(1)
+    assert(t.changesBetween(1, t.latestSnapshot.get.id).count() == 0)
+  }
+
   test("streaming write (AvailableNow) lands exactly the input, then duality read") {
     val dir = tmp()
     val t = new StreamTable(dir, spark)
