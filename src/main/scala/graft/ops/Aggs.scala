@@ -136,6 +136,26 @@ object Aggs {
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // Skew-handling pattern: events has only 5 event_type values, so at
+    // 100 TB a single-phase groupBy funnels ~20% of the table into one
+    // reducer. Salt the hot key into 16 sub-keys, partially aggregate, then
+    // finalize — two small shuffles instead of one skewed one. Decimal-exact
+    // partials make the result bit-identical to the unsalted plan (= oracle).
+    QDef(
+      "q_agg_skew_salted",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("ps"), count(lit(1)).as("pc"))
+        .groupBy("event_type")
+        .agg(sum(col("ps")).cast("double").as("sum_value"), sum(col("pc")).as("n"))
+        .orderBy("event_type")
+    },
+
     QDef(
       "q_agg_having",
       """SELECT l_partkey,
