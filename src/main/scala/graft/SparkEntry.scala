@@ -14,8 +14,9 @@ object SparkEntry {
   /** All declared queries, in registry order. */
   def registry: Seq[QDef] =
     Scans.all ++ Joins.all ++ Aggs.all ++ Windows.all ++ SetOps.all ++
-      Funcs.all ++ Udfs.all ++ Ext.all ++ graft.multimodal.Multimodal.all ++
-      graft.sources.Datagen.all ++ graft.streaming.StreamOps.all
+      Funcs.all ++ Udfs.all ++ Analytical.all ++ Ext.all ++
+      graft.multimodal.Multimodal.all ++ graft.sources.Datagen.all ++
+      graft.streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature operation: the enrichment lookup join

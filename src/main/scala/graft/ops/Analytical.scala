@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Composed analytical queries (TPC-H Q3/Q5 shapes): multi-way joins +
+  * filtered aggregation + top-k — the plans a warehouse engine must get right
+  * end-to-end. Catalyst handles join ordering; dims (region/nation/customer/
+  * supplier) broadcast under the threshold, lineitem↔orders shuffles on the
+  * key; AQE re-plans at runtime. Revenue goes through exact DECIMAL so the
+  * top-k order is engine-independent.
+  */
+object Analytical {
+
+  private val revenue =
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE)"
+
+  val all: Seq[QDef] = Seq(
+    // Q3 shape: shipping-priority revenue of BUILDING-segment orders.
+    QDef(
+      "q_tpch_q3_shape",
+      s"""SELECT l_orderkey, $revenue AS revenue, o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |  AND l_shipdate > TIMESTAMP '1999-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp_ntz(lit("1999-01-01")))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp_ntz(lit("1999-01-01")))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,4)")).cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    },
+
+    // Q5 shape: local-supplier revenue per nation inside one region.
+    QDef(
+      "q_tpch_q5_shape",
+      s"""SELECT n_name, $revenue AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d); val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      r.join(n, n("n_regionkey") === r("r_regionkey"))
+        .join(c, c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .join(li, li("l_orderkey") === o("o_orderkey"))
+        .join(su, su("s_suppkey") === li("l_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+  )
+}

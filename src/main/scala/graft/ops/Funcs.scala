@@ -156,6 +156,21 @@ object Funcs {
     },
 
     QDef(
+      "q_fn_struct",
+      """SELECT p_partkey,
+        |  {'brand': p_brand, 'sz': p_size} AS pinfo,
+        |  ({'brand': p_brand, 'sz': p_size}).brand AS brand2,
+        |  ({'brand': p_brand, 'sz': p_size}).sz + 1 AS sz_plus
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val st = struct(col("p_brand").as("brand"), col("p_size").as("sz"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), st.as("pinfo"),
+          st.getField("brand").as("brand2"),
+          (st.getField("sz") + 1).as("sz_plus"))
+        .orderBy("p_partkey")
+    },
+
+    QDef(
       "q_fn_json",
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,

@@ -225,6 +225,38 @@ object StreamOps {
         .orderBy("user_id")
     },
 
+    // Custom keyed state via flatMapGroupsWithState (the
+    // KeyValueGroupedDataset stateful API — arbitrary per-key state beyond
+    // what windows express): a per-user running event counter + max value.
+    // Emissions are per-micro-batch updates, so the result takes the last
+    // update per user; the batch oracle is a plain group-by.
+    QDef(
+      "q_stream_custom_state",
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val updates = eventsStream(s, d)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+            val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+            var n = n0; var mx = mx0
+            rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+            state.update((n, mx))
+            Iterator((user, n, mx))
+        }
+        .toDF("user_id", "n_events", "max_value")
+      // last state update per user == totals over the whole stream
+      runToMemory(s, updates, "append")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
+        .orderBy("user_id")
+    },
+
     // Watermark semantics demo: rows later than the watermark are dropped
     // from the aggregation. Probabilistic engine timing is removed by
     // feeding two explicit micro-batches through a MemoryStream; no SQL

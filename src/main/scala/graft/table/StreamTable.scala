@@ -172,6 +172,25 @@ class StreamTable(
     }
   }
 
+  /** Time travel: batch read AS OF an earlier snapshot id (Paimon/Delta
+    * snapshot reads — the manifest makes every committed version readable
+    * until retention expires it). */
+  def readAt(snapshotId: Long): DataFrame = {
+    val snap = snapshots.find(_.id == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    if (snap.files.isEmpty) return spark.emptyDataFrame
+    val raw = spark.read.parquet(snap.files.map(_.path): _*)
+    primaryKey match {
+      case None => raw.drop(SeqColName)
+      case Some(pk) =>
+        val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+        raw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", SeqColName)
+    }
+  }
+
   /** Streaming read — the table as an unbounded changelog of appends
     * (batch/stream duality over one table, guide.md:51-56). */
   def readStream(schema: org.apache.spark.sql.types.StructType): DataFrame =

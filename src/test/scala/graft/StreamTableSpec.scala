@@ -86,6 +86,16 @@ class StreamTableSpec extends AnyFunSuite {
     assert(!onDisk.hasNext || live.exists(_.contains("append")))
   }
 
+  test("time travel: readAt earlier snapshots sees the table as of then") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    t.appendBatch(Seq((1L, "v1")).toDF("id", "v"), 0)
+    t.appendBatch(Seq((1L, "v2"), (2L, "w1")).toDF("id", "v"), 1)
+    assert(t.readAt(0).collect().map(_.getString(1)).toSeq == Seq("v1"))
+    val now = t.readAt(1).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(now == Seq("v2", "w1"))
+    assert(t.read.orderBy("id").collect().map(_.getString(1)).toSeq == now)
+  }
+
   test("incremental changelog read tags +I for new keys, +U for updates") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
     t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
