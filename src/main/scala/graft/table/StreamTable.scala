@@ -352,7 +352,7 @@ object StreamTable {
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val st = c.getStatistics
-        if (st != null && st.hasNonNullValue) {
+        if (st != null && st.hasNonNullValue && name != SeqColName) {
           val mn = st.minAsString(); val mx = st.maxAsString()
           if (!mins.contains(name) || mn < mins(name)) mins(name) = mn
           if (!maxs.contains(name) || mx > maxs(name)) maxs(name) = mx
