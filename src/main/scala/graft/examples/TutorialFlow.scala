@@ -66,6 +66,14 @@ object TutorialFlow {
     println(s"sensor_info count = ${si.count()} (expect 1000, upserted)")
     println(s"sensor 1 generation = ${si.filter(col("sensor_id") === 1).select("generation").first().getInt(0)} (expect 9)")
 
+    // 3b. decommission sensors 900-1000: -D tombstones through the changelog
+    sensorInfo.deleteBatch(
+      spark.range(900, 1001).select(col("id").as("sensor_id")), 2)
+    println(s"sensor_info after delete = ${sensorInfo.read.count()} (expect 899)")
+    val ops = sensorInfo.changesBetween(1, 2).groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"changelog ops batch 2 = $ops (expect -D -> 101)")
+
     // 4. enrichment lookup join as a streaming pipe into a third table
     val enriched = cat.createTable("default", "measurements_enriched", Map.empty)
     val mStream = measurements.readStream(measurements.read.schema)
@@ -74,10 +82,11 @@ object TutorialFlow {
       mStream.join(broadcast(dim), Seq("sensor_id"), "inner"),
       Trigger.AvailableNow())
     q.awaitTermination()
-    // 4995, not 5000: sensor_id=0 rows have no dimension match and the inner
-    // lookup join drops them — the reference's retry-on-miss hint
-    // (guide.md:125-128) would requeue exactly these rows.
-    println(s"measurements_enriched count = ${enriched.read.count()} (expect 4995)")
+    // 4495, not 5000: sensor_id=0 rows never had a dimension row, and the
+    // 101 decommissioned sensors (step 3b) no longer match — lookup joins see
+    // the dimension AS OF processing time (guide.md:119-140); the reference's
+    // retry-on-miss hint (guide.md:125-128) would requeue unmatched rows.
+    println(s"measurements_enriched count = ${enriched.read.count()} (expect 4495)")
 
     // 5. $files metadata table
     println("measurements$files:")

@@ -142,6 +142,19 @@ class StreamTable(
     commit(live => (live ++ metas, batchId))
   }
 
+  /** Delete rows by key (PK tables only): commits tombstone rows that the
+    * read view resolves like any other update — completing the reference's
+    * changelog alphabet (+I/-U/+U/-D, Readme.md:113-127 data model). The
+    * tombstones are physically dropped at the next full compaction. */
+  def deleteBatch(keys: DataFrame, batchId: Long): Unit = {
+    val pk = primaryKey.getOrElse(
+      throw new UnsupportedOperationException("deleteBatch requires a primary-key table"))
+    require(keys.columns.toSeq == pk, s"delete keys must be exactly $pk")
+    // a tombstone is a row with only the key populated and the marker set;
+    // schema-merge fills the payload columns with nulls
+    appendBatch(keys.withColumn(TombstoneColName, lit(true)), batchId)
+  }
+
   /** Continuous ingestion (reference op 2A#7: INSERT INTO … SELECT with
     * checkpointing, guide.md:36-39). Caller picks the trigger — production
     * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow. */
@@ -154,21 +167,36 @@ class StreamTable(
 
   // ---- reads -------------------------------------------------------------
 
+  private def readFiles(files: Seq[DataFileMeta]): DataFrame =
+    // mergeSchema: delete-tombstone files carry only (pk, marker) columns
+    spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+
+  /** Last-writer-wins resolution incl. delete tombstones. `keepSeq` retains
+    * the commit-sequence column (compaction needs it so later appends still
+    * resolve against the rewritten files). */
+  private def resolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
+    val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+    val withTomb =
+      if (raw.columns.contains(TombstoneColName)) raw
+      else raw.withColumn(TombstoneColName, lit(false))
+    val resolved = withTomb.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(!coalesce(col(TombstoneColName), lit(false)))
+      .drop("__rn", TombstoneColName)
+    if (keepSeq) resolved else resolved.drop(SeqColName)
+  }
+
   /** Batch read of the current snapshot (manifest-based, so compaction and
     * retention are invisible to readers). PK tables get the last-writer-wins
     * view (upsert materialization, guide.md:59-74). */
   def read: DataFrame = {
     val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (files.isEmpty) return spark.emptyDataFrame
-    val raw = spark.read.parquet(files.map(_.path): _*)
+    val raw = readFiles(files)
     primaryKey match {
       case None => raw.drop(SeqColName)
-      case Some(pk) =>
-        val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-        raw.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn", SeqColName)
+      case Some(pk) => resolve(raw, pk, keepSeq = false)
     }
   }
 
@@ -179,15 +207,10 @@ class StreamTable(
     val snap = snapshots.find(_.id == snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     if (snap.files.isEmpty) return spark.emptyDataFrame
-    val raw = spark.read.parquet(snap.files.map(_.path): _*)
+    val raw = readFiles(snap.files)
     primaryKey match {
       case None => raw.drop(SeqColName)
-      case Some(pk) =>
-        val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-        raw.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn", SeqColName)
+      case Some(pk) => resolve(raw, pk, keepSeq = false)
     }
   }
 
@@ -209,16 +232,22 @@ class StreamTable(
     val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
       .filter(_.level == 0) // compaction rewrites are not logical changes
     if (newFiles.isEmpty) return spark.emptyDataFrame
-    val added = spark.read.parquet(newFiles.map(_.path): _*)
+    val added = readFiles(newFiles)
     primaryKey match {
       case None => added.drop(SeqColName).withColumn("op", lit("+I"))
       case Some(pk) =>
-        val oldKeys = spark.read.parquet(files(fromId).map(_.path): _*)
+        val oldKeys = readFiles(files(fromId))
           .select(pk.map(col): _*).distinct()
           .withColumn("__existed", lit(1))
-        added.join(oldKeys, pk, "left")
-          .withColumn("op", when(col("__existed").isNull, "+I").otherwise("+U"))
-          .drop("__existed", SeqColName)
+        val withTomb =
+          if (added.columns.contains(TombstoneColName)) added
+          else added.withColumn(TombstoneColName, lit(false))
+        withTomb.join(oldKeys, pk, "left")
+          .withColumn("op",
+            when(coalesce(col(TombstoneColName), lit(false)), "-D")
+              .when(col("__existed").isNull, "+I")
+              .otherwise("+U"))
+          .drop("__existed", SeqColName, TombstoneColName)
     }
   }
 
@@ -259,14 +288,10 @@ class StreamTable(
   def compact(targetFileCount: Int): Snapshot = {
     val before = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (before.isEmpty) return latestSnapshot.orNull
-    val raw = spark.read.parquet(before.map(_.path): _*)
+    val raw = readFiles(before)
     val resolved = primaryKey match {
       case None => raw
-      case Some(pk) =>
-        val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-        raw.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+      case Some(pk) => resolve(raw, pk, keepSeq = true)
     }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     resolved.repartition(targetFileCount).write.mode("overwrite").parquet(staging)
@@ -315,6 +340,9 @@ object StreamTable {
     * analog, guide.md:206). Hidden from readers. */
   val SeqColName = "__graft_seq"
 
+  /** Internal delete-tombstone marker column (the `-D` changelog op). */
+  val TombstoneColName = "__graft_tomb"
+
   private val mapper = new ObjectMapper()
   mapper.registerModule(DefaultScalaModule)
   mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
@@ -352,7 +380,8 @@ object StreamTable {
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val st = c.getStatistics
-        if (st != null && st.hasNonNullValue && name != SeqColName) {
+        if (st != null && st.hasNonNullValue && name != SeqColName &&
+            name != TombstoneColName) {
           val mn = st.minAsString(); val mx = st.maxAsString()
           if (!mins.contains(name) || mn < mins(name)) mins(name) = mn
           if (!maxs.contains(name) || mx > maxs(name)) maxs(name) = mx

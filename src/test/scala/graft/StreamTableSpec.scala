@@ -86,6 +86,24 @@ class StreamTableSpec extends AnyFunSuite {
     assert(!onDisk.hasNext || live.exists(_.contains("append")))
   }
 
+  test("delete tombstones: -D changelog, rows gone from reads, purged by compact") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0)
+    t.deleteBatch(Seq(Tuple1(2L)).toDF("id"), 1)
+    assert(t.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // changelog renders the delete as -D
+    val ch = t.changesBetween(0, 1).collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("op")))
+    assert(ch.toSeq == Seq((2L, "-D")))
+    // re-inserting the key after the delete wins again
+    t.appendBatch(Seq((2L, "b2")).toDF("id", "v"), 2)
+    assert(t.read.filter($"id" === 2L).collect().map(_.getString(1)).toSeq == Seq("b2"))
+    // full compaction physically purges tombstones and dead versions
+    t.compact(1)
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(t.latestSnapshot.get.files.map(_.path): _*).count() == 3)
+    assert(t.read.count() == 3)
+  }
+
   test("time travel: readAt earlier snapshots sees the table as of then") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
     t.appendBatch(Seq((1L, "v1")).toDF("id", "v"), 0)
