@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites (UTC, small shuffle width). */
 object SparkFixture {
   lazy val spark: SparkSession = {
+    // keep metastore/warehouse artifacts out of the repo working dir
+    val scratch = java.nio.file.Files.createTempDirectory("graft_wh_root_").toString
+    System.setProperty("derby.system.home", scratch)
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
