@@ -220,6 +220,32 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // Same top-k as q_ext_cosine_topk but through the native codegen'd
+    // FloatDot expression instead of interpreted zip_with/aggregate lambdas
+    // (same summation order → bit-identical results → same oracle). This is
+    // the hot-path variant a 100 TB similarity scan would run.
+    QDef(
+      "q_ext_cosine_topk_native",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(${duckDot("v.embedding", "q.qe")} /
+         |        (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}), 6) AS cos_sim
+         |FROM embeddings v, q
+         |WHERE v.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(expr("float_dot(embedding, qe)") /
+            (sqrt(expr("float_dot(embedding, embedding)")) *
+             sqrt(expr("float_dot(qe, qe)"))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
     // ANN scale path: sign-LSH bucketing. 4 pseudo-random hyperplanes (fixed
     // ±1 weights from a Lehmer-style mix) give a 4-bit bucket signature; the
     // search touches only the query's bucket (~1/16 of the corpus) before

@@ -56,6 +56,35 @@ object Datagen {
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
     },
 
+    // Source-format breadth: the engine reads/writes CSV and JSON alongside
+    // parquet. Round-trip nation through each format and aggregate — the
+    // oracle runs on the original table, so the round-trip must be lossless.
+    QDef(
+      "q_source_csv_roundtrip",
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      graft.Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema(graft.Tables.nation(s, d).schema).csv(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    QDef(
+      "q_source_json_roundtrip",
+      """SELECT n_regionkey, count(*) AS n, max(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      graft.Tables.nation(s, d).write.mode("overwrite").json(out)
+      s.read.schema(graft.Tables.nation(s, d).schema).json(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("last_name"))
+        .orderBy("n_regionkey")
+    },
+
     // Changelog op rendering (2A#19): streaming results carry a change-type
     // column; an append-only pipe is all '+I' (exactly what the reference's
     // tableau outputs show, Readme.md:113-127).
