@@ -220,6 +220,91 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // n-gram Jaccard similarity: exact set overlap of word 3-gram shingles
+    // for a deterministic candidate sample (every 37th doc, same lang —
+    // candidate bounding BEFORE the quadratic pair space, as at scale).
+    QDef(
+      "q_ext_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3 AND doc_id % 37 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("lang"), expr(
+          """array_distinct(transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
+            .stripMargin).as("grams"))
+      val a = grams.select(col("doc_id").as("doc_a"), col("lang"), col("grams").as("ga"))
+      val b = grams.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("grams").as("gb"))
+      a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double")
+            / size(array_union(col("ga"), col("gb")))).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup fingerprints: 16-bit signatures from per-word hash
+    // votes; near-duplicates differ in few bits (Hamming). xxhash64 has no
+    // DuckDB analog → no oracle; ExtSpec plants near-dups and checks radius.
+    QDef.noOracle("q_ext_simhash") { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" tiny suffix")).as("text"))
+      val words = docs.unionByName(planted)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      // vote per bit: +1 if set, -1 if clear; sign of the sum is the bit
+      val bitCols = (0 until 16).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+      words.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(b =>
+            when(col(s"v$b") > 0, expr(s"shiftleft(1, $b)")).otherwise(0))
+            .reduce(_ + _).as("simhash16"))
+        .orderBy("doc_id")
+    },
+
+    // Embedding-cosine near-duplicate pairs through the sign-LSH buckets:
+    // candidates = same bucket, kept if cosine ≥ 0.98. Planted exact copies
+    // guarantee recall is testable; random corpus contributes no false pairs.
+    QDef.noOracle("q_ext_embedding_neardup") { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val sig = expr(
+        """aggregate(sequence(0, 3), 0, (acc, b) ->
+          |  acc + CASE WHEN aggregate(sequence(1, 64), 0D,
+          |    (a, i) -> a + cast(element_at(embedding, i) AS double) *
+          |      (CASE WHEN pmod(i * 48271 + b * 1299721, 1009) < 504
+          |            THEN 1.0D ELSE -1.0D END)) > 0D
+          |  THEN shiftleft(1, b) ELSE 0 END)""".stripMargin)
+      val corpus = emb.unionByName(planted).withColumn("sig", sig)
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("sig"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("sig").as("sig_b"))
+      a.join(b, a("sig") === b("sig_b") && a("id_a") < b("id_b"))
+        .withColumn("cos_sim", round(
+          expr("float_dot(ea, eb)") /
+            (sqrt(expr("float_dot(ea, ea)")) * sqrt(expr("float_dot(eb, eb)"))), 6))
+        .filter(col("cos_sim") >= 0.98)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    },
+
     // Same top-k as q_ext_cosine_topk but through the native codegen'd
     // FloatDot expression instead of interpreted zip_with/aggregate lambdas
     // (same summation order → bit-identical results → same oracle). This is

@@ -47,6 +47,27 @@ class OpSpecs extends AnyFunSuite {
     assert(topk.map(_._1).toSeq == expect.map(_._1), s"got=${topk.toSeq} want=$expect")
   }
 
+  test("simhash: planted near-dups are within small Hamming radius of originals") {
+    val sigs = SparkEntry.queries("q_ext_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dists = (0L until 30L).map { i =>
+      java.lang.Integer.bitCount(sigs(i) ^ sigs(i + 2000000L))
+    }
+    // a one-word suffix flips few votes: most planted pairs stay within 4 bits
+    assert(dists.count(_ <= 4) >= 24, s"hamming distances: $dists")
+    // unrelated docs are NOT near: median pair distance is large
+    val unrelated = (0L until 29L).map(i => java.lang.Integer.bitCount(sigs(i) ^ sigs(i + 1)))
+    assert(unrelated.count(_ <= 2) < 10, s"unrelated too close: $unrelated")
+  }
+
+  test("embedding near-dup finds every planted exact copy at cos=1") {
+    val pairs = SparkEntry.queries("q_ext_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(planted.length == 25, s"found ${planted.length}/25 planted copies")
+    assert(planted.forall(_._3 >= 0.999999))
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("q_ext_exact_dedup")(spark, sf)
     assert(once.count() == once.distinct().count())
