@@ -136,6 +136,57 @@ object Aggs {
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // Order statistics: exact median (both engines average the two middle
+    // values on even counts — same double op, so bit-identical).
+    QDef(
+      "q_agg_median",
+      """SELECT l_returnflag, median(l_quantity) AS med_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Deterministic correlation at scale: built-in corr() accumulates doubles
+    // in partial-agg order (nondeterministic bits), so compute it from EXACT
+    // decimal power sums instead — the distributed-safe way to get stable
+    // second-order statistics.
+    QDef(
+      "q_agg_corr_exact",
+      """WITH s AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+        |  n
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val sums = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,4)"))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)"))
+            .cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)"))
+            .cast("double").as("syy"))
+      sums.select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Skew-handling pattern: events has only 5 event_type values, so at
     // 100 TB a single-phase groupBy funnels ~20% of the table into one
     // reducer. Salt the hot key into 16 sub-keys, partially aggregate, then

@@ -97,6 +97,22 @@ object Windows {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
 
+    // Distribution functions: percent_rank/cume_dist are integer-ratio
+    // doubles (identical across engines regardless of tie order).
+    QDef(
+      "q_win_distribution",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    },
+
     QDef(
       "q_win_ntile_first_last",
       """SELECT o_custkey, o_orderkey, o_totalprice,
