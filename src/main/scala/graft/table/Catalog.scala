@@ -83,6 +83,16 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
       numBuckets = o.get("bucket").map(_.toInt).getOrElse(4))
   }
 
+  /** Register every table of a database as a temp view (`<db>_<table>`), so
+    * the whole catalog is queryable through `spark.sql` — the analog of
+    * `USE CATALOG` + SQL over Paimon tables (tutorial/guide.md:17, :88). */
+  def registerViews(db: String): Seq[String] =
+    listTables(db).map { t =>
+      val view = s"${db}_$t"
+      getTable(db, t).read.createOrReplaceTempView(view)
+      view
+    }
+
   def dropTable(db: String, name: String): Unit = {
     val p = Paths.get(tablePath(db, name))
     if (Files.exists(p))

@@ -126,6 +126,39 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t.changesBetween(1, t.latestSnapshot.get.id).count() == 0)
   }
 
+  test("ingest throughput beats the reference's 1000 rows/s sustained target") {
+    // Reference parity: Flink datagen sustains 1000 rows/s into Paimon
+    // (Readme.md:94 + 20 s commits, guide.md:3). Replay 10k events through
+    // the full writeStream → manifest-commit path and require ≥ 1000 rows/s
+    // end-to-end (typical observed: well over 10x that).
+    val t = new StreamTable(tmp(), spark)
+    val src = spark.range(0, 100000)
+      .select(col("id").as("event_id"), pmod(col("id"), lit(150)).as("user_id"),
+        (col("id") % 1000 / 10.0).as("value"))
+    val srcDir = Files.createTempDirectory("graft_thr_src_").toString
+    src.write.parquet(s"$srcDir/in")
+    val n = src.count()
+    val t0 = System.nanoTime()
+    val q = t.writeStream(
+      spark.readStream.schema(src.schema).parquet(s"$srcDir/in"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(t.read.count() == n)
+    val rate = n / secs
+    info(f"ingest rate: $rate%.0f rows/s over $n rows")
+    assert(rate >= 1000, f"rate $rate%.0f rows/s below the 1000 rows/s target")
+  }
+
+  test("catalog views make tables SQL-queryable") {
+    val cat = new graft.table.GraftCatalog(spark,
+      Files.createTempDirectory("graft_sqlwh_").toString)
+    val t = cat.createTable("default", "m_sql", Map.empty)
+    t.appendBatch(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v"), 0)
+    cat.registerViews("default")
+    assert(spark.sql("SELECT sum(v) FROM default_m_sql").first().getDouble(0) == 5.0)
+  }
+
   test("streaming write (AvailableNow) lands exactly the input, then duality read") {
     val dir = tmp()
     val t = new StreamTable(dir, spark)
