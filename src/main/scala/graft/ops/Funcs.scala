@@ -155,6 +155,28 @@ object Funcs {
         .orderBy("p_partkey")
     },
 
+    // Spark SQL `^` is XOR while DuckDB `^` is POWER → `xor()` in the oracle.
+    QDef(
+      "q_fn_bitwise",
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 16 AS bor,
+        |  xor(o_orderkey, 7) AS bxor,
+        |  o_orderkey << 2 AS shl,
+        |  o_orderkey >> 1 AS shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS bc
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("o_orderkey & 255").as("band"),
+          expr("o_orderkey | 16").as("bor"),
+          expr("o_orderkey ^ 7").as("bxor"),
+          expr("shiftleft(o_orderkey, 2)").as("shl"),
+          expr("shiftright(o_orderkey, 1)").as("shr"),
+          bit_count(col("o_orderkey")).as("bc"))
+        .orderBy("o_orderkey")
+    },
+
     QDef(
       "q_fn_struct",
       """SELECT p_partkey,
