@@ -55,10 +55,25 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 }
 
 object VectorFunctions {
-  /** Register `float_dot` (and the derived `float_norm`) on a session's
-    * function registry; idempotent. */
+  /** Register `float_dot` on a session's function registry; idempotent. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** The deployment-grade registration path: inject the engine's extensions at
+  * session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Sessions built this way have `float_dot` available in SQL from the start
+  * (no per-session registerOn call). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
   }
 }

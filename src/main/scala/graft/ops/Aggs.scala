@@ -136,6 +136,17 @@ object Aggs {
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // Quantile sketch (approx by design, like the HLL row above): no SQL
+    // oracle; AggSpec asserts the sketch lands within 1 of the exact median
+    // and inside the exact p10/p90 envelope.
+    QDef.noOracle("q_agg_percentile_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // Order statistics: exact median (both engines average the two middle
     // values on even counts — same double op, so bit-identical).
     QDef(

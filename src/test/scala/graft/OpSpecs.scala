@@ -20,6 +20,21 @@ class OpSpecs extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx sketch tracks the exact quantiles") {
+    val approx = SparkEntry.queries("q_agg_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (p50e, p90e)) <- exact) {
+      val (p50a, p90a) = approx(k)
+      assert(math.abs(p50a - p50e) <= 1.0, s"$k p50: approx=$p50a exact=$p50e")
+      assert(math.abs(p90a - p90e) <= 1.0, s"$k p90: approx=$p90a exact=$p90e")
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = SparkEntry.queries("q_ext_minhash_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

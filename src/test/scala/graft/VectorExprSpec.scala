@@ -30,6 +30,13 @@ class VectorExprSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("GraftExtensions applies cleanly to a SparkSessionExtensions instance") {
+    // full build-time wiring is exercised by graft.examples.ExtensionsDemo
+    // (needs its own JVM: extensions bind at session construction)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext) // must not throw
+  }
+
   test("float_dot runs inside whole-stage codegen (no fallback)") {
     graft.functions.VectorFunctions.registerOn(spark)
     val df = Tables.embeddings(spark, sf)
