@@ -225,6 +225,33 @@ object StreamOps {
         .orderBy("user_id")
     },
 
+    // Stream-stream inner join: both sides are unbounded, watermarked, and
+    // joined on an equi-key + event-time range — Structured Streaming buffers
+    // each side's state and expires it by the watermark + range bound. The
+    // batch oracle is exactly the interval join (stream-batch duality again).
+    QDef(
+      "q_stream_stream_join",
+      """SELECT e1.event_id AS a_id, e2.event_id AS b_id, e1.user_id
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+        | AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val a = eventsStream(s, d)
+        .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+      val b = eventsStream(s, d)
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = a.join(b,
+        a("user_id") === b("b_user") &&
+          b("b_ts") > a("a_ts") &&
+          b("b_ts") <= a("a_ts") + expr("INTERVAL 1 HOUR"))
+        .select("a_id", "b_id", "user_id")
+      runToMemory(s, joined, "append").orderBy("a_id", "b_id")
+    },
+
     // Custom keyed state via flatMapGroupsWithState (the
     // KeyValueGroupedDataset stateful API — arbitrary per-key state beyond
     // what windows express): a per-user running event counter + max value.
