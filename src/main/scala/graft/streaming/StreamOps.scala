@@ -53,15 +53,29 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stateful streaming ops allocate one state-store instance PER shuffle
+    * partition PER operator, each with its own per-batch checkpoint files —
+    * at test scale that fixed setup dominates, and at cluster scale the state
+    * partition count should track state size, not the batch-query shuffle
+    * width. Run the job under a narrow shuffle width (results are
+    * partitioning-independent), restoring the session conf after. */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink; return the
     * materialized table. */
-  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
-    val name = s"mem_$fresh"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
-  }
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame =
+    withStreamShuffle(s) {
+      val name = s"mem_$fresh"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }
 
   /** Append-only streaming scan with the changelog op column (+I), rendered
     * through a real streaming job (reference 2A#19). */
@@ -80,13 +94,15 @@ object StreamOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin) { (s, d) =>
       val out = Files.createTempDirectory("graft_ingest_").toString
-      val q = eventsStream(s, d).writeStream
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/chk")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = eventsStream(s, d).writeStream
+          .format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$out/data").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids"),
@@ -206,15 +222,17 @@ object StreamOps {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
       val out = Files.createTempDirectory("graft_upsert_").toString
-      val q = eventsStream(s, d).writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$out/data")
-        }
-        .option("checkpointLocation", s"$out/chk")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = eventsStream(s, d).writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$out/data")
+          }
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)
       s.read.parquet(s"$out/data")
@@ -289,7 +307,7 @@ object StreamOps {
     // feeding two explicit micro-batches through a MemoryStream; no SQL
     // oracle (the driver records a rows-only check), StreamSpec asserts the
     // exact drop behavior.
-    QDef.noOracle("q_stream_late_data") { (s, d) =>
+    QDef.noOracle("q_stream_late_data") { (s, d) => withStreamShuffle(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -317,6 +335,6 @@ object StreamOps {
       s.table(name)
         .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("n"))
         .orderBy("window_start")
-    },
+    }},
   )
 }

@@ -53,7 +53,7 @@ case class Snapshot(
   *
   * - Append table: `primaryKey = None` — `read` unions live files as-is.
   * - Primary-key upsert table (sensor_info semantics, guide.md:59-74):
-  *   `read` applies last-writer-wins per key ordered by (batch, seqCol) —
+  *   `read` applies last-writer-wins per key ordered by (seqCol, batch) —
   *   the "changelog-producer = input" model where the engine materializes
   *   the latest row per key at read (or compaction) time.
   * - Batch/stream duality (guide.md:51-56, :88-98): `read` (batch, manifest
@@ -69,6 +69,8 @@ class StreamTable(
     val numBuckets: Int = 4) {
 
   import StreamTable._
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[StreamTable])
 
   private val dataAppend = s"$root/data/append"
   private val dataCompact = s"$root/data/compact"
@@ -120,7 +122,15 @@ class StreamTable(
     * a failure commits nothing (exactly-once file commits, the Structured
     * Streaming `batchId` + Paimon checkpoint-commit pattern). */
   def appendBatch(df: DataFrame, batchId: Long): Unit = {
-    if (latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)) return
+    if (latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)) {
+      // Replay of an already-committed batch (normal after a streaming
+      // restart) — but a non-monotonic id from a FRESH writer would be
+      // silently dropped here, so make the skip observable. writeStream
+      // avoids the fresh-checkpoint case via its writer-epoch offset.
+      log.warn(s"appendBatch skipped: batchId=$batchId already committed " +
+        s"(latest=${latestSnapshot.map(_.batchId).getOrElse(-1L)}) at $root")
+      return
+    }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val stamped = df.withColumn(SeqColName, lit(batchId))
     val out = bucketKey match {
@@ -149,21 +159,54 @@ class StreamTable(
   def deleteBatch(keys: DataFrame, batchId: Long): Unit = {
     val pk = primaryKey.getOrElse(
       throw new UnsupportedOperationException("deleteBatch requires a primary-key table"))
-    require(keys.columns.toSeq == pk, s"delete keys must be exactly $pk")
-    // a tombstone is a row with only the key populated and the marker set;
-    // schema-merge fills the payload columns with nulls
-    appendBatch(keys.withColumn(TombstoneColName, lit(true)), batchId)
+    // a tombstone is a row with only the key (+ sequence) populated and the
+    // marker set; schema-merge fills the payload columns with nulls
+    val stamped = seqCol match {
+      case Some(c) if keys.columns.contains(c) =>
+        // caller supplied the delete's sequence value (Paimon: a -D record
+        // carries the sequence field; only deletes rows with smaller/equal seq)
+        require(keys.columns.toSet == (pk :+ c).toSet,
+          s"delete keys must be exactly $pk plus optional sequence column $c")
+        keys
+      case Some(c) =>
+        // delete-current: stamp each tombstone with the key's live sequence
+        // value, so it beats what is there now (tie broken by the later
+        // batch id) but loses to any future row with a larger sequence
+        require(keys.columns.toSeq == pk, s"delete keys must be exactly $pk")
+        keys.join(read.groupBy(pk.map(col): _*).agg(max(col(c)).as(c)), pk, "left")
+      case None =>
+        require(keys.columns.toSeq == pk, s"delete keys must be exactly $pk")
+        keys
+    }
+    appendBatch(stamped.withColumn(TombstoneColName, lit(true)), batchId)
   }
 
   /** Continuous ingestion (reference op 2A#7: INSERT INTO … SELECT with
     * checkpointing, guide.md:36-39). Caller picks the trigger — production
     * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow. */
-  def writeStream(stream: DataFrame, trigger: Trigger): StreamingQuery =
+  def writeStream(stream: DataFrame, trigger: Trigger): StreamingQuery = {
+    // Writer-epoch offset: Structured Streaming batch ids restart at 0 for a
+    // fresh checkpoint, which would collide with ids already committed by an
+    // earlier writer and silently no-op in appendBatch. Pin the table-side
+    // offset for this checkpoint's lifetime (the file lives INSIDE the
+    // checkpoint dir, so a new checkpoint ⇒ a new, larger offset), keeping
+    // replays of the SAME checkpoint idempotent and fresh writers safe.
+    val chk = s"$root/_checkpoint"
+    Files.createDirectories(Paths.get(chk))
+    val epochFile = Paths.get(chk, "graft-writer-epoch")
+    val offset =
+      if (Files.exists(epochFile)) new String(Files.readAllBytes(epochFile)).trim.toLong
+      else {
+        val off = latestSnapshot.map(_.batchId + 1).getOrElse(0L)
+        Files.write(epochFile, off.toString.getBytes)
+        off
+      }
     stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, id) }
-      .option("checkpointLocation", s"$root/_checkpoint")
+      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, offset + id) }
+      .option("checkpointLocation", chk)
       .trigger(trigger)
       .start()
+  }
 
   // ---- reads -------------------------------------------------------------
 
@@ -171,11 +214,15 @@ class StreamTable(
     // mergeSchema: delete-tombstone files carry only (pk, marker) columns
     spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
 
-  /** Last-writer-wins resolution incl. delete tombstones. `keepSeq` retains
-    * the commit-sequence column (compaction needs it so later appends still
-    * resolve against the rewritten files). */
+  /** Last-writer-wins resolution incl. delete tombstones, under the Paimon
+    * `sequence.field` contract: when a sequence column is configured, the row
+    * with the LARGEST sequence value wins regardless of arrival order (a late
+    * batch carrying a stale sequence must not overwrite newer data); the
+    * commit batch id only breaks sequence ties. Without one, commit order
+    * decides. `keepSeq` retains the commit-sequence column (compaction needs
+    * it so later appends still resolve against the rewritten files). */
   private def resolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
-    val order = col(SeqColName).desc +: seqCol.map(c => col(c).desc).toSeq
+    val order = seqCol.map(c => col(c).desc).toSeq :+ col(SeqColName).desc
     val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
     val withTomb =
       if (raw.columns.contains(TombstoneColName)) raw
@@ -375,19 +422,29 @@ object StreamTable {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val mins = scala.collection.mutable.Map[String, String]()
-      val maxs = scala.collection.mutable.Map[String, String]()
+      // Merge per-row-group stats with the column's TYPED comparator (the
+      // parquet Statistics object), never lexicographically — '9' > '10' as
+      // strings but not as numbers; stringify only for display.
+      type AnyStats = org.apache.parquet.column.statistics.Statistics[_ <: Comparable[_]]
+      def merge[T <: Comparable[T]](a: AnyStats, b: AnyStats): Unit =
+        a.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]]
+          .mergeStatistics(
+            b.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]])
+      val acc = scala.collection.mutable.Map[String, AnyStats]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val st = c.getStatistics
         if (st != null && st.hasNonNullValue && name != SeqColName &&
             name != TombstoneColName) {
-          val mn = st.minAsString(); val mx = st.maxAsString()
-          if (!mins.contains(name) || mn < mins(name)) mins(name) = mn
-          if (!maxs.contains(name) || mx > maxs(name)) maxs(name) = mx
+          acc.get(name) match {
+            case Some(prev) => merge(prev, st)
+            case None       => acc(name) = st.copy()
+          }
         }
       }
-      (rows, mins.toMap, maxs.toMap)
+      val mins = acc.map { case (k, s) => k -> s.minAsString() }.toMap
+      val maxs = acc.map { case (k, s) => k -> s.maxAsString() }.toMap
+      (rows, mins, maxs)
     } finally reader.close()
   }
 }

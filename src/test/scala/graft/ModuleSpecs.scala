@@ -21,8 +21,9 @@ class ModuleSpecs extends AnyFunSuite {
     assert(rows.length == Tables.documents(spark, sf).count())
     assert(rows.forall(_.getAs[Int]("dim") == 8))
     val again = SparkEntry.queries("q_mm_batch_features")(spark, sf).collect()
-    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq ==
-      again.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getFloat(2), r.getFloat(3), r.getDouble(4))
+    assert(rows.map(key).toSeq == again.map(key).toSeq)
   }
 
   test("decode stub is a pure function of the bytes") {

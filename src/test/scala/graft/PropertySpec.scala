@@ -32,10 +32,11 @@ class PropertySpec extends AnyFunSuite {
       ops.zipWithIndex.foreach { case ((k, sq, v), i) =>
         t.appendBatch(Seq((k, sq, v)).toDF("id", "seq", "v"), i.toLong)
       }
-      // reference model: later batch wins; seq breaks ties inside a batch
+      // reference model (Paimon sequence.field): the LARGEST sequence value
+      // wins regardless of batch order; batch id breaks sequence ties
       val expect = ops.zipWithIndex
         .groupBy(_._1._1)
-        .map { case (k, group) => k -> group.maxBy { case ((_, sq, _), i) => (i, sq) }._1._3 }
+        .map { case (k, group) => k -> group.maxBy { case ((_, sq, _), i) => (sq, i) }._1._3 }
       val got = t.read.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
       assert(got == expect, s"seed=$seed ops=$ops")
     }
