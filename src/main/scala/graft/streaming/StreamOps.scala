@@ -304,10 +304,19 @@ object StreamOps {
 
     // Watermark semantics demo: rows later than the watermark are dropped
     // from the aggregation. Probabilistic engine timing is removed by
-    // feeding two explicit micro-batches through a MemoryStream; no SQL
-    // oracle (the driver records a rows-only check), StreamSpec asserts the
-    // exact drop behavior.
-    QDef.noOracle("q_stream_late_data") { (s, d) => withStreamShuffle(s) {
+    // feeding explicit micro-batches through a MemoryStream, which makes the
+    // append-mode emissions closed-form — the oracle is the expected window
+    // table itself: the minute-4 row arrives behind the 00:25 watermark and
+    // is dropped (window [00:00,00:10) stays n=2), while the final [00:50,
+    // 00:60) window never closes and is never emitted.
+    QDef(
+      "q_stream_late_data",
+      """SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', CAST(2 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 00:10:00', CAST(1 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 00:20:00', CAST(1 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 00:30:00', CAST(1 AS BIGINT))
+        |) t(window_start, n) ORDER BY window_start""".stripMargin) { (s, d) => withStreamShuffle(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
