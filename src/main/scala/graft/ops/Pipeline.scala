@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators beyond the dedup/similarity/text families
+  * (builder prompt north star: "the operations a large-scale training-data
+  * pipeline would need").
+  *
+  * Design rules for 100 TB inputs:
+  *  - Sampling/splitting is HASH-based (md5 of a key), never `rand()`: the
+  *    decision is reproducible per row, needs no driver state or seed
+  *    broadcast, survives retries/speculative execution, and never shuffles —
+  *    it is a map-only filter that parquet scans stream through.
+  *  - Group-aware splitting keys on the GROUP (source), not the row, so all
+  *    rows of a group land on one side (no train/test leakage) without any
+  *    join — the group key is hashed per row.
+  *  - Packing/quality scoring are single window or single groupBy passes;
+  *    everything aggregates integers exactly (word counts), with at most one
+  *    final double division for ratios (bit-identical across engines).
+  */
+object Pipeline {
+
+  /** Two-hex-char selector in [00,ff] from a key column: uniform, stable,
+    * engine-portable (md5 lowercase hex on both sides). */
+  private def sel2(c: org.apache.spark.sql.Column) =
+    substring(md5(c.cast("string")), 1, 2)
+
+  val all: Seq[QDef] = Seq(
+    // Stratified sampling: per-language keep rates (en ≈ 50%, rest ≈ 20%)
+    // decided by a hash of the doc id — the standard down/up-weighting step
+    // when rebalancing a web corpus by language or domain.
+    QDef(
+      "q_ext_stratified_sample",
+      """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sel
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"), sel2(col("doc_id")).as("sel"))
+        .filter(col("sel") < when(col("lang") === "en", "80").otherwise("33"))
+        .orderBy("doc_id")
+    },
+
+    // Group-aware train/test split: the hash is of the SOURCE, so every doc
+    // of a source lands on the same side — no near-duplicate leakage across
+    // the split. ~10% of sources become test.
+    QDef(
+      "q_ext_group_split",
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source), 1, 2) < '1a' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(substring(md5(col("source")), 1, 2) < "1a", "test")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic k-per-group sample (distributed reservoir analog): order
+    // each stratum by a hash of the id and keep the first k — one shuffle by
+    // the stratum key, no driver-side state, same k rows on every rerun.
+    QDef(
+      "q_ext_reservoir_per_group",
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+
+    // Gopher-style document quality gate: word-count bounds + mean-word-length
+    // bounds (Rae et al. 2021 §A1.1 heuristics), computed scan-side with
+    // exact integer arithmetic and one final division.
+    QDef(
+      "q_ext_gopher_quality",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letter_chars
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CAST(n_letter_chars AS DOUBLE) / nullif(n_words, 0) AS mean_wlen,
+        |  (n_words BETWEEN 10 AND 300
+        |   AND CAST(n_letter_chars AS DOUBLE) / nullif(n_words, 0)
+        |       BETWEEN 2.0 AND 12.0) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nWords = size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
+      val nChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val meanW = nChars.cast("double") / nullif(nWords, lit(0L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"), meanW.as("mean_wlen"),
+          (nWords.between(10, 300) && meanW.between(2.0, 12.0)).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition filter (Gopher §A1.1 "repetitive text"): fraction of the
+    // doc taken by its single most frequent word. Two exact integer
+    // aggregations, one double ratio.
+    QDef(
+      "q_ext_repetition_filter",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w
+        |      WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT doc_id, max(cnt) AS top_freq,
+        |  CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS rep_ratio,
+        |  (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) <= 0.2) AS keep
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max("cnt").as("top_freq"), sum("cnt").as("n_words"))
+        .select(col("doc_id"), col("top_freq"), col("n_words"),
+          (col("top_freq").cast("double") / col("n_words")).as("rep_ratio"),
+          (col("top_freq").cast("double") / col("n_words") <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary: global top-50 tokens by frequency (count desc, word
+    // asc tiebreak) — the tokenizer-training / vocab-audit pass. Partial
+    // (map-side) aggregation makes the shuffle carry only distinct words.
+    QDef(
+      "q_ext_vocab_topk",
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50)
+    },
+
+    // Sequence packing: assign documents to fixed-capacity (4096-token) bins
+    // by cumulative token count in doc order — the pretraining batch-packing
+    // step. One window pass, exact BIGINT arithmetic. At cluster scale the
+    // same cumsum runs per partition-range (or per shard key) instead of one
+    // global ordering.
+    QDef(
+      "q_ext_seq_packing",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 4096 AS bin_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTokens = size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTokens.as("n_tokens"))
+        .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+        .withColumn("bin_id", expr("start_offset div 4096"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: redact digit runs in the event payloads and count what
+    // was removed — the map-only compliance pass (regex fully distributed,
+    // no shuffle). DuckDB needs the 'g' flag for global replace; Spark
+    // replaces globally by default.
+    QDef(
+      "q_ext_pii_scrub",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+        |       AS INTEGER) AS n_digits
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          (length(col("props")) -
+            length(regexp_replace(col("props"), "[0-9]", ""))).as("n_digits"))
+        .orderBy("event_id")
+    },
+  )
+}

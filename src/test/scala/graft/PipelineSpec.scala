@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic + scale properties of the training-data pipeline family
+  * (graft.ops.Pipeline) beyond the DuckDB oracle's value check. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("stratified sample: hash rates land near targets, reruns identical") {
+    val docs = Tables.documents(spark, sf)
+    val totalEn = docs.filter("lang = 'en'").count().toDouble
+    val totalOther = docs.filter("lang <> 'en'").count().toDouble
+    val got = run("q_ext_stratified_sample").collect()
+    val en = got.count(_.getString(1) == "en") / totalEn
+    val other = got.count(_.getString(1) != "en") / totalOther
+    assert(en > 0.35 && en < 0.65, s"en keep rate $en, expected ~0.50")
+    assert(other > 0.08 && other < 0.32, s"non-en keep rate $other, expected ~0.20")
+    assert(got.map(_.getLong(0)).toSeq ==
+      run("q_ext_stratified_sample").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("group split: no source leaks across train/test") {
+    val bySource = run("q_ext_group_split")
+      .groupBy("source").agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+    assert(bySource.filter("k > 1").count() == 0, "a source appears in both splits")
+    val splits = run("q_ext_group_split").select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "test"))
+  }
+
+  test("per-group reservoir: at most k rows per stratum, stable") {
+    val got = run("q_ext_reservoir_per_group").collect()
+    val perLang = got.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 5))
+    assert(got.map(_.getLong(1)).toSeq ==
+      run("q_ext_reservoir_per_group").collect().map(_.getLong(1)).toSeq)
+  }
+
+  test("gopher gate: keep implies the stated bounds") {
+    run("q_ext_gopher_quality").collect().filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(1) >= 10 && r.getLong(1) <= 300)
+      assert(r.getDouble(2) >= 2.0 && r.getDouble(2) <= 12.0)
+    }
+  }
+
+  test("repetition filter: ratio = top_freq / n_words, within (0, 1]") {
+    run("q_ext_repetition_filter").collect().foreach { r =>
+      val expect = r.getLong(1).toDouble / r.getLong(2)
+      assert(r.getDouble(3) == expect && expect > 0.0 && expect <= 1.0)
+    }
+  }
+
+  test("vocab top-k: counts non-increasing, words unique") {
+    val rows = run("q_ext_vocab_topk").collect()
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("seq packing: offsets are an exact prefix sum; bins are offset/4096") {
+    val rows = run("q_ext_seq_packing").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == cum, s"doc ${r.getLong(0)} offset")
+      assert(r.getLong(3) == r.getLong(2) / 4096)
+      cum += r.getLong(1)
+    }
+  }
+
+  test("pii scrub: no digits survive; count matches removed chars") {
+    run("q_ext_pii_scrub").collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        assert(!r.getString(1).exists(_.isDigit), s"digits left: ${r.getString(1)}")
+        assert(r.getInt(2) >= 0)
+      }
+    }
+  }
+
+  test("sampling/split/scrub are map-only before the output sort (no shuffle)") {
+    // hash-based decisions must not shuffle: the only Exchange allowed in the
+    // plan is the final presentation ORDER BY (rangepartitioning)
+    for (q <- Seq("q_ext_stratified_sample", "q_ext_group_split", "q_ext_pii_scrub")) {
+      val p = run(q).queryExecution.executedPlan.toString
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q has a non-sort shuffle: $exchanges")
+    }
+  }
+}
