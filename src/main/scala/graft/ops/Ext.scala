@@ -358,6 +358,55 @@ object Ext {
         .limit(10)
     },
 
+    // ANN scale path #2: IVF (inverted-file) index. Coarse quantizer = 8
+    // deterministic "centroid" vectors (hash-order sample — production swaps
+    // in k-means iterates; the INDEX STRUCTURE is what's exercised). Build:
+    // every vector is assigned to its max-dot-product centroid with a
+    // map-side-combined max_by (corpus never shuffles ×K — the partial agg
+    // reduces to one row per vector before the exchange). Search: the query
+    // resolves its own cell, then brute-forces cosine inside that cell only
+    // (~1/K of the corpus). Fully deterministic → full DuckDB oracle, unlike
+    // the sign-LSH variant.
+    QDef(
+      "q_ext_cosine_ivf",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |a AS (SELECT v.vec_id, v.embedding, c.cid,
+         |        row_number() OVER (PARTITION BY v.vec_id
+         |          ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
+         |      FROM embeddings v, c),
+         |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0)
+         |SELECT v.vec_id, v.cid AS cell,
+         |  round(${duckDot("v.embedding", "q.qe")} /
+         |        (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}), 6) AS cos_sim
+         |FROM cell v, q, qcell
+         |WHERE v.cid = qcell.qcid AND v.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cent = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // assignment: argmax over K dots, combined map-side — maximize
+      // (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC
+      val cell = emb.crossJoin(broadcast(cent))
+        .withColumn("dp", dot("embedding", "ce"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+      cell.filter(col("vec_id") =!= 0)
+        .join(broadcast(qcell), col("cid") === col("qcid"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cid").as("cell"),
+          round(dot("embedding", "qe") / (norm2("embedding") * norm2("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+
     QDef(
       "q_ext_multimodal_cols",
       s"""SELECT d.doc_id, d.lang, e.label,
