@@ -35,7 +35,10 @@ object Bench {
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink: materializes every output column through the FULL plan
+      // (a count() would let Catalyst prune projections and elide the final
+      // sort, understating real query cost)
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => errors ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -28,6 +28,22 @@ object Ext {
   private def duckNorm(a: String): String =
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
+  /** 4-bit sign-LSH bucket signature of `embedding`: 4 fixed ±1 hyperplanes
+    * (Lehmer-style mix of (dim, bit)), each sign test a codegen'd `float_dot`
+    * against a literal plane — the interpreted-HOF version of this cost 256
+    * boxed lambda calls per row; same products in the same order, so the
+    * signatures are bit-identical to it. */
+  private def signLsh(s: SparkSession): org.apache.spark.sql.Column = {
+    graft.functions.VectorFunctions.registerOn(s)
+    (0 until 4).map { b =>
+      val plane = array((1 to 64).map(i =>
+        lit(if (Math.floorMod(i * 48271 + b * 1299721, 1009) < 504) 1.0f
+            else -1.0f)): _*)
+      when(call_function("float_dot", col("embedding"), plane) > 0d,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
   val all: Seq[QDef] = Seq(
     QDef(
       "q_ext_exact_dedup",
@@ -71,10 +87,13 @@ object Ext {
 
       // All 16 minhashes in ONE aggregation pass (16 agg expressions), not a
       // 16× seed-explode of the shingle stream — at 100 TB the explode would
-      // multiply shuffle volume 16-fold for no benefit.
+      // multiply shuffle volume 16-fold for no benefit. The shingle STRING is
+      // hashed once; the 16 permutations re-hash the fixed-width 64-bit value
+      // (8-byte input) instead of re-hashing the string 16 times.
+      val hashed = shingles.withColumn("h", xxhash64(col("sh")))
       val mhCols = (0 until 16).map(i =>
-        min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"mh$i"))
-      val minhashes = shingles.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
+      val minhashes = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
 
       val bandSigs = minhashes
         .select(col("doc_id"), explode(expr(
@@ -284,14 +303,7 @@ object Ext {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") < 25)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val sig = expr(
-        """aggregate(sequence(0, 3), 0, (acc, b) ->
-          |  acc + CASE WHEN aggregate(sequence(1, 64), 0D,
-          |    (a, i) -> a + cast(element_at(embedding, i) AS double) *
-          |      (CASE WHEN pmod(i * 48271 + b * 1299721, 1009) < 504
-          |            THEN 1.0D ELSE -1.0D END)) > 0D
-          |  THEN shiftleft(1, b) ELSE 0 END)""".stripMargin)
-      val corpus = emb.unionByName(planted).withColumn("sig", sig)
+      val corpus = emb.unionByName(planted).withColumn("sig", signLsh(s))
       val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("sig"))
       val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
@@ -339,14 +351,7 @@ object Ext {
     // is traded (classic LSH), so no oracle — ExtSpec pins the structural
     // contract (candidates come from the bucket, ordering correct).
     QDef.noOracle("q_ext_cosine_lsh") { (s, d) =>
-      val sig = expr(
-        """aggregate(sequence(0, 3), 0, (acc, b) ->
-          |  acc + CASE WHEN aggregate(sequence(1, 64), 0D,
-          |    (a, i) -> a + cast(element_at(embedding, i) AS double) *
-          |      (CASE WHEN pmod(i * 48271 + b * 1299721, 1009) < 504
-          |            THEN 1.0D ELSE -1.0D END)) > 0D
-          |  THEN shiftleft(1, b) ELSE 0 END)""".stripMargin)
-      val emb = Tables.embeddings(s, d).withColumn("sig", sig)
+      val emb = Tables.embeddings(s, d).withColumn("sig", signLsh(s))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("sig").as("qsig"))
       emb.filter(col("vec_id") =!= 0)
