@@ -389,14 +389,16 @@ object Ext {
          |FROM cell v, q, qcell
          |WHERE v.cid = qcell.qcid AND v.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val cent = emb
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      // assignment: argmax over K dots, combined map-side — maximize
-      // (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC
+      // assignment: argmax over K codegen'd dots, combined map-side —
+      // maximize (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC
       val cell = emb.crossJoin(broadcast(cent))
-        .withColumn("dp", dot("embedding", "ce"))
+        .withColumn("dp", fdot("embedding", "ce"))
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
           first(col("embedding")).as("embedding"))
@@ -406,7 +408,8 @@ object Ext {
         .join(broadcast(qcell), col("cid") === col("qcid"))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("cid").as("cell"),
-          round(dot("embedding", "qe") / (norm2("embedding") * norm2("qe")), 6)
+          round(fdot("embedding", "qe") /
+            (sqrt(fdot("embedding", "embedding")) * sqrt(fdot("qe", "qe"))), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(5)
