@@ -31,6 +31,29 @@ object StreamOps {
     * collide when Verify/Bench run the whole registry in one session. */
   private def fresh(): String = UUID.randomUUID().toString.replace("-", "").take(12)
 
+  /** Per-user running (event count, value cents) through the Spark 4
+    * arbitrary-state API ([[q_stream_processor_state]]): typed ValueState,
+    * explicit init/handleInputRows lifecycle, RocksDB state store. Values are
+    * held as exact integer cents so the emitted totals are order-independent
+    * and bit-comparable to the batch oracle's DECIMAL sum. */
+  private class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      st.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
   /** The file stream source requires a *directory*; the driver testdata is a
     * single parquet file per table. Stage (once per sf dir) a temp directory
     * holding a symlink to events.parquet. */
@@ -300,6 +323,50 @@ object StreamOps {
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
         .orderBy("user_id")
+    },
+
+    // Spark 4's transformWithState (the successor of [mapGroups/
+    // flatMapGroups]WithState): a StatefulProcessor with typed ValueState and
+    // an explicit lifecycle, backed by the RocksDB state store provider —
+    // the state backend a 100 TB keyed-state job needs (state spills to
+    // disk + changelog checkpoints instead of living on the JVM heap).
+    // Emissions are per-micro-batch running totals; the last one per key
+    // equals the batch group-by, which is the oracle.
+    QDef(
+      "q_stream_processor_state",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStreamShuffle(s) {
+        val updates = eventsStream(s, d)
+          // exact integer cents (value has 2 decimals), so state arithmetic
+          // is order-independent and matches the oracle's DECIMAL sum
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new UserTotalsProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_events", "cents")
+        runToMemory(s, updates, "append")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            max_by(col("cents"), col("n_events")).as("cents"))
+          .select(col("user_id"), col("n_events"),
+            (col("cents") / 100.0).as("sum_value"))
+          .orderBy("user_id")
+      } finally {
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None    => s.conf.unset(provKey)
+        }
+      }
     },
 
     // Watermark semantics demo: rows later than the watermark are dropped
