@@ -1,0 +1,183 @@
+package graft.table
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL front-end over [[GraftCatalog]]: executes the reference tutorial's
+  * literal statement surface, so the Flink SQL client session it walks through
+  * (`/root/reference/Readme.md:38-78`, `/root/reference/tutorial/guide.md`)
+  * replays statement-for-statement against the Spark-native engine:
+  *
+  *  - `CREATE CATALOG c WITH ('type'='paimon','warehouse'='…')`,
+  *    `USE CATALOG c` (guide.md:11-17)
+  *  - `CREATE TABLE t (cols…, PRIMARY KEY (…) NOT ENFORCED) WITH ('k'='v')`
+  *    incl. computed `AS PROCTIME()` columns (guide.md:23-31, :59-74)
+  *  - `ALTER TABLE t SET ('k'='v')` (guide.md:180-184, :265-271)
+  *  - `SET 'key' = 'value'` session config (guide.md:3-4; `spark.*` keys pass
+  *    through to the Spark conf, Flink-only keys are recorded)
+  *  - `SHOW CATALOGS / DATABASES / TABLES` (Readme.md:57-78)
+  *  - `INSERT INTO t SELECT …` — batch analog of the tutorial's continuous
+  *    pipes (guide.md:36-39): the SELECT runs through `spark.sql` over the
+  *    catalog's registered views, a PROCTIME column is stamped at ingest,
+  *    and the result commits as the table's next batch
+  *  - `SELECT …` — queries over the catalog views, Catalyst end-to-end
+  *  - `DROP TABLE t`, `DESCRIBE t`
+  *
+  * The statement grammar is intentionally exactly the subset the reference
+  * exercises — this is a catalog shell, not a SQL parser (SELECT bodies are
+  * handed to Spark's real parser untouched).
+  */
+class GraftSql(spark: SparkSession, defaultWarehouse: String) {
+  import GraftSql._
+
+  private val catalogs = mutable.Map[String, GraftCatalog](
+    "default_catalog" -> new GraftCatalog(spark, defaultWarehouse))
+  private var currentCatalog = "default_catalog"
+  private var currentDb = "default"
+  /** `SET` statements, verbatim (the Flink-only keys have no Spark effect
+    * but remain inspectable, e.g. execution.checkpointing.interval). */
+  val sessionConf: mutable.Map[String, String] = mutable.Map.empty
+
+  def catalog: GraftCatalog = catalogs(currentCatalog)
+
+  /** Execute one statement; returns a DataFrame (DDL returns a one-row OK). */
+  def sql(statement: String): DataFrame = {
+    import spark.implicits._
+    val stmt = statement.trim.stripSuffix(";").trim
+    val flat = stmt.replaceAll("\\s+", " ")
+
+    flat match {
+      case CreateCatalogRe(name, opts) =>
+        val o = parseOptions(opts)
+        val wh = o.getOrElse("warehouse", s"$defaultWarehouse/$name")
+          .stripPrefix("file:")
+        catalogs(name) = new GraftCatalog(spark, wh)
+        ok(s"catalog $name created")
+      case UseCatalogRe(name) =>
+        require(catalogs.contains(name), s"no catalog $name")
+        currentCatalog = name; ok(s"using catalog $name")
+      case CreateDatabaseRe(db) =>
+        catalog.createDatabase(db); ok(s"database $db created")
+      case UseDbRe(db) =>
+        currentDb = db; ok(s"using $db")
+      case ShowRe(what) => what.toUpperCase match {
+        case "CATALOGS"  => catalogs.keys.toSeq.sorted.toDF("catalog_name")
+        case "DATABASES" =>
+          (catalog.listDatabases() :+ currentDb).distinct.sorted.toDF("database_name")
+        case "TABLES"    => catalog.listTables(currentDb).toDF("table_name")
+      }
+      case CreateTableRe(ifNotExists, name, body, opts) =>
+        val t = name.split("\\.").last
+        if (ifNotExists != null && catalog.listTables(currentDb).contains(t))
+          ok(s"table $t exists")
+        else {
+          val (schemaCols, pk, proctime) = parseColumns(body)
+          val o = mutable.Map[String, String]() ++ parseOptions(opts)
+          pk.foreach(cols => o("primary-key") = cols.mkString(","))
+          proctime.foreach(c => o("computed.proctime") = c)
+          o("ddl.schema") = schemaCols.map { case (n, ty) => s"$n $ty" }.mkString(", ")
+          catalog.createTable(currentDb, t, o.toMap)
+          ok(s"table $t created")
+        }
+      case AlterTableRe(name, opts) =>
+        catalog.alterTable(currentDb, name.split("\\.").last, parseOptions(opts))
+        ok(s"table $name altered")
+      case DropTableRe(name) =>
+        catalog.dropTable(currentDb, name.split("\\.").last); ok(s"table $name dropped")
+      case DescribeRe(name) =>
+        val o = catalog.tableOptions(currentDb, name.split("\\.").last)
+        o.getOrElse("ddl.schema", "").split(",\\s*").filter(_.nonEmpty)
+          .map { cd => val p = cd.split("\\s+", 2); (p(0), p.lift(1).getOrElse("")) }
+          .toSeq.toDF("col_name", "data_type")
+      case SetConfRe(k, v) =>
+        sessionConf(k) = v
+        if (k.startsWith("spark.")) spark.conf.set(k, v)
+        ok(s"$k = $v")
+      case InsertRe(name, select) =>
+        val t = name.split("\\.").last
+        registerViews()
+        val table = catalog.getTable(currentDb, t)
+        var df = spark.sql(select)
+        // computed PROCTIME column (guide.md:26): stamped at ingest
+        catalog.tableOptions(currentDb, t).get("computed.proctime").foreach { c =>
+          if (!df.columns.contains(c)) df = df.withColumn(c, current_timestamp())
+        }
+        val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
+        table.appendBatch(df, nextBatch)
+        ok(s"inserted into $t (batch $nextBatch)")
+      case _ if flat.toUpperCase.startsWith("SELECT") ||
+                flat.toUpperCase.startsWith("WITH") =>
+        registerViews()
+        spark.sql(stmt)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported statement: $other")
+    }
+  }
+
+  /** Current database's tables as `<table>` temp views (plus `<db>_<table>`),
+    * so SELECT/INSERT bodies reference them by bare name like the reference. */
+  private def registerViews(): Unit =
+    catalog.listTables(currentDb).foreach { t =>
+      val df = catalog.getTable(currentDb, t).read
+      df.createOrReplaceTempView(t)
+      df.createOrReplaceTempView(s"${currentDb}_$t")
+    }
+
+  private def ok(msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("result")
+  }
+}
+
+object GraftSql {
+  private val CreateCatalogRe =
+    "(?i)CREATE CATALOG (\\w+) WITH \\((.*)\\)".r
+  private val UseCatalogRe = "(?i)USE CATALOG (\\w+)".r
+  private val CreateDatabaseRe = "(?i)CREATE DATABASE (?:IF NOT EXISTS )?(\\w+)".r
+  private val UseDbRe = "(?i)USE (\\w+)".r
+  private val ShowRe = "(?i)SHOW (CATALOGS|DATABASES|TABLES)".r
+  private val CreateTableRe =
+    "(?i)CREATE TABLE (IF NOT EXISTS )?([\\w.]+) \\((.*)\\) WITH \\((.*)\\)".r
+  private val AlterTableRe = "(?i)ALTER TABLE ([\\w.]+) SET \\((.*)\\)".r
+  private val DropTableRe = "(?i)DROP TABLE (?:IF EXISTS )?([\\w.]+)".r
+  private val DescribeRe = "(?i)DESC(?:RIBE)? ([\\w.]+)".r
+  private val SetConfRe = "(?i)SET '([^']+)' = '([^']+)'".r
+  private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
+
+  /** `'k' = 'v', …` option lists (WITH blocks, guide.md:27-31). */
+  private def parseOptions(s: String): Map[String, String] =
+    "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Split a column-def body on top-level commas (DECIMAL(5, 1) stays whole);
+    * extract PRIMARY KEY and computed PROCTIME columns. */
+  private def parseColumns(body: String)
+      : (Seq[(String, String)], Option[Seq[String]], Option[String]) = {
+    val parts = mutable.Buffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    body.foreach {
+      case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString.trim
+
+    val PkRe = "(?i)PRIMARY KEY \\(([^)]*)\\)(?: NOT ENFORCED)?".r
+    val ProcRe = "(?i)(\\w+) AS PROCTIME\\(\\)".r
+    var pk: Option[Seq[String]] = None
+    var proctime: Option[String] = None
+    val cols = parts.flatMap {
+      case PkRe(colList) =>
+        pk = Some(colList.split(",").map(_.trim).toSeq); None
+      case ProcRe(c) =>
+        proctime = Some(c); Some(c -> "TIMESTAMP /* PROCTIME() */")
+      case cd =>
+        val p = cd.split("\\s+", 2)
+        Some(p(0) -> p.lift(1).getOrElse("STRING"))
+    }
+    (cols.toSeq, pk, proctime)
+  }
+}

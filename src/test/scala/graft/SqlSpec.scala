@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.GraftSql
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference tutorial's SQL-client session, replayed statement-for-
+  * statement through the GraftSql front-end (Readme.md:38-78 +
+  * tutorial/guide.md DDL/DML shapes). */
+class SqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def shell() =
+    new GraftSql(spark, Files.createTempDirectory("graft_sql_wh_").toString)
+
+  test("catalog lifecycle: CREATE CATALOG, USE, SHOW (guide.md:11-17)") {
+    val sh = shell()
+    sh.sql("CREATE CATALOG paimon WITH ('type' = 'paimon', 'warehouse' = 'file:" +
+      Files.createTempDirectory("graft_sql_p_") + "')")
+    sh.sql("USE CATALOG paimon")
+    val cats = sh.sql("SHOW CATALOGS").collect().map(_.getString(0))
+    assert(cats.contains("paimon") && cats.contains("default_catalog"))
+    assert(sh.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("default"))
+  }
+
+  test("the reference DDL runs verbatim (guide.md:23-31, :59-74)") {
+    val sh = shell()
+    sh.sql("""CREATE TABLE measurements (
+             |    sensor_id BIGINT,
+             |    reading DECIMAL(5, 1),
+             |    event_time AS PROCTIME()
+             |) WITH (
+             |    'bucket' = '1',
+             |    'bucket-key' = 'sensor_id',
+             |    'file.format' = 'parquet'
+             |)""".stripMargin)
+    sh.sql("""CREATE TABLE sensor_info (
+             |    sensor_id BIGINT,
+             |    latitude DOUBLE PRECISION,
+             |    longitude DOUBLE PRECISION,
+             |    generation INT,
+             |    updated_at TIMESTAMP(3),
+             |    PRIMARY KEY (sensor_id) NOT ENFORCED
+             |) WITH (
+             |    'changelog-producer' = 'input'
+             |)""".stripMargin)
+    assert(sh.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq ==
+      Seq("measurements", "sensor_info"))
+    val o = sh.catalog.tableOptions("default", "measurements")
+    assert(o("bucket-key") == "sensor_id" && o("computed.proctime") == "event_time")
+    assert(sh.catalog.tableOptions("default", "sensor_info")("primary-key") == "sensor_id")
+    val desc = sh.sql("DESCRIBE sensor_info").collect().map(_.getString(0))
+    assert(desc.contains("latitude") && desc.contains("updated_at"))
+  }
+
+  test("SET, ALTER TABLE SET, INSERT INTO SELECT, SELECT (guide.md:3, :36-39, :180-184)") {
+    import spark.implicits._
+    val sh = shell()
+    sh.sql("SET 'execution.checkpointing.interval' = '20 s'")
+    assert(sh.sessionConf("execution.checkpointing.interval") == "20 s")
+
+    sh.sql("""CREATE TABLE measurements (
+             |  sensor_id BIGINT, reading DECIMAL(5, 1), event_time AS PROCTIME()
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    sh.sql("ALTER TABLE measurements SET ('snapshot.time-retained' = '20 s', " +
+      "'snapshot.num-retained.min' = '1', 'snapshot.num-retained.max' = '5')")
+    assert(sh.catalog.tableOptions("default", "measurements")("snapshot.time-retained") == "20 s")
+
+    // datagen stand-in (Readme.md:132-154): a temp view as the source table
+    spark.range(1, 101)
+      .select($"id".as("sensor_id"), ($"id" % 45).cast("decimal(5,1)").as("reading"))
+      .createOrReplaceTempView("datagen_src")
+    sh.sql("INSERT INTO measurements SELECT sensor_id, reading FROM datagen_src")
+    // the tutorial's golden COUNT(*) check (guide.md:88-96)
+    assert(sh.sql("SELECT COUNT(*) AS n FROM measurements").collect()(0).getLong(0) == 100)
+    // PROCTIME was stamped at ingest
+    assert(sh.sql("SELECT * FROM measurements").columns.contains("event_time"))
+
+    // second insert = second commit; PK-free table appends
+    sh.sql("INSERT INTO measurements SELECT sensor_id, reading FROM datagen_src")
+    assert(sh.sql("SELECT COUNT(*) AS n FROM measurements").collect()(0).getLong(0) == 200)
+  }
+
+  test("PK table upsert through INSERT INTO (sensor_info semantics, guide.md:78-96)") {
+    import spark.implicits._
+    val sh = shell()
+    sh.sql("""CREATE TABLE sensor_info (
+             |  sensor_id BIGINT, generation INT, updated_at TIMESTAMP(3),
+             |  PRIMARY KEY (sensor_id) NOT ENFORCED
+             |) WITH ('changelog-producer' = 'input', 'sequence.field' = 'updated_at')""".stripMargin)
+    Seq((1L, 0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, 0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("sensor_id", "generation", "updated_at").createOrReplaceTempView("gen0")
+    Seq((1L, 9, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("sensor_id", "generation", "updated_at").createOrReplaceTempView("gen1")
+    sh.sql("INSERT INTO sensor_info SELECT * FROM gen0")
+    sh.sql("INSERT INTO sensor_info SELECT * FROM gen1")
+    val rows = sh.sql("SELECT sensor_id, generation FROM sensor_info ORDER BY sensor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1L, 9), (2L, 0)), "last writer (by sequence field) wins")
+    sh.sql("DROP TABLE sensor_info")
+    assert(sh.sql("SHOW TABLES").collect().isEmpty)
+  }
+}
