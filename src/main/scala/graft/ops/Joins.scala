@@ -222,5 +222,35 @@ object Joins {
           col("last_o.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     },
+
+    // Salted skew join: ~80% of the fact rows share one hot key, which would
+    // pile onto a single reducer in a plain shuffle join. The fact side gets
+    // a deterministic 16-way salt (hash of its unique id — never rand(): the
+    // decision must survive retries), the build side is replicated across
+    // all 16 salt values, and the join key becomes (key, salt) — the hot key
+    // now spreads over 16 partitions. Same rows out as the unsalted join,
+    // which is exactly what the oracle checks. (AQE's skew-join split is the
+    // runtime alternative; salting is the planned one that also works inside
+    // aggregations and on stream-stream joins.)
+    QDef(
+      "q_join_skew_salted",
+      """SELECT e.event_id,
+        |  CASE WHEN e.user_id % 10 < 8 THEN 1 ELSE e.user_id END AS skew_key,
+        |  c.c_name
+        |FROM events e JOIN customer c
+        |  ON (CASE WHEN e.user_id % 10 < 8 THEN 1 ELSE e.user_id END) = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val fact = Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("user_id") % 10 < 8, 1L).otherwise(col("user_id")).as("skew_key"))
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("salt", explode(expr("sequence(0L, 15L)")))
+      fact.join(dim,
+          fact("skew_key") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .select(col("event_id"), col("skew_key"), col("c_name"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -14,6 +14,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Datagen {
 
+  /** events re-written hive-partitioned by event_type, once per sf dir. */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEventsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    partitionedDirs.computeIfAbsent(d, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      graft.Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      out
+    })
+
   val all: Seq[QDef] = Seq(
     // Bounded sequence datagen (sensor_info shape, Readme.md:132-154):
     // sequence key + derived payload columns. Payloads are deterministic
@@ -83,6 +95,22 @@ object Datagen {
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n"), max(col("n_name")).as("last_name"))
         .orderBy("n_regionkey")
+    },
+
+    // Partitioned parquet layout + partition pruning: the table is written
+    // hive-partitioned by event_type; the filter then prunes whole
+    // directories at PLANNING time (PartitionFilters in the scan, asserted
+    // in PlanSpec) — at 100 TB the difference between listing one partition
+    // and scanning the table. The oracle reads the unpartitioned original.
+    QDef(
+      "q_source_partitioned_pruning",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin) { (s, d) =>
+      val out = partitionedEventsDir(s, d)
+      s.read.parquet(out)
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
     },
 
     // Changelog op rendering (2A#19): streaming results carry a change-type

@@ -46,4 +46,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_ext_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("q_source_partitioned_pruning prunes partitions at planning time") {
+    val p = plan("q_source_partitioned_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(2000))
+    // the pruned scan must not also carry event_type as a data filter
+    assert(p.contains("event_type = click)") || p.contains("event_type#"), p.take(2000))
+  }
+
+  test("q_join_skew_salted spreads the hot key over the salt space") {
+    val df = SparkEntry.queries("q_join_skew_salted")(spark, SparkFixture.sf)
+    val p = df.queryExecution.executedPlan.toString
+    // join key must be the composite (skew_key, salt), not skew_key alone
+    assert(p.contains("skew_key") && p.contains("salt"), p.take(2000))
+  }
 }
