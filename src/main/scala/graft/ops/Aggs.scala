@@ -234,5 +234,44 @@ object Aggs {
         .select(col("l_partkey"), col("sq_dec").cast("double").as("sum_qty"), col("n"))
         .orderBy("l_partkey")
     },
+
+    // Pivot: per-user value totals spread across event-type columns. Spark's
+    // pivot compiles to exactly the CASE-per-value aggregation the oracle
+    // spells out — one pass, partial-agg friendly (no crosstab operator
+    // needed at any scale).
+    QDef(
+      "q_agg_pivot",
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .orderBy("user_id")
+    },
+
+    // Unpivot (melt): wide numeric columns to (metric, val) rows — the
+    // normalization step before generic per-metric aggregation. The oracle is
+    // the UNION ALL expansion unpivot desugars to.
+    QDef(
+      "q_agg_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+    },
   )
 }
