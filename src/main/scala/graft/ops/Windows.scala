@@ -47,6 +47,30 @@ object Windows {
         .orderBy("p_brand", "rk", "p_partkey")
     },
 
+    // Same grouped top-3, but as a bounded TypedImperativeAggregate
+    // (graft.functions.TopKPairs) instead of window-rank: the window plan
+    // shuffles every row and sorts whole partitions; the aggregate keeps an
+    // O(k) heap per group, combines map-side, and ships only k pairs per
+    // group — the plan a 100 TB grouped top-k needs. Same rank rule
+    // (score DESC, id ASC), so the window oracle checks it row-for-row.
+    QDef(
+      "q_win_topk_agg_native",
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3
+        |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin) { (s, d) =>
+      graft.functions.TopKFunctions.registerOn(s)
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(expr("topk_pairs(p_retailprice, p_partkey, 3)").as("tk"))
+        .select(col("p_brand"), explode(col("tk")).as("t"))
+        .select(col("p_brand"), col("t.id").as("p_partkey"),
+          col("t.score").as("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+    },
+
     QDef(
       "q_win_lag_lead",
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -54,6 +54,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("event_type = click)") || p.contains("event_type#"), p.take(2000))
   }
 
+  test("q_win_topk_agg_native combines the top-k heap map-side (no full sort)") {
+    val p = plan("q_win_topk_agg_native")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_topkpairs"),
+      "top-k heap must combine map-side before the shuffle: " + p.take(2000))
+    // the pre-shuffle plan must NOT sort rows (that's the window variant's cost)
+    val beforeExchange = p.substring(p.indexOf("Exchange hashpartitioning"))
+    assert(!beforeExchange.contains("WindowExec"), p.take(2000))
+  }
+
   test("q_join_skew_salted spreads the hot key over the salt space") {
     val df = SparkEntry.queries("q_join_skew_salted")(spark, SparkFixture.sf)
     val p = df.queryExecution.executedPlan.toString
