@@ -86,6 +86,18 @@ object Datagen {
     },
 
     QDef(
+      "q_source_orc_roundtrip",
+      """SELECT n_regionkey, count(*) AS n, min(n_nationkey) AS min_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      graft.Tables.nation(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min(col("n_nationkey")).as("min_key"))
+        .orderBy("n_regionkey")
+    },
+
+    QDef(
       "q_source_json_roundtrip",
       """SELECT n_regionkey, count(*) AS n, max(n_name) AS last_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>

@@ -217,6 +217,25 @@ object StreamOps {
         .orderBy("event_type")
     },
 
+    // Production-shaped stateful dedup: dropDuplicatesWithinWatermark keeps
+    // each key only until the watermark passes it — BOUNDED state, where
+    // plain dropDuplicates retains every key forever (the variant above
+    // demonstrates semantics; this one is what an unbounded 100 TB/day
+    // stream must run). Input replayed twice; duplicates arrive within the
+    // watermark delay, so the dedup result — and the oracle — are identical.
+    QDef(
+      "q_stream_dedup_within_wm",
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
+      val deduped = doubled
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToMemory(s, deduped, "append")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // Reference op 2A#9: the lookup join — streaming facts enriched against
     // a static dimension; Structured Streaming re-plans the static side per
     // micro-batch = processing-time temporal join semantics.
