@@ -415,6 +415,44 @@ object Ext {
         .limit(5)
     },
 
+    // k-NN JOIN: top-3 neighbors for EACH of 5 query vectors at once — the
+    // batch version of similarity search (dedup candidates, retrieval eval
+    // sets). The grouped top-k runs through the bounded TopKPairs aggregate:
+    // per (query, candidate) scores never sort globally; each query keeps an
+    // O(k) heap, combined map-side. Candidate space at scale would be
+    // LSH/IVF-bucketed first (see the variants above); here it is the full
+    // cross product, which is exactly what the windowed oracle replays.
+    QDef(
+      "q_ext_knn_join",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, v.vec_id,
+         |        ${duckDot("v.embedding", "q.qe")} /
+         |        (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) AS cs
+         |      FROM embeddings v, q WHERE v.vec_id >= 5)
+         |SELECT qid, vec_id, round(cs, 6) AS cos_sim FROM (
+         |  SELECT qid, vec_id, cs,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+         |  FROM s) t
+         |WHERE rn <= 3 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      graft.functions.TopKFunctions.registerOn(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          (call_function("float_dot", col("embedding"), col("qe")) /
+            (sqrt(call_function("float_dot", col("embedding"), col("embedding"))) *
+             sqrt(call_function("float_dot", col("qe"), col("qe"))))).as("cs"))
+        .groupBy("qid")
+        .agg(expr("topk_pairs(cs, vec_id, 3)").as("tk"))
+        .select(col("qid"), explode(col("tk")).as("t"))
+        .select(col("qid"), col("t.id").as("vec_id"),
+          round(col("t.score"), 6).as("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    },
+
     QDef(
       "q_ext_multimodal_cols",
       s"""SELECT d.doc_id, d.lang, e.label,
