@@ -61,17 +61,24 @@ object Tables {
 /** Numeric-parity helpers (Spark ↔ DuckDB bit-exact doubles).
   *
   * Summing doubles is order-dependent, so any `sum(double)` can differ between
-  * engines in the last ulp and break hash-compare. Instead: cast each addend to
-  * an exact DECIMAL, sum (exact, order-free), and cast the final result to
-  * DOUBLE. Ratios (avg) are then a single double division of two identical
-  * values — also exact.
+  * engines in the last ulp and break hash-compare. The oracle side sums exact
+  * DECIMALs; the Spark side gets the same exact sum CHEAPER: each (≤2- or
+  * ≤4-decimal) value is recovered to integer cents with `rint` (pure FP, the
+  * true value is within ~1e-7 of the integer) and accumulated as a LONG —
+  * whole-stage-codegen long adds with map-side partials, no per-row
+  * BigDecimal. The final single double division is exact on both engines.
+  *
+  * Range: |Σ cents| must stay under 2^63 ≈ 9.2e18 — holds to ~1e14 rows of
+  * 2-decimal prices (1e16 at 4 decimals ~1e9 rows); beyond that, shard the
+  * sum or fall back to `sum(cast(decimal))`.
   */
 object X {
+  private def cents(c: Column, scale: Int): Column =
+    call_function("rint", c * math.pow(10, scale)).cast("long")
   /** Exact sum of a (≤2-decimal) double column, returned as double. */
-  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  def dsum(c: Column): Column = sum(cents(c, 2)) / 100.0
   /** Exact sum at 4 decimals (for products like extprice*(1-disc)). */
-  def dsum4(c: Column): Column = sum(c.cast("decimal(24,4)")).cast("double")
-  /** Exact avg: decimal sum / count, divided as doubles. */
-  def davg(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+  def dsum4(c: Column): Column = sum(cents(c, 4)) / 10000.0
+  /** Exact avg: exact sum / count, divided as doubles. */
+  def davg(c: Column): Column = dsum(c) / count(c)
 }
