@@ -266,6 +266,52 @@ class StreamTable(
   def readStream(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dataAppend).drop(SeqColName)
 
+  /** Full-alphabet changelog between two snapshots for PK tables: for each
+    * changed key emit the retraction of the old image and the new image —
+    * `-U old, +U new` for updates, `-D old` for deletes, `+I new` for
+    * inserts. This is the changelog a downstream aggregate consumes to stay
+    * correct under updates (the `+I/-U/+U/-D` alphabet every reference
+    * tableau shows, Readme.md:113-127). [[changesBetween]] is the cheaper
+    * pass-through view (`changelog-producer='input'`) that never reads old
+    * images. */
+  def changelogWithRetractions(fromId: Long, toId: Long): DataFrame = {
+    val pk = primaryKey.getOrElse(throw new UnsupportedOperationException(
+      "changelogWithRetractions requires a primary-key table"))
+    val snaps = snapshots
+    def files(id: Long) = snaps.find(_.id == id)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id")).files
+    val oldPaths = files(fromId).map(_.path).toSet
+    val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
+      .filter(_.level == 0)
+    if (newFiles.isEmpty) return spark.emptyDataFrame
+    val added = readFiles(newFiles)
+    val withTomb =
+      if (added.columns.contains(TombstoneColName)) added
+      else added.withColumn(TombstoneColName, lit(false))
+    // final image per key among the added rows (same order as the read view)
+    val order = seqCol.map(c => col(c).desc).toSeq :+ col(SeqColName).desc
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+    val lastAdded = withTomb.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", SeqColName)
+    val oldState =
+      if (files(fromId).isEmpty) lastAdded.drop(TombstoneColName).limit(0)
+      else resolve(readFiles(files(fromId)), pk, keepSeq = false)
+    val newKeyTomb = lastAdded
+      .select(pk.map(col) :+ col(TombstoneColName).as("__new_tomb"): _*)
+    // retractions carry the OLD image
+    val retracts = oldState.join(newKeyTomb, pk, "inner")
+      .withColumn("op", when(col("__new_tomb"), "-D").otherwise("-U"))
+      .drop("__new_tomb")
+    val oldKeys = oldState.select(pk.map(col): _*).withColumn("__existed", lit(1))
+    val upserts = lastAdded
+      .filter(!coalesce(col(TombstoneColName), lit(false)))
+      .drop(TombstoneColName)
+      .join(oldKeys, pk, "left")
+      .withColumn("op", when(col("__existed").isNull, "+I").otherwise("+U"))
+      .drop("__existed")
+    retracts.unionByName(upserts, allowMissingColumns = true)
+  }
+
   /** Incremental changelog read between two snapshots (the
     * `changelog-producer = 'input'` model, guide.md:69-73: upstream change
     * rows pass through raw, no changelog-normalize operator). Rows from files
@@ -398,6 +444,9 @@ object StreamTable {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
     }
+
+  /** Recursively delete a directory tree (shared maintenance helper). */
+  def deleteTree(p: JPath): Unit = deleteRecursively(p)
 
   private def fileMetas(spark: SparkSession, paths: Seq[String], level: Int,
       minSeq: Long, maxSeq: Long): Seq[DataFileMeta] = {

@@ -86,6 +86,23 @@ class StreamTableSpec extends AnyFunSuite {
     assert(!onDisk.hasNext || live.exists(_.contains("append")))
   }
 
+  test("retraction changelog: -U old/+U new for updates, -D old, +I new") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0)
+    // batch 1: update key 1, delete key 2, insert key 4
+    t.appendBatch(Seq((1L, "a2"), (4L, "d")).toDF("id", "v"), 1)
+    t.deleteBatch(Seq(Tuple1(2L)).toDF("id"), 2)
+    val ch = t.changelogWithRetractions(0, 2).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("id"), r.getAs[String]("v")))
+      .toSet
+    assert(ch == Set(
+      ("-U", 1L, "a"),  // retraction of key 1's old image
+      ("+U", 1L, "a2"), // key 1's new image
+      ("-D", 2L, "b"),  // delete carries the OLD image
+      ("+I", 4L, "d")), // fresh insert
+      s"got $ch")
+  }
+
   test("delete tombstones: -D changelog, rows gone from reads, purged by compact") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
     t.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0)
