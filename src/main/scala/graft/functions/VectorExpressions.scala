@@ -75,5 +75,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("topk_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKPairs].getName, "topk_pairs"),
+      (exprs: Seq[Expression]) => TopKPairs(exprs(0), exprs(1), exprs(2))))
   }
 }

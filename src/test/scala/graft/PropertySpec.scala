@@ -42,6 +42,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairs ≡ sort-take on random data, under any partitioning") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TopKFunctions.registerOn(spark)
+    for (seed <- 1L to 3L) {
+      val pairs = new scala.util.Random(seed)
+      val rows = Seq.tabulate(500)(i =>
+        (i % 7, pairs.nextInt(50) / 10.0, i.toLong)) // few groups, many score ties
+      val df = rows.toDF("g", "score", "id").repartition(8)
+      val got = df.groupBy("g").agg(expr("topk_pairs(score, id, 5)").as("tk"))
+        .select(col("g"), explode(col("tk")).as("t"))
+        .collect().map(r => (r.getInt(0), r.getStruct(1).getDouble(0),
+          r.getStruct(1).getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      val expect = rows.groupBy(_._1).view.mapValues(
+        _.map(t => (t._2, t._3)).sortBy { case (s, id) => (-s, id) }.take(5)).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("exact dedup output has unique doc_ids (projection property)") {
     val d1 = SparkEntry.queries("q_ext_exact_dedup")(spark, SparkFixture.sf)
     val ids1 = d1.select("doc_id").collect().map(_.getLong(0)).toSet
