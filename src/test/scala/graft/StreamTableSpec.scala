@@ -103,6 +103,37 @@ class StreamTableSpec extends AnyFunSuite {
       s"got $ch")
   }
 
+  test("retraction changelog maintains a downstream aggregate incrementally") {
+    // the reason -U/-D carry OLD images: a consumer can keep sum(amount)
+    // per group correct under updates/deletes by adding +rows and
+    // subtracting -rows — no recompute, the Flink dynamic-table model
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    t.appendBatch(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "grp", "amount"), 0)
+    val base = t.read.groupBy("grp").agg(sum("amount").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromSnap = t.latestSnapshot.get.id
+
+    // update id 1 (a: 10→17), move id 3 to grp a (b loses 5, a gains 7),
+    // delete id 2 (a loses 20), insert id 4 in b
+    t.appendBatch(Seq((1L, "a", 17L), (3L, "a", 7L), (4L, "b", 9L))
+      .toDF("id", "grp", "amount"), 1)
+    t.deleteBatch(Seq(Tuple1(2L)).toDF("id"), 2)
+
+    val deltas = t.changelogWithRetractions(fromSnap, t.latestSnapshot.get.id)
+      .withColumn("delta",
+        when(col("op").isin("+I", "+U"), col("amount")).otherwise(-col("amount")))
+      .groupBy("grp").agg(sum("delta").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maintained = (base.keySet ++ deltas.keySet).map(g =>
+      g -> (base.getOrElse(g, 0L) + deltas.getOrElse(g, 0L))).toMap
+
+    val recomputed = t.read.groupBy("grp").agg(sum("amount").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained.filter(_._2 != 0L) == recomputed,
+      s"maintained=$maintained recomputed=$recomputed")
+  }
+
   test("delete tombstones: -D changelog, rows gone from reads, purged by compact") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
     t.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0)
