@@ -235,6 +235,31 @@ object Aggs {
         .orderBy("l_partkey")
     },
 
+    // Deterministic mode (most frequent value) per group: built-in mode()
+    // has undefined tie-breaks on BOTH engines, so the rule is explicit —
+    // highest count, then smallest value — via a map-side-combining argmax
+    // over the (group, value) counts.
+    QDef(
+      "q_agg_mode",
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity AS qty_mode, cnt AS n FROM (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_quantity) AS rn
+        |  FROM c) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max_by(
+          struct(col("l_quantity").as("qty_mode"), col("cnt").as("n")),
+          struct(col("cnt"), (-col("l_quantity")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), col("m.qty_mode").as("qty_mode"),
+          col("m.n").as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Pivot: per-user value totals spread across event-type columns. Spark's
     // pivot compiles to exactly the CASE-per-value aggregation the oracle
     // spells out — one pass, partial-agg friendly (no crosstab operator

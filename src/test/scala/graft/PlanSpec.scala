@@ -64,6 +64,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!beforeExchange.contains("WindowExec"), p.take(2000))
   }
 
+  test("q_join_bucketed_colocated joins without shuffling either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join_bucketed_colocated")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      // bucket layout replaces the shuffle: the only Exchange is the output sort
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"join sides shuffled: $exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_join_skew_salted spreads the hot key over the salt space") {
     val df = SparkEntry.queries("q_join_skew_salted")(spark, SparkFixture.sf)
     val p = df.queryExecution.executedPlan.toString
