@@ -25,7 +25,13 @@ object ExtensionsDemo {
         |ORDER BY vec_id LIMIT 5""".stripMargin)
     r.show()
     require(r.count() == 5, "extension-injected float_dot must be usable in SQL")
-    println("extensions OK: float_dot injected at session build time")
+    val tk = spark.sql(
+      """SELECT label, topk_pairs(float_dot(embedding, embedding), vec_id, 2) AS top2
+        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet`
+        |GROUP BY label ORDER BY label LIMIT 3""".stripMargin)
+    tk.show(truncate = false)
+    require(tk.count() == 3, "extension-injected topk_pairs must aggregate in SQL")
+    println("extensions OK: float_dot + topk_pairs injected at session build time")
     spark.stop()
   }
 }

@@ -31,7 +31,12 @@ object Joins {
   private def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String)
       : (String, String) =
     bucketed.computeIfAbsent(d, { _ =>
-      val tag = math.abs(d.hashCode).toString
+      // tag includes the source file's fingerprint so a regenerated
+      // testdata dir can never silently reuse a stale bucketed copy
+      val src = java.nio.file.Paths.get(s"$d/lineitem.parquet")
+      val fp = java.nio.file.Files.size(src) ^
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      val tag = math.abs((d, fp).hashCode).toString
       val (lt, ot) = (s"li_bkt_$tag", s"ord_bkt_$tag")
       if (!s.catalog.tableExists(lt)) {
         Tables.lineitem(s, d).write.mode("overwrite")
