@@ -23,8 +23,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * At scale this is the planner-free pattern: no custom operator, one
   * broadcast join per batch, retry state is a small parquet file keyed by
-  * batch id (idempotent on replay: batch `id` always rewrites
-  * `pending-<id>`, so a replayed batch overwrites its own output).
+  * batch id. Replay-safe end to end: every write of batch `id` (matches,
+  * pending, dead letters) is an overwrite of a batch-`id`-keyed path, and
+  * pending GC always keeps the newest predecessor, so a batch replayed
+  * after a crash rewrites exactly its own outputs from exactly its inputs.
+  * Read the sink with `option("recursiveFileLookup", true)` (per-batch
+  * subdirectories).
   */
 object LookupRetry {
 
@@ -55,9 +59,11 @@ object LookupRetry {
         val d = dim().withColumn("__hit", lit(1))
         val joined = input.join(broadcast(d), Seq(key), "left").cache()
         try {
+          // per-batch output dirs + overwrite ⇒ a replayed batch rewrites its
+          // own files instead of double-appending (exactly-once sink)
           joined.filter(col("__hit").isNotNull)
             .drop("__hit", "__attempts")
-            .write.mode("append").parquet(s"$outDir/data")
+            .write.mode("overwrite").parquet(s"$outDir/data/batch-$id")
           val missed = joined.filter(col("__hit").isNull)
             .select(input.columns.map(col): _*)
             .withColumn("__attempts", col("__attempts") + 1)
@@ -65,12 +71,16 @@ object LookupRetry {
             .write.mode("overwrite").parquet(s"$retryDir/pending-$id")
           missed.filter(col("__attempts") >= maxAttempts)
             .drop("__attempts")
-            .write.mode("append").parquet(s"$outDir/dead")
+            .write.mode("overwrite").parquet(s"$outDir/dead/batch-$id")
         } finally joined.unpersist()
-        // drop superseded pending files
-        Files.list(Paths.get(retryDir)).iterator().asScala.toSeq
+        // GC superseded pending files, but KEEP the newest predecessor: a
+        // replay of this batch (crash before the checkpoint commit) must be
+        // able to re-read the pending state it consumed
+        val preds = Files.list(Paths.get(retryDir)).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("pending-"))
+          .sortBy(_.getFileName.toString.stripPrefix("pending-").toLong)
           .filter(_.getFileName.toString.stripPrefix("pending-").toLong < id)
-          .foreach(p => graft.table.StreamTable.deleteTree(p))
+        preds.dropRight(1).foreach(p => graft.table.StreamTable.deleteTree(p))
       }
       .option("checkpointLocation", s"$outDir/chk")
       .trigger(trigger)

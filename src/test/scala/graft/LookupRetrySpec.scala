@@ -35,14 +35,14 @@ class LookupRetrySpec extends AnyFunSuite {
     Seq((1L, "p1"), (2L, "p2")).toDF("k", "payload")
       .write.mode("append").parquet(srcDir)
     runOnce()
-    val afterB1 = spark.read.parquet(s"$outDir/data")
+    val afterB1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/data")
     assert(afterB1.count() == 1 && afterB1.select("k").first().getLong(0) == 1L)
 
     // dim gains key 2; batch 2 brings key 3 — the parked row 2 now matches
     dimRows = Seq((1L, "one"), (2L, "two"), (3L, "three"))
     Seq((3L, "p3")).toDF("k", "payload").write.mode("append").parquet(srcDir)
     runOnce()
-    val afterB2 = spark.read.parquet(s"$outDir/data")
+    val afterB2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/data")
     assert(afterB2.select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
 
     // a key that never resolves exhausts its attempts into the dead letter
@@ -54,7 +54,7 @@ class LookupRetrySpec extends AnyFunSuite {
       Seq((1L, "tick")).toDF("k", "payload").write.mode("append").parquet(srcDir)
       runOnce()
     }
-    assert(spark.read.parquet(s"$outDir/dead").select("k").first().getLong(0) == 99L)
-    assert(spark.read.parquet(s"$outDir/data").filter($"k" === 99L).count() == 0)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/dead").select("k").first().getLong(0) == 99L)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/data").filter($"k" === 99L).count() == 0)
   }
 }
