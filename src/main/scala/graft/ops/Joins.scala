@@ -39,6 +39,12 @@ object Joins {
       val tag = math.abs((d, fp).hashCode).toString
       val (lt, ot) = (s"li_bkt_$tag", s"ord_bkt_$tag")
       if (!s.catalog.tableExists(lt)) {
+        // the session catalog is in-memory: a previous JVM may have left the
+        // warehouse directories behind without catalog entries — clear them
+        // or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        Seq(lt, ot).foreach(t => graft.table.StreamTable.deleteTree(
+          java.nio.file.Paths.get(s"$wh/${t.toLowerCase}")))
         Tables.lineitem(s, d).write.mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
         Tables.orders(s, d).write.mode("overwrite")
