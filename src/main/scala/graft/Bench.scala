@@ -42,7 +42,9 @@ object Bench {
       catch { case _: Throwable => errors ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def dict(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
 

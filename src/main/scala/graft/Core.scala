@@ -68,9 +68,12 @@ object Tables {
   * whole-stage-codegen long adds with map-side partials, no per-row
   * BigDecimal. The final single double division is exact on both engines.
   *
-  * Range: |Σ cents| must stay under 2^63 ≈ 9.2e18 — holds to ~1e14 rows of
-  * 2-decimal prices (1e16 at 4 decimals ~1e9 rows); beyond that, shard the
-  * sum or fall back to `sum(cast(decimal))`.
+  * Range: BIT-EXACT parity with the oracle's single-rounded
+  * `CAST(decimal AS DOUBLE)` needs |Σ cents| ≤ 2^53 ≈ 9.0e15 (above that,
+  * long→double conversion adds a second rounding that can differ in the
+  * last ulp) — ~9e8 rows of ~1e5-magnitude 2-decimal prices, or ~9e11 rows
+  * of unit-scale values. Beyond that, shard the sum or fall back to
+  * `sum(cast(x as decimal))`.
   */
 object X {
   private def cents(c: Column, scale: Int): Column =

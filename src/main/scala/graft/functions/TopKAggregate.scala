@@ -34,6 +34,24 @@ case class TopKPairs(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+  // type-check at analysis time: without this, a wrong-typed argument (e.g.
+  // an integer score column) passes the analyzer and dies mid-task with a
+  // ClassCastException in update() instead of a proper AnalysisException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs score must be DOUBLE, got ${scoreExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs id must be BIGINT, got ${idExpr.dataType.sql}")
+    else if (!kExpr.foldable ||
+        (kExpr.dataType != IntegerType && kExpr.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure("topk_pairs k must be an INT literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt

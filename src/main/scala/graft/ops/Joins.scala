@@ -31,11 +31,13 @@ object Joins {
   private def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String)
       : (String, String) =
     bucketed.computeIfAbsent(d, { _ =>
-      // tag includes the source file's fingerprint so a regenerated
+      // tag includes BOTH source files' fingerprints so a regenerated
       // testdata dir can never silently reuse a stale bucketed copy
-      val src = java.nio.file.Paths.get(s"$d/lineitem.parquet")
-      val fp = java.nio.file.Files.size(src) ^
-        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      val fp = Seq("lineitem", "orders").map { t =>
+        val src = java.nio.file.Paths.get(s"$d/$t.parquet")
+        java.nio.file.Files.size(src) ^
+          java.nio.file.Files.getLastModifiedTime(src).toMillis
+      }
       val tag = math.abs((d, fp).hashCode).toString
       val (lt, ot) = (s"li_bkt_$tag", s"ord_bkt_$tag")
       if (!s.catalog.tableExists(lt)) {

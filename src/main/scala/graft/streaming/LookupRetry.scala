@@ -47,7 +47,7 @@ object LookupRetry {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
         // newest pending file from an EARLIER batch (replay-safe)
-        val pending = Files.list(Paths.get(retryDir)).iterator().asScala
+        val pending = graft.table.StreamTable.listDir(Paths.get(retryDir)).iterator
           .map(_.getFileName.toString)
           .filter(_.startsWith("pending-"))
           .map(_.stripPrefix("pending-").toLong)
@@ -76,7 +76,7 @@ object LookupRetry {
         // GC superseded pending files, but KEEP the newest predecessor: a
         // replay of this batch (crash before the checkpoint commit) must be
         // able to re-read the pending state it consumed
-        val preds = Files.list(Paths.get(retryDir)).iterator().asScala.toSeq
+        val preds = graft.table.StreamTable.listDir(Paths.get(retryDir))
           .filter(_.getFileName.toString.startsWith("pending-"))
           .sortBy(_.getFileName.toString.stripPrefix("pending-").toLong)
           .filter(_.getFileName.toString.stripPrefix("pending-").toLong < id)

@@ -40,13 +40,13 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
 
   def listDatabases(): Seq[String] =
     if (!Files.exists(Paths.get(warehouse))) Seq.empty
-    else Files.list(Paths.get(warehouse)).iterator().asScala
+    else StreamTable.listDir(Paths.get(warehouse)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".db"))
       .map(_.stripSuffix(".db")).toSeq.sorted
 
   def listTables(db: String): Seq[String] =
     if (!Files.exists(Paths.get(dbPath(db)))) Seq.empty
-    else Files.list(Paths.get(dbPath(db))).iterator().asScala
+    else StreamTable.listDir(Paths.get(dbPath(db))).iterator
       .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
 
   /** CREATE TABLE with a Paimon-style option map. Recognized keys:

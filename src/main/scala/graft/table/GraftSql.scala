@@ -77,7 +77,9 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
           val o = mutable.Map[String, String]() ++ parseOptions(opts)
           pk.foreach(cols => o("primary-key") = cols.mkString(","))
           proctime.foreach(c => o("computed.proctime") = c)
-          o("ddl.schema") = schemaCols.map { case (n, ty) => s"$n $ty" }.mkString(", ")
+          // "|" separator: commas appear inside parameterized types
+          // (DECIMAL(5, 1)), so a comma-joined schema would not split back
+          o("ddl.schema") = schemaCols.map { case (n, ty) => s"$n $ty" }.mkString("|")
           catalog.createTable(currentDb, t, o.toMap)
           ok(s"table $t created")
         }
@@ -88,7 +90,7 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         catalog.dropTable(currentDb, name.split("\\.").last); ok(s"table $name dropped")
       case DescribeRe(name) =>
         val o = catalog.tableOptions(currentDb, name.split("\\.").last)
-        o.getOrElse("ddl.schema", "").split(",\\s*").filter(_.nonEmpty)
+        o.getOrElse("ddl.schema", "").split("\\|").filter(_.nonEmpty)
           .map { cd => val p = cd.split("\\s+", 2); (p(0), p.lift(1).getOrElse("")) }
           .toSeq.toDF("col_name", "data_type")
       case SetConfRe(k, v) =>

@@ -80,7 +80,7 @@ class StreamTable(
   // ---- snapshot manifest -------------------------------------------------
 
   def snapshots: Seq[Snapshot] =
-    Files.list(Paths.get(snapDir)).iterator().asScala
+    listDir(Paths.get(snapDir)).iterator
       .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
       .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
       .toSeq.sortBy(_.id)
@@ -140,7 +140,7 @@ class StreamTable(
       case None    => stamped
     }
     out.write.mode("overwrite").parquet(staging)
-    val parts = Files.list(Paths.get(staging)).iterator().asScala
+    val parts = listDir(Paths.get(staging)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, k) =>
       val dest = Paths.get(dataAppend, s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
@@ -283,32 +283,31 @@ class StreamTable(
     val oldPaths = files(fromId).map(_.path).toSet
     val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
       .filter(_.level == 0)
-    if (newFiles.isEmpty) return spark.emptyDataFrame
-    val added = readFiles(newFiles)
-    val withTomb =
-      if (added.columns.contains(TombstoneColName)) added
-      else added.withColumn(TombstoneColName, lit(false))
-    // final image per key among the added rows (same order as the read view)
-    val order = seqCol.map(c => col(c).desc).toSeq :+ col(SeqColName).desc
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-    val lastAdded = withTomb.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", SeqColName)
+    // empty changelog keeps the table's schema + op so consumers can still
+    // select their columns
+    if (newFiles.isEmpty) return read.limit(0).withColumn("op", lit(""))
+    // keys touched in the interval…
+    val changedKeys = readFiles(newFiles).select(pk.map(col): _*).distinct()
+    // …but their images come from the RESOLVED states, so a stale-sequence
+    // arrival that loses last-writer-wins resolution (seqCol contract) can
+    // never retract the live row or emit a stale image: for such keys the
+    // -U/+U pair carries identical images and a delta-consumer nets zero.
     val oldState =
-      if (files(fromId).isEmpty) lastAdded.drop(TombstoneColName).limit(0)
+      if (files(fromId).isEmpty) read.limit(0)
       else resolve(readFiles(files(fromId)), pk, keepSeq = false)
-    val newKeyTomb = lastAdded
-      .select(pk.map(col) :+ col(TombstoneColName).as("__new_tomb"): _*)
-    // retractions carry the OLD image
-    val retracts = oldState.join(newKeyTomb, pk, "inner")
-      .withColumn("op", when(col("__new_tomb"), "-D").otherwise("-U"))
-      .drop("__new_tomb")
-    val oldKeys = oldState.select(pk.map(col): _*).withColumn("__existed", lit(1))
-    val upserts = lastAdded
-      .filter(!coalesce(col(TombstoneColName), lit(false)))
-      .drop(TombstoneColName)
-      .join(oldKeys, pk, "left")
-      .withColumn("op", when(col("__existed").isNull, "+I").otherwise("+U"))
-      .drop("__existed")
+    val newState = resolve(readFiles(files(toId)), pk, keepSeq = false)
+      .join(changedKeys, pk, "left_semi")
+    val oldChanged = oldState.join(changedKeys, pk, "left_semi")
+    val newKeys = newState.select(pk.map(col): _*).withColumn("__in_new", lit(1))
+    val oldKeys = oldChanged.select(pk.map(col): _*).withColumn("__in_old", lit(1))
+    // retractions carry the OLD image; -D when the key is gone from the new
+    // state (tombstone won), -U when it survives with a (possibly) new image
+    val retracts = oldChanged.join(newKeys, pk, "left")
+      .withColumn("op", when(col("__in_new").isNull, "-D").otherwise("-U"))
+      .drop("__in_new")
+    val upserts = newState.join(oldKeys, pk, "left")
+      .withColumn("op", when(col("__in_old").isNull, "+I").otherwise("+U"))
+      .drop("__in_old")
     retracts.unionByName(upserts, allowMissingColumns = true)
   }
 
@@ -324,7 +323,7 @@ class StreamTable(
     val oldPaths = files(fromId).map(_.path).toSet
     val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
       .filter(_.level == 0) // compaction rewrites are not logical changes
-    if (newFiles.isEmpty) return spark.emptyDataFrame
+    if (newFiles.isEmpty) return read.limit(0).withColumn("op", lit(""))
     val added = readFiles(newFiles)
     primaryKey match {
       case None => added.drop(SeqColName).withColumn("op", lit("+I"))
@@ -389,7 +388,7 @@ class StreamTable(
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     resolved.repartition(targetFileCount).write.mode("overwrite").parquet(staging)
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
-    val parts = Files.list(Paths.get(staging)).iterator().asScala
+    val parts = listDir(Paths.get(staging)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, k) =>
       val dest = Paths.get(dataCompact, s"c$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
@@ -447,6 +446,14 @@ object StreamTable {
 
   /** Recursively delete a directory tree (shared maintenance helper). */
   def deleteTree(p: JPath): Unit = deleteRecursively(p)
+
+  /** List a directory's entries, CLOSING the underlying stream — a bare
+    * `Files.list(...).iterator()` leaks one directory fd per call until GC,
+    * which adds up in long-running streaming jobs that list per batch. */
+  def listDir(p: JPath): Seq[JPath] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
 
   private def fileMetas(spark: SparkSession, paths: Seq[String], level: Int,
       minSeq: Long, maxSeq: Long): Seq[DataFileMeta] = {

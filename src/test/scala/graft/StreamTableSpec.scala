@@ -134,6 +134,22 @@ class StreamTableSpec extends AnyFunSuite {
       s"maintained=$maintained recomputed=$recomputed")
   }
 
+  test("retraction changelog honors sequence.field: a stale arrival nets zero") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"))
+    t.appendBatch(Seq((1L, 10L, 100L)).toDF("id", "seq", "amount"), 0)
+    val from = t.latestSnapshot.get.id
+    // later batch carrying a SMALLER sequence: loses last-writer-wins
+    t.appendBatch(Seq((1L, 5L, 999L)).toDF("id", "seq", "amount"), 1)
+    assert(t.read.collect().map(_.getLong(2)).toSeq == Seq(100L),
+      "read view must keep the larger-sequence row")
+    val ch = t.changelogWithRetractions(from, t.latestSnapshot.get.id).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("seq"), r.getAs[Long]("amount")))
+    // both images are the LIVE row — a delta consumer nets zero, never the
+    // stale 999 and never a retraction of the surviving 100
+    assert(ch.toSet == Set(("-U", 10L, 100L), ("+U", 10L, 100L)), s"got ${ch.toSeq}")
+  }
+
   test("delete tombstones: -D changelog, rows gone from reads, purged by compact") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
     t.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0)
