@@ -386,7 +386,14 @@ class StreamTable(
       case Some(pk) => resolve(raw, pk, keepSeq = true)
     }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
-    resolved.repartition(targetFileCount).write.mode("overwrite").parquet(staging)
+    val rewritten = bucketKey match {
+      // preserve the hash-bucket layout through compaction (Paimon compacts
+      // within buckets): rows stay clustered by key so post-compaction
+      // per-key reads and upsert resolution keep their co-location
+      case Some(k) => resolved.repartition(targetFileCount, col(k))
+      case None    => resolved.repartition(targetFileCount)
+    }
+    rewritten.write.mode("overwrite").parquet(staging)
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
     val parts = listDir(Paths.get(staging)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)

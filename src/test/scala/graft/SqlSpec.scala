@@ -52,6 +52,10 @@ class SqlSpec extends AnyFunSuite {
     assert(sh.catalog.tableOptions("default", "sensor_info")("primary-key") == "sensor_id")
     val desc = sh.sql("DESCRIBE sensor_info").collect().map(_.getString(0))
     assert(desc.contains("latitude") && desc.contains("updated_at"))
+    // parameterized types survive DESCRIBE intact (comma inside DECIMAL)
+    val dm = sh.sql("DESCRIBE measurements").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dm("reading").startsWith("DECIMAL(5, 1)"), dm.toString)
   }
 
   test("SET, ALTER TABLE SET, INSERT INTO SELECT, SELECT (guide.md:3, :36-39, :180-184)") {

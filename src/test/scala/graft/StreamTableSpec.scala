@@ -61,6 +61,19 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t.read.count() == rowsBefore) // the guide.md:258-259 invariant
     assert(t.latestSnapshot.get.files.forall(_.level == 1))
 
+    // bucketed table: compaction preserves the per-key clustering — every
+    // key's rows land in exactly one post-compaction file
+    val bt = new StreamTable(tmp(), spark, bucketKey = Some("id"), numBuckets = 2)
+    for (b <- 0 until 4)
+      bt.appendBatch(spark.range(0, 20).toDF("id"), b)
+    bt.compact(targetFileCount = 2)
+    val filesPerKey = spark.read
+      .parquet(bt.latestSnapshot.get.files.map(_.path): _*)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("id").agg(countDistinct("f").as("nf"))
+    assert(filesPerKey.filter(col("nf") > 1).count() == 0,
+      "compaction must keep each key clustered in one bucket file")
+
     val pk = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
     pk.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
     pk.appendBatch(Seq((1L, "a2")).toDF("id", "v"), 1)
