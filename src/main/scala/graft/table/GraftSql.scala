@@ -112,19 +112,25 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       case _ if flat.toUpperCase.startsWith("SELECT") ||
                 flat.toUpperCase.startsWith("WITH") =>
         registerViews()
-        spark.sql(stmt)
+        // Paimon metadata-table syntax `t$files` (guide.md:200-232): Spark
+        // identifiers can't carry the `$`, so rewrite to the registered
+        // `<t>__files` view
+        spark.sql(stmt.replaceAll("(\\w+)\\$files", "$1__files"))
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
   }
 
   /** Current database's tables as `<table>` temp views (plus `<db>_<table>`),
-    * so SELECT/INSERT bodies reference them by bare name like the reference. */
+    * so SELECT/INSERT bodies reference them by bare name like the reference;
+    * each table's `$files` metadata view registers as `<table>__files`. */
   private def registerViews(): Unit =
     catalog.listTables(currentDb).foreach { t =>
-      val df = catalog.getTable(currentDb, t).read
+      val table = catalog.getTable(currentDb, t)
+      val df = table.read
       df.createOrReplaceTempView(t)
       df.createOrReplaceTempView(s"${currentDb}_$t")
+      table.filesView.createOrReplaceTempView(s"${t}__files")
     }
 
   private def ok(msg: String): DataFrame = {

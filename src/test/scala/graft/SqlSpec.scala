@@ -84,6 +84,15 @@ class SqlSpec extends AnyFunSuite {
     // second insert = second commit; PK-free table appends
     sh.sql("INSERT INTO measurements SELECT sensor_id, reading FROM datagen_src")
     assert(sh.sql("SELECT COUNT(*) AS n FROM measurements").collect()(0).getLong(0) == 200)
+
+    // the tutorial's $files metadata query runs verbatim (guide.md:200-207)
+    val files = sh.sql(
+      """SELECT file_path, record_count, level, file_size_in_bytes,
+        |  min_value_stats, min_sequence_number
+        |FROM measurements$files""".stripMargin).collect()
+    assert(files.length == 2, "two commits = two data files")
+    assert(files.map(_.getAs[Long]("record_count")).sum == 200)
+    assert(files.forall(_.getAs[Long]("file_size_in_bytes") > 0))
   }
 
   test("PK table upsert through INSERT INTO (sensor_info semantics, guide.md:78-96)") {
