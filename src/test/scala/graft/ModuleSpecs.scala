@@ -126,6 +126,20 @@ class ModuleSpecs extends AnyFunSuite {
     assert(t.read.count() == 100, "restart must not duplicate rows")
   }
 
+  test("offline CompactJob entry point compacts and conserves rows (2A#16)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_cjob_").toString
+    val t = new graft.table.StreamTable(dir, spark)
+    for (b <- 0 until 6)
+      t.appendBatch(spark.range(b * 10, b * 10 + 10).coalesce(1).select(col("id")), b)
+    assert(t.latestSnapshot.get.files.size == 6)
+    graft.table.CompactJob.main(Array(dir, "2"))
+    val after = new graft.table.StreamTable(dir, spark)
+    assert(after.latestSnapshot.get.files.size == 2)
+    assert(after.read.count() == 60)
+    assert(!spark.sparkContext.isStopped, "job must not stop a shared session")
+  }
+
   test("duration parsing matches the reference's SET syntax") {
     import graft.table.GraftCatalog.parseDurationMs
     assert(parseDurationMs("20 s") == 20000L)
