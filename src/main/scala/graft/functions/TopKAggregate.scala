@@ -49,7 +49,14 @@ case class TopKPairs(
     else if (!kExpr.foldable ||
         (kExpr.dataType != IntegerType && kExpr.dataType != LongType))
       TypeCheckResult.TypeCheckFailure("topk_pairs k must be an INT literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval(InternalRow.empty) match {
+      // value check at analysis time: k <= 0 would silently return empty
+      // arrays for every group, NULL would throw mid-task in update()
+      case i: Int if i > 0  => TypeCheckResult.TypeCheckSuccess
+      case l: Long if l > 0 => TypeCheckResult.TypeCheckSuccess
+      case null => TypeCheckResult.TypeCheckFailure("topk_pairs k must not be NULL")
+      case v => TypeCheckResult.TypeCheckFailure(s"topk_pairs k must be positive, got $v")
+    }
   }
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {

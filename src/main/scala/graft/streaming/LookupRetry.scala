@@ -42,6 +42,17 @@ object LookupRetry {
       trigger: Trigger): StreamingQuery = {
     val retryDir = s"$outDir/retry"
     Files.createDirectories(Paths.get(retryDir))
+    // A fresh checkpoint restarts batch ids at 0, so pending-N files left by
+    // a previous run (checkpoint deleted, outDir kept) would first be skipped
+    // (N >= id) and later consumed by batch N+1 as if they were this run's
+    // parked rows. Detect the fresh start (no committed offsets) and clear
+    // the stale pending state before the query begins.
+    val offsetsDir = Paths.get(s"$outDir/chk/offsets")
+    if (!Files.isDirectory(offsetsDir) ||
+        graft.table.StreamTable.listDir(offsetsDir).isEmpty)
+      graft.table.StreamTable.listDir(Paths.get(retryDir))
+        .filter(_.getFileName.toString.startsWith("pending-"))
+        .foreach(graft.table.StreamTable.deleteTree)
 
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -67,6 +67,17 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         case "DATABASES" =>
           (catalog.listDatabases() :+ currentDb).distinct.sorted.toDF("database_name")
         case "TABLES"    => catalog.listTables(currentDb).toDF("table_name")
+        // Readme.md:78 "more commands like SHOW FUNCTIONS and SHOW VIEWS":
+        // function/view metadata lives in the Spark session, so delegate —
+        // the available surface IS Spark's registry (incl. the graft
+        // extensions once registered)
+        case "FUNCTIONS" =>
+          spark.sql("SHOW FUNCTIONS").orderBy("function")
+            .withColumnRenamed("function", "function_name")
+        case "VIEWS" =>
+          registerViews()
+          spark.sql("SHOW VIEWS")
+            .select(col("viewName").as("view_name")).orderBy("view_name")
       }
       case CreateTableRe(ifNotExists, name, body, opts) =>
         val t = name.split("\\.").last
@@ -145,7 +156,7 @@ object GraftSql {
   private val UseCatalogRe = "(?i)USE CATALOG (\\w+)".r
   private val CreateDatabaseRe = "(?i)CREATE DATABASE (?:IF NOT EXISTS )?(\\w+)".r
   private val UseDbRe = "(?i)USE (\\w+)".r
-  private val ShowRe = "(?i)SHOW (CATALOGS|DATABASES|TABLES)".r
+  private val ShowRe = "(?i)SHOW (CATALOGS|DATABASES|TABLES|FUNCTIONS|VIEWS)".r
   private val CreateTableRe =
     "(?i)CREATE TABLE (IF NOT EXISTS )?([\\w.]+) \\((.*)\\) WITH \\((.*)\\)".r
   private val AlterTableRe = "(?i)ALTER TABLE ([\\w.]+) SET \\((.*)\\)".r

@@ -197,7 +197,15 @@ class StreamTable(
     val offset =
       if (Files.exists(epochFile)) new String(Files.readAllBytes(epochFile)).trim.toLong
       else {
-        val off = latestSnapshot.map(_.batchId + 1).getOrElse(0L)
+        // Migration: a checkpoint created BEFORE the epoch file existed
+        // (committed offsets present, no epoch file) ran with offset 0 —
+        // re-deriving latest+1 here would replay a crash-window batch (one
+        // committed to the table but not the checkpoint) under a new,
+        // larger id, and appendBatch would double-commit its rows. Only a
+        // genuinely fresh checkpoint may claim latest+1.
+        val offsetsDir = Paths.get(chk, "offsets")
+        val legacy = Files.isDirectory(offsetsDir) && listDir(offsetsDir).nonEmpty
+        val off = if (legacy) 0L else latestSnapshot.map(_.batchId + 1).getOrElse(0L)
         Files.write(epochFile, off.toString.getBytes)
         off
       }
@@ -406,6 +414,15 @@ class StreamTable(
     val maxSeq = before.map(_.maxSeq).max
     val metas = fileMetas(spark, moved, level = 1,
       minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)
+    // Conservation is validated against the rewrite's own inputs/outputs
+    // (footer row counts), never a re-read of the live table — a concurrent
+    // writer committing mid-compaction must not fail the check. PK tables
+    // may legitimately shrink (last-writer-wins resolution + tombstones).
+    val (inRows, outRows) = (before.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    if (primaryKey.isEmpty) require(outRows == inRows,
+      s"compaction must conserve rows: $inRows -> $outRows")
+    else require(outRows <= inRows,
+      s"PK compaction cannot grow rows: $inRows -> $outRows")
     val compactedPaths = before.map(_.path).toSet
     // Keep files appended concurrently since we snapshotted `before`.
     commit(live => (live.filterNot(f => compactedPaths.contains(f.path)) ++ metas,

@@ -57,4 +57,30 @@ class LookupRetrySpec extends AnyFunSuite {
     assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/dead").select("k").first().getLong(0) == 99L)
     assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/data").filter($"k" === 99L).count() == 0)
   }
+
+  test("a fresh checkpoint clears stale pending files from a previous run") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_lr2_src_").toString
+    val outDir = Files.createTempDirectory("graft_lr2_out_").toString
+
+    // a previous run (whose checkpoint was deleted) left parked rows behind;
+    // without the fresh-start sweep, batch ids restarting at 0 would first
+    // skip pending-5 and then batch 6 would consume it as this run's state
+    Seq((77L, "stale", 1)).toDF("k", "payload", "__attempts")
+      .write.parquet(s"$outDir/retry/pending-5")
+
+    def dim(): org.apache.spark.sql.DataFrame = Seq((1L, "one")).toDF("k", "name")
+    val schema = Seq((0L, "")).toDF("k", "payload").schema
+    Seq((1L, "p1")).toDF("k", "payload").write.mode("append").parquet(srcDir)
+    val q = LookupRetry.start(spark,
+      spark.readStream.schema(schema).parquet(srcDir),
+      dim _, "k", outDir, maxAttempts = 3, Trigger.AvailableNow())
+    q.awaitTermination()
+
+    assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/retry/pending-5")),
+      "stale pending state from the dead run is gone")
+    val data = spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/data")
+    assert(data.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "only this run's rows are in the output")
+  }
 }

@@ -61,6 +61,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairs rejects non-positive and NULL k at analysis time") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TopKFunctions.registerOn(spark)
+    val df = Seq((1, 1.0, 1L)).toDF("g", "score", "id")
+    for (badK <- Seq("0", "-3", "CAST(NULL AS INT)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.groupBy("g").agg(expr(s"topk_pairs(score, id, $badK)")).collect()
+      }
+      assert(e.getMessage.contains("topk_pairs"), s"k=$badK: ${e.getMessage}")
+    }
+  }
+
   test("exact dedup output has unique doc_ids (projection property)") {
     val d1 = SparkEntry.queries("q_ext_exact_dedup")(spark, SparkFixture.sf)
     val ids1 = d1.select("doc_id").collect().map(_.getLong(0)).toSet

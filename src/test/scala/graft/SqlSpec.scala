@@ -24,6 +24,26 @@ class SqlSpec extends AnyFunSuite {
     assert(sh.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("default"))
   }
 
+  test("SHOW CATALOGS/DATABASES/FUNCTIONS/VIEWS — the Readme session replayed (Readme.md:57-78)") {
+    val sh = shell()
+    // Readme.md:57-63 — the default catalog is visible
+    assert(sh.sql("SHOW CATALOGS;").collect().map(_.getString(0))
+      .contains("default_catalog"))
+    // Readme.md:68-74 — and its default database
+    assert(sh.sql("SHOW DATABASES;").collect().map(_.getString(0))
+      .contains("default"))
+    // Readme.md:78 — "more commands like SHOW FUNCTIONS and SHOW VIEWS"
+    val fns = sh.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.length > 100, "the Spark registry's builtins are listed")
+    assert(fns.contains("sum") && fns.contains("explode"))
+    graft.functions.VectorFunctions.registerOn(spark)
+    assert(sh.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
+      .contains("float_dot"), "registered graft extensions are listed too")
+    sh.sql("CREATE TABLE shown_t (id BIGINT) WITH ('bucket' = '1')")
+    val views = sh.sql("SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("shown_t"), s"catalog tables surface as views: ${views.toSeq}")
+  }
+
   test("the reference DDL runs verbatim (guide.md:23-31, :59-74)") {
     val sh = shell()
     sh.sql("""CREATE TABLE measurements (

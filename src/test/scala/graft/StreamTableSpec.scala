@@ -227,6 +227,37 @@ class StreamTableSpec extends AnyFunSuite {
     assert(rate >= 1000, f"rate $rate%.0f rows/s below the 1000 rows/s target")
   }
 
+  test("legacy checkpoint (no epoch file) replays under offset 0, not latest+1") {
+    val dir = tmp()
+    val t = new StreamTable(dir, spark)
+    val srcDir = Files.createTempDirectory("graft_epoch_src_").toString
+    val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    a.write.mode("append").parquet(srcDir)
+    val q1 = t.writeStream(
+      spark.readStream.schema(a.schema).parquet(srcDir), Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(t.read.count() == 3)
+
+    // Simulate a checkpoint from BEFORE the epoch file existed (offsets
+    // committed, epoch file absent) plus the crash window: batch 1 committed
+    // to the TABLE but the stream died before its checkpoint offset landed.
+    Files.delete(java.nio.file.Paths.get(s"$dir/_checkpoint/graft-writer-epoch"))
+    val b = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+    b.write.mode("append").parquet(srcDir)
+    t.appendBatch(b, 1) // the table-side commit the checkpoint never saw
+    assert(t.read.count() == 5)
+
+    // Restart: the file source replays batch 1 (= file b). A legacy layout
+    // must re-derive offset 0 so appendBatch(b, 0+1) dedupes against the
+    // already-committed batch 1 — latest+1 would commit it AGAIN as batch 2.
+    val q2 = t.writeStream(
+      spark.readStream.schema(a.schema).parquet(srcDir), Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_checkpoint/graft-writer-epoch"))).trim == "0")
+    assert(t.read.count() == 5, "crash-window batch must not double-commit")
+  }
+
   test("catalog views make tables SQL-queryable") {
     val cat = new graft.table.GraftCatalog(spark,
       Files.createTempDirectory("graft_sqlwh_").toString)
