@@ -178,17 +178,40 @@ object Aggs {
         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
         |  n
         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // The power sums run as SHARDED LONG-CENTS partials instead of
+      // DECIMAL(28,4) accumulation: each 4-decimal product is recovered to
+      // integer 10⁻⁴-units with rint (exact — see graft.X), then split as
+      // hi·10⁹ + lo so TWO long sums extend the exact range from 2^53 cents
+      // (~9e4 rows of 1e14-cent products) to ~9e9 rows — whole-stage-codegen
+      // long adds with map-side partials, no per-row BigDecimal. The exact
+      // integer total is reassembled in DECIMAL and cast to double ONCE, so
+      // the result is bit-identical to the oracle's CAST(SUM(DECIMAL(28,4))
+      // AS DOUBLE); sx/sy ride the plain X.dsum path (2-decimal inputs).
+      val moments = Seq(
+        "sxy" -> "l_quantity * l_extendedprice",
+        "sxx" -> "l_quantity * l_quantity",
+        "syy" -> "l_extendedprice * l_extendedprice")
+      val shardAggs = moments.flatMap { case (nm, p) =>
+        val cents = s"cast(rint(($p) * 1e4) as bigint)"
+        Seq(sum(expr(s"$cents div 1000000000")).as(s"${nm}_hi"),
+            sum(expr(s"$cents % 1000000000")).as(s"${nm}_lo"))
+      }
+      // value = (10⁹·Σhi + Σlo)/10⁴ = Σhi·10⁵ + Σlo·10⁻⁴, assembled exactly
+      // in decimal (scale-4/-6 terms hold the integer cents exactly), then
+      // one double rounding — the same single rounding the oracle performs
+      def assemble(nm: String) =
+        (col(s"${nm}_hi").cast("decimal(38,4)") * lit(100000L) +
+         col(s"${nm}_lo").cast("decimal(38,4)") *
+           lit(new java.math.BigDecimal("0.0001")))
+          .cast("double").as(nm)
+      val aggCols = Seq(count(lit(1)).as("n"),
+        graft.X.dsum(col("l_quantity")).as("sx"),
+        graft.X.dsum(col("l_extendedprice")).as("sy")) ++ shardAggs
       val sums = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sy"),
-          sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,4)"))
-            .cast("double").as("sxy"),
-          sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)"))
-            .cast("double").as("sxx"),
-          sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)"))
-            .cast("double").as("syy"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("l_returnflag") +: col("n") +: col("sx") +: col("sy") +:
+          moments.map { case (nm, _) => assemble(nm) }: _*)
       sums.select(col("l_returnflag"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

@@ -28,14 +28,17 @@ object Ext {
   private def duckNorm(a: String): String =
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
-  /** 4-bit sign-LSH bucket signature of `embedding`: 4 fixed ±1 hyperplanes
-    * (Lehmer-style mix of (dim, bit)), each sign test a codegen'd `float_dot`
-    * against a literal plane — the interpreted-HOF version of this cost 256
-    * boxed lambda calls per row; same products in the same order, so the
-    * signatures are bit-identical to it. */
-  private def signLsh(s: SparkSession): org.apache.spark.sql.Column = {
+  /** `planes`-bit sign-LSH signature of `embedding` (≤32): fixed ±1
+    * hyperplanes (Lehmer-style mix of (dim, bit)), each sign test a codegen'd
+    * `float_dot` against a literal plane — the interpreted-HOF version cost
+    * 256 boxed lambda calls per row. The bit count is a SCALE parameter:
+    * bucket count must grow with the corpus (a constant partition means each
+    * bucket grows linearly and any intra-bucket join quadratically), so
+    * callers BAND the signature ([[lshBands]]) instead of probing one
+    * monolithic 2^planes bucket. */
+  private def signLsh(s: SparkSession, planes: Int): org.apache.spark.sql.Column = {
     graft.functions.VectorFunctions.registerOn(s)
-    (0 until 4).map { b =>
+    (0 until planes).map { b =>
       val plane = array((1 to 64).map(i =>
         lit(if (Math.floorMod(i * 48271 + b * 1299721, 1009) < 504) 1.0f
             else -1.0f)): _*)
@@ -43,6 +46,16 @@ object Ext {
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
   }
+
+  /** Band a signature into `nb` bands of `w` bits, exploded as
+    * struct(band, bv) rows — classic LSH banding: near-identical vectors
+    * agree on ≥1 whole band with high probability, while each band still
+    * splits the corpus across 2^w buckets (grow `w` with corpus size). */
+  private def lshBands(sig: org.apache.spark.sql.Column, nb: Int, w: Int)
+      : org.apache.spark.sql.Column =
+    explode(array((0 until nb).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sig, b * w).bitwiseAND(lit((1 << w) - 1)).as("bv"))): _*))
 
   val all: Seq[QDef] = Seq(
     QDef(
@@ -105,17 +118,23 @@ object Ext {
             .stripMargin)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
-      val buckets = bandSigs
-        .groupBy("band", "sig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
-
-      buckets
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      // Candidate pairs via a SELF-JOIN on (band, sig) — shuffle-native: a
+      // degenerate bucket spreads across join tasks instead of collecting
+      // every member doc_id into one giant in-row array (the collect_list
+      // version put O(bucket) ids in ONE row and O(bucket²) pairs through
+      // one explode). Mega-buckets (mass-duplicated boilerplate) are capped
+      // out entirely: at corpus scale those are exact-dup clusters, already
+      // owned by q_ext_exact_dedup, and would cost O(n²) pairs here.
+      val sizes = bandSigs.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1 && col("n") <= 100000)
+      // all three shuffles key on (band, sig): the join reuses the groupBy's
+      // partitioning, so the guard costs no extra exchange of the big side
+      val member = bandSigs.join(sizes.select("band", "sig"), Seq("band", "sig"))
+      val pa = member.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      val pb = member.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+      pa.join(pb, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared_bands"))
         .orderBy("doc_a", "doc_b")
     },
@@ -295,25 +314,36 @@ object Ext {
         .orderBy("doc_id")
     },
 
-    // Embedding-cosine near-duplicate pairs through the sign-LSH buckets:
-    // candidates = same bucket, kept if cosine ≥ 0.98. Planted exact copies
-    // guarantee recall is testable; random corpus contributes no false pairs.
+    // Embedding-cosine near-duplicate pairs through BANDED sign-LSH:
+    // 32 hyperplanes → 4 bands × 8 bits; candidates = pairs sharing ≥1 whole
+    // band (256 buckets per band, and `w` grows with the corpus — the old
+    // 4-plane version was a CONSTANT 16-way partition, so every bucket grew
+    // linearly with N and the intra-bucket join quadratically). Kept if
+    // cosine ≥ 0.98. Planted exact copies agree on all bands → testable
+    // recall; random corpus contributes no false pairs (cosine filter).
     QDef.noOracle("q_ext_embedding_neardup") { (s, d) =>
       graft.functions.VectorFunctions.registerOn(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") < 25)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = emb.unionByName(planted).withColumn("sig", signLsh(s))
-      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        col("sig"))
-      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        col("sig").as("sig_b"))
-      a.join(b, a("sig") === b("sig_b") && a("id_a") < b("id_b"))
-        .withColumn("cos_sim", round(
+      val corpus = emb.unionByName(planted).withColumn("sig", signLsh(s, 32))
+      val bands = corpus
+        .select(col("vec_id"), col("embedding"), lshBands(col("sig"), 4, 8).as("b"))
+        .select(col("vec_id"), col("embedding"), col("b.band").as("band"),
+          col("b.bv").as("bv"))
+      val a = bands.select(col("band"), col("bv"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      val b = bands.select(col("band"), col("bv"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"))
+      // self-join on (band, band-sig): shuffle-native candidate generation,
+      // then one groupBy dedupes pairs that collide on several bands
+      a.join(b, Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(
           expr("float_dot(ea, eb)") /
             (sqrt(expr("float_dot(ea, ea)")) * sqrt(expr("float_dot(eb, eb)"))), 6))
-        .filter(col("cos_sim") >= 0.98)
-        .select("id_a", "id_b", "cos_sim")
+        .filter(col("cos") >= 0.98)
+        .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos_sim"))
         .orderBy("id_a", "id_b")
     },
 
@@ -343,20 +373,28 @@ object Ext {
         .limit(10)
     },
 
-    // ANN scale path: sign-LSH bucketing. 4 pseudo-random hyperplanes (fixed
-    // ±1 weights from a Lehmer-style mix) give a 4-bit bucket signature; the
-    // search touches only the query's bucket (~1/16 of the corpus) before
-    // brute-forcing cosine inside it. At 100 TB this is the difference
-    // between scanning the corpus per query and scanning one bucket; recall
-    // is traded (classic LSH), so no oracle — ExtSpec pins the structural
-    // contract (candidates come from the bucket, ordering correct).
+    // ANN scale path: banded sign-LSH probe. 32 hyperplanes → 4 bands × 8
+    // bits; the search touches only vectors sharing ≥1 band signature with
+    // the query (~4/256 of the corpus, and `w` tunes that fraction DOWN as N
+    // grows — the old monolithic 4-bit probe was a fixed 1/16) before
+    // brute-forcing cosine inside the candidate set. Recall is traded
+    // (classic LSH), so no oracle — ModuleSpecs pins the structural contract
+    // (every candidate shares a band, ordering correct).
     QDef.noOracle("q_ext_cosine_lsh") { (s, d) =>
-      val emb = Tables.embeddings(s, d).withColumn("sig", signLsh(s))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("sig").as("qsig"))
-      emb.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), col("sig") === col("qsig"))
-        .select(col("vec_id"), col("sig").as("bucket"),
+      val emb = Tables.embeddings(s, d).withColumn("sig", signLsh(s, 32))
+      val bands = emb
+        .select(col("vec_id"), col("embedding"), lshBands(col("sig"), 4, 8).as("b"))
+        .select(col("vec_id"), col("embedding"), col("b.band").as("band"),
+          col("b.bv").as("bv"))
+      // the probe side is 4 tiny rows (one per band of the query signature)
+      val q = bands.filter(col("vec_id") === 0).select(col("band"), col("bv"))
+      val qe = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      bands.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), Seq("band", "bv"))
+        .groupBy("vec_id").agg(first(col("embedding")).as("embedding"),
+          count(lit(1)).as("shared_bands"))
+        .crossJoin(broadcast(qe))
+        .select(col("vec_id"), col("shared_bands"),
           round(dot("embedding", "qe") / (norm2("embedding") * norm2("qe")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)

@@ -25,6 +25,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Joins {
 
+  /** Pre-build the bucketed tables q_join_bucketed_colocated joins, so a
+    * timed run measures the zero-Exchange join — not the one-off
+    * `saveAsTable` that stages its inputs (Bench calls this in warmup). */
+  def stageBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    bucketedTables(s, d)
+
   /** lineitem + orders saved as bucketed managed tables (8 buckets on the
     * join key), once per sf dir; table names returned. */
   private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()

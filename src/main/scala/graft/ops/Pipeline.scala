@@ -148,9 +148,12 @@ object Pipeline {
 
     // Sequence packing: assign documents to fixed-capacity (4096-token) bins
     // by cumulative token count in doc order — the pretraining batch-packing
-    // step. One window pass, exact BIGINT arithmetic. At cluster scale the
-    // same cumsum runs per partition-range (or per shard key) instead of one
-    // global ordering.
+    // step. The prefix sum is TWO-PASS so it parallelizes: (1) cumsum within
+    // doc_id-range shards (a PARTITIONED window — every shard in parallel);
+    // (2) a window over the per-shard TOTALS (one row per shard: thousands
+    // of rows where the corpus has billions) yields each shard's starting
+    // offset, broadcast back. Identical math to a global cumsum — a global
+    // `Window.orderBy` funnels the entire corpus through ONE task.
     QDef(
       "q_ext_seq_packing",
       """WITH t AS (SELECT doc_id,
@@ -164,11 +167,22 @@ object Pipeline {
         |  start_offset // 4096 AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val nTokens = size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-      Tables.documents(s, d)
+      // shard key must be MONOTONE in doc_id so concatenating shards in
+      // shard order replays the global doc order
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), nTokens.as("n_tokens"))
-        .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+        .withColumn("shard", expr("doc_id div 1024"))
+      val wIntra = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy("shard").agg(sum("n_tokens").as("shard_total"))
+        .withColumn("shard_off", coalesce(sum("shard_total").over(wShard), lit(0L)))
+        .select("shard", "shard_off")
+      toks.withColumn("cum", sum("n_tokens").over(wIntra))
+        .join(broadcast(offsets), Seq("shard"))
+        .withColumn("start_offset", col("cum") - col("n_tokens") + col("shard_off"))
         .withColumn("bin_id", expr("start_offset div 4096"))
+        .select("doc_id", "n_tokens", "start_offset", "bin_id")
         .orderBy("doc_id")
     },
 

@@ -109,6 +109,21 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
       timeRetainedMs = parseDurationMs(o.getOrElse("snapshot.time-retained", "1 h")))
   }
 
+  /** Continuous ingestion with the table's maintenance policies applied
+    * in-line: after every committed micro-batch, [[maybeCompact]] runs the
+    * `full-compaction.delta-commits` / `compaction.max.file-num` policy and,
+    * when a compaction fired, [[applyRetention]] expires old snapshots — so
+    * the tutorial's ALTER TABLE knobs (guide.md:265-271) act end-to-end on a
+    * streaming writer without any manual maintenance call. Safe because
+    * compaction commits through the same optimistic snapshot protocol the
+    * writer uses. */
+  def writeStreamManaged(db: String, name: String,
+      stream: org.apache.spark.sql.DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    getTable(db, name).writeStream(stream, trigger, afterCommit = _ =>
+      if (maybeCompact(db, name)) applyRetention(db, name))
+
   /** Auto-compaction policy (guide.md:265-271): compact when the live file
     * count exceeds `compaction.max.file-num`, or unconditionally for a
     * "full-compaction" call site every `full-compaction.delta-commits`

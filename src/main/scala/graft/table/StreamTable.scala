@@ -183,8 +183,12 @@ class StreamTable(
 
   /** Continuous ingestion (reference op 2A#7: INSERT INTO … SELECT with
     * checkpointing, guide.md:36-39). Caller picks the trigger — production
-    * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow. */
-  def writeStream(stream: DataFrame, trigger: Trigger): StreamingQuery = {
+    * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow.
+    * `afterCommit` fires once per committed batch with the table-side batch
+    * id — the hook [[GraftCatalog.writeStreamManaged]] uses to run the
+    * table's auto-compaction/retention policies in-line with ingestion. */
+  def writeStream(stream: DataFrame, trigger: Trigger,
+      afterCommit: Long => Unit = _ => ()): StreamingQuery = {
     // Writer-epoch offset: Structured Streaming batch ids restart at 0 for a
     // fresh checkpoint, which would collide with ids already committed by an
     // earlier writer and silently no-op in appendBatch. Pin the table-side
@@ -210,7 +214,9 @@ class StreamTable(
         off
       }
     stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, offset + id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(b, offset + id); afterCommit(offset + id)
+      }
       .option("checkpointLocation", chk)
       .trigger(trigger)
       .start()

@@ -44,13 +44,16 @@ class ModuleSpecs extends AnyFunSuite {
 
   // ---- ANN / LSH ---------------------------------------------------------
 
-  test("LSH cosine: candidates share the query bucket; ordering is correct") {
+  test("LSH cosine: every candidate shares ≥1 band with the query; ordering correct") {
     val rows = SparkEntry.queries("q_ext_cosine_lsh")(spark, sf).collect()
-    assert(rows.nonEmpty, "query bucket is empty")
-    assert(rows.map(_.getAs[Int]("bucket")).distinct.length == 1)
+    assert(rows.nonEmpty, "probe returned no candidates")
+    // banded probe contract: a candidate exists BECAUSE it matched the query
+    // on ≥1 of the 4 band signatures (the count is carried in the output)
+    val shared = rows.map(_.getAs[Long]("shared_bands"))
+    assert(shared.forall(b => b >= 1 && b <= 4), shared.toSeq.toString)
     val sims = rows.map(_.getAs[Double]("cos_sim")).toSeq
     assert(sims == sims.sorted.reverse, "not ordered by similarity desc")
-    // bucket pruning actually pruned: candidates < corpus
+    // band pruning actually pruned: candidates < corpus
     assert(rows.length <= 10)
   }
 
@@ -100,6 +103,28 @@ class ModuleSpecs extends AnyFunSuite {
     assert(after.read.count() == 5)
     assert(cat.applyRetention("default", "m2") > 0)
     assert(cat.getTable("default", "m2").read.count() == 5)
+  }
+
+  test("writeStreamManaged: auto-compaction knobs act on the streaming path") {
+    // the tutorial sets full-compaction.delta-commits / file-num knobs via
+    // ALTER TABLE and expects maintenance to happen as ingestion runs
+    // (guide.md:265-271) — no manual compact() call anywhere here
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    cat.createTable("default", "m3", Map(
+      "bucket" -> "1", "compaction.max.file-num" -> "2"))
+    val srcDir = Files.createTempDirectory("graft_mng_src_").toString
+    val src = spark.range(0, 50).toDF("id")
+    for (i <- 0 until 4) {
+      src.filter(col("id") % 4 === i).write.mode("append").parquet(srcDir)
+      val q = cat.writeStreamManaged("default", "m3",
+        spark.readStream.schema(src.schema).parquet(srcDir),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val t = cat.getTable("default", "m3")
+    assert(t.read.count() == 50, "every micro-batch committed exactly once")
+    assert(t.latestSnapshot.get.files.size <= 3,
+      s"auto-compaction kept the file count bounded: ${t.latestSnapshot.get.files.size}")
   }
 
   test("session catalog introspection (SHOW DATABASES/FUNCTIONS, 2A#13)") {

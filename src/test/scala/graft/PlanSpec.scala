@@ -77,6 +77,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_ext_minhash_neardup generates pairs with a self-join, never collect_list") {
+    val p = plan("q_ext_minhash_neardup")
+    // the old pair-gen collected every bucket member into ONE row's array —
+    // a degenerate bucket (mass-duplicated doc) became a giant single row
+    assert(!p.contains("collect_list"), p.take(2000))
+    assert(p.contains("Join"), "candidate pairs must come from a join")
+  }
+
+  test("q_ext_seq_packing cumsum windows are partitioned, not a global orderBy") {
+    val p = plan("q_ext_seq_packing")
+    // pass 1 (the corpus-sized window) must hash-partition by shard; only
+    // the per-shard-TOTALS window (thousands of rows) may single-partition
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
   test("q_join_skew_salted spreads the hot key over the salt space") {
     val df = SparkEntry.queries("q_join_skew_salted")(spark, SparkFixture.sf)
     val p = df.queryExecution.executedPlan.toString
