@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators (round 3 of the north-star LLM-data-pipeline
+  * family): near-dup cluster resolution, relevance scoring, benchmark
+  * decontamination, policy-ranked canonical selection.
+  *
+  * Scale rules follow graft.ops.Ext / Pipeline: shuffle keys are ids or
+  * hashes (never document bodies), small sides broadcast, iteration state
+  * stays distributed (the connected-components loop's only driver value is a
+  * one-row convergence aggregate, never data rows).
+  */
+object Curation {
+
+  val all: Seq[QDef] = Seq(
+    // Connected components over a near-duplicate edge relation — the step
+    // that turns pairwise near-dup CANDIDATES (minhash/simhash/embedding
+    // output) into dedup CLUSTERS with one canonical id per cluster. The
+    // algorithm is min-label propagation: every node starts labeled with its
+    // own id; each round every node takes the min label among itself and its
+    // neighbors; fixpoint = per-component min id. Deterministic (unique
+    // fixpoint) → full DuckDB oracle via a recursive CTE. The synthetic edge
+    // rule (doc → doc·2) stands in for a near-dup pair list and builds
+    // genuinely multi-hop chains, so convergence takes several rounds — a
+    // single groupBy could not fake it.
+    //
+    // 100 TB posture: each round is one shuffle join (edges ⋈ labels) + one
+    // min-groupBy — the standard distributed CC loop (GraphX/GraphFrames do
+    // the same). Rounds = graph diameter (near-dup clusters are shallow);
+    // the convergence check is a ONE-ROW decimal aggregate, not a collect.
+    QDef(
+      "q_ext_dedup_clusters",
+      """WITH RECURSIVE fwd AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id * 2 AND a.doc_id > 0),
+        |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, cc.comp AS comp FROM cc JOIN e ON cc.id = e.src)
+        |SELECT id AS doc_id, min(comp) AS component FROM cc
+        |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ids = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val fwd = ids.as("a").join(ids.as("b"),
+          expr("b.id = a.id * 2 AND a.id > 0"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      // localCheckpoint (cluster jobs: reliable checkpoint) each round: an
+      // iterative plan that nests its predecessor grows exponentially and
+      // blows up analysis long before the DATA is large — truncating the
+      // lineage to the materialized result keeps every round's plan flat
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var labels = ids.select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      // labels only decrease, so Σcomp strictly decreases until the
+      // fixpoint; DECIMAL(38,0) keeps the check exact at any corpus size
+      var prevSum: java.math.BigDecimal = null
+      var converged = false
+      var round = 0
+      while (!converged && round < 50) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("comp"))
+        labels = labels.unionByName(prop)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        val sumNow = labels.agg(sum(col("comp")).cast("decimal(38,0)"))
+          .head.getDecimal(0)
+        converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+        prevSum = sumNow
+        round += 1
+      }
+      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+
+    // BM25 relevance scoring of every document against a fixed query
+    // ("data model the") — the retrieval-quality / data-selection scoring
+    // pass. All counts (tf, df, dl, N) are exact integers computed
+    // SCAN-SIDE (one filter per term — no explode, no per-term shuffle);
+    // the only aggregation is one global 1-row stats frame, broadcast back.
+    // Both engines evaluate the identical FP expression tree and round the
+    // one transcendental (ln) output to 6 dp — the established parity rule.
+    QDef(
+      "q_ext_bm25",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'data')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'model')) AS BIGINT) AS tf2,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'the')) AS BIGINT) AS tf3
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n))))
+        |      + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n))))
+        |      + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * ((tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))), 6) AS bm25
+        |FROM t, g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def tf(term: String) =
+        size(expr(s"filter(split(text,' '), w -> w = '$term')")).cast("long")
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(expr("filter(split(text,' '), w -> w != '')")).cast("long").as("dl"),
+        tf("data").as("tf1"), tf("model").as("tf2"), tf("the").as("tf3"))
+      val g = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).cast("long").as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).cast("long").as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).cast("long").as("df3"))
+      // identical expression tree to the oracle: left-assoc, same parens
+      def score(tfc: String, dfc: String) =
+        log(lit(1) + (col("n") - col(dfc) + lit(0.5)) / (col(dfc) + lit(0.5))) *
+          ((col(tfc) * lit(2.2)) / (col(tfc) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") /
+              (col("sdl").cast("double") / col("n")))))
+      t.crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(score("tf1", "df1") + score("tf2", "df2") + score("tf3", "df3"), 6)
+            .as("bm25"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: flag training documents that share any word
+    // 3-gram with the held-out benchmark slice (doc_id % 97 = 0) — the
+    // train/test contamination sweep every pretraining corpus needs.
+    // (Production sweeps use 8-13-gram windows; gram size is a parameter —
+    // the synthetic corpus only collides at 3.) The benchmark gram set is
+    // small by construction, so it BROADCASTS; the corpus side is one
+    // explode + broadcast-hash-join + count, no corpus-sized shuffle.
+    QDef(
+      "q_ext_contamination",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT tr.doc_id, count(*) AS n_shared
+        |         FROM tr JOIN b USING (gram) GROUP BY tr.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
+            .stripMargin)).as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val hits = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Policy-ranked canonical selection: within each exact-duplicate group
+    // (grouped by content hash) keep the BEST copy — longest text, then
+    // smallest id — and report the group size. This is exact dedup upgraded
+    // from "keep first" to "keep by quality policy", the form pipelines
+    // actually run. Planted copies (reproduced verbatim in the oracle SQL,
+    // so both engines see the same corpus) make the groups non-trivial.
+    // Shuffle key is md5(text) — 16 bytes, never the document body.
+    QDef(
+      "q_ext_dedup_keep_best",
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars, text FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, lang, dup_count FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY md5(text)) AS dup_count
+        |  FROM corpus) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars"), col("text")))
+      val grp = Window.partitionBy(md5(col("text")))
+      val w = grp.orderBy(col("n_chars").desc, col("doc_id").asc)
+      corpus
+        .withColumn("rn", row_number().over(w))
+        .withColumn("dup_count", count(lit(1)).over(grp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "dup_count")
+        .orderBy("doc_id")
+    },
+  )
+}

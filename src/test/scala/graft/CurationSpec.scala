@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation family (graft.ops.Curation): cluster resolution, BM25,
+  * decontamination, policy-ranked canonical selection. The DuckDB oracle
+  * covers value parity; these tests pin the semantic PROPERTIES the oracle
+  * hash alone would not explain. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup clusters: labels are the per-component minimum, chains collapse") {
+    val got = run("q_ext_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the edge rule links id -> 2*id: every doc shares a component with its
+    // double, and the component label is the chain's odd root
+    val maxId = got.keys.max
+    for (id <- got.keys if id > 0 && id * 2 <= maxId)
+      assert(got(id) == got(id * 2), s"$id and ${id * 2} split")
+    // the label is the minimum member: strip factors of 2 → odd root
+    def oddRoot(x: Long): Long = if (x == 0) 0 else { var v = x; while (v % 2 == 0) v /= 2; v }
+    for ((id, comp) <- got) assert(comp == oddRoot(id), s"doc $id: $comp")
+  }
+
+  test("dedup clusters converges identically under different partitioning") {
+    val base = run("q_ext_dedup_clusters").collect().map(_.toSeq).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(run("q_ext_dedup_clusters").collect().map(_.toSeq).toSet == base)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("bm25: zero-tf docs score 0; scores rise with tf at equal length") {
+    val scores = run("q_ext_bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tfs = Tables.documents(spark, sf).select(col("doc_id"),
+        size(expr("filter(split(text,' '), w -> w = 'data')")) +
+        size(expr("filter(split(text,' '), w -> w = 'model')")) +
+        size(expr("filter(split(text,' '), w -> w = 'the')")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, s) <- scores) {
+      if (tfs(id) == 0) assert(s == 0.0, s"doc $id: no query terms but bm25=$s")
+      else assert(s > 0.0, s"doc $id: tf=${tfs(id)} but bm25=$s")
+    }
+  }
+
+  test("contamination: flagged docs genuinely share a 3-gram with the benchmark") {
+    val rows = run("q_ext_contamination").collect()
+    val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0))
+    assert(flagged.nonEmpty, "synthetic corpus should have some 3-gram overlap")
+    def grams(filter: String): Set[String] =
+      Tables.documents(spark, sf).filter(expr(filter))
+        .select(explode(expr(
+          """array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
+            |i -> concat_ws(' ', element_at(split(text,' '), i),
+            |  element_at(split(text,' '), i + 1), element_at(split(text,' '), i + 2))))"""
+            .stripMargin)))
+        .collect().map(_.getString(0)).toSet
+    val bench = grams("doc_id % 97 = 0")
+    val flaggedGrams = grams(s"doc_id IN (${flagged.take(20).mkString(",")})")
+    assert(flagged.take(20).nonEmpty && (bench & flaggedGrams).nonEmpty)
+    // and benchmark docs themselves are excluded from the output
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+  }
+
+  test("dedup keep-best: planted copies lose to their originals; sizes correct") {
+    val rows = run("q_ext_dedup_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ids = rows.map(_._1).toSet
+    // every planted copy (id ≥ 1e6) has identical text to a surviving
+    // original with the same n_chars and a smaller id → the copy never wins
+    assert(!ids.exists(_ >= 1000000L), "a planted copy survived")
+    assert(rows.count(_._2 == 2L) == 50, "doc_id<50 groups have size 2")
+    assert(rows.forall { case (id, n) => (id < 50) == (n == 2L) })
+  }
+}
