@@ -57,22 +57,29 @@ object Bench {
       n => n.startsWith("q_stream") || n == "q_source_rate_stream"
 
     var errors = List.empty[String]
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, succeeded) per execution. noop sink: materializes every
+    // output column through the FULL plan (a count() would let Catalyst
+    // prune projections and elide the final sort, understating real cost)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      // noop sink: materializes every output column through the FULL plan
-      // (a count() would let Catalyst prune projections and elide the final
-      // sort, understating real query cost)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => if (!errors.contains(name)) errors ::= name }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case _: Throwable => if (!errors.contains(name)) errors ::= name; false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r1 = once(name, fn)
-      val rs = if (streaming(name) || errors.contains(name)) Seq(r1)
+      val rs = if (streaming(name) || !r1._2) Seq(r1)
                else Seq(r1, once(name, fn))
       name -> rs
     }
-    val results = runs.map { case (n, rs) => n -> rs.min }
+    // min over SUCCESSFUL runs only — a fast failure on the rerun must not
+    // deflate a valid timing; if every run failed, the elapsed time still
+    // counts (a failure must not deflate the total either)
+    val results = runs.map { case (n, rs) =>
+      val good = rs.filter(_._2)
+      n -> (if (good.nonEmpty) good.map(_._1).min else rs.map(_._1).max)
+    }
     val loadEnd = loadAvg
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -94,7 +101,7 @@ object Bench {
     // full per-query detail for the repo (small file, not stdout): both raw
     // runs plus the min the totals use
     val runsJson = runs.map { case (n, rs) =>
-      s""""$n":[${rs.map(fmt).mkString(",")}]""" }.mkString("{", ",", "}")
+      s""""$n":[${rs.map(r => fmt(r._1)).mkString(",")}]""" }.mkString("{", ",", "}")
     val detail = s"""{"total_sec":${fmt(total)},"n_queries":${results.size},""" +
       s""""errors":$errJson,"sf":"$sfDir","cpus":$cpus,$env,""" +
       s""""protocol":"min-of-2 batch, 1x streaming, noop sink",""" +

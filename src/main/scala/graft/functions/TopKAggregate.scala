@@ -51,11 +51,14 @@ case class TopKPairs(
       TypeCheckResult.TypeCheckFailure("topk_pairs k must be an INT literal")
     else kExpr.eval(InternalRow.empty) match {
       // value check at analysis time: k <= 0 would silently return empty
-      // arrays for every group, NULL would throw mid-task in update()
-      case i: Int if i > 0  => TypeCheckResult.TypeCheckSuccess
-      case l: Long if l > 0 => TypeCheckResult.TypeCheckSuccess
+      // arrays for every group, NULL would throw mid-task in update(), and
+      // a BIGINT above Int.MaxValue would truncate in toInt — back to the
+      // silent-empty behavior this check exists to prevent
+      case i: Int if i > 0 => TypeCheckResult.TypeCheckSuccess
+      case l: Long if l > 0 && l <= Int.MaxValue => TypeCheckResult.TypeCheckSuccess
       case null => TypeCheckResult.TypeCheckFailure("topk_pairs k must not be NULL")
-      case v => TypeCheckResult.TypeCheckFailure(s"topk_pairs k must be positive, got $v")
+      case v => TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs k must be a positive INT-range value, got $v")
     }
   }
 

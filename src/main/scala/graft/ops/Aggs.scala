@@ -186,32 +186,38 @@ object Aggs {
       // long adds with map-side partials, no per-row BigDecimal. The exact
       // integer total is reassembled in DECIMAL and cast to double ONCE, so
       // the result is bit-identical to the oracle's CAST(SUM(DECIMAL(28,4))
-      // AS DOUBLE); sx/sy ride the plain X.dsum path (2-decimal inputs).
-      val moments = Seq(
-        "sxy" -> "l_quantity * l_extendedprice",
-        "sxx" -> "l_quantity * l_quantity",
-        "syy" -> "l_extendedprice * l_extendedprice")
-      val shardAggs = moments.flatMap { case (nm, p) =>
-        val cents = s"cast(rint(($p) * 1e4) as bigint)"
+      // AS DOUBLE). sx/sy shard the same way at scale 2 — plain dsum's
+      // 2^53-cents bound would bind first (~9e8 rows/group) otherwise.
+      // (name, value expression, decimal scale of the exact units): first
+      // moments are 2-decimal, products 4-decimal. ALL five sums shard, so
+      // the whole query carries one exactness bound (~9e9 rows/group from
+      // the lo-sum), not dsum's tighter 2^53-cents bound on sx/sy.
+      val sums5 = Seq(
+        ("sx", "l_quantity", 2), ("sy", "l_extendedprice", 2),
+        ("sxy", "l_quantity * l_extendedprice", 4),
+        ("sxx", "l_quantity * l_quantity", 4),
+        ("syy", "l_extendedprice * l_extendedprice", 4))
+      val shardAggs = sums5.flatMap { case (nm, p, sc) =>
+        val cents = s"cast(rint(($p) * 1e$sc) as bigint)"
         Seq(sum(expr(s"$cents div 1000000000")).as(s"${nm}_hi"),
             sum(expr(s"$cents % 1000000000")).as(s"${nm}_lo"))
       }
-      // value = (10⁹·Σhi + Σlo)/10⁴ = Σhi·10⁵ + Σlo·10⁻⁴, assembled exactly
-      // in decimal (scale-4/-6 terms hold the integer cents exactly), then
-      // one double rounding — the same single rounding the oracle performs
-      def assemble(nm: String) =
-        (col(s"${nm}_hi").cast("decimal(38,4)") * lit(100000L) +
-         col(s"${nm}_lo").cast("decimal(38,4)") *
-           lit(new java.math.BigDecimal("0.0001")))
+      // value = (10⁹·Σhi + Σlo)/10^sc = Σhi·10^(9-sc) + Σlo·10^(-sc),
+      // assembled exactly in decimal (both terms hold the integer units
+      // exactly), then one double rounding — the same single rounding the
+      // oracle's CAST(SUM(DECIMAL) AS DOUBLE) performs
+      def assemble(nm: String, sc: Int) =
+        (col(s"${nm}_hi").cast(s"decimal(38,$sc)") *
+           lit(math.pow(10, 9 - sc).toLong) +
+         col(s"${nm}_lo").cast(s"decimal(38,$sc)") *
+           lit(java.math.BigDecimal.ONE.movePointLeft(sc)))
           .cast("double").as(nm)
-      val aggCols = Seq(count(lit(1)).as("n"),
-        graft.X.dsum(col("l_quantity")).as("sx"),
-        graft.X.dsum(col("l_extendedprice")).as("sy")) ++ shardAggs
+      val aggCols = count(lit(1)).as("n") +: shardAggs
       val sums = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(aggCols.head, aggCols.tail: _*)
-        .select(col("l_returnflag") +: col("n") +: col("sx") +: col("sy") +:
-          moments.map { case (nm, _) => assemble(nm) }: _*)
+        .select(col("l_returnflag") +: col("n") +:
+          sums5.map { case (nm, _, sc) => assemble(nm, sc) }: _*)
       sums.select(col("l_returnflag"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

@@ -67,7 +67,7 @@ object Curation {
         labels = labels.unionByName(prop)
           .groupBy("id").agg(min("comp").as("comp"))
           .localCheckpoint(true)
-        val sumNow = labels.agg(sum(col("comp")).cast("decimal(38,0)"))
+        val sumNow = labels.agg(sum(col("comp").cast("decimal(38,0)")))
           .head.getDecimal(0)
         converged = prevSum != null && prevSum.compareTo(sumNow) == 0
         prevSum = sumNow
@@ -105,7 +105,7 @@ object Curation {
       def tf(term: String) =
         size(expr(s"filter(split(text,' '), w -> w = '$term')")).cast("long")
       val t = Tables.documents(s, d).select(col("doc_id"),
-        size(expr("filter(split(text,' '), w -> w != '')")).cast("long").as("dl"),
+        TextOps.nWords.as("dl"),
         tf("data").as("tf1"), tf("model").as("tf2"), tf("the").as("tf3"))
       val g = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
         sum(when(col("tf1") > 0, 1).otherwise(0)).cast("long").as("df1"),
@@ -148,14 +148,15 @@ object Curation {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, size(ws) - 2),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
-            .stripMargin)).as("gram"))
+        .select(col("doc_id"), explode(TextOps.shingles(3)).as("gram"))
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
+      // NO forced broadcast: this benchmark slice is corpus-proportional, so
+      // the gram join must stay a shuffle join at scale (linear, never
+      // collected to one node); AQE converts it to broadcast at runtime
+      // whenever the benchmark set is genuinely small
       val hits = grams.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), Seq("gram"))
+        .join(bench, Seq("gram"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"))

@@ -14,6 +14,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * document bodies never become shuffle keys), MinHash is one explode +
   * two hash-aggregations, cosine top-k broadcasts only the query vector.
   */
+/** Shared text-shape expressions: ONE definition of tokenization/shingling so
+  * dedup, decontamination and packing can never silently diverge on what a
+  * "word" or an "n-gram" is. */
+private[ops] object TextOps {
+  import org.apache.spark.sql.Column
+
+  /** Distinct word n-gram shingles of a pre-split array column named `ws`. */
+  def shingles(n: Int): Column = {
+    val parts = (0 until n).map(k => s"element_at(ws, i + $k)").mkString(", ")
+    expr(s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), " +
+      s"i -> concat_ws(' ', $parts)))")
+  }
+
+  /** Non-empty word count of the `text` column (the shared `dl`/`n_tokens`
+    * definition). */
+  def nWords: Column =
+    size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
+}
+
 object Ext {
 
   /** 64 dims; element-wise ops stay inside codegen'd higher-order functions. */
@@ -93,10 +112,7 @@ object Ext {
       val shingles = corpus
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, size(ws) - 2),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
-            .stripMargin)).as("sh"))
+        .select(col("doc_id"), explode(TextOps.shingles(3)).as("sh"))
 
       // All 16 minhashes in ONE aggregation pass (16 agg expressions), not a
       // 16× seed-explode of the shingle stream — at 100 TB the explode would
@@ -278,10 +294,7 @@ object Ext {
         .filter(col("doc_id") % 37 === 0)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), col("lang"), expr(
-          """array_distinct(transform(sequence(1, size(ws) - 2),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"""
-            .stripMargin).as("grams"))
+        .select(col("doc_id"), col("lang"), TextOps.shingles(3).as("grams"))
       val a = grams.select(col("doc_id").as("doc_a"), col("lang"), col("grams").as("ga"))
       val b = grams.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("grams").as("gb"))

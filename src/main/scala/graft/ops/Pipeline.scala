@@ -94,7 +94,7 @@ object Pipeline {
         |   AND CAST(n_letter_chars AS DOUBLE) / nullif(n_words, 0)
         |       BETWEEN 2.0 AND 12.0) AS keep
         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val nWords = size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
+      val nWords = TextOps.nWords
       val nChars = length(regexp_replace(col("text"), " ", "")).cast("long")
       val meanW = nChars.cast("double") / nullif(nWords, lit(0L))
       Tables.documents(s, d)
@@ -166,12 +166,17 @@ object Pipeline {
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 4096 AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val nTokens = size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
-      // shard key must be MONOTONE in doc_id so concatenating shards in
-      // shard order replays the global doc order
+      // Shard key must be MONOTONE in doc_id so concatenating shards in
+      // shard order replays the global doc order. The width ADAPTS to the
+      // corpus (≤ ~8k shards at any size): a constant width would make the
+      // shard-offsets relation corpus-proportional and sneak the
+      // single-task bottleneck back in through the offsets window. Output
+      // is width-invariant (same global cumsum either way); the count() is
+      // a parquet-metadata read, not a scan.
+      val width = math.max(1024L, Tables.documents(s, d).count() / 8192L)
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), nTokens.as("n_tokens"))
-        .withColumn("shard", expr("doc_id div 1024"))
+        .select(col("doc_id"), TextOps.nWords.as("n_tokens"))
+        .withColumn("shard", expr(s"doc_id div $width"))
       val wIntra = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
       val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)

@@ -75,9 +75,15 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
           spark.sql("SHOW FUNCTIONS").orderBy("function")
             .withColumnRenamed("function", "function_name")
         case "VIEWS" =>
+          // only the bare-name views a user would SELECT from — the shell's
+          // internal registrations (`<t>__files`, `<db>_<t>`) and unrelated
+          // session temp views are implementation detail, not user views
           registerViews()
+          val mine = catalog.listTables(currentDb)
           spark.sql("SHOW VIEWS")
-            .select(col("viewName").as("view_name")).orderBy("view_name")
+            .select(col("viewName").as("view_name"))
+            .filter(col("view_name").isin(mine: _*))
+            .orderBy("view_name")
       }
       case CreateTableRe(ifNotExists, name, body, opts) =>
         val t = name.split("\\.").last

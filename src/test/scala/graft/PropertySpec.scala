@@ -65,7 +65,7 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     graft.functions.TopKFunctions.registerOn(spark)
     val df = Seq((1, 1.0, 1L)).toDF("g", "score", "id")
-    for (badK <- Seq("0", "-3", "CAST(NULL AS INT)")) {
+    for (badK <- Seq("0", "-3", "CAST(NULL AS INT)", "4294967296")) {
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         df.groupBy("g").agg(expr(s"topk_pairs(score, id, $badK)")).collect()
       }

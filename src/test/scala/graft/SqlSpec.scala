@@ -42,6 +42,11 @@ class SqlSpec extends AnyFunSuite {
     sh.sql("CREATE TABLE shown_t (id BIGINT) WITH ('bucket' = '1')")
     val views = sh.sql("SHOW VIEWS").collect().map(_.getString(0))
     assert(views.contains("shown_t"), s"catalog tables surface as views: ${views.toSeq}")
+    // internal registrations stay hidden (the `$files` metadata view, the
+    // db-prefixed alias, temp views left by other components)
+    assert(!views.exists(v => v.endsWith("__files") || v.startsWith("default_")),
+      views.toSeq.toString)
+    assert(views.toSet subsetOf Set("shown_t"))
   }
 
   test("the reference DDL runs verbatim (guide.md:23-31, :59-74)") {
