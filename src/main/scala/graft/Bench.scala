@@ -43,7 +43,17 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // hypervisor steal jiffies (/proc/stat cpu col 8): a noisy-neighbor host
+    // slows every query uniformly while load average stays LOW — the steal
+    // delta is the one signal that distinguishes "slow plan" from "slow
+    // machine" on a contended VM
+    def stealJiffies: Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     val loadStart = loadAvg
+    val stealStart = stealJiffies
 
     // untimed warmup: parquet reader + codegen + shuffle machinery, plus the
     // bucketed join's one-off table staging (measurement setup, not a query)
@@ -95,7 +105,10 @@ object Bench {
       .map { case (f, rs) => f -> rs.map(_._2).sum }
       .toSeq.sortBy(_._1)
     val errJson = errors.sorted.map(e => s""""$e"""").mkString("[", ",", "]")
+    val stealDelta =
+      if (stealStart < 0 || stealJiffies < 0) -1L else stealJiffies - stealStart
     val env = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
+      s""""steal_jiffies_delta":$stealDelta,""" +
       s""""available_cpus":${Runtime.getRuntime.availableProcessors}"""
 
     // full per-query detail for the repo (small file, not stdout): both raw
