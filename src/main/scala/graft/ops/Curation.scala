@@ -64,8 +64,15 @@ object Curation {
       while (!converged && round < 50) {
         val prop = edges.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("comp"))
-        labels = labels.unionByName(prop)
+        val hop = labels.unionByName(prop)
           .groupBy("id").agg(min("comp").as("comp"))
+        // pointer jumping: follow the label's own label (comp := comp[comp],
+        // a label is always a node id) — label distance doubles per round,
+        // so convergence takes O(log diameter) rounds instead of O(diameter)
+        labels = hop.as("x")
+          .join(hop.as("y"), col("x.comp") === col("y.id"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp"))
           .localCheckpoint(true)
         val sumNow = labels.agg(sum(col("comp").cast("decimal(38,0)")))
           .head.getDecimal(0)
