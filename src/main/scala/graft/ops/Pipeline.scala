@@ -191,6 +191,28 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Quality-percentile filter: keep each language's top half by length —
+    // the per-stratum percentile gate corpora apply per language/domain so
+    // one verbose stratum cannot crowd out the rest. percent_rank is
+    // RANK-based ((rank-1)/(n-1), a small-int division), so unlike
+    // value-percentile cuts over double aggregates it is bit-identical
+    // across engines. One shuffle by the stratum key.
+    QDef(
+      "q_ext_quality_percentile",
+      """SELECT doc_id, lang, n_chars, pr FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents) t
+        |WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          percent_rank().over(w).as("pr"))
+        .filter(col("pr") >= 0.5)
+        .orderBy("doc_id")
+    },
+
     // PII scrubbing: redact digit runs in the event payloads and count what
     // was removed — the map-only compliance pass (regex fully distributed,
     // no shuffle). DuckDB needs the 'g' flag for global replace; Spark

@@ -60,6 +60,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
 
+  test("quality percentile: top half per language by length, rank-exact") {
+    val rows = run("q_ext_quality_percentile").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(_._4 >= 0.5))
+    // within each language the kept docs are the LONGEST ~half
+    val byLang = Tables.documents(spark, SparkFixture.sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+    for ((lang, docs) <- byLang) {
+      val kept = rows.filter(_._2 == lang).map(_._1).toSet
+      val sorted = docs.sortBy(d => (d._3, d._1))
+      // pr = p/(n-1) ≥ 0.5 ⟺ zero-based position p ≥ ceil((n-1)/2)
+      val expected = sorted.drop(math.ceil((sorted.length - 1) / 2.0).toInt)
+        .map(_._1).toSet
+      assert(kept == expected, s"$lang: kept ${kept.size} of ${docs.length}")
+    }
+  }
+
   test("seq packing: offsets are an exact prefix sum; bins are offset/4096") {
     val rows = run("q_ext_seq_packing").collect()
     var cum = 0L
