@@ -48,10 +48,13 @@ object Bench {
     // delta is the one signal that distinguishes "slow plan" from "slow
     // machine" on a contended VM
     def stealJiffies: Long =
-      try scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
-        .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
-      catch { case _: Throwable => -1L }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+          .asScala.find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")).filter(_.length > 8)
+          .map(_(8).toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
     val loadStart = loadAvg
     val stealStart = stealJiffies
 
@@ -105,8 +108,9 @@ object Bench {
       .map { case (f, rs) => f -> rs.map(_._2).sum }
       .toSeq.sortBy(_._1)
     val errJson = errors.sorted.map(e => s""""$e"""").mkString("[", ",", "]")
+    val stealEnd = stealJiffies
     val stealDelta =
-      if (stealStart < 0 || stealJiffies < 0) -1L else stealJiffies - stealStart
+      if (stealStart < 0 || stealEnd < 0) -1L else stealEnd - stealStart
     val env = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
       s""""steal_jiffies_delta":$stealDelta,""" +
       s""""available_cpus":${Runtime.getRuntime.availableProcessors}"""

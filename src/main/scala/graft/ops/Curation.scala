@@ -64,8 +64,12 @@ object Curation {
       while (!converged && round < 50) {
         val prop = edges.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("comp"))
+        // materialize the hop before the self-join below — a lazy `hop`
+        // would embed (and can re-execute) the propagation join + min
+        // aggregate on BOTH sides of that join every round
         val hop = labels.unionByName(prop)
           .groupBy("id").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
         // pointer jumping: follow the label's own label (comp := comp[comp],
         // a label is always a node id) — label distance doubles per round,
         // so convergence takes O(log diameter) rounds instead of O(diameter)

@@ -72,9 +72,13 @@ class PipelineSpec extends AnyFunSuite {
     for ((lang, docs) <- byLang) {
       val kept = rows.filter(_._2 == lang).map(_._1).toSet
       val sorted = docs.sortBy(d => (d._3, d._1))
-      // pr = p/(n-1) ≥ 0.5 ⟺ zero-based position p ≥ ceil((n-1)/2)
-      val expected = sorted.drop(math.ceil((sorted.length - 1) / 2.0).toInt)
-        .map(_._1).toSet
+      // pr = p/(n-1) ≥ 0.5 ⟺ zero-based position p ≥ ceil((n-1)/2) for n ≥ 2;
+      // for n = 1 both engines DEFINE percent_rank as 0.0, so a singleton
+      // stratum is dropped (consistently on both sides of the oracle)
+      val expected =
+        if (sorted.length == 1) Set.empty[Long]
+        else sorted.drop(math.ceil((sorted.length - 1) / 2.0).toInt)
+          .map(_._1).toSet
       assert(kept == expected, s"$lang: kept ${kept.size} of ${docs.length}")
     }
   }
