@@ -312,6 +312,41 @@ object StreamOps {
       runToMemory(s, joined, "append").orderBy("a_id", "b_id")
     },
 
+    // Stream-stream LEFT OUTER join: same equi-key + time-range condition as
+    // the inner variant, but unmatched left rows ALSO emit (with nulls) once
+    // the watermark proves no future match can arrive. Determinism: with the
+    // whole feed in one batch, the trailing no-data micro-batch advances the
+    // watermark to max(ts) - 1h, which releases exactly the unmatched rows
+    // whose join window [a_ts, a_ts + 1h] closed strictly below it — the
+    // closed-form cutoff the oracle replays (a_ts + 2h < max(ts)). Unmatched
+    // rows newer than that stay in state (would emit on a later batch), so
+    // they are absent from BOTH sides of the compare.
+    QDef(
+      "q_stream_stream_left_join",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS mt FROM e),
+        |j AS (SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id, a.ts AS a_ts
+        |      FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+        |        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        |SELECT a_id, b_id, user_id FROM j, mx
+        |WHERE b_id IS NOT NULL OR a_ts + INTERVAL 2 HOUR < mt
+        |ORDER BY a_id, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val a = eventsStream(s, d)
+        .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+      val b = eventsStream(s, d)
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = a.join(b,
+        a("user_id") === b("b_user") &&
+          b("b_ts") > a("a_ts") &&
+          b("b_ts") <= a("a_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select("a_id", "b_id", "user_id")
+      runToMemory(s, joined, "append").orderBy("a_id", "b_id")
+    },
+
     // Custom keyed state via flatMapGroupsWithState (the
     // KeyValueGroupedDataset stateful API — arbitrary per-key state beyond
     // what windows express): a per-user running event counter + max value.

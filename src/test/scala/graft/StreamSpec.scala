@@ -20,6 +20,30 @@ class StreamSpec extends AnyFunSuite {
     assert(rows("00:30") == 1L)
   }
 
+  test("stream-stream left outer: null rows appear exactly for watermark-closed windows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_stream_stream_left_join")(spark, SparkFixture.sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong)))
+    val nullRows = rows.filter(_._2.isEmpty).map(_._1).toSet
+    assert(nullRows.nonEmpty, "some unmatched left rows must have emitted")
+    // the matched subset equals the INNER stream-stream join exactly
+    val inner = SparkEntry.queries("q_stream_stream_join")(spark, SparkFixture.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.filter(_._2.isDefined).map(t => (t._1, t._2.get)).toSet == inner)
+    // null-emitted rows are genuinely matchless in the batch interval join,
+    // and their join window closed strictly below the final watermark
+    val e = Tables.events(spark, SparkFixture.sf)
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    val maxTs = e.map(_._3).max
+    val matchable = inner.map(_._1)
+    for (id <- nullRows.take(50)) {
+      assert(!matchable.contains(id), s"$id emitted null but has a match")
+      val ts = e.find(_._1 == id).get._3
+      assert(ts.plusHours(2).isBefore(maxTs), s"$id window not closed by watermark")
+    }
+  }
+
   test("stream-batch duality: streaming tumbling agg == batch equivalent") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("q_stream_tumbling")(spark, SparkFixture.sf)
