@@ -347,6 +347,43 @@ object StreamOps {
       runToMemory(s, joined, "append").orderBy("a_id", "b_id")
     },
 
+    // Stream-stream FULL OUTER join — the complete alphabet: unmatched rows
+    // of EITHER side emit with nulls once their side's watermark proof
+    // arrives. Cutoffs differ per side (the left row waits out its whole
+    // [a_ts, a_ts+1h] window; the right row only needs no earlier-than-b_ts
+    // left rows to be possible): left nulls at a_ts + 1h + delay < max(ts),
+    // right nulls at b_ts + delay < max(ts) — both replayed in closed form.
+    QDef(
+      "q_stream_stream_full_join",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS mt FROM e),
+        |j AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |             coalesce(a.user_id, b.user_id) AS user_id, a.ts AS a_ts, b.ts AS b_ts
+        |      FROM e a FULL JOIN e b ON a.user_id = b.user_id
+        |        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        |SELECT a_id, b_id, user_id FROM j, mx
+        |WHERE (a_id IS NOT NULL AND b_id IS NOT NULL)
+        |   OR (b_id IS NULL AND a_ts + INTERVAL 2 HOUR < mt)
+        |   OR (a_id IS NULL AND b_ts + INTERVAL 1 HOUR < mt)
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val a = eventsStream(s, d)
+        .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+      val b = eventsStream(s, d)
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = a.join(b,
+        a("user_id") === b("b_user") &&
+          b("b_ts") > a("a_ts") &&
+          b("b_ts") <= a("a_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("user_id"), col("b_user")).as("user_id"))
+      runToMemory(s, joined, "append")
+        .orderBy(col("a_id").asc_nulls_first, col("b_id").asc_nulls_first)
+    },
+
     // Custom keyed state via flatMapGroupsWithState (the
     // KeyValueGroupedDataset stateful API — arbitrary per-key state beyond
     // what windows express): a per-user running event counter + max value.

@@ -44,6 +44,19 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream full outer ⊇ left outer; adds only right-null rows") {
+    val full = SparkEntry.queries("q_stream_stream_full_join")(spark, SparkFixture.sf)
+      .collect().map(r => (Option(r.get(0)).map(_.toString.toLong),
+        Option(r.get(1)).map(_.toString.toLong)))
+    val left = SparkEntry.queries("q_stream_stream_left_join")(spark, SparkFixture.sf)
+      .collect().map(r => (Option(r.get(0)).map(_.toString.toLong),
+        Option(r.get(1)).map(_.toString.toLong)))
+    assert(left.toSet subsetOf full.toSet)
+    val extra = full.toSet -- left.toSet
+    assert(extra.nonEmpty && extra.forall(_._1.isEmpty),
+      "full outer adds exactly the right-side null emissions")
+  }
+
   test("stream-batch duality: streaming tumbling agg == batch equivalent") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("q_stream_tumbling")(spark, SparkFixture.sf)
