@@ -71,5 +71,32 @@ object Analytical {
           .cast("decimal(24,4)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
+
+    // Q10 shape: top returned-item revenue per customer. lineitem is
+    // pre-filtered on the return flag BEFORE the join (the only
+    // corpus-sized input); nation broadcasts; orders↔lineitem shuffles on
+    // the order key; the final top-20 is a distributed TakeOrdered.
+    QDef(
+      "q_tpch_q10_shape",
+      s"""SELECT c_custkey, c_name, n_name, $revenue AS revenue
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .join(li, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
   )
 }

@@ -212,5 +212,101 @@ object Curation {
         .select("doc_id", "lang", "dup_count")
         .orderBy("doc_id")
     },
+
+    // Corpus TF-IDF: top-3 most characteristic terms per document. tf/df/N
+    // are exact integers; the score is the one identical FP tree
+    // (tf · ln(N/df)) rounded 6 dp on output only — the bm25 parity rule.
+    // Shuffle keys are (doc_id, word) pairs and words — never document
+    // bodies; the df relation is vocabulary-sized (≪ corpus) so AQE
+    // broadcasts it when genuinely small, and the per-doc top-3 is a
+    // partitioned row_number, bounded state per task.
+    QDef(
+      "q_ext_tfidf",
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.word AS word,
+        |         CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |       FROM tf, df, n WHERE tf.word = df.word)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, round(score, 6) AS tfidf FROM (
+        |  SELECT doc_id, word, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM sc) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfr, Seq("word")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          (col("tf").cast("double") *
+            log(col("n").cast("double") / col("df").cast("double"))).as("score"))
+      val w3 = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w3).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // Zipf head: top-50 corpus token frequencies with rank, share and
+    // cumulative share. The corpus-sized work is ONE word-keyed groupBy with
+    // map-side partials; the global ordered window runs AFTER the
+    // distributed top-k limit (TakeOrdered), i.e. over ≤50 rows — never the
+    // vocabulary, never the corpus. Shares are exact-long divisions
+    // (Σfreq ≤ 2^53), rounded 6 dp on output only.
+    QDef(
+      "q_ext_zipf",
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w),
+        |top AS (SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+        |  word, CAST(freq AS BIGINT) AS freq,
+        |  round(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(CAST(SUM(freq) OVER (ORDER BY freq DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM top, t ORDER BY rank""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      val tot = words.agg(count(lit(1)).as("total"))
+      val top = freq.orderBy(col("freq").desc, col("word")).limit(50)
+      val ord = Window.orderBy(col("freq").desc, col("word"))
+      top.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum("freq")
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rank"), col("word"), col("freq"),
+          round(col("freq").cast("double") / col("total").cast("double"), 6).as("share"),
+          round(col("cum").cast("double") / col("total").cast("double"), 6).as("cum_share"))
+        .orderBy("rank")
+    },
+
+    // Importance sampling (DSIR-style shape): accept each document with
+    // probability proportional to a per-doc weight (here length-capped
+    // min(n_chars,400)/400), decided by comparing a 16-bit slice of
+    // md5(doc_id) against the weight as a 4-hex-digit threshold — map-only,
+    // no rand(), identical acceptance under retries/engines (the
+    // q_ext_stratified_sample determinism rule, upgraded from a constant
+    // rate to per-row weights). The 65535 clamp keeps the threshold 4
+    // digits; weight-1.0 rows accept at 65535/65536.
+    QDef(
+      "q_ext_importance_sample",
+      """SELECT doc_id, n_chars,
+        |  CAST(least(least(n_chars, 400) * 65536 // 400, 65535) AS BIGINT) AS w16
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < printf('%04x', CAST(least(least(n_chars, 400) * 65536 // 400, 65535) AS INT))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w16 = expr("least(least(n_chars, 400) * 65536 div 400, 65535)")
+      Tables.documents(s, d)
+        .withColumn("w16", w16.cast("long"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
+          format_string("%04x", w16.cast("int")))
+        .select("doc_id", "n_chars", "w16")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time analytics over the `events` stream table (round 4 of the
+  * north-star family): batch sessionization, funnel attribution, time-bucket
+  * resampling with gap-fill, and statistical anomaly detection. These are the
+  * batch duals of the streaming surface (graft.streaming.StreamOps) — e.g.
+  * [[q_ext_sessionize]] computes the same 30-minute-gap sessions as
+  * `q_stream_session`'s session_window, via the classic lag/cumsum idiom —
+  * re-expressing the reference's stream–batch duality theme
+  * (/root/reference/tutorial/guide.md:51-56) on the analytics side.
+  *
+  * Scale rules: every shuffle is keyed on `user_id`/`event_type`/bucket (never
+  * wide payloads); windows are partitioned by user or by a time-bounded grid;
+  * the only broadcast sides are provably bounded (per-type stats, 1-row
+  * bounds). Exact-cents arithmetic keeps every double bit-identical to the
+  * DuckDB oracle (graft.X rationale).
+  */
+object Timeseries {
+
+  /** Exact integer cents of a ≤2-decimal double (same recovery as graft.X). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    call_function("rint", c * 100).cast("long")
+
+  val all: Seq[QDef] = Seq(
+    // Batch sessionization: per-user 30-min-gap sessions via the lag/cumsum
+    // idiom. The window is PARTITIONED BY user_id — state per task is one
+    // user's events, never the corpus; at 100 TB this is one shuffle on
+    // user_id plus a per-user sort, the same cost profile as any windowed
+    // per-entity pass. Gap arithmetic is integer microseconds (exact).
+    QDef(
+      "q_ext_sessionize",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+        |f AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |              OR epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) > 1800000000
+        |             THEN 1 ELSE 0 END AS flag
+        |      FROM e),
+        |g AS (SELECT user_id, t,
+        |        CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+        |      FROM f)
+        |SELECT user_id, sess_idx, count(*) AS n_events, min(t) AS session_start,
+        |  max(t) AS session_end,
+        |  CAST(epoch_us(max(t)) - epoch_us(min(t)) AS BIGINT) AS duration_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, sess_idx""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(ord)
+      // session TZ is UTC, so the ntz→ltz cast is the identity instant
+      val gapUs = unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(prev.cast("timestamp"))
+      e.withColumn("flag", when(prev.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("flag")
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .withColumn("duration_us",
+          unix_micros(col("session_end").cast("timestamp")) -
+            unix_micros(col("session_start").cast("timestamp")))
+        .orderBy("user_id", "sess_idx")
+    },
+
+    // Funnel attribution: first view → first click at-or-after that view →
+    // first purchase at-or-after that click, per user. Three stage-filtered
+    // min-aggregates chained by user_id equi-joins — every join is keyed on
+    // user_id (shuffle-local after the first), no window state, no
+    // event-ordering shuffle; the stage tables shrink monotonically.
+    QDef(
+      "q_ext_funnel",
+      """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+        |      FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.first_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.first_click GROUP BY 1)
+        |SELECT u.user_id, v.first_view, c.first_click, p.first_purchase
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") >= col("first_view"))
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") >= col("first_click"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase"))
+      e.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .orderBy("user_id")
+    },
+
+    // Time-bucket resample with gap-fill: hourly (bucket, event_type) counts
+    // and exact sums, densified over the full hour grid (missing buckets →
+    // 0), plus a forward-fill marker (last bucket with data). The grid is
+    // |hours| × |types| — time-bounded, NOT corpus-proportional, so the
+    // per-type ordered window over the grid is safe at any data scale; the
+    // corpus-sized work is one groupBy on (bucket, type).
+    QDef(
+      "q_ext_resample",
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, value FROM events),
+        |a AS (SELECT h, event_type, count(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h FROM b),
+        |grid AS (SELECT h, event_type FROM hours, (SELECT DISTINCT event_type FROM e) t)
+        |SELECT g.h, g.event_type, CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+        |  coalesce(a.sv, 0.0) AS sum_value,
+        |  max(CASE WHEN a.n IS NOT NULL THEN g.h END)
+        |    OVER (PARTITION BY g.event_type ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS last_seen_h
+        |FROM grid g LEFT JOIN a ON g.h = a.h AND g.event_type = a.event_type
+        |ORDER BY g.h, g.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
+          col("event_type"), col("value"))
+      val agg = e.groupBy("h", "event_type")
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sv"))
+      val bounds = e.agg(min("h").as("h0"), max("h").as("h1"))
+      val hours = bounds.select(explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val types = e.select("event_type").distinct()
+      val ffill = Window.partitionBy("event_type").orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hours.crossJoin(types)
+        .join(agg, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"),
+          max(when(col("n").isNotNull, col("h"))).over(ffill).as("last_seen_h"))
+        .orderBy("h", "event_type")
+    },
+
+    // Per-type z-score anomaly detection: flag events > 2.5σ from their
+    // type's mean. Moments are exact long cents / cents² partial-aggregated
+    // map-side (codegen long adds, Σc² ≤ 2^53 up to ~4e9 rows of ~500-unit
+    // values — beyond that shard hi/lo like q_agg_corr_exact); the per-type
+    // stats frame is bounded by |event_type| so it BROADCASTS back. Both
+    // engines then evaluate the identical FP tree — mean = sv/n,
+    // var = sv2/n − mean², z = (x − mean)/√var — so the 2.5σ cut and the
+    // 6-dp-rounded z are bit-identical.
+    QDef(
+      "q_ext_anomaly_zscore",
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv2
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  round((value - sv / CAST(n AS DOUBLE)) / sqrt(sv2 / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))), 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((value - sv / CAST(n AS DOUBLE)) / sqrt(sv2 / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)))) > 2.5
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val c = cents(col("value"))
+      val st = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(c).as("sc"), sum(c * c).as("sc2"))
+      val nD = col("n").cast("double")
+      val mean = (col("sc") / 100.0) / nD
+      val z = (col("value") - mean) / sqrt((col("sc2") / 10000.0) / nD - mean * mean)
+      e.join(broadcast(st), Seq("event_type"))
+        .filter(abs(z) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 6).as("z"))
+        .orderBy("event_id")
+    },
+  )
+}
