@@ -284,6 +284,86 @@ object Curation {
         .orderBy("rank")
     },
 
+    // Portable MinHash with a FULL cross-engine oracle: 8 md5-derived
+    // min-hashes per doc (md5 is the one hash both engines share — the
+    // xxhash64 variant stays test-only), banded 2×4 for candidate
+    // generation, then the signature-agreement Jaccard ESTIMATE side by
+    // side with the TRUE shingle-set Jaccard for every candidate pair.
+    // Planted near-dups (suffix-perturbed copies, reproduced verbatim in
+    // the oracle) give the bands real positives. One explode feeds 8 min
+    // aggregates (no seed×shingle blowup); candidates come from per-band
+    // self-joins on the concatenated signature (shuffle-native, the
+    // q_ext_minhash_neardup discipline); the true-Jaccard intersection
+    // join is candidate-bounded.
+    QDef(
+      "q_ext_minhash_jaccard",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graft dup probe' FROM documents WHERE doc_id < 30),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+        |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |seeds AS (SELECT unnest(range(0, 8)) AS seed),
+        |sig AS (SELECT doc_id, seed, min(substring(md5(CAST(seed AS VARCHAR) || '|' || sh), 1, 16)) AS mh
+        |        FROM g, seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 4 AS band,
+        |            string_agg(mh, '|' ORDER BY seed) AS bsig
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |est AS (SELECT c.id_a, c.id_b, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
+        |        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+        |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |        GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM g GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+        |          FROM cand c JOIN g ga ON ga.doc_id = c.id_a
+        |          JOIN g gb ON gb.doc_id = c.id_b AND gb.sh = ga.sh
+        |          GROUP BY 1, 2)
+        |SELECT e.id_a, e.id_b, CAST(e.n_match AS BIGINT) AS n_match,
+        |  round(CAST(e.n_match AS DOUBLE) / 8.0, 6) AS est_jaccard,
+        |  round(CAST(i.ni AS DOUBLE) / CAST(sa.ns + sb.ns - i.ni AS DOUBLE), 6) AS true_jaccard
+        |FROM est e
+        |JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        |JOIN sizes sa ON sa.doc_id = e.id_a
+        |JOIN sizes sb ON sb.doc_id = e.id_b
+        |ORDER BY e.id_a, e.id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup probe")).as("text")))
+      val g = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(TextOps.shingles(3)).as("sh"))
+      val sigAggs = (0 until 8).map(i =>
+        min(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 16)).as(s"m$i"))
+      val sig = g.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+        .withColumn("band0", concat_ws("|", col("m0"), col("m1"), col("m2"), col("m3")))
+        .withColumn("band1", concat_ws("|", col("m4"), col("m5"), col("m6"), col("m7")))
+      def pairs(band: String) = sig.as("a").join(sig.as("b"),
+          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (0 until 8).map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("long").as("n_match"))
+      val cand = pairs("band0").unionByName(pairs("band1"))
+        .groupBy("id_a", "id_b").agg(max("n_match").as("n_match"))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = cand.select("id_a", "id_b")
+        .join(g.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(g.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      cand.join(inter, Seq("id_a", "id_b"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_match"),
+          round(col("n_match").cast("double") / 8.0, 6).as("est_jaccard"),
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"), 6).as("true_jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Importance sampling (DSIR-style shape): accept each document with
     // probability proportional to a per-doc weight (here length-capped
     // min(n_chars,400)/400), decided by comparing a 16-bit slice of

@@ -174,5 +174,92 @@ object Timeseries {
           round(z, 6).as("z"))
         .orderBy("event_id")
     },
+
+    // Cohort retention: users grouped by first-active day, counted on each
+    // later active day. Two user-keyed aggregations + one user-keyed join;
+    // the (cohort, offset) matrix is date-bounded (days²), never
+    // user-proportional. DuckDB's date_trunc('day') yields DATE, so both
+    // sides work in DATE + integer day offsets — no timestamp arithmetic.
+    QDef(
+      "q_ext_cohort_retention",
+      """WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events)
+        |SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val f = e.groupBy("user_id").agg(to_date(min("ts")).as("cohort_day"))
+      val a = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      a.join(f, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Winsorization: clip each type's values at the exact p05/p95 ORDER
+    // STATISTICS (value at rank ⌈q·n⌉ — discrete selection, so the bounds
+    // are actual data values and the clipped sum stays exact-cents). The
+    // rank pass is one per-type sort — the inherent cost of exact order
+    // statistics; at extreme scale swap in approx_percentile and keep the
+    // same clip/aggregate tail. Bounds frame is |event_type|-bounded →
+    // broadcast back.
+    QDef(
+      "q_ext_winsorize",
+      """WITH st AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |rk AS (SELECT event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |       FROM events),
+        |b AS (SELECT rk.event_type,
+        |        min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+        |        min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi
+        |      FROM rk JOIN st ON rk.event_type = st.event_type
+        |      WHERE rn = CAST(ceil(0.05 * n) AS BIGINT) OR rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      GROUP BY 1)
+        |SELECT e.event_type, b.lo, b.hi,
+        |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(SUM(CAST(CASE WHEN e.value < b.lo THEN b.lo WHEN e.value > b.hi THEN b.hi ELSE e.value END AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wins_mean
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type, b.lo, b.hi ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val st = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val rk = e.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      val k05 = ceil(lit(0.05) * col("n"))
+      val k95 = ceil(lit(0.95) * col("n"))
+      val bounds = rk.join(broadcast(st), Seq("event_type"))
+        .filter(col("rn") === k05 || col("rn") === k95)
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === k05, col("value"))).as("lo"),
+          min(when(col("rn") === k95, col("value"))).as("hi"))
+      val clip = when(col("value") < col("lo"), col("lo"))
+        .when(col("value") > col("hi"), col("hi")).otherwise(col("value"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+          sum(when(col("value") < col("lo"), 1).otherwise(0)).cast("long").as("n_below"),
+          sum(when(col("value") > col("hi"), 1).otherwise(0)).cast("long").as("n_above"),
+          ((sum(cents(clip)) / 100.0) / count(lit(1)).cast("double")).as("wins_mean"))
+        .orderBy("event_type")
+    },
+
+    // Equi-width histogram (25-unit buckets) with exact-cents bucket
+    // assignment: the boundary test happens on recovered integer cents, so
+    // no value can straddle a bucket edge through FP noise. Map-only +
+    // one bucket-keyed groupBy with map-side partials.
+    QDef(
+      "q_ext_histogram",
+      """WITH h AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500 AS bucket, value FROM events)
+        |SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("cast(rint(value * 100) as long) div 2500").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"),
+          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .orderBy("bucket")
+    },
   )
 }

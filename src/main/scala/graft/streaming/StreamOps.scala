@@ -285,6 +285,60 @@ object StreamOps {
         .orderBy("user_id")
     },
 
+    // CDC changelog APPLY — the reference's row-kind alphabet end-to-end in
+    // a stateful streaming job (Readme.md:113-127: every tableau row carries
+    // op ∈ +I/-U/+U/-D; guide.md:66 'changelog-producer'='input'): each
+    // event becomes an op on its user key (signup→+I, error→-D, else +U),
+    // applied in sequence order against typed keyed state, so a deleted key
+    // disappears from the materialized view unless a later op re-inserts
+    // it. Complements q_stream_upsert (LWW, no deletes) and the batch-side
+    // StreamTable tombstones. State per key is (seq, value, alive) — O(1),
+    // shuffle keyed on user_id only.
+    QDef(
+      "q_stream_cdc_apply",
+      """WITH o AS (SELECT user_id, event_id,
+        |    CASE event_type WHEN 'signup' THEN '+I' WHEN 'error' THEN '-D' ELSE '+U' END AS op,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_seq, value AS last_value
+        |FROM o WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ops = eventsStream(s, d).select(
+          col("user_id"), col("event_id"),
+          expr("CASE event_type WHEN 'signup' THEN '+I' WHEN 'error' THEN '-D' ELSE '+U' END").as("op"),
+          col("value"))
+        .as[(Long, Long, String, Double)]
+      val updates = ops.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Boolean), (Long, Long, Double, Boolean)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long, String, Double)],
+           state: GroupState[(Long, Double, Boolean)]) =>
+            var (seq, v, alive) = state.getOption.getOrElse((-1L, 0.0, false))
+            // a micro-batch's group iterator is unordered: apply in seq order;
+            // ops at-or-below the applied high-water mark are replays, skipped
+            for ((_, s2, op, value) <- rows.toSeq.sortBy(_._2) if s2 > seq) {
+              seq = s2
+              op match {
+                case "-D" => alive = false
+                case _    => v = value; alive = true
+              }
+            }
+            state.update((seq, v, alive))
+            Iterator((user, seq, v, alive))
+        }
+        .toDF("user_id", "last_seq", "last_value", "alive")
+      runToMemory(s, updates, "append")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("last_seq"), col("last_value"), col("alive")),
+          col("last_seq")).as("st"))
+        .filter(col("st.alive"))
+        .select(col("user_id"), col("st.last_seq").as("last_seq"),
+          col("st.last_value").as("last_value"))
+        .orderBy("user_id")
+    },
+
     // Stream-stream inner join: both sides are unbounded, watermarked, and
     // joined on an equi-key + event-time range — Structured Streaming buffers
     // each side's state and expires it by the watermark + range bound. The

@@ -47,6 +47,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash jaccard: planted near-dups recalled, estimate tracks truth") {
+    val rows = run("q_ext_minhash_jaccard").collect()
+    val planted = rows.filter(r => r.getLong(1) - r.getLong(0) == 1000000L)
+    assert(planted.length >= 25, s"only ${planted.length}/30 planted pairs recalled")
+    for (r <- rows) {
+      val (est, truth) = (r.getDouble(3), r.getDouble(4))
+      assert(est >= 0.5 - 1e-9, "candidates must share a full band (>=4/8 hashes)")
+      assert(math.abs(est - truth) <= 0.5, s"estimate $est far from truth $truth")
+      assert(truth > 0.0, "banded candidates must share at least one shingle")
+    }
+  }
+
   test("contamination: flagged docs genuinely share a 3-gram with the benchmark") {
     val rows = run("q_ext_contamination").collect()
     val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0))

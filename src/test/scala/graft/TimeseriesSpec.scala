@@ -131,6 +131,61 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(longAcc.toDouble / longTot > shortAcc.toDouble / math.max(shortTot, 1))
   }
 
+  test("cohort retention: offset-0 row equals the cohort size") {
+    val rows = run("q_ext_cohort_retention").collect()
+    val cohortSize = Tables.events(spark, sf)
+      .groupBy("user_id").agg(to_date(min("ts")).as("c"))
+      .groupBy("c").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    for (r <- rows if r.getLong(1) == 0L)
+      assert(r.getLong(2) == cohortSize(r.getDate(0).toString))
+    // every (user, active-day) pair is counted exactly once
+    val total = rows.map(_.getLong(2)).sum
+    val userDays = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(total == userDays)
+  }
+
+  test("winsorize: bounds are data values, tail counts ~5%, mean inside bounds") {
+    val rows = run("q_ext_winsorize").collect()
+    val values = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getDouble(1)) }
+    for (r <- rows) {
+      val (t, lo, hi) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val vs = values(t)
+      assert(lo < hi && vs.contains(lo) && vs.contains(hi))
+      assert(r.getLong(3) <= math.ceil(0.05 * vs.length).toLong)
+      assert(r.getLong(4) <= vs.length - math.floor(0.95 * vs.length).toLong + 1)
+      assert(r.getDouble(5) >= lo && r.getDouble(5) <= hi)
+    }
+  }
+
+  test("histogram: buckets partition the data, bounds inside bucket edges") {
+    val rows = run("q_ext_histogram").collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    for (r <- rows) {
+      val b = r.getLong(0)
+      assert(r.getDouble(2) >= b * 25.0 - 0.005 && r.getDouble(3) < (b + 1) * 25.0 + 0.005)
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("cdc apply: deleted keys vanish, survivors carry their last op's value") {
+    val got = run("q_stream_cdc_apply").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val last = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1).collect()
+    for (r <- last) {
+      val (u, id, tpe, v) = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"))
+      if (tpe == "error") assert(!got.contains(u), s"user $u had a trailing -D")
+      else assert(got(u) == (id, v), s"user $u")
+    }
+  }
+
   test("tpch q10 shape: 20 rows, revenue strictly ordered, returned items only") {
     val rows = run("q_tpch_q10_shape").collect()
     assert(rows.length == 20)
