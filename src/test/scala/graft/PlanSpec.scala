@@ -98,4 +98,41 @@ class PlanSpec extends AnyFunSuite {
     // join key must be the composite (skew_key, salt), not skew_key alone
     assert(p.contains("skew_key") && p.contains("salt"), p.take(2000))
   }
+
+  test("q_ext_anomaly_zscore broadcasts the per-type stats, combines moments map-side") {
+    val p = plan("q_ext_anomaly_zscore")
+    // the |event_type|-bounded stats frame must broadcast back to the scan …
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // … and the cents/cents² moments must partial-aggregate before the shuffle
+    assert(p.toLowerCase.contains("partial_sum"), "no map-side moment combine")
+  }
+
+  test("q_ext_zipf's global window runs after the distributed top-k, never the corpus") {
+    val df = SparkEntry.queries("q_ext_zipf")(spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the unpartitioned rank/cumsum window is fed by TakeOrdered(limit=50)
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p.take(3000))
+  }
+
+  test("q_ext_importance_sample is map-only (no exchange except the output sort)") {
+    val df = SparkEntry.queries("q_ext_importance_sample")(spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"weighted sampling must not shuffle data: $exchanges")
+  }
+
+  test("q_ext_sessionize shares ONE user_id shuffle across windows and the aggregate") {
+    val df = SparkEntry.queries("q_ext_sessionize")(spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both lag/cumsum windows and the session groupBy reuse the same
+    // hashpartitioning(user_id) — exactly one hash exchange in the plan
+    val initialSplit = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initialSplit >= 0) p.substring(0, initialSplit) else p
+    val hashesFinal = "Exchange hashpartitioning\\(user_id".r.findAllIn(finalPlan).toList
+    assert(hashesFinal.length == 1, s"expected one user_id exchange: $hashesFinal")
+  }
 }
