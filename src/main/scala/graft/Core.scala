@@ -76,7 +76,9 @@ object Tables {
   * `sum(cast(x as decimal))`.
   */
 object X {
-  private def cents(c: Column, scale: Int): Column =
+  /** Exact integer recovery of a ≤`scale`-decimal double — the ONE
+    * definition every exact-sum/moment site must share. */
+  def cents(c: Column, scale: Int = 2): Column =
     call_function("rint", c * math.pow(10, scale)).cast("long")
   /** Exact sum of a (≤2-decimal) double column, returned as double. */
   def dsum(c: Column): Column = sum(cents(c, 2)) / 100.0

@@ -271,7 +271,9 @@ object Curation {
       val words = Tables.documents(s, d)
         .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
       val freq = words.groupBy("word").agg(count(lit(1)).as("freq"))
-      val tot = words.agg(count(lit(1)).as("total"))
+      // total tokens = Σfreq over the vocabulary-sized frame — no second
+      // corpus explode
+      val tot = freq.agg(sum("freq").as("total"))
       val top = freq.orderBy(col("freq").desc, col("word")).limit(50)
       val ord = Window.orderBy(col("freq").desc, col("word"))
       top.crossJoin(broadcast(tot))

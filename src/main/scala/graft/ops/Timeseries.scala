@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QDef, Tables}
+import graft.{QDef, Tables, X}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -20,10 +20,6 @@ import org.apache.spark.sql.expressions.Window
   * DuckDB oracle (graft.X rationale).
   */
 object Timeseries {
-
-  /** Exact integer cents of a ≤2-decimal double (same recovery as graft.X). */
-  private def cents(c: org.apache.spark.sql.Column) =
-    call_function("rint", c * 100).cast("long")
 
   val all: Seq[QDef] = Seq(
     // Batch sessionization: per-user 30-min-gap sessions via the lag/cumsum
@@ -126,11 +122,13 @@ object Timeseries {
         .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
           col("event_type"), col("value"))
       val agg = e.groupBy("h", "event_type")
-        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sv"))
-      val bounds = e.agg(min("h").as("h0"), max("h").as("h1"))
+        .agg(count(lit(1)).as("n"), X.dsum(col("value")).as("sv"))
+      // bounds and the type list derive from the grid-bounded agg frame —
+      // the events table is scanned exactly once
+      val bounds = agg.agg(min("h").as("h0"), max("h").as("h1"))
       val hours = bounds.select(explode(
         sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-      val types = e.select("event_type").distinct()
+      val types = agg.select("event_type").distinct()
       val ffill = Window.partitionBy("event_type").orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hours.crossJoin(types)
@@ -144,8 +142,11 @@ object Timeseries {
 
     // Per-type z-score anomaly detection: flag events > 2.5σ from their
     // type's mean. Moments are exact long cents / cents² partial-aggregated
-    // map-side (codegen long adds, Σc² ≤ 2^53 up to ~4e9 rows of ~500-unit
-    // values — beyond that shard hi/lo like q_agg_corr_exact); the per-type
+    // map-side (codegen long adds). Bit-exactness bound: Σc² stays ≤ 2^53
+    // only up to ~3.7e6 rows PER TYPE of ~500-unit values (c² ≈ 2.4e9 each)
+    // — beyond that the long→double conversion adds a second rounding, so
+    // shard the squared sum hi/lo like q_agg_corr_exact (long overflow
+    // itself is ~100× further out); the per-type
     // stats frame is bounded by |event_type| so it BROADCASTS back. Both
     // engines then evaluate the identical FP tree — mean = sv/n,
     // var = sv2/n − mean², z = (x − mean)/√var — so the 2.5σ cut and the
@@ -162,7 +163,7 @@ object Timeseries {
         |WHERE abs((value - sv / CAST(n AS DOUBLE)) / sqrt(sv2 / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)))) > 2.5
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
-      val c = cents(col("value"))
+      val c = X.cents(col("value"))
       val st = e.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(c).as("sc"), sum(c * c).as("sc2"))
       val nD = col("n").cast("double")
@@ -241,7 +242,7 @@ object Timeseries {
         .agg(
           sum(when(col("value") < col("lo"), 1).otherwise(0)).cast("long").as("n_below"),
           sum(when(col("value") > col("hi"), 1).otherwise(0)).cast("long").as("n_above"),
-          ((sum(cents(clip)) / 100.0) / count(lit(1)).cast("double")).as("wins_mean"))
+          (X.dsum(clip) / count(lit(1)).cast("double")).as("wins_mean"))
         .orderBy("event_type")
     },
 
@@ -258,7 +259,7 @@ object Timeseries {
       Tables.events(s, d)
         .groupBy(expr("cast(rint(value * 100) as long) div 2500").as("bucket"))
         .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"),
-          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+          X.dsum(col("value")).as("sum_value"))
         .orderBy("bucket")
     },
   )

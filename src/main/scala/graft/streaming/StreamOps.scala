@@ -169,15 +169,19 @@ object StreamOps {
     },
 
     // Per-user session windows with a 30 min gap. Oracle = the classic
-    // gap-island SQL (break when the gap is >= the timeout, matching
-    // session_window's half-open [start, last+gap) semantics).
+    // gap-island SQL. Boundary semantics (empirically pinned): an event
+    // exactly gap-distance after its predecessor still MERGES into the
+    // session — session_window extends to last+gap and a new event at that
+    // exact instant joins it — so the island break is STRICTLY greater
+    // than the gap, the same `>` as q_ext_sessionize (stream–batch
+    // duality, asserted in TimeseriesSpec).
     QDef(
       "q_stream_session",
       """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
         |m AS (SELECT user_id, t,
         |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
         |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-        |                    >= INTERVAL '30 minutes'
+        |                    > INTERVAL '30 minutes'
         |             THEN 1 ELSE 0 END AS brk
         |      FROM o),
         |g AS (SELECT user_id, t,
