@@ -366,6 +366,107 @@ object Curation {
         .orderBy("id_a", "id_b")
     },
 
+    // Unigram log-probability scoring — the perplexity-proxy quality signal
+    // (docs full of corpus-rare tokens score low). The order-dependence
+    // trap: Σ ln(p_w) over a doc is a DOUBLE sum, whose partial order Spark
+    // does not fix — so each word's log-prob is quantized ONCE to integer
+    // micros with floor() (identical on both engines for every double,
+    // unlike half-even vs half-away rounding) and the per-doc sum runs in
+    // exact longs. Corpus-sized work: one explode + a vocab-keyed join.
+    QDef(
+      "q_ext_unigram_logprob",
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+        |lp AS (SELECT word, CAST(floor(ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro FROM f, t),
+        |s AS (SELECT doc_id, count(*) AS n_tokens, CAST(SUM(lp_micro) AS BIGINT) AS lp_sum
+        |      FROM w JOIN lp USING (word) GROUP BY 1)
+        |SELECT doc_id, n_tokens, lp_sum,
+        |  CAST(lp_sum AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d).select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      val f = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      val t = f.agg(sum("freq").as("total"))
+      val lp = f.crossJoin(broadcast(t)).select(col("word"),
+        floor(log(col("freq").cast("double") / col("total").cast("double"))
+          * lit(1000000)).as("lp_micro"))
+      words.join(lp, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lp_micro").as("lp_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("lp_sum"),
+          (col("lp_sum").cast("double") / lit(1000000.0) /
+            col("n_tokens").cast("double")).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // Per-language KL divergence from the corpus word distribution — the
+    // domain/language drift measure mixture tuning needs. Same
+    // floor-quantization discipline: each vocab term's p·ln(p/q)
+    // contribution becomes exact integer nanos, so the per-language sum is
+    // order-independent. All frames after the explode are vocab-sized.
+    QDef(
+      "q_ext_kl_language",
+      """WITH w AS (SELECT lang, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word FROM documents),
+        |lw AS (SELECT lang, word, count(*) AS lf FROM w GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(SUM(lf) AS BIGINT) AS ltot FROM lw GROUP BY 1),
+        |cw AS (SELECT word, CAST(SUM(lf) AS BIGINT) AS cf FROM lw GROUP BY 1),
+        |ct AS (SELECT CAST(SUM(cf) AS BIGINT) AS ctot FROM cw),
+        |terms AS (SELECT lw.lang,
+        |    CAST(floor((CAST(lf AS DOUBLE) / CAST(ltot AS DOUBLE)) *
+        |      ln((CAST(lf AS DOUBLE) / CAST(ltot AS DOUBLE)) / (CAST(cf AS DOUBLE) / CAST(ctot AS DOUBLE))) * 1000000000) AS BIGINT) AS kl_nano
+        |  FROM lw JOIN lt ON lw.lang = lt.lang JOIN cw ON lw.word = cw.word, ct)
+        |SELECT lang, CAST(SUM(kl_nano) AS BIGINT) AS kl_nano_sum,
+        |  CAST(SUM(kl_nano) AS DOUBLE) / 1000000000.0 AS kl
+        |FROM terms GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d).select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      val lw = w.groupBy("lang", "word").agg(count(lit(1)).as("lf"))
+      val lt = lw.groupBy("lang").agg(sum("lf").as("ltot"))
+      val cw = lw.groupBy("word").agg(sum("lf").as("cf"))
+      val ct = cw.agg(sum("cf").as("ctot"))
+      val p = col("lf").cast("double") / col("ltot").cast("double")
+      val q = col("cf").cast("double") / col("ctot").cast("double")
+      lw.join(lt, Seq("lang")).join(cw, Seq("word")).crossJoin(broadcast(ct))
+        .select(col("lang"),
+          floor(p * log(p / q) * lit(1000000000)).as("kl_nano"))
+        .groupBy("lang").agg(sum("kl_nano").as("kl_nano_sum"))
+        .select(col("lang"), col("kl_nano_sum"),
+          (col("kl_nano_sum").cast("double") / lit(1000000000.0)).as("kl"))
+        .orderBy("lang")
+    },
+
+    // Source mixture weights: tokens^0.7 proportional sampling shares (the
+    // standard sub-linear source-balancing exponent). The power is written
+    // exp(0.7·ln(x)) on BOTH engines — ln/exp are the established
+    // bit-identical transcendentals, whereas libm pow() is not guaranteed
+    // correctly-rounded and may differ between the JVM and DuckDB. Shares
+    // divide exact longs (floor-quantized micros).
+    QDef(
+      "q_ext_mixture_weights",
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |wts AS (SELECT source, n_docs, n_tokens,
+        |    CAST(floor(exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) * 1000000) AS BIGINT) AS w_micro FROM s),
+        |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS sw FROM wts)
+        |SELECT source, n_docs, n_tokens, w_micro,
+        |  CAST(w_micro AS DOUBLE) / CAST(sw AS DOUBLE) AS share
+        |FROM wts, tot ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"), TextOps.nWords.as("toks"))
+      val st = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      val wts = st.select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(exp(lit(0.7) * log(col("n_tokens").cast("double")))
+          * lit(1000000)).as("w_micro"))
+      val tot = wts.agg(sum("w_micro").as("sw"))
+      wts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w_micro"),
+          (col("w_micro").cast("double") / col("sw").cast("double")).as("share"))
+        .orderBy("source")
+    },
+
     // Importance sampling (DSIR-style shape): accept each document with
     // probability proportional to a per-doc weight (here length-capped
     // min(n_chars,400)/400), decided by comparing a 16-bit slice of

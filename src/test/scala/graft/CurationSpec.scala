@@ -59,6 +59,45 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram logprob: negative scores, token counts match, exact micro identity") {
+    val rows = run("q_ext_unigram_logprob").collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(expr("filter(split(text,' '), x -> x <> '')")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(rows.length == toks.size)
+    for (r <- rows) {
+      val (id, n, sum, avg) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n == toks(id))
+      assert(avg < 0 && avg > -20, s"doc $id: implausible avg logprob $avg")
+      assert(math.abs(avg - sum / 1000000.0 / n) < 1e-12)
+    }
+  }
+
+  test("kl divergence: near-zero lower bound, every language present") {
+    val rows = run("q_ext_kl_language").collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length == langs)
+    // KL >= 0 mathematically; floor quantization can undershoot by at most
+    // |vocab| nanos per language
+    for (r <- rows) assert(r.getDouble(2) > -0.001 && r.getDouble(2) < 10.0)
+  }
+
+  test("mixture weights: shares normalize, sub-linear flattening holds") {
+    val rows = run("q_ext_mixture_weights").collect()
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    // tokens^0.7 flattens: the biggest source's weight share is below its
+    // raw token share, the smallest source's is above
+    val totalToks = rows.map(_.getLong(2)).sum.toDouble
+    val biggest = rows.maxBy(_.getLong(2))
+    val smallest = rows.minBy(_.getLong(2))
+    assert(biggest.getDouble(4) < biggest.getLong(2) / totalToks)
+    assert(smallest.getDouble(4) > smallest.getLong(2) / totalToks)
+    // weight is monotone in tokens
+    for (Array(a, b) <- rows.sortBy(_.getLong(2)).sliding(2).map(_.toArray))
+      assert(a.getLong(3) <= b.getLong(3))
+  }
+
   test("contamination: flagged docs genuinely share a 3-gram with the benchmark") {
     val rows = run("q_ext_contamination").collect()
     val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0))
