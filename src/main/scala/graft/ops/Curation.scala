@@ -234,8 +234,7 @@ object Curation {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM sc) t
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      val words = docs.select(col("doc_id"), explode(TextOps.words).as("word"))
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dfr = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
@@ -269,7 +268,7 @@ object Curation {
         |  round(CAST(SUM(freq) OVER (ORDER BY freq DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
         |FROM top, t ORDER BY rank""".stripMargin) { (s, d) =>
       val words = Tables.documents(s, d)
-        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        .select(explode(TextOps.words).as("word"))
       val freq = words.groupBy("word").agg(count(lit(1)).as("freq"))
       // total tokens = Σfreq over the vocabulary-sized frame — no second
       // corpus explode
@@ -372,28 +371,34 @@ object Curation {
     // does not fix — so each word's log-prob is quantized ONCE to integer
     // micros with floor() (identical on both engines for every double,
     // unlike half-even vs half-away rounding) and the per-doc sum runs in
-    // exact longs. Corpus-sized work: one explode + a vocab-keyed join.
+    // exact longs. The corpus is exploded ONCE: everything downstream works
+    // on the per-(doc, word) count frame — word frequency is Σlf over it,
+    // and the per-doc sum weights each word's log-prob by lf instead of
+    // re-joining raw tokens.
     QDef(
       "q_ext_unigram_logprob",
       """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word FROM documents),
-        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |dw AS (SELECT doc_id, word, count(*) AS lf FROM w GROUP BY 1, 2),
+        |f AS (SELECT word, CAST(SUM(lf) AS BIGINT) AS freq FROM dw GROUP BY 1),
         |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
         |lp AS (SELECT word, CAST(floor(ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro FROM f, t),
-        |s AS (SELECT doc_id, count(*) AS n_tokens, CAST(SUM(lp_micro) AS BIGINT) AS lp_sum
-        |      FROM w JOIN lp USING (word) GROUP BY 1)
+        |s AS (SELECT doc_id, CAST(SUM(lf) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(lf * lp_micro) AS BIGINT) AS lp_sum
+        |      FROM dw JOIN lp USING (word) GROUP BY 1)
         |SELECT doc_id, n_tokens, lp_sum,
         |  CAST(lp_sum AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS avg_logprob
         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val words = Tables.documents(s, d).select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
-      val f = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      val dw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("lf"))
+      val f = dw.groupBy("word").agg(sum("lf").as("freq"))
       val t = f.agg(sum("freq").as("total"))
       val lp = f.crossJoin(broadcast(t)).select(col("word"),
         floor(log(col("freq").cast("double") / col("total").cast("double"))
           * lit(1000000)).as("lp_micro"))
-      words.join(lp, Seq("word"))
+      dw.join(lp, Seq("word"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("lp_micro").as("lp_sum"))
+        .agg(sum("lf").as("n_tokens"), sum(col("lf") * col("lp_micro")).as("lp_sum"))
         .select(col("doc_id"), col("n_tokens"), col("lp_sum"),
           (col("lp_sum").cast("double") / lit(1000000.0) /
             col("n_tokens").cast("double")).as("avg_logprob"))
@@ -420,7 +425,7 @@ object Curation {
         |  CAST(SUM(kl_nano) AS DOUBLE) / 1000000000.0 AS kl
         |FROM terms GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
       val w = Tables.documents(s, d).select(col("lang"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        explode(TextOps.words).as("word"))
       val lw = w.groupBy("lang", "word").agg(count(lit(1)).as("lf"))
       val lt = lw.groupBy("lang").agg(sum("lf").as("ltot"))
       val cw = lw.groupBy("word").agg(sum("lf").as("cf"))
@@ -449,7 +454,9 @@ object Curation {
         |  FROM documents),
         |s AS (SELECT source, count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
         |wts AS (SELECT source, n_docs, n_tokens,
-        |    CAST(floor(exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) * 1000000) AS BIGINT) AS w_micro FROM s),
+        |    CASE WHEN n_tokens > 0
+        |         THEN CAST(floor(exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) * 1000000) AS BIGINT)
+        |         ELSE 0 END AS w_micro FROM s),
         |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS sw FROM wts)
         |SELECT source, n_docs, n_tokens, w_micro,
         |  CAST(w_micro AS DOUBLE) / CAST(sw AS DOUBLE) AS share
@@ -457,9 +464,12 @@ object Curation {
       val docs = Tables.documents(s, d).select(col("source"), TextOps.nWords.as("toks"))
       val st = docs.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      // an all-empty source would hit ln(0): Spark yields NULL but DuckDB
+      // RAISES — the CASE guard (lazy on both engines) pins weight 0 instead
       val wts = st.select(col("source"), col("n_docs"), col("n_tokens"),
-        floor(exp(lit(0.7) * log(col("n_tokens").cast("double")))
-          * lit(1000000)).as("w_micro"))
+        when(col("n_tokens") > 0,
+          floor(exp(lit(0.7) * log(col("n_tokens").cast("double")))
+            * lit(1000000))).otherwise(0L).as("w_micro"))
       val tot = wts.agg(sum("w_micro").as("sw"))
       wts.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("w_micro"),

@@ -31,6 +31,11 @@ private[ops] object TextOps {
     * definition). */
   def nWords: Column =
     size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
+
+  /** Non-empty word tokens of the `text` column, ready to explode — the ONE
+    * tokenization contract every oracle's string_split/list_filter mirrors. */
+  def words: Column =
+    expr("filter(split(text, ' '), x -> x <> '')")
 }
 
 object Ext {

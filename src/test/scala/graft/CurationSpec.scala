@@ -61,9 +61,12 @@ class CurationSpec extends AnyFunSuite {
 
   test("unigram logprob: negative scores, token counts match, exact micro identity") {
     val rows = run("q_ext_unigram_logprob").collect()
+    // zero-token docs produce no exploded rows on either engine, so the
+    // query's domain is exactly the docs with >= 1 token
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), size(expr("filter(split(text,' '), x -> x <> '')")))
-      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .filter(_._2 > 0).toMap
     assert(rows.length == toks.size)
     for (r <- rows) {
       val (id, n, sum, avg) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
