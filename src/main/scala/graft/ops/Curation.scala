@@ -477,6 +477,36 @@ object Curation {
         .orderBy("source")
     },
 
+    // Document chunking: fixed 50-token windows at stride 40 (10-token
+    // overlap) — the RAG-indexing / context-packing preparation step. Pure
+    // map + explode over per-doc offset sequences; rows out ≈ tokens/40, no
+    // shuffle except the presentation sort. Chunk boundaries, sizes and
+    // edge words are all integer/string — fully oracle-able.
+    QDef(
+      "q_ext_doc_chunks",
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 40)) AS start FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, CAST((start - 1) // 40 + 1 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(50, len(ws) - start + 1) AS BIGINT) AS n_chunk_tokens,
+        |  ws[start] AS first_word,
+        |  ws[start + least(50, len(ws) - start + 1) - 1] AS last_word
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words.as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(1, size(ws), 40)")).as("start"))
+        .select(col("doc_id"),
+          expr("(start - 1) div 40 + 1").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          expr("cast(least(50, size(ws) - start + 1) as bigint)").as("n_chunk_tokens"),
+          expr("element_at(ws, start)").as("first_word"),
+          expr("element_at(ws, cast(start + least(50, size(ws) - start + 1) - 1 as int))")
+            .as("last_word"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Importance sampling (DSIR-style shape): accept each document with
     // probability proportional to a per-doc weight (here length-capped
     // min(n_chars,400)/400), decided by comparing a 16-bit slice of

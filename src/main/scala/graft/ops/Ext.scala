@@ -471,6 +471,64 @@ object Ext {
         .limit(5)
     },
 
+    // ANN EVALUATION: recall@10 of the 1-probe IVF path against the exact
+    // brute-force top-10 for the same query — the measurement loop every
+    // ANN deployment needs (recall is the tunable: more probes/centroids →
+    // higher recall, more compute). Both candidate lists, their overlap and
+    // the recall fraction are computed inside the engines, so the oracle
+    // pins the ENTIRE eval pipeline, not just one path. Low probe-1 recall
+    // at 8 centroids is the honest trade-off being measured.
+    QDef(
+      "q_ext_ann_recall",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |a AS (SELECT v.vec_id, v.embedding, c.cid,
+         |        row_number() OVER (PARTITION BY v.vec_id
+         |          ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
+         |      FROM embeddings v, c),
+         |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT v.vec_id FROM embeddings v, q WHERE v.vec_id <> 0
+         |       ORDER BY ${duckDot("v.embedding", "q.qe")} / (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) DESC, v.vec_id LIMIT 10),
+         |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0),
+         |iv AS (SELECT v.vec_id FROM cell v, q, qcell WHERE v.cid = qcell.qcid AND v.vec_id <> 0
+         |       ORDER BY ${duckDot("v.embedding", "q.qe")} / (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) DESC, v.vec_id LIMIT 10),
+         |ov AS (SELECT count(*) AS n_overlap FROM ex JOIN iv USING (vec_id)),
+         |ne AS (SELECT count(*) AS n_exact FROM ex), ni AS (SELECT count(*) AS n_ivf FROM iv)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_ivf AS BIGINT) AS n_ivf,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM ne, ni, ov""".stripMargin) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cent = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val cell = emb.crossJoin(broadcast(cent))
+        .withColumn("dp", fdot("embedding", "ce"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      def cos = fdot("embedding", "qe") /
+        (sqrt(fdot("embedding", "embedding")) * sqrt(fdot("qe", "qe")))
+      val ex = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")
+      val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+      val iv = cell.join(broadcast(qcell), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")
+      val ov = ex.join(iv, Seq("vec_id")).agg(count(lit(1)).as("n_overlap"))
+      val ne = ex.agg(count(lit(1)).as("n_exact"))
+      val ni = iv.agg(count(lit(1)).as("n_ivf"))
+      ne.crossJoin(ni).crossJoin(ov)
+        .select(col("n_exact"), col("n_ivf"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    },
+
     // k-NN JOIN: top-3 neighbors for EACH of 5 query vectors at once — the
     // batch version of similarity search (dedup candidates, retrieval eval
     // sets). The grouped top-k runs through the bounded TopKPairs aggregate:

@@ -101,6 +101,30 @@ class CurationSpec extends AnyFunSuite {
       assert(a.getLong(3) <= b.getLong(3))
   }
 
+  test("doc chunks: stride-40 windows tile every doc, sizes and edges consistent") {
+    val rows = run("q_ext_doc_chunks").collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(expr("filter(split(text,' '), x -> x <> '')")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).filter(_._2 > 0).toMap
+    for ((id, cs) <- rows.groupBy(_.getLong(0))) {
+      val sorted = cs.sortBy(_.getLong(1))
+      val n = toks(id)
+      // dense chunk indices, stride-40 starts, expected chunk count
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        sorted.indices.map(i => 1L + 40L * i).toSeq)
+      assert(sorted.length == (n + 39) / 40)
+      for (c <- sorted) {
+        val (start, len) = (c.getLong(2), c.getLong(3))
+        assert(len >= 1 && len <= 50 && start + len - 1 <= n)
+      }
+      // every chunk except possibly the last reaches 50 tokens or doc end
+      for (c <- sorted.dropRight(1))
+        assert(c.getLong(3) == math.min(50L, n - c.getLong(2) + 1))
+    }
+    assert(rows.map(_.getLong(0)).toSet == toks.keySet)
+  }
+
   test("contamination: flagged docs genuinely share a 3-gram with the benchmark") {
     val rows = run("q_ext_contamination").collect()
     val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0))

@@ -57,6 +57,18 @@ class ModuleSpecs extends AnyFunSuite {
     assert(rows.length <= 10)
   }
 
+  test("ANN recall eval: exact set matches brute-force top-k, recall consistent") {
+    val r = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
+    val (nEx, nIv, nOv, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nEx == 10, s"exact top-k must find 10 neighbors, got $nEx")
+    assert(nOv <= math.min(nEx, nIv))
+    assert(recall == nOv.toDouble / nEx)
+    // the 1-probe IVF path trades recall for compute; it must return
+    // SOMETHING from the query's cell but cannot beat the exact baseline
+    assert(nIv >= 1 && recall >= 0.0 && recall <= 1.0)
+  }
+
   // ---- catalog / DDL -----------------------------------------------------
 
   test("catalog: create/alter/show/drop with Paimon-style options") {
