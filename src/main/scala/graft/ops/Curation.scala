@@ -481,11 +481,14 @@ object Curation {
     // overlap) — the RAG-indexing / context-packing preparation step. Pure
     // map + explode over per-doc offset sequences; rows out ≈ tokens/40, no
     // shuffle except the presentation sort. Chunk boundaries, sizes and
-    // edge words are all integer/string — fully oracle-able.
+    // edge words are all integer/string — fully oracle-able. A start is
+    // emitted only while it contributes NEW tokens (start ≤ max(n−10, 1) —
+    // beyond that the window is a strict subset of its predecessor, which
+    // would duplicate content in the index).
     QDef(
       "q_ext_doc_chunks",
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
-        |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 40)) AS start FROM w WHERE len(ws) > 0)
+        |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 10, 1) + 1, 40)) AS start FROM w WHERE len(ws) > 0)
         |SELECT doc_id, CAST((start - 1) // 40 + 1 AS BIGINT) AS chunk_idx,
         |  CAST(start AS BIGINT) AS start_tok,
         |  CAST(least(50, len(ws) - start + 1) AS BIGINT) AS n_chunk_tokens,
@@ -496,7 +499,7 @@ object Curation {
         .select(col("doc_id"), TextOps.words.as("ws"))
         .filter(size(col("ws")) > 0)
         .select(col("doc_id"), col("ws"),
-          explode(expr("sequence(1, size(ws), 40)")).as("start"))
+          explode(expr("sequence(1, greatest(size(ws) - 10, 1), 40)")).as("start"))
         .select(col("doc_id"),
           expr("(start - 1) div 40 + 1").as("chunk_idx"),
           col("start").cast("long").as("start_tok"),

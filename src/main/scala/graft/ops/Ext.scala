@@ -52,6 +52,44 @@ object Ext {
   private def duckNorm(a: String): String =
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
+  /** Shared 1-probe IVF index construction (q_ext_cosine_ivf +
+    * q_ext_ann_recall): 8 md5-ordered centroid vectors; every vector assigned
+    * to its argmax-dot cell; the vec_id=0 query resolves its own cell. ONE
+    * definition — both sides — so the probe query and its recall evaluation
+    * always measure the SAME index. */
+  private val ivfSqlCtes: String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |a AS (SELECT v.vec_id, v.embedding, c.cid,
+       |        row_number() OVER (PARTITION BY v.vec_id
+       |          ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
+       |      FROM embeddings v, c),
+       |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0)""".stripMargin
+
+  /** Spark side of [[ivfSqlCtes]]: returns (cell assignments, query vector,
+    * query cell). Assignment argmax is a map-side-combined max_by over
+    * (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
+  private def ivfCells(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    graft.functions.VectorFunctions.registerOn(s)
+    def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cent = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cell = emb.crossJoin(broadcast(cent))
+      .withColumn("dp", fdot("embedding", "ce"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+    (cell, q, qcell)
+  }
+
   /** `planes`-bit sign-LSH signature of `embedding` (≤32): fixed ±1
     * hyperplanes (Lehmer-style mix of (dim, bit)), each sign test a codegen'd
     * `float_dot` against a literal plane — the interpreted-HOF version cost
@@ -430,36 +468,15 @@ object Ext {
     // the sign-LSH variant.
     QDef(
       "q_ext_cosine_ivf",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |a AS (SELECT v.vec_id, v.embedding, c.cid,
-         |        row_number() OVER (PARTITION BY v.vec_id
-         |          ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
-         |      FROM embeddings v, c),
-         |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0)
+      s"""WITH $ivfSqlCtes
          |SELECT v.vec_id, v.cid AS cell,
          |  round(${duckDot("v.embedding", "q.qe")} /
          |        (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}), 6) AS cos_sim
          |FROM cell v, q, qcell
          |WHERE v.cid = qcell.qcid AND v.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
-      graft.functions.VectorFunctions.registerOn(s)
       def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cent = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      // assignment: argmax over K codegen'd dots, combined map-side —
-      // maximize (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC
-      val cell = emb.crossJoin(broadcast(cent))
-        .withColumn("dp", fdot("embedding", "ce"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
-          first(col("embedding")).as("embedding"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+      val (cell, q, qcell) = ivfCells(s, d)
       cell.filter(col("vec_id") =!= 0)
         .join(broadcast(qcell), col("cid") === col("qcid"))
         .crossJoin(broadcast(q))
@@ -480,17 +497,9 @@ object Ext {
     // at 8 centroids is the honest trade-off being measured.
     QDef(
       "q_ext_ann_recall",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |a AS (SELECT v.vec_id, v.embedding, c.cid,
-         |        row_number() OVER (PARTITION BY v.vec_id
-         |          ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
-         |      FROM embeddings v, c),
-         |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      s"""WITH $ivfSqlCtes,
          |ex AS (SELECT v.vec_id FROM embeddings v, q WHERE v.vec_id <> 0
          |       ORDER BY ${duckDot("v.embedding", "q.qe")} / (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) DESC, v.vec_id LIMIT 10),
-         |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0),
          |iv AS (SELECT v.vec_id FROM cell v, q, qcell WHERE v.cid = qcell.qcid AND v.vec_id <> 0
          |       ORDER BY ${duckDot("v.embedding", "q.qe")} / (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) DESC, v.vec_id LIMIT 10),
          |ov AS (SELECT count(*) AS n_overlap FROM ex JOIN iv USING (vec_id)),
@@ -499,23 +508,13 @@ object Ext {
          |  CAST(n_overlap AS BIGINT) AS n_overlap,
          |  CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
          |FROM ne, ni, ov""".stripMargin) { (s, d) =>
-      graft.functions.VectorFunctions.registerOn(s)
       def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cent = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val cell = emb.crossJoin(broadcast(cent))
-        .withColumn("dp", fdot("embedding", "ce"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
-          first(col("embedding")).as("embedding"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val (cell, q, qcell) = ivfCells(s, d)
       def cos = fdot("embedding", "qe") /
         (sqrt(fdot("embedding", "embedding")) * sqrt(fdot("qe", "qe")))
-      val ex = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val ex = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")
-      val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
       val iv = cell.join(broadcast(qcell), col("cid") === col("qcid"))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))

@@ -109,18 +109,21 @@ class CurationSpec extends AnyFunSuite {
     for ((id, cs) <- rows.groupBy(_.getLong(0))) {
       val sorted = cs.sortBy(_.getLong(1))
       val n = toks(id)
-      // dense chunk indices, stride-40 starts, expected chunk count
+      // dense chunk indices, stride-40 starts, expected chunk count: starts
+      // run while they contribute new tokens (start <= max(n-10, 1))
       assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
       assert(sorted.map(_.getLong(2)).toSeq ==
         sorted.indices.map(i => 1L + 40L * i).toSeq)
-      assert(sorted.length == (n + 39) / 40)
+      assert(sorted.length == (math.max(n - 10, 1) + 39) / 40)
       for (c <- sorted) {
         val (start, len) = (c.getLong(2), c.getLong(3))
         assert(len >= 1 && len <= 50 && start + len - 1 <= n)
       }
-      // every chunk except possibly the last reaches 50 tokens or doc end
-      for (c <- sorted.dropRight(1))
-        assert(c.getLong(3) == math.min(50L, n - c.getLong(2) + 1))
+      // the final chunk reaches the doc end; no chunk is a subset of its
+      // predecessor (each adds at least one new token)
+      assert(sorted.last.getLong(2) + sorted.last.getLong(3) - 1 == n)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1)
+        assert(b.getLong(2) + b.getLong(3) - 1 > a.getLong(2) + a.getLong(3) - 1)
     }
     assert(rows.map(_.getLong(0)).toSet == toks.keySet)
   }
