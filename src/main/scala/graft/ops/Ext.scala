@@ -68,12 +68,14 @@ object Ext {
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0)""".stripMargin
 
-  /** Spark side of [[ivfSqlCtes]]: returns (cell assignments, query vector,
-    * query cell). Assignment argmax is a map-side-combined max_by over
-    * (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
-  private def ivfCells(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame) = {
+  /** Spark side of [[ivfSqlCtes]]. Assignment argmax is a map-side-combined
+    * max_by over (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
+  private final case class IvfIndex(
+      cent: org.apache.spark.sql.DataFrame,
+      cell: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame,
+      qcell: org.apache.spark.sql.DataFrame)
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): IvfIndex = {
     graft.functions.VectorFunctions.registerOn(s)
     def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -87,7 +89,7 @@ object Ext {
         first(col("embedding")).as("embedding"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
-    (cell, q, qcell)
+    IvfIndex(cent, cell, q, qcell)
   }
 
   /** `planes`-bit sign-LSH signature of `embedding` (≤32): fixed ±1
@@ -476,7 +478,7 @@ object Ext {
          |WHERE v.cid = qcell.qcid AND v.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
       def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
-      val (cell, q, qcell) = ivfCells(s, d)
+      val IvfIndex(_, cell, q, qcell) = ivfIndex(s, d)
       cell.filter(col("vec_id") =!= 0)
         .join(broadcast(qcell), col("cid") === col("qcid"))
         .crossJoin(broadcast(q))
@@ -509,13 +511,56 @@ object Ext {
          |  CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
          |FROM ne, ni, ov""".stripMargin) { (s, d) =>
       def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
-      val (cell, q, qcell) = ivfCells(s, d)
+      val IvfIndex(_, cell, q, qcell) = ivfIndex(s, d)
       def cos = fdot("embedding", "qe") /
         (sqrt(fdot("embedding", "embedding")) * sqrt(fdot("qe", "qe")))
       val ex = Tables.embeddings(s, d).select("vec_id", "embedding")
         .filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")
       val iv = cell.join(broadcast(qcell), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")
+      val ov = ex.join(iv, Seq("vec_id")).agg(count(lit(1)).as("n_overlap"))
+      val ne = ex.agg(count(lit(1)).as("n_exact"))
+      val ni = iv.agg(count(lit(1)).as("n_ivf"))
+      ne.crossJoin(ni).crossJoin(ov)
+        .select(col("n_exact"), col("n_ivf"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    },
+
+    // Multi-probe ANN: the recall dial turned one notch — the query probes
+    // its TWO nearest cells instead of one, searching ~2/K of the corpus
+    // for strictly-no-worse recall (the spec asserts ≥ the probe-1 number).
+    // Reuses the same shared index; only the probe set differs.
+    QDef(
+      "q_ext_ann_recall_probe2",
+      s"""WITH $ivfSqlCtes,
+         |qc AS (SELECT c.cid, row_number() OVER (
+         |         ORDER BY ${duckDot("c.ce", "q.qe")} DESC, c.cid) AS qrn FROM c, q),
+         |qcells AS (SELECT cid FROM qc WHERE qrn <= 2),
+         |ex AS (SELECT v.vec_id FROM embeddings v, q WHERE v.vec_id <> 0
+         |       ORDER BY ${duckDot("v.embedding", "q.qe")} / (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) DESC, v.vec_id LIMIT 10),
+         |iv AS (SELECT v.vec_id FROM cell v, q WHERE v.cid IN (SELECT cid FROM qcells) AND v.vec_id <> 0
+         |       ORDER BY ${duckDot("v.embedding", "q.qe")} / (${duckNorm("v.embedding")} * ${duckNorm("q.qe")}) DESC, v.vec_id LIMIT 10),
+         |ov AS (SELECT count(*) AS n_overlap FROM ex JOIN iv USING (vec_id)),
+         |ne AS (SELECT count(*) AS n_exact FROM ex), ni AS (SELECT count(*) AS n_ivf FROM iv)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_ivf AS BIGINT) AS n_ivf,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM ne, ni, ov""".stripMargin) { (s, d) =>
+      def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
+      val IvfIndex(cent, cell, q, _) = ivfIndex(s, d)
+      val qcells = cent.crossJoin(broadcast(q))
+        .withColumn("dp", fdot("ce", "qe"))
+        .orderBy(col("dp").desc, col("cid").asc).limit(2).select("cid")
+      def cos = fdot("embedding", "qe") /
+        (sqrt(fdot("embedding", "embedding")) * sqrt(fdot("qe", "qe")))
+      val ex = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")
+      val iv = cell.join(broadcast(qcells), Seq("cid"))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .orderBy(cos.desc, col("vec_id").asc).limit(10).select("vec_id")

@@ -69,6 +69,16 @@ class ModuleSpecs extends AnyFunSuite {
     assert(nIv >= 1 && recall >= 0.0 && recall <= 1.0)
   }
 
+  test("ANN recall: probing 2 cells never loses to probing 1") {
+    val r1 = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
+    val r2 = SparkEntry.queries("q_ext_ann_recall_probe2")(spark, sf).collect().head
+    // the probe-2 candidate set is a superset of probe-1's, so its top-10
+    // can only gain true neighbors
+    assert(r2.getDouble(3) >= r1.getDouble(3),
+      s"probe2 recall ${r2.getDouble(3)} < probe1 ${r1.getDouble(3)}")
+    assert(r2.getLong(1) >= r1.getLong(1))
+  }
+
   // ---- catalog / DDL -----------------------------------------------------
 
   test("catalog: create/alter/show/drop with Paimon-style options") {

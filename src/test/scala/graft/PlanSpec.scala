@@ -124,6 +124,27 @@ class PlanSpec extends AnyFunSuite {
       s"weighted sampling must not shuffle data: $exchanges")
   }
 
+  test("q_ext_unigram_logprob explodes the corpus exactly once") {
+    val df = SparkEntry.queries("q_ext_unigram_logprob")(spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val initialSplit = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initialSplit >= 0) p.substring(0, initialSplit) else p
+    // one Generate (explode) node: freq, total and the per-doc sums all
+    // derive from the single per-(doc,word) count frame
+    val generates = "Generate explode".r.findAllIn(finalPlan).toList
+    assert(generates.length == 1, s"expected one explode: ${generates.length}")
+  }
+
+  test("q_ext_doc_chunks shuffles nothing but the presentation sort") {
+    val df = SparkEntry.queries("q_ext_doc_chunks")(spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking must be map-only: $exchanges")
+  }
+
   test("q_ext_sessionize shares ONE user_id shuffle across windows and the aggregate") {
     val df = SparkEntry.queries("q_ext_sessionize")(spark, SparkFixture.sf)
     df.collect()
