@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QDef, Tables}
+import graft.{QDef, Tables, X}
 import org.apache.spark.sql.functions._
 
 /** Composed analytical queries (TPC-H Q3/Q5 shapes): multi-way joins +
@@ -96,6 +96,32 @@ object Analytical {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(24,4)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // Q18 shape: large-volume orders (HAVING over an exact quantity sum).
+    // The HAVING evaluates on exact integer cents (identical to the
+    // oracle's DECIMAL comparison), so the qualifying-order set can never
+    // differ by an ulp; the big-order frame shrinks drastically before the
+    // joins, which AQE then broadcasts.
+    QDef(
+      "q_tpch_q18_shape",
+      """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(X.cents(col("l_quantity"))).as("qc"))
+        .filter(col("qc") > 15000L)
+        .select(col("l_orderkey"), (col("qc") / 100.0).as("total_qty"))
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      big.join(o, o("o_orderkey") === big("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)
     },
   )

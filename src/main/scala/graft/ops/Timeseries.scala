@@ -213,10 +213,10 @@ object Timeseries {
         |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
         |       FROM events),
         |b AS (SELECT rk.event_type,
-        |        min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
-        |        min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi
+        |        min(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+        |        min(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
         |      FROM rk JOIN st ON rk.event_type = st.event_type
-        |      WHERE rn = CAST(ceil(0.05 * n) AS BIGINT) OR rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
         |      GROUP BY 1)
         |SELECT e.event_type, b.lo, b.hi,
         |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
@@ -228,8 +228,11 @@ object Timeseries {
       val st = e.groupBy("event_type").agg(count(lit(1)).as("n"))
       val rk = e.withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
-      val k05 = ceil(lit(0.05) * col("n"))
-      val k95 = ceil(lit(0.95) * col("n"))
+      // ⌈q·n⌉ in PURE INTEGER arithmetic — DuckDB types 0.05 as exact
+      // DECIMAL while Spark's double 0.05·n can land an ulp above an
+      // integer, shifting ceil by one whenever n is a multiple of 20
+      val k05 = expr("(5 * n + 99) div 100")
+      val k95 = expr("(95 * n + 99) div 100")
       val bounds = rk.join(broadcast(st), Seq("event_type"))
         .filter(col("rn") === k05 || col("rn") === k95)
         .groupBy("event_type")
