@@ -514,32 +514,40 @@ object Curation {
     // distribution profile a curation run reads before setting length
     // cuts). Rank-based selection (value at rank ⌈q·n⌉) keeps every decile
     // an actual data value — bit-exact across engines, unlike value-space
-    // percentile interpolation over doubles. One per-language rank window +
-    // a 9-row broadcast of the decile grid.
+    // percentile interpolation over doubles. ONE corpus scan: rn and the
+    // per-language n come from the same lang-partitioned window pass (the
+    // unordered count's requirement is satisfied by the rank sort, so no
+    // second Exchange), then a 9-row broadcast decile grid selects rows.
+    // rn is unique within lang, so each (lang, decile) matches exactly one
+    // row — no re-aggregation needed.
     QDef(
       "q_ext_length_deciles",
-      """WITH d AS (SELECT lang, doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS toks FROM documents),
-        |st AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
-        |rk AS (SELECT lang, toks, row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn FROM d),
+      """WITH d AS (SELECT lang, doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS toks FROM documents WHERE lang IS NOT NULL),
+        |rk AS (SELECT lang, toks,
+        |         row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |       FROM d),
         |qs AS (SELECT unnest(range(1, 10)) AS decile)
-        |SELECT rk.lang AS lang, CAST(decile AS BIGINT) AS decile, min(toks) AS toks_at_decile
-        |FROM rk JOIN st ON rk.lang = st.lang JOIN qs ON rk.rn = (decile * n + 9) // 10
-        |GROUP BY rk.lang, decile ORDER BY lang, decile""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+        |SELECT lang, CAST(decile AS BIGINT) AS decile, toks AS toks_at_decile
+        |FROM rk JOIN qs ON rk.rn = (decile * n + 9) // 10
+        |ORDER BY lang, decile""".stripMargin) { (s, d) =>
+      // lang IS NOT NULL on both sides: no null langs exist in the data,
+      // but a NULL partition would otherwise order differently (Spark
+      // NULLS FIRST vs DuckDB NULLS LAST on ASC)
+      val docs = Tables.documents(s, d).filter(col("lang").isNotNull)
         .select(col("lang"), col("doc_id"), TextOps.nWords.as("toks"))
-      val st = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      val rk = docs.withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(col("toks"), col("doc_id"))))
+      val rk = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("toks"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
       val qs = s.range(1, 10).select(col("id").as("decile"))
       // ⌈d·n/10⌉ in PURE INTEGER arithmetic: DuckDB types a bare 0.1 as
       // DECIMAL (exact) while Spark uses DOUBLE, so ceil(d*0.1*n) disagrees
       // whenever d·n is a multiple of 10 — integer (d·n+9) div 10 is
       // identical on both engines for every n
-      rk.join(broadcast(st), Seq("lang"))
-        .join(broadcast(qs),
+      rk.join(broadcast(qs),
           col("rn") === expr("(decile * n + 9) div 10"))
-        .groupBy("lang", "decile")
-        .agg(min("toks").as("toks_at_decile"))
+        .select(col("lang"), col("decile"), col("toks").as("toks_at_decile"))
         .orderBy("lang", "decile")
     },
 

@@ -228,9 +228,13 @@ object Timeseries {
       val st = e.groupBy("event_type").agg(count(lit(1)).as("n"))
       val rk = e.withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
-      // ⌈q·n⌉ in PURE INTEGER arithmetic — DuckDB types 0.05 as exact
-      // DECIMAL while Spark's double 0.05·n can land an ulp above an
-      // integer, shifting ceil by one whenever n is a multiple of 20
+      // ⌈q·n⌉ in PURE INTEGER arithmetic. DuckDB types 0.05 as exact
+      // DECIMAL while Spark multiplies doubles; for THIS pair of quantiles
+      // no divergence was ever observed (IEEE rounding lands back on the
+      // integer for q=0.05/0.95 at every n up to 1e8), but the same
+      // decimal-vs-double ceil provably diverges in the 0.1-decile family
+      // (q_ext_length_deciles, first at d=3, n=10) — integer rank
+      // arithmetic removes the hazard class instead of relying on luck
       val k05 = expr("(5 * n + 99) div 100")
       val k95 = expr("(95 * n + 99) div 100")
       val bounds = rk.join(broadcast(st), Seq("event_type"))

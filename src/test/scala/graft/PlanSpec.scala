@@ -158,4 +158,22 @@ class PlanSpec extends AnyFunSuite {
     val hashesFinal = "Exchange hashpartitioning\\(user_id".r.findAllIn(finalPlan).toList
     assert(hashesFinal.length == 1, s"expected one user_id exchange: $hashesFinal")
   }
+
+  test("q_ext_length_deciles: one corpus scan, one lang exchange, broadcast grid") {
+    val df = SparkEntry.queries("q_ext_length_deciles")(spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val initialSplit = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initialSplit >= 0) p.substring(0, initialSplit) else p
+    // rn and the per-lang count come from the same window pass: documents
+    // is scanned once, and the only hash exchange is hashpartitioning(lang)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).toList
+    assert(scans.length == 1, s"expected one documents scan: ${scans.length}")
+    val hashes = "Exchange hashpartitioning\\(\\S+".r.findAllIn(finalPlan).toList
+    assert(hashes.length == 1 && hashes.head.contains("lang"),
+      s"expected exactly one lang exchange: $hashes")
+    // the 9-row decile grid broadcasts; the corpus side never re-shuffles
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2000))
+  }
 }
