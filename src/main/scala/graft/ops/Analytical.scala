@@ -124,5 +124,65 @@ object Analytical {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)
     },
+
+    // Q1 shape: the full pricing summary (8 aggregates incl. the
+    // disc-price and charge decimal products and three exact averages) —
+    // the canonical scan→partial-agg→4-group-final plan. 2-decimal sums go
+    // through long cents (X.dsum, codegen long adds); the 4- and 6-decimal
+    // products sum as exact DECIMAL like Q3/Q5's revenue (both engines
+    // compute the identical IEEE double product, round it to the same
+    // decimal once, and sum exactly); averages divide the exact sum by the
+    // group count as the single double rounding.
+    QDef(
+      "q_tpch_q1_shape",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val n = count(lit(1))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp_ntz(lit("2001-08-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          X.dsum(col("l_quantity")).as("sum_qty"),
+          X.dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+               (lit(1) + col("l_tax")))
+            .cast("decimal(30,6)")).cast("double").as("sum_charge"),
+          (X.dsum(col("l_quantity")) / n).as("avg_qty"),
+          (X.dsum(col("l_extendedprice")) / n).as("avg_price"),
+          (X.dsum(col("l_discount")) / n).as("avg_disc"),
+          n.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q6 shape: forecast-revenue-change — three range predicates that all
+    // push into the parquet scan (PushedFilters on shipdate/discount/
+    // quantity prune row groups before any row materializes; at 100 TB the
+    // scan is the whole query) followed by one global exact product sum.
+    QDef(
+      "q_tpch_q6_shape",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1999-01-01")) &&
+          col("l_shipdate") < to_timestamp_ntz(lit("2000-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(24,4)")).cast("double").as("revenue"))
+    },
   )
 }

@@ -159,6 +159,19 @@ class PlanSpec extends AnyFunSuite {
     assert(hashesFinal.length == 1, s"expected one user_id exchange: $hashesFinal")
   }
 
+  test("q_tpch_q6_shape pushes all three range predicates into the scan") {
+    val p = plan("q_tpch_q6_shape")
+    // shipdate window, discount band and quantity cap must all reach the
+    // parquet reader — at 100 TB the row-group pruning IS the query
+    assert(p.contains("PushedFilters"), p.take(2000))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity")) {
+      val pushed = p.substring(p.indexOf("PushedFilters"))
+      assert(pushed.take(400).contains(c), s"$c not pushed: ${pushed.take(400)}")
+    }
+    // column pruning: only the 4 referenced columns are read
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"))
+  }
+
   test("q_ext_length_deciles: one corpus scan, one lang exchange, broadcast grid") {
     val df = SparkEntry.queries("q_ext_length_deciles")(spark, SparkFixture.sf)
     df.collect()
