@@ -14,7 +14,7 @@ object SparkEntry {
   /** All declared queries, in registry order. */
   def registry: Seq[QDef] =
     Scans.all ++ Joins.all ++ Aggs.all ++ Windows.all ++ SetOps.all ++
-      Funcs.all ++ Udfs.all ++ Analytical.all ++ Ext.all ++ Pipeline.all ++
+      Funcs.all ++ Udfs.all ++ Analytical.all ++ Tpch.all ++ Ext.all ++ Pipeline.all ++
       Curation.all ++ Timeseries.all ++
       graft.multimodal.Multimodal.all ++ graft.sources.Datagen.all ++
       graft.streaming.StreamOps.all

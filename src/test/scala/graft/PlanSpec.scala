@@ -189,4 +189,42 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan.contains("BroadcastHashJoin") ||
       finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2000))
   }
+
+  test("q_tpch_q4_shape runs EXISTS as a semi join, never a row-widening join") {
+    val p = plan("q_tpch_q4_shape")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q_tpch_q22_shape runs NOT EXISTS as an anti join with broadcast scalar") {
+    val p = plan("q_tpch_q22_shape")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // the positive-balance average is ONE broadcast row, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("q_tpch_q19_shape's implied conjuncts prune both scans before the join") {
+    val p = plan("q_tpch_q19_shape")
+    // the OR itself can't push down; its derived prefilters must: brand
+    // IN-list on the part scan, quantity range on the lineitem scan
+    val scans = p.split("Scan parquet").drop(1)
+    assert(scans.exists(s => s.take(600).contains("p_brand")),
+      "brand IN-list not pushed to the part scan: " + p.take(3000))
+    assert(scans.exists(s => s.take(600).contains("l_quantity")),
+      "quantity range not pushed to the lineitem scan: " + p.take(3000))
+  }
+
+  test("q_tpch_q2_shape decorrelates the scalar max via agg+join, not a window") {
+    val p = plan("q_tpch_q2_shape")
+    assert(!p.contains("WindowExec"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_max"),
+      "per-part max must combine map-side: " + p.take(2000))
+  }
+
+  test("q_tpch_q15_shape broadcasts the one-row scalar max") {
+    val p = plan("q_tpch_q15_shape")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("WindowExec"), p.take(2000))
+  }
 }
