@@ -575,5 +575,91 @@ object Curation {
         .select("doc_id", "n_chars", "w16")
         .orderBy("doc_id")
     },
+
+    // Shingle novelty — incremental 8-gram containment against every
+    // earlier document (the "how much of this doc is new text" measure
+    // fuzzy-dedup pipelines rank by). Each shingle OCCURRENCE is charged to
+    // its first-owning doc (min doc_id corpus-wide), so a doc that repeats
+    // its own novel 8-gram still counts it as novel, while any 8-gram seen
+    // in an earlier doc does not. Scale: the only corpus-sized shuffle
+    // carries md5(shingle) 32-hex keys, never shingle text (the
+    // q_ext_exact_dedup discipline); the first-owner map is one row per
+    // distinct shingle, partial-min'd map-side.
+    QDef(
+      "q_ext_shingle_novelty",
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS gh
+        |       FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+        |own AS (SELECT gh, min(doc_id) AS owner FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novel_frac
+        |FROM sh JOIN own USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words.as("ws"))
+        // sequence() DESCENDS when stop < start — short docs must yield
+        // an empty shingle list, not a negative-index walk
+        .select(col("doc_id"), explode(when(size(col("ws")) >= 8,
+          expr("transform(sequence(1, size(ws) - 7), " +
+            "i -> md5(concat_ws(' ', slice(ws, i, 8))))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("gh"))
+      val own = sh.groupBy("gh").agg(min("doc_id").as("owner"))
+      sh.join(own, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novel_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram LM scoring — conditional log-prob avg Σ ln c(w1w2)/c(w1·)
+    // per document, the next step up from q_ext_unigram_logprob's
+    // perplexity proxy (and the same parity discipline: each bigram's
+    // log-prob floor-quantizes ONCE to integer micros, per-doc sums run in
+    // exact longs). The corpus explodes once into per-(doc, bigram) counts;
+    // the bigram and unigram-context tables both aggregate THAT frame, so
+    // everything downstream of the explode is vocab²-sized, not corpus-sized.
+    QDef(
+      "q_ext_bigram_logprob",
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS b
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |dbg AS (SELECT doc_id, w1, b, count(*) AS lf FROM bg GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, b, CAST(SUM(lf) AS BIGINT) AS cnt FROM dbg GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS u FROM cb GROUP BY 1),
+        |lp AS (SELECT b, CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(u AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+        |       FROM cb JOIN cu USING (w1)),
+        |s AS (SELECT doc_id, CAST(SUM(lf) AS BIGINT) AS n_bigrams, CAST(SUM(lf * lp_micro) AS BIGINT) AS lp_sum
+        |      FROM dbg JOIN lp USING (b) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, lp_sum,
+        |       CAST(lp_sum AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dbg = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words.as("ws"))
+        .select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+          expr("transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS w1, " +
+            "concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS b))"))
+          .otherwise(expr(
+            "CAST(array() AS ARRAY<STRUCT<w1: STRING, b: STRING>>)"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+        .groupBy("doc_id", "w1", "b").agg(count(lit(1)).as("lf"))
+      val cb = dbg.groupBy("w1", "b").agg(sum("lf").as("cnt"))
+      val cu = cb.groupBy("w1").agg(sum("cnt").as("u"))
+      val lp = cb.join(cu, Seq("w1"))
+        .select(col("b"), floor(log(col("cnt").cast("double") /
+          col("u").cast("double")) * lit(1000000)).as("lp_micro"))
+      dbg.join(lp, Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("lf").as("n_bigrams"),
+          sum(col("lf") * col("lp_micro")).as("lp_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("lp_sum"),
+          (col("lp_sum").cast("double") / lit(1000000.0) /
+            col("n_bigrams").cast("double")).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
   )
 }
