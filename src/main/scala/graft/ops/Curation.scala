@@ -661,5 +661,121 @@ object Curation {
             col("n_bigrams").cast("double")).as("avg_logprob"))
         .orderBy("doc_id")
     },
+
+    // PageRank over the part↔supplier bipartite graph (distinct lineitem
+    // pairs as undirected edges, both directions materialized) — the link
+    // analysis that ranks "hub" entities, and the second iterative-graph
+    // member beside q_ext_dedup_clusters' connected components. Five fixed
+    // iterations in pure INTEGER micro-rank arithmetic: contrib = pr div
+    // outdeg, pr' = (0.15 + 0.85·Σcontrib) in micros — every step is
+    // integer div/mult/sum, so the result is bit-identical and
+    // order-independent on both engines (no double accumulation anywhere).
+    // Every node has outdeg ≥ 1 (nodes exist only as edge endpoints and the
+    // edge set is symmetric), so there is no dangling mass and every node
+    // re-receives rank each round.
+    //
+    // 100 TB posture: per iteration ONE shuffle join (edges ⋈ ranks on the
+    // integer node id — outdeg is pre-folded onto the edge relation, so no
+    // second join) + one map-side-combined sum; localCheckpoint truncates
+    // the growing lineage each round exactly as the CC loop does. Fixed
+    // iteration count (not a convergence collect) keeps the driver out of
+    // the loop entirely.
+    QDef(
+      "q_ext_pagerank",
+      pagerankSql) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val e0 = li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "id")
+      // fold outdeg onto the edge relation once: each iteration then needs
+      // only the single edges⋈ranks join
+      val edgesD = edges.join(deg, edges("src") === deg("id"))
+        .select(col("src"), col("dst"), col("outdeg"))
+        .localCheckpoint(true)
+      var pr = deg.select(col("id"), lit(1000000L).as("pr"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 5) {
+        pr = edgesD.join(pr, edgesD("src") === pr("id"))
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy("dst")
+          .agg(expr("CAST((15000000 + 85 * sum(c)) div 100 AS BIGINT)").as("pr"))
+          .withColumnRenamed("dst", "id")
+          .localCheckpoint(true)
+      }
+      pr.select(col("id").as("node_id"),
+          expr("CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END").as("node_type"),
+          expr("id div 2").as("key"),
+          col("pr").as("pr_micro"))
+        .orderBy(desc("pr_micro"), col("node_id"))
+        .limit(100)
+    },
+
+    // Blocked Levenshtein near-dup — character-level fuzzy matching, the
+    // edit-distance member of the dedup family (beside shingle/minhash/
+    // simhash token-level and embedding semantic-level). Candidates are
+    // BLOCKED on (lang, n_chars div 10) before any pairwise work — the
+    // classic blocking-key discipline — and the distance runs on a 120-char
+    // prefix so per-pair cost is a constant, not O(len²) on outliers. At
+    // corpus scale the blocking key would add a fingerprint prefix to push
+    // block sizes toward O(1); the pair space is block-bounded, never
+    // all-pairs (the q_ext_ngram_jaccard discipline).
+    //
+    // Two CPU-shape decisions a size-based planner cannot make: (1) the
+    // generated pairs re-spread over defaultParallelism by pair id — the
+    // pair stream is tiny in BYTES but quadratic in CPU, so AQE's size-based
+    // coalescing would otherwise serialize the distance loop onto the few
+    // block-key reducers; (2) the distance is the BOUNDED O(len·k)
+    // levenshtein(l, r, 20) (Ukkonen band), which returns -1 past the
+    // threshold — the kept set and kept values are identical to the
+    // oracle's unbounded filter.
+    QDef(
+      "q_ext_edit_distance",
+      """WITH c AS (SELECT doc_id, lang, n_chars // 10 AS lb,
+        |             substring(text, 1, 120) AS pfx FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.pfx, b.pfx) AS dist
+        |FROM c a JOIN c b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 20
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        expr("n_chars div 10").as("lb"), substring(col("text"), 1, 120).as("pfx"))
+      c.as("a").join(c.as("b"),
+          expr("a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.pfx").as("pa"), col("b.pfx").as("pb"))
+        .repartition(s.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb"), 20).as("dist"))
+        .filter(col("dist") =!= -1)
+        .orderBy("id_a", "id_b")
+    },
   )
+
+  /** DuckDB oracle for q_ext_pagerank: the identical integer micro-rank
+    * recurrence unrolled as chained CTEs (fixed 5 iterations — recursive
+    * CTEs cannot aggregate in the recursive term, and a fixed unroll is the
+    * deterministic contract anyway). */
+  private def pagerankSql: String = {
+    val iters = 5
+    val head =
+      """e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+        |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT e.dst AS id,
+         |  CAST((15000000 + 85 * SUM(p.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN pr${k - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       |SELECT id AS node_id,
+       |  CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       |  id // 2 AS key, pr AS pr_micro
+       |FROM pr$iters ORDER BY pr_micro DESC, node_id LIMIT 100""".stripMargin
+  }
 }

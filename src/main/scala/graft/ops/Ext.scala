@@ -598,5 +598,57 @@ object Ext {
           round(norm2("embedding"), 6).as("vnorm"))
         .orderBy("doc_id")
     },
+
+    // Corpus mean-centering — the cross-row vector reduction every
+    // embedding pipeline runs before PCA/whitening/index training, and the
+    // op a naive implementation gets ORDER-DEPENDENT (a per-dimension
+    // double sum over the corpus differs run-to-run under different
+    // partition merge orders). Here each element's contribution is
+    // floor-quantized ONCE to integer nanos and the 64 per-dimension sums
+    // accumulate as exact longs in a SINGLE aggregation pass (64 agg
+    // exprs, map-side combined — the q_ext_minhash_neardup discipline, not
+    // a dims explode); the 1-row centroid broadcasts back and the per-
+    // vector distance-to-centroid folds left in the fixed dimension order,
+    // so both engines evaluate the identical FP tree bit-for-bit.
+    //
+    // Range: |Σ nanos| ≤ 2^63 needs n·1e9 < 9.2e18 per dimension for
+    // unit-scale elements — ~9e9 vectors; shard the sum past that (the
+    // X.dsum rationale).
+    QDef(
+      "q_ext_embed_center",
+      embedCenterSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val nanoSums = (1 to 64).map { i =>
+        sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
+          lit(1e9)).cast("long")).as(s"s$i")
+      }
+      val g = emb.agg(count(lit(1)).as("n"), nanoSums: _*)
+      val mu = array((1 to 64).map { i =>
+        (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
+      }: _*).as("mu")
+      emb.crossJoin(broadcast(g.select(mu)))
+        .select(col("vec_id"), col("label"),
+          sqrt(expr("aggregate(zip_with(embedding, mu, " +
+            "(x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)), " +
+            "0D, (acc, v) -> acc + v)")).as("dist_center"))
+        .orderBy("vec_id")
+    },
   )
+
+  /** DuckDB oracle for q_ext_embed_center: the same 64 exact nano sums in
+    * one aggregation, the same integer-div means, the same left-fold
+    * distance. */
+  private def embedCenterSql: String = {
+    val sums = (1 to 64).map(i =>
+      s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(", ")
+    val means = (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
+      .mkString("[", ", ", "]")
+    s"""WITH g AS (SELECT count(*) AS n, $sums FROM embeddings),
+       |m AS (SELECT $means AS mu FROM g)
+       |SELECT vec_id, label,
+       |  sqrt(list_sum(list_transform(range(1, 65),
+       |    i -> (CAST(embedding[i] AS DOUBLE) - mu[i]) * (CAST(embedding[i] AS DOUBLE) - mu[i])))) AS dist_center
+       |FROM embeddings, m ORDER BY vec_id""".stripMargin
+  }
 }

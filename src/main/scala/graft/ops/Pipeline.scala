@@ -231,5 +231,58 @@ object Pipeline {
             length(regexp_replace(col("props"), "[0-9]", ""))).as("n_digits"))
         .orderBy("event_id")
     },
+
+    // Column profiling — the per-column completeness/cardinality/range
+    // audit (the ANALYZE-shape data-quality pass every ingest pipeline runs
+    // before training). ALL six columns profile in ONE aggregation pass:
+    // 25 agg expressions over one scan, stacked to rows afterwards — never
+    // six scans. The double column renders min/max through DECIMAL(18,2)
+    // (exact for 2-decimal prices, identical text on both engines); the
+    // timestamp renders in session-UTC. Scale knob: the six exact
+    // count-distincts expand the scan 6-fold (Spark's Expand); at corpus
+    // scale swap them for approx_count_distinct and keep the single pass.
+    QDef(
+      "q_ext_null_profile",
+      """SELECT 'o_custkey' AS col, count(*) AS n_rows, count(o_custkey) AS n_nonnull,
+        |       count(DISTINCT o_custkey) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_v, CAST(max(o_custkey) AS VARCHAR) AS max_v FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(o_orderdate), count(DISTINCT o_orderdate),
+        |       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(o_orderkey), count(DISTINCT o_orderkey),
+        |       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |       min(o_orderpriority), max(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |       min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+        |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      def stats(c: String, suf: String) = Seq(
+        count(col(c)).as(s"nn_$suf"), countDistinct(col(c)).as(s"nd_$suf"),
+        min(col(c)).as(s"mn_$suf"), max(col(c)).as(s"mx_$suf"))
+      val g = o.agg(count(lit(1)).as("n"),
+        (stats("o_orderkey", "ok") ++ stats("o_custkey", "ck") ++
+          stats("o_orderstatus", "os") ++ stats("o_totalprice", "tp") ++
+          stats("o_orderdate", "od") ++ stats("o_orderpriority", "op")): _*)
+      g.selectExpr(
+        """stack(6,
+          |  'o_custkey', n, nn_ck, nd_ck, CAST(mn_ck AS STRING), CAST(mx_ck AS STRING),
+          |  'o_orderdate', n, nn_od, nd_od, CAST(mn_od AS STRING), CAST(mx_od AS STRING),
+          |  'o_orderkey', n, nn_ok, nd_ok, CAST(mn_ok AS STRING), CAST(mx_ok AS STRING),
+          |  'o_orderpriority', n, nn_op, nd_op, mn_op, mx_op,
+          |  'o_orderstatus', n, nn_os, nd_os, mn_os, mx_os,
+          |  'o_totalprice', n, nn_tp, nd_tp,
+          |    CAST(CAST(mn_tp AS DECIMAL(18,2)) AS STRING),
+          |    CAST(CAST(mx_tp AS DECIMAL(18,2)) AS STRING)
+          |) AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)""".stripMargin)
+        .orderBy("col")
+    },
   )
 }

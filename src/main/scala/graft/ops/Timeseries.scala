@@ -269,5 +269,44 @@ object Timeseries {
           X.dsum(col("value")).as("sum_value"))
         .orderBy("bucket")
     },
+
+    // Time-weighted average — each event's value held until the user's next
+    // event (the step-function integral sensor/metric pipelines need, where
+    // the plain mean over-weights bursts). The integrand is EXACT: cents ×
+    // gap-µs products sum as longs (map-side combined), one double division
+    // pair at the end — identical FP both engines. Overflow bound: per-user
+    // Σ(Δµs)·max_cents ≤ observation-window-µs × max_cents — a 30-day
+    // window of ≤10^4-unit values is ~2.6e12·1e6 = 2.6e18 < 2^63; shard
+    // the product sum past that (the X.dsum rationale). One user-keyed
+    // window pass + one user-keyed aggregation; a single-event user's only
+    // row has a NULL gap, so the IS-NOT-NULL filter drops them on both
+    // engines identically.
+    QDef(
+      "q_ext_time_weighted",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |g AS (SELECT user_id, c,
+        |        lead(epoch_us(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) - epoch_us(t) AS d_us
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(SUM(d_us) AS BIGINT) AS total_us,
+        |  CAST(SUM(c * d_us) AS DOUBLE) / CAST(SUM(d_us) AS DOUBLE) / 100.0 AS twa
+        |FROM g WHERE d_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          X.cents(col("value")).as("c"))
+        .withColumn("d_us", lead(us, 1).over(w) - us)
+        .filter(col("d_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"), sum("d_us").as("total_us"),
+          sum(col("c") * col("d_us")).as("swc"))
+        .select(col("user_id"), col("n_intervals"), col("total_us"),
+          (col("swc").cast("double") / col("total_us").cast("double") /
+            lit(100.0)).as("twa"))
+        .orderBy("user_id")
+    },
   )
 }

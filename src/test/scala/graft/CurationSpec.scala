@@ -157,4 +157,36 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.count(_._2 == 2L) == 50, "doc_id<50 groups have size 2")
     assert(rows.forall { case (id, n) => (id < 50) == (n == 2L) })
   }
+
+  test("pagerank: hub suppliers outrank parts; floor holds; deterministic") {
+    val rows = run("q_ext_pagerank").collect()
+    assert(rows.length == 100)
+    // suppliers aggregate hundreds of part edges each (10 suppliers vs 200
+    // parts at sf0.001) — the entire supplier set must head the ranking
+    assert(rows.take(10).forall(_.getString(1) == "supplier"),
+      "a part outranked a supplier hub")
+    // pr = 0.15 + 0.85·Σcontrib ≥ 0.15: the damping floor in micros
+    assert(rows.forall(_.getLong(3) >= 150000L))
+    val prs = rows.map(_.getLong(3))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "not rank-sorted")
+    // integer arithmetic ⇒ identical under different partitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(run("q_ext_pagerank").collect().map(_.toSeq).toSeq ==
+      rows.map(_.toSeq).toSeq)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("edit distance: exact dups at distance 0; blocking keys respected") {
+    val rows = run("q_ext_edit_distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty && rows.exists(_._3 == 0),
+      "the planted exact-dup pairs must collocate in a block at distance 0")
+    assert(rows.forall { case (a, b, d) => a < b && d <= 20 })
+    val meta = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 10").as("lb"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.forall { case (a, b, _) => meta(a) == meta(b) },
+      "a pair escaped its (lang, length-bucket) block")
+  }
 }

@@ -57,6 +57,32 @@ class ModuleSpecs extends AnyFunSuite {
     assert(rows.length <= 10)
   }
 
+  test("embed center: hand-computed nano-quantized centroid distance matches bit-for-bit") {
+    val rows = SparkEntry.queries("q_ext_embed_center")(spark, sf).collect()
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    assert(rows.length == raw.length)
+    // replicate the exact contract in scala: floor-nano per element, long
+    // sums, integer-div means, left-fold double distance — must be == equal
+    val n = raw.length
+    val sums = Array.fill(64)(0L)
+    for ((_, v) <- raw; i <- 0 until 64)
+      sums(i) += math.floor(v(i).toDouble * 1e9).toLong
+    val mu = sums.map(s => (s / n).toDouble / 1e9)
+    val expect = raw.map { case (id, v) =>
+      var acc = 0.0
+      for (i <- 0 until 64) {
+        val d = v(i).toDouble - mu(i); acc += d * d
+      }
+      id -> math.sqrt(acc)
+    }.toMap
+    for (r <- rows)
+      assert(r.getDouble(2) == expect(r.getLong(0)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(2)} != ${expect(r.getLong(0))}")
+    // centered distances of unit vectors stay in (0, 1 + |mu|] ⊂ (0, 2)
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 2))
+  }
+
   test("ANN recall eval: exact set matches brute-force top-k, recall consistent") {
     val r = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
     val (nEx, nIv, nOv, recall) =

@@ -112,4 +112,26 @@ class PipelineSpec extends AnyFunSuite {
         s"$q has a non-sort shuffle: $exchanges")
     }
   }
+
+  test("null profile: one row per column, stats match direct queries") {
+    val o = Tables.orders(spark, sf)
+    val rows = run("q_ext_null_profile").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice"))
+    val n = o.count()
+    for (r <- rows) {
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == n, s"${r.getString(0)}: testdata has no nulls")
+    }
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("o_orderstatus").getLong(3) ==
+      o.select("o_orderstatus").distinct().count())
+    assert(byCol("o_orderkey").getString(4) == "0")
+    assert(byCol("o_orderkey").getString(5) == (n - 1).toString)
+    // the profile is ONE aggregation pass: a single scan in the plan
+    val scans = "Scan parquet".r
+      .findAllIn(run("q_ext_null_profile").queryExecution.executedPlan.toString)
+    assert(scans.size == 1, "profile must not re-scan per column")
+  }
 }

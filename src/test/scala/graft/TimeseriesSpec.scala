@@ -193,4 +193,31 @@ class TimeseriesSpec extends AnyFunSuite {
       assert(a.getDouble(3) > b.getDouble(3) ||
         (a.getDouble(3) == b.getDouble(3) && a.getLong(0) < b.getLong(0)))
   }
+
+  test("time-weighted avg: matches a hand-rolled exact step integral per user") {
+    val rows = run("q_ext_time_weighted").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime]("ts"), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for ((u, evs) <- byUser) {
+      val s = evs.sortBy(e => (e._2, e._3))
+      val us = s.map(e =>
+        e._2.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          e._2.getNano / 1000L)
+      val cents = s.map(e => math.rint(e._4 * 100).toLong)
+      if (s.length < 2) assert(!rows.contains(u), s"single-event user $u kept")
+      else {
+        val gaps = us.zip(us.tail).map { case (a, b) => b - a }
+        val tot = gaps.sum
+        val swc = gaps.zip(cents).map { case (g, c) => g * c }.sum
+        val (nInt, totalUs, twa) = rows(u)
+        assert(nInt == gaps.length && totalUs == tot, s"user $u intervals")
+        assert(twa == swc.toDouble / tot.toDouble / 100.0, s"user $u twa")
+      }
+    }
+  }
 }
