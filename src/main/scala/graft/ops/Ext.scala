@@ -633,7 +633,80 @@ object Ext {
             "0D, (acc, v) -> acc + v)")).as("dist_center"))
         .orderBy("vec_id")
     },
+
+    // K-means (Lloyd's) clustering step over the embedding corpus — seed
+    // with the IVF-style md5-ordered K=8 centroids, assign by argmax dot
+    // (the q_ext_cosine_ivf contract), UPDATE each centroid to its
+    // cluster's exact mean (64 per-dim nano-quantized long sums per
+    // cluster, integer-div means — the q_ext_embed_center contract), then
+    // re-assign against the updated centroids. Every reduction is integer
+    // or argmax, so the full clustering step is bit-deterministic and
+    // oracle-verifiable — the thing a naive double-mean k-means cannot be.
+    //
+    // 100 TB posture: both assignment passes are broadcast(K rows) map-side
+    // argmax (partial max_by before any exchange); the update is one
+    // groupBy(cid) whose 64 long sums combine map-side; nothing
+    // corpus-sized ever shuffles except the K-keyed partial rows. More
+    // Lloyd rounds = repeat the same two stages; K only changes the
+    // broadcast size.
+    QDef(
+      "q_ext_kmeans",
+      kmeansSql) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cent0 = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val a1 = emb.crossJoin(broadcast(cent0))
+        .withColumn("dp", call_function("float_dot", col("embedding"), col("ce")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val nanoSums = (1 to 64).map { i =>
+        sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
+          lit(1e9)).cast("long")).as(s"s$i")
+      }
+      val m1 = a1.groupBy("cid").agg(count(lit(1)).as("n"), nanoSums: _*)
+        .select(col("cid"), array((1 to 64).map { i =>
+          (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
+        }: _*).as("mu"))
+      emb.crossJoin(broadcast(m1))
+        .withColumn("dp", expr("aggregate(zip_with(embedding, mu, " +
+          "(x, m) -> CAST(x AS DOUBLE) * m), 0D, (acc, v) -> acc + v)"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cid"), col("dp")),
+          struct(col("dp"), (-col("cid")).as("nc"))).as("w"))
+        .select(col("vec_id"), col("w.cid").as("cid"),
+          round(col("w.dp"), 6).as("sim"))
+        .orderBy("vec_id")
+    },
   )
+
+  /** DuckDB oracle for q_ext_kmeans: seed selection, argmax assignment,
+    * nano-quantized centroid update and re-assignment — the identical
+    * integer/argmax contract as the Spark program, unrolled as CTEs. */
+  private def kmeansSql: String = {
+    val sums = (1 to 64).map(i =>
+      s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(", ")
+    val means = (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
+      .mkString("[", ", ", "]")
+    val dp2 = "list_sum(list_transform(range(1, 65), i -> CAST(v.embedding[i] AS DOUBLE) * m.mu[i]))"
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |r1 AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (
+       |         PARTITION BY v.vec_id
+       |         ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
+       |       FROM embeddings v, c0 c),
+       |a1 AS (SELECT vec_id, embedding, cid FROM r1 WHERE rn = 1),
+       |m1 AS (SELECT cid, count(*) AS n, $sums FROM a1 GROUP BY cid),
+       |mu AS (SELECT cid, $means AS mu FROM m1),
+       |r2 AS (SELECT v.vec_id, m.cid, $dp2 AS dp, row_number() OVER (
+       |         PARTITION BY v.vec_id ORDER BY $dp2 DESC, m.cid) AS rn
+       |       FROM embeddings v, mu m)
+       |SELECT vec_id, cid, round(dp, 6) AS sim FROM r2 WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB oracle for q_ext_embed_center: the same 64 exact nano sums in
     * one aggregation, the same integer-div means, the same left-fold

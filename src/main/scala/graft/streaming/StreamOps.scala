@@ -561,5 +561,54 @@ object StreamOps {
         .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("n"))
         .orderBy("window_start")
     }},
+
+    // Bounded-increment backlog processing: the events table staged as 8
+    // files, consumed 2 per micro-batch (`maxFilesPerTrigger`) — one
+    // AvailableNow run walks the backlog in ≥4 checkpointed batches, and
+    // the complete-mode aggregation state carries across every batch
+    // boundary. This is the rate-limited catch-up mode a production
+    // continuous pipe restarts in after downtime (the reference's 20 s
+    // commit cadence, guide.md:3, is the same mechanism paced by time);
+    // the final table must equal the plain batch aggregate. StreamSpec
+    // asserts the multi-batch walk on this same code path.
+    QDef(
+      "q_stream_incremental",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) => incrementalCounts(s, d)._1
+    },
   )
+
+  /** Shared by [[q_stream_incremental]] and StreamSpec (which asserts the
+    * batch count): run the 8-file backlog at 2 files/trigger; returns the
+    * final complete-mode aggregate and the number of data batches. */
+  def incrementalCounts(s: SparkSession, d: String): (DataFrame, Int) = {
+    val dir = eventsMultiDir(s, d)
+    val schema = s.read.parquet(dir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+    val agg = stream.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), graft.X.dsum(col("value")).as("sum_value"))
+    withStreamShuffle(s) {
+      val name = s"mem_$fresh"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      (s.table(name).orderBy("event_type"), nBatches)
+    }
+  }
+
+  /** Stage (once per sf dir) the events table as 8 parquet files so the
+    * file source's `maxFilesPerTrigger` has a backlog to walk. */
+  private val stagedMulti = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsMultiDir(s: SparkSession, d: String): String =
+    stagedMulti.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft_events_multi_").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet").repartition(8)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
 }

@@ -83,6 +83,21 @@ class ModuleSpecs extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 2))
   }
 
+  test("kmeans step: every vector assigned, ≤K clusters, partition-invariant") {
+    val rows = SparkEntry.queries("q_ext_kmeans")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    val cids = rows.map(_.getLong(1)).distinct
+    assert(cids.length <= 8, s"${cids.length} clusters from K=8 seeds")
+    // unit-ish vectors against mean centroids: dot stays well inside (-2, 2)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) < 2))
+    // integer/argmax arithmetic ⇒ identical under different partitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(SparkEntry.queries("q_ext_kmeans")(spark, sf).collect()
+      .map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ANN recall eval: exact set matches brute-force top-k, recall consistent") {
     val r = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
     val (nEx, nIv, nOv, recall) =

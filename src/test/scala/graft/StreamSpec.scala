@@ -68,4 +68,18 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("incremental backlog walk: ≥4 rate-limited batches, state carries across") {
+    import org.apache.spark.sql.functions._
+    val (df, nBatches) =
+      graft.streaming.StreamOps.incrementalCounts(spark, SparkFixture.sf)
+    assert(nBatches >= 4, s"8 files at 2/trigger must take ≥4 batches, got $nBatches")
+    val streamed = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = Tables.events(spark, SparkFixture.sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), X.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
