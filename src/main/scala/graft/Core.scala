@@ -75,6 +75,36 @@ object Tables {
   * of unit-scale values. Beyond that, shard the sum or fall back to
   * `sum(cast(x as decimal))`.
   */
+/** Checkpoint lifecycle for iterative loops (connected components,
+  * PageRank): `localCheckpoint(eager)` truncates the growing lineage each
+  * round, but its blocks are NOT in the CacheManager — without cleanup every
+  * superseded round stays pinned in the block manager for the session
+  * lifetime. [[step]] checkpoints a round's frame and frees the blocks of
+  * the round it supersedes, located via the persistent-RDD registry delta
+  * (sound here because the registry callers run rounds sequentially). The
+  * FINAL frame's blocks must never be freed: lineage is truncated, so
+  * eviction would be unrecoverable.
+  */
+object IterCkpt {
+  /** Checkpoint `df` eagerly; after its blocks exist, unpersist the RDDs in
+    * `freeAfter` (the previous round). Returns the checkpointed frame plus
+    * the ids of the RDD blocks this call created. */
+  def step(df: DataFrame, freeAfter: Seq[Int] = Nil): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint(true)
+    val mine = (sc.getPersistentRDDs.keySet -- before).toSeq
+    free(df.sparkSession, freeAfter)
+    (ck, mine)
+  }
+
+  /** Unpersist (non-blocking) previously recorded checkpoint blocks. */
+  def free(s: SparkSession, ids: Seq[Int]): Unit = {
+    val reg = s.sparkContext.getPersistentRDDs
+    for (id <- ids; rdd <- reg.get(id)) rdd.unpersist(false)
+  }
+}
+
 object X {
   /** Exact integer recovery of a ≤`scale`-decimal double — the ONE
     * definition every exact-sum/moment site must share. */

@@ -47,15 +47,15 @@ object Curation {
       val fwd = ids.as("a").join(ids.as("b"),
           expr("b.id = a.id * 2 AND a.id > 0"))
         .select(col("a.id").as("src"), col("b.id").as("dst"))
-      // localCheckpoint (cluster jobs: reliable checkpoint) each round: an
+      // IterCkpt (cluster jobs: reliable checkpoint) each round: an
       // iterative plan that nests its predecessor grows exponentially and
       // blows up analysis long before the DATA is large — truncating the
-      // lineage to the materialized result keeps every round's plan flat
-      val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-      var labels = ids.select(col("id"), col("id").as("comp"))
-        .localCheckpoint(true)
+      // lineage to the materialized result keeps every round's plan flat,
+      // and freeing the superseded round keeps the block manager bounded
+      val (edges, edgeIds) = graft.IterCkpt.step(fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"))))
+      var (labels, labelIds) = graft.IterCkpt.step(
+        ids.select(col("id"), col("id").as("comp")))
       // labels only decrease, so Σcomp strictly decreases until the
       // fixpoint; DECIMAL(38,0) keeps the check exact at any corpus size
       var prevSum: java.math.BigDecimal = null
@@ -67,23 +67,26 @@ object Curation {
         // materialize the hop before the self-join below — a lazy `hop`
         // would embed (and can re-execute) the propagation join + min
         // aggregate on BOTH sides of that join every round
-        val hop = labels.unionByName(prop)
-          .groupBy("id").agg(min("comp").as("comp"))
-          .localCheckpoint(true)
+        val (hop, hopIds) = graft.IterCkpt.step(labels.unionByName(prop)
+          .groupBy("id").agg(min("comp").as("comp")))
         // pointer jumping: follow the label's own label (comp := comp[comp],
         // a label is always a node id) — label distance doubles per round,
         // so convergence takes O(log diameter) rounds instead of O(diameter)
-        labels = hop.as("x")
+        val (lck, lids) = graft.IterCkpt.step(hop.as("x")
           .join(hop.as("y"), col("x.comp") === col("y.id"), "left")
           .select(col("x.id").as("id"),
-            least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp"))
-          .localCheckpoint(true)
+            least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp")),
+          labelIds ++ hopIds)
+        labels = lck
+        labelIds = lids
         val sumNow = labels.agg(sum(col("comp").cast("decimal(38,0)")))
           .head.getDecimal(0)
         converged = prevSum != null && prevSum.compareTo(sumNow) == 0
         prevSum = sumNow
         round += 1
       }
+      // the final labels frame is self-contained — the edges can go
+      graft.IterCkpt.free(s, edgeIds)
       labels.select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     },
@@ -676,10 +679,14 @@ object Curation {
     //
     // 100 TB posture: per iteration ONE shuffle join (edges ⋈ ranks on the
     // integer node id — outdeg is pre-folded onto the edge relation, so no
-    // second join) + one map-side-combined sum; localCheckpoint truncates
-    // the growing lineage each round exactly as the CC loop does. Fixed
+    // second join) + one map-side-combined sum; IterCkpt truncates the
+    // growing lineage each round exactly as the CC loop does AND frees the
+    // superseded round's blocks (only the final frame stays pinned). Fixed
     // iteration count (not a convergence collect) keeps the driver out of
-    // the loop entirely.
+    // the loop entirely. Overflow bound: rank mass is conserved at N·1e6
+    // micros, so a single hub's 85·Σcontrib stays under 2^63 up to ~1e11
+    // nodes; past that, shard the contribution sum hi/lo (the
+    // q_agg_corr_exact discipline) before the 85× scale-up.
     QDef(
       "q_ext_pagerank",
       pagerankSql) { (s, d) =>
@@ -693,19 +700,23 @@ object Curation {
         .withColumnRenamed("src", "id")
       // fold outdeg onto the edge relation once: each iteration then needs
       // only the single edges⋈ranks join
-      val edgesD = edges.join(deg, edges("src") === deg("id"))
-        .select(col("src"), col("dst"), col("outdeg"))
-        .localCheckpoint(true)
-      var pr = deg.select(col("id"), lit(1000000L).as("pr"))
-        .localCheckpoint(true)
+      val (edgesD, edgeIds) = graft.IterCkpt.step(
+        edges.join(deg, edges("src") === deg("id"))
+          .select(col("src"), col("dst"), col("outdeg")))
+      var (pr, prIds) = graft.IterCkpt.step(
+        deg.select(col("id"), lit(1000000L).as("pr")))
       for (_ <- 1 to 5) {
-        pr = edgesD.join(pr, edgesD("src") === pr("id"))
+        val next = edgesD.join(pr, edgesD("src") === pr("id"))
           .select(col("dst"), expr("pr div outdeg").as("c"))
           .groupBy("dst")
           .agg(expr("CAST((15000000 + 85 * sum(c)) div 100 AS BIGINT)").as("pr"))
           .withColumnRenamed("dst", "id")
-          .localCheckpoint(true)
+        val (ck, ids) = graft.IterCkpt.step(next, prIds)
+        pr = ck
+        prIds = ids
       }
+      // the final frame is checkpointed — it no longer reads the edges
+      graft.IterCkpt.free(s, edgeIds)
       pr.select(col("id").as("node_id"),
           expr("CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END").as("node_type"),
           expr("id div 2").as("key"),

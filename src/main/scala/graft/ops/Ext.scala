@@ -52,6 +52,28 @@ object Ext {
   private def duckNorm(a: String): String =
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
+  /** The ONE exact vector-mean quantization contract (q_ext_embed_center +
+    * q_ext_kmeans, both engines): each element floor-quantized to integer
+    * NANOS, 64 per-dimension long sums (named s1..s64, map-side combined),
+    * means recovered by integer div over a count column named `n`. Any
+    * change here must change all four faces together — that is the point
+    * of sharing them. */
+  private def nanoSumExprs: Seq[org.apache.spark.sql.Column] =
+    (1 to 64).map { i =>
+      sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
+        lit(1e9)).cast("long")).as(s"s$i")
+    }
+  private def muArrayExpr: org.apache.spark.sql.Column =
+    array((1 to 64).map { i =>
+      (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
+    }: _*)
+  private def duckNanoSums: String = (1 to 64).map(i =>
+    s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
+    .mkString(", ")
+  private def duckNanoMeans: String =
+    (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
+      .mkString("[", ", ", "]")
+
   /** Shared IVF index construction (q_ext_cosine_ivf + the q_ext_ann_recall
     * family at every probe count): 8 md5-ordered centroid vectors; every
     * vector assigned to its argmax-dot cell; the vec_id=0 query resolves its
@@ -618,14 +640,8 @@ object Ext {
       "q_ext_embed_center",
       embedCenterSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val nanoSums = (1 to 64).map { i =>
-        sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
-          lit(1e9)).cast("long")).as(s"s$i")
-      }
-      val g = emb.agg(count(lit(1)).as("n"), nanoSums: _*)
-      val mu = array((1 to 64).map { i =>
-        (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
-      }: _*).as("mu")
+      val g = emb.agg(count(lit(1)).as("n"), nanoSumExprs: _*)
+      val mu = muArrayExpr.as("mu")
       emb.crossJoin(broadcast(g.select(mu)))
         .select(col("vec_id"), col("label"),
           sqrt(expr("aggregate(zip_with(embedding, mu, " +
@@ -662,14 +678,8 @@ object Ext {
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
           first(col("embedding")).as("embedding"))
-      val nanoSums = (1 to 64).map { i =>
-        sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
-          lit(1e9)).cast("long")).as(s"s$i")
-      }
-      val m1 = a1.groupBy("cid").agg(count(lit(1)).as("n"), nanoSums: _*)
-        .select(col("cid"), array((1 to 64).map { i =>
-          (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
-        }: _*).as("mu"))
+      val m1 = a1.groupBy("cid").agg(count(lit(1)).as("n"), nanoSumExprs: _*)
+        .select(col("cid"), muArrayExpr.as("mu"))
       emb.crossJoin(broadcast(m1))
         .withColumn("dp", expr("aggregate(zip_with(embedding, mu, " +
           "(x, m) -> CAST(x AS DOUBLE) * m), 0D, (acc, v) -> acc + v)"))
@@ -686,11 +696,8 @@ object Ext {
     * nano-quantized centroid update and re-assignment — the identical
     * integer/argmax contract as the Spark program, unrolled as CTEs. */
   private def kmeansSql: String = {
-    val sums = (1 to 64).map(i =>
-      s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
-      .mkString(", ")
-    val means = (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
-      .mkString("[", ", ", "]")
+    val sums = duckNanoSums
+    val means = duckNanoMeans
     val dp2 = "list_sum(list_transform(range(1, 65), i -> CAST(v.embedding[i] AS DOUBLE) * m.mu[i]))"
     s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
@@ -712,11 +719,8 @@ object Ext {
     * one aggregation, the same integer-div means, the same left-fold
     * distance. */
   private def embedCenterSql: String = {
-    val sums = (1 to 64).map(i =>
-      s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
-      .mkString(", ")
-    val means = (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
-      .mkString("[", ", ", "]")
+    val sums = duckNanoSums
+    val means = duckNanoMeans
     s"""WITH g AS (SELECT count(*) AS n, $sums FROM embeddings),
        |m AS (SELECT $means AS mu FROM g)
        |SELECT vec_id, label,

@@ -90,15 +90,20 @@ object StreamOps {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink; return the
-    * materialized table. */
-  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame =
+    * materialized table plus the finished query handle (for callers that
+    * inspect progress, e.g. [[incrementalCounts]]'s batch count). */
+  private def runToMemoryQ(s: SparkSession, df: DataFrame, mode: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) =
     withStreamShuffle(s) {
       val name = s"mem_$fresh"
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name)
+      (s.table(name), q)
     }
+
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame =
+    runToMemoryQ(s, df, mode)._1
 
   /** Append-only streaming scan with the changelog op column (+I), rendered
     * through a real streaming job (reference 2A#19). */
@@ -590,14 +595,8 @@ object StreamOps {
       .option("maxFilesPerTrigger", "2").parquet(dir)
     val agg = stream.groupBy("event_type")
       .agg(count(lit(1)).as("n"), graft.X.dsum(col("value")).as("sum_value"))
-    withStreamShuffle(s) {
-      val name = s"mem_$fresh"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val nBatches = q.recentProgress.count(_.numInputRows > 0)
-      (s.table(name).orderBy("event_type"), nBatches)
-    }
+    val (tbl, q) = runToMemoryQ(s, agg, "complete")
+    (tbl.orderBy("event_type"), q.recentProgress.count(_.numInputRows > 0))
   }
 
   /** Stage (once per sf dir) the events table as 8 parquet files so the
