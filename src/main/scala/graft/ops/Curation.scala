@@ -694,30 +694,8 @@ object Curation {
       val e0 = li.select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .withColumnRenamed("src", "id")
-      // fold outdeg onto the edge relation once: each iteration then needs
-      // only the single edges⋈ranks join
-      val (edgesD, edgeIds) = graft.IterCkpt.step(
-        edges.join(deg, edges("src") === deg("id"))
-          .select(col("src"), col("dst"), col("outdeg")))
-      var (pr, prIds) = graft.IterCkpt.step(
-        deg.select(col("id"), lit(1000000L).as("pr")))
-      for (_ <- 1 to 5) {
-        val next = edgesD.join(pr, edgesD("src") === pr("id"))
-          .select(col("dst"), expr("pr div outdeg").as("c"))
-          .groupBy("dst")
-          .agg(expr("CAST((15000000 + 85 * sum(c)) div 100 AS BIGINT)").as("pr"))
-          .withColumnRenamed("dst", "id")
-        val (ck, ids) = graft.IterCkpt.step(next, prIds)
-        pr = ck
-        prIds = ids
-      }
-      // the final frame is checkpointed — it no longer reads the edges
-      graft.IterCkpt.free(s, edgeIds)
-      pr.select(col("id").as("node_id"),
+      pageRankMicro(e0, iters = 5)
+        .select(col("id").as("node_id"),
           expr("CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END").as("node_type"),
           expr("id div 2").as("key"),
           col("pr").as("pr_micro"))
@@ -765,6 +743,42 @@ object Curation {
         .orderBy("id_a", "id_b")
     },
   )
+
+  /** The PageRank recurrence shared by q_ext_pagerank and PropertySpec's
+    * random-graph reference check. Input: a DIRECTED distinct edge frame
+    * (src, dst); the symmetric closure is materialized here. Output:
+    * (id, pr) integer micro-ranks after `iters` rounds of
+    * pr' = (15000000 + 85·Σ(pr div outdeg)) div 100. Per round: ONE
+    * shuffle join (outdeg pre-folded onto the edges) + a map-side-combined
+    * long sum; IterCkpt truncates lineage and frees superseded rounds. */
+  def pageRankMicro(e0: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = e0.sparkSession
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "id")
+    // fold outdeg onto the edge relation once: each iteration then needs
+    // only the single edges⋈ranks join
+    val (edgesD, edgeIds) = graft.IterCkpt.step(
+      edges.join(deg, edges("src") === deg("id"))
+        .select(col("src"), col("dst"), col("outdeg")))
+    var (pr, prIds) = graft.IterCkpt.step(
+      deg.select(col("id"), lit(1000000L).as("pr")))
+    for (_ <- 1 to iters) {
+      val next = edgesD.join(pr, edgesD("src") === pr("id"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(expr("CAST((15000000 + 85 * sum(c)) div 100 AS BIGINT)").as("pr"))
+        .withColumnRenamed("dst", "id")
+      val (ck, ids) = graft.IterCkpt.step(next, prIds)
+      pr = ck
+      prIds = ids
+    }
+    // the final frame is checkpointed — it no longer reads the edges
+    graft.IterCkpt.free(s, edgeIds)
+    pr
+  }
 
   /** DuckDB oracle for q_ext_pagerank: the identical integer micro-rank
     * recurrence unrolled as chained CTEs (fixed 5 iterations — recursive

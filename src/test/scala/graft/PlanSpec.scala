@@ -227,4 +227,34 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
     assert(!p.contains("WindowExec"), p.take(2000))
   }
+
+  test("q_ext_edit_distance: block-keyed equi pair-gen, then CPU-spread repartition") {
+    val p = plan("q_ext_edit_distance")
+    // pair generation must be an equi-join on the blocking key — a
+    // cartesian/BNL here would be the all-pairs plan the blocking exists
+    // to prevent
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the explicit pair-id repartition survives to the physical plan (the
+    // distance loop's CPU is invisible to AQE's size-based coalescing)
+    assert("Exchange hashpartitioning\\(id_a".r.findFirstIn(p).isDefined,
+      "missing the CPU-spreading pair repartition: " + p.take(2000))
+  }
+
+  test("q_ext_embed_center: map-side-combined nano sums, centroid broadcast back") {
+    val p = plan("q_ext_embed_center")
+    assert(p.toLowerCase.contains("partial_sum"), p.take(2000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row centroid must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_ext_kmeans: broadcast argmax assignment, no corpus-sized join") {
+    val p = plan("q_ext_kmeans")
+    assert(!p.contains("SortMergeJoin"),
+      "assignment must be broadcast-K, never a shuffle join: " + p.take(2000))
+    assert(p.toLowerCase.contains("partial_max_by") ||
+      p.toLowerCase.contains("partial_finalmax"),
+      "argmax must combine map-side: " + p.take(3000))
+  }
 }

@@ -73,6 +73,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankMicro ≡ in-memory integer recurrence on random graphs") {
+    val pairGen: Gen[List[(Long, Long)]] = Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 25L)
+      b <- Gen.choose(0L, 25L) if a != b
+    } yield (a, b))
+    for (seed <- 1L to 3L) {
+      val e0 = pairGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      // reference: the exact recurrence over the symmetric closure
+      val sym = e0 ++ e0.map { case (a, b) => (b, a) }
+      val outdeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      var ref = outdeg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 4) {
+        val contrib = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s, d) <- sym) contrib(d) += ref(s) / outdeg(s)
+        ref = contrib.map { case (id, c) => id -> (15000000L + 85L * c) / 100L }.toMap
+      }
+      val got = graft.ops.Curation.pageRankMicro(
+        e0.toDF("src", "dst"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"seed $seed")
+    }
+  }
+
   test("exact dedup output has unique doc_ids (projection property)") {
     val d1 = SparkEntry.queries("q_ext_exact_dedup")(spark, SparkFixture.sf)
     val ids1 = d1.select("doc_id").collect().map(_.getLong(0)).toSet
