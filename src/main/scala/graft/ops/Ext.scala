@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Shared text-shape expressions: ONE definition of tokenization/shingling so
   * dedup, decontamination and packing can never silently diverge on what a
   * "word" or an "n-gram" is. */
-private[ops] object TextOps {
+private[graft] object TextOps {
   import org.apache.spark.sql.Column
 
   /** Distinct word n-gram shingles of a pre-split array column named `ws`. */

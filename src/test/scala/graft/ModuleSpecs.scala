@@ -83,6 +83,31 @@ class ModuleSpecs extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 2))
   }
 
+  test("CurationFlow: stage survivors agree with the oracle-verified registry ops") {
+    val (packed, counts) = graft.examples.CurationFlow.run(spark, sf)
+    val byStage = counts.toMap
+    // monotone shrink through the funnel, nothing degenerates to zero
+    assert(byStage("raw") >= byStage("deduped"))
+    assert(byStage("deduped") >= byStage("quality_gated"))
+    assert(byStage("quality_gated") >= byStage("decontaminated"))
+    assert(byStage("decontaminated") >= byStage("train") && byStage("train") > 0)
+    assert(byStage("packed") == byStage("train"))
+    // cross-check stage 3 against the standalone decontamination query:
+    // every clean doc must be uncontaminated there too
+    val contaminated = SparkEntry.queries("q_ext_contamination")(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(packedIds.intersect(contaminated).isEmpty,
+      "a contaminated doc survived the flow")
+    // packing invariant: offsets strictly increase with doc_id, bins monotone
+    val rows = packed.collect()
+    val offs = rows.map(_.getLong(2))
+    assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
+    val bins = rows.map(_.getLong(3))
+    assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+  }
+
   test("kmeans step: every vector assigned, ≤K clusters, partition-invariant") {
     val rows = SparkEntry.queries("q_ext_kmeans")(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())
