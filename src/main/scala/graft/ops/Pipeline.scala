@@ -166,29 +166,38 @@ object Pipeline {
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 4096 AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // Shard key must be MONOTONE in doc_id so concatenating shards in
-      // shard order replays the global doc order. The width ADAPTS to the
-      // corpus (≤ ~8k shards at any size): a constant width would make the
-      // shard-offsets relation corpus-proportional and sneak the
-      // single-task bottleneck back in through the offsets window. Output
-      // is width-invariant (same global cumsum either way); the count() is
-      // a parquet-metadata read, not a scan.
-      val width = math.max(1024L, Tables.documents(s, d).count() / 8192L)
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.nWords.as("n_tokens"))
-        .withColumn("shard", expr(s"doc_id div $width"))
-      val wIntra = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = toks.groupBy("shard").agg(sum("n_tokens").as("shard_total"))
-        .withColumn("shard_off", coalesce(sum("shard_total").over(wShard), lit(0L)))
-        .select("shard", "shard_off")
-      toks.withColumn("cum", sum("n_tokens").over(wIntra))
-        .join(broadcast(offsets), Seq("shard"))
-        .withColumn("start_offset", col("cum") - col("n_tokens") + col("shard_off"))
-        .withColumn("bin_id", expr("start_offset div 4096"))
-        .select("doc_id", "n_tokens", "start_offset", "bin_id")
-        .orderBy("doc_id")
+      packAssignments(s, d).orderBy("doc_id")
+    },
+
+    // Materialize the packed training sequences — the step after bin
+    // ASSIGNMENT: each bin's documents concatenate in doc order into one
+    // training row (emitted here as the md5 of the packed text plus exact
+    // token/doc counts, so the dump stays small while pinning the content
+    // byte-for-byte). The body shuffle is keyed by bin_id, and a bin's
+    // payload is CAPACITY-BOUNDED (4096 tokens + one overflow doc), so the
+    // per-group state can never grow with the corpus — the collect_list
+    // here is safe where a per-bucket collect_list in dedup was not.
+    QDef(
+      "q_ext_pack_concat",
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_offset
+        |  FROM t)
+        |SELECT start_offset // 4096 AS bin_id, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_md5
+        |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin) { (s, d) =>
+      packAssignments(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "text"), Seq("doc_id"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)")))
+            .as("content_md5"))
+        .orderBy("bin_id")
     },
 
     // Quality-percentile filter: keep each language's top half by length —
@@ -285,4 +294,33 @@ object Pipeline {
         .orderBy("col")
     },
   )
+
+  /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing and
+    * q_ext_pack_concat: (doc_id, n_tokens, start_offset, bin_id).
+    *
+    * Shard key must be MONOTONE in doc_id so concatenating shards in shard
+    * order replays the global doc order. The width ADAPTS to the corpus
+    * (≤ ~8k shards at any size): a constant width would make the
+    * shard-offsets relation corpus-proportional and sneak the single-task
+    * bottleneck back in through the offsets window. Output is
+    * width-invariant (same global cumsum either way); the count() is a
+    * parquet-metadata read, not a scan. */
+  private def packAssignments(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val width = math.max(1024L, Tables.documents(s, d).count() / 8192L)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.nWords.as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $width"))
+    val wIntra = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("shard").agg(sum("n_tokens").as("shard_total"))
+      .withColumn("shard_off", coalesce(sum("shard_total").over(wShard), lit(0L)))
+      .select("shard", "shard_off")
+    toks.withColumn("cum", sum("n_tokens").over(wIntra))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("start_offset", col("cum") - col("n_tokens") + col("shard_off"))
+      .withColumn("bin_id", expr("start_offset div 4096"))
+      .select("doc_id", "n_tokens", "start_offset", "bin_id")
+  }
 }

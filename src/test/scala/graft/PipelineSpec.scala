@@ -113,6 +113,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pack concat: bins contiguous, token totals conserved, capacity respected") {
+    val bins = run("q_ext_pack_concat").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(bins.map(_._1).toSeq == (0L until bins.length).toSeq, "bins not contiguous")
+    val corpusTokens = run("q_ext_seq_packing").collect().map(_.getLong(1)).sum
+    assert(bins.map(_._3).sum == corpusTokens, "token mass lost in packing")
+    // a bin exceeds capacity only by its overflowing last doc: every bin
+    // STARTS below the 4096 boundary, so bin token count < 4096 + max doc
+    val maxDoc = run("q_ext_seq_packing").collect().map(_.getLong(1)).max
+    assert(bins.forall(_._3 < 4096 + maxDoc))
+    assert(bins.forall(b => b._4.length == 32 && b._2 >= 1))
+  }
+
   test("null profile: one row per column, stats match direct queries") {
     val o = Tables.orders(spark, sf)
     val rows = run("q_ext_null_profile").collect()
