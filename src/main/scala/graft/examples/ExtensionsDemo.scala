@@ -31,7 +31,17 @@ object ExtensionsDemo {
         |GROUP BY label ORDER BY label LIMIT 3""".stripMargin)
     tk.show(truncate = false)
     require(tk.count() == 3, "extension-injected topk_pairs must aggregate in SQL")
-    println("extensions OK: float_dot + topk_pairs injected at session build time")
+    // the injected optimizer rule rewrites the natural unbounded
+    // edit-distance predicate to the banded O(len·k) form
+    val lev = spark.sql(
+      """SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+        |WHERE levenshtein(substring(text, 1, 40), substring(text, 2, 40)) <= 10""".stripMargin)
+    val levPlan = lev.queryExecution.optimizedPlan.toString
+    require(levPlan.contains("Some(10)"),
+      s"BoundedLevenshteinRule must fire at session build time:\n$levPlan")
+    lev.show()
+    println("extensions OK: float_dot + topk_pairs + banded-levenshtein rule " +
+      "injected at session build time")
     spark.stop()
   }
 }

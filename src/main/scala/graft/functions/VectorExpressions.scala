@@ -80,5 +80,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKPairs].getName, "topk_pairs"),
       (exprs: Seq[Expression]) => TopKPairs(exprs(0), exprs(1), exprs(2))))
+    // optimizer rule: unbounded levenshtein-threshold predicates rewrite to
+    // the banded O(len·k) form (graft.plans.BoundedLevenshteinRule)
+    e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
   }
 }

@@ -46,4 +46,42 @@ class VectorExprSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no codegen span:\n${plan.take(1000)}")
   }
+
+  test("BoundedLevenshteinRule: banded rewrite fires and preserves every answer") {
+    // parquet-backed (the production case): a filter over a scan cannot be
+    // constant-folded away before the extra optimizer batch runs; nulls
+    // injected on a doc_id stripe to cover null propagation
+    val pairs = Tables.documents(spark, sf).select(
+      when(col("doc_id") % 7 === 0, lit(null)).otherwise(
+        substring(col("text"), 1, 12)).as("a"),
+      substring(col("text"), 5, 12).as("b"))
+    // logical-plan toString renders the threshold as `..., Some(k))`
+    val banded3Arg = """levenshtein\(.*Some\(\d+\)\)""".r
+    def results(q: String) = pairs
+      .filter(expr(q)).selectExpr("coalesce(a,'_')", "coalesce(b,'_')")
+      .collect().map(_.toSeq).toSet
+    val naive = Seq("levenshtein(a, b) <= 2", "levenshtein(a, b) < 3",
+      "2 >= levenshtein(a, b)", "3 > levenshtein(a, b)")
+    val baseline = naive.map(results)
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.BoundedLevenshteinRule)
+    try {
+      // the rewrite must actually fire: every threshold form optimizes to
+      // the 3-arg banded levenshtein
+      for (q <- naive) {
+        val p = pairs.filter(expr(q)).queryExecution.optimizedPlan.toString
+        assert(banded3Arg.findFirstIn(p).isDefined, s"$q did not rewrite:\n$p")
+      }
+      // and every comparison form keeps its exact answer set
+      for ((q, expect) <- naive.zip(baseline))
+        assert(results(q) == expect, q)
+      // guard: negative thresholds stay untouched (already always-false)
+      val negPlan = pairs.filter(expr("levenshtein(a, b) <= -1"))
+        .queryExecution.optimizedPlan.toString
+      assert(banded3Arg.findFirstIn(negPlan).isEmpty, negPlan)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.BoundedLevenshteinRule)
+    }
+  }
 }
