@@ -665,6 +665,39 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Word-entropy quality signal — per-doc Shannon entropy of the word
+    // distribution (lexical diversity: gibberish and boilerplate both sit
+    // at the tails), the fourth scoring member beside unigram/bigram
+    // log-prob and quality_score. Exact-parity trick: H = ln n − (Σ c·ln c)/n
+    // with each ln floor-quantized ONCE to integer micros; the weighted sum
+    // runs in longs and the final subtraction/division is integer — no
+    // double accumulation anywhere (the q_ext_unigram_logprob discipline).
+    // One explode → per-(doc,word) counts → one doc-keyed aggregation.
+    QDef(
+      "q_ext_word_entropy",
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sl
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n,
+        |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) - sl // n AS h_micro,
+        |  CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) - sl // n AS DOUBLE) / 1000000.0 AS entropy
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val lnMicro = floor(log(col("c").cast("double")) * lit(1000000)).cast("long")
+      c.groupBy("doc_id")
+        .agg(sum("c").as("n"), sum(col("c") * lnMicro).as("sl"))
+        .select(col("doc_id"), col("n"),
+          (floor(log(col("n").cast("double")) * lit(1000000)).cast("long") -
+            expr("sl div n")).as("h_micro"))
+        .select(col("doc_id"), col("n"), col("h_micro"),
+          (col("h_micro").cast("double") / lit(1000000.0)).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // PageRank over the part↔supplier bipartite graph (distinct lineitem
     // pairs as undirected edges, both directions materialized) — the link
     // analysis that ranks "hub" entities, and the second iterative-graph

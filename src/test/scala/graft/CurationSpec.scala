@@ -158,6 +158,21 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall { case (id, n) => (id < 50) == (n == 2L) })
   }
 
+  test("word entropy: bounded by ln(n), exact at the all-distinct corner") {
+    val got = run("q_ext_word_entropy").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    val distinctCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(array_distinct(expr(
+        "filter(split(text,' '), x -> x <> '')"))).cast("long").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (n, hMicro, h)) <- got) {
+      assert(hMicro >= 0 && h <= math.log(n.toDouble) + 1e-6, s"doc $id")
+      // all-distinct words ⇒ every c = 1 ⇒ Σ c·ln c = 0 ⇒ H = ln n exactly
+      if (distinctCounts(id) == n)
+        assert(hMicro == math.floor(math.log(n.toDouble) * 1e6).toLong, s"doc $id")
+    }
+  }
+
   test("pagerank: hub suppliers outrank parts; floor holds; deterministic") {
     val rows = run("q_ext_pagerank").collect()
     assert(rows.length == 100)
