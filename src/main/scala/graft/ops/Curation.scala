@@ -665,6 +665,45 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Incremental ingestion dedup — the ongoing-crawl shape: an INCOMING
+    // batch (odd-id docs plus a planted re-crawl of every doc_id < 100)
+    // dedups in two stages against a standing corpus SNAPSHOT (even-id
+    // docs): first within the batch (min-doc_id wins per content hash),
+    // then against the snapshot's hash set. Statuses: 'new',
+    // 'dup_in_batch', 'dup_vs_snapshot'. Scale: both sides shuffle
+    // md5(text) 32-hex keys only (the q_ext_exact_dedup discipline); the
+    // snapshot side is a distinct-hash relation, joined — never collected.
+    QDef(
+      "q_ext_incremental_dedup",
+      """WITH existing AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+        |r AS (SELECT doc_id, md5(text) AS h,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM inc)
+        |SELECT r.doc_id,
+        |  CASE WHEN e.h IS NOT NULL THEN 'dup_vs_snapshot'
+        |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status
+        |FROM r LEFT JOIN existing e ON r.h = e.h
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      val inc = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      inc.select(col("doc_id"), md5(col("text")).as("h"),
+          row_number().over(w).as("rn"))
+        .join(existing.withColumnRenamed("h", "eh"),
+          col("h") === col("eh"), "left")
+        .select(col("doc_id"),
+          when(col("eh").isNotNull, "dup_vs_snapshot")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("new").as("status"))
+        .orderBy("doc_id")
+    },
+
     // Word-entropy quality signal — per-doc Shannon entropy of the word
     // distribution (lexical diversity: gibberish and boilerplate both sit
     // at the tails), the fourth scoring member beside unigram/bigram

@@ -125,6 +125,30 @@ object Datagen {
         .orderBy("event_id")
     },
 
+    // Schema evolution on read (the Paimon `ALTER TABLE ADD COLUMN` story,
+    // 2A#14, on the file layer): two parquet slices written with DIFFERENT
+    // column sets — the old slice before a column existed, the new slice
+    // after another was dropped — merge into one unified schema under
+    // `mergeSchema`, missing columns null-filled per slice. At 100 TB this
+    // is how years of layout drift stay readable without rewriting old
+    // files. The oracle reproduces the per-slice nulls from the base table.
+    QDef(
+      "q_source_schema_merge",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 7500 THEN o_custkey ELSE NULL END AS o_custkey,
+        |  CASE WHEN o_orderkey >= 7500 THEN o_totalprice ELSE NULL END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+      val o = graft.Tables.orders(s, d)
+      o.filter(col("o_orderkey") < 7500).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$out/slice=a")
+      o.filter(col("o_orderkey") >= 7500).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/slice=b")
+      s.read.option("mergeSchema", "true").parquet(s"$out/slice=a", s"$out/slice=b")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // Changelog op rendering (2A#19): streaming results carry a change-type
     // column; an append-only pipe is all '+I' (exactly what the reference's
     // tableau outputs show, Readme.md:113-127).

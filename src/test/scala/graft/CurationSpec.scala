@@ -158,6 +158,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall { case (id, n) => (id < 50) == (n == 2L) })
   }
 
+  test("incremental dedup: planted re-crawl resolves to the right status per side") {
+    val st = run("q_ext_incremental_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = st.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    for (id <- planted) {
+      val base = id - 1000000L
+      // a re-crawled EVEN doc already lives in the snapshot; a re-crawled
+      // ODD doc only collides with its in-batch original (smaller id wins)
+      val expect = if (base % 2 == 0) "dup_vs_snapshot" else "dup_in_batch"
+      assert(st(id) == expect, s"copy of $base: ${st(id)}")
+    }
+    // an original odd doc can never lose the in-batch race: its only
+    // collision partner is its planted copy, which carries the LARGER id
+    assert(st.count(_._2 == "new") > 0)
+    for ((id, s) <- st if id < 1000000L)
+      assert(s != "dup_in_batch", s"original $id lost the in-batch race")
+  }
+
   test("word entropy: bounded by ln(n), exact at the all-distinct corner") {
     val got = run("q_ext_word_entropy").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
