@@ -65,29 +65,36 @@ object CurationFlow {
       when(substring(md5(col("source")), 1, 2) < "1a", "test").otherwise("train"))
     val train = splitDf.filter(col("split") === "train")
 
-    // 5. pack the train half into 4096-token bins (two-pass prefix sum:
-    //    per-shard partitioned cumsum + tiny shard-offsets window)
-    val width = 1024L
-    val toks = train.select(col("doc_id"), nWords.as("n_tokens"))
-      .withColumn("shard", expr(s"doc_id div $width"))
-    val wIntra = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy("shard").agg(sum("n_tokens").as("shard_total"))
-      .withColumn("shard_off", coalesce(sum("shard_total").over(wShard), lit(0L)))
-      .select("shard", "shard_off")
-    val packed = toks.withColumn("cum", sum("n_tokens").over(wIntra))
-      .join(broadcast(offsets), Seq("shard"))
-      .withColumn("start_offset", col("cum") - col("n_tokens") + col("shard_off"))
-      .withColumn("bin", expr("start_offset div 4096"))
-      .select("doc_id", "n_tokens", "start_offset", "bin")
+    // 5. pack the train half into 4096-token bins — the SAME two-pass
+    //    prefix-sum assignment the registry queries use (shared helper, so
+    //    the adaptive shard width cannot drift between the two)
+    val packed = graft.ops.Pipeline.packAssignments(train)
+      .withColumnRenamed("bin_id", "bin")
 
+    // all funnel counts in ONE aggregation job over the flagged frame
+    // (six independent count() actions would recompute the dedup window
+    // and the gram join up to five times each)
+    val flagged = docs
+      .withColumn("is_dedup", row_number().over(keepBest) === 1)
+      .withColumn("is_gated", col("is_dedup") &&
+        nWords.between(10, 300) && meanW.between(2.0, 12.0))
+      .join(contaminatedIds.withColumn("contaminated", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("is_clean", col("is_gated") && col("doc_id") % 97 =!= 0 &&
+        col("contaminated").isNull)
+      .withColumn("is_train", col("is_clean") &&
+        substring(md5(col("source")), 1, 2) >= "1a")
+    val c = flagged.agg(count(lit(1)),
+      sum(when(col("is_dedup"), 1L).otherwise(0L)),
+      sum(when(col("is_gated"), 1L).otherwise(0L)),
+      sum(when(col("is_clean"), 1L).otherwise(0L)),
+      sum(when(col("is_train"), 1L).otherwise(0L))).head
     val counts = Seq(
-      "raw" -> docs.count(),
-      "deduped" -> deduped.count(),
-      "quality_gated" -> gated.count(),
-      "decontaminated" -> clean.count(),
-      "train" -> train.count(),
+      "raw" -> c.getLong(0),
+      "deduped" -> c.getLong(1),
+      "quality_gated" -> c.getLong(2),
+      "decontaminated" -> c.getLong(3),
+      "train" -> c.getLong(4),
       "packed" -> packed.count())
     (packed.orderBy("doc_id"), counts)
   }
@@ -104,7 +111,9 @@ object CurationFlow {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val (packed, counts) = run(spark, sf)
     counts.foreach { case (stage, n) => println(f"$stage%-16s $n%7d docs") }
-    println(s"bins used: ${packed.select(max(col("bin"))).head.getLong(0) + 1}")
+    // coalesce: an all-filtered corpus yields zero packed rows, not an NPE
+    println("bins used: " +
+      packed.select(coalesce(max(col("bin")) + 1, lit(0L))).head.getLong(0))
     spark.stop()
   }
 }

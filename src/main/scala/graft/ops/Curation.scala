@@ -818,7 +818,9 @@ object Curation {
 
   /** The PageRank recurrence shared by q_ext_pagerank and PropertySpec's
     * random-graph reference check. Input: a DIRECTED distinct edge frame
-    * (src, dst); the symmetric closure is materialized here. Output:
+    * (src, dst); the symmetric closure is materialized (and DEDUPED — an
+    * input already containing a reciprocal pair must not double its
+    * edge weight) here. Output:
     * (id, pr) integer micro-ranks after `iters` rounds of
     * pr' = (15000000 + 85·Σ(pr div outdeg)) div 100. Per round: ONE
     * shuffle join (outdeg pre-folded onto the edges) + a map-side-combined
@@ -827,7 +829,7 @@ object Curation {
       : org.apache.spark.sql.DataFrame = {
     val s = e0.sparkSession
     val edges = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .withColumnRenamed("src", "id")
     // fold outdeg onto the edge relation once: each iteration then needs

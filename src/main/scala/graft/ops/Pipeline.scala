@@ -166,7 +166,7 @@ object Pipeline {
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 4096 AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      packAssignments(s, d).orderBy("doc_id")
+      packAssignments(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // Materialize the packed training sequences — the step after bin
@@ -190,7 +190,7 @@ object Pipeline {
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_md5
         |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin) { (s, d) =>
-      packAssignments(s, d)
+      packAssignments(Tables.documents(s, d))
         .join(Tables.documents(s, d).select("doc_id", "text"), Seq("doc_id"))
         .groupBy("bin_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
@@ -295,20 +295,21 @@ object Pipeline {
     },
   )
 
-  /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing and
-    * q_ext_pack_concat: (doc_id, n_tokens, start_offset, bin_id).
+  /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing,
+    * q_ext_pack_concat and examples.CurationFlow: takes any (doc_id, text)
+    * frame, returns (doc_id, n_tokens, start_offset, bin_id).
     *
     * Shard key must be MONOTONE in doc_id so concatenating shards in shard
     * order replays the global doc order. The width ADAPTS to the corpus
     * (≤ ~8k shards at any size): a constant width would make the
     * shard-offsets relation corpus-proportional and sneak the single-task
     * bottleneck back in through the offsets window. Output is
-    * width-invariant (same global cumsum either way); the count() is a
-    * parquet-metadata read, not a scan. */
-  private def packAssignments(s: org.apache.spark.sql.SparkSession, d: String)
+    * width-invariant (same global cumsum either way); the count() on the
+    * raw table is a parquet-metadata read, not a scan. */
+  private[graft] def packAssignments(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val width = math.max(1024L, Tables.documents(s, d).count() / 8192L)
-    val toks = Tables.documents(s, d)
+    val width = math.max(1024L, docs.count() / 8192L)
+    val toks = docs
       .select(col("doc_id"), TextOps.nWords.as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $width"))
     val wIntra = Window.partitionBy("shard").orderBy("doc_id")

@@ -26,6 +26,23 @@ object Datagen {
       out
     })
 
+  /** The two different-schema order slices (pre-ADD-COLUMN / post-DROP),
+    * staged once per sf dir — a fresh temp dir per invocation would leak a
+    * full orders copy every Verify/Bench call. */
+  private val evolvedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evolvedOrdersDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    evolvedDirs.computeIfAbsent(d, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+      val o = graft.Tables.orders(s, d)
+      o.filter(col("o_orderkey") < 7500).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$out/slice=a")
+      o.filter(col("o_orderkey") >= 7500).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/slice=b")
+      out
+    })
+
   val all: Seq[QDef] = Seq(
     // Bounded sequence datagen (sensor_info shape, Readme.md:132-154):
     // sequence key + derived payload columns. Payloads are deterministic
@@ -138,12 +155,7 @@ object Datagen {
         |  CASE WHEN o_orderkey < 7500 THEN o_custkey ELSE NULL END AS o_custkey,
         |  CASE WHEN o_orderkey >= 7500 THEN o_totalprice ELSE NULL END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
-      val o = graft.Tables.orders(s, d)
-      o.filter(col("o_orderkey") < 7500).select("o_orderkey", "o_custkey")
-        .write.mode("overwrite").parquet(s"$out/slice=a")
-      o.filter(col("o_orderkey") >= 7500).select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$out/slice=b")
+      val out = evolvedOrdersDir(s, d)
       s.read.option("mergeSchema", "true").parquet(s"$out/slice=a", s"$out/slice=b")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")

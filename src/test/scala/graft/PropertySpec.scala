@@ -80,8 +80,10 @@ class PropertySpec extends AnyFunSuite {
     } yield (a, b))
     for (seed <- 1L to 3L) {
       val e0 = pairGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
-      // reference: the exact recurrence over the symmetric closure
-      val sym = e0 ++ e0.map { case (a, b) => (b, a) }
+      // reference: the exact recurrence over the DEDUPED symmetric closure
+      // (reciprocal input pairs — present in these random samples — must
+      // not double their edge weight)
+      val sym = (e0 ++ e0.map { case (a, b) => (b, a) }).distinct
       val outdeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
       var ref = outdeg.keys.map(_ -> 1000000L).toMap
       for (_ <- 1 to 4) {
