@@ -32,7 +32,11 @@ object PlanDump {
       "q_ext_edit_distance" -> "Blocked Levenshtein: the self-join exchanges BOTH sides on the (lang, length-bucket) blocking key — pair generation is block-local, never all-pairs; the 120-char prefix bounds per-pair cost.",
       "q_ext_embed_center" -> "Corpus mean-centering: 64 exact nano sums partial-combine map-side into ONE 1-row frame that broadcasts back; the distance pass is map-only over the scan.",
       "q_ext_null_profile" -> "Column profiling: a single scan feeds one 25-expression aggregate (Expand ×6 for the exact count-distincts — the documented scale knob), stacked to rows afterwards.",
-      "q_ext_time_weighted" -> "Time-weighted average: the lead window and the per-user aggregate share ONE hashpartitioning(user_id) exchange; products sum as longs map-side.")
+      "q_ext_time_weighted" -> "Time-weighted average: the lead window and the per-user aggregate share ONE hashpartitioning(user_id) exchange; products sum as longs map-side.",
+      "q_ext_kmeans" -> "K-means step: both assignment passes are broadcast-K map-side argmax (partial max_by before any exchange); the centroid update is one groupBy(cid) whose 64 nano sums combine map-side.",
+      "q_ext_pack_concat" -> "Packed-sequence materialization: the bin-keyed body shuffle is capacity-bounded (4096 tokens + one overflow doc per group), so the collect_list can never grow with the corpus.",
+      "q_ext_incremental_dedup" -> "Incremental ingestion dedup: in-batch winner via an md5-keyed window, then a hash-only left join against the snapshot's distinct-hash relation — document bodies never shuffle.",
+      "q_source_schema_merge" -> "Schema-evolution read: mergeSchema unifies two different-column slices at planning time; each file scan reads only the columns its footer has.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")
