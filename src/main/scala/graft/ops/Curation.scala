@@ -814,6 +814,56 @@ object Curation {
         .filter(col("dist") =!= -1)
         .orderBy("id_a", "id_b")
     },
+
+    // Corpus boilerplate detection (the CCNet/C4 cleaning step): a shingle
+    // that occurs in ≥ 3 DISTINCT documents is boilerplate (headers,
+    // navigation, license blurbs — text repeated across the corpus rather
+    // than within one doc, which is q_ext_repetition_filter's axis, and
+    // unlike q_ext_shingle_novelty's first-owner containment this measures
+    // corpus-wide document frequency). Per doc: distinct-shingle count,
+    // boilerplate-shingle count, fraction, and the keep flag at the C4-ish
+    // 0.5 cutoff. Shingles are the SHARED TextOps 3-gram contract (the
+    // minhash shingling), distinct within doc, so df = document frequency
+    // by construction. The fraction divides two exact longs — both engines
+    // evaluate the identical division, so even the 0.5 boundary is safe.
+    //
+    // 100 TB posture: shuffle keys are md5(shingle) digests (16 B), never
+    // text; the df table aggregates map-side-combined distinct-per-doc
+    // rows; both aggregations are linear in total shingle count. No pair
+    // space anywhere — this is the cheap corpus-level dedup signal that
+    // runs BEFORE the quadratic candidate generators.
+    QDef(
+      "q_ext_boilerplate",
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS gh
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3),
+        |df AS (SELECT gh, count(*) AS df FROM sh GROUP BY gh)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS boiler_frac,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) < 0.5 AS keep
+        |FROM sh JOIN df USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.TextOps.words.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.shingles(3)).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val df = sh.groupBy("gh").agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+            .as("boiler_frac"),
+          (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+            < 0.5 as "keep")
+        .orderBy("doc_id")
+    },
   )
 
   /** The PageRank recurrence shared by q_ext_pagerank and PropertySpec's

@@ -690,6 +690,104 @@ object Ext {
           round(col("w.dp"), 6).as("sim"))
         .orderBy("vec_id")
     },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // cluster the embedding corpus, then prune near-identical vectors
+    // WITHIN each cluster only — the clustering turns an O(N²) all-pairs
+    // cosine scan into K independent O((N/K)²) problems. Keep rule here is
+    // the order-independent "dominated" form (drop v iff some u < v in the
+    // same cluster has cos(u,v) > τ), which unlike the paper's greedy chain
+    // is deterministic under any evaluation order and exactly expressible
+    // in SQL. 25 planted near-copies (vec_id + 1,000,000 = original with
+    // +0.01 on dim 1, cos ≈ 0.9999) verify true dups land in the same
+    // cluster and get dropped; τ = 0.9 is far from the random-pair cosine
+    // mass (|cos| ≲ 0.4 at 64 dims) so the flag is never boundary-sensitive.
+    //
+    // 100 TB posture: K is THE scale knob — SemDeDup runs LAION-scale with
+    // K ≈ 50,000 precisely so N/K stays constant; per-cluster pair count
+    // (and per-task CPU, the q_ext_edit_distance lesson) then stays bounded
+    // while the cluster count supplies the parallelism. Assignment is the
+    // shared broadcast-argmax contract (map-side max_by, K-row broadcast);
+    // only (cid)-keyed rows shuffle for the intra-cluster join.
+    QDef(
+      "q_ext_semdedup",
+      semdedupSql) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
+      def fdot(a: String, b: String) =
+        call_function("float_dot", col(a), col(b))
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // Planted near-copies: +0.01 on dimension 1, double add then one
+      // cast back to float — the identical FP tree as the oracle's CASE.
+      val planted = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> IF(i = 0, " +
+            "CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT), x))").as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val cent = corpus
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val cell = corpus.crossJoin(broadcast(cent))
+        .withColumn("dp", fdot("embedding", "ce"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val l = cell.select(col("cid"), col("vec_id").as("lid"),
+        col("embedding").as("le"))
+      val r = cell.select(col("cid"), col("vec_id").as("rid"),
+        col("embedding").as("re"))
+      val dom = l.join(r, Seq("cid"))
+        .filter(col("lid") < col("rid"))
+        .withColumn("cs", fdot("le", "re") /
+          (sqrt(fdot("le", "le")) * sqrt(fdot("re", "re"))))
+        .filter(col("cs") > 0.9)
+        .groupBy(col("rid").as("vec_id")).agg(min(col("lid")).as("dup_of"))
+      cell.select("vec_id", "cid").join(dom, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+
+    // Distributed power iteration for the corpus' top principal direction —
+    // the first step of PCA/whitening over an embedding table, GRAM-FREE:
+    // v' = (Σᵢ xᵢ·(xᵢ·v)) / n needs only a broadcast of the 64-float v and
+    // ONE map-side-combined aggregation per round (64 long sums), never the
+    // 64×64 covariance matrix and never a corpus shuffle. Two rounds
+    // unrolled from v₀ = (1/8,…,1/8); each per-vector contribution
+    // x_d·(x·v) floor-quantizes ONCE to integer nanos (the
+    // q_ext_embed_center contract) so the reduction is an exact long sum —
+    // bit-deterministic under any partitioning, hence fully oracle-able.
+    // Output: the un-normalized round-2 direction as integer nanos per
+    // dimension (normalization is a driver-side scalar; keeping the raw
+    // longs keeps the contract exact).
+    //
+    // 100 TB posture: per round = K-free broadcast(1 row) + one linear agg;
+    // more rounds (to convergence) repeat the same stage. |Σ nanos| bounds
+    // as in q_ext_embed_center (~9e9 vectors per dim before sharding).
+    QDef(
+      "q_ext_power_iter",
+      powerIterSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("embedding")
+      def powSums: Seq[org.apache.spark.sql.Column] =
+        (1 to 64).map { i =>
+          sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
+            col("dp") * lit(1e9)).cast("long")).as(s"s$i")
+        }
+      // one power-iteration round: dot against the broadcast v, then the
+      // 64 exact nano sums (returns the (n, s1..s64) aggregate row)
+      def round(v: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(v))
+          .withColumn("dp", expr("aggregate(zip_with(embedding, v, " +
+            "(x, m) -> CAST(x AS DOUBLE) * m), 0D, (acc, t) -> acc + t)"))
+          .agg(count(lit(1)).as("n"), powSums: _*)
+      val v0 = s.range(1)
+        .select(array((1 to 64).map(_ => lit(0.125d)): _*).as("v"))
+      val v1 = round(v0).select(muArrayExpr.as("v"))
+      val g2 = round(v1)
+      g2.select(posexplode(
+          array((1 to 64).map(i => expr(s"s$i div n")): _*)))
+        .select(col("pos").cast("long").as("dim"), col("col").as("v_nano"))
+        .orderBy("dim")
+    },
   )
 
   /** DuckDB oracle for q_ext_kmeans: seed selection, argmax assignment,
@@ -713,6 +811,59 @@ object Ext {
        |       FROM embeddings v, mu m)
        |SELECT vec_id, cid, round(dp, 6) AS sim FROM r2 WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for q_ext_power_iter: the identical two unrolled
+    * Gram-free rounds — same left-fold dot, same per-contribution nano
+    * floor-quantization, same integer-div means. */
+  private def powerIterSql: String = {
+    def sums(src: String) = (1 to 64).map(i =>
+      s"CAST(SUM(CAST(floor(CAST($src.embedding[$i] AS DOUBLE) * dp * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(", ")
+    val v0 = (1 to 64).map(_ => "0.125").mkString("[", ", ", "]")
+    val dot0 = s"list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (${v0}::DOUBLE[])[i]))"
+    val dot1 = "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * w.v[i]))"
+    val means = (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
+      .mkString("[", ", ", "]")
+    val nanos = (1 to 64).map(i => s"s$i // n").mkString("[", ", ", "]")
+    s"""WITH d1 AS (SELECT e.embedding, $dot0 AS dp FROM embeddings e),
+       |g1 AS (SELECT count(*) AS n, ${sums("d1")} FROM d1),
+       |v1 AS (SELECT $means AS v FROM g1),
+       |d2 AS (SELECT e.embedding, $dot1 AS dp FROM embeddings e, v1 w),
+       |g2 AS (SELECT count(*) AS n, ${sums("d2")} FROM d2),
+       |a AS (SELECT $nanos AS a FROM g2)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(a[i] AS BIGINT) AS v_nano
+       |FROM a, unnest(range(1, 65)) AS t(i) ORDER BY dim""".stripMargin
+  }
+
+  /** DuckDB oracle for q_ext_semdedup: the same planted corpus, the same
+    * md5-seeded centroids and argmax assignment, the same dominated-pair
+    * rule — every cosine the identical left-fold double tree as FloatDot. */
+  private def semdedupSql: String = {
+    val cos = s"${duckDot("l.embedding", "r.embedding")} / " +
+      s"(${duckNorm("l.embedding")} * ${duckNorm("r.embedding")})"
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(range(1, 65),
+       |    i -> CASE WHEN i = 1
+       |              THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.01 AS FLOAT)
+       |              ELSE embedding[i] END)
+       |  FROM embeddings WHERE vec_id < 25),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM corpus
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |a AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (
+       |        PARTITION BY v.vec_id
+       |        ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
+       |      FROM corpus v, c),
+       |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+       |dom AS (SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of
+       |        FROM cell l JOIN cell r
+       |          ON l.cid = r.cid AND l.vec_id < r.vec_id
+       |        WHERE $cos > 0.9 GROUP BY r.vec_id)
+       |SELECT cell.vec_id, cell.cid, dom.dup_of, dom.dup_of IS NULL AS kept
+       |FROM cell LEFT JOIN dom ON cell.vec_id = dom.vec_id
+       |ORDER BY cell.vec_id""".stripMargin
   }
 
   /** DuckDB oracle for q_ext_embed_center: the same 64 exact nano sums in

@@ -223,4 +223,56 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall { case (a, b, _) => meta(a) == meta(b) },
       "a pair escaped its (lang, length-bucket) block")
   }
+
+  test("semdedup: every planted near-copy is dropped against its original") {
+    val rows = run("q_ext_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    for ((pid, cid, dupOf, kept) <- planted) {
+      assert(!kept && dupOf.contains(pid - 1000000L),
+        s"planted $pid survived or matched the wrong original ($dupOf)")
+      // SemDeDup's core assumption: a true near-copy lands in the SAME
+      // cluster as its original — otherwise cluster-local pruning misses it
+      assert(byId(pid - 1000000L)._2 == cid, s"planted $pid changed cluster")
+    }
+    // random 64-d pairs never reach cos > 0.9: all originals are kept
+    assert(rows.filter(_._1 < 1000000L).forall(_._4),
+      "a non-planted vector was dropped — τ=0.9 crossed by random pairs")
+    // dominated rule is order-independent ⇒ identical under repartitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(run("q_ext_semdedup").collect().map(_.toSeq).toSet ==
+      rows.map(r => Seq[Any](r._1, r._2, r._3.orNull, r._4)).toSet)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("boilerplate: df threshold separates shared from unique shingles") {
+    val rows = run("q_ext_boilerplate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    for ((id, n, nb, frac, keep) <- rows) {
+      assert(n > 0 && nb >= 0 && nb <= n, s"doc $id: $nb of $n")
+      assert(frac == nb.toDouble / n.toDouble, s"doc $id: frac mismatch")
+      assert(keep == (frac < 0.5), s"doc $id: keep flag inconsistent")
+    }
+    // the small-vocab corpus genuinely shares trigrams across docs: the
+    // signal must be non-degenerate in BOTH directions at sf0.001
+    assert(rows.exists(_._3 > 0), "no boilerplate found anywhere")
+    assert(rows.exists(r => r._3 < r._2), "every shingle flagged boilerplate")
+    // cross-check one doc's count against a direct corpus recount
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.TextOps.words.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(graft.ops.TextOps.shingles(3)).as("g"))
+    val df = sh.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
+    val expected = sh.join(df, Seq("g"))
+      .filter(col("doc_id") === rows.head._1)
+      .agg(sum(when(col("df") >= 3, 1L).otherwise(0L)))
+      .collect()(0).getLong(0)
+    assert(rows.head._3 == expected, "df recount disagrees")
+  }
 }

@@ -123,6 +123,38 @@ class ModuleSpecs extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("power iteration: hand-computed Gram-free rounds match bit-for-bit") {
+    val rows = SparkEntry.queries("q_ext_power_iter")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (0L until 64L))
+    // replicate the exact contract: dot against v, floor-nano per
+    // contribution, long sums, integer-div — two rounds from v0 = 1/8
+    val raw = Tables.embeddings(spark, sf).select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    val n = raw.length
+    def round(v: Array[Double]): Array[Long] = {
+      val sums = Array.fill(64)(0L)
+      for (x <- raw) {
+        var dp = 0.0
+        for (i <- 0 until 64) dp += x(i).toDouble * v(i)
+        for (i <- 0 until 64)
+          sums(i) += math.floor(x(i).toDouble * dp * 1e9).toLong
+      }
+      sums.map(_ / n)
+    }
+    val v1 = round(Array.fill(64)(0.125)).map(_.toDouble / 1e9)
+    val expect = round(v1)
+    for ((dim, got) <- rows)
+      assert(got == expect(dim.toInt), s"dim $dim: $got != ${expect(dim.toInt)}")
+    assert(rows.exists(_._2 != 0L), "degenerate all-zero direction")
+    // exact long arithmetic ⇒ identical under different partitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(SparkEntry.queries("q_ext_power_iter")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq == rows.toSeq)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ANN recall eval: exact set matches brute-force top-k, recall consistent") {
     val r = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
     val (nEx, nIv, nOv, recall) =

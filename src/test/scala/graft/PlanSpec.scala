@@ -257,4 +257,42 @@ class PlanSpec extends AnyFunSuite {
       p.toLowerCase.contains("partial_finalmax"),
       "argmax must combine map-side: " + p.take(3000))
   }
+
+  test("q_ext_power_iter: per-round 1-row broadcast, nano sums combine map-side") {
+    val p = plan("q_ext_power_iter")
+    // Gram-free rounds: the direction vector broadcasts (1 row), the 64
+    // long sums partial-combine before any exchange, and nothing
+    // corpus-sized ever joins through a shuffle
+    assert(p.toLowerCase.contains("partial_sum"), p.take(2000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the direction vector must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_ext_semdedup: codegen'd cosine in the pair stage, cid-keyed pairing") {
+    val p = plan("q_ext_semdedup")
+    // the K-row centroid side broadcasts (a Cross BNLJ over 8 rows is the
+    // broadcast-argmax contract); the intra-cluster pair join must be a
+    // cid-keyed equi-join — an unkeyed CartesianProduct would be the O(N²)
+    // all-pairs plan the clustering exists to prevent
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("hashpartitioning\\(cid".r.findFirstIn(p).isDefined ||
+      "SortMergeJoin \\[cid".r.findFirstIn(p).isDefined,
+      "intra-cluster pairing must key on cid: " + p.take(3000))
+    assert(p.contains("floatdot"),
+      "cosine must run through the codegen'd FloatDot: " + p.take(2000))
+  }
+
+  test("q_ext_boilerplate: linear digest-keyed aggs, no pair space anywhere") {
+    val p = plan("q_ext_boilerplate")
+    // both aggregations combine map-side on the 16-byte md5 digest; the
+    // df join is shingle-keyed equi — no cartesian, no document bodies as
+    // shuffle keys
+    assert(p.toLowerCase.contains("partial_count") ||
+      p.toLowerCase.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert("Exchange hashpartitioning\\(gh".r.findFirstIn(p).isDefined,
+      "shuffle key must be the md5 digest column: " + p.take(3000))
+  }
 }
