@@ -864,6 +864,49 @@ object Curation {
             < 0.5 as "keep")
         .orderBy("doc_id")
     },
+
+    // Normalization-aware dedup — the canonicalization step that runs
+    // BEFORE exact hashing in every production pipeline (casefold,
+    // punctuation → space, whitespace collapse, trim): two documents that
+    // differ only in case/punct/spacing are the same training example, and
+    // raw-byte dedup misses them. 25 planted variants (doc_id + 1,000,000 =
+    // UPPER(text) + trailing "  !!") must collapse onto their originals.
+    // Output per doc: its canonical (min) group member and group size.
+    //
+    // 100 TB posture: normalization is map-only string work inside the scan
+    // stage; the ONLY shuffle key is the 16-byte md5 of the normalized
+    // text (the q_ext_exact_dedup discipline — bodies never shuffle), and
+    // the group stats join back on that same digest partitioning.
+    QDef(
+      "q_ext_text_norm",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  !!'
+        |  FROM documents WHERE doc_id < 25),
+        |n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+        |      FROM corpus),
+        |g AS (SELECT nh, min(doc_id) AS canon_id, count(*) AS n_variants
+        |      FROM n GROUP BY nh)
+        |SELECT n.doc_id, g.canon_id, CAST(g.n_variants AS BIGINT) AS n_variants,
+        |  n.doc_id = g.canon_id AS is_canon
+        |FROM n JOIN g USING (nh) ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      val norm = docs.unionByName(planted).withColumn("nh",
+        md5(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+        .select("doc_id", "nh")
+      val grp = norm.groupBy("nh")
+        .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_variants"))
+      norm.join(grp, Seq("nh"))
+        .select(col("doc_id"), col("canon_id"), col("n_variants"),
+          (col("doc_id") === col("canon_id")).as("is_canon"))
+        .orderBy("doc_id")
+    },
   )
 
   /** The PageRank recurrence shared by q_ext_pagerank and PropertySpec's

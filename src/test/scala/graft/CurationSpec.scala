@@ -275,4 +275,26 @@ class CurationSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(rows.head._3 == expected, "df recount disagrees")
   }
+
+  test("text norm: planted case/punct variants collapse onto their originals") {
+    val rows = run("q_ext_text_norm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    for ((pid, canon, nv, isCanon) <- planted) {
+      // the variant can never be canonical (its original has a smaller id)
+      assert(!isCanon && canon < 1000000L, s"variant $pid canon=$canon")
+      assert(nv >= 2, s"variant $pid in a singleton group")
+      // its original must sit in the SAME group with the SAME canon
+      assert(byId(pid - 1000000L)._2 == canon, s"variant $pid split from original")
+    }
+    // canon is the group min and appears exactly once per group as canonical
+    val groups = rows.groupBy(_._2)
+    for ((canon, members) <- groups) {
+      assert(members.map(_._1).min == canon)
+      assert(members.count(_._4) == 1)
+      assert(members.forall(_._3 == members.length.toLong))
+    }
+  }
 }

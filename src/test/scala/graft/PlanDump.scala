@@ -36,7 +36,10 @@ object PlanDump {
       "q_ext_kmeans" -> "K-means step: both assignment passes are broadcast-K map-side argmax (partial max_by before any exchange); the centroid update is one groupBy(cid) whose 64 nano sums combine map-side.",
       "q_ext_pack_concat" -> "Packed-sequence materialization: the bin-keyed body shuffle is capacity-bounded (4096 tokens + one overflow doc per group), so the collect_list can never grow with the corpus.",
       "q_ext_incremental_dedup" -> "Incremental ingestion dedup: in-batch winner via an md5-keyed window, then a hash-only left join against the snapshot's distinct-hash relation — document bodies never shuffle.",
-      "q_source_schema_merge" -> "Schema-evolution read: mergeSchema unifies two different-column slices at planning time; each file scan reads only the columns its footer has.")
+      "q_source_schema_merge" -> "Schema-evolution read: mergeSchema unifies two different-column slices at planning time; each file scan reads only the columns its footer has.",
+      "q_ext_semdedup" -> "SemDeDup: broadcast-argmax cluster assignment, then a cid-keyed equi self-join for intra-cluster pairs only — K is the knob that keeps per-cluster pair work bounded; cosine runs through the codegen'd floatdot.",
+      "q_ext_boilerplate" -> "Corpus boilerplate: distinct shingles and their document frequency are two md5-digest-keyed hash aggregates sharing the gh partitioning — linear end to end, no pair space.",
+      "q_ext_power_iter" -> "Power iteration: each Gram-free round is a 1-row direction broadcast + ONE map-side-combined 64-long-sum aggregate — the covariance matrix never exists.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

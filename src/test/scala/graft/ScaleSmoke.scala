@@ -31,7 +31,11 @@ object ScaleSmoke {
         "part"     -> Seq("p_partkey"),
         "supplier" -> Seq("s_suppkey"),
         "events"   -> Seq("event_id", "user_id"),
-        "documents" -> Seq("doc_id"))
+        "documents" -> Seq("doc_id"),
+        // replica 0 keeps vec_ids < Big, so fixed-id contracts (the vec_id=0
+        // query, semdedup's planted <25 originals) stay well-defined while
+        // the corpus the scans/joins/aggs walk grows 10×
+        "embeddings" -> Seq("vec_id"))
       for ((t, keys) <- keyCols) {
         val base = spark.read.parquet(s"$src/$t.parquet")
         val rep = (0 until replicas).map { i =>
@@ -40,7 +44,7 @@ object ScaleSmoke {
         rep.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
       // small dims unreplicated (nation/region join keys are not offset)
-      for (t <- Seq("nation", "region", "embeddings"))
+      for (t <- Seq("nation", "region"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       Files.write(Paths.get(s"$dst/_done"), Array.emptyByteArray)
@@ -74,7 +78,10 @@ object ScaleSmoke {
       "q_ext_pagerank",        // 5 × (edge join + agg), lineage-truncated
       "q_ext_edit_distance",   // blocked pairs (dup-degenerate caveat above)
       "q_ext_time_weighted",   // user-keyed lead window + exact long agg
-      "q_ext_null_profile")    // one-pass 25-expr agg (6× Expand)
+      "q_ext_null_profile",    // one-pass 25-expr agg (6× Expand)
+      "q_ext_boilerplate",     // linear digest-keyed df aggs (no pair space)
+      "q_ext_semdedup",        // broadcast-argmax + cid-keyed pair join
+      "q_ext_power_iter")      // 2 × (1-row broadcast + 64-long-sum agg)
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
@@ -104,7 +111,12 @@ object ScaleSmoke {
     sb.append("(≈100×, not 10×) per dup group, so a large ratio on those rows\n")
     sb.append("reflects legitimately grown output, not a plan defect; real corpora\n")
     sb.append("bound dup-group size upstream (exact dedup runs first in any\n")
-    sb.append("pipeline, and the neardup family caps per-bucket pairs).\n\n")
+    sb.append("pipeline, and the neardup family caps per-bucket pairs).\n")
+    sb.append("q_ext_semdedup runs here with K FROZEN at 8 clusters, so its\n")
+    sb.append("intra-cluster pair work grows (10N/K)²/(N/K)² = 100× by design —\n")
+    sb.append("the op's contract (and SemDeDup's own deployment) scales K ∝ N to\n")
+    sb.append("keep per-cluster pairs constant; the ratio row documents what\n")
+    sb.append("happens when the knob is NOT turned, not a plan defect.\n\n")
     sb.append("| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
     for (q <- picks) {
       val t1 = time(q, src); val t2 = time(q, dst)
