@@ -53,62 +53,80 @@ object Ext {
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   /** The ONE exact vector-mean quantization contract (q_ext_embed_center +
-    * q_ext_kmeans, both engines): each element floor-quantized to integer
-    * NANOS, 64 per-dimension long sums (named s1..s64, map-side combined),
-    * means recovered by integer div over a count column named `n`. Any
-    * change here must change all four faces together — that is the point
-    * of sharing them. */
-  private def nanoSumExprs: Seq[org.apache.spark.sql.Column] =
+    * q_ext_kmeans + q_ext_power_iter, both engines): each element (times an
+    * optional per-row weight, e.g. power iteration's x·v dot) floor-quantized
+    * to integer NANOS, 64 per-dimension long sums (named s1..s64, map-side
+    * combined), means recovered by integer div over a count column named
+    * `n`. Any change here must change all four faces together — that is the
+    * point of sharing them. */
+  private def nanoSumExprs(weight: Option[org.apache.spark.sql.Column] = None)
+      : Seq[org.apache.spark.sql.Column] =
     (1 to 64).map { i =>
-      sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
-        lit(1e9)).cast("long")).as(s"s$i")
+      val e = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")
+      sum(floor(weight.map(e * _).getOrElse(e) * lit(1e9)).cast("long"))
+        .as(s"s$i")
     }
   private def muArrayExpr: org.apache.spark.sql.Column =
     array((1 to 64).map { i =>
       (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
     }: _*)
-  private def duckNanoSums: String = (1 to 64).map(i =>
-    s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
-    .mkString(", ")
+  private def duckNanoSums(weight: Option[String] = None): String = {
+    val w = weight.map(x => s" * $x").getOrElse("")
+    (1 to 64).map(i =>
+      s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE)$w * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(", ")
+  }
   private def duckNanoMeans: String =
     (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
       .mkString("[", ", ", "]")
 
-  /** Shared IVF index construction (q_ext_cosine_ivf + the q_ext_ann_recall
-    * family at every probe count): 8 md5-ordered centroid vectors; every
-    * vector assigned to its argmax-dot cell; the vec_id=0 query resolves its
-    * own cell. ONE definition — both sides — so the probe queries and their
-    * recall evaluations always measure the SAME index. */
-  private val ivfSqlCtes: String =
-    s"""c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  /** The shared centroid/assignment contract (q_ext_cosine_ivf, the
+    * q_ext_ann_recall family, q_ext_kmeans seeding, q_ext_semdedup): 8
+    * md5-ordered centroid vectors drawn FROM the given corpus, every vector
+    * assigned to its argmax-dot cell with the (dp DESC, cid ASC) tie-break.
+    * ONE definition per engine so no caller can fork the contract. */
+  private def argmaxCtes(src: String): String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS ce FROM $src
        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |a AS (SELECT v.vec_id, v.embedding, c.cid,
        |        row_number() OVER (PARTITION BY v.vec_id
        |          ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
-       |      FROM embeddings v, c),
-       |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+       |      FROM $src v, c),
+       |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1)""".stripMargin
+
+  /** Spark side of [[argmaxCtes]]: broadcast-K crossJoin + map-side-combined
+    * max_by over (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
+  private def argmaxCells(corpus: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.VectorFunctions.registerOn(corpus.sparkSession)
+    val cent = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cell = corpus.crossJoin(broadcast(cent))
+      .withColumn("dp", call_function("float_dot", col("embedding"), col("ce")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+    (cent, cell)
+  }
+
+  /** Shared IVF index construction (q_ext_cosine_ivf + the q_ext_ann_recall
+    * family at every probe count): the [[argmaxCtes]] contract over the
+    * embeddings table; the vec_id=0 query resolves its own cell. */
+  private val ivfSqlCtes: String =
+    s"""${argmaxCtes("embeddings")},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qcell AS (SELECT cid AS qcid FROM cell WHERE vec_id = 0)""".stripMargin
 
-  /** Spark side of [[ivfSqlCtes]]. Assignment argmax is a map-side-combined
-    * max_by over (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
+  /** Spark side of [[ivfSqlCtes]], via [[argmaxCells]]. */
   private final case class IvfIndex(
       cent: org.apache.spark.sql.DataFrame,
       cell: org.apache.spark.sql.DataFrame,
       q: org.apache.spark.sql.DataFrame,
       qcell: org.apache.spark.sql.DataFrame)
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String): IvfIndex = {
-    graft.functions.VectorFunctions.registerOn(s)
-    def fdot(a: String, b: String) = call_function("float_dot", col(a), col(b))
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val cent = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val cell = emb.crossJoin(broadcast(cent))
-      .withColumn("dp", fdot("embedding", "ce"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
-        first(col("embedding")).as("embedding"))
+    val (cent, cell) = argmaxCells(emb)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val qcell = cell.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
     IvfIndex(cent, cell, q, qcell)
@@ -640,7 +658,7 @@ object Ext {
       "q_ext_embed_center",
       embedCenterSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val g = emb.agg(count(lit(1)).as("n"), nanoSumExprs: _*)
+      val g = emb.agg(count(lit(1)).as("n"), nanoSumExprs(): _*)
       val mu = muArrayExpr.as("mu")
       emb.crossJoin(broadcast(g.select(mu)))
         .select(col("vec_id"), col("label"),
@@ -668,17 +686,9 @@ object Ext {
     QDef(
       "q_ext_kmeans",
       kmeansSql) { (s, d) =>
-      graft.functions.VectorFunctions.registerOn(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cent0 = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val a1 = emb.crossJoin(broadcast(cent0))
-        .withColumn("dp", call_function("float_dot", col("embedding"), col("ce")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
-          first(col("embedding")).as("embedding"))
-      val m1 = a1.groupBy("cid").agg(count(lit(1)).as("n"), nanoSumExprs: _*)
+      val (_, a1) = argmaxCells(emb)
+      val m1 = a1.groupBy("cid").agg(count(lit(1)).as("n"), nanoSumExprs(): _*)
         .select(col("cid"), muArrayExpr.as("mu"))
       emb.crossJoin(broadcast(m1))
         .withColumn("dp", expr("aggregate(zip_with(embedding, mu, " +
@@ -723,14 +733,7 @@ object Ext {
           expr("transform(embedding, (x, i) -> IF(i = 0, " +
             "CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT), x))").as("embedding"))
       val corpus = emb.unionByName(planted)
-      val cent = corpus
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val cell = corpus.crossJoin(broadcast(cent))
-        .withColumn("dp", fdot("embedding", "ce"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
-          first(col("embedding")).as("embedding"))
+      val (_, cell) = argmaxCells(corpus)
       val l = cell.select(col("cid"), col("vec_id").as("lid"),
         col("embedding").as("le"))
       val r = cell.select(col("cid"), col("vec_id").as("rid"),
@@ -767,18 +770,13 @@ object Ext {
       "q_ext_power_iter",
       powerIterSql) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("embedding")
-      def powSums: Seq[org.apache.spark.sql.Column] =
-        (1 to 64).map { i =>
-          sum(floor(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") *
-            col("dp") * lit(1e9)).cast("long")).as(s"s$i")
-        }
       // one power-iteration round: dot against the broadcast v, then the
-      // 64 exact nano sums (returns the (n, s1..s64) aggregate row)
+      // 64 exact dp-weighted nano sums (returns the (n, s1..s64) row)
       def round(v: DataFrame): DataFrame =
         emb.crossJoin(broadcast(v))
           .withColumn("dp", expr("aggregate(zip_with(embedding, v, " +
             "(x, m) -> CAST(x AS DOUBLE) * m), 0D, (acc, t) -> acc + t)"))
-          .agg(count(lit(1)).as("n"), powSums: _*)
+          .agg(count(lit(1)).as("n"), nanoSumExprs(Some(col("dp"))): _*)
       val v0 = s.range(1)
         .select(array((1 to 64).map(_ => lit(0.125d)): _*).as("v"))
       val v1 = round(v0).select(muArrayExpr.as("v"))
@@ -794,18 +792,10 @@ object Ext {
     * nano-quantized centroid update and re-assignment — the identical
     * integer/argmax contract as the Spark program, unrolled as CTEs. */
   private def kmeansSql: String = {
-    val sums = duckNanoSums
-    val means = duckNanoMeans
     val dp2 = "list_sum(list_transform(range(1, 65), i -> CAST(v.embedding[i] AS DOUBLE) * m.mu[i]))"
-    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-       |r1 AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (
-       |         PARTITION BY v.vec_id
-       |         ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
-       |       FROM embeddings v, c0 c),
-       |a1 AS (SELECT vec_id, embedding, cid FROM r1 WHERE rn = 1),
-       |m1 AS (SELECT cid, count(*) AS n, $sums FROM a1 GROUP BY cid),
-       |mu AS (SELECT cid, $means AS mu FROM m1),
+    s"""WITH ${argmaxCtes("embeddings")},
+       |m1 AS (SELECT cid, count(*) AS n, ${duckNanoSums()} FROM cell GROUP BY cid),
+       |mu AS (SELECT cid, $duckNanoMeans AS mu FROM m1),
        |r2 AS (SELECT v.vec_id, m.cid, $dp2 AS dp, row_number() OVER (
        |         PARTITION BY v.vec_id ORDER BY $dp2 DESC, m.cid) AS rn
        |       FROM embeddings v, mu m)
@@ -817,23 +807,19 @@ object Ext {
     * Gram-free rounds — same left-fold dot, same per-contribution nano
     * floor-quantization, same integer-div means. */
   private def powerIterSql: String = {
-    def sums(src: String) = (1 to 64).map(i =>
-      s"CAST(SUM(CAST(floor(CAST($src.embedding[$i] AS DOUBLE) * dp * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")
-      .mkString(", ")
     val v0 = (1 to 64).map(_ => "0.125").mkString("[", ", ", "]")
     val dot0 = s"list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (${v0}::DOUBLE[])[i]))"
     val dot1 = "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * w.v[i]))"
-    val means = (1 to 64).map(i => s"CAST(s$i // n AS DOUBLE) / 1000000000.0")
-      .mkString("[", ", ", "]")
+    val sums = duckNanoSums(Some("dp"))
     val nanos = (1 to 64).map(i => s"s$i // n").mkString("[", ", ", "]")
     s"""WITH d1 AS (SELECT e.embedding, $dot0 AS dp FROM embeddings e),
-       |g1 AS (SELECT count(*) AS n, ${sums("d1")} FROM d1),
-       |v1 AS (SELECT $means AS v FROM g1),
+       |g1 AS (SELECT count(*) AS n, $sums FROM d1),
+       |v1 AS (SELECT $duckNanoMeans AS v FROM g1),
        |d2 AS (SELECT e.embedding, $dot1 AS dp FROM embeddings e, v1 w),
-       |g2 AS (SELECT count(*) AS n, ${sums("d2")} FROM d2),
-       |a AS (SELECT $nanos AS a FROM g2)
+       |g2 AS (SELECT count(*) AS n, $sums FROM d2),
+       |arr AS (SELECT $nanos AS a FROM g2)
        |SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(a[i] AS BIGINT) AS v_nano
-       |FROM a, unnest(range(1, 65)) AS t(i) ORDER BY dim""".stripMargin
+       |FROM arr, unnest(range(1, 65)) AS t(i) ORDER BY dim""".stripMargin
   }
 
   /** DuckDB oracle for q_ext_semdedup: the same planted corpus, the same
@@ -850,13 +836,7 @@ object Ext {
        |              THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.01 AS FLOAT)
        |              ELSE embedding[i] END)
        |  FROM embeddings WHERE vec_id < 25),
-       |c AS (SELECT vec_id AS cid, embedding AS ce FROM corpus
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-       |a AS (SELECT v.vec_id, v.embedding, c.cid, row_number() OVER (
-       |        PARTITION BY v.vec_id
-       |        ORDER BY ${duckDot("v.embedding", "c.ce")} DESC, c.cid) AS rn
-       |      FROM corpus v, c),
-       |cell AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+       |${argmaxCtes("corpus")},
        |dom AS (SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of
        |        FROM cell l JOIN cell r
        |          ON l.cid = r.cid AND l.vec_id < r.vec_id
@@ -870,7 +850,7 @@ object Ext {
     * one aggregation, the same integer-div means, the same left-fold
     * distance. */
   private def embedCenterSql: String = {
-    val sums = duckNanoSums
+    val sums = duckNanoSums()
     val means = duckNanoMeans
     s"""WITH g AS (SELECT count(*) AS n, $sums FROM embeddings),
        |m AS (SELECT $means AS mu FROM g)

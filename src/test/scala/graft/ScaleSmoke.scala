@@ -21,7 +21,10 @@ object ScaleSmoke {
     val dst = "/tmp/graft_sf1x"
     val replicas = 10
 
-    if (!Files.exists(Paths.get(s"$dst/_done"))) {
+    // the marker is VERSIONED: a recipe change (e.g. embeddings joining the
+    // replicated set) must bust any stale cache left by an earlier build,
+    // which would otherwise silently time "10x" against 1x-sized tables
+    if (!Files.exists(Paths.get(s"$dst/_done_v2"))) {
       Files.createDirectories(Paths.get(dst))
       // key-ish columns per table: offset by replica * Big
       val keyCols = Map(
@@ -47,7 +50,7 @@ object ScaleSmoke {
       for (t <- Seq("nation", "region"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      Files.write(Paths.get(s"$dst/_done"), Array.emptyByteArray)
+      Files.write(Paths.get(s"$dst/_done_v2"), Array.emptyByteArray)
     }
 
     val picks = Seq(
