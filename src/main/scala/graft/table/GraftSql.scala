@@ -129,10 +129,10 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       case _ if flat.toUpperCase.startsWith("SELECT") ||
                 flat.toUpperCase.startsWith("WITH") =>
         registerViews()
-        // Paimon metadata-table syntax `t$files` (guide.md:200-232): Spark
-        // identifiers can't carry the `$`, so rewrite to the registered
-        // `<t>__files` view
-        spark.sql(stmt.replaceAll("(\\w+)\\$files", "$1__files"))
+        // Paimon metadata-table syntax `t$files` / `t$snapshots`
+        // (guide.md:200-232): Spark identifiers can't carry the `$`, so
+        // rewrite to the registered `<t>__<meta>` views
+        spark.sql(stmt.replaceAll("(\\w+)\\$(files|snapshots)", "$1__$2"))
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
@@ -140,7 +140,8 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
 
   /** Current database's tables as `<table>` temp views (plus `<db>_<table>`),
     * so SELECT/INSERT bodies reference them by bare name like the reference;
-    * each table's `$files` metadata view registers as `<table>__files`. */
+    * each table's `$files` / `$snapshots` metadata views register as
+    * `<table>__files` / `<table>__snapshots`. */
   private def registerViews(): Unit =
     catalog.listTables(currentDb).foreach { t =>
       val table = catalog.getTable(currentDb, t)
@@ -148,6 +149,7 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       df.createOrReplaceTempView(t)
       df.createOrReplaceTempView(s"${currentDb}_$t")
       table.filesView.createOrReplaceTempView(s"${t}__files")
+      table.snapshotsView.createOrReplaceTempView(s"${t}__snapshots")
     }
 
   private def ok(msg: String): DataFrame = {

@@ -384,6 +384,22 @@ class StreamTable(
       .orderBy("min_sequence_number", "file_path")
   }
 
+  /** The `$snapshots` system table (Paimon's sibling of `$files`): one row
+    * per retained snapshot — id, commit time, the streaming batch that
+    * produced it, and file/row/byte totals straight from the manifest's own
+    * file metadata (no data files are opened). */
+  def snapshotsView: DataFrame = {
+    import spark.implicits._
+    spark.createDataset(snapshots.map(s =>
+      (s.id, s.committedAtMs, s.batchId, s.files.length.toLong,
+        s.files.map(_.rowCount).sum, s.files.map(_.fileSizeInBytes).sum)))
+      .toDF("snapshot_id", "committed_at_ms", "batch_id", "num_files",
+        "total_record_count", "total_file_size_in_bytes")
+      .withColumn("committed_at", timestamp_millis(col("committed_at_ms")))
+      .drop("committed_at_ms")
+      .orderBy("snapshot_id")
+  }
+
   // ---- maintenance (compaction 2A#16, retention 2A#15/18) ----------------
 
   /** Offline compaction (the paimon-flink-action `compact` job,

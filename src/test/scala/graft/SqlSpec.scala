@@ -118,6 +118,13 @@ class SqlSpec extends AnyFunSuite {
     assert(files.length == 2, "two commits = two data files")
     assert(files.map(_.getAs[Long]("record_count")).sum == 200)
     assert(files.forall(_.getAs[Long]("file_size_in_bytes") > 0))
+
+    // the $snapshots sibling works through the same SQL surface
+    val snaps = sh.sql(
+      """SELECT snapshot_id, batch_id, num_files, total_record_count
+        |FROM measurements$snapshots""".stripMargin).collect()
+    assert(snaps.length == 2, "two commits = two snapshots")
+    assert(snaps.last.getAs[Long]("total_record_count") == 200)
   }
 
   test("PK table upsert through INSERT INTO (sensor_info semantics, guide.md:78-96)") {

@@ -49,6 +49,20 @@ class StreamTableSpec extends AnyFunSuite {
     assert(mins.exists(_.get("id").contains("0")))
   }
 
+  test("$snapshots view: one row per commit, totals from manifest metadata") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(spark.range(0, 100).select(col("id"), (col("id") * 2).as("v")), 0)
+    t.appendBatch(spark.range(100, 150).select(col("id"), (col("id") * 2).as("v")), 1)
+    val snaps = t.snapshotsView.collect()
+    assert(snaps.length == 2)
+    assert(snaps.map(_.getAs[Long]("snapshot_id")).toSeq == Seq(0L, 1L))
+    assert(snaps.map(_.getAs[Long]("batch_id")).toSeq == Seq(0L, 1L))
+    // totals are cumulative per snapshot (each manifest lists ALL live files)
+    assert(snaps.map(_.getAs[Long]("total_record_count")).toSeq == Seq(100L, 150L))
+    assert(snaps.forall(_.getAs[Long]("total_file_size_in_bytes") > 0))
+    assert(snaps.forall(r => !r.isNullAt(r.fieldIndex("committed_at"))))
+  }
+
   test("compaction conserves rows and reduces file count; PK compact resolves") {
     val t = new StreamTable(tmp(), spark)
     for (b <- 0 until 8)
