@@ -766,6 +766,46 @@ object Ext {
     // 100 TB posture: per round = K-free broadcast(1 row) + one linear agg;
     // more rounds (to convergence) repeat the same stage. |Σ nanos| bounds
     // as in q_ext_embed_center (~9e9 vectors per dim before sharding).
+    // Product quantization (Jégou et al., the PQ in IVF-PQ): split each
+    // 64-dim vector into 8 subspaces of 8 dims; encode each subspace as the
+    // id of its nearest codebook entry. 256 bytes of floats become 8 codes —
+    // the 32× compression that makes billion-vector ANN indexes fit in
+    // memory at 100 TB corpus scale. Codebook here = the md5-ordered
+    // 16-vector sample (the shared seeding contract; production would
+    // k-means each subspace with the q_ext_kmeans machinery). Ties break
+    // (dist ASC, cid ASC) via a lexicographic struct-min — deterministic,
+    // hence fully oracle-able; `err` is the exact reconstruction error
+    // (sum of the 8 winning subspace distances).
+    //
+    // 100 TB posture: the 16-row codebook broadcasts; distances evaluate
+    // map-side in the scan stage; the ONLY shuffle is the vec_id groupBy
+    // whose 16 struct-min aggregates combine map-side. Codebook size and
+    // subspace count are constants — the plan is one linear pass.
+    QDef(
+      "q_ext_pq_encode",
+      pqEncodeSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cb = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      def dist(sub: Int) = expr(
+        s"aggregate(zip_with(slice(embedding, ${8 * sub - 7}, 8), " +
+          s"slice(ce, ${8 * sub - 7}, 8), " +
+          "(x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), 0D, (a, v) -> a + v)")
+      val paired = emb.crossJoin(broadcast(cb))
+        .select(Seq(col("vec_id"), col("cid")) ++
+          (1 to 8).map(sub => dist(sub).as(s"d$sub")): _*)
+      val mins = (1 to 8).map(sub =>
+        min(struct(col(s"d$sub"), col("cid"))).as(s"m$sub"))
+      paired.groupBy("vec_id").agg(mins.head, mins.tail: _*)
+        .select(Seq(col("vec_id")) ++
+          (1 to 8).map(sub => col(s"m$sub.cid").as(s"code$sub")) :+
+          round((1 to 8).map(sub => col(s"m$sub.d$sub"))
+            .reduce(_ + _), 6).as("err"): _*)
+        .orderBy("vec_id")
+    },
+
     QDef(
       "q_ext_power_iter",
       powerIterSql) { (s, d) =>
@@ -801,6 +841,33 @@ object Ext {
        |       FROM embeddings v, mu m)
        |SELECT vec_id, cid, round(dp, 6) AS sim FROM r2 WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for q_ext_pq_encode: same md5-seeded 16-row codebook,
+    * same per-subspace squared-L2 left folds, same (dist ASC, cid ASC)
+    * argmin, same left-assoc error sum. */
+  private def pqEncodeSql: String = {
+    def dist(sub: Int) = {
+      val lo = 8 * sub - 7
+      s"list_sum(list_transform(range($lo, ${lo + 8}), " +
+        "i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
+        "(CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
+    }
+    val dcols = (1 to 8).map(s0 => s"${dist(s0)} AS d$s0").mkString(", ")
+    val ms = (1 to 8).map(s0 =>
+      s"""m$s0 AS (SELECT vec_id, cid AS code$s0, d$s0 FROM (
+         |  SELECT vec_id, cid, d$s0, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d$s0, cid) AS rn FROM d) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val joins = (2 to 8).map(s0 => s"JOIN m$s0 USING (vec_id)").mkString(" ")
+    val errExpr = (1 to 8).map(s0 => s"d$s0").mkString(" + ")
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |d AS (SELECT v.vec_id, c.cid, $dcols FROM embeddings v, cb c),
+       |$ms
+       |SELECT vec_id, code1, code2, code3, code4, code5, code6, code7, code8,
+       |  round($errExpr, 6) AS err
+       |FROM m1 $joins ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB oracle for q_ext_power_iter: the identical two unrolled

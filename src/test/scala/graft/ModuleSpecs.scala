@@ -155,6 +155,31 @@ class ModuleSpecs extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("PQ encode: codes index the codebook, codebook members self-encode at err 0") {
+    val rows = SparkEntry.queries("q_ext_pq_encode")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    // recompute the codebook ids with the same shared seeding contract
+    val cb = Tables.embeddings(spark, sf).select("vec_id")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).toSet
+    assert(cb.size == 16)
+    for (r <- rows; s0 <- 1 to 8)
+      assert(cb.contains(r.getLong(s0)), s"code outside the codebook")
+    // a codebook member's nearest entry in EVERY subspace is itself
+    for (r <- rows if cb.contains(r.getLong(0))) {
+      assert((1 to 8).forall(s0 => r.getLong(s0) == r.getLong(0)),
+        s"codebook vec ${r.getLong(0)} did not self-encode")
+      assert(r.getDouble(9) == 0.0, s"codebook vec err ${r.getDouble(9)}")
+    }
+    assert(rows.forall(_.getDouble(9) >= 0.0))
+    // deterministic struct-min tie-break ⇒ identical under repartitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(SparkEntry.queries("q_ext_pq_encode")(spark, sf).collect()
+      .map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ANN recall eval: exact set matches brute-force top-k, recall consistent") {
     val r = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
     val (nEx, nIv, nOv, recall) =

@@ -283,6 +283,15 @@ class PlanSpec extends AnyFunSuite {
       "cosine must run through the codegen'd FloatDot: " + p.take(2000))
   }
 
+  test("q_ext_pq_encode: broadcast codebook, struct-min combines map-side") {
+    val p = plan("q_ext_pq_encode")
+    // the 16-row codebook must broadcast (a shuffle join would move the
+    // corpus); the 8 struct-min argmins partial-combine before the exchange
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_min"),
+      "argmin must combine map-side: " + p.take(3000))
+  }
+
   test("q_ext_boilerplate: linear digest-keyed aggs, no pair space anywhere") {
     val p = plan("q_ext_boilerplate")
     // both aggregations combine map-side on the 16-byte md5 digest; the
