@@ -110,6 +110,57 @@ object Ext {
     (cent, cell)
   }
 
+  /** The shared PQ contract (q_ext_pq_encode + q_ext_ivfpq_search): a
+    * 16-row md5-ordered codebook; each vector's 8 subspaces (8 dims each)
+    * encoded by squared-L2 argmin with the (dist ASC, cid ASC) tie-break.
+    * One definition per engine — the encoder and the searcher must use the
+    * SAME codes or ADC distances are garbage. */
+  private def pqSubDist(sub: Int): org.apache.spark.sql.Column = expr(
+    s"aggregate(zip_with(slice(embedding, ${8 * sub - 7}, 8), " +
+      s"slice(ce, ${8 * sub - 7}, 8), " +
+      "(x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), 0D, (a, v) -> a + v)")
+  private def pqCodebook(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+  /** One row per vec_id with the 8 winning (dist, cid) structs m1..m8 —
+    * lexicographic struct-min ≡ the oracle's ORDER BY dist, cid. */
+  private def pqMins(src: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val paired = src.crossJoin(broadcast(cb))
+      .select(Seq(col("vec_id"), col("cid")) ++
+        (1 to 8).map(sub => pqSubDist(sub).as(s"d$sub")): _*)
+    val mins = (1 to 8).map(sub =>
+      min(struct(col(s"d$sub"), col("cid"))).as(s"m$sub"))
+    paired.groupBy("vec_id").agg(mins.head, mins.tail: _*)
+  }
+  /** DuckDB side of the PQ contract, parameterized by the candidate source
+    * CTE: codebook, per-pair subspace distances, per-subspace argmin
+    * winners joined into one `codes` row per vec_id. */
+  private def pqCodesCtes(src: String): String = {
+    def dist(sub: Int) = {
+      val lo = 8 * sub - 7
+      s"list_sum(list_transform(range($lo, ${lo + 8}), " +
+        "i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
+        "(CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
+    }
+    val dcols = (1 to 8).map(s0 => s"${dist(s0)} AS d$s0").mkString(", ")
+    val ms = (1 to 8).map(s0 =>
+      s"""m$s0 AS (SELECT vec_id, cid AS code$s0, d$s0 FROM (
+         |  SELECT vec_id, cid, d$s0, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d$s0, cid) AS rn FROM pd) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val joins = (2 to 8).map(s0 => s"JOIN m$s0 USING (vec_id)").mkString(" ")
+    val cols = (1 to 8).map(s0 => s"code$s0").mkString(", ") + ", " +
+      (1 to 8).map(s0 => s"d$s0").mkString(", ")
+    s"""cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |pd AS (SELECT v.vec_id, c.cid, $dcols FROM $src v, cb c),
+       |$ms,
+       |codes AS (SELECT vec_id, $cols FROM m1 $joins)""".stripMargin
+  }
+
   /** Shared IVF index construction (q_ext_cosine_ivf + the q_ext_ann_recall
     * family at every probe count): the [[argmaxCtes]] contract over the
     * embeddings table; the vec_id=0 query resolves its own cell. */
@@ -785,25 +836,59 @@ object Ext {
       "q_ext_pq_encode",
       pqEncodeSql) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cb = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      def dist(sub: Int) = expr(
-        s"aggregate(zip_with(slice(embedding, ${8 * sub - 7}, 8), " +
-          s"slice(ce, ${8 * sub - 7}, 8), " +
-          "(x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * " +
-          "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), 0D, (a, v) -> a + v)")
-      val paired = emb.crossJoin(broadcast(cb))
-        .select(Seq(col("vec_id"), col("cid")) ++
-          (1 to 8).map(sub => dist(sub).as(s"d$sub")): _*)
-      val mins = (1 to 8).map(sub =>
-        min(struct(col(s"d$sub"), col("cid"))).as(s"m$sub"))
-      paired.groupBy("vec_id").agg(mins.head, mins.tail: _*)
+      pqMins(emb, pqCodebook(emb))
         .select(Seq(col("vec_id")) ++
           (1 to 8).map(sub => col(s"m$sub.cid").as(s"code$sub")) :+
           round((1 to 8).map(sub => col(s"m$sub.d$sub"))
             .reduce(_ + _), 6).as("err"): _*)
         .orderBy("vec_id")
+    },
+
+    // IVF-PQ search — the two shared contracts composed into the actual
+    // billion-scale ANN architecture (FAISS's IndexIVFPQ): (1) probe the
+    // query's IVF cell (argmax contract — searches ~1/K of the corpus);
+    // (2) rank the cell's candidates by ASYMMETRIC DISTANCE: approx(v) =
+    // Σ_s adc(code_s(v)) where the 8×16 ADC table holds exact
+    // query-to-codebook subspace distances, so candidates are compared
+    // from their 8-byte codes alone; (3) exact-rerank the approx top-20
+    // into the final top-10. Every stage deterministic → full oracle.
+    //
+    // 100 TB posture: this is WHY pq_encode exists — the scan that ranks a
+    // cell touches only codes (8 B/vector, not 256 B); the ADC table is
+    // 128 doubles broadcast; only the top-20 survivors ever load their
+    // full vectors for the rerank. Cell probe + code scan + bounded
+    // rerank: nothing corpus-sized shuffles at any stage.
+    QDef(
+      "q_ext_ivfpq_search",
+      ivfpqSql) { (s, d) =>
+      val IvfIndex(_, cell, q, qcell) = ivfIndex(s, d)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cb = pqCodebook(emb)
+      val cand = cell.filter(col("vec_id") =!= 0)
+        .join(broadcast(qcell), col("cid") === col("qcid"))
+        .select("vec_id", "embedding")
+      val codes = pqMins(cand, cb).select(Seq(col("vec_id")) ++
+        (1 to 8).map(i => col(s"m$i.cid").as(s"code$i")): _*)
+      // ADC table: exact query-to-codebook distance per subspace (16 rows)
+      val adc = cb.crossJoin(broadcast(q.select(col("qe").as("embedding"))))
+        .select(Seq(col("cid")) ++
+          (1 to 8).map(sub => pqSubDist(sub).as(s"t$sub")): _*)
+      val approx = (1 to 8).foldLeft(codes) { (df, i) =>
+          df.join(broadcast(adc.select(col("cid").as(s"code$i"), col(s"t$i"))),
+            Seq(s"code$i"))
+        }
+        .select(col("vec_id"),
+          (1 to 8).map(i => col(s"t$i")).reduce(_ + _).as("approx_dist"))
+      val top20 = approx.orderBy(col("approx_dist"), col("vec_id")).limit(20)
+      top20.join(emb, Seq("vec_id")).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("approx_dist"),
+          expr("aggregate(zip_with(embedding, qe, " +
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (a, v) -> a + v)")
+            .as("exact_dist"))
+        .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
+          round(col("exact_dist"), 6).as("exact_dist"))
     },
 
     QDef(
@@ -843,31 +928,46 @@ object Ext {
        |ORDER BY vec_id""".stripMargin
   }
 
-  /** DuckDB oracle for q_ext_pq_encode: same md5-seeded 16-row codebook,
-    * same per-subspace squared-L2 left folds, same (dist ASC, cid ASC)
-    * argmin, same left-assoc error sum. */
+  /** DuckDB oracle for q_ext_pq_encode: the shared [[pqCodesCtes]] contract
+    * over the full corpus, same left-assoc error sum. */
   private def pqEncodeSql: String = {
-    def dist(sub: Int) = {
-      val lo = 8 * sub - 7
-      s"list_sum(list_transform(range($lo, ${lo + 8}), " +
-        "i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
-        "(CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
-    }
-    val dcols = (1 to 8).map(s0 => s"${dist(s0)} AS d$s0").mkString(", ")
-    val ms = (1 to 8).map(s0 =>
-      s"""m$s0 AS (SELECT vec_id, cid AS code$s0, d$s0 FROM (
-         |  SELECT vec_id, cid, d$s0, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d$s0, cid) AS rn FROM d) WHERE rn = 1)""".stripMargin)
-      .mkString(",\n")
-    val joins = (2 to 8).map(s0 => s"JOIN m$s0 USING (vec_id)").mkString(" ")
     val errExpr = (1 to 8).map(s0 => s"d$s0").mkString(" + ")
-    s"""WITH cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-       |d AS (SELECT v.vec_id, c.cid, $dcols FROM embeddings v, cb c),
-       |$ms
+    s"""WITH ${pqCodesCtes("embeddings")}
        |SELECT vec_id, code1, code2, code3, code4, code5, code6, code7, code8,
        |  round($errExpr, 6) AS err
-       |FROM m1 $joins ORDER BY vec_id""".stripMargin
+       |FROM codes ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for q_ext_ivfpq_search: the shared IVF probe + the
+    * shared PQ codes over the probed cell + the same ADC table, approx
+    * top-20, exact rerank to top-10. */
+  private def ivfpqSql: String = {
+    def adcDist(sub: Int) = {
+      val lo = 8 * sub - 7
+      s"list_sum(list_transform(range($lo, ${lo + 8}), " +
+        "i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
+        "(CAST(q.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
+    }
+    val tcols = (1 to 8).map(s0 => s"${adcDist(s0)} AS t$s0").mkString(", ")
+    val adcJoins = (1 to 8).map(s0 =>
+      s"JOIN adc a$s0 ON a$s0.cid = k.code$s0").mkString(" ")
+    val approxExpr = (1 to 8).map(s0 => s"a$s0.t$s0").mkString(" + ")
+    val exactL2 = "list_sum(list_transform(range(1, 65), " +
+      "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)) * " +
+      "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))))"
+    s"""WITH $ivfSqlCtes,
+       |cand AS (SELECT v.vec_id, v.embedding FROM cell v, qcell
+       |         WHERE v.cid = qcell.qcid AND v.vec_id <> 0),
+       |${pqCodesCtes("cand")},
+       |adc AS (SELECT c.cid, $tcols FROM cb c, q),
+       |ap AS (SELECT k.vec_id, $approxExpr AS approx_dist
+       |       FROM codes k $adcJoins),
+       |top20 AS (SELECT * FROM ap ORDER BY approx_dist, vec_id LIMIT 20),
+       |ex AS (SELECT t.vec_id, t.approx_dist, $exactL2 AS exact_dist
+       |       FROM top20 t JOIN embeddings e USING (vec_id), q)
+       |SELECT vec_id, round(approx_dist, 6) AS approx_dist,
+       |  round(exact_dist, 6) AS exact_dist
+       |FROM ex ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin
   }
 
   /** DuckDB oracle for q_ext_power_iter: the identical two unrolled

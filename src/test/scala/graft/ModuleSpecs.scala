@@ -180,6 +180,29 @@ class ModuleSpecs extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("IVF-PQ search: cell-local candidates, exact rerank ordered, sane approx") {
+    val rows = SparkEntry.queries("q_ext_ivfpq_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_._1 != 0L), "the query returned itself")
+    assert(rows.forall(r => r._2 >= 0.0 && r._3 >= 0.0))
+    val ex = rows.map(_._3)
+    assert(ex.zip(ex.tail).forall { case (a, b) => a <= b }, "not rerank-sorted")
+    // the ADC bound is the squared-L2 triangle inequality against the
+    // encoder's own reconstruction error: ||q-c||² ≤ 2||q-v||² + 2||v-c||²
+    val errs = SparkEntry.queries("q_ext_pq_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(9)).toMap
+    for ((id, ap, e) <- rows)
+      assert(ap <= 2.0 * e + 2.0 * errs(id) + 1e-6,
+        s"vec $id: approx $ap vs exact $e, err ${errs(id)}")
+    // deterministic end to end ⇒ identical under repartitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try assert(SparkEntry.queries("q_ext_ivfpq_search")(spark, sf).collect()
+      .map(_.toSeq).toSeq == rows.map(r => Seq[Any](r._1, r._2, r._3)).toSeq)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ANN recall eval: exact set matches brute-force top-k, recall consistent") {
     val r = SparkEntry.queries("q_ext_ann_recall")(spark, sf).collect().head
     val (nEx, nIv, nOv, recall) =

@@ -39,7 +39,9 @@ object PlanDump {
       "q_source_schema_merge" -> "Schema-evolution read: mergeSchema unifies two different-column slices at planning time; each file scan reads only the columns its footer has.",
       "q_ext_semdedup" -> "SemDeDup: broadcast-argmax cluster assignment, then a cid-keyed equi self-join for intra-cluster pairs only — K is the knob that keeps per-cluster pair work bounded; cosine runs through the codegen'd floatdot.",
       "q_ext_boilerplate" -> "Corpus boilerplate: distinct shingles and their document frequency are two md5-digest-keyed hash aggregates sharing the gh partitioning — linear end to end, no pair space.",
-      "q_ext_power_iter" -> "Power iteration: each Gram-free round is a 1-row direction broadcast + ONE map-side-combined 64-long-sum aggregate — the covariance matrix never exists.")
+      "q_ext_power_iter" -> "Power iteration: each Gram-free round is a 1-row direction broadcast + ONE map-side-combined 64-long-sum aggregate — the covariance matrix never exists.",
+      "q_ext_pq_encode" -> "Product quantization: the 16-row codebook broadcasts; 8 subspace distances evaluate in the scan stage; the vec_id groupBy's struct-min argmins combine map-side.",
+      "q_ext_ivfpq_search" -> "IVF-PQ search: cell probe, codebook, ADC table and query vector ALL broadcast; candidates rank from codes alone; both top-k stages are TakeOrderedAndProject — nothing corpus-sized shuffles.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

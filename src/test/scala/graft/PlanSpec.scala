@@ -292,6 +292,16 @@ class PlanSpec extends AnyFunSuite {
       "argmin must combine map-side: " + p.take(3000))
   }
 
+  test("q_ext_ivfpq_search: every stage broadcast-bounded, no corpus shuffle join") {
+    val p = plan("q_ext_ivfpq_search")
+    // cell probe, codebook, ADC table and query vector all broadcast; a
+    // SortMergeJoin would mean something corpus-sized is shuffling
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k stages must be TakeOrdered, not global sorts: " + p.take(3000))
+  }
+
   test("q_ext_boilerplate: linear digest-keyed aggs, no pair space anywhere") {
     val p = plan("q_ext_boilerplate")
     // both aggregations combine map-side on the 16-byte md5 digest; the

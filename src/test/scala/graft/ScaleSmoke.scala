@@ -85,7 +85,8 @@ object ScaleSmoke {
       "q_ext_boilerplate",     // linear digest-keyed df aggs (no pair space)
       "q_ext_semdedup",        // broadcast-argmax + cid-keyed pair join
       "q_ext_power_iter",      // 2 × (1-row broadcast + 64-long-sum agg)
-      "q_ext_pq_encode")       // broadcast codebook + map-side struct-mins
+      "q_ext_pq_encode",       // broadcast codebook + map-side struct-mins
+      "q_ext_ivfpq_search")    // cell probe + code ranking + bounded rerank
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
