@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-construction operators (round-5 north-star additions): the
+  * corpus-statistics passes a BPE-style tokenizer build and audit needs.
+  *
+  * Scale posture mirrors graft.ops.Pipeline: the only corpus-sized stage is
+  * the word explode, whose aggregation keys are WORDS (vocabulary-bounded
+  * with map-side combine) — every downstream frame is vocab-sized, so the
+  * pair-counting / coverage math costs the same at 100 TB as the existing
+  * vocab_topk pass.
+  */
+object Tokenize {
+
+  val all: Seq[QDef] = Seq(
+    // One BPE training iteration (Sennrich et al. 2016): count adjacent
+    // symbol pairs across the corpus (weighted by word frequency) and rank
+    // the merge candidates. This is the inner loop of every BPE/WordPiece
+    // vocabulary build; one iteration is exactly representative (the loop
+    // re-runs this count after each merge) and — being pure integer
+    // counting — fully oracle-able.
+    //
+    // 100 TB posture: corpus explode → word-keyed count (vocab-bounded,
+    // map-side combined); the pair explode runs over DISTINCT words only
+    // (31 rows here, ≤ a few million for real corpora), never the corpus.
+    QDef(
+      "q_ext_bpe_merge",
+      """WITH wf AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pp AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, wc
+        |  FROM wf)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n_pair
+        |FROM pp GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 10""".stripMargin) { (s, d) =>
+      val wf = Tables.documents(s, d)
+        .select(explode(TextOps.words).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .filter(length(col("w")) >= 2)
+      // sequence(1, len-1) is safe: len >= 2 is guaranteed by the filter
+      // (Spark's sequence STEPS DOWN when start > stop, so an unguarded
+      // length-1 word would fabricate pairs instead of skipping)
+      wf.select(col("wc"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(10)
+    },
+
+    // Vocabulary-coverage audit: per-document out-of-vocabulary token rate
+    // against the corpus top-20 vocabulary (count desc, word tiebreak — the
+    // vocab_topk contract at a coverage-relevant cutoff). The tokenizer-audit
+    // dual of q_ext_vocab_topk: topk says what the vocabulary IS, this says
+    // what it MISSES per document.
+    QDef(
+      "q_ext_oov_rate",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
+        |                 ORDER BY c DESC, w LIMIT 20)),
+        |agg AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_oov AS BIGINT) AS n_oov,
+        |       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+}
