@@ -52,6 +52,14 @@ object Ext {
   private def duckNorm(a: String): String =
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
+  /** Shared exact-cosine contract (both engines, identical left-fold FP
+    * tree) for ops outside this file (graft.ops.Retrieval): session-free —
+    * higher-order-function fold, not the registered float_dot. */
+  private[ops] def cosCol(a: String, b: String): org.apache.spark.sql.Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+  private[ops] def duckCosSql(a: String, b: String): String =
+    s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
+
   /** The ONE exact vector-mean quantization contract (q_ext_embed_center +
     * q_ext_kmeans + q_ext_power_iter, both engines): each element (times an
     * optional per-row weight, e.g. power iteration's x·v dot) floor-quantized
