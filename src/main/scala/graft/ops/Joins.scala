@@ -306,5 +306,31 @@ object Joins {
         .select(col("event_id"), col("skew_key"), col("c_name"))
         .orderBy("event_id")
     },
+
+    // Correlated LATERAL join (top-2 orders per customer): the SQL-surface
+    // operator for per-row dependent subqueries. Spark's optimizer
+    // DECORRELATES the lateral (ORDER BY + LIMIT per key becomes a
+    // rank-window over one equi-join — DecorrelateInnerQuery +
+    // RewriteLateralSubquery), so the executed plan is the same linear
+    // shuffle as q_win_topk_per_group, never a per-customer re-scan of
+    // orders. Customers with no orders drop (inner lateral).
+    QDef(
+      "q_join_lateral",
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+          |FROM graft_lat_customer c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    },
   )
 }

@@ -308,5 +308,49 @@ object Timeseries {
             lit(100.0)).as("twa"))
         .orderBy("user_id")
     },
+
+    // Slowly-changing-dimension (Type 2) enrichment: each customer's order
+    // history becomes a versioned dimension (valid_from = o_orderdate,
+    // valid_to = next version's start via lead()), and every event joins the
+    // version that was CURRENT at its timestamp — the batch dual of the
+    // reference's `FOR SYSTEM_TIME AS OF` lookup join (tutorial/guide.md:139)
+    // when the dimension keeps history instead of being overwritten.
+    // Complements q_join_asof: as-of returns the latest row ≤ ts; SCD2
+    // models explicit validity intervals, so an event BEFORE the first
+    // version correctly matches nothing (inner join drops it).
+    //
+    // 100 TB posture: the version build is one user-keyed window; the join
+    // is an equi-hash on the user key with the interval predicate as a
+    // residual (the q_join_interval shape) — linear shuffle, no pair blowup
+    // because a key's versions partition time (≤1 match per event).
+    QDef(
+      "q_ext_scd2_enrich",
+      """WITH ver AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  v.o_orderkey AS version_key, v.valid_from,
+        |  v.o_totalprice AS version_price
+        |FROM events e JOIN ver v ON e.user_id = v.o_custkey
+        |  AND CAST(e.ts AS TIMESTAMP) >= v.valid_from
+        |  AND (v.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val vw = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ver = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp_ntz").as("valid_from"),
+        lead(col("o_orderdate").cast("timestamp_ntz"), 1).over(vw).as("valid_to"))
+      Tables.events(s, d)
+        .join(ver, col("user_id") === col("o_custkey") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("version_key"), col("valid_from"),
+          col("o_totalprice").as("version_price"))
+        .orderBy("event_id")
+    },
   )
 }

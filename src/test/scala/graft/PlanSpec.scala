@@ -314,4 +314,27 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(gh".r.findFirstIn(p).isDefined,
       "shuffle key must be the md5 digest column: " + p.take(3000))
   }
+
+  test("q_join_lateral decorrelates to a window over one join (no per-row rescan)") {
+    val p = plan("q_join_lateral")
+    // Catalyst must rewrite the correlated ORDER BY + LIMIT lateral into a
+    // rank-window over an equi-join — a per-customer re-scan of orders would
+    // show up as a nested-loop / cartesian plan
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Window") || p.contains("partial_"),
+      "expected the decorrelated window/aggregate plan: " + p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "expected an equi-join after decorrelation: " + p.take(2000))
+  }
+
+  test("q_ext_sq8_encode: one-pass stats row broadcasts back, encode is map-only") {
+    val p = plan("q_ext_sq8_encode")
+    // the 128-expression min/max pass must combine map-side; the encode side
+    // must not shuffle the corpus (only the 1-row stats frame broadcasts).
+    // (partial_max is elided from the printed plan — Spark truncates agg
+    // lists at 25 entries — so partial_min stands for the whole pass.)
+    assert(p.toLowerCase.contains("partial_min"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
 }
