@@ -583,6 +583,43 @@ object StreamOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, d) => incrementalCounts(s, d)._1
     },
+
+    // Aggregation merge-engine (Paimon 'merge-engine' = 'aggregation' +
+    // 'fields.<f>.aggregate-function'): a continuously-maintained keyed
+    // aggregate AS A TABLE — each micro-batch appends partial rows and the
+    // table's read view merges same-key rows by the declared function
+    // (sum/max/count here), the streaming materialized-view shape. Exact
+    // arithmetic: values enter as integer cents (X.cents), so the sums are
+    // longs and the final table is bit-deterministic. The merge functions
+    // are associative+commutative, which is what lets appends, compaction
+    // pre-merge, and the read view compose in any order (StreamTableSpec
+    // pins that closure incl. a mid-stream compact).
+    //
+    // 100 TB posture: appends are blind writes (no read-modify-write!) —
+    // ingestion scales like the append table; the merge cost moves to
+    // compaction/reads, which run one pk-keyed aggregate.
+    QDef(
+      "q_stream_agg_merge",
+      """SELECT user_id,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |  max(event_id) AS max_event_id,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val root = Files.createTempDirectory("graft_aggmerge_").toString
+      val table = new graft.table.StreamTable(root, s,
+        primaryKey = Some(Seq("user_id")),
+        aggSpec = Some(Seq(
+          "total_cents" -> "sum", "max_event_id" -> "max", "n_events" -> "count")))
+      withStreamShuffle(s) {
+        val src = eventsStream(s, d).select(
+          col("user_id"),
+          graft.X.cents(col("value")).as("total_cents"),
+          col("event_id").as("max_event_id"),
+          lit(1L).as("n_events"))
+        table.writeStream(src, Trigger.AvailableNow()).awaitTermination()
+      }
+      table.read.orderBy("user_id")
+    },
   )
 
   /** Shared by [[q_stream_incremental]] and StreamSpec (which asserts the

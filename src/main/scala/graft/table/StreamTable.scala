@@ -66,11 +66,27 @@ class StreamTable(
     val primaryKey: Option[Seq[String]] = None,
     val seqCol: Option[String] = None,
     val bucketKey: Option[String] = None,
-    val numBuckets: Int = 4) {
+    val numBuckets: Int = 4,
+    /** Paimon's `merge-engine = 'aggregation'` ('fields.<f>.aggregate-function'):
+      * same-key rows merge by aggregating each non-key field instead of
+      * last-writer-wins. Requires a primary key. Only order-insensitive
+      * functions are accepted (sum/min/max/count — associative and
+      * commutative), which is what makes the engine's three merge sites
+      * (read, compaction, incremental append) agree: partially-merged rows
+      * re-merge with fresh rows to the same result in any order. */
+    val aggSpec: Option[Seq[(String, String)]] = None) {
 
   import StreamTable._
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[StreamTable])
+
+  require(aggSpec.isEmpty || primaryKey.nonEmpty,
+    "merge-engine=aggregation requires a primary key")
+  aggSpec.foreach(_.foreach { case (f, fn) =>
+    require(Set("sum", "min", "max", "count").contains(fn),
+      s"unsupported aggregate-function '$fn' for field '$f' " +
+        "(order-insensitive only: sum/min/max/count)")
+  })
 
   private val dataAppend = s"$root/data/append"
   private val dataCompact = s"$root/data/compact"
@@ -159,6 +175,11 @@ class StreamTable(
   def deleteBatch(keys: DataFrame, batchId: Long): Unit = {
     val pk = primaryKey.getOrElse(
       throw new UnsupportedOperationException("deleteBatch requires a primary-key table"))
+    // Paimon: aggregation tables reject deletes unless every function can
+    // retract — none of ours carry retract state, so refuse loudly rather
+    // than let a tombstone silently vanish into a sum
+    if (aggSpec.isDefined) throw new UnsupportedOperationException(
+      "merge-engine=aggregation does not support deletes (no retract support)")
     // a tombstone is a row with only the key (+ sequence) populated and the
     // marker set; schema-merge fills the payload columns with nulls
     val stamped = seqCol match {
@@ -248,16 +269,38 @@ class StreamTable(
     if (keepSeq) resolved else resolved.drop(SeqColName)
   }
 
+  /** Aggregation merge (merge-engine=aggregation): same-key rows collapse by
+    * the declared per-field function. `count` on a field means "sum the
+    * partial counts" (incoming rows carry 1, compacted rows carry their
+    * merged count) — that re-merge closure is why only associative+
+    * commutative functions are allowed. */
+  private def aggResolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
+    val spec = aggSpec.get
+    val aggs = spec.map { case (f, fn) =>
+      (fn match {
+        case "sum" | "count" => sum(col(f))
+        case "min"           => min(col(f))
+        case "max"           => max(col(f))
+      }).as(f)
+    } ++ (if (keepSeq) Seq(max(col(SeqColName)).as(SeqColName)) else Nil)
+    raw.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def resolveView(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame =
+    if (aggSpec.isDefined) aggResolve(raw, pk, keepSeq)
+    else resolve(raw, pk, keepSeq)
+
   /** Batch read of the current snapshot (manifest-based, so compaction and
     * retention are invisible to readers). PK tables get the last-writer-wins
-    * view (upsert materialization, guide.md:59-74). */
+    * view (upsert materialization, guide.md:59-74) — or the aggregation
+    * merge view when `aggSpec` declares one. */
   def read: DataFrame = {
     val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (files.isEmpty) return spark.emptyDataFrame
     val raw = readFiles(files)
     primaryKey match {
       case None => raw.drop(SeqColName)
-      case Some(pk) => resolve(raw, pk, keepSeq = false)
+      case Some(pk) => resolveView(raw, pk, keepSeq = false)
     }
   }
 
@@ -271,7 +314,7 @@ class StreamTable(
     val raw = readFiles(snap.files)
     primaryKey match {
       case None => raw.drop(SeqColName)
-      case Some(pk) => resolve(raw, pk, keepSeq = false)
+      case Some(pk) => resolveView(raw, pk, keepSeq = false)
     }
   }
 
@@ -413,7 +456,11 @@ class StreamTable(
     val raw = readFiles(before)
     val resolved = primaryKey match {
       case None => raw
-      case Some(pk) => resolve(raw, pk, keepSeq = true)
+      // aggregation tables PRE-MERGE at compaction (Paimon's full-compaction
+      // materialization): the rewritten rows are partial aggregates that
+      // later appends keep merging with — safe because every allowed
+      // function is associative and commutative
+      case Some(pk) => resolveView(raw, pk, keepSeq = true)
     }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val rewritten = bucketKey match {

@@ -272,6 +272,41 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t.read.count() == 5, "crash-window batch must not double-commit")
   }
 
+  test("aggregation merge-engine: blind appends merge by declared functions") {
+    val t = new StreamTable(tmp(), spark,
+      primaryKey = Some(Seq("k")),
+      aggSpec = Some(Seq("total" -> "sum", "hi" -> "max", "n" -> "count")))
+    t.appendBatch(Seq((1L, 10L, 3L, 1L), (2L, 5L, 9L, 1L)).toDF("k", "total", "hi", "n"), 0)
+    t.appendBatch(Seq((1L, 7L, 8L, 1L), (1L, 1L, 1L, 1L)).toDF("k", "total", "hi", "n"), 1)
+    val m1 = t.read.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // k=1 summed 10+7+1, max(3,8,1), count over 3 partial rows
+    assert(m1(0) == ((1L, 18L, 8L, 3L)))
+    assert(m1(1) == ((2L, 5L, 9L, 1L)))
+
+    // compaction PRE-MERGES (Paimon full-compaction materialization) and the
+    // view survives: partial aggregates + fresh appends re-merge identically
+    t.compact(targetFileCount = 1)
+    assert(t.latestSnapshot.get.files.size == 1)
+    t.appendBatch(Seq((2L, 2L, 20L, 1L)).toDF("k", "total", "hi", "n"), 2)
+    val m2 = t.read.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m2(0) == ((1L, 18L, 8L, 3L)))
+    assert(m2(1) == ((2L, 7L, 20L, 2L)))
+
+    // deletes are refused (no retract support) and bad specs fail fast
+    intercept[UnsupportedOperationException] {
+      t.deleteBatch(Seq(1L).toDF("k"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+        aggSpec = Some(Seq("total" -> "avg")))
+    }
+    intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, aggSpec = Some(Seq("total" -> "sum")))
+    }
+  }
+
   test("catalog views make tables SQL-queryable") {
     val cat = new graft.table.GraftCatalog(spark,
       Files.createTempDirectory("graft_sqlwh_").toString)
