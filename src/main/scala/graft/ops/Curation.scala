@@ -301,22 +301,7 @@ object Curation {
     // join is candidate-bounded.
     QDef(
       "q_ext_minhash_jaccard",
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' graft dup probe' FROM documents WHERE doc_id < 30),
-        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
-        |g AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
-        |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS sh
-        |      FROM w WHERE len(ws) >= 3),
-        |seeds AS (SELECT unnest(range(0, 8)) AS seed),
-        |sig AS (SELECT doc_id, seed, min(substring(md5(CAST(seed AS VARCHAR) || '|' || sh), 1, 16)) AS mh
-        |        FROM g, seeds GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 4 AS band,
-        |            string_agg(mh, '|' ORDER BY seed) AS bsig
-        |          FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      s"""WITH $minhashCtes,
         |est AS (SELECT c.id_a, c.id_b, count(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_match
         |        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
         |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
@@ -334,25 +319,7 @@ object Curation {
         |JOIN sizes sa ON sa.doc_id = e.id_a
         |JOIN sizes sb ON sb.doc_id = e.id_b
         |ORDER BY e.id_a, e.id_b""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val corpus = docs.unionByName(docs.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" graft dup probe")).as("text")))
-      val g = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(TextOps.shingles(3)).as("sh"))
-      val sigAggs = (0 until 8).map(i =>
-        min(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 16)).as(s"m$i"))
-      val sig = g.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-        .withColumn("band0", concat_ws("|", col("m0"), col("m1"), col("m2"), col("m3")))
-        .withColumn("band1", concat_ws("|", col("m4"), col("m5"), col("m6"), col("m7")))
-      def pairs(band: String) = sig.as("a").join(sig.as("b"),
-          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          (0 until 8).map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
-            .reduce(_ + _).cast("long").as("n_match"))
-      val cand = pairs("band0").unionByName(pairs("band1"))
-        .groupBy("id_a", "id_b").agg(max("n_match").as("n_match"))
+      val (g, _, cand) = minhashPipeline(s, d)
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val inter = cand.select("id_a", "id_b")
         .join(g.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
@@ -366,6 +333,60 @@ object Curation {
           round(col("ni").cast("double") /
             (col("na") + col("nb") - col("ni")).cast("double"), 6).as("true_jaccard"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Dedup-pipeline EVALUATION: precision/recall of the banded-MinHash
+    // candidate generator against exact-Jaccard ground truth at τ = 0.5,
+    // the measurement that decides band/row counts before a 100 TB dedup
+    // run. Ground truth is all-pairs true Jaccard over a BOUNDED evaluation
+    // slice (doc_id < 50 + its planted variants) — the honest pattern
+    // q_ext_ann_recall established: exact ground truth at evaluation scale,
+    // the measured system at corpus scale. The τ-threshold compares pure
+    // integers (3·|∩| ≥ |A|+|B| ⟺ J ≥ 0.5), so membership is bit-exact.
+    QDef(
+      "q_ext_dedup_eval",
+      s"""WITH $minhashCtes,
+        |gs AS (SELECT * FROM g WHERE doc_id < 50 OR doc_id >= 1000000),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM gs GROUP BY 1),
+        |inter AS (SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, count(*) AS ni
+        |          FROM gs ga JOIN gs gb ON gb.sh = ga.sh AND ga.doc_id < gb.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT i.id_a, i.id_b FROM inter i
+        |          JOIN sizes sa ON sa.doc_id = i.id_a
+        |          JOIN sizes sb ON sb.doc_id = i.id_b
+        |          WHERE 3 * i.ni >= sa.ns + sb.ns),
+        |cs AS (SELECT id_a, id_b FROM cand
+        |       WHERE (id_a < 50 OR id_a >= 1000000) AND (id_b < 50 OR id_b >= 1000000)),
+        |tp AS (SELECT count(*) AS n_tp FROM truth JOIN cs USING (id_a, id_b)),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |nc AS (SELECT count(*) AS n_cand FROM cs)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(n_tp AS BIGINT) AS n_tp,
+        |  round(CAST(n_tp AS DOUBLE) / n_cand, 6) AS prec,
+        |  round(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall
+        |FROM nt, nc, tp""".stripMargin) { (s, d) =>
+      val (g, _, cand) = minhashPipeline(s, d)
+      def inSlice(c: org.apache.spark.sql.Column) = c < 50 || c >= 1000000L
+      val gs = g.filter(inSlice(col("doc_id")))
+      val sizes = gs.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = gs.select(col("doc_id").as("id_a"), col("sh"))
+        .join(gs.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+        .filter(lit(3) * col("ni") >= col("na") + col("nb"))
+        .select("id_a", "id_b")
+      val cs = cand.filter(inSlice(col("id_a")) && inSlice(col("id_b")))
+        .select("id_a", "id_b")
+      val tp = truth.join(cs, Seq("id_a", "id_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cs.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_truth"), col("n_cand"), col("n_tp"),
+          round(col("n_tp").cast("double") / col("n_cand"), 6).as("prec"),
+          round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"))
     },
 
     // Unigram log-probability scoring — the perplexity-proxy quality signal
@@ -908,6 +929,59 @@ object Curation {
         .orderBy("doc_id")
     },
   )
+
+  /** Shared portable-MinHash pipeline (q_ext_minhash_jaccard +
+    * q_ext_dedup_eval): planted-variant corpus (doc_id < 30 re-crawled with
+    * a suffix probe), distinct word 3-shingles, 8 md5-derived minhashes
+    * folded in ONE aggregation pass, 2×4 banding, banded candidate pairs
+    * from per-band self-joins. One definition per engine — the estimator
+    * and its evaluator must see the SAME candidates or the measured
+    * precision/recall is fiction. Returns (shingles g, signatures sig,
+    * candidate pairs cand(id_a, id_b, n_match)). */
+  private def minhashPipeline(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft dup probe")).as("text")))
+    val g = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(TextOps.shingles(3)).as("sh"))
+    val sigAggs = (0 until 8).map(i =>
+      min(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 16)).as(s"m$i"))
+    val sig = g.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .withColumn("band0", concat_ws("|", col("m0"), col("m1"), col("m2"), col("m3")))
+      .withColumn("band1", concat_ws("|", col("m4"), col("m5"), col("m6"), col("m7")))
+    def pairs(band: String) = sig.as("a").join(sig.as("b"),
+        col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (0 until 8).map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("n_match"))
+    val cand = pairs("band0").unionByName(pairs("band1"))
+      .groupBy("id_a", "id_b").agg(max("n_match").as("n_match"))
+    (g, sig, cand)
+  }
+
+  /** DuckDB side of [[minhashPipeline]]: CTEs corpus, w, g, seeds, sig,
+    * bands, cand — shared verbatim by both consumers' oracles. */
+  private def minhashCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' graft dup probe' FROM documents WHERE doc_id < 30),
+      |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
+      |g AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+      |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS sh
+      |      FROM w WHERE len(ws) >= 3),
+      |seeds AS (SELECT unnest(range(0, 8)) AS seed),
+      |sig AS (SELECT doc_id, seed, min(substring(md5(CAST(seed AS VARCHAR) || '|' || sh), 1, 16)) AS mh
+      |        FROM g, seeds GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, seed // 4 AS band,
+      |            string_agg(mh, '|' ORDER BY seed) AS bsig
+      |          FROM sig GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** The PageRank recurrence shared by q_ext_pagerank and PropertySpec's
     * random-graph reference check. Input: a DIRECTED distinct edge frame
