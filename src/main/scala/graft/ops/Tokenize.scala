@@ -83,6 +83,62 @@ object Tokenize {
           sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
         .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Count-Min-Sketch heavy hitters: the corpus token frequencies estimated
+    // through the CONSTANT-state `cms_sketch` aggregate (4×64 cells,
+    // graft.functions.CmsSketch) and compared against the exact counts for
+    // the top-10 words — est ≥ exact (the CMS admissibility guarantee) is
+    // carried as an output column. The bucket hash is md5-derived in Column
+    // expressions (shared with the oracle, which rebuilds the sketch
+    // cell-for-cell in SQL), so the whole measurement is bit-deterministic.
+    //
+    // 100 TB posture: the sketch pass ships 2 KB per map partition — no
+    // vocabulary shuffle at all; only the top-10 exact check (the
+    // evaluation, not the production path) aggregates by word.
+    QDef("q_ext_cms_heavy_hitters", Tokenize.cmsSql) { (s, d) =>
+      graft.functions.CmsFunctions.registerOn(s)
+      val toks = Tables.documents(s, d).select(explode(TextOps.words).as("w"))
+      val sketch = toks
+        .withColumn("bks", array((0 until 4).map(sparkBucket): _*))
+        .agg(expr("cms_sketch(bks)").as("sk"))
+      val top10 = toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("w")).limit(10)
+      top10.crossJoin(broadcast(sketch))
+        .withColumn("cms_n", least((0 until 4).map(dd =>
+          element_at(col("sk"), sparkBucket(dd) + lit(dd * 64 + 1))): _*))
+        .select(col("w").as("word"), col("exact_n"), col("cms_n"),
+          (col("cms_n") >= col("exact_n")).as("admissible"))
+        .orderBy(col("exact_n").desc, col("word"))
     }
   )
+
+  /** The ONE bucket-hash definition (both engines): depth-d bucket of word
+    * `w` = (hexval(md5("d:w")[1])·16 + hexval(md5("d:w")[2])) mod 64. */
+  private def sparkBucket(d: Int): org.apache.spark.sql.Column = expr(
+    s"CAST((((instr('0123456789abcdef', substring(md5(concat('$d:', w)), 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring(md5(concat('$d:', w)), 2, 1)) - 1)) % 64) AS INT)")
+
+  private def duckBucket(dExpr: String, wExpr: String): String =
+    s"((instr('0123456789abcdef', substring(md5($dExpr || ':' || $wExpr), 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring(md5($dExpr || ':' || $wExpr), 2, 1)) - 1)) % 64"
+
+  private def cmsSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |ds AS (SELECT unnest(range(0, 4)) AS d),
+       |b AS (SELECT w, d, ${duckBucket("CAST(d AS VARCHAR)", "w")} AS bkt FROM toks, ds),
+       |cells AS (SELECT d, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+       |top10 AS (SELECT w, count(*) AS exact_n FROM toks GROUP BY w
+       |          ORDER BY exact_n DESC, w LIMIT 10),
+       |est AS (
+       |  SELECT b2.w, min(c.c) AS cms_n
+       |  FROM (SELECT DISTINCT w, d, bkt FROM b WHERE w IN (SELECT w FROM top10)) b2
+       |  JOIN cells c ON c.d = b2.d AND c.bkt = b2.bkt
+       |  GROUP BY 1)
+       |SELECT t.w AS word, CAST(t.exact_n AS BIGINT) AS exact_n,
+       |  CAST(e.cms_n AS BIGINT) AS cms_n, e.cms_n >= t.exact_n AS admissible
+       |FROM top10 t JOIN est e ON e.w = t.w
+       |ORDER BY t.exact_n DESC, word""".stripMargin
 }

@@ -315,6 +315,13 @@ class PlanSpec extends AnyFunSuite {
       "shuffle key must be the md5 digest column: " + p.take(3000))
   }
 
+  test("q_ext_cms_heavy_hitters: the sketch combines map-side as constant state") {
+    val p = plan("q_ext_cms_heavy_hitters")
+    assert(p.toLowerCase.contains("partial_cmssketch"),
+      "CMS must run as a map-side-combined ObjectHashAggregate: " + p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
   test("q_join_lateral decorrelates to a window over one join (no per-row rescan)") {
     val p = plan("q_join_lateral")
     // Catalyst must rewrite the correlated ORDER BY + LIMIT lateral into a

@@ -53,6 +53,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(counts.forall(_ > 0) && counts.sameElements(counts.sorted.reverse))
   }
 
+  test("CMS estimates never underestimate and are deterministic across runs") {
+    val a = run("q_ext_cms_heavy_hitters").collect()
+    assert(a.length == 10)
+    for (r <- a) {
+      assert(r.getAs[Boolean]("admissible"),
+        s"CMS underestimated ${r.getAs[String]("word")}")
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"))
+    }
+    val b = run("q_ext_cms_heavy_hitters").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "sketch must be deterministic")
+  }
+
   test("oov rate is consistent with its own counts and bounded by [0,1]") {
     val rows = run("q_ext_oov_rate").collect()
     assert(rows.length == 500)
