@@ -43,6 +43,21 @@ object Datagen {
       out
     })
 
+  /** A second partitioned events copy staged for q_source_partition_overwrite
+    * — separate from [[partitionedEventsDir]] because the overwrite op
+    * MUTATES its click partition (the pruning query's dir must stay
+    * pristine). */
+  private val overwriteDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def overwriteEventsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    overwriteDirs.computeIfAbsent(d, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_dynpart_").toString
+      graft.Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      out
+    })
+
   val all: Seq[QDef] = Seq(
     // Bounded sequence datagen (sensor_info shape, Readme.md:132-154):
     // sequence key + derived payload columns. Payloads are deterministic
@@ -139,6 +154,33 @@ object Datagen {
       s.read.parquet(out)
         .filter(col("event_type") === "click")
         .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // Dynamic partition overwrite (`partitionOverwriteMode=dynamic`): an
+    // INSERT OVERWRITE that replaces ONLY the partitions present in the
+    // incoming data — here the 'click' partition is rewritten with doubled
+    // values while every other partition's files are untouched. This is the
+    // partition-level upsert pattern for reprocessing one day/source of a
+    // 100 TB partitioned table without rewriting (or even listing) the
+    // rest; static mode would wipe the whole table first. Idempotent by
+    // construction: the rewrite derives from the source events table, so
+    // repeat runs (Bench's min-of-2) converge to the same state.
+    QDef(
+      "q_source_partition_overwrite",
+      """SELECT event_id, event_type, user_id,
+        |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val out = overwriteEventsDir(s, d)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        graft.Tables.events(s, d).filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(out)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
         .orderBy("event_id")
     },
 

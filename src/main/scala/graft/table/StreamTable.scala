@@ -318,6 +318,42 @@ class StreamTable(
     }
   }
 
+  /** Stats-based data skipping (the scan-side use of the min/max stats
+    * `$files` surfaces, guide.md:205/:212): read only the files whose footer
+    * [min, max] range for `column` overlaps [lo, hi], with the predicate
+    * re-applied as a residual. Append tables only — pruning files under a
+    * PK table could resurrect a superseded key version whose latest row
+    * lives in a pruned file. Numeric columns only (footer stats are parsed
+    * back from their rendered form; a stat that does not parse keeps the
+    * file — skipping must never be able to drop a matching row). A
+    * production variant would persist per-column stats in the manifest like
+    * Paimon's DataFileMeta instead of re-opening footers; the manifest is
+    * small (file-count-sized) either way, so the pruning pass is driver-side
+    * metadata work exactly like partition pruning. */
+  def readWhere(column: String, lo: Double, hi: Double): DataFrame = {
+    require(primaryKey.isEmpty,
+      "readWhere data skipping is append-table only (PK resolution needs all files)")
+    val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val kept = files.filter { f =>
+      val (_, mins, maxs) = footerStats(f.path, conf)
+      (mins.get(column), maxs.get(column)) match {
+        case (Some(mn), Some(mx)) =>
+          try !(mx.toDouble < lo || mn.toDouble > hi)
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    }
+    lastSkip = Some((kept.size, files.size))
+    val src = if (kept.isEmpty) readFiles(Seq(files.head)) else readFiles(kept)
+    src.where(col(column) >= lo && col(column) <= hi).drop(SeqColName)
+  }
+
+  /** (files read, files live) of the most recent [[readWhere]] — the
+    * skipping-effectiveness observability the spec asserts on. */
+  @volatile var lastSkip: Option[(Int, Int)] = None
+
   /** Streaming read — the table as an unbounded changelog of appends
     * (batch/stream duality over one table, guide.md:51-56). */
   def readStream(schema: org.apache.spark.sql.types.StructType): DataFrame =

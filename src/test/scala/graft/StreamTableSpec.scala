@@ -272,6 +272,27 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t.read.count() == 5, "crash-window batch must not double-commit")
   }
 
+  test("readWhere skips files by footer min/max stats, result identical to full scan") {
+    val t = new StreamTable(tmp(), spark)
+    // three batches with disjoint value ranges → three skippable files
+    t.appendBatch((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"), 0)
+    t.appendBatch((101L to 200L).map(i => (i, i * 1.0)).toDF("id", "v"), 1)
+    t.appendBatch((201L to 300L).map(i => (i, i * 1.0)).toDF("id", "v"), 2)
+    val skipped = t.readWhere("v", 120.0, 150.0)
+    val full = t.read.where(col("v") >= 120.0 && col("v") <= 150.0)
+    assert(skipped.orderBy("id").collect().toSeq ==
+      full.orderBy("id").collect().toSeq)
+    val (kept, total) = t.lastSkip.get
+    assert(kept < total, s"expected pruning, read $kept of $total files")
+    assert(skipped.count() == 31)
+    // a range outside every file's stats reads (at most) one probe file
+    assert(t.readWhere("v", 1e9, 2e9).count() == 0)
+    // PK tables refuse (file pruning would break last-writer-wins)
+    val pk = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    pk.appendBatch(Seq((1L, 1.0)).toDF("id", "v"), 0)
+    intercept[IllegalArgumentException] { pk.readWhere("v", 0.0, 10.0) }
+  }
+
   test("aggregation merge-engine: blind appends merge by declared functions") {
     val t = new StreamTable(tmp(), spark,
       primaryKey = Some(Seq("k")),
