@@ -332,5 +332,47 @@ object Joins {
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     },
+
+    // Binned range join: point-in-interval with NO equi key — the shape that
+    // defaults to a nested-loop (quadratic) plan. The scalable rewrite bins
+    // time at the max interval span (3 days → 1-day bins): each interval
+    // explodes to its ≤4 covering bins, each point maps to exactly ONE bin,
+    // and the join becomes a plain equi shuffle join on the bin id with the
+    // range predicate as a residual. No pair appears twice (the point's bin
+    // is unique), so no dedup step — and the plan is the linear
+    // shuffle-by-bin that survives 100 TB where BNLJ dies (PlanSpec asserts
+    // no nested loop). Per event: how many orders were "open" (within 3
+    // days of placement) at the event's timestamp, and the earliest such
+    // order.
+    QDef(
+      "q_join_range_binned",
+      """WITH w AS (
+        |  SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS lo,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS hi
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, count(*) AS n_open, min(w.signup_id) AS first_signup
+        |FROM events e JOIN w
+        |  ON CAST(e.ts AS TIMESTAMP) >= w.lo AND CAST(e.ts AS TIMESTAMP) <= w.hi
+        |WHERE e.event_type <> 'signup'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val binUs = 7200000000L // 2-hour bins = the window span
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_type") === "signup").select(
+        col("event_id").as("signup_id"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"))
+        .withColumn("bin", explode(expr(
+          // session TZ is UTC, so the ntz→timestamp cast is a no-op epoch-wise
+          s"sequence(unix_micros(cast(lo as timestamp)) div $binUs, " +
+            s"unix_micros(cast(hi as timestamp)) div $binUs)")))
+      val pts = ev.filter(col("event_type") =!= "signup")
+        .select(col("event_id"), col("ts"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $binUs").as("bin"))
+      pts.join(iv, Seq("bin"))
+        .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_open"), min(col("signup_id")).as("first_signup"))
+        .orderBy("event_id")
+    },
   )
 }

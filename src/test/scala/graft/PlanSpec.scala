@@ -322,6 +322,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
   }
 
+  test("q_join_range_binned joins on the bin equi-key, never a nested loop") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning must turn the keyless range join into an equi join: " + p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q_join_lateral decorrelates to a window over one join (no per-row rescan)") {
     val p = plan("q_join_lateral")
     // Catalyst must rewrite the correlated ORDER BY + LIMIT lateral into a
