@@ -67,7 +67,7 @@ object Ext {
     * combined), means recovered by integer div over a count column named
     * `n`. Any change here must change all four faces together — that is the
     * point of sharing them. */
-  private def nanoSumExprs(weight: Option[org.apache.spark.sql.Column] = None)
+  private[ops] def nanoSumExprs(weight: Option[org.apache.spark.sql.Column] = None)
       : Seq[org.apache.spark.sql.Column] =
     (1 to 64).map { i =>
       val e = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")
@@ -78,7 +78,7 @@ object Ext {
     array((1 to 64).map { i =>
       (expr(s"s$i div n").cast("double") / lit(1e9)): org.apache.spark.sql.Column
     }: _*)
-  private def duckNanoSums(weight: Option[String] = None): String = {
+  private[ops] def duckNanoSums(weight: Option[String] = None): String = {
     val w = weight.map(x => s" * $x").getOrElse("")
     (1 to 64).map(i =>
       s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE)$w * 1000000000) AS BIGINT)) AS BIGINT) AS s$i")

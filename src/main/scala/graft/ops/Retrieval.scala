@@ -153,6 +153,43 @@ object Retrieval {
         .orderBy(col("cm").desc, col("vec_id"))
     },
 
+    // Grouped embedding pooling: per-source mean centroid over the corpus
+    // embeddings (documents joined on id) through the ONE nano-sum contract
+    // (Ext.nanoSumExprs — 64 floor-quantized long sums, map-side combined,
+    // integer-div means). This is the "pool chunk embeddings back to a
+    // parent key" op every retrieval pipeline runs after chunked encoding;
+    // outputs stay scalar-exact (sampled dims + the L1 mass of the
+    // centroid) so the whole reduction is integer arithmetic.
+    //
+    // 100 TB posture: ONE shuffle keyed by the group, 65 agg expressions
+    // combining map-side; no embedding array ever crosses as a shuffle key.
+    QDef(
+      "q_ext_embed_pool",
+      s"""WITH j AS (
+         |  SELECT d.source, e.embedding FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id),
+         |agg AS (SELECT source, count(*) AS n, ${Ext.duckNanoSums()}
+         |        FROM j GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_vecs,
+         |  CAST(s1 // n AS BIGINT) AS mu1_nano,
+         |  CAST(s32 // n AS BIGINT) AS mu32_nano,
+         |  CAST(s64 // n AS BIGINT) AS mu64_nano,
+         |  CAST(${(1 to 64).map(i => s"abs(s$i // n)").mkString(" + ")} AS BIGINT) AS l1_nano
+         |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+      val j = Tables.embeddings(s, d).join(
+        Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      val aggs = count(lit(1)).as("n") +: Ext.nanoSumExprs()
+      j.groupBy("source").agg(aggs.head, aggs.tail: _*)
+        .select(col("source"), col("n").as("n_vecs"),
+          expr("s1 div n").as("mu1_nano"),
+          expr("s32 div n").as("mu32_nano"),
+          expr("s64 div n").as("mu64_nano"),
+          (1 to 64).map(i => abs(expr(s"s$i div n")))
+            .reduce(_ + _).as("l1_nano"))
+        .orderBy("source")
+    },
+
     // MMR diversified rerank (Carbonell & Goldstein 1998): from the exact
     // top-20 cosine candidates of query 0, greedily pick 5 maximizing
     // 0.7·relevance − 0.3·max-similarity-to-already-picked. The greedy
