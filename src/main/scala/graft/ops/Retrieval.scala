@@ -54,13 +54,21 @@ object Retrieval {
       " / (mx[d] - mn[d]))) AS INT))"
 
   /** Asymmetric reconstruction dot: full-precision query vs dequantized
-    * corpus codes, folded in fixed dimension order. `cs` is the int8 code
-    * array, `qe` the query embedding. */
-  private val sparkAdcDot: Column = expr(
-    "aggregate(sequence(1, 64), 0D, (acc, d) -> acc + " +
-      "CAST(element_at(qe, d) AS DOUBLE) * (element_at(mn, d) + " +
-      "(CAST(element_at(cs, d) AS DOUBLE) + 0.5D) * " +
-      "(element_at(mx, d) - element_at(mn, d)) / 255.0D))")
+    * corpus codes, folded in fixed dimension order — with the code
+    * expression INLINED rather than materializing a `cs` array first:
+    * higher-order lambdas run interpreted, so the search scan pays
+    * per-element lambda calls and one fused pass halves them. The inlined
+    * code value is the identical int, so the fold is bit-identical to
+    * encode-then-dot (the oracle keeps the readable two-stage form). */
+  private val sparkAdcDotFused: Column = {
+    val code = "CAST(least(255, floor((CAST(element_at(embedding, d) AS DOUBLE) - " +
+      "element_at(mn, d)) * 255.0D / (element_at(mx, d) - element_at(mn, d)))) AS DOUBLE)"
+    expr(
+      "aggregate(sequence(1, 64), 0D, (acc, d) -> acc + " +
+        "CAST(element_at(qe, d) AS DOUBLE) * (element_at(mn, d) + " +
+        s"($code + 0.5D) * " +
+        "(element_at(mx, d) - element_at(mn, d)) / 255.0D))")
+  }
 
   private val duckAdcDot: String =
     "list_sum(list_transform(range(1, 65), d -> " +
@@ -137,8 +145,7 @@ object Retrieval {
       val q = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe")))
       val shortlist = emb.crossJoin(broadcast(statsRow(emb))).crossJoin(q)
-        .withColumn("cs", sparkCodes)
-        .withColumn("adc", sparkAdcDot)
+        .withColumn("adc", sparkAdcDotFused)
         .orderBy(col("adc").desc, col("vec_id"))
         .limit(20)
         .select("vec_id", "embedding")
