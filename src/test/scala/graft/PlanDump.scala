@@ -41,7 +41,14 @@ object PlanDump {
       "q_ext_boilerplate" -> "Corpus boilerplate: distinct shingles and their document frequency are two md5-digest-keyed hash aggregates sharing the gh partitioning — linear end to end, no pair space.",
       "q_ext_power_iter" -> "Power iteration: each Gram-free round is a 1-row direction broadcast + ONE map-side-combined 64-long-sum aggregate — the covariance matrix never exists.",
       "q_ext_pq_encode" -> "Product quantization: the 16-row codebook broadcasts; 8 subspace distances evaluate in the scan stage; the vec_id groupBy's struct-min argmins combine map-side.",
-      "q_ext_ivfpq_search" -> "IVF-PQ search: cell probe, codebook, ADC table and query vector ALL broadcast; candidates rank from codes alone; both top-k stages are TakeOrderedAndProject — nothing corpus-sized shuffles.")
+      "q_ext_ivfpq_search" -> "IVF-PQ search: cell probe, codebook, ADC table and query vector ALL broadcast; candidates rank from codes alone; both top-k stages are TakeOrderedAndProject — nothing corpus-sized shuffles.",
+      "q_ext_cms_heavy_hitters" -> "Count-Min sketch: partial_cmssketch combines the constant 4×64-cell state map-side (ObjectHashAggregate) — 2 KB per partition crosses the shuffle, never the vocabulary; estimates read from the broadcast 1-row sketch.",
+      "q_ext_sq8_encode" -> "SQ8 encode: the 128-expression min/max stats pass partial-combines into ONE row that broadcasts back; encoding is map-only inside the scan stage.",
+      "q_ext_sq8_search" -> "SQ8 asymmetric search: one fused interpreted fold per row against the broadcast stats+query, TakeOrderedAndProject shortlist, 20-row exact rerank — nothing corpus-sized shuffles.",
+      "q_join_range_binned" -> "Keyless range join, binned: intervals explode to ≤2 bins, points map to ONE — a plain equi shuffle join on the bin id with the range residual, where the naive plan is a BroadcastNestedLoopJoin.",
+      "q_join_lateral" -> "Correlated LATERAL with ORDER BY+LIMIT: Catalyst decorrelates to a rank window over one equi-join — orders is scanned once, never per-customer.",
+      "q_ext_embed_pool" -> "Grouped embedding pooling: 65 agg expressions (count + 64 nano sums) combine map-side into one source-keyed exchange; no embedding array is ever a shuffle key.",
+      "q_ext_scd2_enrich" -> "SCD2 enrichment: the version build is one o_custkey window; the join is an equi-hash on the user key with the validity interval as residual — ≤1 match per event, no pair blowup.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")
