@@ -55,7 +55,7 @@ object Ext {
   /** Shared exact-cosine contract (both engines, identical left-fold FP
     * tree) for ops outside this file (graft.ops.Retrieval): session-free —
     * higher-order-function fold, not the registered float_dot. */
-  private[ops] def cosCol(a: String, b: String): org.apache.spark.sql.Column =
+  private[graft] def cosCol(a: String, b: String): org.apache.spark.sql.Column =
     dot(a, b) / (norm2(a) * norm2(b))
   private[ops] def duckCosSql(a: String, b: String): String =
     s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
@@ -104,7 +104,7 @@ object Ext {
 
   /** Spark side of [[argmaxCtes]]: broadcast-K crossJoin + map-side-combined
     * max_by over (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
-  private def argmaxCells(corpus: org.apache.spark.sql.DataFrame)
+  private[graft] def argmaxCells(corpus: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     graft.functions.VectorFunctions.registerOn(corpus.sparkSession)
     val cent = corpus

@@ -22,7 +22,7 @@ object Retrieval {
     * 128 agg expressions, map-side combined; the result is a single row that
     * broadcasts back — the scalar-quantization analog of Ext's nano-sum
     * centroid contract. */
-  private def statsRow(emb: DataFrame): DataFrame = {
+  private[graft] def statsRow(emb: DataFrame): DataFrame = {
     val aggs = (1 to 64).map(d =>
       min(expr(s"CAST(element_at(embedding, $d) AS DOUBLE)")).as(s"mn$d")) ++
       (1 to 64).map(d =>
@@ -43,7 +43,7 @@ object Retrieval {
     * A constant dimension (mx = mn) would need a CASE-to-0 guard; the
     * embeddings fixture (and any real embedding corpus) has none, and the
     * guard would bury the shared FP tree, so it is documented, not coded. */
-  private val sparkCodes: Column = expr(
+  private[graft] val sparkCodes: Column = expr(
     "transform(sequence(1, 64), d -> CAST(least(255, floor(" +
       "(CAST(element_at(embedding, d) AS DOUBLE) - element_at(mn, d)) * 255.0D" +
       " / (element_at(mx, d) - element_at(mn, d)))) AS INT))")
@@ -74,6 +74,17 @@ object Retrieval {
     "list_sum(list_transform(range(1, 65), d -> " +
       "CAST(qe[d] AS DOUBLE) * (mn[d] + (CAST(cs[d] AS DOUBLE) + 0.5) * " +
       "(mx[d] - mn[d]) / 255.0)))"
+
+  /** Two-stage form of the reconstruction dot for callers that hold
+    * PERSISTED code arrays (`cs`) rather than the raw embedding —
+    * [[graft.examples.RetrievalFlow]] searches a stored index, where the
+    * fused-from-embedding fold above does not apply. Value-identical to
+    * [[sparkAdcDotFused]] over the codes [[sparkCodes]] produced. */
+  private[graft] val adcDotFromCodes: Column = expr(
+    "aggregate(sequence(1, 64), 0D, (acc, d) -> acc + " +
+      "CAST(element_at(qe, d) AS DOUBLE) * (element_at(mn, d) + " +
+      "(CAST(element_at(cs, d) AS DOUBLE) + 0.5D) * " +
+      "(element_at(mx, d) - element_at(mn, d)) / 255.0D))")
 
   val all: Seq[QDef] = Seq(
     // Scalar quantization (SQ8): each float32 dimension maps to one byte

@@ -45,6 +45,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(picks.forall(_.getAs[Long]("rel_micro") <= 1000000L))
   }
 
+  test("RetrievalFlow: persisted index round-trips codes; search is deterministic") {
+    val ix = graft.examples.RetrievalFlow.build(spark, SparkFixture.sf)
+    // (a) the persisted (vec_id, cs) agree with a direct recomputation
+    val emb = Tables.embeddings(spark, SparkFixture.sf)
+    val direct = emb
+      .crossJoin(broadcast(graft.ops.Retrieval.statsRow(emb)))
+      .withColumn("cs", graft.ops.Retrieval.sparkCodes)
+      .select(col("vec_id"), col("cs").as("cs_direct"))
+    val mismatches = ix.index.read.join(direct, Seq("vec_id"))
+      .filter(col("cs") =!= col("cs_direct")).count()
+    assert(mismatches == 0, s"$mismatches persisted code arrays diverge")
+    assert(ix.index.read.count() == 500)
+    assert(ix.centroids.read.count() == 8)
+    // (b) searching the stored index finds the query vector first, twice
+    val r1 = graft.examples.RetrievalFlow.search(spark, SparkFixture.sf, ix, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r2 = graft.examples.RetrievalFlow.search(spark, SparkFixture.sf, ix, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.length == 5 && r1.head._1 == 0L)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("bpe merge candidates are 2-char pairs with positive weighted counts") {
     val rows = run("q_ext_bpe_merge").collect()
     assert(rows.length == 10)
