@@ -93,7 +93,7 @@ object Ext {
     * md5-ordered centroid vectors drawn FROM the given corpus, every vector
     * assigned to its argmax-dot cell with the (dp DESC, cid ASC) tie-break.
     * ONE definition per engine so no caller can fork the contract. */
-  private def argmaxCtes(src: String): String =
+  private[graft] def argmaxCtes(src: String): String =
     s"""c AS (SELECT vec_id AS cid, embedding AS ce FROM $src
        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |a AS (SELECT v.vec_id, v.embedding, c.cid,
@@ -106,16 +106,23 @@ object Ext {
     * max_by over (dp, -cid) ≡ the oracle's ORDER BY dp DESC, cid ASC. */
   private[graft] def argmaxCells(corpus: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    graft.functions.VectorFunctions.registerOn(corpus.sparkSession)
     val cent = corpus
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val cell = corpus.crossJoin(broadcast(cent))
+    (cent, assignCells(corpus, cent))
+  }
+
+  /** The assignment half of [[argmaxCells]], against a GIVEN centroid frame
+    * — what an incremental index-maintenance job runs per arriving batch
+    * (graft.streaming: the centroids stay fixed, only new vectors assign). */
+  private[graft] def assignCells(vecs: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.registerOn(vecs.sparkSession)
+    vecs.crossJoin(broadcast(cent))
       .withColumn("dp", call_function("float_dot", col("embedding"), col("ce")))
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("dp"), (-col("cid")).as("nc"))).as("cid"),
         first(col("embedding")).as("embedding"))
-    (cent, cell)
   }
 
   /** The shared PQ contract (q_ext_pq_encode + q_ext_ivfpq_search): a

@@ -620,6 +620,46 @@ object StreamOps {
       }
       table.read.orderBy("user_id")
     },
+
+    // Incremental ANN-index maintenance: embeddings arrive as a rate-limited
+    // file backlog (1 file/trigger over a 4-file stage), and each
+    // micro-batch assigns its vectors to the FIXED coarse centroids (the
+    // shared Ext argmax contract — broadcast-8 map-side max_by, the same
+    // tie-break as every IVF query) and appends (vec_id, cid) to a
+    // StreamTable index. The final per-cell census must equal the batch
+    // argmax assignment of the whole corpus — proving index freshness is
+    // just ingestion, not a rebuild. This is the maintenance loop behind
+    // RetrievalFlow's persisted index: centroids move only on retrain;
+    // arriving vectors are a map-only stream.
+    QDef(
+      "q_stream_index_update",
+      s"""WITH ${graft.ops.Ext.argmaxCtes("embeddings")}
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(vec_id) AS first_vec
+        |FROM cell GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      val dir = embMultiDir(s, d)
+      val cent = graft.ops.Ext
+        .argmaxCells(graft.Tables.embeddings(s, d))._1.localCheckpoint(true)
+      val root = Files.createTempDirectory("graft_idx_update_").toString
+      val table = new graft.table.StreamTable(root, s, bucketKey = Some("cid"))
+      withStreamShuffle(s) {
+        val schema = s.read.parquet(dir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            table.appendBatch(
+              graft.ops.Ext.assignCells(b, cent).select("vec_id", "cid"), id)
+          }
+          .option("checkpointLocation", s"$root/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      table.read.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+        .orderBy("cid")
+    },
   )
 
   /** Shared by [[q_stream_incremental]] and StreamSpec (which asserts the
@@ -635,6 +675,17 @@ object StreamOps {
     val (tbl, q) = runToMemoryQ(s, agg, "complete")
     (tbl.orderBy("event_type"), q.recentProgress.count(_.numInputRows > 0))
   }
+
+  /** Stage (once per sf dir) the embeddings table as 4 parquet files — the
+    * arriving-vectors backlog q_stream_index_update walks. */
+  private val stagedEmb = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def embMultiDir(s: SparkSession, d: String): String =
+    stagedEmb.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft_emb_multi_").toString
+      s.read.parquet(s"$d/embeddings.parquet").repartition(4)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   /** Stage (once per sf dir) the events table as 8 parquet files so the
     * file source's `maxFilesPerTrigger` has a backlog to walk. */
