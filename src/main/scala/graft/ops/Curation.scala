@@ -928,7 +928,39 @@ object Curation {
           (col("doc_id") === col("canon_id")).as("is_canon"))
         .orderBy("doc_id")
     },
-  )
+  ) :+ dataCardQ
+
+  /** The data card (Gebru et al. "Datasheets for Datasets", the per-source
+    * summary a dataset release ships): docs, tokens, language spread, size,
+    * and the exact-duplicate burden — every quantity from the shared
+    * contracts (TextOps.nWords tokenization, md5-window first-owner dedup),
+    * in ONE grouped pass over a single corpus scan. Appended to `all` below. */
+  private def dataCardQ: QDef = QDef(
+    "q_ext_data_card",
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        TextOps.nWords.as("n_toks"),
+        row_number().over(w).as("rn"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).as("n_dup_docs"))
+      .orderBy("source")
+  }
 
   /** Shared portable-MinHash pipeline (q_ext_minhash_jaccard +
     * q_ext_dedup_eval): planted-variant corpus (doc_id < 30 re-crawled with

@@ -85,6 +85,50 @@ object Tokenize {
         .orderBy("doc_id")
     },
 
+    // Distinct-n diversity audit (the corpus-level generation-diversity
+    // metric): per source, the distinct-1 and distinct-2 ratios — share of
+    // unique unigrams/bigrams among all occurrences. Low distinct-n flags
+    // templated/boilerplate sources before they flood a training mix; the
+    // linear alternative to quadratic pairwise self-BLEU.
+    //
+    // 100 TB posture: two exploded streams aggregate keyed by source (the
+    // distincts expand by (source, gram) — vocabulary-bounded per source);
+    // no pair space anywhere.
+    QDef(
+      "q_ext_distinct_ngrams",
+      """WITH w AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |           FROM documents),
+        |uni AS (SELECT source, unnest(ws) AS g FROM w),
+        |bi AS (SELECT source, unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS g
+        |       FROM w WHERE len(ws) >= 2),
+        |u AS (SELECT source, count(*) AS n_uni, count(DISTINCT g) AS d_uni
+        |      FROM uni GROUP BY 1),
+        |b AS (SELECT source, count(*) AS n_bi, count(DISTINCT g) AS d_bi
+        |      FROM bi GROUP BY 1)
+        |SELECT source, CAST(n_uni AS BIGINT) AS n_uni, CAST(d_uni AS BIGINT) AS d_uni,
+        |  CAST(n_bi AS BIGINT) AS n_bi, CAST(d_bi AS BIGINT) AS d_bi,
+        |  CAST(d_uni AS DOUBLE) / n_uni AS distinct1,
+        |  CAST(d_bi AS DOUBLE) / n_bi AS distinct2
+        |FROM u JOIN b USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("source"), TextOps.words.as("ws"))
+      val uni = w.select(col("source"), explode(col("ws")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_uni"), countDistinct(col("g")).as("d_uni"))
+      val bi = w.filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bi"), countDistinct(col("g")).as("d_bi"))
+      uni.join(bi, Seq("source"))
+        .select(col("source"), col("n_uni"), col("d_uni"), col("n_bi"), col("d_bi"),
+          (col("d_uni").cast("double") / col("n_uni")).as("distinct1"),
+          (col("d_bi").cast("double") / col("n_bi")).as("distinct2"))
+        .orderBy("source")
+    },
+
     // Count-Min-Sketch heavy hitters: the corpus token frequencies estimated
     // through the CONSTANT-state `cms_sketch` aggregate (4×64 cells,
     // graft.functions.CmsSketch) and compared against the exact counts for

@@ -98,6 +98,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CmsSketch ≡ per-cell exact counts and never underestimates, any partitioning") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CmsFunctions.registerOn(spark)
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(400)(s"w${rnd.nextInt(30)}")
+      val df = words.toDF("w").repartition(7)
+      def bkt(d: Int) = expr(
+        s"CAST((((instr('0123456789abcdef', substring(md5(concat('$d:', w)), 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substring(md5(concat('$d:', w)), 2, 1)) - 1)) % 64) AS INT)")
+      val sk = df.withColumn("bks", array((0 until 4).map(bkt): _*))
+        .agg(expr("cms_sketch(bks)")).collect()(0).getSeq[Long](0)
+      assert(sk.length == 256 && sk.sum == 400L * 4)
+      // every distinct word's min-cell estimate dominates its true count
+      val est = df.withColumn("bks", array((0 until 4).map(bkt): _*))
+        .select(col("w"), col("bks")).distinct().collect()
+        .map(r => r.getString(0) ->
+          (0 until 4).map(d => sk(d * 64 + r.getSeq[Int](1)(d))).min)
+        .toMap
+      val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for ((w, n) <- truth) assert(est(w) >= n, s"seed=$seed word=$w")
+    }
+  }
+
+  test("SQ8 codes bound the reconstruction error by half a grid step per dim") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_ext_sq8_encode")
+    // SSE ≤ 64 · (step/2)²: recover the per-dim grid step from the corpus
+    val emb = Tables.embeddings(spark, SparkFixture.sf)
+    val spans = (1 to 64).map(d =>
+      max(expr(s"CAST(element_at(embedding, $d) AS DOUBLE)")) -
+        min(expr(s"CAST(element_at(embedding, $d) AS DOUBLE)")))
+    val spanRow = emb.agg(spans.head, spans.tail: _*).collect()(0)
+    val bound = (0 until 64).map(i => math.pow(spanRow.getDouble(i) / 255.0 / 2.0, 2)).sum
+    val maxSse = rows.agg(max(col("sse_nano"))).collect()(0).getLong(0) / 1e9
+    assert(maxSse <= bound * 1.0000001, s"SSE $maxSse exceeds bound $bound")
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, SparkFixture.sf)
+
   test("exact dedup output has unique doc_ids (projection property)") {
     val d1 = SparkEntry.queries("q_ext_exact_dedup")(spark, SparkFixture.sf)
     val ids1 = d1.select("doc_id").collect().map(_.getLong(0)).toSet
