@@ -86,7 +86,16 @@ object ScaleSmoke {
       "q_ext_semdedup",        // broadcast-argmax + cid-keyed pair join
       "q_ext_power_iter",      // 2 × (1-row broadcast + 64-long-sum agg)
       "q_ext_pq_encode",       // broadcast codebook + map-side struct-mins
-      "q_ext_ivfpq_search")    // cell probe + code ranking + bounded rerank
+      "q_ext_ivfpq_search",    // cell probe + code ranking + bounded rerank
+      // round-5 additions
+      "q_ext_sq8_encode",      // 1-row stats broadcast + map-only encode
+      "q_ext_sq8_search",      // fused fold + TakeOrdered + bounded rerank
+      "q_ext_cms_heavy_hitters", // constant-state sketch, map-side combined
+      "q_ext_bpe_merge",       // word-keyed agg, vocab-sized pair stage
+      "q_join_range_binned",   // bin-keyed equi join (keyless range join)
+      "q_ext_scd2_enrich",     // custkey window + interval-residual join
+      "q_ext_embed_pool",      // 65-expr nano-sum groupBy
+      "q_ext_data_card")       // one grouped pass + md5 dedup window
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
@@ -121,7 +130,13 @@ object ScaleSmoke {
     sb.append("intra-cluster pair work grows (10N/K)²/(N/K)² = 100× by design —\n")
     sb.append("the op's contract (and SemDeDup's own deployment) scales K ∝ N to\n")
     sb.append("keep per-cluster pairs constant; the ratio row documents what\n")
-    sb.append("happens when the knob is NOT turned, not a plan defect.\n\n")
+    sb.append("happens when the knob is NOT turned, not a plan defect.\n")
+    sb.append("q_join_range_binned joins on TIME ALONE, and replication does not\n")
+    sb.append("offset timestamps — all 10 replicas' signup windows overlap the same\n")
+    sb.append("30 days, so each point matches ~10× the windows and the matched-pair\n")
+    sb.append("stream grows ~100×; its ratio row measures that legitimately larger\n")
+    sb.append("join output (a real corpus 10× larger in TIME keeps per-point match\n")
+    sb.append("counts constant and would scale ~10×).\n\n")
     sb.append("| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
     for (q <- picks) {
       val t1 = time(q, src); val t2 = time(q, dst)
