@@ -327,5 +327,27 @@ object Aggs {
           "metric", "val")
         .orderBy("l_orderkey", "l_linenumber", "metric", "val")
     },
+
+    // Ordered string aggregation (LISTAGG/string_agg — the SQL:2016 surface):
+    // per-priority key roster as ONE deterministic string. Ordering inside an
+    // aggregate is the trap — Spark's collect_list order is partition-
+    // dependent, so the contract is sort-then-join (sort_array before
+    // array_join), which commutes with any partial-agg order. Filtered first
+    // so the group payloads stay bounded (an unfiltered LISTAGG over a fact
+    // table is an anti-pattern at any scale — the string IS the data).
+    QDef(
+      "q_agg_string_agg",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_totalprice > 350000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("array_join(transform(sort_array(collect_list(o_orderkey)), " +
+            "x -> CAST(x AS STRING)), ',')").as("keys"))
+        .orderBy("o_orderpriority")
+    },
   )
 }

@@ -333,6 +333,33 @@ object Joins {
           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     },
 
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match EACH OTHER instead of vanishing — the semantics entity-
+    // resolution joins need when "unknown" is itself a join class. Spark
+    // plans <=> as a hash join (null hashes like any value), so the shape
+    // stays the linear equi shuffle, not a null-handling nested loop.
+    QDef(
+      "q_join_null_safe",
+      """WITH a AS (SELECT c_custkey,
+        |    CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |b AS (SELECT s_suppkey,
+        |    CASE WHEN s_nationkey % 7 = 0 THEN NULL ELSE s_nationkey END AS nk
+        |  FROM supplier)
+        |SELECT a.c_custkey, b.s_suppkey, a.nk
+        |FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+        |ORDER BY a.c_custkey, b.s_suppkey""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_nationkey") % 7 === 0, lit(null).cast("int"))
+          .otherwise(col("c_nationkey")).as("nk"))
+      val b = Tables.supplier(s, d).select(col("s_suppkey"),
+        when(col("s_nationkey") % 7 === 0, lit(null).cast("int"))
+          .otherwise(col("s_nationkey")).as("nk"))
+      a.join(b, a("nk") <=> b("nk"))
+        .select(col("c_custkey"), col("s_suppkey"), a("nk").as("nk"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+
     // Binned range join: point-in-interval with NO equi key — the shape that
     // defaults to a nested-loop (quadratic) plan. The scalable rewrite bins
     // time at the max interval span (3 days → 1-day bins): each interval

@@ -69,5 +69,38 @@ object SetOps {
         .select(col("c_custkey").as("custkey"))
       a.except(b).orderBy("custkey")
     },
+
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep MULTIPLICITY
+    // (a custkey with 3 qualifying orders and 1 customer row survives EXCEPT
+    // ALL twice) — a different operator from the distinct forms above, and
+    // the one dedup-accounting pipelines actually need. Spark plans both as
+    // an aggregate of signed counts (no quadratic anti-join per duplicate).
+    QDef(
+      "q_set_except_all",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING') t
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      a.exceptAll(b).orderBy("custkey")
+    },
+
+    QDef(
+      "q_set_intersect_all",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      a.intersectAll(b).orderBy("custkey")
+    },
   )
 }

@@ -98,6 +98,49 @@ class OpSpecs extends AnyFunSuite {
     assert(a.union(a).distinct().count() == a.distinct().count())
   }
 
+  test("bag set ops: multiplicity identity |A EXCEPT ALL B| + |A INTERSECT ALL B| = |A|") {
+    // Bag semantics: every row of A lands in exactly one of the two outputs
+    // (EXCEPT ALL keeps count(A)-count(B) copies, INTERSECT ALL keeps
+    // min(count(A), count(B))) — the identity the distinct forms violate.
+    val a = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val inter = a.intersectAll(
+      Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+    val exc = a.exceptAll(
+      Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+    assert(inter.count() + exc.count() == a.count())
+    // and the distinct forms are the support sets of the bag forms
+    assert(inter.distinct().exceptAll(a.distinct()).count() == 0)
+  }
+
+  test("null-safe join matches NULL keys to each other; plain join drops them") {
+    val out = SparkEntry.queries("q_join_null_safe")(spark, sf)
+    val nullRows = out.filter(col("nk").isNull).count()
+    assert(nullRows > 0, "NULL <=> NULL must match")
+    // plain equality would produce exactly the non-null subset
+    val plain = out.filter(col("nk").isNotNull).count()
+    assert(out.count() == nullRows + plain)
+  }
+
+  test("string_agg is deterministic: sorted key roster, independent of partitioning") {
+    val once = SparkEntry.queries("q_agg_string_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // re-run over a different physical partitioning — same strings
+    val again = Tables.orders(spark, sf).repartition(7)
+      .filter(col("o_totalprice") > 350000)
+      .groupBy("o_orderpriority")
+      .agg(expr("array_join(transform(sort_array(collect_list(o_orderkey)), " +
+        "x -> CAST(x AS STRING)), ',')").as("keys"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(once == again)
+    for ((_, keys) <- once) {
+      val ks = keys.split(',').map(_.toLong)
+      assert(ks.sorted.sameElements(ks), "roster must be ascending")
+    }
+  }
+
   test("typed Welford UDAF matches built-in var_samp") {
     val ours = SparkEntry.queries("q_udaf_typed")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
