@@ -349,5 +349,85 @@ object Aggs {
             "x -> CAST(x AS STRING)), ',')").as("keys"))
         .orderBy("o_orderpriority")
     },
+
+    // Argmax aggregation (max_by/min_by — SQL:2023's ANY_VALUE cousin that
+    // pipelines actually use: "the row that attains the extreme"). Ties are
+    // the correctness trap: max_by picks an ARBITRARY attaining row, so the
+    // ordering value packs the tie-break INTO the comparand — exact cents
+    // scaled past the key range plus the key itself. One partial-aggregated
+    // shuffle; the packed long is 8 bytes of state per group.
+    QDef(
+      "q_agg_minmax_by",
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS key_of_max,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS key_of_min
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val packed = (X.cents(col("o_totalprice")) * 10000000L + col("o_orderkey"))
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), packed).as("key_of_max"),
+          min_by(col("o_orderkey"), packed).as("key_of_min"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Filtered aggregation (the FILTER clause / count_if): several
+    // differently-predicated aggregates in ONE pass over the fact table —
+    // the alternative (one scan per predicate, union'd) multiplies I/O by
+    // the predicate count. All predicates evaluate map-side; state per
+    // group stays one long per aggregate.
+    QDef(
+      "q_agg_filtered",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 45) AS n_bulk,
+        |  count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count_if(col("l_quantity") > 45).as("n_bulk"),
+          count_if(col("l_discount") >= 0.05).as("n_discounted"),
+          sum(when(col("l_tax") > 0.04, col("l_extendedprice").cast("decimal(18,2)")))
+            .cast("double").as("taxed_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Boolean aggregation (bool_and/bool_or = SQL EVERY/ANY): per-group
+    // invariant checks as a single byte of aggregation state — the shape
+    // data-quality assertions compile to (e.g. "every order in the group
+    // has a positive price"), instead of count-compare round trips.
+    QDef(
+      "q_agg_bool",
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_above_1k,
+        |  bool_or(o_totalprice > 400000) AS any_jumbo,
+        |  bool_and(o_custkey IS NOT NULL) AS all_keyed
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_above_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+          bool_and(col("o_custkey").isNotNull).as("all_keyed"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Distinct-set aggregation surfaced as a SORTED ARRAY column:
+    // collect_set's order is partition-dependent, so the deterministic
+    // contract is sort_array on top — same rule as q_agg_string_agg. The
+    // distinct-combine happens in the partial aggregate, so the shuffle
+    // carries per-group distinct sets, never raw rows.
+    QDef(
+      "q_agg_collect_set",
+      """SELECT c_mktsegment,
+        |  list_sort(list(DISTINCT c_nationkey)) AS nations,
+        |  count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(sort_array(collect_set(col("c_nationkey"))).as("nations"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    },
   )
 }

@@ -360,6 +360,34 @@ object Joins {
         .orderBy("c_custkey", "s_suppkey")
     },
 
+    // NOT IN (subquery) — three-valued-logic anti join, a DIFFERENT planner
+    // path from LEFT ANTI: a NULL probe key is "unknown ∈ set", so the row
+    // is dropped (not kept as anti would), and one NULL in the subquery
+    // empties the whole result. Spark plans this as a null-aware anti join,
+    // which REQUIRES a broadcastable right side (null-awareness can't
+    // shuffle-partition: the NULL probe must see the entire set) — the
+    // right side here is a filtered dimension, exactly the shape that stays
+    // broadcastable at 100 TB. Rewriting NOT IN to NOT EXISTS (null-free
+    // keys proven) is the escape hatch when the set outgrows broadcast.
+    QDef(
+      "q_join_not_in",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS ck
+        |FROM orders
+        |WHERE (CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END)
+        |  NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_ni_orders")
+      Tables.customer(s, d).createOrReplaceTempView("graft_ni_customer")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS ck
+          |FROM graft_ni_orders
+          |WHERE (CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END)
+          |  NOT IN (SELECT c_custkey FROM graft_ni_customer WHERE c_acctbal < -900)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // Binned range join: point-in-interval with NO equi key — the shape that
     // defaults to a nested-loop (quadratic) plan. The scalable rewrite bins
     // time at the max interval span (3 days → 1-day bins): each interval

@@ -352,4 +352,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
   }
+
+  test("q_join_not_in plans as a null-aware anti join on a broadcast set") {
+    val p = plan("q_join_not_in")
+    // NOT IN needs three-valued logic: the planner must pick the null-aware
+    // broadcast anti join, never a shuffled LeftAnti (which would keep
+    // NULL-key probe rows and be wrong). BroadcastHashJoinExec prints the
+    // isNullAwareAntiJoin flag as a trailing "true" after the build side;
+    // AQE may then fold the whole join away when the build set is empty at
+    // this sf, so the Initial Plan carries the evidence.
+    assert("LeftAnti, Build(Right|Left), true".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
 }
