@@ -95,7 +95,11 @@ object ScaleSmoke {
       "q_join_range_binned",   // bin-keyed equi join (keyless range join)
       "q_ext_scd2_enrich",     // custkey window + interval-residual join
       "q_ext_embed_pool",      // 65-expr nano-sum groupBy
-      "q_ext_data_card")       // one grouped pass + md5 dedup window
+      "q_ext_data_card",       // one grouped pass + md5 dedup window
+      // round-6 SQL-surface additions (each should scale as its family)
+      "q_set_except_all",      // signed-count aggregate (one shuffle)
+      "q_join_not_in",         // null-aware BROADCAST anti join
+      "q_agg_string_agg")      // filtered groups: payload stays bounded
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
