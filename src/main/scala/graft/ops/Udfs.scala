@@ -111,5 +111,25 @@ object Udfs {
         .select(col("doc_id"), col("x.pos").as("pos"), col("x.bigram").as("bigram"))
         .orderBy("doc_id", "pos")
     },
+
+    // Ordinality-preserving generator (posexplode / UNNEST WITH ORDINALITY):
+    // the generator variant that keeps ELEMENT POSITION, which plain explode
+    // destroys — what token-position features and chunk offsets need.
+    // Generators run inside the scan stage (Generate node, no shuffle);
+    // output order inside a row is the array order, so the (key, ord) sort
+    // is total and deterministic. Spark's pos is 0-based, DuckDB's
+    // generate_subscripts 1-based — normalized to 1-based in both.
+    QDef(
+      "q_udtf_posexplode",
+      """SELECT p_partkey, CAST(generate_subscripts(ws, 1) AS INTEGER) AS ord,
+        |  unnest(ws) AS word
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part) t
+        |ORDER BY p_partkey, ord""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), (col("pos") + 1).cast("int").as("ord"),
+          col("col").as("word"))
+        .orderBy("p_partkey", "ord")
+    },
   )
 }

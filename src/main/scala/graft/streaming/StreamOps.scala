@@ -660,7 +660,90 @@ object StreamOps {
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
         .orderBy("cid")
     },
+
+    // Partial-update merge-engine end-to-end (a 20th real streaming job):
+    // three column-disjoint update waves — base prices (seq 1), priorities
+    // from a second source (seq 2), a reprice for every 10th key (seq 3) —
+    // land as PARTIAL rows in one stream whose file batches interleave the
+    // waves arbitrarily (the staging repartition shuffles rows across
+    // files). The table assembles whole rows per key by per-field last
+    // non-null, so the final read equals the closed-form join of the waves
+    // regardless of arrival order — the Paimon partial-update pattern for
+    // multi-source wide-table assembly without a join at ingest.
+    QDef(
+      "q_stream_partial_update",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0
+        |       THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents,
+        |  o_orderpriority AS prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val dir = partialUpdDir(s, d)
+      val root = Files.createTempDirectory("graft_partial_upd_tbl_").toString
+      val table = new graft.table.StreamTable(root, s,
+        primaryKey = Some(Seq("o_orderkey")), seqCol = Some("seq"),
+        mergeEngine = "partial-update")
+      withStreamShuffle(s) {
+        val schema = s.read.parquet(dir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(dir)
+        table.writeStream(stream, Trigger.AvailableNow()).awaitTermination()
+      }
+      table.read.select("o_orderkey", "price_cents", "prio").orderBy("o_orderkey")
+    },
+
+    // First-row merge-engine (a 21st real streaming job): the stream keeps
+    // each user's FIRST event (smallest sequence) and discards every later
+    // arrival at the merge sites — the "immutable first observation" table
+    // (signup attribution, first-touch) that deduplicate's LWW cannot
+    // express. Sequence = event_id (unique per key), so resolution is
+    // deterministic under any batch interleaving.
+    QDef(
+      "q_stream_first_row",
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val dir = eventsMultiDir(s, d)
+      val root = Files.createTempDirectory("graft_first_row_tbl_").toString
+      val table = new graft.table.StreamTable(root, s,
+        primaryKey = Some(Seq("user_id")), seqCol = Some("event_id"),
+        mergeEngine = "first-row")
+      withStreamShuffle(s) {
+        val schema = s.read.parquet(dir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(dir)
+          .select("user_id", "event_id", "event_type", "value")
+        table.writeStream(stream, Trigger.AvailableNow()).awaitTermination()
+      }
+      table.read.select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
   )
+
+  /** Stage (once per sf dir) the partial-update waves: base prices (seq 1),
+    * priorities (seq 2), the %10 reprice (seq 3), shuffled across 6 files so
+    * micro-batches interleave the waves. */
+  private val stagedPartial = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partialUpdDir(s: SparkSession, d: String): String =
+    stagedPartial.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft_partial_upd_src_").toString
+      val o = graft.Tables.orders(s, d)
+      val base = o.select(col("o_orderkey"), lit(1L).as("seq"),
+        graft.X.cents(col("o_totalprice")).as("price_cents"),
+        lit(null).cast("string").as("prio"))
+      val prios = o.select(col("o_orderkey"), lit(2L).as("seq"),
+        lit(null).cast("bigint").as("price_cents"),
+        col("o_orderpriority").as("prio"))
+      val reprice = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit(3L).as("seq"),
+          (graft.X.cents(col("o_totalprice")) * 2).as("price_cents"),
+          lit(null).cast("string").as("prio"))
+      base.unionByName(prios).unionByName(reprice)
+        .repartition(6).write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   /** Shared by [[q_stream_incremental]] and StreamSpec (which asserts the
     * batch count): run the 8-file backlog at 2 files/trigger; returns the

@@ -76,11 +76,20 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
 
   def getTable(db: String, name: String): StreamTable = {
     val o = tableOptions(db, name)
+    // Paimon merge-engine keys: 'merge-engine' picks the resolution
+    // strategy; 'fields.<f>.aggregate-function' entries assemble the
+    // aggregation spec (their presence implies merge-engine=aggregation,
+    // matching Paimon's validation)
+    val FieldAgg = "fields\\.(.+)\\.aggregate-function".r
+    val aggSpec = o.collect { case (FieldAgg(f), fn) => f -> fn }.toSeq.sortBy(_._1)
     new StreamTable(tablePath(db, name), spark,
       primaryKey = o.get("primary-key").map(_.split(",").map(_.trim).toSeq),
       seqCol = o.get("sequence.field"),
       bucketKey = o.get("bucket-key"),
-      numBuckets = o.get("bucket").map(_.toInt).getOrElse(4))
+      numBuckets = o.get("bucket").map(_.toInt).getOrElse(4),
+      aggSpec = if (aggSpec.nonEmpty) Some(aggSpec) else None,
+      mergeEngine = o.get("merge-engine")
+        .filterNot(_ == "aggregation").getOrElse("deduplicate"))
   }
 
   /** Register every table of a database as a temp view (`<db>_<table>`), so

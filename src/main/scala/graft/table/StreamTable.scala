@@ -74,12 +74,36 @@ class StreamTable(
       * commutative), which is what makes the engine's three merge sites
       * (read, compaction, incremental append) agree: partially-merged rows
       * re-merge with fresh rows to the same result in any order. */
-    val aggSpec: Option[Seq[(String, String)]] = None) {
+    val aggSpec: Option[Seq[(String, String)]] = None,
+    /** Paimon `merge-engine`: how same-key rows collapse on PK tables.
+      *  - `"deduplicate"` (default): last-writer-wins by (seqCol, commit).
+      *  - `"first-row"`: FIRST writer wins — the row with the smallest
+      *    (seqCol, commit) is kept and every later arrival is ignored.
+      *    Deterministic only if the caller's seqCol is unique per key
+      *    (ours: the reference leaves it arrival-ordered, which no
+      *    distributed replay can reproduce).
+      *  - `"partial-update"`: per-FIELD last non-null wins — a row is a
+      *    partial update that sets only its non-null columns. Each merged
+      *    field carries its own sequence (`__graft_fseq_<field>` struct
+      *    columns persisted by compaction), which is what keeps the merge
+      *    associative: re-merging a compacted row with an out-of-order
+      *    arrival lands on the same per-field winners as a full merge —
+      *    Paimon needs sequence-groups for the same reason.
+      *  - `"aggregation"` is implied by `aggSpec` (kept as its own
+      *    parameter for source compatibility). */
+    val mergeEngine: String = "deduplicate") {
 
   import StreamTable._
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[StreamTable])
 
+  require(Set("deduplicate", "first-row", "partial-update").contains(mergeEngine),
+    s"unknown merge-engine '$mergeEngine' " +
+      "(deduplicate | first-row | partial-update; aggregation via aggSpec)")
+  require(aggSpec.isEmpty || mergeEngine == "deduplicate",
+    "aggSpec and a non-default merge-engine are mutually exclusive")
+  require(mergeEngine == "deduplicate" || primaryKey.nonEmpty,
+    s"merge-engine=$mergeEngine requires a primary key")
   require(aggSpec.isEmpty || primaryKey.nonEmpty,
     "merge-engine=aggregation requires a primary key")
   aggSpec.foreach(_.foreach { case (f, fn) =>
@@ -87,6 +111,9 @@ class StreamTable(
       s"unsupported aggregate-function '$fn' for field '$f' " +
         "(order-insensitive only: sum/min/max/count)")
   })
+
+  /** The effective engine: aggSpec implies aggregation. */
+  private val engine: String = if (aggSpec.isDefined) "aggregation" else mergeEngine
 
   private val dataAppend = s"$root/data/append"
   private val dataCompact = s"$root/data/compact"
@@ -178,8 +205,8 @@ class StreamTable(
     // Paimon: aggregation tables reject deletes unless every function can
     // retract — none of ours carry retract state, so refuse loudly rather
     // than let a tombstone silently vanish into a sum
-    if (aggSpec.isDefined) throw new UnsupportedOperationException(
-      "merge-engine=aggregation does not support deletes (no retract support)")
+    if (engine != "deduplicate") throw new UnsupportedOperationException(
+      s"merge-engine=$engine does not support deletes (no retract support)")
     // a tombstone is a row with only the key (+ sequence) populated and the
     // marker set; schema-merge fills the payload columns with nulls
     val stamped = seqCol match {
@@ -286,9 +313,62 @@ class StreamTable(
     raw.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** First-writer-wins (merge-engine=first-row): the mirror image of
+    * [[resolve]] — ascending (seqCol, commit) order, smallest wins. Later
+    * arrivals are discarded at every merge site, so compaction is free to
+    * materialize the winner (keepSeq retains its commit seq; a re-merge
+    * against later appends still resolves to it because its seq is
+    * smallest). Deletes are refused at write (Paimon first-row has no
+    * retract path either). */
+  private def firstRowResolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
+    val order = seqCol.map(c => col(c).asc).toSeq :+ col(SeqColName).asc
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+    val resolved = raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (keepSeq) resolved else resolved.drop(SeqColName)
+  }
+
+  /** Per-field last-non-null merge (merge-engine=partial-update): every
+    * non-key field resolves independently to the value set at the LARGEST
+    * (seqCol, commit) among rows where it is non-null — NULL means "not
+    * written", never "set to null". Associativity needs per-field
+    * provenance: a compacted row's field may have been set at a sequence
+    * far below the row's own, so each field's winning sequence is persisted
+    * as a `__graft_fseq_<f>` struct column and re-used on re-merge (else an
+    * out-of-order arrival between the two would lose to the compacted row's
+    * inflated sequence — the bug Paimon's sequence-groups exist to fix).
+    * Within one (seq, commit) tie the larger value wins: deterministic,
+    * and Spark and DuckDB agree on it. */
+  private def partialResolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
+    val meta = pk.toSet + SeqColName + TombstoneColName
+    val fields = raw.columns.filterNot(c => meta.contains(c) || c.startsWith(FieldSeqPrefix))
+    val baseOrd = struct(
+      seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
+      col(SeqColName).cast("long").as("s2"))
+    def eff(f: String): org.apache.spark.sql.Column = {
+      val persisted =
+        if (raw.columns.contains(FieldSeqPrefix + f)) col(FieldSeqPrefix + f)
+        else lit(null).cast("struct<s1:bigint,s2:bigint>")
+      when(persisted.isNotNull, persisted)
+        .when(col(f).isNotNull, baseOrd)
+    }
+    // max() skips null inputs, so rows that never set the field drop out of
+    // that field's race; struct comparison orders by (fseq, value)
+    val aggs = fields.flatMap { f =>
+      val win = max(when(eff(f).isNotNull, struct(eff(f).as("s"), col(f).as("v"))))
+      Seq(win.getField("v").as(f), win.getField("s").as(FieldSeqPrefix + f))
+    } ++ (if (keepSeq) Seq(max(col(SeqColName)).as(SeqColName)) else Nil)
+    val merged = raw.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (keepSeq) merged else merged.drop(merged.columns.filter(_.startsWith(FieldSeqPrefix)): _*)
+  }
+
   private def resolveView(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame =
-    if (aggSpec.isDefined) aggResolve(raw, pk, keepSeq)
-    else resolve(raw, pk, keepSeq)
+    engine match {
+      case "aggregation"    => aggResolve(raw, pk, keepSeq)
+      case "first-row"      => firstRowResolve(raw, pk, keepSeq)
+      case "partial-update" => partialResolve(raw, pk, keepSeq)
+      case _                => resolve(raw, pk, keepSeq)
+    }
 
   /** Batch read of the current snapshot (manifest-based, so compaction and
     * retention are invisible to readers). PK tables get the last-writer-wins
@@ -387,8 +467,8 @@ class StreamTable(
     // -U/+U pair carries identical images and a delta-consumer nets zero.
     val oldState =
       if (files(fromId).isEmpty) read.limit(0)
-      else resolve(readFiles(files(fromId)), pk, keepSeq = false)
-    val newState = resolve(readFiles(files(toId)), pk, keepSeq = false)
+      else resolveView(readFiles(files(fromId)), pk, keepSeq = false)
+    val newState = resolveView(readFiles(files(toId)), pk, keepSeq = false)
       .join(changedKeys, pk, "left_semi")
     val oldChanged = oldState.join(changedKeys, pk, "left_semi")
     val newKeys = newState.select(pk.map(col): _*).withColumn("__in_new", lit(1))
@@ -563,6 +643,11 @@ object StreamTable {
 
   /** Internal delete-tombstone marker column (the `-D` changelog op). */
   val TombstoneColName = "__graft_tomb"
+
+  /** Prefix of the per-field winning-sequence columns partial-update
+    * compaction persists (struct of user seq + commit seq); hidden from
+    * readers like [[SeqColName]]. */
+  val FieldSeqPrefix = "__graft_fseq_"
 
   private val mapper = new ObjectMapper()
   mapper.registerModule(DefaultScalaModule)

@@ -328,6 +328,68 @@ class StreamTableSpec extends AnyFunSuite {
     }
   }
 
+  test("first-row merge-engine: earliest sequence wins at every merge site") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"), mergeEngine = "first-row")
+    t.appendBatch(Seq((1L, 10L, "first"), (2L, 11L, "b1")).toDF("id", "seq", "v"), 0)
+    t.appendBatch(Seq((1L, 20L, "later"), (3L, 5L, "c1")).toDF("id", "seq", "v"), 1)
+    def got() = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got().toSeq == Seq((1L, "first"), (2L, "b1"), (3L, "c1")))
+    // compaction materializes the winner; a LATE arrival with a SMALLER
+    // sequence still beats it on re-merge (seq order, not arrival order)
+    t.compact(targetFileCount = 1)
+    t.appendBatch(Seq((1L, 1L, "earliest"), (2L, 99L, "late")).toDF("id", "seq", "v"), 2)
+    assert(got().toSeq == Seq((1L, "earliest"), (2L, "b1"), (3L, "c1")))
+    intercept[UnsupportedOperationException] { t.deleteBatch(Seq(1L).toDF("id"), 3) }
+    intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, mergeEngine = "first-row") // no PK
+    }
+  }
+
+  test("partial-update merge-engine: per-field last non-null, associative under compaction") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"), mergeEngine = "partial-update")
+    def row(id: Long, seq: Long, a: Option[String], b: Option[Long]) =
+      (id, seq, a.orNull, b.map(Long.box).orNull)
+    val cols = Seq("id", "seq", "a", "b")
+    // key 1: a set at seq 10, b set at seq 20 by a different partial row
+    t.appendBatch(Seq(row(1, 10, Some("a10"), None), row(2, 10, Some("x"), Some(7)))
+      .toDF(cols: _*), 0)
+    t.appendBatch(Seq(row(1, 20, None, Some(42))).toDF(cols: _*), 1)
+    def got() = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got().toSeq == Seq((1L, "a10", 42L), (2L, "x", 7L)))
+    // the read view must not leak the per-field seq metadata columns
+    assert(!t.read.columns.exists(_.startsWith(StreamTable.FieldSeqPrefix)))
+
+    // compaction persists per-field sequences: an OUT-OF-ORDER arrival at
+    // seq 15 (between a's seq 10 and the compacted row's own seq 20) must
+    // still overwrite a (set at 10) — without per-field provenance the
+    // compacted row's inflated sequence would wrongly win
+    t.compact(targetFileCount = 1)
+    t.appendBatch(Seq(row(1, 15, Some("a15"), None)).toDF(cols: _*), 2)
+    assert(got().toSeq == Seq((1L, "a15", 42L), (2L, "x", 7L)))
+    // ...and a genuinely newer update still wins over everything
+    t.appendBatch(Seq(row(1, 30, Some("a30"), None)).toDF(cols: _*), 3)
+    assert(got().toSeq == Seq((1L, "a30", 42L), (2L, "x", 7L)))
+    intercept[UnsupportedOperationException] { t.deleteBatch(Seq(1L).toDF("id"), 4) }
+  }
+
+  test("catalog parses merge-engine and fields.*.aggregate-function options") {
+    val cat = new graft.table.GraftCatalog(spark,
+      Files.createTempDirectory("graft_mewh_").toString)
+    val fr = cat.createTable("default", "m_first", Map(
+      "primary-key" -> "id", "sequence.field" -> "seq", "merge-engine" -> "first-row"))
+    fr.appendBatch(Seq((1L, 2L, "keep"), (1L, 9L, "drop")).toDF("id", "seq", "v"), 0)
+    assert(cat.getTable("default", "m_first").read.collect()
+      .map(_.getString(2)).toSeq == Seq("keep"))
+    val ag = cat.createTable("default", "m_agg", Map(
+      "primary-key" -> "k", "fields.total.aggregate-function" -> "sum"))
+    ag.appendBatch(Seq((1L, 5L), (1L, 6L)).toDF("k", "total"), 0)
+    assert(cat.getTable("default", "m_agg").read.collect()
+      .map(_.getLong(1)).toSeq == Seq(11L))
+  }
+
   test("catalog views make tables SQL-queryable") {
     val cat = new graft.table.GraftCatalog(spark,
       Files.createTempDirectory("graft_sqlwh_").toString)
