@@ -42,6 +42,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("partial-update read view ≡ per-field fold, under random batching and compaction") {
+    // rows carry (key, seq, two independently-nullable fields); the merged
+    // state must equal the per-field last-non-null fold by (seq, batch) —
+    // independent of how ops split into batches and of a mid-stream
+    // compaction (which exercises the persisted per-field sequences)
+    val pOpsGen: Gen[List[(Long, Long, Option[String], Option[Long])]] =
+      Gen.listOfN(24, for {
+        key <- Gen.choose(0L, 4L)
+        seq <- Gen.choose(0L, 50L)
+        a   <- Gen.option(Gen.alphaStr.map(_.take(4)))
+        b   <- Gen.option(Gen.choose(0L, 99L))
+      } yield (key, seq, a, b))
+    for (seed <- 1L to 4L) {
+      val ops = pOpsGen.apply(Gen.Parameters.default, Seed(seed)).get
+      val t = new StreamTable(Files.createTempDirectory("graft_pprop_").toString,
+        spark, primaryKey = Some(Seq("id")), seqCol = Some("seq"),
+        mergeEngine = "partial-update")
+      val batches = ops.zipWithIndex.grouped(5).toSeq
+      batches.zipWithIndex.foreach { case (chunk, bi) =>
+        t.appendBatch(chunk.map { case ((k, sq, a, b), _) =>
+          (k, sq, a.orNull, b.map(Long.box).orNull) }.toDF("id", "seq", "a", "b"), bi.toLong)
+        if (bi == batches.size / 2) t.compact(targetFileCount = 1)
+      }
+      // reference model: per field, the value set by the op with the largest
+      // (seq, op-index-within-everything) among non-null setters; ties on
+      // (seq, batch) break by LARGER VALUE (documented determinism rule), so
+      // order the fold by ((seq, batchId), value)
+      def fold[V: Ordering](sets: Seq[((Long, Int), V)]): Option[V] =
+        sets.sortBy { case ((sq, b), v) => ((sq, b), v) }.lastOption.map(_._2)
+      val byKey = ops.zipWithIndex.groupBy(_._1._1)
+      val expect = byKey.map { case (k, group) =>
+        val tagged = group.map { case ((_, sq, a, b), i) => ((sq, i / 5), a, b) }
+        k -> (fold(tagged.collect { case (o, Some(a), _) => (o, a) }),
+          fold(tagged.collect { case (o, _, Some(b)) => (o, b) }))
+      }
+      val got = t.read.collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(got == expect, s"seed=$seed ops=$ops")
+    }
+  }
+
   test("TopKPairs ≡ sort-take on random data, under any partitioning") {
     import org.apache.spark.sql.functions._
     graft.functions.TopKFunctions.registerOn(spark)
