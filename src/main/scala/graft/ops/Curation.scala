@@ -928,6 +928,74 @@ object Curation {
           (col("doc_id") === col("canon_id")).as("is_canon"))
         .orderBy("doc_id")
     },
+
+    // Exact SUB-document dedup (the RefinedWeb/C4 "exact substring /
+    // duplicated paragraph removal" class — a different operator from every
+    // doc-granularity dedup above: the unit of deduplication is a SEGMENT,
+    // and documents get REWRITTEN, not dropped). Segments are fixed 8-word
+    // grid chunks (this corpus has no paragraph marks); the planted variant
+    // quotes the first 16 words (2 grid chunks) of each doc_id < 25 into a
+    // new doc padded with unique filler — the op must strip exactly the
+    // quoted chunks and keep the filler. First occurrence wins, ordered
+    // (doc_id, ord): deterministic, order-independent.
+    //
+    // 100 TB posture: the first-occurrence group key is md5(segment), so
+    // the shuffle carries 16-byte digests + (doc_id, ord) pairs — segment
+    // BODIES only move in the reassembly shuffle, keyed by doc_id, which is
+    // the output's own partitioning. Both shuffles are linear; no pair
+    // space anywhere (contrast minhash: this is the exact tier of the
+    // dedup ladder, run FIRST in real pipelines because it is cheapest).
+    QDef(
+      "q_ext_paragraph_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+        |    array_to_string(list_transform(range(0, 8),
+        |      i -> 'u' || CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)), ' ')
+        |  FROM documents WHERE doc_id < 25),
+        |chunks AS (
+        |  SELECT doc_id, CAST(k AS INTEGER) AS ord,
+        |    array_to_string(ws[(k-1)*8+1 : k*8], ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) t,
+        |       unnest(range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT) + 1)) u(k)),
+        |firsts AS (
+        |  SELECT doc_id, ord, seg,
+        |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, ord) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY ord) AS kept_text,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(
+            array_join(slice(split(col("text"), " "), 1, 16), " "), lit(" "),
+            array_join(expr("transform(sequence(0, 7), " +
+              "i -> concat('u', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))"),
+              " ")).as("text"))
+      val chunks = docs.unionByName(planted)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, CAST(ceil(size(ws) / 8.0) AS INT)),
+            |  k -> struct(k AS ord, array_join(slice(ws, (k-1)*8+1, 8), ' ') AS seg))"""
+            .stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.ord").as("ord"), col("c.seg").as("seg"))
+      // first occurrence per segment digest: min (doc_id, ord) via one
+      // digest-keyed aggregate joined back (bodies never cross this shuffle)
+      val firsts = chunks.withColumn("h", md5(col("seg")))
+        .groupBy("h").agg(min(struct(col("doc_id"), col("ord"))).as("keep"))
+        .select(col("h"), col("keep.doc_id").as("doc_id"), col("keep.ord").as("ord"))
+      chunks.withColumn("h", md5(col("seg")))
+        .join(firsts, Seq("h", "doc_id", "ord"), "left_semi")
+        .groupBy("doc_id")
+        .agg(
+          array_join(expr("transform(sort_array(collect_list(struct(ord, seg))), x -> x.seg)"),
+            " ").as("kept_text"),
+          count(lit(1)).as("n_kept"))
+        .orderBy("doc_id")
+    },
   ) :+ dataCardQ
 
   /** The data card (Gebru et al. "Datasheets for Datasets", the per-source

@@ -297,4 +297,25 @@ class CurationSpec extends AnyFunSuite {
       assert(members.forall(_._3 == members.length.toLong))
     }
   }
+
+  test("paragraph dedup: quoted chunks stripped, filler kept, originals intact") {
+    val rows = SparkEntry.queries("q_ext_paragraph_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val planted = rows.filter(_._1 >= 2000000L)
+    assert(planted.size == 25)
+    for ((id, (text, nKept)) <- planted) {
+      val orig = id - 2000000L
+      // the two quoted grid chunks are duplicates of the original's first
+      // 16 words and must be stripped; only the unique filler chunk stays
+      assert(nKept == 1L, s"doc $id kept $nKept chunks")
+      assert(text == (0 until 8).map(i => s"u${orig}f$i").mkString(" "),
+        s"doc $id kept: $text")
+    }
+    // every original's own FIRST chunk is its first global occurrence
+    // (doc_id order), so no original disappears entirely... unless all its
+    // chunks echo an earlier doc — allow that, but the overwhelming bulk
+    // must survive with their leading chunk intact
+    val originals = rows.filter(_._1 < 2000000L)
+    assert(originals.size >= 490)
+  }
 }
