@@ -48,7 +48,9 @@ object PlanDump {
       "q_join_range_binned" -> "Keyless range join, binned: intervals explode to ≤2 bins, points map to ONE — a plain equi shuffle join on the bin id with the range residual, where the naive plan is a BroadcastNestedLoopJoin.",
       "q_join_lateral" -> "Correlated LATERAL with ORDER BY+LIMIT: Catalyst decorrelates to a rank window over one equi-join — orders is scanned once, never per-customer.",
       "q_ext_embed_pool" -> "Grouped embedding pooling: 65 agg expressions (count + 64 nano sums) combine map-side into one source-keyed exchange; no embedding array is ever a shuffle key.",
-      "q_ext_scd2_enrich" -> "SCD2 enrichment: the version build is one o_custkey window; the join is an equi-hash on the user key with the validity interval as residual — ≤1 match per event, no pair blowup.")
+      "q_ext_scd2_enrich" -> "SCD2 enrichment: the version build is one o_custkey window; the join is an equi-hash on the user key with the validity interval as residual — ≤1 match per event, no pair blowup.",
+      "q_join_not_in" -> "NOT IN subquery: planned as the null-aware broadcast anti join (BroadcastHashJoin LeftAnti BuildRight with the isNullAwareAntiJoin flag) — three-valued logic forces a broadcastable set; rewrite to NOT EXISTS once the set outgrows broadcast.",
+      "q_ext_paragraph_dedup" -> "Sub-document dedup: the first-occurrence race is one md5(segment)-keyed aggregate joined back semi — digests and (doc_id, ord) pairs shuffle, bodies only move in the doc_id-keyed reassembly.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

@@ -147,4 +147,39 @@ class SqlSpec extends AnyFunSuite {
     sh.sql("DROP TABLE sensor_info")
     assert(sh.sql("SHOW TABLES").collect().isEmpty)
   }
+
+  test("merge-engine options flow through CREATE TABLE WITH (Paimon keys)") {
+    import spark.implicits._
+    val sh = shell()
+    // partial-update: two column-disjoint INSERT waves assemble one row
+    sh.sql("""CREATE TABLE device_profile (
+             |  device_id BIGINT, name STRING, fw_version BIGINT, seq BIGINT,
+             |  PRIMARY KEY (device_id) NOT ENFORCED
+             |) WITH ('merge-engine' = 'partial-update', 'sequence.field' = 'seq')""".stripMargin)
+    Seq((1L, "alpha", null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("device_id", "name", "fw_version", "seq").createOrReplaceTempView("w1")
+    Seq((1L, null.asInstanceOf[String], java.lang.Long.valueOf(7L), 2L))
+      .toDF("device_id", "name", "fw_version", "seq").createOrReplaceTempView("w2")
+    sh.sql("INSERT INTO device_profile SELECT * FROM w1")
+    sh.sql("INSERT INTO device_profile SELECT * FROM w2")
+    val prof = sh.sql("SELECT device_id, name, fw_version FROM device_profile")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(prof.toSeq == Seq((1L, "alpha", 7L)))
+
+    // first-row: the earliest-sequence row survives later inserts
+    sh.sql("""CREATE TABLE first_touch (
+             |  user_id BIGINT, channel STRING, seq BIGINT,
+             |  PRIMARY KEY (user_id) NOT ENFORCED
+             |) WITH ('merge-engine' = 'first-row', 'sequence.field' = 'seq')""".stripMargin)
+    Seq((1L, "ads", 10L)).toDF("user_id", "channel", "seq")
+      .createOrReplaceTempView("t1")
+    Seq((1L, "organic", 20L)).toDF("user_id", "channel", "seq")
+      .createOrReplaceTempView("t2")
+    sh.sql("INSERT INTO first_touch SELECT * FROM t1")
+    sh.sql("INSERT INTO first_touch SELECT * FROM t2")
+    assert(sh.sql("SELECT channel FROM first_touch").collect()
+      .map(_.getString(0)).toSeq == Seq("ads"))
+    sh.sql("DROP TABLE device_profile")
+    sh.sql("DROP TABLE first_touch")
+  }
 }
