@@ -58,7 +58,47 @@ object Datagen {
       out
     })
 
+  /** Each document's text staged as its OWN raw file (doc_id=<id>/part-*.txt),
+    * once per sf dir — the on-disk shape a raw multimodal corpus arrives in
+    * (one object per image/audio/doc) before ingestion into columnar form. */
+  private val binaryDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def binaryDocsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    binaryDirs.computeIfAbsent(d, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_bin_").toString
+      // repartition by the key so each partition dir gets exactly one file
+      graft.Tables.documents(s, d).select("doc_id", "text")
+        .repartition(col("doc_id"))
+        .write.mode("overwrite").partitionBy("doc_id").text(out)
+      out
+    })
+
   val all: Seq[QDef] = Seq(
+    // binaryFile source (the raw-object ingestion surface multimodal
+    // pipelines start from: one file per image/audio/document, read as
+    // (path, length, content) WITHOUT decoding). The identity comes from
+    // the PATH (regexp on the partition dir), the payload stays opaque
+    // bytes — planning never opens content, exactly the contract
+    // q_mm_decode_meta picks up from columnar form. At corpus scale this
+    // is the one-time ingestion pass that turns an object store's million
+    // small files into parquet; the scan parallelizes per-file.
+    QDef(
+      "q_source_binary_files",
+      """SELECT doc_id, CAST(len(text) + 1 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = binaryDocsDir(s, d)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+            .cast("bigint").as("doc_id"),
+          col("length").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+
     // Bounded sequence datagen (sensor_info shape, Readme.md:132-154):
     // sequence key + derived payload columns. Payloads are deterministic
     // arithmetic on the key (not rand()) so DuckDB replays them exactly.
