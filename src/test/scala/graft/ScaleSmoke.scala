@@ -99,7 +99,8 @@ object ScaleSmoke {
       // round-6 SQL-surface additions (each should scale as its family)
       "q_set_except_all",      // signed-count aggregate (one shuffle)
       "q_join_not_in",         // null-aware BROADCAST anti join
-      "q_agg_string_agg")      // filtered groups: payload stays bounded
+      "q_agg_string_agg",      // filtered groups: payload stays bounded
+      "q_ext_paragraph_dedup") // digest-keyed first-occurrence, no pair space
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
