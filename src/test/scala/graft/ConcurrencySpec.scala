@@ -60,4 +60,62 @@ class ConcurrencySpec extends AnyFunSuite {
     val ids = t.snapshots.map(_.id)
     assert(ids == (ids.min to ids.max))
   }
+
+  test("concurrent partial-update appender + compactor: per-field winners survive races") {
+    // the compactor's pre-merged rows (carrying __graft_fseq_* provenance)
+    // race fresh partial appends; the final read must equal the sequential
+    // per-field fold no matter which snapshots the compactor rewrote
+    val t = new StreamTable(Files.createTempDirectory("graft_conc_pu_").toString,
+      spark, primaryKey = Some(Seq("id")), seqCol = Some("seq"),
+      mergeEngine = "partial-update")
+    val nBatches = 10
+    val keys = 20L
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    @volatile var writerErr: Throwable = null
+    @volatile var compactorErr: Throwable = null
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          for (b <- 0 until nBatches) {
+            // even batches set a (b as seq), odd batches set c — per key,
+            // the final a is from the last even batch, c from the last odd
+            val df = spark.range(0, keys).toDF("id")
+              .select(org.apache.spark.sql.functions.col("id"),
+                org.apache.spark.sql.functions.lit(b.toLong).as("seq"),
+                (if (b % 2 == 0) org.apache.spark.sql.functions.concat(
+                    org.apache.spark.sql.functions.lit(s"a$b-"),
+                    org.apache.spark.sql.functions.col("id"))
+                 else org.apache.spark.sql.functions.lit(null).cast("string")).as("a"),
+                (if (b % 2 == 1) org.apache.spark.sql.functions.col("id") * b
+                 else org.apache.spark.sql.functions.lit(null).cast("long")).as("c"))
+            t.appendBatch(df, b.toLong)
+          }
+        } catch { case e: Throwable => writerErr = e }
+      }
+    })
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          for (_ <- 0 until 4) { Thread.sleep(120); t.compact(targetFileCount = 1) }
+        } catch { case e: Throwable => compactorErr = e }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "threads did not finish")
+    assert(writerErr == null, s"writer failed: $writerErr")
+    assert(compactorErr == null, s"compactor failed: $compactorErr")
+    val lastEven = ((nBatches - 1) / 2) * 2       // 8
+    val lastOdd = ((nBatches - 2) / 2) * 2 + 1    // 9
+    val got = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(got.length == keys)
+    for ((id, a, c) <- got) {
+      assert(a == s"a$lastEven-$id", s"key $id a=$a")
+      assert(c == id * lastOdd, s"key $id c=$c")
+    }
+  }
 }
