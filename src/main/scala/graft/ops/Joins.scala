@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QDef, Tables}
+import graft.{QDef, Tables, X}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -386,6 +386,40 @@ object Joins {
           |WHERE (CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END)
           |  NOT IN (SELECT c_custkey FROM graft_ni_customer WHERE c_acctbal < -900)
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Runtime bloom-filter join: Spark's InjectRuntimeFilter builds a bloom
+    // filter over the SELECTIVE side's join keys and pushes a might_contain
+    // probe into the fact side's scan stage — the row-level analog of dynamic
+    // partition pruning for when the join key is NOT the partition key. At
+    // 100 TB this prunes most fact rows BEFORE the shuffle (the expensive
+    // part of an SMJ), while the filter itself stays one bounded bitmap
+    // broadcast. The selective side here (urgent orders) outgrows the
+    // broadcast-hash path at scale, so the demo forces the shuffle-join
+    // shape (autoBroadcast=-1); the application-side size gate defaults to
+    // 10 GB — sized for real clusters — and is lowered to 0 so the local-SF
+    // plan exercises the same injection. Confs live on a forked session
+    // (newSession shares the SparkContext, not SQLConf) so nothing leaks
+    // into the registry's other queries. PlanSpec asserts might_contain.
+    QDef(
+      "q_join_bloom_runtime",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      Tables.lineitem(s2, d)
+        .join(Tables.orders(s2, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(X.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     },
 
     // Binned range join: point-in-interval with NO equi key — the shape that

@@ -74,6 +74,26 @@ object Datagen {
       out
     })
 
+  /** Orders staged as a z-order-compacted StreamTable, once per sf dir:
+    * appended in 4 hash-scrambled batches (so the incoming layout clusters
+    * NEITHER column), then `sortCompact(o_custkey, o_totalprice)` rewrites
+    * the live set along the 2-D z-curve. */
+  private val zorderTables =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.StreamTable]()
+  private def zorderOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.table.StreamTable =
+    zorderTables.computeIfAbsent(d, { _ =>
+      val t = new graft.table.StreamTable(
+        java.nio.file.Files.createTempDirectory("graft_zorder_").toString, s)
+      val o = graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("__b", pmod(hash(col("o_orderkey")), lit(4)))
+      for (b <- 0 until 4)
+        t.appendBatch(o.filter(col("__b") === b).drop("__b"), b.toLong)
+      t.sortCompact("o_custkey", "o_totalprice", targetFileCount = 16)
+      t
+    })
+
   val all: Seq[QDef] = Seq(
     // binaryFile source (the raw-object ingestion surface multimodal
     // pipelines start from: one file per image/audio/document, read as
@@ -239,6 +259,26 @@ object Datagen {
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val out = evolvedOrdersDir(s, d)
       s.read.option("mergeSchema", "true").parquet(s"$out/slice=a", s"$out/slice=b")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Z-order clustered read (Paimon sort-compact, 'sort-order'='zorder'):
+    // the staged table was rewritten along the (o_custkey, o_totalprice)
+    // z-curve, so each file's footer carries a tight 2-D bounding box and
+    // readWhere prunes files on EITHER column — the scan-side payoff that
+    // makes a 100 TB box query metadata-bounded instead of full-scan. The
+    // custkey band arrives via stats skipping; the totalprice band is the
+    // residual predicate. StreamTableSpec asserts the pruning counts; here
+    // the oracle pins that the re-layout changed NOTHING about the data.
+    QDef(
+      "q_source_zorder_skipping",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_totalprice BETWEEN 100000 AND 200000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      zorderOrders(s, d).readWhere("o_custkey", 100.0, 400.0)
+        .where(col("o_totalprice") >= 100000.0 && col("o_totalprice") <= 200000.0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     },

@@ -566,7 +566,65 @@ class StreamTable(
     * level-1 files and swap the manifest. Row count is conserved
     * (guide.md:212-231 → :258-259); for PK tables the rewrite also resolves
     * last-writer-wins, shrinking data like Paimon's full compaction. */
-  def compact(targetFileCount: Int): Snapshot = {
+  def compact(targetFileCount: Int): Snapshot =
+    rewriteLive { resolved =>
+      bucketKey match {
+        // preserve the hash-bucket layout through compaction (Paimon compacts
+        // within buckets): rows stay clustered by key so post-compaction
+        // per-key reads and upsert resolution keep their co-location
+        case Some(k) => resolved.repartition(targetFileCount, col(k))
+        case None    => resolved.repartition(targetFileCount)
+      }
+    }
+
+  /** Z-order sort-compaction (Paimon's `sort-compact` with
+    * `'sort-order'='zorder'`): rewrite the live set CLUSTERED on the
+    * interleaved bit-order of two numeric columns, so the footer min/max
+    * stats — and therefore [[readWhere]] file skipping — stay selective on
+    * BOTH columns at once. A linear sort concentrates only its leading
+    * column; a 2-D z-curve gives each file a tight bounding box in (a, b),
+    * so a box predicate touches ~√(selectivity) of the files in either
+    * dimension. That is the 100 TB story: skipping is metadata-only
+    * (driver-side manifest work), and the one-off rewrite is a single
+    * range-shuffle of the data — the same cost as plain compaction.
+    *
+    * Each column is rank-quantized to 16 bits against its observed
+    * [min, max] (one cheap stats pass), then the bits are interleaved with
+    * the classic mask-spread — all whole-stage-codegen arithmetic, no UDF. */
+  def sortCompact(colA: String, colB: String, targetFileCount: Int): Snapshot =
+    rewriteLive { resolved =>
+      val stats = resolved.agg(
+        min(col(colA)).cast("double").as("amn"), max(col(colA)).cast("double").as("amx"),
+        min(col(colB)).cast("double").as("bmn"), max(col(colB)).cast("double").as("bmx"))
+        .head()
+      def quant(c: String, mn: Double, mx: Double) = {
+        val span = if (mx > mn) mx - mn else 1.0
+        // 16-bit rank; clamp guards FP edge at the max
+        least(lit(65535L),
+          ((col(c).cast("double") - mn) / span * 65535.0).cast("long")).as("q")
+      }
+      // spread 16 bits to even positions (x_15..x_0 → bit 2i), then
+      // interleave: z = spread(a) | spread(b) << 1 — pure long arithmetic
+      def spread(c: org.apache.spark.sql.Column) = {
+        val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+        s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val z = spread(quant(colA, stats.getDouble(0), stats.getDouble(1)))
+        .bitwiseOR(shiftleft(spread(quant(colB, stats.getDouble(2), stats.getDouble(3))), 1))
+      resolved.withColumn("__graft_z", z)
+        .repartitionByRange(targetFileCount, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+    }
+
+  /** Shared rewrite machinery: read the live set, resolve merge semantics,
+    * rewrite through `layout`, atomically swap the manifest. Conservation is
+    * validated against the rewrite's own inputs/outputs (footer row counts),
+    * never a re-read of the live table — a concurrent writer committing
+    * mid-rewrite must not fail the check. */
+  private def rewriteLive(layout: DataFrame => DataFrame): Snapshot = {
     val before = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (before.isEmpty) return latestSnapshot.orNull
     val raw = readFiles(before)
@@ -579,13 +637,7 @@ class StreamTable(
       case Some(pk) => resolveView(raw, pk, keepSeq = true)
     }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
-    val rewritten = bucketKey match {
-      // preserve the hash-bucket layout through compaction (Paimon compacts
-      // within buckets): rows stay clustered by key so post-compaction
-      // per-key reads and upsert resolution keep their co-location
-      case Some(k) => resolved.repartition(targetFileCount, col(k))
-      case None    => resolved.repartition(targetFileCount)
-    }
+    val rewritten = layout(resolved)
     rewritten.write.mode("overwrite").parquet(staging)
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
     val parts = listDir(Paths.get(staging)).iterator

@@ -364,4 +364,14 @@ class PlanSpec extends AnyFunSuite {
     assert("LeftAnti, Build(Right|Left), true".r.findFirstIn(p).isDefined,
       p.take(2000))
   }
+
+  test("q_join_bloom_runtime probes a runtime bloom filter before the shuffle") {
+    val p = plan("q_join_bloom_runtime")
+    // InjectRuntimeFilter must have pushed a might_contain probe over the
+    // fact side's scan stage: rows are pruned BEFORE the exchange feeding
+    // the sort-merge join, which is where 100 TB plans win or lose.
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
 }

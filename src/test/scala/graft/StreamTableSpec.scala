@@ -293,6 +293,36 @@ class StreamTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { pk.readWhere("v", 0.0, 10.0) }
   }
 
+  test("sortCompact z-orders the layout: readWhere skips on BOTH columns") {
+    val t = new StreamTable(tmp(), spark)
+    // 64k rows over a 2-D grid, appended in hash order so the incoming
+    // layout clusters NEITHER column (every file's [min,max] spans ~all)
+    val rows = (0L until 65536L).map { i =>
+      val h = i * 2654435761L % 65536L  // Fibonacci-hash scramble
+      (h, (h % 256L) * 1.0, (h / 256L) * 1.0)
+    }
+    rows.grouped(16384).zipWithIndex.foreach { case (g, b) =>
+      t.appendBatch(g.toDF("id", "x", "y"), b.toLong)
+    }
+    val preSkip = { t.readWhere("y", 10.0, 25.0); t.lastSkip.get }
+    assert(preSkip._1 == preSkip._2, "hash-ordered input must not prune")
+
+    t.sortCompact("x", "y", targetFileCount = 16)
+    assert(t.read.count() == 65536L, "sort-compact must conserve rows")
+
+    // a narrow box in EITHER dimension now prunes: each file's z-range is a
+    // tight 2-D bounding box, so ~√(1/16) of the 16 files match, not all 16
+    val xSkip = { t.readWhere("x", 10.0, 25.0); t.lastSkip.get }
+    val ySkip = { t.readWhere("y", 10.0, 25.0); t.lastSkip.get }
+    assert(xSkip._2 == 16 && ySkip._2 == 16)
+    assert(xSkip._1 <= 8, s"x skipping too weak: read ${xSkip._1}/16")
+    assert(ySkip._1 <= 8, s"y skipping too weak: read ${ySkip._1}/16")
+
+    // values are untouched by the re-layout
+    assert(t.readWhere("y", 10.0, 25.0).agg(sum("id")).head().getLong(0) ==
+      rows.filter(r => r._3 >= 10.0 && r._3 <= 25.0).map(_._1).sum)
+  }
+
   test("aggregation merge-engine: blind appends merge by declared functions") {
     val t = new StreamTable(tmp(), spark,
       primaryKey = Some(Seq("k")),
