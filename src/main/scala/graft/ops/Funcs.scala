@@ -224,5 +224,39 @@ object Funcs {
           (from_json(col("props"), lit("k INT")).getField("k") >= 50).as("k_high"))
         .orderBy("event_id")
     },
+
+    // URL decomposition (parse_url) — the log/referrer-parsing surface every
+    // web-scale corpus pipeline needs (URL host for per-domain dedup and
+    // robots filtering, path/query for boilerplate URLs). Spark's parse_url
+    // is a codegen'd built-in; DuckDB has no URL parser, so the oracle pins
+    // the same components with anchored regexes over the same constructed
+    // URL — which also documents the exact grammar being relied on.
+    QDef(
+      "q_fn_url",
+      """WITH u AS (SELECT c_custkey,
+        |    'https://mkt-' || lower(c_mktsegment) || '.example.com/cust/' ||
+        |      c_custkey || '?nation=' || c_nationkey || '&seg=' ||
+        |      lower(c_mktsegment) AS url
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]nation=([^&#]*)', 1) AS nation,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query
+        |FROM u ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("url", concat(lit("https://mkt-"),
+          lower(col("c_mktsegment")), lit(".example.com/cust/"),
+          col("c_custkey"), lit("?nation="), col("c_nationkey"),
+          lit("&seg="), lower(col("c_mktsegment"))))
+        .select(col("c_custkey"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("nation")).as("nation"),
+          parse_url(col("url"), lit("QUERY")).as("query"))
+        .orderBy("c_custkey")
+    },
   )
 }

@@ -132,7 +132,7 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         // Paimon metadata-table syntax `t$files` / `t$snapshots`
         // (guide.md:200-232): Spark identifiers can't carry the `$`, so
         // rewrite to the registered `<t>__<meta>` views
-        spark.sql(stmt.replaceAll("(\\w+)\\$(files|snapshots)", "$1__$2"))
+        spark.sql(stmt.replaceAll("(\\w+)\\$(files|snapshots|tags)", "$1__$2"))
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
@@ -141,7 +141,7 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
   /** Current database's tables as `<table>` temp views (plus `<db>_<table>`),
     * so SELECT/INSERT bodies reference them by bare name like the reference;
     * each table's `$files` / `$snapshots` metadata views register as
-    * `<table>__files` / `<table>__snapshots`. */
+    * `<table>__files` / `<table>__snapshots` / `<table>__tags`. */
   private def registerViews(): Unit =
     catalog.listTables(currentDb).foreach { t =>
       val table = catalog.getTable(currentDb, t)
@@ -150,6 +150,7 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       df.createOrReplaceTempView(s"${currentDb}_$t")
       table.filesView.createOrReplaceTempView(s"${t}__files")
       table.snapshotsView.createOrReplaceTempView(s"${t}__snapshots")
+      table.tagsView.createOrReplaceTempView(s"${t}__tags")
     }
 
   private def ok(msg: String): DataFrame = {

@@ -398,6 +398,63 @@ class StreamTable(
     }
   }
 
+  /** Time travel AS OF a wall-clock instant (Paimon `scan.timestamp-millis`):
+    * read the newest snapshot committed at or before `tsMs`. Resolution is
+    * driver-side manifest metadata, like every other travel surface. */
+  def readAtTime(tsMs: Long): DataFrame = {
+    val snap = snapshots.takeWhile(_.committedAtMs <= tsMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before $tsMs"))
+    readAt(snap.id)
+  }
+
+  // ---- tags (Paimon CREATE TAG: durable named snapshots) ------------------
+
+  private val tagDir = s"$root/_tags"
+
+  /** Pin the given (default: latest) snapshot under a durable name. A tag is
+    * a retention root: [[expireSnapshots]] keeps every file a tagged snapshot
+    * references, so tags make long-lived versions (daily train-data cuts,
+    * release datasets) survive the short snapshot-retention window — which is
+    * exactly how Paimon positions CREATE TAG. Tag names are immutable;
+    * re-tagging a name to a different snapshot requires [[deleteTag]]. */
+  def createTag(name: String, snapshotId: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
+    val id = snapshotId.orElse(latestSnapshot.map(_.id))
+      .getOrElse(throw new IllegalStateException("cannot tag an empty table"))
+    require(snapshots.exists(_.id == id), s"no snapshot $id to tag")
+    Files.createDirectories(Paths.get(tagDir))
+    val p = Paths.get(tagDir, s"tag-$name.json")
+    try Files.write(p, mapper.writeValueAsBytes(Map("snapshotId" -> id)),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"tag '$name' already exists")
+    }
+    id
+  }
+
+  /** All tags as (name, snapshotId), name-ordered. */
+  def tags: Seq[(String, Long)] = {
+    if (!Files.isDirectory(Paths.get(tagDir))) return Seq.empty
+    listDir(Paths.get(tagDir)).iterator
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("tag-") && f.endsWith(".json"))
+      .map { f =>
+        val name = f.stripPrefix("tag-").stripSuffix(".json")
+        name -> mapper.readTree(Files.readAllBytes(Paths.get(tagDir, f)))
+          .get("snapshotId").asLong()
+      }.toSeq.sortBy(_._1)
+  }
+
+  def deleteTag(name: String): Boolean =
+    Files.deleteIfExists(Paths.get(tagDir, s"tag-$name.json"))
+
+  /** Batch read AS OF a tag. */
+  def readTag(name: String): DataFrame =
+    readAt(tags.find(_._1 == name).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no tag '$name'")))
+
   /** Stats-based data skipping (the scan-side use of the min/max stats
     * `$files` surfaces, guide.md:205/:212): read only the files whose footer
     * [min, max] range for `column` overlaps [lo, hi], with the predicate
@@ -559,6 +616,20 @@ class StreamTable(
       .orderBy("snapshot_id")
   }
 
+  /** The `$tags` system table: tag name, pinned snapshot, and that
+    * snapshot's commit time (Paimon's `$tags` shape). */
+  def tagsView: DataFrame = {
+    import spark.implicits._
+    val snapTime = snapshots.map(s => s.id -> s.committedAtMs).toMap
+    spark.createDataset(tags.map { case (n, id) =>
+      (n, id, snapTime.getOrElse(id, -1L))
+    })
+      .toDF("tag_name", "snapshot_id", "committed_at_ms")
+      .withColumn("committed_at", timestamp_millis(col("committed_at_ms")))
+      .drop("committed_at_ms")
+      .orderBy("tag_name")
+  }
+
   // ---- maintenance (compaction 2A#16, retention 2A#15/18) ----------------
 
   /** Offline compaction (the paimon-flink-action `compact` job,
@@ -674,9 +745,11 @@ class StreamTable(
     val snaps = snapshots
     if (snaps.size <= numRetainedMin) return 0
     val now = System.currentTimeMillis()
+    val tagged = tags.map(_._2).toSet // tags are retention roots
     val keep = snaps.zipWithIndex.filter { case (s0, i) =>
       val fromNewest = snaps.size - i
-      fromNewest <= numRetainedMin ||
+      tagged.contains(s0.id) ||
+        fromNewest <= numRetainedMin ||
         (fromNewest <= numRetainedMax && now - s0.committedAtMs <= timeRetainedMs)
     }.map(_._1)
     val expired = snaps.filterNot(s0 => keep.exists(_.id == s0.id))

@@ -293,6 +293,45 @@ class StreamTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { pk.readWhere("v", 0.0, 10.0) }
   }
 
+  test("tags pin snapshots through retention; readAtTime travels by wall clock") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0)
+    Thread.sleep(15) // separate commit timestamps for the wall-clock travel
+    t.appendBatch(Seq((2L, "b")).toDF("id", "v"), 1)
+    Thread.sleep(15)
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), 2)
+
+    val s0 = t.snapshots.head
+    t.createTag("cut-0", Some(s0.id))
+    assert(t.tags == Seq("cut-0" -> s0.id))
+    assert(t.readTag("cut-0").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] { t.createTag("cut-0") } // immutable
+    intercept[IllegalArgumentException] { t.readTag("nope") }
+
+    // wall-clock travel: AS OF each commit instant sees that commit's state
+    assert(t.readAtTime(s0.committedAtMs).count() == 1)
+    assert(t.readAtTime(System.currentTimeMillis()).count() == 3)
+    intercept[IllegalArgumentException] { t.readAtTime(s0.committedAtMs - 1) }
+
+    // retention keeps ONLY the latest + the tagged root; the tag stays
+    // readable because its snapshot is a retention root (files + manifest)
+    val expired = t.expireSnapshots(1, 1, 0L)
+    assert(expired == 1, s"expected only the untagged middle snapshot gone")
+    assert(t.readTag("cut-0").collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(t.read.count() == 3)
+    assert(t.snapshots.map(_.id).toSet == Set(s0.id, s0.id + 2))
+
+    // the $tags system table mirrors the tag store
+    val tv = t.tagsView.collect()
+    assert(tv.length == 1 && tv(0).getString(0) == "cut-0" &&
+      tv(0).getLong(1) == s0.id)
+
+    // deleting the tag releases the root: the next expire removes it
+    assert(t.deleteTag("cut-0") && !t.deleteTag("cut-0"))
+    assert(t.expireSnapshots(1, 1, 0L) == 1)
+    assert(t.snapshots.map(_.id) == Seq(s0.id + 2))
+  }
+
   test("sortCompact z-orders the layout: readWhere skips on BOTH columns") {
     val t = new StreamTable(tmp(), spark)
     // 64k rows over a 2-D grid, appended in hash order so the incoming
