@@ -79,6 +79,38 @@ object Pipeline {
         .orderBy("lang", "rk")
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
+    // doc draws u from a DETERMINISTIC per-id scramble (Fibonacci-hash →
+    // (0,1), exact power-of-two scaling on both engines) and ranks by
+    // u^(1/w), w = doc length — the one-pass, shuffle-once distributed
+    // answer to "sample k docs per stratum proportional to length". The
+    // selected SET is what matters (and is pinned); the key itself never
+    // leaves the plan, so cross-engine pow() ulps cannot touch the hash
+    // compare, and ordering flips would need two keys within one ulp.
+    QDef(
+      "q_ext_weighted_sample",
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(length(text) AS BIGINT) AS w,
+        |    ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296 AS u
+        |  FROM documents)
+        |SELECT lang, doc_id, w FROM (
+        |  SELECT lang, doc_id, w,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS rk
+        |  FROM t) s
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val u = ((col("doc_id") * 2654435761L % 4294967296L).cast("double") + 0.5) /
+        4294967296.0
+      val w = length(col("text")).cast("long")
+      val key = pow(u, lit(1.0) / w.cast("double"))
+      val win = Window.partitionBy("lang").orderBy(key.desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), w.as("w"),
+          row_number().over(win).as("rk"))
+        .filter(col("rk") <= 5).drop("rk")
+        .orderBy("lang", "doc_id")
+    },
+
     // Gopher-style document quality gate: word-count bounds + mean-word-length
     // bounds (Rae et al. 2021 §A1.1 heuristics), computed scan-side with
     // exact integer arithmetic and one final division.

@@ -263,6 +263,36 @@ object Datagen {
         .orderBy("o_orderkey")
     },
 
+    // Dynamic partition pruning: the fact side is partitioned on the join
+    // key, the dim side only becomes selective AFTER its own aggregation +
+    // filter — so no static pushdown can prune the fact scan. Spark's DPP
+    // reuses the dim side's broadcast result as a runtime IN-subquery over
+    // the fact's PARTITION column: whole directories are skipped at
+    // execution time. On a 100 TB date/source-partitioned fact table this —
+    // not the join algorithm — is the dominant cost lever; PlanSpec asserts
+    // the dynamicpruning expression landed in the scan's PartitionFilters.
+    QDef(
+      "q_join_dpp",
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS n_type FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(dim.n_type) AS n_type
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |WHERE dim.event_type IN ('click', 'purchase')
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val fact = s.read.parquet(partitionedEventsDir(s, d))
+      val dim = graft.Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n_type"))
+        .filter(col("event_type").isin("click", "purchase"))
+      fact.join(dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.X.dsum(col("value")).as("sum_value"),
+          max(col("n_type")).as("n_type"))
+        .orderBy("event_type")
+    },
+
     // Z-order clustered read (Paimon sort-compact, 'sort-order'='zorder'):
     // the staged table was rewritten along the (o_custkey, o_totalprice)
     // z-curve, so each file's footer carries a tight 2-D bounding box and

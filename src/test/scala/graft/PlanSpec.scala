@@ -365,6 +365,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_join_dpp prunes fact partitions from the dim side's broadcast") {
+    val p = plan("q_join_dpp")
+    // the fact scan's PartitionFilters must carry the runtime subquery —
+    // directory-level skipping decided at execution, not planning
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(2000))
+  }
+
   test("q_join_bloom_runtime probes a runtime bloom filter before the shuffle") {
     val p = plan("q_join_bloom_runtime")
     // InjectRuntimeFilter must have pushed a might_contain probe over the
