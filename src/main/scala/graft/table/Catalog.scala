@@ -136,7 +136,11 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
   /** Auto-compaction policy (guide.md:265-271): compact when the live file
     * count exceeds `compaction.max.file-num`, or unconditionally for a
     * "full-compaction" call site every `full-compaction.delta-commits`
-    * commits. Returns true if a compaction ran. */
+    * commits. With `'sort-compact.columns'='a,b'` (Paimon's sort-compact
+    * `--order_by` as a table option) the rewrite z-orders the live set on
+    * the two named columns instead of plain repartitioning, so stats-based
+    * skipping stays selective on both — maintenance keeps the CLUSTERING,
+    * not just the file count. Returns true if a compaction ran. */
   def maybeCompact(db: String, name: String): Boolean = {
     val o = tableOptions(db, name)
     val t = getTable(db, name)
@@ -145,8 +149,16 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     val deltaCommits = o.get("full-compaction.delta-commits").map(_.toInt)
     val due = nFiles > maxFiles ||
       deltaCommits.exists(n => t.latestSnapshot.exists(s => (s.id + 1) % n == 0))
-    if (due) { t.compact(targetFileCount = math.max(1, t.numBuckets)); true }
-    else false
+    if (due) {
+      val target = math.max(1, t.numBuckets)
+      o.get("sort-compact.columns").map(_.split(",").map(_.trim)) match {
+        case Some(Array(a, b)) => t.sortCompact(a, b, target)
+        case Some(other) => throw new IllegalArgumentException(
+          s"sort-compact.columns needs exactly two columns, got '${other.mkString(",")}'")
+        case None => t.compact(targetFileCount = target)
+      }
+      true
+    } else false
   }
 }
 

@@ -662,7 +662,10 @@ class StreamTable(
     * Each column is rank-quantized to 16 bits against its observed
     * [min, max] (one cheap stats pass), then the bits are interleaved with
     * the classic mask-spread — all whole-stage-codegen arithmetic, no UDF. */
-  def sortCompact(colA: String, colB: String, targetFileCount: Int): Snapshot =
+  def sortCompact(colA: String, colB: String, targetFileCount: Int): Snapshot = {
+    require(bucketKey.isEmpty,
+      "sortCompact replaces the clustering policy; a bucket-keyed table's " +
+        "co-location contract would be silently lost — unset bucket-key first")
     rewriteLive { resolved =>
       val stats = resolved.agg(
         min(col(colA)).cast("double").as("amn"), max(col(colA)).cast("double").as("amx"),
@@ -689,6 +692,7 @@ class StreamTable(
         .sortWithinPartitions("__graft_z")
         .drop("__graft_z")
     }
+  }
 
   /** Shared rewrite machinery: read the live set, resolve merge semantics,
     * rewrite through `layout`, atomically swap the manifest. Conservation is

@@ -273,6 +273,37 @@ class ModuleSpecs extends AnyFunSuite {
     assert(cat.getTable("default", "m2").read.count() == 5)
   }
 
+  test("catalog: sort-compact.columns option z-orders the auto-compaction") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    val t = cat.createTable("default", "m4", Map(
+      "bucket" -> "4",
+      "compaction.max.file-num" -> "2",
+      "sort-compact.columns" -> "x, y"))
+    // hash-scrambled appends: neither column clusters in the raw layout
+    val rows = (0L until 4096L).map { i =>
+      val h = i * 2654435761L % 4096L
+      (h, (h % 64L) * 1.0, (h / 64L) * 1.0)
+    }
+    rows.grouped(1024).zipWithIndex.foreach { case (g, b) =>
+      t.appendBatch(g.toDF("id", "x", "y"), b.toLong)
+    }
+    assert(cat.maybeCompact("default", "m4"), "compaction due (>2 files)")
+    val after = cat.getTable("default", "m4")
+    assert(after.read.count() == 4096)
+    // the rewrite clustered BOTH dims: a narrow y band prunes files even
+    // though y would be the "trailing" column of any linear sort
+    after.readWhere("y", 2.0, 9.0)
+    val (kept, total) = after.lastSkip.get
+    assert(total == 4, s"expected the 4-bucket rewrite, saw $total files")
+    assert(kept < total, s"z-ordered compaction must prune: read $kept/$total")
+
+    // a malformed option (one column) fails loudly, not as a silent compact
+    cat.createTable("default", "m5", Map(
+      "compaction.max.file-num" -> "0", "sort-compact.columns" -> "x"))
+    cat.getTable("default", "m5").appendBatch(Seq((1L, 1.0)).toDF("id", "x"), 0)
+    intercept[IllegalArgumentException] { cat.maybeCompact("default", "m5") }
+  }
+
   test("writeStreamManaged: auto-compaction knobs act on the streaming path") {
     // the tutorial sets full-compaction.delta-commits / file-num knobs via
     // ALTER TABLE and expects maintenance to happen as ingestion runs
@@ -331,6 +362,21 @@ class ModuleSpecs extends AnyFunSuite {
     assert(after.latestSnapshot.get.files.size == 2)
     assert(after.read.count() == 60)
     assert(!spark.sparkContext.isStopped, "job must not stop a shared session")
+
+    // --zorder mode: same conservation, clustered layout (sort-compact)
+    val zdir = Files.createTempDirectory("graft_cjobz_").toString
+    val tz = new graft.table.StreamTable(zdir, spark)
+    for (b <- 0 until 4)
+      tz.appendBatch(spark.range(b * 25, b * 25 + 25)
+        .select(col("id"), (col("id") % 5).cast("double").as("x"),
+          (col("id") / 20).cast("double").as("y")), b)
+    graft.table.CompactJob.main(Array(zdir, "4", "--zorder", "x,y"))
+    val az = new graft.table.StreamTable(zdir, spark)
+    assert(az.latestSnapshot.get.files.size == 4)
+    assert(az.read.count() == 100)
+    intercept[IllegalArgumentException] {
+      graft.table.CompactJob.main(Array(zdir, "4", "--zorder", "x"))
+    }
   }
 
   test("duration parsing matches the reference's SET syntax") {

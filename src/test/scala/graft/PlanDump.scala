@@ -50,7 +50,10 @@ object PlanDump {
       "q_ext_embed_pool" -> "Grouped embedding pooling: 65 agg expressions (count + 64 nano sums) combine map-side into one source-keyed exchange; no embedding array is ever a shuffle key.",
       "q_ext_scd2_enrich" -> "SCD2 enrichment: the version build is one o_custkey window; the join is an equi-hash on the user key with the validity interval as residual — ≤1 match per event, no pair blowup.",
       "q_join_not_in" -> "NOT IN subquery: planned as the null-aware broadcast anti join (BroadcastHashJoin LeftAnti BuildRight with the isNullAwareAntiJoin flag) — three-valued logic forces a broadcastable set; rewrite to NOT EXISTS once the set outgrows broadcast.",
-      "q_ext_paragraph_dedup" -> "Sub-document dedup: the first-occurrence race is one md5(segment)-keyed aggregate joined back semi — digests and (doc_id, ord) pairs shuffle, bodies only move in the doc_id-keyed reassembly.")
+      "q_ext_paragraph_dedup" -> "Sub-document dedup: the first-occurrence race is one md5(segment)-keyed aggregate joined back semi — digests and (doc_id, ord) pairs shuffle, bodies only move in the doc_id-keyed reassembly.",
+      "q_join_dpp" -> "Dynamic partition pruning: the dim side's broadcast result re-enters the fact scan as a dynamicpruning PartitionFilter — whole directories skipped at EXECUTION time, where static pushdown sees nothing to prune.",
+      "q_join_bloom_runtime" -> "Runtime bloom filter: InjectRuntimeFilter plants a might_contain probe on the fact scan from the selective side's keys — row-level pruning BEFORE the shuffle feeding the sort-merge join.",
+      "q_ext_weighted_sample" -> "A-ES weighted sampling: the u^(1/w) rank key evaluates scan-side; one lang-keyed exchange feeds the per-stratum row_number window; only the k winners survive.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

@@ -365,6 +365,29 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("AQE re-plans a sort-merge join to broadcast from runtime stats") {
+    // The reference's 'jobmanager.scheduler: Adaptive' analog (SURVEY 2A):
+    // at planning time the dim's post-filter size is unknown (static
+    // broadcast disabled), so the initial plan is the safe SMJ; after the
+    // dim's shuffle stage materializes, AQE sees the true few-row size and
+    // swaps in a broadcast join. At 100 TB this is what rescues plans whose
+    // selectivity estimates were wrong by orders of magnitude.
+    import org.apache.spark.sql.functions._
+    val s = SparkFixture.spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val fact = s.read.parquet(s"${SparkFixture.sf}/lineitem.parquet")
+    val dim = s.read.parquet(s"${SparkFixture.sf}/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0)
+    val df = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val initial = df.queryExecution.executedPlan.toString
+    assert(initial.contains("SortMergeJoin"), initial.take(2000))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2000))
+  }
+
   test("q_join_dpp prunes fact partitions from the dim side's broadcast") {
     val p = plan("q_join_dpp")
     // the fact scan's PartitionFilters must carry the runtime subquery —

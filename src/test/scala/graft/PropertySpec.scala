@@ -179,6 +179,26 @@ class PropertySpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, SparkFixture.sf)
 
+  test("sortCompact conserves the multiset for arbitrary data and batching") {
+    val gen = for {
+      n  <- Gen.choose(1, 120)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-1e6, 1e6), Gen.choose(-50.0, 50.0)))
+    } yield xs
+    for (seed <- 1L to 3L) {
+      val data = gen.apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val t = new StreamTable(Files.createTempDirectory("graft_zprop_").toString,
+        spark)
+      data.grouped(math.max(1, data.size / 3)).zipWithIndex.foreach {
+        case (g, b) => t.appendBatch(g.toDF("id", "x", "y"), b.toLong)
+      }
+      t.sortCompact("x", "y", targetFileCount = 4)
+      val got = t.read.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(got == data.sorted.toSeq, s"seed $seed: rewrite altered the data")
+    }
+  }
+
   test("exact dedup output has unique doc_ids (projection property)") {
     val d1 = SparkEntry.queries("q_ext_exact_dedup")(spark, SparkFixture.sf)
     val ids1 = d1.select("doc_id").collect().map(_.getLong(0)).toSet

@@ -100,7 +100,11 @@ object ScaleSmoke {
       "q_set_except_all",      // signed-count aggregate (one shuffle)
       "q_join_not_in",         // null-aware BROADCAST anti join
       "q_agg_string_agg",      // filtered groups: payload stays bounded
-      "q_ext_paragraph_dedup") // digest-keyed first-occurrence, no pair space
+      "q_ext_paragraph_dedup", // digest-keyed first-occurrence, no pair space
+      // round-6 scan-pruning runtime trio + weighted sampling
+      "q_join_bloom_runtime",  // bloom probe prunes fact rows pre-shuffle
+      "q_join_dpp",            // dim broadcast prunes fact PARTITIONS
+      "q_ext_weighted_sample") // per-stratum A-ES window, one lang shuffle
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
