@@ -80,7 +80,12 @@ object Bench {
         catch { case _: Throwable => if (!errors.contains(name)) errors ::= name; false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<prefix>: restrict to one query/family for local
+    // iteration; the driver never sets it, so the contract run covers all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.startsWith) }
+      .map { case (name, fn) =>
       val r1 = once(name, fn)
       val rs = if (streaming(name) || !r1._2) Seq(r1)
                else Seq(r1, once(name, fn))

@@ -58,19 +58,30 @@ object Datagen {
       out
     })
 
-  /** Each document's text staged as its OWN raw file (doc_id=<id>/part-*.txt),
-    * once per sf dir — the on-disk shape a raw multimodal corpus arrives in
-    * (one object per image/audio/doc) before ingestion into columnar form. */
+  /** Each document's text staged as its OWN raw file (`doc-<id>.txt`), once
+    * per sf dir — the on-disk shape a raw multimodal corpus arrives in (one
+    * object per image/audio/doc) before ingestion into columnar form. The
+    * layout is FLAT (one directory, id in the file name) like an object-store
+    * prefix, not hive-partitioned: a dir per doc made the scan's file listing
+    * walk N directories to find N files — pure listing overhead that
+    * dominated the read (~8 s of the bench at 5k docs). Files are written
+    * executor-side (foreachPartition + java.nio), no driver loop. */
   private val binaryDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def binaryDocsDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     binaryDirs.computeIfAbsent(d, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_bin_").toString
-      // repartition by the key so each partition dir gets exactly one file
       graft.Tables.documents(s, d).select("doc_id", "text")
-        .repartition(col("doc_id"))
-        .write.mode("overwrite").partitionBy("doc_id").text(out)
+        .repartition(32)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"doc-${r.getLong(0)}.txt"),
+              (r.getString(1) + "\n").getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
       out
     })
 
@@ -98,7 +109,7 @@ object Datagen {
     // binaryFile source (the raw-object ingestion surface multimodal
     // pipelines start from: one file per image/audio/document, read as
     // (path, length, content) WITHOUT decoding). The identity comes from
-    // the PATH (regexp on the partition dir), the payload stays opaque
+    // the PATH (regexp on the file name), the payload stays opaque
     // bytes — planning never opens content, exactly the contract
     // q_mm_decode_meta picks up from columnar form. At corpus scale this
     // is the one-time ingestion pass that turns an object store's million
@@ -110,10 +121,9 @@ object Datagen {
       val dir = binaryDocsDir(s, d)
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
-        .option("recursiveFileLookup", "true")
         .load(dir)
         .select(
-          regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+          regexp_extract(col("path"), "doc-(\\d+)\\.txt", 1)
             .cast("bigint").as("doc_id"),
           col("length").as("n_bytes"))
         .orderBy("doc_id")
