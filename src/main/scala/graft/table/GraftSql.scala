@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *    catalog's registered views, a PROCTIME column is stamped at ingest,
   *    and the result commits as the table's next batch
   *  - `SELECT …` — queries over the catalog views, Catalyst end-to-end
+  *  - `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …` — row-level ops
+  *    (merge-on-read on PK tables, pruned copy-on-write on append tables;
+  *    see [[StreamTable.deleteWhere]] / [[StreamTable.updateWhere]])
   *  - `DROP TABLE t`, `DESCRIBE t`
   *
   * The statement grammar is intentionally exactly the subset the reference
@@ -114,6 +117,19 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         sessionConf(k) = v
         if (k.startsWith("spark.")) spark.conf.set(k, v)
         ok(s"$k = $v")
+      case DeleteWhereRe(name, cond) =>
+        val t = name.split("\\.").last
+        val n = catalog.getTable(currentDb, t).deleteWhere(expr(cond))
+        ok(s"deleted $n rows from $t")
+      case UpdateRe(name, sets, cond) =>
+        val t = name.split("\\.").last
+        val assignments = splitTopLevel(sets).map { a =>
+          val p = a.split("=", 2)
+          require(p.length == 2, s"malformed assignment '$a'")
+          (p(0).trim, expr(p(1).trim))
+        }
+        val n = catalog.getTable(currentDb, t).updateWhere(expr(cond), assignments)
+        ok(s"updated $n rows in $t")
       case InsertRe(name, select) =>
         val t = name.split("\\.").last
         registerViews()
@@ -173,25 +189,33 @@ object GraftSql {
   private val DescribeRe = "(?i)DESC(?:RIBE)? ([\\w.]+)".r
   private val SetConfRe = "(?i)SET '([^']+)' = '([^']+)'".r
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
+  private val DeleteWhereRe = "(?i)DELETE FROM ([\\w.]+) WHERE (.*)".r
+  private val UpdateRe = "(?i)UPDATE ([\\w.]+) SET (.*?) WHERE (.*)".r
 
-  /** `'k' = 'v', …` option lists (WITH blocks, guide.md:27-31). */
-  private def parseOptions(s: String): Map[String, String] =
-    "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2)).toMap
-
-  /** Split a column-def body on top-level commas (DECIMAL(5, 1) stays whole);
-    * extract PRIMARY KEY and computed PROCTIME columns. */
-  private def parseColumns(body: String)
-      : (Seq[(String, String)], Option[Seq[String]], Option[String]) = {
+  /** Split on top-level commas only (a `greatest(a, b)` assignment body or a
+    * DECIMAL(5, 1) column type stays whole). */
+  private def splitTopLevel(s: String): Seq[String] = {
     val parts = mutable.Buffer[String]()
     var depth = 0; val cur = new StringBuilder
-    body.foreach {
+    s.foreach {
       case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
       case c =>
         if (c == '(') depth += 1 else if (c == ')') depth -= 1
         cur += c
     }
     if (cur.nonEmpty) parts += cur.toString.trim
+    parts.toSeq
+  }
+
+  /** `'k' = 'v', …` option lists (WITH blocks, guide.md:27-31). */
+  private def parseOptions(s: String): Map[String, String] =
+    "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Column-def body → columns; extracts PRIMARY KEY and computed PROCTIME. */
+  private def parseColumns(body: String)
+      : (Seq[(String, String)], Option[Seq[String]], Option[String]) = {
+    val parts = splitTopLevel(body)
 
     val PkRe = "(?i)PRIMARY KEY \\(([^)]*)\\)(?: NOT ENFORCED)?".r
     val ProcRe = "(?i)(\\w+) AS PROCTIME\\(\\)".r

@@ -229,6 +229,129 @@ class StreamTable(
     appendBatch(stamped.withColumn(TombstoneColName, lit(true)), batchId)
   }
 
+  /** Row-level `DELETE FROM … WHERE cond` (Paimon's batch delete). Returns
+    * the number of rows deleted. Two strategies, matching how Paimon treats
+    * the two table kinds:
+    *
+    *  - **PK table: merge-on-read.** The matching keys (from the resolved
+    *    view) commit as delete tombstones via [[deleteBatch]] — no data file
+    *    is rewritten; the next full compaction purges them. Cost is
+    *    proportional to the matching keys, not the table.
+    *  - **Append table: copy-on-write with touched-file pruning.** One
+    *    predicate-pushdown scan finds which files actually CONTAIN matching
+    *    rows (`input_file_name` group-by — a manifest-sized result, the
+    *    same driver-side metadata scale as partition pruning); only those
+    *    files are rewritten without their matching rows, and every
+    *    untouched file survives in the new snapshot verbatim. At 100 TB a
+    *    selective delete (a banned source, a GDPR key range) rewrites only
+    *    the overlapping slice — the parquet min/max pushdown means
+    *    non-overlapping files are not even fully read during discovery.
+    *
+    * SQL semantics: a row is deleted iff `cond` is TRUE; NULL keeps the row.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = primaryKey match {
+    case Some(pk) =>
+      val keys = read.filter(cond).select(pk.map(col): _*)
+      val n = keys.count()
+      if (n > 0) deleteBatch(keys,
+        latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L))
+      n
+    case None =>
+      cowRewrite(cond,
+        df => df.filter(!coalesce(cond, lit(false))),
+        conserves = false)
+  }
+
+  /** Row-level `UPDATE … SET … WHERE cond`. Returns the number of rows
+    * updated. PK table: merge-on-read — the matching resolved images are
+    * re-appended with the assignments applied, and last-writer-wins
+    * resolution makes them supersede the old versions (the image keeps its
+    * sequence value; the later commit batch breaks the tie), so no data
+    * file is rewritten. Append table: the same copy-on-write touched-file
+    * pruning as [[deleteWhere]], rewriting matching rows through the
+    * assignments. Assignments are cast back to the column's existing type —
+    * an UPDATE never mutates the schema. */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val cols = read.columns.toSet
+    assignments.foreach { case (c, _) =>
+      require(cols.contains(c), s"unknown column '$c' in UPDATE assignment") }
+    primaryKey match {
+      case Some(pk) =>
+        require(engine == "deduplicate",
+          s"merge-engine=$engine cannot express UPDATE as an upsert " +
+            "(re-appended images would re-merge, not replace)")
+        assignments.foreach { case (c, _) =>
+          require(!pk.contains(c) && !seqCol.contains(c),
+            s"UPDATE must not assign key/sequence column '$c'") }
+        val schema = read.schema
+        val images = read.filter(cond).select(schema.fieldNames.map { c =>
+          assignments.collectFirst { case (`c`, e) => e }
+            .map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
+        }: _*)
+        val n = images.count()
+        if (n > 0) appendBatch(images,
+          latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L))
+        n
+      case None =>
+        cowRewrite(cond, { df =>
+          val schema = df.schema
+          df.select(schema.fieldNames.map { c =>
+            assignments.collectFirst { case (`c`, e) =>
+              when(coalesce(cond, lit(false)), e.cast(schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            }.getOrElse(col(c))
+          }: _*)
+        }, conserves = true)
+    }
+  }
+
+  /** Shared copy-on-write machinery for append-table row-level ops: one
+    * pushdown scan discovers the touched files and per-file match counts,
+    * only those files rewrite through `rewrite`, the manifest swaps
+    * atomically (files appended concurrently since the discovery scan are
+    * kept, like [[compact]]). Returns the number of matching rows. */
+  private def cowRewrite(cond: org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame, conserves: Boolean): Long = {
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (live.isEmpty) return 0L
+    val byFile = readFiles(live).filter(cond)
+      .groupBy(input_file_name().as("__graft_file")).count()
+      .collect()
+      .map(r => stripScheme(r.getString(0)) -> r.getLong(1)).toMap
+    if (byFile.isEmpty) return 0L
+    val touched = live.filter(f => byFile.contains(f.path))
+    require(touched.size == byFile.size, // a path that maps to no live meta
+      s"cow discovery returned unknown files: ${byFile.keys.toSeq.diff(touched.map(_.path)).take(3)}")
+    val matches = byFile.values.sum
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    rewrite(readFiles(touched)).write.mode("overwrite").parquet(staging)
+    val snapId = latestSnapshot.map(_.id).getOrElse(0L)
+    val parts = listDir(Paths.get(staging)).iterator
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val moved = parts.zipWithIndex.map { case (p, k) =>
+      val dest = Paths.get(dataCompact,
+        s"u$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+    deleteRecursively(Paths.get(staging))
+    // level 1: a row-level rewrite is maintenance output, not a logical
+    // insert — changesBetween must not re-emit surviving rows as +I
+    val metas = fileMetas(spark, moved, level = 1,
+      minSeq = touched.map(_.minSeq).min, maxSeq = touched.map(_.maxSeq).max)
+      .filter(_.rowCount > 0) // an all-deleted file leaves no output
+    val (inRows, outRows) = (touched.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    val expected = if (conserves) inRows else inRows - matches
+    require(outRows == expected,
+      s"row-level rewrite row mismatch: $inRows in, $outRows out, expected $expected")
+    val touchedPaths = touched.map(_.path).toSet
+    commit(liveNow => (liveNow.filterNot(f => touchedPaths.contains(f.path)) ++ metas,
+      latestSnapshot.map(_.batchId).getOrElse(-1L)))
+    matches
+  }
+
   /** Continuous ingestion (reference op 2A#7: INSERT INTO … SELECT with
     * checkpointing, guide.md:36-39). Caller picks the trigger — production
     * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow.
@@ -789,6 +912,12 @@ object StreamTable {
 
   /** Recursively delete a directory tree (shared maintenance helper). */
   def deleteTree(p: JPath): Unit = deleteRecursively(p)
+
+  /** `input_file_name()` renders local paths as `file:///…` URIs while the
+    * manifest stores plain paths — normalize for the touched-file lookup. */
+  private def stripScheme(uri: String): String =
+    if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri)).toString
+    else uri
 
   /** List a directory's entries, CLOSING the underlying stream — a bare
     * `Files.list(...).iterator()` leaks one directory fd per call until GC,

@@ -179,6 +179,33 @@ class PropertySpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, SparkFixture.sf)
 
+  test("deleteWhere/updateWhere ≡ model filter/map for arbitrary data and batching") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = for {
+      n   <- Gen.choose(1, 100)
+      xs  <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      cut <- Gen.choose(-500L, 500L)
+    } yield (xs, cut)
+    for (seed <- 1L to 3L) {
+      val (xs, cut) = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val data = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      val t = new StreamTable(Files.createTempDirectory("graft_rowop_").toString,
+        spark)
+      data.grouped(math.max(1, data.size / 4)).zipWithIndex.foreach {
+        case (g, b) => t.appendBatch(g.toDF("id", "x"), b.toLong)
+      }
+      // UPDATE then DELETE, mirrored on a plain Scala model
+      val nUpd = t.updateWhere(col("x") > cut, Seq("x" -> (col("x") + lit(1L))))
+      val model1 = data.map { case (i, x) => (i, if (x > cut) x + 1 else x) }
+      assert(nUpd == data.count(_._2 > cut), s"seed $seed: update count")
+      val nDel = t.deleteWhere(col("x") < 0L)
+      val model2 = model1.filterNot(_._2 < 0)
+      assert(nDel == model1.count(_._2 < 0), s"seed $seed: delete count")
+      val got = t.read.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == model2.sorted, s"seed $seed: table diverged from model")
+    }
+  }
+
   test("sortCompact conserves the multiset for arbitrary data and batching") {
     val gen = for {
       n  <- Gen.choose(1, 120)

@@ -182,4 +182,38 @@ class SqlSpec extends AnyFunSuite {
     sh.sql("DROP TABLE device_profile")
     sh.sql("DROP TABLE first_touch")
   }
+
+  test("DELETE FROM / UPDATE statements: row-level ops through the shell") {
+    import spark.implicits._
+    val sh = shell()
+    // append table → pruned copy-on-write
+    sh.sql("CREATE TABLE logs (id BIGINT, sev STRING, msg STRING) WITH ('bucket' = '1')")
+    (0L until 20L).map(i => (i, if (i % 4 == 0) "debug" else "info", s"m$i"))
+      .toDF("id", "sev", "msg").createOrReplaceTempView("raw_logs")
+    sh.sql("INSERT INTO logs SELECT * FROM raw_logs")
+    val del = sh.sql("DELETE FROM logs WHERE sev = 'debug'").collect()(0).getString(0)
+    assert(del == "deleted 5 rows from logs")
+    assert(sh.sql("SELECT count(*) AS n FROM logs").collect()(0).getLong(0) == 15)
+    // UPDATE with a function-call assignment (top-level comma split must
+    // not break inside concat(...))
+    val upd = sh.sql(
+      "UPDATE logs SET msg = concat(msg, '!'), sev = 'warn' WHERE id < 3")
+      .collect()(0).getString(0)
+    assert(upd == "updated 2 rows in logs") // ids 1,2 (0 was deleted)
+    val rows = sh.sql("SELECT msg, sev FROM logs WHERE id < 3 ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("m1!", "warn"), ("m2!", "warn")))
+
+    // PK table → merge-on-read tombstones/upserts
+    sh.sql("""CREATE TABLE users (uid BIGINT, region STRING, score BIGINT,
+             |  PRIMARY KEY (uid) NOT ENFORCED) WITH ('bucket' = '1')""".stripMargin)
+    Seq((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L))
+      .toDF("uid", "region", "score").createOrReplaceTempView("raw_users")
+    sh.sql("INSERT INTO users SELECT * FROM raw_users")
+    sh.sql("DELETE FROM users WHERE region = 'eu'")
+    sh.sql("UPDATE users SET score = score + 5 WHERE uid = 2")
+    val left = sh.sql("SELECT uid, score FROM users ORDER BY uid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(left.toSeq == Seq((2L, 25L)))
+  }
 }

@@ -487,4 +487,90 @@ class StreamTableSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(spark.table(name).count() == src.count())
   }
+
+  test("deleteWhere on an append table: pruned copy-on-write rewrite") {
+    val t = new StreamTable(tmp(), spark)
+    // 4 files with disjoint id ranges → footer stats make the predicate's
+    // touched set provably a strict subset
+    for (b <- 0 until 4)
+      t.appendBatch(spark.range(b * 100, b * 100 + 100)
+        .select(col("id"), (col("id") % 7).as("v")).coalesce(1), b)
+    val before = t.latestSnapshot.get.files
+    assert(before.size == 4)
+    // matches rows only in file b1 (ids 100-199)
+    val n = t.deleteWhere(col("id") >= 120 && col("id") < 150)
+    assert(n == 30)
+    assert(t.read.count() == 370)
+    assert(t.read.filter(col("id") >= 120 && col("id") < 150).count() == 0)
+    val after = t.latestSnapshot.get.files
+    // the 3 untouched files survive verbatim — their PATHS are unchanged
+    val untouched = before.filterNot(f =>
+      after.forall(_.path != f.path)).map(_.path).toSet
+    assert(untouched.size == 3, s"expected 3 untouched files, got $untouched")
+    // the rewrite output is level-1 maintenance files, named u<snap>-
+    val rewritten = after.filterNot(f => untouched.contains(f.path))
+    assert(rewritten.nonEmpty && rewritten.forall(f =>
+      f.level == 1 && f.path.contains("/u")))
+    // time travel still sees the pre-delete rows
+    assert(t.readAt(t.latestSnapshot.get.id - 1).count() == 400)
+    // no-match delete commits nothing
+    val snapBefore = t.latestSnapshot.get.id
+    assert(t.deleteWhere(col("id") === 99999) == 0)
+    assert(t.latestSnapshot.get.id == snapBefore)
+    // an all-matching file disappears without leaving an empty output file
+    val n2 = t.deleteWhere(col("id") >= 300)
+    assert(n2 == 100 && t.read.count() == 270)
+    assert(t.latestSnapshot.get.files.forall(_.rowCount > 0))
+  }
+
+  test("updateWhere on an append table: assignments hit only matching rows") {
+    val t = new StreamTable(tmp(), spark)
+    for (b <- 0 until 3)
+      t.appendBatch(spark.range(b * 10, b * 10 + 10)
+        .select(col("id"), (col("id") * 2).as("v"), lit("keep").as("s"))
+        .coalesce(1), b)
+    val before = t.latestSnapshot.get.files
+    val n = t.updateWhere(col("id") < 5,
+      Seq("v" -> lit(-1), "s" -> lit("scrubbed")))
+    assert(n == 5)
+    assert(t.read.count() == 30) // conservation
+    val got = t.read.orderBy("id").collect()
+    assert(got.take(5).forall(r => r.getLong(1) == -1L && r.getString(2) == "scrubbed"))
+    assert(got.drop(5).forall(r => r.getLong(1) == r.getLong(0) * 2 && r.getString(2) == "keep"))
+    // only file b0 rewritten; the assignment's int literal was cast back to
+    // the column's long type (schema is stable under UPDATE)
+    assert(before.count(f => t.latestSnapshot.get.files.exists(_.path == f.path)) == 2)
+    assert(t.read.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") < 5, Seq("nope" -> lit(1)))
+    }
+  }
+
+  test("deleteWhere/updateWhere on a PK table: merge-on-read, no file rewritten") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"))
+    t.appendBatch(Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("id", "seq", "v"), 0)
+    t.appendBatch(Seq((2L, 20L, "b2")).toDF("id", "seq", "v"), 1)
+    val dataBefore = t.latestSnapshot.get.files.map(_.path).toSet
+
+    val nd = t.deleteWhere(col("v") === "a")
+    assert(nd == 1)
+    assert(t.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // MOR: every pre-existing data file is still live (tombstones appended)
+    assert(dataBefore.subsetOf(t.latestSnapshot.get.files.map(_.path).toSet))
+
+    val nu = t.updateWhere(col("id") === 2L, Seq("v" -> lit("B2")))
+    assert(nu == 1)
+    val rows = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == Seq((2L, "B2"), (3L, "c")))
+    // key/sequence columns are not assignable
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 2L, Seq("id" -> lit(9L)))
+    }
+    // compaction purges the tombstone and keeps the updated image
+    t.compact(targetFileCount = 1)
+    val after = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(after.toSeq == Seq((2L, "B2"), (3L, "c")))
+  }
 }
