@@ -117,6 +117,17 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         sessionConf(k) = v
         if (k.startsWith("spark.")) spark.conf.set(k, v)
         ok(s"$k = $v")
+      case MergeRe(tName, tAliasOpt, sName, sAliasOpt, onCond, whenBody) =>
+        val t = tName.split("\\.").last
+        val tAlias = Option(tAliasOpt).getOrElse(t)
+        val sAlias = Option(sAliasOpt).getOrElse(sName.split("\\.").last)
+        registerViews()
+        val clauses = parseMergeClauses(whenBody, sAlias,
+          () => catalog.getTable(currentDb, t).read.columns.toSeq)
+        val r = catalog.getTable(currentDb, t).mergeInto(
+          spark.table(sName), expr(onCond), clauses, tAlias, sAlias)
+        ok(s"merged into $t: ${r.updated} updated, ${r.deleted} deleted, " +
+          s"${r.inserted} inserted")
       case DeleteWhereRe(name, cond) =>
         val t = name.split("\\.").last
         val n = catalog.getTable(currentDb, t).deleteWhere(expr(cond))
@@ -191,6 +202,49 @@ object GraftSql {
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
   private val DeleteWhereRe = "(?i)DELETE FROM ([\\w.]+) WHERE (.*)".r
   private val UpdateRe = "(?i)UPDATE ([\\w.]+) SET (.*?) WHERE (.*)".r
+  private val MergeRe =
+    ("(?i)MERGE INTO ([\\w.]+)(?: AS (\\w+))? USING ([\\w.]+)(?: AS (\\w+))?" +
+      " ON (.+?)((?: WHEN (?:NOT )?MATCHED.*))").r
+  private val WhenUpdateRe =
+    "(?i)WHEN MATCHED(?: AND (.+?))? THEN UPDATE SET (.+)".r
+  private val WhenDeleteRe = "(?i)WHEN MATCHED(?: AND (.+?))? THEN DELETE".r
+  private val WhenInsertRe =
+    "(?i)WHEN NOT MATCHED(?: AND (.+?))? THEN INSERT \\(([^)]*)\\) VALUES \\((.+)\\)".r
+  private val WhenInsertStarRe =
+    "(?i)WHEN NOT MATCHED(?: AND (.+?))? THEN INSERT \\*".r
+
+  /** Parse the `WHEN …` arms of a MERGE statement into [[StreamTable]]
+    * clauses. `INSERT *` expands to the target's columns read from the
+    * source alias (so the source must carry them by name). */
+  private def parseMergeClauses(body: String, sourceAlias: String,
+      targetCols: () => Seq[String]): Seq[StreamTable.MergeClause] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    // split on clause heads only — an AND guard may itself contain CASE WHEN
+    val arms = body.trim.split("(?i)(?=WHEN (?:NOT )?MATCHED)").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(arms.nonEmpty, "MERGE needs at least one WHEN clause")
+    arms.map {
+      case WhenUpdateRe(guard, sets) =>
+        StreamTable.MatchedUpdate(Option(guard).map(expr),
+          splitTopLevel(sets).map { a =>
+            val p = a.split("=", 2)
+            require(p.length == 2, s"malformed assignment '$a'")
+            (p(0).trim.split("\\.").last, expr(p(1).trim))
+          })
+      case WhenDeleteRe(guard) =>
+        StreamTable.MatchedDelete(Option(guard).map(expr))
+      case WhenInsertStarRe(guard) =>
+        StreamTable.NotMatchedInsert(Option(guard).map(expr),
+          targetCols().map(c => c -> col(s"$sourceAlias.$c")))
+      case WhenInsertRe(guard, cols, vals) =>
+        val names = splitTopLevel(cols).map(_.split("\\.").last)
+        val exprs = splitTopLevel(vals).map(expr)
+        require(names.length == exprs.length,
+          s"INSERT column/value arity mismatch: $names vs ${exprs.length} values")
+        StreamTable.NotMatchedInsert(Option(guard).map(expr), names.zip(exprs))
+      case arm => throw new IllegalArgumentException(s"unparseable MERGE clause '$arm'")
+    }
+  }
 
   /** Split on top-level commas only (a `greatest(a, b)` assignment body or a
     * DECIMAL(5, 1) column type stays whole). */

@@ -352,6 +352,109 @@ class StreamTable(
     matches
   }
 
+  /** `MERGE INTO target USING source ON cond WHEN …` (Paimon's merge-into
+    * action, PK tables only — same restriction as the reference). Spark-first
+    * single-commit design: one join of the resolved target view against the
+    * source classifies every row, then ALL actions land in ONE `appendBatch`
+    * commit —
+    *
+    *  - matched UPDATE → the target image re-appended with assignments
+    *    applied; it keeps its `seqCol` value, so the later commit batch
+    *    breaks the tie (exactly [[updateWhere]]'s merge-on-read contract)
+    *  - matched DELETE → a tombstone row stamped with the key's live
+    *    sequence (already present on the joined row — no extra join)
+    *  - not-matched INSERT → a fresh row built from the clause's values
+    *
+    * so a crash can never leave a half-applied merge, and no data file is
+    * rewritten (cost ∝ matched+inserted rows, not table size — the property
+    * that makes CDC upsert-merge viable at 100 TB).
+    *
+    * Clause semantics are ANSI MERGE: per row the FIRST clause whose
+    * condition holds wins; a target row matched by more than one source row
+    * is rejected (non-deterministic merge — the same error Delta raises).
+    * Conditions/assignments reference the two sides via `targetAlias`/
+    * `sourceAlias` qualified names (default `t`/`s`). */
+  def mergeInto(source: DataFrame, on: org.apache.spark.sql.Column,
+      clauses: Seq[MergeClause], targetAlias: String = "t",
+      sourceAlias: String = "s"): MergeResult = {
+    import org.apache.spark.sql.Column
+    val pk = primaryKey.getOrElse(throw new UnsupportedOperationException(
+      "mergeInto requires a primary-key table (Paimon merge-into contract)"))
+    require(engine == "deduplicate",
+      s"merge-engine=$engine cannot express MERGE as upsert+tombstone commits")
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    val schema = read.schema
+    require(schema.nonEmpty, "MERGE INTO an empty table: use appendBatch")
+    val fields = schema.fieldNames.toSeq
+    clauses.foreach {
+      case MatchedUpdate(_, set) =>
+        require(set.nonEmpty, "UPDATE SET needs at least one assignment")
+        set.foreach { case (c, _) =>
+          require(fields.contains(c), s"unknown column '$c' in UPDATE SET")
+          require(!pk.contains(c) && !seqCol.contains(c),
+            s"UPDATE must not assign key/sequence column '$c'") }
+      case NotMatchedInsert(_, values) =>
+        values.foreach { case (c, _) =>
+          require(fields.contains(c), s"unknown column '$c' in INSERT") }
+        (pk ++ seqCol).foreach(c => require(values.exists(_._1 == c),
+          s"INSERT must set key/sequence column '$c'"))
+      case MatchedDelete(_) => ()
+    }
+
+    val marker = "__graft_matched"
+    val t = read.withColumn(marker, lit(true)).alias(targetAlias)
+    val joined = source.alias(sourceAlias).join(t, on, "left_outer").cache()
+    try {
+      val tcol = (c: String) => col(s"$targetAlias.$c")
+      val matched = joined.filter(col(marker).isNotNull)
+      val dup = matched.groupBy(pk.map(tcol): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        "MERGE: a target row matched multiple source rows (non-deterministic)")
+
+      // first-clause-wins classification: one chained `when` per side
+      def pickCol(cs: Seq[(Option[Column], Int)]): Column =
+        cs.foldLeft(Option.empty[Column]) { case (acc, (cond, i)) =>
+          val c = cond.getOrElse(lit(true))
+          Some(acc.map(_.when(c, i)).getOrElse(when(c, i)))
+        }.getOrElse(lit(null).cast("int"))
+      val mPick = pickCol(clauses.zipWithIndex.collect {
+        case (MatchedUpdate(cond, _), i) => (cond, i)
+        case (MatchedDelete(cond), i)    => (cond, i) })
+      val iPick = pickCol(clauses.zipWithIndex.collect {
+        case (NotMatchedInsert(cond, _), i) => (cond, i) })
+
+      val actions: Seq[(DataFrame, Int)] = clauses.zipWithIndex.map {
+        case (MatchedUpdate(_, set), i) =>
+          val rows = matched.filter(mPick === i).select(fields.map { c =>
+            set.collectFirst { case (`c`, e) => e.cast(schema(c).dataType).as(c) }
+              .getOrElse(tcol(c).as(c))
+          } :+ lit(false).as(TombstoneColName): _*)
+          (rows, 0)
+        case (MatchedDelete(_), i) =>
+          val rows = matched.filter(mPick === i).select(fields.map { c =>
+            if (pk.contains(c) || seqCol.contains(c)) tcol(c).as(c)
+            else lit(null).cast(schema(c).dataType).as(c)
+          } :+ lit(true).as(TombstoneColName): _*)
+          (rows, 1)
+        case (NotMatchedInsert(_, values), i) =>
+          val rows = joined.filter(col(marker).isNull && iPick === i)
+            .select(fields.map { c =>
+              values.collectFirst { case (`c`, e) => e.cast(schema(c).dataType).as(c) }
+                .getOrElse(lit(null).cast(schema(c).dataType).as(c))
+            } :+ lit(false).as(TombstoneColName): _*)
+          (rows, 2)
+      }
+      val counts = actions.map { case (df, kind) => (df.count(), kind) }
+      val all = actions.map(_._1).reduce(_.unionByName(_))
+      if (counts.map(_._1).sum > 0)
+        appendBatch(all,
+          latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L))
+      def total(kind: Int) = counts.collect { case (n, `kind`) => n }.sum
+      MergeResult(updated = total(0), deleted = total(1), inserted = total(2))
+    } finally joined.unpersist()
+  }
+
   /** Continuous ingestion (reference op 2A#7: INSERT INTO … SELECT with
     * checkpointing, guide.md:36-39). Caller picks the trigger — production
     * uses ProcessingTime("20 seconds") (guide.md:3), tests AvailableNow.
@@ -900,6 +1003,20 @@ object StreamTable {
     * compaction persists (struct of user seq + commit seq); hidden from
     * readers like [[SeqColName]]. */
   val FieldSeqPrefix = "__graft_fseq_"
+
+  /** One `WHEN …` arm of a [[StreamTable.mergeInto]] (ANSI MERGE clause
+    * shapes; `cond` is the optional `AND` guard, evaluated over the joined
+    * (source, target) row). */
+  sealed trait MergeClause
+  final case class MatchedUpdate(cond: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
+  final case class MatchedDelete(cond: Option[org.apache.spark.sql.Column])
+    extends MergeClause
+  final case class NotMatchedInsert(cond: Option[org.apache.spark.sql.Column],
+      values: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
+
+  /** Per-action row counts a merge committed. */
+  final case class MergeResult(updated: Long, deleted: Long, inserted: Long)
 
   private val mapper = new ObjectMapper()
   mapper.registerModule(DefaultScalaModule)

@@ -183,6 +183,40 @@ class SqlSpec extends AnyFunSuite {
     sh.sql("DROP TABLE first_touch")
   }
 
+  test("MERGE INTO statement: CDC upsert-merge through the shell") {
+    import spark.implicits._
+    val sh = shell()
+    sh.sql("""CREATE TABLE inv (sku BIGINT, qty BIGINT, state STRING,
+             |  PRIMARY KEY (sku) NOT ENFORCED) WITH ('bucket' = '1')""".stripMargin)
+    Seq((1L, 5L, "live"), (2L, 0L, "live"), (3L, 9L, "live"))
+      .toDF("sku", "qty", "state").createOrReplaceTempView("inv_seed")
+    sh.sql("INSERT INTO inv SELECT * FROM inv_seed")
+    // the CDC delta: sku 1 restock, sku 2 discontinue, sku 7 new
+    Seq((1L, 3L, "restock"), (2L, 0L, "discontinue"), (7L, 4L, "new"))
+      .toDF("sku", "delta", "op").createOrReplaceTempView("cdc")
+
+    val msg = sh.sql(
+      """MERGE INTO inv AS t USING cdc AS c ON t.sku = c.sku
+        |WHEN MATCHED AND c.op = 'discontinue' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = t.qty + c.delta
+        |WHEN NOT MATCHED THEN INSERT (sku, qty, state) VALUES (c.sku, c.delta, c.op)
+        |""".stripMargin).collect()(0).getString(0)
+    assert(msg == "merged into inv: 1 updated, 1 deleted, 1 inserted")
+    val got = sh.sql("SELECT sku, qty, state FROM inv ORDER BY sku")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 8L, "live"), (3L, 9L, "live"), (7L, 4L, "new")))
+
+    // INSERT * expands the target schema against a same-shaped source
+    Seq((8L, 2L, "bulk"), (3L, 1L, "seen"))
+      .toDF("sku", "qty", "state").createOrReplaceTempView("bulk")
+    val msg2 = sh.sql(
+      """MERGE INTO inv USING bulk ON inv.sku = bulk.sku
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0).getString(0)
+    assert(msg2 == "merged into inv: 0 updated, 0 deleted, 1 inserted")
+    assert(sh.sql("SELECT count(*) AS n FROM inv").collect()(0).getLong(0) == 4)
+    sh.sql("DROP TABLE inv")
+  }
+
   test("DELETE FROM / UPDATE statements: row-level ops through the shell") {
     import spark.implicits._
     val sh = shell()

@@ -488,6 +488,72 @@ class StreamTableSpec extends AnyFunSuite {
     assert(spark.table(name).count() == src.count())
   }
 
+  test("mergeInto: ANSI clause semantics in one commit on a PK table") {
+    import graft.table.StreamTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"))
+    t.appendBatch(Seq((1L, 10L, "a", 100L), (2L, 10L, "b", 200L),
+      (3L, 10L, "c", 300L), (4L, 10L, "d", 400L)).toDF("id", "seq", "v", "amt"), 0)
+    val src = Seq((2L, 20L, "B", -1L), (3L, 20L, "C", 50L), (9L, 20L, "I", 900L))
+      .toDF("id", "seq", "v", "amt")
+    val snapsBefore = t.snapshots.size
+
+    val r = t.mergeInto(src, expr("t.id = s.id"), Seq(
+      // first-clause-wins: the delete guard shadows the update for amt < 0
+      MatchedDelete(Some(expr("s.amt < 0"))),
+      MatchedUpdate(None, Seq(
+        "v" -> expr("s.v"), "amt" -> expr("t.amt + s.amt"))),
+      NotMatchedInsert(None, Seq(
+        "id" -> expr("s.id"), "seq" -> expr("s.seq"),
+        "v" -> expr("s.v"), "amt" -> expr("s.amt")))))
+    assert(r == graft.table.StreamTable.MergeResult(1, 1, 1))
+    // exactly ONE new snapshot: all three actions committed atomically
+    assert(t.snapshots.size == snapsBefore + 1)
+    val got = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", 100L), (3L, "C", 350L),
+      (4L, "d", 400L), (9L, "I", 900L)))
+
+    // updated row keeps its seq; a later higher-seq upsert still wins
+    t.appendBatch(Seq((3L, 30L, "c3", 0L)).toDF("id", "seq", "v", "amt"), 99)
+    assert(t.read.filter(col("id") === 3L).collect()(0).getString(2) == "c3")
+
+    // a target row matched by two source rows is rejected
+    val dupSrc = Seq((4L, 20L, "x", 1L), (4L, 21L, "y", 2L))
+      .toDF("id", "seq", "v", "amt")
+    intercept[IllegalArgumentException] {
+      t.mergeInto(dupSrc, expr("t.id = s.id"),
+        Seq(MatchedUpdate(None, Seq("v" -> expr("s.v")))))
+    }
+    // assigning the key or sequence column is rejected
+    intercept[IllegalArgumentException] {
+      t.mergeInto(src, expr("t.id = s.id"),
+        Seq(MatchedUpdate(None, Seq("seq" -> expr("s.seq")))))
+    }
+    // append tables are out of contract (Paimon merge-into is PK-only)
+    intercept[UnsupportedOperationException] {
+      new StreamTable(tmp(), spark).mergeInto(src, expr("t.id = s.id"),
+        Seq(MatchedDelete(None)))
+    }
+  }
+
+  test("mergeInto: guarded clauses leave unguarded rows untouched") {
+    import graft.table.StreamTable.{MatchedUpdate, NotMatchedInsert}
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
+    val src = Seq((1L, "A"), (2L, "B"), (7L, "new"), (8L, "skip"))
+      .toDF("id", "v")
+    val r = t.mergeInto(src, expr("t.id = s.id"), Seq(
+      MatchedUpdate(Some(expr("t.id = 1")), Seq("v" -> expr("s.v"))),
+      NotMatchedInsert(Some(expr("s.v <> 'skip'")),
+        Seq("id" -> expr("s.id"), "v" -> expr("s.v")))))
+    // id=2 matched but fails the guard → no clause fires → untouched
+    assert(r == graft.table.StreamTable.MergeResult(1, 0, 1))
+    val got = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "A"), (2L, "b"), (7L, "new")))
+  }
+
   test("deleteWhere on an append table: pruned copy-on-write rewrite") {
     val t = new StreamTable(tmp(), spark)
     // 4 files with disjoint id ranges → footer stats make the predicate's
