@@ -103,6 +103,26 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
           catalog.createTable(currentDb, t, o.toMap)
           ok(s"table $t created")
         }
+      case AlterAddRe(name, body) =>
+        // schema evolution (Paimon ALTER TABLE ADD COLUMN): append to the
+        // declared schema; existing data files simply lack the column and
+        // read as NULL (mergeSchema), new writers carry it — no rewrite
+        val t = name.split("\\.").last
+        val existing = declaredCols(t)
+        require(existing.nonEmpty,
+          s"$t has no declared schema (created outside the shell)")
+        val defs = splitTopLevel(body.trim.stripPrefix("(").stripSuffix(")"))
+          .map { cd =>
+            val p = cd.split("\\s+", 2)
+            require(p.length == 2, s"ADD COLUMN needs '<name> <type>', got '$cd'")
+            require(!existing.exists(_._1 == p(0)),
+              s"column '${p(0)}' already exists in $t")
+            require(sparkType(p(1)).nonEmpty, s"unsupported type '${p(1)}'")
+            (p(0), p(1))
+          }
+        val merged = (existing ++ defs).map { case (n, ty) => s"$n $ty" }.mkString("|")
+        catalog.alterTable(currentDb, t, Map("ddl.schema" -> merged))
+        ok(s"table $t: added ${defs.map(_._1).mkString(", ")}")
       case AlterTableRe(name, opts) =>
         catalog.alterTable(currentDb, name.split("\\.").last, parseOptions(opts))
         ok(s"table $name altered")
@@ -146,8 +166,26 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         registerViews()
         val table = catalog.getTable(currentDb, t)
         var df = spark.sql(select)
+        val proct = catalog.tableOptions(currentDb, t).get("computed.proctime")
+        val decl = declaredCols(t)
+        if (decl.nonEmpty) {
+          // SQL INSERT maps by POSITION against the declared schema and
+          // casts to the declared types; a shorter row (a pre-ADD COLUMN
+          // writer, or one omitting the computed PROCTIME column) pads the
+          // evolution-added tail with typed nulls
+          val target = if (df.columns.length == decl.length) decl
+                       else decl.filterNot { case (n, _) => proct.contains(n) }
+          require(df.columns.length <= target.length,
+            s"INSERT provides ${df.columns.length} columns, $t declares ${decl.length}")
+          df = df.toDF(target.take(df.columns.length).map(_._1): _*)
+          val have = df.columns.toSet
+          df = df.select(target.map { case (n, ty) =>
+            val c = if (have.contains(n)) col(n) else lit(null)
+            sparkType(ty).map(c.cast).getOrElse(c).as(n)
+          }: _*)
+        }
         // computed PROCTIME column (guide.md:26): stamped at ingest
-        catalog.tableOptions(currentDb, t).get("computed.proctime").foreach { c =>
+        proct.foreach { c =>
           if (!df.columns.contains(c)) df = df.withColumn(c, current_timestamp())
         }
         val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
@@ -169,10 +207,26 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
     * so SELECT/INSERT bodies reference them by bare name like the reference;
     * each table's `$files` / `$snapshots` metadata views register as
     * `<table>__files` / `<table>__snapshots` / `<table>__tags`. */
+  /** The table's declared (evolved) schema from `ddl.schema`, if it was
+    * created through the shell. */
+  private def declaredCols(t: String): Seq[(String, String)] =
+    catalog.tableOptions(currentDb, t).getOrElse("ddl.schema", "")
+      .split("\\|").filter(_.nonEmpty).toSeq.map { cd =>
+        val p = cd.split("\\s+", 2); (p(0), p.lift(1).getOrElse("STRING")) }
+
   private def registerViews(): Unit =
     catalog.listTables(currentDb).foreach { t =>
       val table = catalog.getTable(currentDb, t)
-      val df = table.read
+      val df0 = table.read
+      // surface evolution-added columns that no data file carries yet as
+      // typed NULLs, so SELECT sees the declared schema immediately
+      val df = {
+        val missing = declaredCols(t)
+          .filterNot { case (n, _) => df0.columns.contains(n) }
+        if (missing.isEmpty || df0.columns.isEmpty) df0
+        else missing.foldLeft(df0) { case (d, (n, ty)) =>
+          d.withColumn(n, sparkType(ty).map(lit(null).cast).getOrElse(lit(null))) }
+      }
       df.createOrReplaceTempView(t)
       df.createOrReplaceTempView(s"${currentDb}_$t")
       table.filesView.createOrReplaceTempView(s"${t}__files")
@@ -200,6 +254,7 @@ object GraftSql {
   private val DescribeRe = "(?i)DESC(?:RIBE)? ([\\w.]+)".r
   private val SetConfRe = "(?i)SET '([^']+)' = '([^']+)'".r
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
+  private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
   private val DeleteWhereRe = "(?i)DELETE FROM ([\\w.]+) WHERE (.*)".r
   private val UpdateRe = "(?i)UPDATE ([\\w.]+) SET (.*?) WHERE (.*)".r
   private val MergeRe =
@@ -259,6 +314,17 @@ object GraftSql {
     }
     if (cur.nonEmpty) parts += cur.toString.trim
     parts.toSeq
+  }
+
+  /** Best-effort Flink-DDL → Spark type (INSERT alignment + view padding).
+    * Unparseable types yield None and the column is carried uncast. */
+  private[table] def sparkType(ddl: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    val norm = ddl.replaceAll("/\\*.*?\\*/", " ")
+      .replaceAll("(?i)\\bTIMESTAMP(?:_LTZ)?\\s*\\(\\d+\\)", "TIMESTAMP")
+      .replaceAll("(?i)\\bDOUBLE PRECISION\\b", "DOUBLE")
+      .trim
+    scala.util.Try(org.apache.spark.sql.types.DataType.fromDDL(norm)).toOption
   }
 
   /** `'k' = 'v', …` option lists (WITH blocks, guide.md:27-31). */

@@ -347,8 +347,16 @@ class StreamTable(
     require(outRows == expected,
       s"row-level rewrite row mismatch: $inRows in, $outRows out, expected $expected")
     val touchedPaths = touched.map(_.path).toSet
-    commit(liveNow => (liveNow.filterNot(f => touchedPaths.contains(f.path)) ++ metas,
-      latestSnapshot.map(_.batchId).getOrElse(-1L)))
+    // same concurrent-maintenance guard as [[rewriteLive]]: a touched file
+    // that vanished from the live set was rewritten by another job, and
+    // committing our copy of its surviving rows would duplicate them
+    commit { liveNow =>
+      val gone = touchedPaths -- liveNow.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) out from under this row-level op (e.g. ${gone.take(2).mkString(", ")})")
+      (liveNow.filterNot(f => touchedPaths.contains(f.path)) ++ metas,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }
     matches
   }
 
@@ -962,9 +970,19 @@ class StreamTable(
     else require(outRows <= inRows,
       s"PK compaction cannot grow rows: $inRows -> $outRows")
     val compactedPaths = before.map(_.path).toSet
-    // Keep files appended concurrently since we snapshotted `before`.
-    commit(live => (live.filterNot(f => compactedPaths.contains(f.path)) ++ metas,
-      latestSnapshot.map(_.batchId).getOrElse(-1L)))
+    // Keep files appended concurrently since we snapshotted `before`. But if
+    // a file we REWROTE is no longer live, another maintenance job (compact /
+    // row-level rewrite) replaced it concurrently — committing our copy of
+    // its rows on top of that job's would silently duplicate them, so fail
+    // loudly instead (the safe contract is one maintenance job at a time;
+    // concurrent APPENDS remain fine).
+    commit { live =>
+      val gone = compactedPaths -- live.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) out from under this compaction (e.g. ${gone.take(2).mkString(", ")})")
+      (live.filterNot(f => compactedPaths.contains(f.path)) ++ metas,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }
   }
 
   /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,

@@ -183,6 +183,35 @@ class SqlSpec extends AnyFunSuite {
     sh.sql("DROP TABLE first_touch")
   }
 
+  test("ALTER TABLE ADD COLUMN: schema evolution across old and new writers") {
+    import spark.implicits._
+    val sh = shell()
+    sh.sql("CREATE TABLE ev (id BIGINT, v STRING) WITH ('bucket' = '1')")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ev_src")
+    sh.sql("INSERT INTO ev SELECT * FROM ev_src")
+    sh.sql("ALTER TABLE ev ADD COLUMN score DOUBLE")
+    // DESCRIBE shows the evolved schema; pre-evolution rows read NULL
+    assert(sh.sql("DESCRIBE ev").collect().map(_.getString(0)).toSeq ==
+      Seq("id", "v", "score"))
+    assert(sh.sql("SELECT id, score FROM ev ORDER BY id").collect()
+      .forall(_.isNullAt(1)))
+    // an OLD-shape writer still works (evolution tail padded with nulls)…
+    Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("ev_old")
+    sh.sql("INSERT INTO ev SELECT * FROM ev_old")
+    // …and a NEW-shape writer lands values; INT position 3 casts to DOUBLE
+    Seq((4L, "d", 9)).toDF("id", "v", "n").createOrReplaceTempView("ev_new")
+    sh.sql("INSERT INTO ev SELECT * FROM ev_new")
+    val got = sh.sql("SELECT id, v, score FROM ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", -1.0), (2L, "b", -1.0),
+      (3L, "c", -1.0), (4L, "d", 9.0)))
+    intercept[IllegalArgumentException] {
+      sh.sql("ALTER TABLE ev ADD COLUMN v STRING") // duplicate
+    }
+    sh.sql("DROP TABLE ev")
+  }
+
   test("MERGE INTO statement: CDC upsert-merge through the shell") {
     import spark.implicits._
     val sh = shell()
