@@ -46,16 +46,20 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    normalizeTs(t(s, d, "events"))
   }
 
-  /** Raw events with `ts` still a nanosecond epoch long (for streaming file
-    * sources that need an explicit schema). */
-  def eventsRawTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-  }
+  /** Normalize `ts` to TIMESTAMP_NTZ whichever physical type the driver's
+    * generator wrote it as — INT64 TIMESTAMP(NANOS) (readable only as a
+    * long under nanosAsLong; early testdata) or a proper µs timestamp
+    * (current testdata). Queries and oracles are written against NTZ µs. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    }
 }
 
 /** Numeric-parity helpers (Spark ↔ DuckDB bit-exact doubles).

@@ -72,8 +72,17 @@ object StreamOps {
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(eventsSourceDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.readStream.schema(schema).parquet(eventsSourceDir(d))
+    // normalize `ts` to TIMESTAMP (LTZ, µs) for watermarks whichever
+    // physical type the driver wrote: nanos-long (early testdata) or a
+    // proper timestamp column (current testdata; NTZ→LTZ keeps the wall
+    // time under the UTC session)
+    schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Stateful streaming ops allocate one state-store instance PER shuffle
