@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   *    (merge-on-read on PK tables, pruned copy-on-write on append tables;
   *    see [[StreamTable.deleteWhere]] / [[StreamTable.updateWhere]])
   *  - `DROP TABLE t`, `DESCRIBE t`
+  *  - `CALL sys.<proc>(…)` — the maintenance actions the reference drives as
+  *    flink-action jobs (guide.md:172-177, :180-184), as SQL procedures:
+  *    `rollback_to(table, snapshotOrTag)`, `create_tag` / `delete_tag`,
+  *    `expire_snapshots(table, min, max, olderThan)`, `compact(table[, n])`
+  *  - metadata tables `t$files` / `t$snapshots` / `t$tags` / `t$options` /
+  *    `t$consumers` / `t$audit_log` in any SELECT (guide.md:200-232)
   *
   * The statement grammar is intentionally exactly the subset the reference
   * exercises — this is a catalog shell, not a SQL parser (SELECT bodies are
@@ -191,13 +197,16 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
         table.appendBatch(df, nextBatch)
         ok(s"inserted into $t (batch $nextBatch)")
+      case CallRe(proc, rawArgs) =>
+        callProcedure(proc.toLowerCase, parseCallArgs(rawArgs))
       case _ if flat.toUpperCase.startsWith("SELECT") ||
                 flat.toUpperCase.startsWith("WITH") =>
         registerViews()
         // Paimon metadata-table syntax `t$files` / `t$snapshots`
         // (guide.md:200-232): Spark identifiers can't carry the `$`, so
         // rewrite to the registered `<t>__<meta>` views
-        spark.sql(stmt.replaceAll("(\\w+)\\$(files|snapshots|tags)", "$1__$2"))
+        spark.sql(rewriteTimeTravel(stmt).replaceAll(
+          "(\\w+)\\$(files|snapshots|tags|options|consumers|audit_log)", "$1__$2"))
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
@@ -232,7 +241,92 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       table.filesView.createOrReplaceTempView(s"${t}__files")
       table.snapshotsView.createOrReplaceTempView(s"${t}__snapshots")
       table.tagsView.createOrReplaceTempView(s"${t}__tags")
+      table.consumersView.createOrReplaceTempView(s"${t}__consumers")
+      table.auditLogView.createOrReplaceTempView(s"${t}__audit_log")
+      optionsView(t).createOrReplaceTempView(s"${t}__options")
     }
+
+  /** The `$options` system table: the table's property map as (key, value)
+    * rows (Paimon's `$options` shape — the WITH clause plus ALTERs). */
+  private def optionsView(t: String): DataFrame = {
+    import spark.implicits._
+    catalog.tableOptions(currentDb, t).toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
+  /** Paimon's `CALL sys.<procedure>(…)` maintenance surface, the SQL face of
+    * the flink-action jobs the reference drives from the shell
+    * (guide.md:172-177 compact; :180-184 retention). Args are positional
+    * literals; the first is always the table name. */
+  private def callProcedure(proc: String, args: Seq[String]): DataFrame = {
+    require(args.nonEmpty, s"CALL sys.$proc needs a table argument")
+    val t = args.head.split("\\.").last
+    val table = catalog.getTable(currentDb, t)
+    proc match {
+      case "rollback_to" =>
+        require(args.length == 2, "rollback_to(table, snapshotOrTag)")
+        val snap = if (args(1).matches("-?\\d+")) table.rollbackTo(args(1).toLong)
+                   else table.rollbackToTag(args(1))
+        ok(s"$t rolled back to snapshot ${snap.id}")
+      case "create_tag" =>
+        require(args.length == 2 || args.length == 3, "create_tag(table, tag[, snapshotId])")
+        val id = table.createTag(args(1), args.lift(2).map(_.toLong))
+        ok(s"tag ${args(1)} -> snapshot $id")
+      case "delete_tag" =>
+        require(args.length == 2, "delete_tag(table, tag)")
+        ok(s"tag ${args(1)} deleted: ${table.deleteTag(args(1))}")
+      case "expire_snapshots" =>
+        require(args.length == 4,
+          "expire_snapshots(table, retainMin, retainMax, olderThanDuration)")
+        val n = table.expireSnapshots(args(1).toInt, args(2).toInt,
+          GraftCatalog.parseDurationMs(args(3)))
+        ok(s"expired $n snapshots of $t")
+      case "compact" =>
+        require(args.length <= 2, "compact(table[, targetFileCount])")
+        val snap = table.compact(args.lift(1).map(_.toInt).getOrElse(2))
+        ok(s"$t compacted: snapshot ${snap.id}, ${snap.files.size} files")
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure sys.$other")
+    }
+  }
+
+  /** Positional CALL arguments: quoted strings or bare numeric literals. */
+  private def parseCallArgs(raw: String): Seq[String] =
+    "'([^']*)'|(-?\\d+\\s*[a-zA-Z]*)".r.findAllMatchIn(raw)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)).trim).toSeq
+
+  /** Paimon's Spark time-travel syntax: `t VERSION AS OF <id|'tag'>` and
+    * `t TIMESTAMP AS OF '<ts>'` (wall-clock, UTC). Each travel clause pins
+    * the snapshot as a temp view and rewrites to its name, so travel
+    * composes with any SELECT body (joins against the live view included). */
+  private def rewriteTimeTravel(body: String): String = {
+    val afterVersion = VersionAsOfRe.replaceAllIn(body, m => {
+      val (t, v) = (m.group(1), m.group(2))
+      val table = catalog.getTable(currentDb, t)
+      val (df, view) =
+        if (v.startsWith("'")) {
+          val tag = v.stripPrefix("'").stripSuffix("'")
+          (table.readTag(tag), s"${t}__tag_${tag.replaceAll("[^A-Za-z0-9_]", "_")}")
+        } else (table.readAt(v.toLong), s"${t}__v$v")
+      df.createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    TimestampAsOfRe.replaceAllIn(afterVersion, m => {
+      val (t, ts) = (m.group(1), m.group(2))
+      val ms =
+        if (ts.matches("\\d{10,}")) ts.toLong // epoch millis
+        else java.time.LocalDateTime
+          .parse(ts.trim.replace(" ", "T"))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val view = s"${t}__ts$ms"
+      catalog.getTable(currentDb, t).readAtTime(ms).createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+  }
+
+  private val VersionAsOfRe =
+    "(?i)(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+|'[^']+')".r
+  private val TimestampAsOfRe =
+    "(?i)(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
 
   private def ok(msg: String): DataFrame = {
     import spark.implicits._
@@ -253,6 +347,7 @@ object GraftSql {
   private val DropTableRe = "(?i)DROP TABLE (?:IF EXISTS )?([\\w.]+)".r
   private val DescribeRe = "(?i)DESC(?:RIBE)? ([\\w.]+)".r
   private val SetConfRe = "(?i)SET '([^']+)' = '([^']+)'".r
+  private val CallRe = "(?i)CALL sys\\.(\\w+)\\s*\\((.*)\\)".r
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
   private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
   private val DeleteWhereRe = "(?i)DELETE FROM ([\\w.]+) WHERE (.*)".r

@@ -864,6 +864,154 @@ class StreamTable(
       .orderBy("tag_name")
   }
 
+  // ---- consumers (Paimon `consumer-id`: expiry-safe incremental reads) ---
+
+  private val consumerDir = s"$root/_consumers"
+
+  /** Register (or reset) a named consumer at `nextSnapshotId` — the first
+    * snapshot it has NOT yet consumed. A registered consumer is a retention
+    * root like a tag: [[expireSnapshots]] keeps every snapshot the consumer
+    * still needs, so a slow downstream reader can fall arbitrarily far
+    * behind without its unread increments being vacuumed away — exactly why
+    * Paimon's `'consumer-id'` scan option exists. */
+  def registerConsumer(id: String, nextSnapshotId: Long = 0L): Unit = {
+    require(id.matches("[A-Za-z0-9._-]+"), s"illegal consumer id '$id'")
+    Files.createDirectories(Paths.get(consumerDir))
+    writeConsumerFile(id, nextSnapshotId)
+  }
+
+  /** Move a consumer's progress forward (monotonic: regressions are refused —
+    * replaying consumed increments is the caller's bug, use
+    * [[registerConsumer]] to deliberately reset). Written via atomic rename
+    * so a crashed advance never leaves a torn progress file. */
+  def advanceConsumer(id: String, nextSnapshotId: Long): Unit = {
+    val cur = consumers.find(_._1 == id).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no consumer '$id'"))
+    require(nextSnapshotId >= cur,
+      s"consumer '$id' progress must be monotonic: at $cur, got $nextSnapshotId")
+    writeConsumerFile(id, nextSnapshotId)
+  }
+
+  private def writeConsumerFile(id: String, next: Long): Unit = {
+    val tmp = Paths.get(consumerDir, s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp, mapper.writeValueAsBytes(Map("nextSnapshot" -> next)))
+    Files.move(tmp, Paths.get(consumerDir, s"consumer-$id.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def deleteConsumer(id: String): Boolean =
+    Files.deleteIfExists(Paths.get(consumerDir, s"consumer-$id.json"))
+
+  /** All consumers as (id, nextSnapshotId), id-ordered. */
+  def consumers: Seq[(String, Long)] = {
+    if (!Files.isDirectory(Paths.get(consumerDir))) return Seq.empty
+    listDir(Paths.get(consumerDir)).iterator
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("consumer-") && f.endsWith(".json"))
+      .map { f =>
+        val id = f.stripPrefix("consumer-").stripSuffix(".json")
+        id -> mapper.readTree(Files.readAllBytes(Paths.get(consumerDir, f)))
+          .get("nextSnapshot").asLong()
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** One incremental consume step for a registered consumer: the `+I/+U/-D`
+    * changes from its recorded progress up to the current latest snapshot,
+    * plus the snapshot id to [[advanceConsumer]] to AFTER the increment is
+    * durably processed (advance-after-process = at-least-once, the same
+    * contract a Paimon consumer-id streaming scan gives its checkpoint).
+    * Returns None when the consumer is already caught up. */
+  def consume(id: String): Option[(DataFrame, Long)] = {
+    val next = consumers.find(_._1 == id).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no consumer '$id'"))
+    latestSnapshot.filter(_.id >= next).map { latest =>
+      // `changesBetween(next-1, latest)` — from the snapshot BEFORE the first
+      // unconsumed one; next == 0 means "from table creation" (empty base)
+      val df = if (next == 0L) {
+        val added = latestSnapshot.get.files.filter(_.level == 0)
+        if (added.isEmpty) read.limit(0).withColumn("op", lit(""))
+        else primaryKey match {
+          case None => readFiles(added).drop(SeqColName).withColumn("op", lit("+I"))
+          case Some(_) => changesBetween(fromId = snapshots.head.id, toId = latest.id)
+            .unionByName(changesFromFirstSnapshot(), allowMissingColumns = true)
+        }
+      } else changesBetween(next - 1, latest.id)
+      (df, latest.id + 1)
+    }
+  }
+
+  /** The first snapshot's own rows as `+I` (a from-scratch consumer sees the
+    * initial commit as inserts, before [[changesBetween]] takes over). */
+  private def changesFromFirstSnapshot(): DataFrame = {
+    val first = snapshots.head
+    val added = first.files.filter(_.level == 0)
+    if (added.isEmpty) read.limit(0).withColumn("op", lit(""))
+    else {
+      val raw = readFiles(added)
+      val noTomb =
+        if (raw.columns.contains(TombstoneColName))
+          raw.filter(!coalesce(col(TombstoneColName), lit(false)))
+            .drop(TombstoneColName)
+        else raw
+      noTomb.drop(SeqColName).withColumn("op", lit("+I"))
+    }
+  }
+
+  /** The `$consumers` system table: consumer id and the next snapshot it will
+    * consume (Paimon's `$consumers` shape). */
+  def consumersView: DataFrame = {
+    import spark.implicits._
+    spark.createDataset(consumers).toDF("consumer_id", "next_snapshot_id")
+      .orderBy("consumer_id")
+  }
+
+  /** The `$audit_log` system table, batch semantics: the current resolved
+    * rows with a leading `rowkind` column (`+I` — a batch scan sees every
+    * live row as an insert; the streaming alphabet lives in
+    * [[changesBetween]] / [[changelogWithRetractions]]). */
+  def auditLogView: DataFrame = {
+    val r = read
+    r.select(lit("+I").as("rowkind") +: r.columns.map(col): _*)
+  }
+
+  // ---- rollback (Paimon `rollback-to`: undo commits) ----------------------
+
+  /** Roll the table back so `snapshotId` is the latest snapshot again: every
+    * newer snapshot manifest is deleted, along with any data file only those
+    * snapshots referenced (Paimon's `rollback-to` action). Tags pinning a
+    * newer snapshot make the rollback refuse — delete them first; consumers
+    * ahead of the new head are clamped back to it (their unconsumed
+    * increments no longer exist). Like Paimon, the caller is responsible for
+    * stopping concurrent writers first: a writer mid-commit could re-observe
+    * a rolled-back id. */
+  def rollbackTo(snapshotId: Long): Snapshot = {
+    val snaps = snapshots
+    val target = snaps.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId to roll back to"))
+    val newerTags = tags.filter(_._2 > snapshotId)
+    require(newerTags.isEmpty,
+      s"tags pin snapshots newer than $snapshotId: " +
+        newerTags.map(t => s"${t._1}->${t._2}").mkString(", "))
+    val newer = snaps.filter(_.id > snapshotId)
+    val keptRefs = snaps.filter(_.id <= snapshotId).flatMap(_.files.map(_.path)).toSet
+    val orphaned = newer.flatMap(_.files.map(_.path)).toSet -- keptRefs
+    // delete manifests NEWEST-FIRST so a concurrent reader's max-id scan can
+    // never select a manifest whose successor was already removed
+    newer.sortBy(-_.id).foreach { s0 =>
+      Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json"))
+    }
+    orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    consumers.filter(_._2 > snapshotId + 1)
+      .foreach { case (id, _) => writeConsumerFile(id, snapshotId + 1) }
+    target
+  }
+
+  /** [[rollbackTo]] the snapshot a tag pins (Paimon `rollback_to` with a tag
+    * name). The tag survives — it now pins the head. */
+  def rollbackToTag(name: String): Snapshot =
+    rollbackTo(tags.find(_._1 == name).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no tag '$name'")))
+
   // ---- maintenance (compaction 2A#16, retention 2A#15/18) ----------------
 
   /** Offline compaction (the paimon-flink-action `compact` job,
@@ -988,15 +1136,22 @@ class StreamTable(
   /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,
     * guide.md:180-184): keep the newest `numRetainedMax` snapshots and any
     * younger than `timeRetainedMs` (always ≥ `numRetainedMin`), delete expired
-    * manifests and any data file no retained snapshot references (VACUUM). */
+    * manifests and any data file no retained snapshot references (VACUUM).
+    * Tags and registered consumers are retention roots: a consumer at
+    * progress `next` still needs snapshot `next-1` (its [[changesBetween]]
+    * base) and everything after, so those never expire — Paimon's
+    * consumer-id contract. */
   def expireSnapshots(numRetainedMin: Int, numRetainedMax: Int, timeRetainedMs: Long): Int = {
     val snaps = snapshots
     if (snaps.size <= numRetainedMin) return 0
     val now = System.currentTimeMillis()
     val tagged = tags.map(_._2).toSet // tags are retention roots
+    val consumerFloor: Long = consumers.map(_._2 - 1).reduceOption(_ min _)
+      .getOrElse(Long.MaxValue)
     val keep = snaps.zipWithIndex.filter { case (s0, i) =>
       val fromNewest = snaps.size - i
       tagged.contains(s0.id) ||
+        s0.id >= consumerFloor ||
         fromNewest <= numRetainedMin ||
         (fromNewest <= numRetainedMax && now - s0.committedAtMs <= timeRetainedMs)
     }.map(_._1)

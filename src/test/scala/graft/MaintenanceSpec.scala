@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.{GraftSql, StreamTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 table-maintenance surfaces: consumer-id protected incremental
+  * reads, snapshot rollback, the `$options`/`$consumers`/`$audit_log`
+  * metadata tables, and the `CALL sys.<procedure>` shell — the SQL face of
+  * the maintenance actions the reference drives from the Flink shell
+  * (tutorial/guide.md:172-177 compact, :180-184 retention). */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_maint_").toString
+
+  // ---- consumers ---------------------------------------------------------
+
+  test("consumer lifecycle: register, consume from scratch, advance, catch up") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
+    t.registerConsumer("etl")
+    val (df0, next0) = t.consume("etl").get
+    assert(df0.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1),
+      r.getAs[String]("op"))).toSeq == Seq((1L, "a", "+I"), (2L, "b", "+I")))
+    assert(next0 == 1L)
+    t.advanceConsumer("etl", next0)
+    // caught up: nothing to consume
+    assert(t.consume("etl").isEmpty)
+    // a new commit becomes the next increment, exactly once
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), 1)
+    val (df1, next1) = t.consume("etl").get
+    assert(df1.collect().map(r => (r.getLong(0), r.getAs[String]("op"))).toSeq ==
+      Seq((3L, "c")).map(x => (x._1, "+I")))
+    t.advanceConsumer("etl", next1)
+    assert(t.consume("etl").isEmpty)
+  }
+
+  test("consumer progress is monotonic; reset goes through registerConsumer") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0)
+    t.registerConsumer("c1", nextSnapshotId = 1)
+    intercept[IllegalArgumentException] { t.advanceConsumer("c1", 0) }
+    intercept[IllegalArgumentException] { t.advanceConsumer("missing", 1) }
+    t.registerConsumer("c1", nextSnapshotId = 0) // deliberate reset
+    assert(t.consumers == Seq("c1" -> 0L))
+    assert(t.deleteConsumer("c1") && t.consumers.isEmpty)
+  }
+
+  test("consumer on a PK table sees +I/+U/-D increments") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      seqCol = Some("seq"))
+    t.appendBatch(Seq((1L, 10L, "x1"), (2L, 10L, "y1")).toDF("id", "seq", "v"), 0)
+    t.registerConsumer("cdc")
+    val (df0, n0) = t.consume("cdc").get
+    assert(df0.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("+I"))
+    t.advanceConsumer("cdc", n0)
+    t.appendBatch(Seq((1L, 20L, "x2"), (3L, 20L, "z1")).toDF("id", "seq", "v"), 1)
+    t.deleteBatch(Seq(Tuple1(2L)).toDF("id"), 2)
+    val (df1, n1) = t.consume("cdc").get
+    val ops = df1.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("op"))).toSeq
+    assert(ops == Seq((1L, "+U"), (2L, "-D"), (3L, "+I")), ops.toString)
+    t.advanceConsumer("cdc", n1)
+    assert(t.consume("cdc").isEmpty)
+  }
+
+  test("a registered consumer is a retention root: its snapshots never expire") {
+    val t = new StreamTable(tmp(), spark)
+    (0 to 4).foreach(i => t.appendBatch(Seq((i.toLong, s"v$i")).toDF("id", "v"), i))
+    t.registerConsumer("slow", nextSnapshotId = 2) // still needs snap 1 (diff base)
+    val expired = t.expireSnapshots(numRetainedMin = 1, numRetainedMax = 1,
+      timeRetainedMs = 0)
+    // snaps 0 is expirable; 1..4 are protected (consumer floor = 1)
+    assert(t.snapshots.map(_.id) == Seq(1L, 2L, 3L, 4L), t.snapshots.map(_.id).toString)
+    assert(expired == 1)
+    // the consumer can still compute its pending increments after expiry
+    val (df, next) = t.consume("slow").get
+    assert(df.count() == 3) // rows from snaps 2, 3, 4
+    assert(next == 5L)
+    // without the consumer, the same policy would have expired everything but the head
+    t.deleteConsumer("slow")
+    t.expireSnapshots(1, 1, 0)
+    assert(t.snapshots.map(_.id) == Seq(4L))
+  }
+
+  // ---- rollback ----------------------------------------------------------
+
+  test("rollbackTo restores an earlier snapshot and deletes orphaned files") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0)
+    t.appendBatch(Seq((2L, "b")).toDF("id", "v"), 1)
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), 2)
+    val doomed = t.latestSnapshot.get.files.map(_.path).toSet --
+      t.snapshots.find(_.id == 0).get.files.map(_.path).toSet
+    val head = t.rollbackTo(0)
+    assert(head.id == 0)
+    assert(t.snapshots.map(_.id) == Seq(0L))
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(doomed.nonEmpty && doomed.forall(p => !Files.exists(java.nio.file.Paths.get(p))),
+      "files only the rolled-back snapshots referenced are vacuumed")
+    // the table keeps working after rollback: ids/batches continue from the head
+    t.appendBatch(Seq((9L, "z")).toDF("id", "v"), 1)
+    assert(t.latestSnapshot.get.id == 1 && t.read.count() == 2)
+  }
+
+  test("rollback refuses to cross a newer tag; rollbackToTag lands on the tag") {
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0)
+    t.createTag("keep", Some(0))
+    t.appendBatch(Seq((2L, "b")).toDF("id", "v"), 1)
+    t.createTag("newer", Some(1))
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), 2)
+    val e = intercept[IllegalArgumentException] { t.rollbackTo(0) }
+    assert(e.getMessage.contains("newer"))
+    t.deleteTag("newer")
+    t.registerConsumer("ahead", nextSnapshotId = 3)
+    assert(t.rollbackToTag("keep").id == 0)
+    assert(t.readTag("keep").count() == 1)
+    // a consumer past the new head is clamped back to it
+    assert(t.consumers == Seq("ahead" -> 1L))
+  }
+
+  // ---- metadata tables + CALL procedures through the shell ---------------
+
+  test("$options / $consumers / $audit_log metadata tables through GraftSql") {
+    val sh = new GraftSql(spark, Files.createTempDirectory("graft_sql_m_").toString)
+    sh.sql("CREATE TABLE opts_t (id BIGINT, v STRING) WITH " +
+      "('bucket' = '2', 'bucket-key' = 'id', 'file.format' = 'parquet')")
+    sh.sql("INSERT INTO opts_t SELECT 1, 'a' UNION ALL SELECT 2, 'b'")
+    val opts = sh.sql("SELECT key, value FROM opts_t$options ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(opts("bucket") == "2" && opts("bucket-key") == "id")
+    val audit = sh.sql(
+      "SELECT rowkind, id FROM opts_t$audit_log ORDER BY id").collect()
+    assert(audit.map(_.getString(0)).toSeq == Seq("+I", "+I"))
+    assert(sh.sql("SELECT * FROM opts_t$consumers").collect().isEmpty)
+    sh.catalog.getTable("default", "opts_t").registerConsumer("shell-c", 1)
+    val cons = sh.sql(
+      "SELECT consumer_id, next_snapshot_id FROM opts_t$consumers").collect()
+    assert(cons.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("shell-c", 1L)))
+  }
+
+  test("SELECT … VERSION AS OF / TIMESTAMP AS OF travels through the shell") {
+    val sh = new GraftSql(spark, Files.createTempDirectory("graft_sql_tt_").toString)
+    sh.sql("CREATE TABLE tt_t (id BIGINT, v STRING) WITH ('bucket' = '1')")
+    sh.sql("INSERT INTO tt_t SELECT 1, 'a'")
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    sh.sql("INSERT INTO tt_t SELECT 2, 'b'")
+    sh.sql("CALL sys.create_tag('tt_t', 'cut', 0)")
+    assert(sh.sql("SELECT count(*) AS n FROM tt_t").collect().head.getLong(0) == 2)
+    assert(sh.sql("SELECT count(*) AS n FROM tt_t VERSION AS OF 0")
+      .collect().head.getLong(0) == 1)
+    assert(sh.sql("SELECT count(*) AS n FROM tt_t VERSION AS OF 'cut'")
+      .collect().head.getLong(0) == 1)
+    assert(sh.sql(s"SELECT count(*) AS n FROM tt_t TIMESTAMP AS OF '$between'")
+      .collect().head.getLong(0) == 1)
+    // travel composes with a join against the live view
+    val j = sh.sql("SELECT count(*) AS n FROM tt_t a JOIN tt_t VERSION AS OF 0 b " +
+      "ON a.id = b.id").collect().head.getLong(0)
+    assert(j == 1)
+  }
+
+  test("CALL sys.create_tag / rollback_to / expire_snapshots / compact") {
+    val sh = new GraftSql(spark, Files.createTempDirectory("graft_sql_c_").toString)
+    sh.sql("CREATE TABLE m_t (id BIGINT, v STRING) WITH ('bucket' = '1')")
+    sh.sql("INSERT INTO m_t SELECT 1, 'a'")
+    sh.sql("INSERT INTO m_t SELECT 2, 'b'")
+    sh.sql("CALL sys.create_tag('m_t', 'v1', 0)")
+    assert(sh.sql("SELECT tag_name FROM m_t$tags").collect()
+      .map(_.getString(0)).toSeq == Seq("v1"))
+    sh.sql("INSERT INTO m_t SELECT 3, 'c'")
+    // rollback by snapshot id — refused while the v1 tag is not the target…
+    sh.sql("CALL sys.rollback_to('m_t', 1)")
+    assert(sh.sql("SELECT count(*) AS n FROM m_t").collect().head.getLong(0) == 2)
+    // …and by tag name
+    sh.sql("CALL sys.rollback_to('m_t', 'v1')")
+    assert(sh.sql("SELECT count(*) AS n FROM m_t").collect().head.getLong(0) == 1)
+    sh.sql("INSERT INTO m_t SELECT 4, 'd'")
+    sh.sql("INSERT INTO m_t SELECT 5, 'e'")
+    val r = sh.sql("CALL sys.compact('m_t', 1)").collect().head.getString(0)
+    assert(r.contains("compacted"))
+    assert(sh.sql("SELECT count(*) AS n FROM m_t").collect().head.getLong(0) == 3)
+    sh.sql("CALL sys.delete_tag('m_t', 'v1')")
+    sh.sql("CALL sys.expire_snapshots('m_t', 1, 1, '0 s')")
+    val snaps = sh.sql("SELECT snapshot_id FROM m_t$snapshots").collect()
+    assert(snaps.length == 1)
+    intercept[IllegalArgumentException] { sh.sql("CALL sys.frobnicate('m_t')") }
+  }
+}
