@@ -325,6 +325,82 @@ object Pipeline {
           |) AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)""".stripMargin)
         .orderBy("col")
     },
+
+    // Deterministic global training-order shuffle: every epoch-0 data order
+    // in a large-scale run is "sort by a keyed hash", never rand() — the
+    // permutation is reproducible per row, survives retries, and resharding
+    // to N output files is just range-partitioning the sort. At 100 TB this
+    // is ONE range-shuffle (sampled boundaries + total sort), the minimum
+    // any global permutation costs; changing the salt re-deals the order.
+    QDef(
+      "q_ext_global_shuffle",
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0'), doc_id)
+        |    AS train_pos
+        |FROM documents ORDER BY train_pos""".stripMargin) { (s, d) =>
+      // the position column reuses the packAssignments shard trick: a global
+      // row_number would funnel the corpus through one window task, so the
+      // rank is composed from per-shard ranks + broadcast shard offsets —
+      // same two-pass prefix-sum discipline, keyed on the hash's first byte
+      // (256 shards, each ~N/256 rows)
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":epoch0"))).as("shuffle_key"))
+        .withColumn("shard", substring(col("shuffle_key"), 1, 2))
+      val wIntra = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+      val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hashed.groupBy("shard").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(wShard), lit(0L)))
+        .select("shard", "off")
+      hashed.withColumn("rk", row_number().over(wIntra))
+        .join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), col("shuffle_key"),
+          (col("off") + col("rk")).as("train_pos"))
+        .orderBy("train_pos")
+    },
+
+    // Span-level exact substring dedup (the "Deduplicating Training Data
+    // Makes Language Models Better" operator): hash a 40-char window every
+    // 10 chars, keep windows whose hash appears in MORE THAN ONE document,
+    // and report per document how many window starts are duplicated — the
+    // span map a rewrite pass would cut. Linear in corpus size: the shuffle
+    // key is the 8-hex window digest (4 B of entropy, never the text); the
+    // cross-doc test is one two-level aggregation, no pair space, no
+    // suffix array. Stride 10 bounds the blowup at ~n_chars/10 rows.
+    QDef(
+      "q_ext_dup_spans",
+      """WITH win AS (
+        |  SELECT doc_id,
+        |    substring(md5(substring(text, CAST(1 + (i - 1) * 10 AS INTEGER), 40)), 1, 8) AS wh
+        |  FROM documents, range(1, 2000) r(i)
+        |  WHERE (i - 1) * 10 + 40 <= length(text)),
+        |dup AS (SELECT wh FROM win GROUP BY wh
+        |        HAVING count(DISTINCT doc_id) > 1)
+        |SELECT w.doc_id,
+        |  CAST(count(*) AS BIGINT) AS dup_windows,
+        |  CAST(count(DISTINCT w.wh) AS BIGINT) AS dup_distinct
+        |FROM win w JOIN dup USING (wh)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val win = Tables.documents(s, d)
+        // docs shorter than one window have no rows (and Spark's sequence
+        // would count DOWN for an empty range — filter first, don't clamp)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), posexplode(expr(
+          // one codegen'd pass: all strided 40-char windows of the doc
+          "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
+            " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
+        .select(col("doc_id"), col("col").as("wh"))
+      // windows seen in >1 doc — two-level agg on the 8-hex digest only
+      val dup = win.groupBy("wh")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+        .select("wh")
+      win.join(dup, "wh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dup_windows"),
+          countDistinct("wh").as("dup_distinct"))
+        .orderBy("doc_id")
+    },
   )
 
   /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing,

@@ -92,6 +92,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"), p.take(3000))
   }
 
+  test("q_ext_global_shuffle ranks per shard; only the 256-row offsets window is global") {
+    val p = plan("q_ext_global_shuffle")
+    // the corpus-sized rank window must hash-partition by the hash-byte
+    // shard; the offsets relation must reach the join as a broadcast
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("q_ext_dup_spans joins on the window digest, never a pair space") {
+    val p = plan("q_ext_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the cross-doc test is a two-level aggregation with a map-side partial
+    assert(p.toLowerCase.contains("partial_"), p.take(3000))
+  }
+
   test("q_join_skew_salted spreads the hot key over the salt space") {
     val df = SparkEntry.queries("q_join_skew_salted")(spark, SparkFixture.sf)
     val p = df.queryExecution.executedPlan.toString
