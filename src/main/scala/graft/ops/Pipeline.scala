@@ -401,6 +401,64 @@ object Pipeline {
           countDistinct("wh").as("dup_distinct"))
         .orderBy("doc_id")
     },
+
+    // The rewrite-side companion of q_ext_dup_spans: merge each document's
+    // duplicated windows into maximal islands (classic interval union via a
+    // running-max window) and report the exact duplicated-char coverage a
+    // span-cut rewrite would remove. All integer arithmetic; the per-doc
+    // window partitions by doc_id, so no task ever sees more than one
+    // document's spans — linear at any corpus size.
+    QDef(
+      "q_ext_dup_coverage",
+      """WITH win AS (
+        |  SELECT doc_id, CAST(1 + (i - 1) * 10 AS INTEGER) AS start,
+        |    substring(md5(substring(text, CAST(1 + (i - 1) * 10 AS INTEGER), 40)), 1, 8) AS wh
+        |  FROM documents, range(1, 2000) r(i)
+        |  WHERE (i - 1) * 10 + 40 <= length(text)),
+        |dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        |spans AS (SELECT w.doc_id, w.start FROM win w JOIN dup USING (wh)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start > max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_isl
+        |  FROM spans),
+        |isl2 AS (SELECT doc_id, start,
+        |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |lens AS (SELECT doc_id, island, max(start + 40) - min(start) AS len
+        |  FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars,
+        |  CAST(count(*) AS BIGINT) AS n_islands
+        |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val win = Tables.documents(s, d)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
+            " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
+        .select(col("doc_id"), (col("pos") * 10 + 1).cast("int").as("start"),
+          col("col").as("wh"))
+      val dup = win.groupBy("wh")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("wh")
+      val spans = win.join(dup, "wh").select("doc_id", "start")
+      val w = Window.partitionBy("doc_id").orderBy("start")
+      val prevEnd = max(col("start") + 40)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      spans
+        .withColumn("new_isl",
+          when(prevEnd.isNull || col("start") > prevEnd, 1).otherwise(0))
+        .withColumn("island",
+          sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg((max(col("start") + 40) - min(col("start"))).as("len"))
+        .groupBy("doc_id")
+        .agg(sum("len").cast("long").as("dup_chars"),
+          count(lit(1)).as("n_islands"))
+        .orderBy("doc_id")
+    },
   )
 
   /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing,

@@ -109,6 +109,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_"), p.take(3000))
   }
 
+  test("q_ext_dup_coverage island window partitions by doc_id (no global window)") {
+    val p = plan("q_ext_dup_coverage")
+    assert(p.contains("hashpartitioning(doc_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("q_join_skew_salted spreads the hot key over the salt space") {
     val df = SparkEntry.queries("q_join_skew_salted")(spark, SparkFixture.sf)
     val p = df.queryExecution.executedPlan.toString

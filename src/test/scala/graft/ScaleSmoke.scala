@@ -93,6 +93,9 @@ object ScaleSmoke {
       "q_ext_cms_heavy_hitters", // constant-state sketch, map-side combined
       "q_ext_bpe_merge",       // word-keyed agg, vocab-sized pair stage
       "q_join_range_binned",   // bin-keyed equi join (keyless range join)
+      // round-7 additions
+      "q_ext_global_shuffle",  // sharded rank + broadcast offsets, one range sort
+      "q_ext_dup_spans",       // digest-keyed two-level agg (no pair space)
       "q_ext_scd2_enrich",     // custkey window + interval-residual join
       "q_ext_embed_pool",      // 65-expr nano-sum groupBy
       "q_ext_data_card",       // one grouped pass + md5 dedup window
