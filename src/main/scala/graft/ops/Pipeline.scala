@@ -459,6 +459,88 @@ object Pipeline {
           count(lit(1)).as("n_islands"))
         .orderBy("doc_id")
     },
+
+    // The rewrite itself: cut every duplicated island out of the affected
+    // documents and emit the surviving text's length + digest. The Spark
+    // side folds the per-doc sorted island array ONCE over the original
+    // string (a codegen'd `aggregate` HOF — no per-char explosion); the
+    // oracle rebuilds the same string char-by-char with an anti-exists
+    // filter, so the two constructions cross-check each other. Per-doc
+    // island arrays are window-count-bounded (≤ n_chars/10), never
+    // corpus-sized; affected docs only, inner-joined.
+    QDef(
+      "q_ext_dedup_rewrite",
+      """WITH win AS (
+        |  SELECT doc_id, CAST(1 + (i - 1) * 10 AS INTEGER) AS start,
+        |    substring(md5(substring(text, CAST(1 + (i - 1) * 10 AS INTEGER), 40)), 1, 8) AS wh
+        |  FROM documents, range(1, 2000) r(i)
+        |  WHERE (i - 1) * 10 + 40 <= length(text)),
+        |dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        |spans AS (SELECT w.doc_id, w.start FROM win w JOIN dup USING (wh)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start > max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_isl
+        |  FROM spans),
+        |isl2 AS (SELECT doc_id, start,
+        |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |isl3 AS (SELECT doc_id, island, min(start) AS s, max(start + 40) AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |chars AS (
+        |  SELECT d.doc_id, CAST(i AS INTEGER) AS pos,
+        |    substring(d.text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM documents d, range(1, 2000) r(i)
+        |  WHERE i <= length(d.text)
+        |    AND d.doc_id IN (SELECT DISTINCT doc_id FROM isl3)),
+        |agg AS (
+        |  SELECT c.doc_id,
+        |    coalesce(string_agg(ch, '' ORDER BY pos) FILTER (WHERE NOT EXISTS (
+        |      SELECT 1 FROM isl3 x
+        |      WHERE x.doc_id = c.doc_id AND c.pos >= x.s AND c.pos < x.e)), '')
+        |      AS clean
+        |  FROM chars c GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+        |  md5(clean) AS clean_md5
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val win = Tables.documents(s, d)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
+            " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
+        .select(col("doc_id"), (col("pos") * 10 + 1).cast("int").as("start"),
+          col("col").as("wh"))
+      val dup = win.groupBy("wh")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("wh")
+      val spans = win.join(dup, "wh").select("doc_id", "start")
+      val w = Window.partitionBy("doc_id").orderBy("start")
+      val prevEnd = max(col("start") + 40)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = spans
+        .withColumn("new_isl",
+          when(prevEnd.isNull || col("start") > prevEnd, 1).otherwise(0))
+        .withColumn("island",
+          sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("start").as("s"), (max(col("start") + 40)).as("e"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("isl"))
+      Tables.documents(s, d).join(islands, "doc_id")
+        .withColumn("clean", expr(
+          // fold the sorted disjoint islands left-to-right: keep the gap
+          // before each island, then the tail after the last one
+          "aggregate(isl, struct(1 as pos, '' as acc)," +
+            " (st, iv) -> struct(iv.e as pos," +
+            "   concat(st.acc, substring(text, st.pos, iv.s - st.pos)) as acc)," +
+            " st -> concat(st.acc, substring(text, st.pos)))"))
+        .select(col("doc_id"), length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
   )
 
   /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing,

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *    `USE CATALOG c` (guide.md:11-17)
   *  - `CREATE TABLE t (cols…, PRIMARY KEY (…) NOT ENFORCED) WITH ('k'='v')`
   *    incl. computed `AS PROCTIME()` columns (guide.md:23-31, :59-74)
-  *  - `ALTER TABLE t SET ('k'='v')` (guide.md:180-184, :265-271)
+  *  - `ALTER TABLE t SET ('k'='v')` (guide.md:180-184, :265-271); schema
+  *    evolution `ALTER TABLE t ADD/DROP/RENAME COLUMN` — metadata-only, no
+  *    file rewrite: adds read as typed NULLs from old files, drops are
+  *    projected away, renames map the declared name back to the stable
+  *    file-level column (SELECT/INSERT/DESCRIBE honor the evolved schema)
   *  - `SET 'key' = 'value'` session config (guide.md:3-4; `spark.*` keys pass
   *    through to the Spark conf, Flink-only keys are recorded)
   *  - `SHOW CATALOGS / DATABASES / TABLES` (Readme.md:57-78)
@@ -129,6 +133,43 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         val merged = (existing ++ defs).map { case (n, ty) => s"$n $ty" }.mkString("|")
         catalog.alterTable(currentDb, t, Map("ddl.schema" -> merged))
         ok(s"table $t: added ${defs.map(_._1).mkString(", ")}")
+      case AlterDropColRe(name, c) =>
+        // Paimon ALTER TABLE DROP COLUMN: metadata-only — the column leaves
+        // the declared schema and the read view projects it away; data
+        // files are never rewritten (old files simply carry a column no
+        // reader selects)
+        val t = name.split("\\.").last
+        val existing = declaredCols(t)
+        require(existing.nonEmpty,
+          s"$t has no declared schema (created outside the shell)")
+        require(existing.exists(_._1 == c), s"no column '$c' in $t")
+        keyColsOf(t).foreach(k => require(k != c,
+          s"cannot drop key column '$c' (primary/bucket/sequence key)"))
+        catalog.alterTable(currentDb, t, Map("ddl.schema" ->
+          existing.filterNot(_._1 == c)
+            .map { case (n, ty) => s"$n $ty" }.mkString("|")))
+        ok(s"table $t: dropped $c")
+      case AlterRenameColRe(name, from, to) =>
+        // Paimon ALTER TABLE RENAME COLUMN: metadata-only — the declared
+        // name changes and a rename record maps it back to the FILE-level
+        // name (chasing prior renames), so every existing data file keeps
+        // serving the column under its new name without a rewrite
+        val t = name.split("\\.").last
+        val existing = declaredCols(t)
+        require(existing.nonEmpty,
+          s"$t has no declared schema (created outside the shell)")
+        require(existing.exists(_._1 == from), s"no column '$from' in $t")
+        require(!existing.exists(_._1 == to), s"column '$to' already exists in $t")
+        keyColsOf(t).foreach(k => require(k != from,
+          s"cannot rename key column '$from' (primary/bucket/sequence key)"))
+        val opts = catalog.tableOptions(currentDb, t)
+        val fileName = opts.get(s"ddl.rename.$from").filter(_.nonEmpty).getOrElse(from)
+        catalog.alterTable(currentDb, t, Map(
+          "ddl.schema" -> existing.map { case (n, ty) =>
+            if (n == from) s"$to $ty" else s"$n $ty" }.mkString("|"),
+          s"ddl.rename.$from" -> "", // retired mapping (empty = removed)
+          s"ddl.rename.$to" -> fileName))
+        ok(s"table $t: renamed $from to $to")
       case AlterTableRe(name, opts) =>
         catalog.alterTable(currentDb, name.split("\\.").last, parseOptions(opts))
         ok(s"table $name altered")
@@ -194,6 +235,16 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         proct.foreach { c =>
           if (!df.columns.contains(c)) df = df.withColumn(c, current_timestamp())
         }
+        // renamed columns persist under their FILE-level name so every data
+        // file (pre- and post-rename) carries one uniform column; the read
+        // view maps it back to the declared name (Paimon's stable-field-id
+        // model)
+        catalog.tableOptions(currentDb, t).foreach { case (k, v) =>
+          if (k.startsWith("ddl.rename.") && v.nonEmpty) {
+            val n = k.stripPrefix("ddl.rename.")
+            if (n != v && df.columns.contains(n)) df = df.withColumnRenamed(n, v)
+          }
+        }
         val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
         table.appendBatch(df, nextBatch)
         ok(s"inserted into $t (batch $nextBatch)")
@@ -223,18 +274,35 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       .split("\\|").filter(_.nonEmpty).toSeq.map { cd =>
         val p = cd.split("\\s+", 2); (p(0), p.lift(1).getOrElse("STRING")) }
 
+  /** Columns a schema-evolution statement must not touch: primary key,
+    * bucket key, sequence field. */
+  private def keyColsOf(t: String): Seq[String] = {
+    val o = catalog.tableOptions(currentDb, t)
+    o.get("primary-key").toSeq.flatMap(_.split(",").map(_.trim)) ++
+      o.get("bucket-key") ++ o.get("sequence.field")
+  }
+
   private def registerViews(): Unit =
     catalog.listTables(currentDb).foreach { t =>
       val table = catalog.getTable(currentDb, t)
       val df0 = table.read
-      // surface evolution-added columns that no data file carries yet as
-      // typed NULLs, so SELECT sees the declared schema immediately
+      // project the DECLARED (evolved) schema: evolution-added columns no
+      // data file carries yet read as typed NULLs, renamed columns map back
+      // to their file-level name, dropped columns vanish — metadata-only
+      // evolution, no file rewrite (the Paimon model)
       val df = {
-        val missing = declaredCols(t)
-          .filterNot { case (n, _) => df0.columns.contains(n) }
-        if (missing.isEmpty || df0.columns.isEmpty) df0
-        else missing.foldLeft(df0) { case (d, (n, ty)) =>
-          d.withColumn(n, sparkType(ty).map(lit(null).cast).getOrElse(lit(null))) }
+        val decl = declaredCols(t)
+        if (decl.isEmpty || df0.columns.isEmpty) df0
+        else {
+          val opts = catalog.tableOptions(currentDb, t)
+          df0.select(decl.map { case (n, ty) =>
+            val fileN = opts.get(s"ddl.rename.$n").filter(_.nonEmpty).getOrElse(n)
+            val c = if (df0.columns.contains(n)) col(n)
+                    else if (df0.columns.contains(fileN)) col(fileN)
+                    else sparkType(ty).map(lit(null).cast).getOrElse(lit(null))
+            c.as(n)
+          }: _*)
+        }
       }
       df.createOrReplaceTempView(t)
       df.createOrReplaceTempView(s"${currentDb}_$t")
@@ -350,6 +418,9 @@ object GraftSql {
   private val CallRe = "(?i)CALL sys\\.(\\w+)\\s*\\((.*)\\)".r
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
   private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
+  private val AlterDropColRe = "(?i)ALTER TABLE ([\\w.]+) DROP COLUMNS? (\\w+)".r
+  private val AlterRenameColRe =
+    "(?i)ALTER TABLE ([\\w.]+) RENAME COLUMNS? (\\w+) TO (\\w+)".r
   private val DeleteWhereRe = "(?i)DELETE FROM ([\\w.]+) WHERE (.*)".r
   private val UpdateRe = "(?i)UPDATE ([\\w.]+) SET (.*?) WHERE (.*)".r
   private val MergeRe =

@@ -145,6 +145,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(cons.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("shell-c", 1L)))
   }
 
+  test("ALTER TABLE DROP/RENAME COLUMN: metadata-only evolution, no rewrite") {
+    val sh = new GraftSql(spark, Files.createTempDirectory("graft_sql_ev_").toString)
+    sh.sql("CREATE TABLE ev_t (id BIGINT, v STRING, note STRING) WITH ('bucket' = '1')")
+    sh.sql("INSERT INTO ev_t SELECT 1, 'a', 'n1'")
+    val filesBefore = sh.sql("SELECT count(*) AS n FROM ev_t$files")
+      .collect().head.getLong(0)
+    // DROP: the column leaves SELECT * and DESCRIBE; data files untouched
+    sh.sql("ALTER TABLE ev_t DROP COLUMN note")
+    assert(sh.sql("SELECT * FROM ev_t").columns.toSeq == Seq("id", "v"))
+    assert(!sh.sql("DESCRIBE ev_t").collect().map(_.getString(0)).contains("note"))
+    // RENAME: old rows serve the new name; new INSERTs land uniformly
+    sh.sql("ALTER TABLE ev_t RENAME COLUMN v TO label")
+    assert(sh.sql("SELECT label FROM ev_t WHERE id = 1").collect()
+      .head.getString(0) == "a")
+    sh.sql("INSERT INTO ev_t SELECT 2, 'b'")
+    val got = sh.sql("SELECT id, label FROM ev_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+    // rename chains: a second rename still maps to the original file column
+    sh.sql("ALTER TABLE ev_t RENAME COLUMN label TO tag")
+    assert(sh.sql("SELECT id, tag FROM ev_t ORDER BY id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(sh.sql("DESCRIBE ev_t").collect().map(_.getString(0)).toSeq ==
+      Seq("id", "tag"))
+    // evolution never rewrote a data file (count only grew by the INSERT)
+    val filesAfter = sh.sql("SELECT count(*) AS n FROM ev_t$files")
+      .collect().head.getLong(0)
+    assert(filesAfter == filesBefore + 1)
+    // key columns are protected
+    val sh2 = new GraftSql(spark, Files.createTempDirectory("graft_sql_ev2_").toString)
+    sh2.sql("CREATE TABLE pk_t (id BIGINT, v STRING, PRIMARY KEY (id) NOT ENFORCED) " +
+      "WITH ('bucket' = '1', 'bucket-key' = 'id')")
+    intercept[IllegalArgumentException] { sh2.sql("ALTER TABLE pk_t DROP COLUMN id") }
+    intercept[IllegalArgumentException] {
+      sh2.sql("ALTER TABLE pk_t RENAME COLUMN id TO key_id") }
+  }
+
   test("SELECT … VERSION AS OF / TIMESTAMP AS OF travels through the shell") {
     val sh = new GraftSql(spark, Files.createTempDirectory("graft_sql_tt_").toString)
     sh.sql("CREATE TABLE tt_t (id BIGINT, v STRING) WITH ('bucket' = '1')")
