@@ -381,21 +381,8 @@ object Pipeline {
         |  CAST(count(DISTINCT w.wh) AS BIGINT) AS dup_distinct
         |FROM win w JOIN dup USING (wh)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
-      val win = Tables.documents(s, d)
-        // docs shorter than one window have no rows (and Spark's sequence
-        // would count DOWN for an empty range — filter first, don't clamp)
-        .filter(length(col("text")) >= 40)
-        .select(col("doc_id"), posexplode(expr(
-          // one codegen'd pass: all strided 40-char windows of the doc
-          "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
-            " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
-        .select(col("doc_id"), col("col").as("wh"))
-      // windows seen in >1 doc — two-level agg on the 8-hex digest only
-      val dup = win.groupBy("wh")
-        .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") > 1)
-        .select("wh")
-      win.join(dup, "wh")
+      val win = strideWindows(Tables.documents(s, d))
+      win.join(dupDigests(win), "wh")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("dup_windows"),
           countDistinct("wh").as("dup_distinct"))
@@ -434,28 +421,9 @@ object Pipeline {
         |SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars,
         |  CAST(count(*) AS BIGINT) AS n_islands
         |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val win = Tables.documents(s, d)
-        .filter(length(col("text")) >= 40)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
-            " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
-        .select(col("doc_id"), (col("pos") * 10 + 1).cast("int").as("start"),
-          col("col").as("wh"))
-      val dup = win.groupBy("wh")
-        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("wh")
-      val spans = win.join(dup, "wh").select("doc_id", "start")
-      val w = Window.partitionBy("doc_id").orderBy("start")
-      val prevEnd = max(col("start") + 40)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      spans
-        .withColumn("new_isl",
-          when(prevEnd.isNull || col("start") > prevEnd, 1).otherwise(0))
-        .withColumn("island",
-          sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "island")
-        .agg((max(col("start") + 40) - min(col("start"))).as("len"))
+      dupIslands(Tables.documents(s, d))
         .groupBy("doc_id")
-        .agg(sum("len").cast("long").as("dup_chars"),
+        .agg(sum(col("e") - col("s")).cast("long").as("dup_chars"),
           count(lit(1)).as("n_islands"))
         .orderBy("doc_id")
     },
@@ -507,41 +475,73 @@ object Pipeline {
         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
         |  md5(clean) AS clean_md5
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val win = Tables.documents(s, d)
-        .filter(length(col("text")) >= 40)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
-            " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
-        .select(col("doc_id"), (col("pos") * 10 + 1).cast("int").as("start"),
-          col("col").as("wh"))
-      val dup = win.groupBy("wh")
-        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("wh")
-      val spans = win.join(dup, "wh").select("doc_id", "start")
-      val w = Window.partitionBy("doc_id").orderBy("start")
-      val prevEnd = max(col("start") + 40)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      val islands = spans
-        .withColumn("new_isl",
-          when(prevEnd.isNull || col("start") > prevEnd, 1).otherwise(0))
-        .withColumn("island",
-          sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "island")
-        .agg(min("start").as("s"), (max(col("start") + 40)).as("e"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("isl"))
-      Tables.documents(s, d).join(islands, "doc_id")
-        .withColumn("clean", expr(
-          // fold the sorted disjoint islands left-to-right: keep the gap
-          // before each island, then the tail after the last one
-          "aggregate(isl, struct(1 as pos, '' as acc)," +
-            " (st, iv) -> struct(iv.e as pos," +
-            "   concat(st.acc, substring(text, st.pos, iv.s - st.pos)) as acc)," +
-            " st -> concat(st.acc, substring(text, st.pos)))"))
+      spanCutRewrite(Tables.documents(s, d))
         .select(col("doc_id"), length(col("clean")).cast("long").as("clean_len"),
           md5(col("clean")).as("clean_md5"))
         .orderBy("doc_id")
     },
   )
+
+  // ---- shared span-dedup pipeline (q_ext_dup_spans / _dup_coverage /
+  // ---- _dedup_rewrite + PropertySpec's planted-block check) ---------------
+
+  /** Strided 40-char/step-10 window digests of a (doc_id, text) frame:
+    * one row per window as (doc_id, start, wh) with `start` 1-based and
+    * `wh` the first 8 hex of the window's md5. One codegen'd pass; docs
+    * shorter than one window have no rows (and Spark's `sequence` would
+    * count DOWN for an empty range — filter first, don't clamp). */
+  private[graft] def strideWindows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, cast((length(text) - 40) div 10 + 1 as int))," +
+          " i -> substring(md5(substring(text, 1 + (i - 1) * 10, 40)), 1, 8))")))
+      .select(col("doc_id"), (col("pos") * 10 + 1).cast("int").as("start"),
+        col("col").as("wh"))
+
+  /** Digests appearing in MORE THAN ONE document — the cross-doc duplication
+    * test as a two-level agg on the 8-hex digest only (never the text). */
+  private[graft] def dupDigests(win: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    win.groupBy("wh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("wh")
+
+  /** Each doc's duplicated windows merged into maximal disjoint islands
+    * (interval union via a per-doc running-max window): one row per island
+    * as (doc_id, island, s, e) covering chars [s, e). */
+  private[graft] def dupIslands(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val win = strideWindows(docs)
+    val spans = win.join(dupDigests(win), "wh").select("doc_id", "start")
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val prevEnd = max(col("start") + 40)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("new_isl",
+        when(prevEnd.isNull || col("start") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("start").as("s"), (max(col("start") + 40)).as("e"))
+  }
+
+  /** Affected docs with their duplicated islands cut out: (doc_id, clean).
+    * The fold walks each doc's SORTED bounded island array once over the
+    * original string — a codegen'd `aggregate` HOF, no per-char explosion. */
+  private[graft] def spanCutRewrite(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val islands = dupIslands(docs)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("isl"))
+    docs.join(islands, "doc_id")
+      .withColumn("clean", expr(
+        // fold the sorted disjoint islands left-to-right: keep the gap
+        // before each island, then the tail after the last one
+        "aggregate(isl, struct(1 as pos, '' as acc)," +
+          " (st, iv) -> struct(iv.e as pos," +
+          "   concat(st.acc, substring(text, st.pos, iv.s - st.pos)) as acc)," +
+          " st -> concat(st.acc, substring(text, st.pos)))"))
+  }
 
   /** The two-pass prefix-sum bin assignment shared by q_ext_seq_packing,
     * q_ext_pack_concat and examples.CurationFlow: takes any (doc_id, text)

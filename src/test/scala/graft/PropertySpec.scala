@@ -231,4 +231,42 @@ class PropertySpec extends AnyFunSuite {
     val ids1 = d1.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1.size.toLong == d1.count())
   }
+
+  test("span-cut rewrite removes a planted shared block from both carriers") {
+    // Two docs share a verbatim 120-char block inside otherwise-unique
+    // random text; a third doc is untouched. The block offsets are chosen
+    // CONGRUENT mod the 10-char stride — the documented reach of strided
+    // fingerprinting: a shared block only collides on the digest grid when
+    // the two copies sample the same block-relative offsets (corpus-level
+    // dups are prefix/full-doc copies, which always align).
+    def filler(seed: Int, n: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(n).mkString
+    val block = (0 until 120).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, filler(101, 73) + block + filler(102, 91)),
+      (2L, filler(103, 133) + block + filler(104, 44)), // 133 ≡ 73 (mod 10)
+      (3L, filler(105, 260))).toDF("doc_id", "text")
+
+    val islands = graft.ops.Pipeline.dupIslands(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("s"), r.getAs[Int]("e")))
+    // only the two carriers have islands, and each island covers the block
+    assert(islands.map(_._1).toSet == Set(1L, 2L), islands.toSeq.toString)
+    // the strided grid can overhang the block by <stride on the left and
+    // <window on the right, but must cover the aligned inner windows
+    for ((did, s, e) <- islands) {
+      val off = if (did == 1L) 73 else 133
+      assert(s <= off + 10 + 1 && e >= off + 120 - 39, s"island ($s,$e) off=$off")
+    }
+
+    val cleaned = graft.ops.Pipeline.spanCutRewrite(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean")).toMap
+    assert(cleaned.keySet == Set(1L, 2L))
+    // the planted block is gone from both rewritten docs, and re-running
+    // detection on the cleaned corpus finds nothing left to cut
+    assert(!cleaned(1L).contains(block.substring(10, 90)))
+    assert(!cleaned(2L).contains(block.substring(10, 90)))
+    val redetect = graft.ops.Pipeline.dupIslands(
+      cleaned.toSeq.toDF("doc_id", "text")).count()
+    assert(redetect == 0L, "cleaned docs still share a 40-char window")
+  }
 }
