@@ -480,7 +480,66 @@ object Pipeline {
           md5(col("clean")).as("clean_md5"))
         .orderBy("doc_id")
     },
+
+    // Alignment-ROBUST span dedup (mod-p / content-defined fingerprinting):
+    // hash the 40-gram at EVERY position and keep the ~1/8 whose digest
+    // starts with hex 0 or 8 — the selection depends on window CONTENT, not
+    // grid position, so two copies of a block fingerprint identically at
+    // ANY offset (the alignment-congruence gap of the strided grid,
+    // documented on q_ext_dup_spans, closed). Still linear: the 8× denser
+    // window stream immediately drops to a 1/8 sample BEFORE the shuffle —
+    // a map-side filter — and the dup test/island union are the same
+    // digest-keyed stages as the strided family.
+    QDef(
+      "q_ext_dup_spans_robust",
+      """WITH win AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS start,
+        |    substring(md5(substring(text, CAST(i AS INTEGER), 40)), 1, 8) AS wh
+        |  FROM documents, range(1, 2000) r(i)
+        |  WHERE i + 40 - 1 <= length(text)),
+        |sam AS (SELECT * FROM win WHERE substring(wh, 1, 1) IN ('0', '8')),
+        |dup AS (SELECT wh FROM sam GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        |spans AS (SELECT s.doc_id, s.start FROM sam s JOIN dup USING (wh)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start > max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_isl
+        |  FROM spans),
+        |isl2 AS (SELECT doc_id, start,
+        |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |lens AS (SELECT doc_id, island, max(start + 40) - min(start) AS len
+        |  FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars,
+        |  CAST(count(*) AS BIGINT) AS n_islands
+        |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val win = sampledWindows(Tables.documents(s, d))
+      islandUnion(win.join(dupDigests(win), "wh").select("doc_id", "start"))
+        .groupBy("doc_id")
+        .agg(sum(col("e") - col("s")).cast("long").as("dup_chars"),
+          count(lit(1)).as("n_islands"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** Every-position 40-gram digests, mod-p sampled to ~1/8 by the digest's
+    * leading hex nibble — content-defined selection, so two copies of a
+    * block fingerprint identically at ANY offset (alignment-robust, unlike
+    * [[strideWindows]]' fixed grid). The sample filter is map-side: the 8×
+    * denser window stream never reaches a shuffle. */
+  private[graft] def sampledWindows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, cast(length(text) - 39 as int))," +
+          " i -> substring(md5(substring(text, i, 40)), 1, 8))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("start"),
+        col("col").as("wh"))
+      .filter(substring(col("wh"), 1, 1).isin("0", "8"))
 
   // ---- shared span-dedup pipeline (q_ext_dup_spans / _dup_coverage /
   // ---- _dedup_rewrite + PropertySpec's planted-block check) ---------------
@@ -506,13 +565,11 @@ object Pipeline {
     win.groupBy("wh").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1).select("wh")
 
-  /** Each doc's duplicated windows merged into maximal disjoint islands
-    * (interval union via a per-doc running-max window): one row per island
-    * as (doc_id, island, s, e) covering chars [s, e). */
-  private[graft] def dupIslands(docs: org.apache.spark.sql.DataFrame)
+  /** Interval union of per-doc 40-char window starts (doc_id, start) into
+    * maximal disjoint islands via a per-doc running-max window: one row per
+    * island as (doc_id, island, s, e) covering chars [s, e). */
+  private[graft] def islandUnion(spans: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val win = strideWindows(docs)
-    val spans = win.join(dupDigests(win), "wh").select("doc_id", "start")
     val w = Window.partitionBy("doc_id").orderBy("start")
     val prevEnd = max(col("start") + 40)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -523,6 +580,14 @@ object Pipeline {
         sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "island")
       .agg(min("start").as("s"), (max(col("start") + 40)).as("e"))
+  }
+
+  /** Each doc's strided duplicated windows merged into islands — the shared
+    * core of the dup-span family. */
+  private[graft] def dupIslands(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val win = strideWindows(docs)
+    islandUnion(win.join(dupDigests(win), "wh").select("doc_id", "start"))
   }
 
   /** Affected docs with their duplicated islands cut out: (doc_id, clean).

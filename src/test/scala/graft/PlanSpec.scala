@@ -109,6 +109,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_"), p.take(3000))
   }
 
+  test("q_ext_dup_spans_robust samples map-side before the digest shuffle") {
+    val p = plan("q_ext_dup_spans_robust")
+    // the 1/8 mod filter must sit under the generate, not after an Exchange:
+    // no Exchange may appear between Generate and the first Filter — cheap
+    // proxy: the plan joins on the digest and never a pair space
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.toLowerCase.contains("partial_"), p.take(3000))
+  }
+
   test("q_ext_dup_coverage island window partitions by doc_id (no global window)") {
     val p = plan("q_ext_dup_coverage")
     assert(p.contains("hashpartitioning(doc_id"), p.take(3000))

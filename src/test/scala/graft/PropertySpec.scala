@@ -269,4 +269,35 @@ class PropertySpec extends AnyFunSuite {
       cleaned.toSeq.toDF("doc_id", "text")).count()
     assert(redetect == 0L, "cleaned docs still share a 40-char window")
   }
+
+  test("mod-sampled fingerprints catch MISALIGNED copies the strided grid misses") {
+    def filler(seed: Int, n: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(n).mkString
+    // aperiodic random block: a periodic one (e.g. a 26-cycle) would let
+    // grid windows at offsets differing by the period collide and un-blind
+    // the strided detector
+    val block = filler(999, 160)
+    // offsets 73 and 137 are NOT congruent mod the 10-char stride: the two
+    // copies sample different block-relative grid offsets, so the strided
+    // detector is structurally blind to them...
+    val docs = Seq(
+      (1L, filler(201, 73) + block + filler(202, 90)),
+      (2L, filler(203, 137) + block + filler(204, 50))).toDF("doc_id", "text")
+    assert(graft.ops.Pipeline.dupIslands(docs).count() == 0L,
+      "strided grid unexpectedly matched misaligned copies")
+    // ...while the content-defined sample fingerprints the same block
+    // windows at both offsets (the 160-char block holds 121 distinct
+    // 40-grams, ~15 expected in the 1/8 sample)
+    val win = graft.ops.Pipeline.sampledWindows(docs)
+    val robust = graft.ops.Pipeline.islandUnion(
+      win.join(graft.ops.Pipeline.dupDigests(win), "wh")
+        .select("doc_id", "start")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("s"), r.getAs[Int]("e")))
+    assert(robust.map(_._1).toSet == Set(1L, 2L), robust.toSeq.toString)
+    // every island lies inside its doc's block (no false positives)
+    for ((did, s, e) <- robust) {
+      val off = if (did == 1L) 73 else 137
+      assert(s >= off + 1 && e <= off + 160 + 1, s"island ($s,$e) off=$off")
+    }
+  }
 }

@@ -96,6 +96,7 @@ object ScaleSmoke {
       // round-7 additions
       "q_ext_global_shuffle",  // sharded rank + broadcast offsets, one range sort
       "q_ext_dup_spans",       // digest-keyed two-level agg (no pair space)
+      "q_ext_dup_spans_robust", // 8x window stream, map-side 1/8 mod sample
       "q_ext_scd2_enrich",     // custkey window + interval-residual join
       "q_ext_embed_pool",      // 65-expr nano-sum groupBy
       "q_ext_data_card",       // one grouped pass + md5 dedup window
