@@ -53,7 +53,10 @@ object PlanDump {
       "q_ext_paragraph_dedup" -> "Sub-document dedup: the first-occurrence race is one md5(segment)-keyed aggregate joined back semi — digests and (doc_id, ord) pairs shuffle, bodies only move in the doc_id-keyed reassembly.",
       "q_join_dpp" -> "Dynamic partition pruning: the dim side's broadcast result re-enters the fact scan as a dynamicpruning PartitionFilter — whole directories skipped at EXECUTION time, where static pushdown sees nothing to prune.",
       "q_join_bloom_runtime" -> "Runtime bloom filter: InjectRuntimeFilter plants a might_contain probe on the fact scan from the selective side's keys — row-level pruning BEFORE the shuffle feeding the sort-merge join.",
-      "q_ext_weighted_sample" -> "A-ES weighted sampling: the u^(1/w) rank key evaluates scan-side; one lang-keyed exchange feeds the per-stratum row_number window; only the k winners survive.")
+      "q_ext_weighted_sample" -> "A-ES weighted sampling: the u^(1/w) rank key evaluates scan-side; one lang-keyed exchange feeds the per-stratum row_number window; only the k winners survive.",
+      "q_ext_global_shuffle" -> "Global training shuffle: the corpus-sized rank window hash-partitions by the hash byte (256 shards); the 256-row offsets relation broadcasts back; the only corpus-wide exchange is the final range sort — the permutation itself.",
+      "q_ext_dup_spans_robust" -> "Alignment-robust span dedup: every-position 40-gram digests drop to the 1/8 mod sample INSIDE the scan stage (map-side filter before the digest exchange); the cross-doc test is a partial-combined two-level aggregate.",
+      "q_ext_dedup_rewrite" -> "Span-cut rewrite: doc-keyed island collect (window-count-bounded arrays), then ONE codegen'd aggregate-HOF fold of each island array over its doc's string — digest- and doc-keyed joins only, no pair space, no per-char explosion.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")
