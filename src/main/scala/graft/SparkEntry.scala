@@ -16,6 +16,7 @@ object SparkEntry {
     Scans.all ++ Joins.all ++ Aggs.all ++ Windows.all ++ SetOps.all ++
       Funcs.all ++ Udfs.all ++ Analytical.all ++ Tpch.all ++ Ext.all ++ Pipeline.all ++
       Curation.all ++ Timeseries.all ++ Tokenize.all ++ Retrieval.all ++
+      SparkNative.all ++
       graft.multimodal.Multimodal.all ++ graft.sources.Datagen.all ++
       graft.streaming.StreamOps.all
 

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Spark-4-native SQL surfaces (round-8 additions): the engine features a
+  * Flink-SQL user migrating off the reference stack would reach for next —
+  * native recursive CTEs (the declarative dual of the hand-rolled iterative
+  * loops in [[Curation]]), the VARIANT semi-structured type (the reference's
+  * `props` JSON strings become a first-class binary-encoded column), and the
+  * Apache DataSketches aggregate family (mergeable sketches, the only
+  * aggregation shape that scales to 100 TB rollup lattices).
+  *
+  * Scale rules follow graft.ops.Ext: shuffle keys are ids (never bodies),
+  * per-group state is constant-size (a sketch, a top-k heap), and every
+  * iterative construct's per-round cost is one shuffle join.
+  */
+object SparkNative {
+
+  val all: Seq[QDef] = Seq(
+    // Native WITH RECURSIVE (Spark 4's recursive CTE) — the declarative form
+    // of multi-hop graph traversal. Same doc→doc·2 synthetic edge rule as
+    // q_ext_dedup_clusters, but here the ENGINE drives the fixpoint: each
+    // recursion step is planned as one shuffle join against the frontier,
+    // exactly the distributed loop Curation.scala hand-writes with IterCkpt.
+    // DuckDB runs the identical statement, so the whole recursion is
+    // oracle-checked end to end.
+    //
+    // 100 TB posture: rounds = chain depth (log₂ of the id space here;
+    // near-dup chains are shallow in practice); the frontier SHRINKS each
+    // round, and the per-round join is id-keyed — no row bodies ever enter
+    // the recursion.
+    QDef(
+      "q_sql_recursive_cte",
+      """WITH RECURSIVE chain(seed, node, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id BETWEEN 1 AND 8
+        |  UNION ALL
+        |  SELECT c.seed, d.doc_id, c.depth + 1
+        |  FROM chain c JOIN documents d ON d.doc_id = c.node * 2)
+        |SELECT seed, count(*) AS n_nodes, max(depth) AS max_depth,
+        |       CAST(sum(node) AS BIGINT) AS sum_nodes
+        |FROM chain GROUP BY seed ORDER BY seed""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"))
+        .createOrReplaceTempView("graft_rec_docs")
+      s.sql("""WITH RECURSIVE chain(seed, node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM graft_rec_docs WHERE doc_id BETWEEN 1 AND 8
+          UNION ALL
+          SELECT c.seed, d.doc_id, c.depth + 1
+          FROM chain c JOIN graft_rec_docs d ON d.doc_id = c.node * 2)
+        SELECT seed, count(*) AS n_nodes, max(depth) AS max_depth,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM chain GROUP BY seed ORDER BY seed""")
+    },
+
+    // VARIANT round-trip: build a nested JSON document from orders columns,
+    // parse it into Spark 4's binary VARIANT encoding, and extract typed
+    // values back out with variant_get paths (object field, nested field,
+    // array index). The oracle is the IDENTITY contract: extraction after
+    // encode∘parse must reproduce the source columns bit-for-bit (DuckDB
+    // reads the originals directly), which pins both the JSON serialization
+    // (shortest-round-trip doubles) and the path semantics.
+    //
+    // 100 TB posture: VARIANT is a map-only columnar encode — no shuffle;
+    // the binary encoding is the scan-friendly replacement for repeated
+    // get_json_object string parses of the events.props column.
+    QDef(
+      "q_fn_variant",
+      """SELECT o_orderkey AS k, o_totalprice AS p,
+        |       o_orderstatus AS tag0, o_orderpriority AS tag1
+        |FROM orders ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("v", parse_json(to_json(struct(
+          struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")).as("o"),
+          array(col("o_orderstatus"), col("o_orderpriority")).as("tags")))))
+        .select(
+          expr("variant_get(v, '$.o.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.o.p', 'double')").as("p"),
+          expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+          expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"))
+        .orderBy("k")
+    },
+
+    // approx_top_k in its EXACT regime: the space-saving sketch tracks up to
+    // maxItemsTracked items exactly — when that capacity exceeds the true
+    // distinct count (3 return flags « 10000), the reported counts are the
+    // exact frequencies, so the sketch query carries a full DuckDB oracle.
+    // The same plan at 100 TB: capacity stays 10000 while rows grow
+    // unboundedly — constant state per partition, one partial+final merge,
+    // and the answer degrades gracefully (top-k still correct while long-tail
+    // counts become approximate) instead of the exact groupBy's unbounded
+    // key-space shuffle.
+    QDef(
+      "q_agg_approx_top_k",
+      """SELECT l_returnflag AS flag, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY cnt DESC, flag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(expr("approx_top_k(l_returnflag, 3, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("flag"), col("e.count").as("cnt"))
+        .orderBy(desc("cnt"), col("flag"))
+    },
+
+    // Apache DataSketches HLL: per-group sketches UNIONed into a global
+    // sketch — the mergeable-sketch contract that makes 100 TB distinct
+    // counting feasible (pre-aggregate a 16 KB sketch per partition/day,
+    // union for any rollup, never re-scan). Declared no-oracle (DuckDB has
+    // no DataSketches); SparkNativeSpec pins (a) every estimate within 2% of
+    // the exact distinct and (b) the union of the three group sketches
+    // agreeing with a direct whole-table sketch — the merge loses nothing.
+    QDef.noOracle("q_agg_hll_sketch") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val perFlag = li.groupBy(col("l_returnflag").as("scope"))
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+      val groups = perFlag.select(col("scope"),
+        expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est"),
+        col("exact_nd"))
+      val allRow = perFlag
+        .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk, false)) AS BIGINT)").as("est"))
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_nd")))
+        .select(lit("ALL").as("scope"), col("est"), col("exact_nd"))
+      groups.unionByName(allRow).orderBy("scope")
+    }
+  )
+}

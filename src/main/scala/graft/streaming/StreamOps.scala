@@ -729,6 +729,38 @@ object StreamOps {
       table.read.select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")
     },
+
+    // State-store introspection (Spark 4's `statestore` data source): run a
+    // stateful per-user aggregation to completion, then read the operator's
+    // checkpointed state BACK as a DataFrame — the observability surface
+    // behind the reference's metadata tables ($files for data, this for
+    // STATE). The state after AvailableNow over the whole input must equal
+    // the batch aggregate, so the reader is fully oracle-checked: key struct
+    // → group key, value struct → the (count, max) aggregation buffer.
+    //
+    // 100 TB posture: the reader lists state files per shuffle partition and
+    // scans them in parallel — state debugging without replaying the stream;
+    // no driver materialization beyond the final ordered dump.
+    QDef(
+      "q_stream_state_read",
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      withStreamShuffle(s) {
+        val chk = Files.createTempDirectory("graft_state_chk_").toString
+        val agg = eventsStream(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+        val q = agg.writeStream.format("memory").queryName(s"st_$fresh")
+          .outputMode("update").option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // value-struct field names follow the buffer's aggregate functions
+        s.read.format("statestore").load(chk)
+          .select(col("key.user_id").as("user_id"),
+            col("value.count").as("n_events"),
+            col("value.max").as("max_value"))
+          .orderBy("user_id")
+      }
+    },
   )
 
   /** Stage (once per sf dir) the partial-update waves: base prices (seq 1),
