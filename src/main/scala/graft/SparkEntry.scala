@@ -18,6 +18,7 @@ object SparkEntry {
       Curation.all ++ Timeseries.all ++ Tokenize.all ++ Retrieval.all ++
       SparkNative.all ++
       graft.multimodal.Multimodal.all ++ graft.sources.Datagen.all ++
+      graft.sources.v2.V2Queries.all ++
       graft.streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,418 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.{DataFileMeta, StreamTable}
+
+/** `spark.read.format("graft")` — a DataSourceV2 reader over a [[StreamTable]]
+  * directory, making the engine's streaming tables first-class Spark sources:
+  * snapshot-isolated scans planned from the manifest (never a directory
+  * listing), column pruning and filter pushdown reaching the parquet layer,
+  * and footer-stats file skipping — Paimon's Spark connector surface
+  * (reference `Readme.md:57-78` exposes tables through a catalog the same
+  * way), re-expressed through Spark's public connector API.
+  *
+  * Scan pipeline (all metadata work is driver-side and file-count-sized,
+  * exactly like partition pruning):
+  *   1. live files come from the latest snapshot manifest — readers never
+  *      race a concurrent writer/compactor (the `snap-<n>.json` contract);
+  *   2. comparison/equality filters on stats-covered columns prune whole
+  *      files by footer min/max (the `$files` stats, guide.md:205-212), with
+  *      conservative keep-on-unparseable semantics — skipping can never drop
+  *      a matching row;
+  *   3. surviving files become one [[InputPartition]] each; the executor-side
+  *      reader re-applies the pushed predicate at parquet row-group level
+  *      (`FilterCompat`), reads ONLY the projected columns, and Spark
+  *      re-applies every filter as a residual — pushdown is a fast path,
+  *      never a correctness dependency.
+  *
+  * Append tables only: PK merge-on-read needs the sorted-run LSM invariant
+  * Paimon's bucket files keep; our level-0 appends are unsorted, so PK
+  * resolution is a distributed shuffle ([[StreamTable.read]]), not a
+  * per-partition merge. A PK table read through this source would silently
+  * resurrect superseded rows — refused at table-load time instead.
+  *
+  * 100 TB posture: one manifest read + one footer pass per scan on the
+  * driver (a production variant persists per-column stats in the manifest —
+  * the footer pass is an implementation shortcut, not a design point); data
+  * work is per-file parallel with no shuffle introduced by the source.
+  */
+class GraftDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<tableRoot>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftV2Table.fromPath(rootOf(options)).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftV2Table.fromPath(properties.get("path"))
+}
+
+object GraftV2Table {
+  def fromPath(root: String): GraftV2Table = {
+    val spark = SparkSession.active
+    val table = new StreamTable(root, spark)
+    new GraftV2Table(s"graft.`$root`", table, spark)
+  }
+}
+
+class GraftV2Table(tableName: String, val table: StreamTable,
+    spark: SparkSession) extends Table with SupportsRead {
+
+  private[v2] def liveFiles: Seq[DataFileMeta] =
+    table.latestSnapshot.map(_.files).getOrElse(Seq.empty)
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = {
+    val files = liveFiles
+    require(files.nonEmpty, s"$tableName has no committed snapshot")
+    // engine-internal sequencing columns never surface through the source;
+    // mergeSchema unions layouts across evolution (old files null-fill)
+    StructType(spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.path): _*).schema
+      .filterNot(f => f.name == StreamTable.SeqColName ||
+        f.name == StreamTable.TombstoneColName))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this, schema())
+}
+
+class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Filters usable for stats skipping / parquet row-group pruning:
+    * comparisons and equality on top-level numeric or string columns. */
+  private def pushable(f: Filter): Boolean = {
+    def ok(attr: String) = fullSchema.find(_.name == attr).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case _ => false
+    })
+    f match {
+      case EqualTo(a, v) => v != null && ok(a)
+      case GreaterThan(a, _) => ok(a)
+      case GreaterThanOrEqual(a, _) => ok(a)
+      case LessThan(a, _) => ok(a)
+      case LessThanOrEqual(a, _) => ok(a)
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(pushable)
+    filters // every filter stays a residual: pushdown is never load-bearing
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    // preserve table column order; empty projection (count(*)) keeps one
+    // narrow column so the reader still paces row counts correctly
+    val kept = fullSchema.filter(f => keep.contains(f.name))
+    required = if (kept.nonEmpty) StructType(kept)
+      else StructType(fullSchema.take(1))
+  }
+
+  override def build(): Scan =
+    new GraftScan(table, required, pushed)
+}
+
+class GraftScan(table: GraftV2Table, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  // ---- driver-side file skipping (eager: explain shows the real counts) --
+  private val allFiles = table.liveFiles
+  private val kept: Seq[DataFileMeta] = {
+    if (pushed.isEmpty) allFiles
+    else {
+      val conf = new Configuration()
+      allFiles.filter { f =>
+        val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+        pushed.forall(keepFile(_, mins, maxs))
+      }
+    }
+  }
+
+  /** Conservative overlap test of one filter against one file's [min,max]:
+    * false ONLY when the stats prove no row can match. */
+  private def keepFile(f: Filter, mins: Map[String, String],
+      maxs: Map[String, String]): Boolean = {
+    def stats(a: String): Option[(String, String)] =
+      for (mn <- mins.get(a); mx <- maxs.get(a)) yield (mn, mx)
+    def num(s: String): Option[Double] =
+      try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    // string stats compare only when pure ASCII: footer strings are java
+    // (UTF-16) ordered, Spark compares UTF-8 bytes — the orders agree on
+    // ASCII and may not beyond, so non-ASCII stats never prune
+    def ascii(s: String) = s.forall(_ < 128)
+    def cmp(attr: String, v: Any)(noOverlap: (Double, Double, Double) => Boolean)
+        (strNoOverlap: (String, String, String) => Boolean): Boolean =
+      stats(attr) match {
+        case Some((mn, mx)) => v match {
+          case s: String =>
+            if (ascii(mn) && ascii(mx) && ascii(s)) !strNoOverlap(mn, mx, s) else true
+          case n: Number =>
+            (num(mn), num(mx)) match {
+              case (Some(a), Some(b)) => !noOverlap(a, b, n.doubleValue())
+              case _ => true
+            }
+          case _ => true
+        }
+        case None => true
+      }
+    f match {
+      case EqualTo(a, v) =>
+        cmp(a, v)((mn, mx, x) => x < mn || x > mx)((mn, mx, s) => s < mn || s > mx)
+      case GreaterThan(a, v) =>
+        cmp(a, v)((_, mx, x) => mx <= x)((_, mx, s) => mx <= s)
+      case GreaterThanOrEqual(a, v) =>
+        cmp(a, v)((_, mx, x) => mx < x)((_, mx, s) => mx < s)
+      case LessThan(a, v) =>
+        cmp(a, v)((mn, _, x) => mn >= x)((mn, _, s) => mn >= s)
+      case LessThanOrEqual(a, v) =>
+        cmp(a, v)((mn, _, x) => mn > x)((mn, _, s) => mn > s)
+      case _ => true
+    }
+  }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan ${table.name()} files=${kept.size}/${allFiles.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(f => GraftInputPartition(f.path): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(required, pushed)
+}
+
+case class GraftInputPartition(path: String) extends InputPartition
+
+case class GraftReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].path,
+      required, pushed)
+}
+
+/** Executor-side reader for ONE data file: opens the footer, projects the
+  * requested columns, re-applies the pushed predicate at parquet row-group
+  * level, and materializes [[InternalRow]]s from example Groups. Row-by-row
+  * Group assembly is the API-pure route (the vectorized reader is Spark
+  * internal); the per-file work is embarrassingly parallel either way. */
+class GraftPartitionReader(path: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private def inFile(name: String) = fileSchema.containsField(name)
+
+  // projection: requested columns present in THIS file (schema evolution:
+  // columns a file predates are null-filled at assembly)
+  private val present = required.fields.filter(f => inFile(f.name))
+  // getType is overload-ambiguous from Scala (String vs String*); index it
+  private def fieldType(name: String) =
+    fileSchema.getFields.get(fileSchema.getFieldIndex(name))
+  private val projection = new MessageType(fileSchema.getName,
+    present.map(f => fieldType(f.name)).toList.asJava)
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+    // row-group + record-level re-check of the pushed filters; only when
+    // every referenced column exists in this file
+    toPredicate(pushed.filter(filterCols(_).forall(inFile)))
+      .fold(b)(p => b.withFilter(FilterCompat.get(p)))
+      .build()
+  }
+
+  private def filterCols(f: Filter): Seq[String] = f.references.toSeq
+
+  private def toPredicate(fs: Array[Filter]): Option[FilterPredicate] = {
+    def leaf(attr: String, v: Any, op: String): Option[FilterPredicate] = {
+      val prim = fieldType(attr).asPrimitiveType()
+      (prim.getPrimitiveTypeName, v) match {
+        case (PrimitiveTypeName.INT64, n: Number) =>
+          val c = FilterApi.longColumn(attr); val x = java.lang.Long.valueOf(n.longValue())
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        case (PrimitiveTypeName.INT32, n: Number) =>
+          val c = FilterApi.intColumn(attr); val x = java.lang.Integer.valueOf(n.intValue())
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        case (PrimitiveTypeName.DOUBLE, n: Number) =>
+          val c = FilterApi.doubleColumn(attr); val x = java.lang.Double.valueOf(n.doubleValue())
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        case (PrimitiveTypeName.FLOAT, n: Number) =>
+          val c = FilterApi.floatColumn(attr); val x = java.lang.Float.valueOf(n.floatValue())
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        case (PrimitiveTypeName.BINARY, s: String) =>
+          val c = FilterApi.binaryColumn(attr); val x = Binary.fromString(s)
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        case _ => None
+      }
+    }
+    val preds = fs.flatMap {
+      case EqualTo(a, v) => leaf(a, v, "eq")
+      case GreaterThan(a, v) => leaf(a, v, "gt")
+      case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
+      case LessThan(a, v) => leaf(a, v, "lt")
+      case LessThanOrEqual(a, v) => leaf(a, v, "le")
+      case _ => None
+    }
+    preds.reduceOption(FilterApi.and)
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var outIdx = 0
+    var projIdx = 0
+    val presentNames = present.map(_.name)
+    required.fields.foreach { f =>
+      if (!presentNames.contains(f.name)) row.update(outIdx, null)
+      else {
+        val i = projIdx; projIdx += 1
+        if (current.getFieldRepetitionCount(i) == 0) row.update(outIdx, null)
+        else row.update(outIdx, convert(current, i, f.dataType,
+          projection.getType(i).asPrimitiveType()))
+      }
+      outIdx += 1
+    }
+    row
+  }
+
+  private def convert(g: Group, i: Int, dt: DataType, prim: PrimitiveType): Any =
+    dt match {
+      case LongType => g.getLong(i, 0)
+      case IntegerType => g.getInteger(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case BinaryType => g.getBinary(i, 0).getBytes
+      case DateType => g.getInteger(i, 0)
+      case TimestampType | TimestampNTZType =>
+        prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT64 =>
+            val raw = g.getLong(i, 0)
+            prim.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+                }
+              case _ => raw // untagged int64: stored micros
+            }
+          case PrimitiveTypeName.INT96 =>
+            val bytes = g.getInt96(i, 0).getBytes // 8B nanos-of-day LE + 4B julian day LE
+            val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = buf.getLong(0)
+            val julianDay = buf.getInt(8)
+            (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+          case other => throw new UnsupportedOperationException(
+            s"timestamp physical type $other")
+        }
+      case d: DecimalType =>
+        val unscaled = prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => BigInt(g.getInteger(i, 0))
+          case PrimitiveTypeName.INT64 => BigInt(g.getLong(i, 0))
+          case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+            BigInt(new java.math.BigInteger(g.getBinary(i, 0).getBytes))
+          case other => throw new UnsupportedOperationException(
+            s"decimal physical type $other")
+        }
+        org.apache.spark.sql.types.Decimal(
+          scala.math.BigDecimal(unscaled, d.scale), d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"graft source: unsupported read type $other (project it away; " +
+          "nested types go through StreamTable.read)")
+    }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,124 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.GraftCatalog
+
+/** A Spark `TableCatalog` plugin over the engine's [[GraftCatalog]]
+  * warehouse — the reference's `CREATE CATALOG` + `USE CATALOG` surface
+  * (`tutorial/guide.md:11-17`, `Readme.md:57-78`) as a REAL Spark catalog:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.mycat", classOf[GraftSparkCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.mycat.warehouse", "/path/wh")
+  *   spark.sql("SELECT * FROM mycat.db.tbl WHERE ...")   // full Catalyst path
+  * }}}
+  *
+  * Identifier resolution, column pruning, filter pushdown, and stats-based
+  * file skipping all flow through [[GraftV2Table]]; table metadata (the
+  * Paimon-style option map incl. primary-key/merge-engine) lives in the
+  * warehouse's `_table_options.json` files, so the SAME tables remain fully
+  * usable through the imperative [[graft.table.GraftCatalog]]/[[graft.table.StreamTable]]
+  * API — one storage layout, two front doors.
+  *
+  * Reads only surface append tables (see [[GraftDataSource]] for why PK
+  * merge-on-read is refused); writes go through StreamTable's committing
+  * writer — the V2 write path would bypass the snapshot manifest protocol.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def backing = new GraftCatalog(SparkSession.active, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def db(namespace: Array[String]): String = {
+    require(namespace.length == 1,
+      s"graft catalog namespaces are single-level, got ${namespace.mkString(".")}")
+    namespace.head
+  }
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    backing.listDatabases().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && backing.listDatabases().contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    backing.createDatabase(db(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("DROP NAMESPACE")
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    backing.listTables(db(namespace)).map(Identifier.of(namespace, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    backing.listTables(db(ident.namespace())).contains(ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = backing.getTable(db(ident.namespace()), ident.name())
+    require(t.primaryKey.isEmpty,
+      s"$ident is a primary-key table: read it through StreamTable.read " +
+        "(PK merge-on-read needs the distributed resolution pass)")
+    new GraftV2Table(s"$catalogName.${db(ident.namespace())}.${ident.name()}",
+      t, SparkSession.active)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "graft tables declare bucketing via options")
+    // the option map IS the Paimon-style WITH(...) clause
+    backing.createTable(db(ident.namespace()), ident.name(),
+      properties.asScala.toMap - TableCatalog.PROP_OWNER - "provider")
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE goes through GraftCatalog.alterTable / GraftSql")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tableExists(ident)
+    if (existed) backing.dropTable(db(ident.namespace()), ident.name())
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE")
+}

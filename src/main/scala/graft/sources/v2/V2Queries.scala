@@ -1,0 +1,91 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftCatalog, StreamTable}
+
+/** Registry queries for the DataSourceV2 connector ([[GraftDataSource]]) and
+  * the Spark catalog plugin ([[GraftSparkCatalog]]) — each stages a
+  * StreamTable from driver testdata once per sf dir, then reads it back
+  * through the PUBLIC Spark surface (`format("graft")` / a qualified
+  * `catalog.db.table` identifier in plain SQL), so the whole connector path
+  * (manifest → stats skipping → projection/pushdown → Group assembly) is
+  * DuckDB-oracle-checked against the original table. */
+object V2Queries {
+
+  /** lineitem slice written as 8 KEY-RANGE batches — per-file min/max are
+    * disjoint, so a key-range filter genuinely skips files (asserted in
+    * V2ConnectorSpec), mirroring how a date-bucketed 100 TB table skips
+    * historical files. */
+  private val stagedTable = new ConcurrentHashMap[String, String]()
+  private def lineitemTable(s: SparkSession, d: String): String =
+    stagedTable.computeIfAbsent(d, { _ =>
+      val root = Files.createTempDirectory("graft_v2_li_").toString
+      val tbl = new StreamTable(root, s)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+      val width = maxKey / 8 + 1
+      for (b <- 0L until 8L)
+        tbl.appendBatch(
+          li.where(col("l_orderkey") >= b * width && col("l_orderkey") < (b + 1) * width)
+            .repartition(1), b)
+      root
+    })
+
+  /** orders written through the catalog warehouse (timestamp + string +
+    * double coverage for the connector's type bridge). */
+  private val stagedCat = new ConcurrentHashMap[String, (String, String)]()
+  private def ordersCatalog(s: SparkSession, d: String): (String, String) =
+    stagedCat.computeIfAbsent(d, { _ =>
+      val wh = Files.createTempDirectory("graft_v2_wh_").toString
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "orders_t", Map.empty)
+      tbl.appendBatch(Tables.orders(s, d), 0L)
+      // catalog instances are cached per name after first resolution, so the
+      // name carries the warehouse identity (one catalog per sf dir)
+      val catName = s"graft_v2_${Integer.toHexString(wh.hashCode).take(6)}"
+      s.conf.set(s"spark.sql.catalog.$catName", classOf[GraftSparkCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+      (catName, wh)
+    })
+
+  val all: Seq[QDef] = Seq(
+    // format("graft"): key-range + quantity predicate over the range-batched
+    // table. The scan must (a) prune files by footer stats, (b) push the
+    // comparisons into parquet row-group filtering, (c) read only the four
+    // projected columns — V2ConnectorSpec asserts all three on the plan; the
+    // oracle pins the answer.
+    QDef(
+      "q_source_v2_pushdown",
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2500 AND l_quantity > 10
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin) { (s, d) =>
+      s.read.format("graft").load(lineitemTable(s, d))
+        .where(col("l_orderkey").between(1000, 2500) && col("l_quantity") > 10)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    },
+
+    // Catalog plugin: plain SQL against a qualified identifier — full
+    // Catalyst resolution through the TableCatalog, no DataFrame-API escape
+    // hatch. Exercises the timestamp bridge (o_orderdate) end to end.
+    QDef(
+      "q_source_v2_catalog",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+        |FROM orders WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val (catName, _) = ordersCatalog(s, d)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+           |FROM $catName.v2db.orders_t WHERE o_totalprice > 400000
+           |ORDER BY o_orderkey""".stripMargin)
+    }
+  )
+}

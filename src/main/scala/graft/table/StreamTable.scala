@@ -1230,7 +1230,7 @@ object StreamTable {
   /** (rowCount, min_value_stats, max_value_stats) from a parquet footer —
     * the stats Paimon surfaces in `$files` (guide.md:205, :212) and what
     * parquet predicate-pushdown data skipping reads. */
-  private def footerStats(path: String, conf: org.apache.hadoop.conf.Configuration)
+  private[graft] def footerStats(path: String, conf: org.apache.hadoop.conf.Configuration)
       : (Long, Map[String, String], Map[String, String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

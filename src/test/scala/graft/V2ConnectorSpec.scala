@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.GraftScan
+import graft.table.StreamTable
+
+/** DataSourceV2 connector (sources/v2): plan-level assertions beyond the
+  * DuckDB oracles — file skipping by footer stats, filter pushdown visible
+  * in the scan, column pruning reaching the reader, type-bridge round-trip,
+  * and schema-evolution null-fill. */
+class V2ConnectorSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+    // AQE hides the physical leaves pre-execution; the optimized logical
+    // plan carries the committed Scan either way
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[GraftScan]
+
+  test("key-range filter skips files and shows PushedFilters in the plan") {
+    val df = SparkEntry.queries("q_source_v2_pushdown")(spark, sf)
+    val scan = scanOf(df)
+    val desc = scan.description()
+    assert(desc.contains("PushedFilters: ["), desc)
+    assert(desc.contains("GreaterThanOrEqual(l_orderkey,1000)"), desc)
+    // 8 key-range batches; a [1000, 2500] slice of a ~6000-key space must
+    // prune most files
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt >= 8, desc)
+    assert(kept.toInt < total.toInt / 2, s"no skipping: $desc")
+    // column pruning reached the scan
+    assert(scan.readSchema().fieldNames.toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+  }
+
+  test("connector read equals a plain parquet read of the same table") {
+    val root = java.nio.file.Files.createTempDirectory("v2_rt_").toString
+    val tbl = new StreamTable(root, spark)
+    // type bridge: long, double, string, timestamp_ntz
+    tbl.appendBatch(Tables.orders(spark, sf), 0L)
+    val viaV2 = spark.read.format("graft").load(root).orderBy("o_orderkey")
+    val direct = Tables.orders(spark, sf).orderBy("o_orderkey")
+    assert(viaV2.schema == direct.schema)
+    assert(viaV2.collect().toSeq == direct.collect().toSeq)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("schema evolution: columns a file predates are null-filled") {
+    val root = java.nio.file.Files.createTempDirectory("v2_evo_").toString
+    val tbl = new StreamTable(root, spark)
+    import spark.implicits._
+    tbl.appendBatch(Seq((1L, "a")).toDF("id", "s"), 0L)
+    tbl.appendBatch(Seq((2L, "b", 9.5)).toDF("id", "s", "x"), 1L)
+    val rows = spark.read.format("graft").load(root)
+      .orderBy("id").select("id", "s", "x").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2), "pre-evolution file must null-fill x")
+    assert(rows(1).getDouble(2) == 9.5)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("catalog plugin resolves qualified identifiers through plain SQL") {
+    val df = SparkEntry.queries("q_source_v2_catalog")(spark, sf)
+    assert(df.count() > 0)
+    // identifier resolution went through the V2 catalog → GraftScan leaf
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.exists(_.isInstanceOf[GraftScan]))
+  }
+
+  test("PK tables are refused (merge-on-read needs the resolution pass)") {
+    val wh = java.nio.file.Files.createTempDirectory("v2_pk_wh_").toString
+    val cat = new graft.table.GraftCatalog(spark, wh)
+    val t = cat.createTable("d", "pk_t", Map("primary-key" -> "k"))
+    import spark.implicits._
+    t.appendBatch(Seq((1L, "v1")).toDF("k", "v"), 0L)
+    val catName = s"graft_pk_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $catName.d.pk_t").collect()
+    }
+    assert(e.getMessage.contains("primary-key table"), e.getMessage)
+  }
+}
