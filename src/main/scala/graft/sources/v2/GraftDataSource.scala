@@ -108,7 +108,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema())
@@ -223,6 +223,13 @@ class GraftScan(table: GraftV2Table, required: StructType,
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
+
+  /** Streaming read: snapshot-id offsets, initial catch-up + append-only
+    * increments (see [[GraftMicroBatchStream]]); the pushed predicate still
+    * reaches parquet row-group filtering in each delivered file. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table.table, required, pushed)
 
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(f => GraftInputPartition(f.path): InputPartition).toArray

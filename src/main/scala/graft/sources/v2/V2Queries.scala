@@ -86,6 +86,28 @@ object V2Queries {
         s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
            |FROM $catName.v2db.orders_t WHERE o_totalprice > 400000
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // readStream.format("graft"): the stream-batch duality (the reference's
+    // central theme, guide.md:51-56, :144-164) as a NATIVE Spark source —
+    // offsets are snapshot ids, the first trigger catches up the live set
+    // and later triggers consume exactly the newly committed appends. The
+    // 8 range-batches of the staged table arrive across micro-batches and
+    // the memory-sink union must equal the batch read = the oracle.
+    QDef(
+      "q_stream_v2_source",
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val name = "v2s_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = s.readStream.format("graft").load(lineitemTable(s, d))
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     }
   )
 }

@@ -1,0 +1,89 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.table.StreamTable
+
+/** Snapshot-id offset: the stream's position IS the table's commit history —
+  * the same duality Paimon exposes (a Flink streaming scan consumes
+  * snapshots; `tutorial/guide.md:144-164`). `id = -1` means "before the first
+  * commit" (snapshot ids start at 0). */
+case class GraftOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** Micro-batch streaming read over a [[StreamTable]]: each trigger consumes
+  * the snapshots committed since the last one.
+  *
+  *  - batch 1 (from offset -1): the FULL live file set of the current
+  *    snapshot — the initial catch-up (Paimon `scan.mode = latest-full`);
+  *  - batch N: append-dir files NEW in `(start, end]` by path diff —
+  *    compaction rewrites are layout maintenance whose content was already
+  *    delivered as appends, so they never re-deliver (the
+  *    `changelog-producer = 'input'` contract, guide.md:69-73).
+  *
+  * Offsets are durable snapshot ids, so recovery replays exactly the
+  * undelivered commits; delivery is per-file parallel through the same
+  * [[GraftPartitionReader]] as batch scans. Retention caveat (shared with
+  * every file-stream source): an append file must outlive the stream's lag —
+  * `expireSnapshots` keeps consumer offsets as retention roots for exactly
+  * this reason. */
+class GraftMicroBatchStream(table: StreamTable, schema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def snaps = table.snapshots
+
+  /** AvailableNow contract: pin the end offset when the trigger starts, so
+    * the run drains exactly the commits that existed then and stops. */
+  @volatile private var availableEnd: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(currentLatest())
+
+  override def initialOffset(): Offset = GraftOffset(-1L)
+
+  private def currentLatest(): Offset =
+    GraftOffset(snaps.lastOption.map(_.id).getOrElse(-1L))
+
+  override def latestOffset(): Offset =
+    availableEnd.getOrElse(currentLatest())
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
+  // limiting — a trigger consumes every commit up to the pinned end
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = currentLatest()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].snapshotId
+    val e = end.asInstanceOf[GraftOffset].snapshotId
+    if (e <= s) return Array.empty
+    val all = snaps
+    def filesAt(id: Long): Seq[String] =
+      all.find(_.id == id).map(_.files.map(_.path)).getOrElse(Seq.empty)
+    val endFiles = filesAt(e)
+    val newPaths =
+      if (s < 0L) endFiles // initial catch-up: the full live set
+      else {
+        val seen = filesAt(s).toSet
+        endFiles.filterNot(seen).filter(_.contains("/data/append/"))
+      }
+    newPaths.map(p => GraftInputPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(schema, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
