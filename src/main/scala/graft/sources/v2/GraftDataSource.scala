@@ -89,7 +89,9 @@ object GraftV2Table {
 }
 
 class GraftV2Table(tableName: String, val table: StreamTable,
-    spark: SparkSession) extends Table with SupportsRead {
+    spark: SparkSession, declaredSchema: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private[v2] def liveFiles: Seq[DataFileMeta] =
     table.latestSnapshot.map(_.files).getOrElse(Seq.empty)
@@ -98,7 +100,9 @@ class GraftV2Table(tableName: String, val table: StreamTable,
 
   override def schema(): StructType = {
     val files = liveFiles
-    require(files.nonEmpty, s"$tableName has no committed snapshot")
+    if (files.isEmpty)
+      return declaredSchema.getOrElse(
+        throw new IllegalStateException(s"$tableName has no committed snapshot"))
     // engine-internal sequencing columns never surface through the source;
     // mergeSchema unions layouts across evolution (old files null-fill)
     StructType(spark.read.option("mergeSchema", "true")
@@ -108,10 +112,37 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema())
+
+  /** Batch append (`INSERT INTO` / `df.writeTo(...).append()` /
+    * `format("graft").mode("append")`): the [[org.apache.spark.sql.connector.write.V1Write]]
+    * bridge hands over the LOGICAL DataFrame, and [[StreamTable.appendBatch]]
+    * runs the same distributed staging-write + atomic-rename manifest commit
+    * the streaming writer uses — one committing write protocol for every
+    * front door (writes stay executor-parallel; nothing materializes on the
+    * driver). Works on PK tables too (an append IS an upsert there); only
+    * the V2 read is PK-restricted. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite, "graft V2 write is append-only " +
+                "(truncation goes through StreamTable deleteWhere/rollback)")
+              val next = math.max(
+                table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
+              table.appendBatch(data, next)
+            }
+        }
+    }
 }
 
 class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)

@@ -30,10 +30,13 @@ import graft.table.GraftCatalog
   * API — one storage layout, two front doors.
   *
   * Reads only surface append tables (see [[GraftDataSource]] for why PK
-  * merge-on-read is refused); writes go through StreamTable's committing
-  * writer — the V2 write path would bypass the snapshot manifest protocol.
+  * merge-on-read is refused). Writes (`INSERT INTO`, `df.writeTo`) ARE
+  * supported: [[GraftV2Table.newWriteBuilder]] routes them into
+  * [[graft.table.StreamTable.appendBatch]]'s distributed staging write +
+  * atomic manifest commit — the same protocol the streaming writer uses.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftSparkCatalog.SchemaOption
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -95,17 +98,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     require(t.primaryKey.isEmpty,
       s"$ident is a primary-key table: read it through StreamTable.read " +
         "(PK merge-on-read needs the distributed resolution pass)")
+    // a freshly created table has no snapshot yet; its declared schema
+    // (persisted as an option at CREATE TABLE) resolves INSERT INTO
+    val declared = backing.tableOptions(db(ident.namespace()), ident.name())
+      .get(SchemaOption).map(j => StructType.fromDDL(j))
     new GraftV2Table(s"$catalogName.${db(ident.namespace())}.${ident.name()}",
-      t, SparkSession.active)
+      t, SparkSession.active, declared)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty, "graft tables declare bucketing via options")
-    // the option map IS the Paimon-style WITH(...) clause
+    // the option map IS the Paimon-style WITH(...) clause; the declared
+    // schema rides along so the empty table is INSERT-resolvable
     backing.createTable(db(ident.namespace()), ident.name(),
-      properties.asScala.toMap - TableCatalog.PROP_OWNER - "provider")
+      properties.asScala.toMap - TableCatalog.PROP_OWNER - "provider" +
+        (SchemaOption -> schema.toDDL))
     loadTable(ident)
   }
 
@@ -121,4 +130,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE")
+}
+
+object GraftSparkCatalog {
+  /** Option key carrying the declared schema (DDL string) of a table that
+    * has no committed snapshot yet. */
+  val SchemaOption = "graft.declared-schema"
 }

@@ -101,13 +101,38 @@ object V2Queries {
         |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val name = "v2s_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      // select INSIDE the stream: V2 column pruning reaches the per-file
+      // readers of every micro-batch, not just the batch path
       val q = s.readStream.format("graft").load(lineitemTable(s, d))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
         .writeStream.format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name)
-        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    },
+
+    // SQL DML end to end: CREATE TABLE + INSERT INTO … SELECT through the
+    // catalog plugin (the reference's continuous `INSERT INTO` pipe,
+    // guide.md:36-39, in its batch form), then read the table back through
+    // the same connector. The write lands via appendBatch's distributed
+    // staging + atomic manifest commit — V1Write hands over the LOGICAL
+    // plan, so nothing materializes on the driver.
+    QDef(
+      "q_source_v2_write",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2w_customer")
+      if (!s.catalog.tableExists(s"$catName.v2db.rich_customers")) {
+        s.sql(s"""CREATE TABLE $catName.v2db.rich_customers
+                 |(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)""".stripMargin)
+        s.sql(s"""INSERT INTO $catName.v2db.rich_customers
+                 |SELECT c_custkey, c_name, c_acctbal FROM graft_v2w_customer
+                 |WHERE c_acctbal > 0""".stripMargin)
+      }
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal " +
+        s"FROM $catName.v2db.rich_customers ORDER BY c_custkey")
     }
   )
 }

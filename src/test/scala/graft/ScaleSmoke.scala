@@ -108,7 +108,11 @@ object ScaleSmoke {
       // round-6 scan-pruning runtime trio + weighted sampling
       "q_join_bloom_runtime",  // bloom probe prunes fact rows pre-shuffle
       "q_join_dpp",            // dim broadcast prunes fact PARTITIONS
-      "q_ext_weighted_sample") // per-stratum A-ES window, one lang shuffle
+      "q_ext_weighted_sample", // per-stratum A-ES window, one lang shuffle
+      // round-8 additions: Spark-native surfaces + the V2 connector
+      "q_sql_recursive_cte",   // per-round frontier join, frontier shrinks
+      "q_agg_approx_top_k",    // constant sketch state, map-side combined
+      "q_source_v2_pushdown")  // manifest-planned scan + stats skipping
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

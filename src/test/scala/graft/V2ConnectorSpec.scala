@@ -104,6 +104,15 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("INSERT INTO through the catalog commits via the manifest protocol") {
+    val df = SparkEntry.queries("q_source_v2_write")(spark, sf)
+    val expect = Tables.customer(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 0).count()
+    assert(df.count() == expect)
+    // idempotent second run (table exists → no re-insert)
+    assert(SparkEntry.queries("q_source_v2_write")(spark, sf).count() == expect)
+  }
+
   test("PK tables are refused (merge-on-read needs the resolution pass)") {
     val wh = java.nio.file.Files.createTempDirectory("v2_pk_wh_").toString
     val cat = new graft.table.GraftCatalog(spark, wh)
