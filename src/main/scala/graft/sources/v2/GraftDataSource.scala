@@ -89,12 +89,24 @@ object GraftV2Table {
 }
 
 class GraftV2Table(tableName: String, val table: StreamTable,
-    spark: SparkSession, declaredSchema: Option[StructType] = None)
+    spark: SparkSession, declaredSchema: Option[StructType] = None,
+    atSnapshot: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  private[v2] def liveFiles: Seq[DataFileMeta] =
-    table.latestSnapshot.map(_.files).getOrElse(Seq.empty)
+  /** Snapshot-pinned copy (`VERSION AS OF` / `TIMESTAMP AS OF`). */
+  private[v2] def at(snapshotId: Long): GraftV2Table = {
+    require(table.snapshots.exists(_.id == snapshotId),
+      s"$tableName has no snapshot $snapshotId")
+    new GraftV2Table(s"$tableName@$snapshotId", table, spark,
+      declaredSchema, Some(snapshotId))
+  }
+
+  private[v2] def liveFiles: Seq[DataFileMeta] = atSnapshot match {
+    case Some(id) => table.snapshots.find(_.id == id).map(_.files)
+      .getOrElse(Seq.empty)
+    case None => table.latestSnapshot.map(_.files).getOrElse(Seq.empty)
+  }
 
   override def name(): String = tableName
 
@@ -128,7 +140,9 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     * the V2 read is PK-restricted. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
+      "writes go to the current table version")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -143,6 +157,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
             }
         }
     }
+  }
 }
 
 class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)

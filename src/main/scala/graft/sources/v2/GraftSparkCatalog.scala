@@ -93,6 +93,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     backing.listTables(db(ident.namespace())).contains(ident.name())
 
   override def loadTable(ident: Identifier): Table = {
+    // Paimon's `t$files` / `t$snapshots` / `t$tags` / `t$consumers` system
+    // tables as real identifiers (guide.md:200-232): metadata is manifest/
+    // footer-derived and file-count-sized, served as a driver-local scan
+    ident.name().split("\\$", 2) match {
+      case Array(base, sys) if sys.nonEmpty =>
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
+        val t = backing.getTable(db(ident.namespace()), base)
+        val view = sys match {
+          case "files"     => () => t.filesView
+          case "snapshots" => () => t.snapshotsView
+          case "tags"      => () => t.tagsView
+          case "consumers" => () => t.consumersView
+          case other => throw new NoSuchTableException(ident)
+        }
+        return new MetadataV2Table(
+          s"$catalogName.${db(ident.namespace())}.${ident.name()}", view())
+      case _ => ()
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = backing.getTable(db(ident.namespace()), ident.name())
     require(t.primaryKey.isEmpty,
@@ -104,6 +123,35 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       .get(SchemaOption).map(j => StructType.fromDDL(j))
     new GraftV2Table(s"$catalogName.${db(ident.namespace())}.${ident.name()}",
       t, SparkSession.active, declared)
+  }
+
+  /** `VERSION AS OF <id|'tag'>` — snapshot-pinned reads through plain SQL
+    * (the shell's time-travel surface, now native to the catalog). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident)
+    base match {
+      case v2: GraftV2Table =>
+        val snapId = version.toLongOption.getOrElse(
+          v2.table.tags.find(_._1 == version).map(_._2).getOrElse(
+            throw new IllegalArgumentException(s"no snapshot or tag '$version'")))
+        v2.at(snapId)
+      case other => other // metadata tables ignore versions
+    }
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve to the
+    * newest snapshot committed at or before that instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val base = loadTable(ident)
+    base match {
+      case v2: GraftV2Table =>
+        val tsMs = timestampMicros / 1000L
+        val snapId = v2.table.snapshots.takeWhile(_.committedAtMs <= tsMs)
+          .lastOption.map(_.id).getOrElse(throw new IllegalArgumentException(
+            s"no snapshot at or before $tsMs ms"))
+        v2.at(snapId)
+      case other => other
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,

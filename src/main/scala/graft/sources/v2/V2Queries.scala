@@ -133,6 +133,55 @@ object V2Queries {
       }
       s.sql(s"SELECT c_custkey, c_name, c_acctbal " +
         s"FROM $catName.v2db.rich_customers ORDER BY c_custkey")
+    },
+
+    // VERSION AS OF through plain SQL: two committed versions of a nation
+    // copy (batch 0 = the table verbatim; batch 1 = offset replicas); the
+    // pinned read of snapshot 0 must reproduce the source table exactly —
+    // the shell's time-travel surface (guide.md:180-184 retention model),
+    // now native to the Spark catalog.
+    QDef(
+      "q_source_v2_time_travel",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val catName = ttTable(s, d)
+      s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+               |FROM $catName.v2db.nation_tt VERSION AS OF 0
+               |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // The `t$files` system table as a real SQL identifier (guide.md:200-232):
+    // manifest + footer metadata queryable in place. Oracled on the
+    // file-count-independent invariants (total rows, level, sequence range —
+    // file COUNT depends on write parallelism and is asserted in the spec,
+    // not the oracle).
+    QDef(
+      "q_source_v2_files",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       0 AS level, 0 AS min_seq, 0 AS max_seq
+        |FROM orders""".stripMargin) { (s, d) =>
+      val (catName, _) = ordersCatalog(s, d)
+      s.sql(s"""SELECT CAST(sum(record_count) AS BIGINT) AS n_rows,
+               |       CAST(max(level) AS INT) AS level,
+               |       CAST(min(min_sequence_number) AS INT) AS min_seq,
+               |       CAST(max(max_sequence_number) AS INT) AS max_seq
+               |FROM $catName.v2db.`orders_t$$files`""".stripMargin)
     }
   )
+
+  /** nation staged as TWO snapshots (verbatim, then offset replicas) so
+    * VERSION AS OF 0 differs from the latest version. */
+  private val stagedTt = new ConcurrentHashMap[String, String]()
+  private def ttTable(s: SparkSession, d: String): String =
+    stagedTt.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "nation_tt", Map.empty)
+      val nation = Tables.nation(s, d)
+      tbl.appendBatch(nation, 0L)
+      tbl.appendBatch(nation.withColumn("n_nationkey",
+        (col("n_nationkey") + lit(1000))
+          .cast(nation.schema("n_nationkey").dataType)), 1L)
+      catName
+    })
 }

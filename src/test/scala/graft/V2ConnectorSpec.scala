@@ -113,6 +113,25 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_source_v2_write")(spark, sf).count() == expect)
   }
 
+  test("time travel pins versions; $files counts the physical layout") {
+    val tt = SparkEntry.queries("q_source_v2_time_travel")(spark, sf)
+    assert(tt.count() == Tables.nation(spark, sf).count())
+    // latest version has both batches
+    val catName = {
+      val df = SparkEntry.queries("q_source_v2_files")(spark, sf)
+      assert(df.head().getLong(0) == Tables.orders(spark, sf).count())
+      // file count (parallelism-dependent, so spec-only): every live file
+      // appears in $files exactly once
+      spark.conf.getAll.keys.find(_.startsWith("spark.sql.catalog.graft_v2_"))
+        .map(_.stripPrefix("spark.sql.catalog.").takeWhile(_ != '.')).get
+    }
+    val latest = spark.sql(s"SELECT * FROM $catName.v2db.nation_tt")
+    assert(latest.count() == 2 * Tables.nation(spark, sf).count())
+    val nFiles = spark.sql(s"SELECT count(*) FROM $catName.v2db.`nation_tt$$files`")
+      .head().getLong(0)
+    assert(nFiles >= 2, s"two batches must leave >= 2 files, got $nFiles")
+  }
+
   test("PK tables are refused (merge-on-read needs the resolution pass)") {
     val wh = java.nio.file.Files.createTempDirectory("v2_pk_wh_").toString
     val cat = new graft.table.GraftCatalog(spark, wh)
