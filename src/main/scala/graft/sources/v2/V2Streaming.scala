@@ -75,6 +75,16 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     val newPaths =
       if (s < 0L) endFiles // initial catch-up: the full live set
       else {
+        // a consumed-but-expired start snapshot would make `seen` empty and
+        // silently RE-DELIVER the whole live set — the one failure mode an
+        // at-least-once file diff cannot detect on its own. Fail loudly:
+        // the stream's lag exceeded retention (register a consumer id or
+        // widen snapshot.num-retained to protect slow readers).
+        if (!all.exists(_.id == s))
+          throw new IllegalStateException(
+            s"stream offset snapshot $s has been retention-expired at " +
+              s"${table.root}: cannot compute the incremental diff " +
+              "(protect slow consumers via registerConsumer/num-retained)")
         val seen = filesAt(s).toSet
         endFiles.filterNot(seen).filter(_.contains("/data/append/"))
       }

@@ -132,6 +132,26 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(nFiles >= 2, s"two batches must leave >= 2 files, got $nFiles")
   }
 
+  test("expired start offset fails loudly instead of re-delivering") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_exp_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a")).toDF("id", "s"), 0L)
+    tbl.appendBatch(Seq((2L, "b")).toDF("id", "s"), 1L)
+    val ms = new graft.sources.v2.GraftMicroBatchStream(tbl,
+      spark.read.parquet(tbl.latestSnapshot.get.files.head.path)
+        .drop(StreamTable.SeqColName).schema)
+    // snapshot 0 expired (only the latest is findable) → diff from 0 must
+    // throw, never silently re-deliver the live set
+    tbl.expireSnapshots(numRetainedMin = 1, numRetainedMax = 1, timeRetainedMs = 0L)
+    val e = intercept[IllegalStateException] {
+      ms.planInputPartitions(graft.sources.v2.GraftOffset(0L),
+        graft.sources.v2.GraftOffset(1L))
+    }
+    assert(e.getMessage.contains("retention-expired"), e.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("PK tables are refused (merge-on-read needs the resolution pass)") {
     val wh = java.nio.file.Files.createTempDirectory("v2_pk_wh_").toString
     val cat = new graft.table.GraftCatalog(spark, wh)
