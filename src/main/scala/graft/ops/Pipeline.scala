@@ -89,9 +89,16 @@ object Pipeline {
     // compare, and ordering flips would need two keys within one ulp.
     QDef(
       "q_ext_weighted_sample",
+      // the Knuth hash (id·2654435761 mod 2³²) via SPLIT multiplication:
+      // id·b would overflow ANSI BIGINT once ids reach ~3.5e9 (the 10×
+      // scale smoke caught exactly this), so multiply by b's 16-bit halves
+      // under mod-2³² — exact modular arithmetic, bit-identical u at every
+      // scale, and every intermediate stays < 2.9e14
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(length(text) AS BIGINT) AS w,
-        |    ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296 AS u
+        |    (((doc_id % 4294967296) * 31153 % 4294967296
+        |      + ((doc_id % 4294967296) * 40503 % 4294967296) * 65536 % 4294967296)
+        |     % 4294967296 + 0.5) / 4294967296 AS u
         |  FROM documents)
         |SELECT lang, doc_id, w FROM (
         |  SELECT lang, doc_id, w,
@@ -99,8 +106,10 @@ object Pipeline {
         |      ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS rk
         |  FROM t) s
         |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
-      val u = ((col("doc_id") * 2654435761L % 4294967296L).cast("double") + 0.5) /
-        4294967296.0
+      val m = 4294967296L // 2654435761 = 40503·65536 + 31153
+      val am = col("doc_id") % m
+      val u32 = (am * 31153L % m + (am * 40503L % m) * 65536L % m) % m
+      val u = (u32.cast("double") + 0.5) / 4294967296.0
       val w = length(col("text")).cast("long")
       val key = pow(u, lit(1.0) / w.cast("double"))
       val win = Window.partitionBy("lang").orderBy(key.desc, col("doc_id"))

@@ -396,6 +396,19 @@ class GraftPartitionReader(path: String, required: StructType,
 
   private var current: Group = _
 
+  // per-output-field plan, computed once (never per row): projection index
+  // (-1 = column absent from this file → null-fill) + resolved types
+  private val fieldPlan: Array[(Int, DataType, PrimitiveType)] = {
+    var projIdx = -1
+    required.fields.map { f =>
+      if (!inFile(f.name)) (-1, f.dataType, null)
+      else {
+        projIdx += 1
+        (projIdx, f.dataType, projection.getType(projIdx).asPrimitiveType())
+      }
+    }
+  }
+
   override def next(): Boolean = {
     current = reader.read()
     current != null
@@ -403,18 +416,12 @@ class GraftPartitionReader(path: String, required: StructType,
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(required.length)
-    var outIdx = 0
-    var projIdx = 0
-    val presentNames = present.map(_.name)
-    required.fields.foreach { f =>
-      if (!presentNames.contains(f.name)) row.update(outIdx, null)
-      else {
-        val i = projIdx; projIdx += 1
-        if (current.getFieldRepetitionCount(i) == 0) row.update(outIdx, null)
-        else row.update(outIdx, convert(current, i, f.dataType,
-          projection.getType(i).asPrimitiveType()))
-      }
-      outIdx += 1
+    var out = 0
+    while (out < fieldPlan.length) {
+      val (i, dt, prim) = fieldPlan(out)
+      if (i < 0 || current.getFieldRepetitionCount(i) == 0) row.update(out, null)
+      else row.update(out, convert(current, i, dt, prim))
+      out += 1
     }
     row
   }
