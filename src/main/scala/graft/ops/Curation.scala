@@ -47,47 +47,8 @@ object Curation {
       val fwd = ids.as("a").join(ids.as("b"),
           expr("b.id = a.id * 2 AND a.id > 0"))
         .select(col("a.id").as("src"), col("b.id").as("dst"))
-      // IterCkpt (cluster jobs: reliable checkpoint) each round: an
-      // iterative plan that nests its predecessor grows exponentially and
-      // blows up analysis long before the DATA is large — truncating the
-      // lineage to the materialized result keeps every round's plan flat,
-      // and freeing the superseded round keeps the block manager bounded
-      val (edges, edgeIds) = graft.IterCkpt.step(fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst"))))
-      var (labels, labelIds) = graft.IterCkpt.step(
-        ids.select(col("id"), col("id").as("comp")))
-      // labels only decrease, so Σcomp strictly decreases until the
-      // fixpoint; DECIMAL(38,0) keeps the check exact at any corpus size
-      var prevSum: java.math.BigDecimal = null
-      var converged = false
-      var round = 0
-      while (!converged && round < 50) {
-        val prop = edges.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("comp"))
-        // materialize the hop before the self-join below — a lazy `hop`
-        // would embed (and can re-execute) the propagation join + min
-        // aggregate on BOTH sides of that join every round
-        val (hop, hopIds) = graft.IterCkpt.step(labels.unionByName(prop)
-          .groupBy("id").agg(min("comp").as("comp")))
-        // pointer jumping: follow the label's own label (comp := comp[comp],
-        // a label is always a node id) — label distance doubles per round,
-        // so convergence takes O(log diameter) rounds instead of O(diameter)
-        val (lck, lids) = graft.IterCkpt.step(hop.as("x")
-          .join(hop.as("y"), col("x.comp") === col("y.id"), "left")
-          .select(col("x.id").as("id"),
-            least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp")),
-          labelIds ++ hopIds)
-        labels = lck
-        labelIds = lids
-        val sumNow = labels.agg(sum(col("comp").cast("decimal(38,0)")))
-          .head.getDecimal(0)
-        converged = prevSum != null && prevSum.compareTo(sumNow) == 0
-        prevSum = sumNow
-        round += 1
-      }
-      // the final labels frame is self-contained — the edges can go
-      graft.IterCkpt.free(s, edgeIds)
-      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      ccMinLabel(fwd, ids)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     },
 
@@ -387,6 +348,46 @@ object Curation {
         .select(col("n_truth"), col("n_cand"), col("n_tp"),
           round(col("n_tp").cast("double") / col("n_cand"), 6).as("prec"),
           round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"))
+    },
+
+    // End-to-end near-dup RESOLUTION: minhash-banded candidate pairs →
+    // distributed connected components → dedup clusters — the full
+    // candidates-to-clusters pipeline a production dedup run executes,
+    // composed from the SAME shared stages (minhashPipeline + ccMinLabel)
+    // the piecewise queries pin, and oracled END TO END: DuckDB rebuilds
+    // the identical candidates and closes them with a recursive CTE. The
+    // planted probes (doc_id + 1,000,000 re-crawls) must land in their
+    // originals' clusters, which CurationSpec asserts on top of the hash
+    // match.
+    //
+    // 100 TB posture: candidates come banded (never all-pairs), the CC
+    // loop is one edge⋈label shuffle + min-groupBy per round with pointer
+    // jumping (O(log diameter) rounds), and the cluster roll-up is one
+    // final groupBy on the label — at no stage does a document body or an
+    // unbounded pair space shuffle.
+    QDef(
+      "q_ext_dedup_e2e",
+      s"""WITH RECURSIVE $minhashCtes,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |      UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |cc AS (SELECT id, id AS comp FROM n
+        |       UNION
+        |       SELECT e.dst AS id, cc.comp AS comp FROM cc JOIN e ON cc.id = e.src),
+        |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+        |SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(id) AS BIGINT) AS max_doc
+        |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val (_, _, cand) = minhashPipeline(s, d)
+      val fwd = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+      // endpoints via ONE explode (a self-union of the same plan instance
+      // trips Union's constraint rewrite, and this is one pass anyway)
+      val nodes = fwd.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct()
+      ccMinLabel(fwd, nodes)
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc"))
+        .orderBy("cluster_id")
     },
 
     // Unigram log-probability scoring — the perplexity-proxy quality signal
@@ -1065,6 +1066,61 @@ object Curation {
 
   /** DuckDB side of [[minhashPipeline]]: CTEs corpus, w, g, seeds, sig,
     * bands, cand — shared verbatim by both consumers' oracles. */
+  /** Distributed connected components by min-label propagation with pointer
+    * jumping, shared by q_ext_dedup_clusters and q_ext_dedup_e2e. Input:
+    * directed edges (src, dst) — the symmetric closure is materialized
+    * here — and the node relation (id). Output: (id, comp) with comp = the
+    * component's min node id (the unique fixpoint, hence oracle-able).
+    *
+    * 100 TB posture: per round ONE shuffle join (edges ⋈ labels) + one
+    * min-groupBy + the pointer-jump self-join; IterCkpt truncates the
+    * growing lineage each round AND frees the superseded round's blocks
+    * (only the final frame stays pinned). Convergence is a ONE-ROW
+    * DECIMAL(38,0) aggregate — labels only decrease, so Σcomp strictly
+    * decreases until the fixpoint; the driver never sees data rows.
+    * Pointer jumping doubles label distance per round → O(log diameter)
+    * rounds, not O(diameter). */
+  private[graft] def ccMinLabel(fwd: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = fwd.sparkSession
+    // IterCkpt each round: an iterative plan that nests its predecessor
+    // grows exponentially and blows up analysis long before the DATA is
+    // large — truncating the lineage keeps every round's plan flat
+    val (edges, edgeIds) = graft.IterCkpt.step(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var (labels, labelIds) = graft.IterCkpt.step(
+      nodes.select(col("id"), col("id").as("comp")))
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+      // materialize the hop before the self-join below — a lazy `hop`
+      // would embed (and can re-execute) the propagation join + min
+      // aggregate on BOTH sides of that join every round
+      val (hop, hopIds) = graft.IterCkpt.step(labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp")))
+      // pointer jumping: follow the label's own label (comp := comp[comp],
+      // a label is always a node id)
+      val (lck, lids) = graft.IterCkpt.step(hop.as("x")
+        .join(hop.as("y"), col("x.comp") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp")),
+        labelIds ++ hopIds)
+      labels = lck
+      labelIds = lids
+      val sumNow = labels.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
+      round += 1
+    }
+    // the final labels frame is self-contained — the edges can go
+    graft.IterCkpt.free(s, edgeIds)
+    labels
+  }
+
   private def minhashCtes: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents

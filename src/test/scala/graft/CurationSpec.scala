@@ -59,6 +59,17 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup e2e: planted probes land in their originals' clusters") {
+    val rows = run("q_ext_dedup_e2e").collect()
+    // cluster_id = min member; a planted probe (id + 1e6) clustered with
+    // its original yields a cluster rooted at the original with the probe
+    // as max member
+    val probePaired = rows.count(r =>
+      r.getLong(0) < 1000000L && r.getLong(2) == r.getLong(0) + 1000000L)
+    assert(probePaired >= 20, s"only $probePaired/30 probe clusters rooted at originals")
+    for (r <- rows) assert(r.getLong(1) >= 2, "every emitted cluster has >= 2 members")
+  }
+
   test("unigram logprob: negative scores, token counts match, exact micro identity") {
     val rows = run("q_ext_unigram_logprob").collect()
     // zero-token docs produce no exploded rows on either engine, so the
