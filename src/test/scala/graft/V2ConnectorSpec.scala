@@ -132,6 +132,41 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(nFiles >= 2, s"two batches must leave >= 2 files, got $nFiles")
   }
 
+  test("type bridge round-trips every supported type including nulls") {
+    val root = java.nio.file.Files.createTempDirectory("v2_types_").toString
+    val tbl = new StreamTable(root, spark)
+    val df = spark.sql("""
+      SELECT id,
+        CASE WHEN id % 3 = 0 THEN NULL ELSE id % 2 = 0 END AS b,
+        CASE WHEN id % 5 = 0 THEN NULL ELSE cast(id as int) END AS i,
+        cast(id * 1e6 as long) AS l,
+        CASE WHEN id % 4 = 0 THEN NULL ELSE cast(id as float) / 3.0f END AS f,
+        cast(id as double) / 7.0 AS d,
+        CASE WHEN id % 6 = 0 THEN NULL
+             ELSE concat('héllo ✓ ', id) END AS s,
+        cast(concat('bin', id) as binary) AS bin,
+        date_add(date'2020-01-01', cast(id as int)) AS dt,
+        timestampadd(HOUR, cast(id as int), timestamp_ntz'2024-06-01 12:00:00') AS ts,
+        cast(id * 1.25 as decimal(10,2)) AS dec10,
+        cast(id * 1.0001 as decimal(30,4)) AS dec30
+      FROM range(0, 97)""")
+    tbl.appendBatch(df, 0L)
+    val viaV2 = spark.read.format("graft").load(root).orderBy("id")
+    // parquet surfaces everything nullable; names and types must match
+    assert(viaV2.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val got = viaV2.collect()
+    val expect = df.orderBy("id").collect()
+    for ((g, e) <- got.zip(expect); idx <- df.schema.indices) {
+      val same = (g.get(idx), e.get(idx)) match {
+        case (a: Array[Byte], b: Array[Byte]) => a.sameElements(b)
+        case (a, b) => a == b
+      }
+      assert(same, s"col ${df.schema(idx).name}: ${g.get(idx)} != ${e.get(idx)}")
+    }
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("expired start offset fails loudly instead of re-delivering") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("v2_exp_").toString
