@@ -259,6 +259,59 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // As-of join with a STALENESS TOLERANCE (the feature-store lookup rule:
+    // "the latest feature row, but only if it is recent enough") — the
+    // bounded variant every training-data join needs so an arbitrarily-
+    // stale dimension row never silently enriches a fresh event. Same
+    // linear union-merge plan as q_join_asof (one shuffle + one sort, no
+    // join blowup); the tolerance is a post-pickup filter, which is
+    // equivalent to bounding the match window because the carried match IS
+    // the latest one ≤ ts: if it misses the window, no eligible row
+    // exists. The 8400-day knob is calibrated to the driver testdata's
+    // generational ts↔orderdate gap (median staleness ≈ 8371 days) so the
+    // bound genuinely splits the matches; production uses days, not
+    // decades — the plan is identical at any tolerance.
+    QDef(
+      "q_join_asof_tolerance",
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |         o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |)
+        |SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+        |FROM j WHERE rn = 1
+        |  AND o_orderdate >= ts - INTERVAL 8400 DAY
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("is_event"),
+          col("event_id"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("double").as("o_totalprice"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("is_event").asc, col("o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_o", last(
+          when(col("is_event") === 0,
+            struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+          ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1 && col("last_o").isNotNull &&
+          col("last_o.o_orderdate") >= col("t") - expr("INTERVAL 8400 DAY"))
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("last_o.o_orderkey").as("o_orderkey"),
+          col("last_o.o_orderdate").as("o_orderdate"),
+          col("last_o.o_totalprice").as("o_totalprice"))
+        .orderBy("event_id")
+    },
+
     // Bucketed co-located join: both sides written bucketBy(orderkey) once,
     // so the sort-merge join reads pre-partitioned, pre-sortable buckets and
     // the plan carries NO Exchange on either side (asserted in PlanSpec) —
