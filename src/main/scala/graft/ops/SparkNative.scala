@@ -100,6 +100,41 @@ object SparkNative {
         .orderBy(desc("cnt"), col("flag"))
     },
 
+    // ANSI try_* arithmetic — the overflow/invalid-input discipline this
+    // round's scale lesson made concrete (q_ext_weighted_sample's Knuth
+    // hash overflowed ANSI BIGINT at replica-range ids): under ANSI mode a
+    // silent wrap becomes a job-killing exception, and try_multiply/
+    // try_divide/try_cast are the per-row escape hatch that turns "poison
+    // row kills the 100 TB job" into "poison row yields NULL and is
+    // filterable". The oracle pins all three NULL boundaries exactly:
+    // DuckDB emulates try_multiply's overflow edge with the division-bound
+    // test, try_divide with NULLIF, try_cast with TRY_CAST.
+    //
+    // Regime note (measured): try_*'s FAILURE path constructs a JVM
+    // exception per failing row (~15 µs each) — cheap when poison is rare,
+    // pathological when failure is the common case (an all-overflow
+    // try_multiply ran 24× the scan). The inputs here keep failures at the
+    // realistic ~0.5% poison rate; if failure were the norm, pre-filter
+    // with a predicate (rlike / range check) instead of try_*.
+    QDef(
+      "q_fn_try_arith",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 1030 > 1024
+        |       THEN NULL ELSE (o_orderkey % 1030) * 9000000000000000 END AS big_prod,
+        |  round(o_totalprice / NULLIF(o_orderkey % 3, 0), 6) AS ratio,
+        |  TRY_CAST(CASE WHEN o_orderkey % 997 = 0 THEN o_orderpriority
+        |                ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS INTEGER) AS num,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("try_multiply(o_orderkey % 1030, 9000000000000000L)").as("big_prod"),
+          round(expr("try_divide(o_totalprice, o_orderkey % 3)"), 6).as("ratio"),
+          expr("try_cast(CASE WHEN o_orderkey % 997 = 0 THEN o_orderpriority " +
+            "ELSE CAST(o_orderkey % 100 AS STRING) END AS INT)").as("num"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_digit"))
+        .orderBy("o_orderkey")
+    },
+
     // Apache DataSketches HLL: per-group sketches UNIONed into a global
     // sketch — the mergeable-sketch contract that makes 100 TB distinct
     // counting feasible (pre-aggregate a 16 KB sketch per partition/day,
