@@ -81,6 +81,11 @@ class GraftDataSource extends TableProvider
 }
 
 object GraftV2Table {
+  /** Metadata (system) column names. */
+  val FileCol = "_graft_file"
+  val SeqMetaCol = "_graft_seq"
+  val MetaCols: Set[String] = Set(FileCol, SeqMetaCol)
+
   def fromPath(root: String): GraftV2Table = {
     val spark = SparkSession.active
     val table = new StreamTable(root, spark)
@@ -92,7 +97,28 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     spark: SparkSession, declaredSchema: Option[StructType] = None,
     atSnapshot: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** System columns (Paimon's `__paimon_file_path` / sequence surface,
+    * Spark's `_metadata` idiom): provenance per row without any data-file
+    * rewrite — the reader fills them from the manifest entry it is already
+    * holding, so they cost nothing. `SELECT _graft_file, _graft_seq FROM t`
+    * works in plain SQL through the catalog. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftV2Table.FileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file this row was read from"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftV2Table.SeqMetaCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "commit sequence (batch id) of the row's file"
+      })
 
   /** Snapshot-pinned copy (`VERSION AS OF` / `TIMESTAMP AS OF`). */
   private[v2] def at(snapshotId: Long): GraftV2Table = {
@@ -162,10 +188,13 @@ class GraftV2Table(tableName: String, val table: StreamTable,
 
 class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, InternalRow, String)] = None
+  private var limit: Option[Int] = None
 
   /** Filters usable for stats skipping / parquet row-group pruning:
     * comparisons and equality on top-level numeric or string columns. */
@@ -195,20 +224,181 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)
     // preserve table column order; empty projection (count(*)) keeps one
     // narrow column so the reader still paces row counts correctly
     val kept = fullSchema.filter(f => keep.contains(f.name))
-    required = if (kept.nonEmpty) StructType(kept)
-      else StructType(fullSchema.take(1))
+    // requested METADATA columns (_graft_file/_graft_seq) ride after the
+    // data columns; the reader fills them from the manifest entry
+    val meta = requiredSchema.fields.filter(f => GraftV2Table.MetaCols.contains(f.name))
+    required = if (kept.nonEmpty) StructType(kept ++ meta)
+      else StructType(fullSchema.take(1) ++ meta)
   }
 
-  override def build(): Scan =
-    new GraftScan(table, required, pushed)
+  /** Per-partition LIMIT pushdown: each file reader stops delivering after
+    * `n` rows (post-pushed-filter), Spark applies the final global limit.
+    * A bare `LIMIT n` over a 100 TB table then reads ~n rows per file
+    * instead of the whole table. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  // ---- aggregate pushdown (metadata-only COUNT/MIN/MAX) ------------------
+  //
+  // The Paimon/Iceberg trick: a global COUNT(*) is already materialized in
+  // the manifest (Σ per-file rowCount — zero data bytes read), and MIN/MAX
+  // of an integral column is the typed merge of per-file footer stats (one
+  // footer read per file, same driver-side cost as the stats-skipping pass).
+  // Strictly scoped to stay exact:
+  //  - no GROUP BY, no pushed filters (Spark only attempts the push when all
+  //    filters were fully consumed; ours are always residual, so any WHERE
+  //    disables the push) — and we re-check both here anyway;
+  //  - COUNT(*) without DISTINCT; MIN/MAX only on INT/LONG columns whose
+  //    stats are present in every file that physically contains the column
+  //    (a file that predates the column contributes only nulls and is
+  //    skipped; an all-null file has hasNonNullValue=false and is skipped;
+  //    stats missing while rows exist ⇒ refuse the whole push).
+  // Everything else falls back to the normal distributed aggregate.
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFor(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    answerFor(agg) match {
+      case Some(ans) => pushedAgg = Some(ans); true
+      case None => false
+    }
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  private def answerFor(agg: Aggregation)
+      : Option[(StructType, InternalRow, String)] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val files = table.liveFiles
+    lazy val totalRows = files.map(_.rowCount).sum
+    // typed per-file [min,max] of an integral column, merged; None = refuse
+    lazy val statsCache = scala.collection.mutable.Map[String, Option[Option[(Long, Long)]]]()
+    def minMax(name: String): Option[Option[(Long, Long)]] =
+      statsCache.getOrElseUpdate(name, {
+        val integral = fullSchema.find(_.name == name).exists(f =>
+          f.dataType == LongType || f.dataType == IntegerType)
+        if (!integral) None
+        else {
+          val conf = new Configuration()
+          val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
+            GraftScanBuilder.fileLongMinMax(f.path, name, conf)
+          }
+          if (perFile.contains(None)) None // stats missing somewhere: refuse
+          else {
+            val present = perFile.flatten.flatten
+            if (present.isEmpty) Some(None) // column is all-null table-wide
+            else Some(Some((present.map(_._1).min, present.map(_._2).max)))
+          }
+        }
+      })
+    def sparkType(name: String): DataType =
+      fullSchema.find(_.name == name).map(_.dataType).getOrElse(LongType)
+    def toValue(name: String, v: Long): Any =
+      if (sparkType(name) == IntegerType) v.toInt else v
+
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(("count(*)", LongType: DataType, totalRows: Any))
+      case m: Min => colName(m.column).flatMap(n => minMax(n).map(mm =>
+        (s"min($n)", sparkType(n), mm.map(p => toValue(n, p._1)).orNull: Any)))
+      case m: Max => colName(m.column).flatMap(n => minMax(n).map(mm =>
+        (s"max($n)", sparkType(n), mm.map(p => toValue(n, p._2)).orNull: Any)))
+      case _ => None
+    }
+    if (resolved.isEmpty || resolved.contains(None)) None
+    else {
+      val cols = resolved.flatten
+      val schema = StructType(cols.map { case (n, dt, v) =>
+        StructField(n, dt, nullable = v == null) })
+      val row = new GenericInternalRow(cols.map(_._3).toArray)
+      Some((schema, row, cols.map(_._1).mkString(", ")))
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row, desc)) =>
+      new GraftAggregateScan(table.name(), schema, row, desc)
+    case None => new GraftScan(table, required, pushed, limit)
+  }
+}
+
+object GraftScanBuilder {
+  /** Typed long-valued [min,max] of `col` in one file's footer.
+    *  - `None`          → stats unusable (missing while rows exist): refuse
+    *  - `Some(None)`    → column contributes no non-null values here: skip
+    *  - `Some(Some(p))` → merged row-group min/max
+    */
+  private[v2] def fileLongMinMax(path: String, col: String, conf: Configuration)
+      : Option[Option[(Long, Long)]] = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField(col)) return Some(None) // predates the column
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var any = false
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala if c.getPath.toDotString == col) {
+        val st = c.getStatistics
+        if (st == null) return None
+        if (st.hasNonNullValue) {
+          val (lo, hi) = st.genericGetMin match {
+            case l: java.lang.Long => (l.longValue(), st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            case i: java.lang.Integer => (i.longValue(), st.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
+            case _ => return None
+          }
+          mn = math.min(mn, lo); mx = math.max(mx, hi); any = true
+        } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount) {
+          // can't prove the row group is all-null: refuse
+          if (b.getRowCount > 0) return None
+        }
+      }
+      if (any) Some(Some((mn, mx))) else Some(None)
+    } finally reader.close()
+  }
+}
+
+/** Result of a complete aggregate pushdown: one precomputed row, answered
+  * from manifest + footers — the scan reads zero data bytes. */
+class GraftAggregateScan(tableName: String, schema: StructType,
+    row: InternalRow, pushedDesc: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftAggregateScan $tableName PushedAggregates: [$pushedDesc]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftInputPartition("<metadata-aggregate>"))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggregateReaderFactory(row)
+}
+
+/** Ships ONLY the precomputed row to the one executor task. */
+case class GraftAggregateReaderFactory(row: InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class GraftScan(table: GraftV2Table, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], limit: Option[Int] = None) extends Scan with Batch
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // ---- driver-side file skipping (eager: explain shows the real counts) --
   private val allFiles = table.liveFiles
-  private val kept: Seq[DataFileMeta] = {
+  private var kept: Seq[DataFileMeta] = {
     if (pushed.isEmpty) allFiles
     else {
       val conf = new Configuration()
@@ -263,10 +453,82 @@ class GraftScan(table: GraftV2Table, required: StructType,
 
   override def readSchema(): StructType = required
 
+  private[graft] def tableRoot: String = table.table.root
+
   override def description(): String =
     s"GraftScan ${table.name()} files=${kept.size}/${allFiles.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Manifest-derived size/row statistics (post file-skipping), so Catalyst's
+    * cost decisions — above all automatic broadcast of a small graft table —
+    * work exactly as they do for file sources. Without this a V2 relation
+    * defaults to "unknown = huge" and every join over it is a shuffle. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, kept.map(_.fileSizeInBytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(kept.map(_.rowCount).sum)
+  }
+
+  /** Runtime (join-driven) file pruning — Spark's DPP machinery hands the
+    * build side's key set to the probe-side scan before execution; files
+    * whose footer [min,max] contain none of the keys are dropped. The stats
+    * answer the SAME overlap question as the static path, so this is
+    * partition pruning for a table whose "partitions" are key-range files. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // must be a subset of the scan's (column-pruned) output — the DPP rule
+    // resolves these against readSchema, not the table schema
+    required.fields.collect {
+      case f if !GraftV2Table.MetaCols.contains(f.name) &&
+          Set[DataType](LongType, IntegerType, DoubleType, FloatType, StringType)
+          .contains(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    def litValue(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(l.value() match {
+            case u: UTF8String => u.toString
+            case v => v
+          })
+        case _ => None
+      }
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    val conf = new Configuration()
+    predicates.foreach { p =>
+      val perValue: Option[(String, Seq[Any])] = p.name() match {
+        case "IN" =>
+          for (n <- refName(p.children().head)) yield
+            n -> p.children().drop(1).toSeq.flatMap(litValue)
+        case "=" if p.children().length == 2 =>
+          (refName(p.children()(0)), litValue(p.children()(1))) match {
+            case (Some(n), Some(v)) => Some(n -> Seq(v))
+            case _ => (refName(p.children()(1)), litValue(p.children()(0))) match {
+              case (Some(n), Some(v)) => Some(n -> Seq(v))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+      perValue.foreach { case (n, values) if values.nonEmpty =>
+        kept = kept.filter { f =>
+          val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+          // keep the file if ANY key could be in it (conservative overlap)
+          values.exists(v => keepFile(EqualTo(n, v), mins, maxs))
+        }
+      case _ => ()
+      }
+    }
+  }
 
   override def toBatch: Batch = this
 
@@ -278,19 +540,21 @@ class GraftScan(table: GraftV2Table, required: StructType,
     new GraftMicroBatchStream(table.table, required, pushed)
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => GraftInputPartition(f.path): InputPartition).toArray
+    kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required, pushed)
+    GraftReaderFactory(required, pushed, limit)
 }
 
-case class GraftInputPartition(path: String) extends InputPartition
+case class GraftInputPartition(path: String, minSeq: Long = -1L)
+    extends InputPartition
 
-case class GraftReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].path,
-      required, pushed)
+case class GraftReaderFactory(required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.path, required, pushed, limit, p.minSeq)
+  }
 }
 
 /** Executor-side reader for ONE data file: opens the footer, projects the
@@ -299,7 +563,8 @@ case class GraftReaderFactory(required: StructType, pushed: Array[Filter])
   * Group assembly is the API-pure route (the vectorized reader is Spark
   * internal); the per-file work is embarrassingly parallel either way. */
 class GraftPartitionReader(path: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Option[Int] = None, fileSeq: Long = -1L)
+    extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(path)
@@ -310,9 +575,11 @@ class GraftPartitionReader(path: String, required: StructType,
   }
   private def inFile(name: String) = fileSchema.containsField(name)
 
-  // projection: requested columns present in THIS file (schema evolution:
-  // columns a file predates are null-filled at assembly)
-  private val present = required.fields.filter(f => inFile(f.name))
+  // projection: requested DATA columns present in THIS file (schema
+  // evolution: columns a file predates are null-filled at assembly;
+  // metadata columns are filled from the manifest entry, never the file)
+  private val present = required.fields.filter(f =>
+    !GraftV2Table.MetaCols.contains(f.name) && inFile(f.name))
   // getType is overload-ambiguous from Scala (String vs String*); index it
   private def fieldType(name: String) =
     fileSchema.getFields.get(fileSchema.getFieldIndex(name))
@@ -397,11 +664,15 @@ class GraftPartitionReader(path: String, required: StructType,
   private var current: Group = _
 
   // per-output-field plan, computed once (never per row): projection index
-  // (-1 = column absent from this file → null-fill) + resolved types
+  // (-1 = column absent from this file → null-fill; -2 = _graft_file;
+  // -3 = _graft_seq) + resolved types
+  private val filePathUtf8 = UTF8String.fromString(path)
   private val fieldPlan: Array[(Int, DataType, PrimitiveType)] = {
     var projIdx = -1
     required.fields.map { f =>
-      if (!inFile(f.name)) (-1, f.dataType, null)
+      if (f.name == GraftV2Table.FileCol) (-2, f.dataType, null)
+      else if (f.name == GraftV2Table.SeqMetaCol) (-3, f.dataType, null)
+      else if (!inFile(f.name)) (-1, f.dataType, null)
       else {
         projIdx += 1
         (projIdx, f.dataType, projection.getType(projIdx).asPrimitiveType())
@@ -409,8 +680,14 @@ class GraftPartitionReader(path: String, required: StructType,
     }
   }
 
+  private var delivered = 0L
+
   override def next(): Boolean = {
+    // partial LIMIT pushdown: this partition stops after `limit` rows
+    // (Spark applies the final global limit across partitions)
+    if (limit.exists(delivered >= _)) return false
     current = reader.read()
+    if (current != null) delivered += 1
     current != null
   }
 
@@ -419,7 +696,9 @@ class GraftPartitionReader(path: String, required: StructType,
     var out = 0
     while (out < fieldPlan.length) {
       val (i, dt, prim) = fieldPlan(out)
-      if (i < 0 || current.getFieldRepetitionCount(i) == 0) row.update(out, null)
+      if (i == -2) row.update(out, filePathUtf8)
+      else if (i == -3) row.update(out, fileSeq)
+      else if (i < 0 || current.getFieldRepetitionCount(i) == 0) row.update(out, null)
       else row.update(out, convert(current, i, dt, prim))
       out += 1
     }

@@ -150,6 +150,74 @@ object V2Queries {
                |ORDER BY n_nationkey""".stripMargin)
     },
 
+    // Aggregate pushdown: a global COUNT/MIN/MAX is answered ENTIRELY from
+    // the manifest (Σ rowCount) + typed footer stats — the scan reads zero
+    // data bytes (V2ConnectorSpec asserts no HashAggregate survives in the
+    // plan and the scan advertises PushedAggregates). The Paimon/Iceberg
+    // metadata-only count, native to Spark's SupportsPushDownAggregates.
+    QDef(
+      "q_source_v2_agg_pushdown",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      s.read.format("graft").load(lineitemTable(s, d))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    },
+
+    // LIMIT pushdown: each file reader stops after the pushed row count, so
+    // a bare LIMIT n over a huge table reads ~n rows per file instead of
+    // the table. The count-around-limit form keeps the answer deterministic
+    // (min(n, total)) while the inner scan still carries the pushed limit.
+    QDef(
+      "q_source_v2_limit",
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM lineitem LIMIT 5000)""".stripMargin) { (s, d) =>
+      s.read.format("graft").load(lineitemTable(s, d))
+        .limit(5000).agg(count(lit(1)).as("n"))
+    },
+
+    // Reported statistics: the scan exposes manifest size/row counts, so
+    // Catalyst AUTO-broadcasts the small graft side of this join — no
+    // broadcast() hint anywhere (V2ConnectorSpec asserts the BHJ). Without
+    // SupportsReportStatistics a V2 relation is "unknown = huge" and every
+    // join over it shuffles.
+    QDef(
+      "q_source_v2_stats_join",
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val catName = nationTable(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2s_customer")
+      s.sql(
+        s"""SELECT n.n_name, count(*) AS n_cust
+           |FROM graft_v2s_customer c
+           |JOIN $catName.v2db.nation_small n ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    },
+
+    // Metadata (system) columns: `_graft_file` / `_graft_seq` filled by the
+    // reader from the manifest entry it already holds — per-row provenance
+    // with zero data-file cost (Paimon's `__paimon_file_path` surface,
+    // Spark's `_metadata` idiom). The staging rule (8 key-range batches,
+    // seq b covers [b·width, (b+1)·width)) makes the commit sequence a pure
+    // function of the key, so the per-commit census is fully oracle-checked
+    // without exposing file paths (parallelism-dependent; spec-asserted).
+    QDef(
+      "q_source_v2_metadata",
+      """WITH w AS (SELECT max(l_orderkey) // 8 + 1 AS width FROM lineitem)
+        |SELECT l_orderkey // width AS commit_seq,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem, w
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.read.format("graft").load(lineitemTable(s, d))
+        .groupBy(col("_graft_seq").as("commit_seq"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+        .orderBy("commit_seq")
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -168,6 +236,18 @@ object V2Queries {
                |FROM $catName.v2db.`orders_t$$files`""".stripMargin)
     }
   )
+
+  /** nation verbatim as a catalog table — the SMALL side for the
+    * auto-broadcast statistics query. */
+  private val stagedNation = new ConcurrentHashMap[String, String]()
+  private def nationTable(s: SparkSession, d: String): String =
+    stagedNation.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "nation_small", Map.empty)
+      tbl.appendBatch(Tables.nation(s, d), 0L)
+      catName
+    })
 
   /** nation staged as TWO snapshots (verbatim, then offset replicas) so
     * VERSION AS OF 0 differs from the latest version. */

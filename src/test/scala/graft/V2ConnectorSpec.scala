@@ -202,4 +202,103 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("primary-key table"), e.getMessage)
   }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
+    val df = SparkEntry.queries("q_source_v2_agg_pushdown")(spark, sf)
+    // the aggregate collapsed into the scan: no aggregate exec survives
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate was not pushed:\n$plan")
+    val scanDesc = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.get
+    assert(scanDesc.contains("PushedAggregates"), scanDesc)
+    // answers match the distributed aggregate over the raw table
+    val li = Tables.lineitem(spark, sf)
+    import org.apache.spark.sql.functions._
+    val expect = li.agg(count(lit(1)), min("l_orderkey"), max("l_orderkey")).head()
+    val got = df.head()
+    assert(got.getLong(0) == expect.getLong(0), "count(*)")
+    assert(got.getLong(1) == expect.getLong(1), "min")
+    assert(got.getLong(2) == expect.getLong(2), "max")
+  }
+
+  test("aggregate pushdown refuses when a WHERE filter is present") {
+    val df = spark.read.format("graft")
+      .load(stagedLineitemRoot)
+      .where(org.apache.spark.sql.functions.col("l_quantity") > 10)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    // filters are residual in this source, so the push must NOT happen —
+    // a metadata count would ignore the predicate and be wrong
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"), s"expected a real aggregate:\n$plan")
+    val expect = Tables.lineitem(spark, sf)
+      .where(org.apache.spark.sql.functions.col("l_quantity") > 10).count()
+    assert(df.head().getLong(0) == expect)
+  }
+
+  test("limit pushdown caps per-file delivery; result stays exact") {
+    val df = spark.read.format("graft").load(stagedLineitemRoot).limit(37)
+    assert(df.count() == 37)
+    val desc = scanOf(df).description()
+    assert(desc.contains("PushedLimit: 37"), desc)
+  }
+
+  test("reported statistics auto-broadcast the small graft side") {
+    val df = SparkEntry.queries("q_source_v2_stats_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft table should auto-broadcast via reported stats:\n$plan")
+    // and the estimate itself is the manifest truth
+    val small = spark.read.format("graft").load(stagedLineitemRoot)
+    val stats = scanOf(small).estimateStatistics()
+    assert(stats.numRows().getAsLong ==
+      Tables.lineitem(spark, sf).count())
+    assert(stats.sizeInBytes().getAsLong > 0)
+  }
+
+  test("runtime V2 filtering prunes files by the join key set") {
+    val df = spark.read.format("graft").load(stagedLineitemRoot)
+    val scan = scanOf(df)
+    val total = scan.planInputPartitions().length
+    assert(total >= 8, s"expected the 8 range batches, got $total")
+    // simulate the DPP hand-off: keys all land in one key-range file
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val in = new Predicate("IN",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("l_orderkey"),
+        Expressions.literal(java.lang.Long.valueOf(1010L)),
+        Expressions.literal(java.lang.Long.valueOf(1020L))))
+    scan.filter(Array(in))
+    val after = scan.planInputPartitions().length
+    assert(after < total, s"runtime filter pruned nothing: $after/$total")
+    assert(after >= 1)
+  }
+
+  test("metadata columns carry per-row provenance from the manifest") {
+    val df = spark.read.format("graft").load(stagedLineitemRoot)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("_graft_file"),
+        org.apache.spark.sql.functions.col("_graft_seq"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // _graft_file is a real live data file of the table
+    val live = new StreamTable(stagedLineitemRoot, spark)
+      .latestSnapshot.get.files.map(f => (f.path, f.minSeq)).toMap
+    rows.take(100).foreach { r =>
+      val f = r.getString(1)
+      assert(live.contains(f), s"unknown file $f")
+      assert(r.getLong(2) == live(f), "seq must match the file's commit")
+    }
+    // SELECT * must NOT leak metadata columns
+    val star = spark.read.format("graft").load(stagedLineitemRoot)
+    assert(!star.columns.contains("_graft_file"))
+  }
+
+  /** Root of the registry's staged 8-range-batch lineitem table. */
+  private def stagedLineitemRoot: String =
+    scanOf(SparkEntry.queries("q_source_v2_pushdown")(spark, sf)).tableRoot
 }
