@@ -155,6 +155,62 @@ object SparkNative {
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_nd")))
         .select(lit("ALL").as("scope"), col("est"), col("exact_nd"))
       groups.unionByName(allRow).orderBy("scope")
+    },
+
+    // SQL-defined scalar functions (Spark 4 `CREATE FUNCTION … RETURN expr`,
+    // the ANSI SQL/PSM surface behind the reference shell's SHOW FUNCTIONS,
+    // Readme.md:78): business logic declared ONCE in the catalog and reused
+    // across queries. Catalyst inlines the body at resolution, so the plan
+    // is identical to writing the expression in place — zero UDF overhead,
+    // full codegen, pushdown through the function boundary.
+    QDef(
+      "q_fn_sql_udf",
+      """SELECT o_orderkey,
+        |       CAST((CAST(round(o_totalprice * 100) AS BIGINT) * 19 + 50) // 100 AS DOUBLE) / 100 AS vat,
+        |       CASE WHEN o_totalprice >= 200000 THEN 'gold'
+        |            WHEN o_totalprice >= 50000 THEN 'silver'
+        |            ELSE 'bronze' END AS tier
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("sqludf_orders")
+      // the 19% VAT in exact integer cents (half-up): `round(p*0.19, 2)`
+      // on DOUBLE rounds differently across engines on .xx5 boundaries —
+      // the X.cents discipline (Core.scala) applies inside SQL functions too
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_vat(p DOUBLE)
+              |RETURNS DOUBLE RETURN
+              |CAST((CAST(round(p * 100) AS BIGINT) * 19 + 50) DIV 100 AS DOUBLE) / 100
+              |""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(p DOUBLE)
+              |RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'gold'
+              |  WHEN p >= 50000 THEN 'silver' ELSE 'bronze' END""".stripMargin)
+      s.sql("""SELECT o_orderkey, graft_vat(o_totalprice) AS vat,
+              |       graft_tier(o_totalprice) AS tier
+              |FROM sqludf_orders WHERE o_orderkey <= 2000
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // SQL-defined TABLE function + LATERAL correlation (Spark 4
+    // `CREATE FUNCTION … RETURNS TABLE`): the declarative form of a UDTF —
+    // the word-splitter lives in the catalog, the query LATERAL-joins it per
+    // row. Planned as generate(explode) inline: one map-side pass, no
+    // shuffle beyond the final aggregation, exactly q_udtf_explode_ngrams's
+    // shape with zero Scala.
+    QDef(
+      "q_fn_sql_udtf",
+      """SELECT doc_id, count(*) AS n_long
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents WHERE doc_id <= 500) t
+        |WHERE length(w) >= 8
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("sqludtf_docs")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_long_words(t STRING)
+              |RETURNS TABLE(w STRING)
+              |RETURN SELECT explode(filter(split(t, ' '), x -> length(x) >= 8))
+              |""".stripMargin)
+      s.sql("""SELECT d.doc_id, count(*) AS n_long
+              |FROM sqludtf_docs d, LATERAL graft_long_words(d.text)
+              |WHERE d.doc_id <= 500
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
     }
   )
 }
