@@ -394,6 +394,7 @@ case class GraftAggregateReaderFactory(row: InternalRow)
 class GraftScan(table: GraftV2Table, required: StructType,
     pushed: Array[Filter], limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // ---- driver-side file skipping (eager: explain shows the real counts) --
@@ -472,6 +473,54 @@ class GraftScan(table: GraftV2Table, required: StructType,
       java.util.OptionalLong.of(kept.map(_.rowCount).sum)
   }
 
+  // ---- storage-partitioned join (SPJ) ------------------------------------
+  //
+  // A bucket-keyed table's files each hold exactly one hash bucket of the
+  // key (pmod(murmur3(key), numBuckets) — recorded in the manifest at write
+  // time). When the user opts into V2 bucketing
+  // (spark.sql.sources.v2.bucketing.enabled), the scan reports
+  // KeyGroupedPartitioning over the bucket transform and plans ONE input
+  // partition per bucket: a join of two co-bucketed tables on the key then
+  // needs NO exchange on either side — the 100 TB fact-fact join with zero
+  // shuffle, Paimon's fixed-bucket join re-expressed through Spark's public
+  // SPJ machinery ([[GraftBucketFunction]] is the catalog-served function
+  // that makes the two sides' transforms provably identical — and lets
+  // Spark hash-shuffle a third, unbucketed side INTO this layout).
+  //
+  // Grouping trades away per-file parallelism (one task per bucket), which
+  // is exactly the bucketed-table bargain; it engages only under the conf,
+  // only when every live file carries its bucket id (legacy manifests and
+  // maintenance rewrites fall back), and only when the scan projects the
+  // key with a bucketable type.
+  private val spjGroups: Option[(Int, Seq[(Int, Seq[DataFileMeta])])] = {
+    val t = table.table
+    val confOn = try {
+      SparkSession.active.conf.get("spark.sql.sources.v2.bucketing.enabled") == "true"
+    } catch { case _: Exception => false }
+    t.bucketKey match {
+      case Some(k) if confOn && kept.nonEmpty && kept.forall(_.bucket.isDefined) &&
+          required.fieldNames.contains(k) &&
+          table.schema().find(_.name == k).exists(f =>
+            f.dataType == LongType || f.dataType == IntegerType) =>
+        Some((t.numBuckets,
+          kept.groupBy(_.bucket.get).toSeq.sortBy(_._1)))
+      case _ => None
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((n, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            n, table.table.bucketKey.get)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          kept.size)
+    }
+
   /** Runtime (join-driven) file pruning — Spark's DPP machinery hands the
     * build side's key set to the probe-side scan before execution; files
     * whose footer [min,max] contain none of the keys are dropped. The stats
@@ -503,6 +552,10 @@ class GraftScan(table: GraftV2Table, required: StructType,
             if r.fieldNames.length == 1 => Some(r.fieldNames.head)
         case _ => None
       }
+    // with SPJ grouping active the reported partitioning is part of the
+    // plan's contract — dropping files here could orphan a bucket group, so
+    // runtime pruning stands down (SPJ already avoided the exchange)
+    if (spjGroups.isDefined) return
     val conf = new Configuration()
     predicates.foreach { p =>
       val perValue: Option[(String, Seq[Any])] = p.name() match {
@@ -539,8 +592,15 @@ class GraftScan(table: GraftV2Table, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(table.table, required, pushed)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = spjGroups match {
+    case Some((_, groups)) =>
+      groups.map { case (bucketId, files) =>
+        GraftBucketInputPartition(
+          files.map(f => (f.path, f.minSeq)), bucketId): InputPartition
+      }.toArray
+    case None =>
+      kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required, pushed, limit,
@@ -550,20 +610,78 @@ class GraftScan(table: GraftV2Table, required: StructType,
 case class GraftInputPartition(path: String, minSeq: Long = -1L)
     extends InputPartition
 
+/** One hash bucket of a bucket-keyed table: all its live files, keyed by the
+  * bucket id for Spark's key-grouped (storage-partitioned) join alignment. */
+case class GraftBucketInputPartition(files: Seq[(String, Long)], bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
 case class GraftReaderFactory(required: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, columnar: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.path, required, pushed, limit, p.minSeq)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftInputPartition =>
+        new GraftPartitionReader(p.path, required, pushed, limit, p.minSeq)
+      case b: GraftBucketInputPartition =>
+        new GraftChainedReader(b.files, required, pushed, limit)
+    }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftVectorReader(
-      partition.asInstanceOf[GraftInputPartition].path, required)
+    partition match {
+      case p: GraftInputPartition => new GraftVectorReader(p.path, required)
+      case b: GraftBucketInputPartition =>
+        new GraftChainedVectorReader(b.files.map(_._1), required)
+    }
+}
+
+/** Row reader over a whole bucket (several files, read back to back). */
+class GraftChainedReader(files: Seq[(String, Long)], required: StructType,
+    pushed: Array[Filter], limit: Option[Int])
+    extends PartitionReader[InternalRow] {
+  private var idx = -1
+  private var cur: GraftPartitionReader = _
+  private var delivered = 0L
+
+  override def next(): Boolean = {
+    if (limit.exists(delivered >= _)) return false
+    while (cur == null || !cur.next()) {
+      if (cur != null) cur.close()
+      idx += 1
+      if (idx >= files.length) { cur = null; return false }
+      cur = new GraftPartitionReader(files(idx)._1, required, pushed,
+        limit = None, fileSeq = files(idx)._2)
+    }
+    delivered += 1
+    true
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
+/** Columnar reader over a whole bucket. */
+class GraftChainedVectorReader(paths: Seq[String], required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private var idx = -1
+  private var cur: GraftVectorReader = _
+
+  override def next(): Boolean = {
+    while (cur == null || !cur.next()) {
+      if (cur != null) cur.close()
+      idx += 1
+      if (idx >= paths.length) { cur = null; return false }
+      cur = new GraftVectorReader(paths(idx), required)
+    }
+    true
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Columnar fast path: Spark's vectorized parquet decoder feeding 4k-row

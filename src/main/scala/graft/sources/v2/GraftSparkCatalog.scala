@@ -35,7 +35,8 @@ import graft.table.GraftCatalog
   * [[graft.table.StreamTable.appendBatch]]'s distributed staging write +
   * atomic manifest commit — the same protocol the streaming writer uses.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   import GraftSparkCatalog.SchemaOption
 
   private var catalogName: String = _
@@ -178,6 +179,72 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE")
+
+  // ---- functions (the storage-partitioned-join contract) -----------------
+  //
+  // Spark resolves a scan's reported `bucket(n, key)` transform against the
+  // TABLE's catalog: serving the function here is what lets the planner
+  // PROVE two bucketed graft tables share a layout (canonical-name match →
+  // no exchange on either side) and hash-shuffle an unbucketed third side
+  // INTO that layout (it evaluates this exact function).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, GraftBucketFunction.name()))
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name() == GraftBucketFunction.name()) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** The bucketed-write layout function, `bucket(numBuckets, key) =
+  * pmod(murmur3(key), numBuckets)` — EXACTLY Spark's `HashPartitioning` of
+  * a single key column (murmur3 seed 42, null hashes to the seed), which is
+  * what [[graft.table.StreamTable.appendBatch]]'s
+  * `repartition(numBuckets, col(key))` physically wrote. Bit-parity with
+  * the write path is the whole contract: a side Spark shuffles with this
+  * function lands on the same bucket ids the files already have. */
+object GraftBucketFunction extends functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, key): pmod(murmur3(key), numBuckets) — the graft bucketed-write layout"
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(numBuckets, key) takes 2 arguments, got ${inputType.length}")
+    inputType.fields(1).dataType match {
+      case org.apache.spark.sql.types.LongType => GraftBucketLong
+      case org.apache.spark.sql.types.IntegerType => GraftBucketInt
+      case dt => throw new UnsupportedOperationException(
+        s"bucket key type $dt (bucketable: BIGINT, INT)")
+    }
+  }
+}
+
+private[graft] sealed abstract class GraftBucketScalar(keyType: org.apache.spark.sql.types.DataType)
+    extends functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.IntegerType, keyType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = "bucket"
+  override def isResultNullable: Boolean = false
+  protected def hash(row: org.apache.spark.sql.catalyst.InternalRow): Int
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    val h = if (input.isNullAt(1)) 42 else hash(input)
+    Integer.valueOf(((h % n) + n) % n)
+  }
+}
+
+private[graft] object GraftBucketLong extends GraftBucketScalar(org.apache.spark.sql.types.LongType) {
+  override def canonicalName(): String = "graft.bucket.long"
+  override protected def hash(r: org.apache.spark.sql.catalyst.InternalRow): Int =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(r.getLong(1), 42)
+}
+
+private[graft] object GraftBucketInt extends GraftBucketScalar(org.apache.spark.sql.types.IntegerType) {
+  override def canonicalName(): String = "graft.bucket.int"
+  override protected def hash(r: org.apache.spark.sql.catalyst.InternalRow): Int =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(r.getInt(1), 42)
 }
 
 object GraftSparkCatalog {

@@ -196,6 +196,34 @@ object V2Queries {
            |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     },
 
+    // Storage-partitioned join: lineitem and orders staged as CO-BUCKETED
+    // graft tables (bucket(8, orderkey), recorded per file in the manifest);
+    // under V2 bucketing the scans report KeyGroupedPartitioning over the
+    // catalog-served bucket function, so the fact-fact join needs NO
+    // exchange on either side (V2ConnectorSpec asserts the exchange-free
+    // SMJ; at bench scale AQE may still pick a broadcast — the ORACLE pins
+    // values, the spec pins the plan). The 100 TB fact-fact join story:
+    // pay the shuffle once at write time, never per query.
+    QDef(
+      "q_join_spj",
+      """SELECT l.l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+        |       max(o.o_totalprice) AS o_total
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY l.l_orderkey ORDER BY okey""".stripMargin) { (s, d) =>
+      val catName = spjTables(s, d)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(
+        s"""SELECT l.l_orderkey AS okey, count(*) AS n_lines,
+           |       CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+           |       max(o.o_totalprice) AS o_total
+           |FROM $catName.v2db.spj_lineitem l
+           |JOIN $catName.v2db.spj_orders o ON l.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderstatus = 'F'
+           |GROUP BY l.l_orderkey ORDER BY okey""".stripMargin)
+    },
+
     // Metadata (system) columns: `_graft_file` / `_graft_seq` filled by the
     // reader from the manifest entry it already holds — per-row provenance
     // with zero data-file cost (Paimon's `__paimon_file_path` surface,
@@ -236,6 +264,23 @@ object V2Queries {
                |FROM $catName.v2db.`orders_t$$files`""".stripMargin)
     }
   )
+
+  /** lineitem + orders as CO-BUCKETED catalog tables (bucket(8, orderkey))
+    * for the storage-partitioned join. */
+  private val stagedSpj = new ConcurrentHashMap[String, String]()
+  private def spjTables(s: SparkSession, d: String): String =
+    stagedSpj.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val opts = (k: String) => Map("bucket-key" -> k, "bucket" -> "8")
+      val li = cat.createTable("v2db", "spj_lineitem", opts("l_orderkey"))
+      li.appendBatch(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice"), 0L)
+      val o = cat.createTable("v2db", "spj_orders", opts("o_orderkey"))
+      o.appendBatch(Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"), 0L)
+      catName
+    })
 
   /** nation verbatim as a catalog table — the SMALL side for the
     * auto-broadcast statistics query. */

@@ -21,7 +21,13 @@ case class DataFileMeta(
     minSeq: Long,
     maxSeq: Long,
     level: Int,
-    creationTimeMs: Long)
+    creationTimeMs: Long,
+    /** Hash-bucket id of every row in this file (bucket-keyed tables only:
+      * pmod(murmur3(key), numBuckets), the shuffle partition index of the
+      * bucketed write). None for unbucketed writes, legacy manifests, and
+      * maintenance rewrites — readers that need the bucket contract
+      * (storage-partitioned joins) fall back gracefully when absent. */
+    bucket: Option[Int] = None)
 
 /** One committed table version: the full list of live files after the commit
   * (snapshot semantics, tutorial/guide.md:180-184). `batchId` makes streaming
@@ -185,13 +191,24 @@ class StreamTable(
     out.write.mode("overwrite").parquet(staging)
     val parts = listDir(Paths.get(staging)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    val moved = parts.zipWithIndex.map { case (p, k) =>
+    // bucketed write: the STAGING part index (part-NNNNN) IS the bucket id
+    // (the shuffle partition of repartition(numBuckets, key)). zipWithIndex
+    // would mislabel when an empty bucket wrote no file, so parse the name.
+    val PartIdx = ".*part-(\\d+).*".r
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val k = if (bucketKey.isEmpty) i else p.getFileName.toString match {
+        case PartIdx(n) => n.toInt
+        case _ => i
+      }
       val dest = Paths.get(dataAppend, s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      dest.toString
+      (dest.toString, k)
     }
     deleteRecursively(Paths.get(staging))
-    val metas = fileMetas(spark, moved, level = 0, minSeq = batchId, maxSeq = batchId)
+    val metas = fileMetas(spark, moved.map(_._1), level = 0, minSeq = batchId, maxSeq = batchId)
+      .zip(moved).map { case (m, (_, k)) =>
+        if (bucketKey.isDefined) m.copy(bucket = Some(k)) else m
+      }
     commit(live => (live ++ metas, batchId))
   }
 
@@ -1020,15 +1037,18 @@ class StreamTable(
     * (guide.md:212-231 → :258-259); for PK tables the rewrite also resolves
     * last-writer-wins, shrinking data like Paimon's full compaction. */
   def compact(targetFileCount: Int): Snapshot =
-    rewriteLive { resolved =>
+    rewriteLive({ resolved =>
       bucketKey match {
-        // preserve the hash-bucket layout through compaction (Paimon compacts
-        // within buckets): rows stay clustered by key so post-compaction
-        // per-key reads and upsert resolution keep their co-location
-        case Some(k) => resolved.repartition(targetFileCount, col(k))
+        // preserve the hash-bucket layout through compaction (Paimon
+        // compacts WITHIN buckets — the bucket count is invariant): rows
+        // re-shuffle on the same pmod(hash(key), numBuckets) function, so
+        // per-key co-location AND the storage-partitioned-join contract
+        // survive the rewrite; targetFileCount is advisory for bucketed
+        // tables (one file per bucket is the compacted layout)
+        case Some(k) => resolved.repartition(numBuckets, col(k))
         case None    => resolved.repartition(targetFileCount)
       }
-    }
+    }, recordBuckets = bucketKey.isDefined)
 
   /** Z-order sort-compaction (Paimon's `sort-compact` with
     * `'sort-order'='zorder'`): rewrite the live set CLUSTERED on the
@@ -1081,7 +1101,8 @@ class StreamTable(
     * validated against the rewrite's own inputs/outputs (footer row counts),
     * never a re-read of the live table — a concurrent writer committing
     * mid-rewrite must not fail the check. */
-  private def rewriteLive(layout: DataFrame => DataFrame): Snapshot = {
+  private def rewriteLive(layout: DataFrame => DataFrame,
+      recordBuckets: Boolean = false): Snapshot = {
     val before = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (before.isEmpty) return latestSnapshot.orNull
     val raw = readFiles(before)
@@ -1099,15 +1120,24 @@ class StreamTable(
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
     val parts = listDir(Paths.get(staging)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    val moved = parts.zipWithIndex.map { case (p, k) =>
+    val PartIdx = ".*part-(\\d+).*".r
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      // bucketed rewrite: staging part index = bucket id (see appendBatch)
+      val k = if (!recordBuckets) i else p.getFileName.toString match {
+        case PartIdx(n) => n.toInt
+        case _ => i
+      }
       val dest = Paths.get(dataCompact, s"c$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      dest.toString
+      (dest.toString, k)
     }
     deleteRecursively(Paths.get(staging))
     val maxSeq = before.map(_.maxSeq).max
-    val metas = fileMetas(spark, moved, level = 1,
+    val metas = fileMetas(spark, moved.map(_._1), level = 1,
       minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)
+      .zip(moved).map { case (m, (_, k)) =>
+        if (recordBuckets) m.copy(bucket = Some(k)) else m
+      }
     // Conservation is validated against the rewrite's own inputs/outputs
     // (footer row counts), never a re-read of the live table — a concurrent
     // writer committing mid-compaction must not fail the check. PK tables

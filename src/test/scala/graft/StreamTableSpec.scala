@@ -639,4 +639,27 @@ class StreamTableSpec extends AnyFunSuite {
     val after = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
     assert(after.toSeq == Seq((2L, "B2"), (3L, "c")))
   }
+
+  test("legacy manifests without the bucket field still deserialize") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new StreamTable(root, spark, bucketKey = Some("id"), numBuckets = 2)
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // a bucketed write records its bucket ids
+    assert(t.latestSnapshot.get.files.forall(_.bucket.isDefined))
+    // simulate a pre-bucket-era manifest: strip the field from the JSON
+    val snapDir = java.nio.file.Paths.get(root, "_snapshots")
+    val snap = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(snapDir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("snap-")).get
+    }
+    val legacy = new String(java.nio.file.Files.readAllBytes(snap))
+      .replaceAll(",?\\s*\"bucket\":\\s*\\d+", "")
+    java.nio.file.Files.write(snap, legacy.getBytes)
+    val t2 = new StreamTable(root, spark, bucketKey = Some("id"), numBuckets = 2)
+    // missing field → None (never 0 — 0 is a real bucket id), reads intact
+    assert(t2.latestSnapshot.get.files.forall(_.bucket.isEmpty))
+    assert(t2.read.count() == 2)
+  }
 }

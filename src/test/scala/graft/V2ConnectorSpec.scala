@@ -308,6 +308,73 @@ class V2ConnectorSpec extends AnyFunSuite {
       viaRow.collect().toSeq)
   }
 
+  test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val wh = java.nio.file.Files.createTempDirectory("v2_spj_wh_").toString
+    val cat = new graft.table.GraftCatalog(spark, wh)
+    val bucketOpts = Map("bucket-key" -> "id", "bucket" -> "8")
+    val ta = cat.createTable("spj", "facts_a", bucketOpts)
+    val tb = cat.createTable("spj", "facts_b", bucketOpts)
+    import spark.implicits._
+    ta.appendBatch((0L until 4000L).map(i => (i, i * 2.0)).toDF("id", "x"), 0L)
+    ta.appendBatch((0L until 4000L).map(i => (i, i + 0.5)).toDF("id", "x"), 1L)
+    tb.appendBatch((0L until 4000L by 2).map(i => (i, s"v$i")).toDF("id", "y"), 0L)
+    val catName = s"graft_spj_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT a.id, count(*) AS n
+           |FROM $catName.spj.facts_a a JOIN $catName.spj.facts_b b ON a.id = b.id
+           |GROUP BY a.id""".stripMargin)
+      val rows = df.collect()
+      // correctness: every even id < 4000, joined twice (two A batches)
+      assert(rows.length == 2000)
+      assert(rows.forall(_.getLong(1) == 2L))
+      // the join itself required NO hash exchange on either side — the only
+      // allowed exchange is the post-join aggregation's
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"join inputs must be exchange-free (storage-partitioned):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // write/function parity: every row of every bucket partition hashes to
+    // its partition's bucket id under the catalog-served function (the scan
+    // resolves lazily, so hold the conf through planInputPartitions)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val parts = try {
+      scanOf(spark.sql(s"SELECT id, x FROM $catName.spj.facts_a"))
+        .planInputPartitions()
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    assert(parts.length == 8, s"expected 8 bucket groups, got ${parts.length}")
+    val fn = graft.sources.v2.GraftBucketLong
+    parts.foreach {
+      case p: graft.sources.v2.GraftBucketInputPartition =>
+        val ids = p.files.flatMap(f =>
+          spark.read.parquet(f._1).select("id").as[Long].collect())
+        assert(ids.nonEmpty)
+        ids.foreach { id =>
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](8, id))
+          assert(fn.produceResult(row) == p.bucketId,
+            s"id $id landed in bucket ${p.bucketId} but hashes elsewhere")
+        }
+      case other => fail(s"expected bucket partitions, got $other")
+    }
+  }
+
   test("metadata columns carry per-row provenance from the manifest") {
     val df = spark.read.format("graft").load(stagedLineitemRoot)
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
