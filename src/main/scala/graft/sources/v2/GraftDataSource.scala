@@ -456,6 +456,16 @@ class GraftScan(table: GraftV2Table, required: StructType,
 
   private[graft] def tableRoot: String = table.table.root
 
+  // ---- observability: the skipping story, visible in the Spark SQL UI ----
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftScanMetrics.all
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      GraftScanMetrics.task("graftFilesRead", kept.size),
+      GraftScanMetrics.task("graftFilesSkipped", allFiles.size - kept.size),
+      GraftScanMetrics.task("graftBytesPlanned", kept.map(_.fileSizeInBytes).sum))
+
   override def description(): String =
     s"GraftScan ${table.name()} files=${kept.size}/${allFiles.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
@@ -705,6 +715,29 @@ class GraftVectorReader(path: String, required: StructType)
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.resultBatch()
   override def close(): Unit = reader.close()
+}
+
+/** Driver-planning metrics (Spark SQL UI): how much the manifest + footer
+  * stats actually skipped — at 100 TB "files skipped" IS the query plan's
+  * quality signal, and it must be observable, not inferred from runtimes. */
+object GraftScanMetrics {
+  private class SumMetric(n: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomMetric {
+    override def name(): String = n
+    override def description(): String = desc
+    override def aggregateTaskMetrics(values: Array[Long]): String =
+      values.sum.toString
+  }
+  val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new SumMetric("graftFilesRead", "data files planned for read"),
+    new SumMetric("graftFilesSkipped", "data files skipped by footer stats"),
+    new SumMetric("graftBytesPlanned", "bytes planned for read"))
+
+  def task(n: String, v: Long): org.apache.spark.sql.connector.metric.CustomTaskMetric =
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
 }
 
 /** Driver-side eligibility proof for the columnar path. File footers are

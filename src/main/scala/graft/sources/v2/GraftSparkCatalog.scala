@@ -167,9 +167,41 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE goes through GraftCatalog.alterTable / GraftSql")
+  /** `ALTER TABLE … SET TBLPROPERTIES` in plain SQL — the reference's
+    * `ALTER TABLE … SET ('snapshot.num-retained.max' = …)` retention/
+    * compaction knobs (guide.md:180-184, :265-271) through the V2 front
+    * door. Properties merge into the warehouse option file (the Paimon
+    * WITH-clause store); structural changes keep their dedicated paths
+    * (ADD COLUMN is write-side schema evolution — just append the wider
+    * frame; mergeSchema null-fills history). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val sets = changes.collect {
+      case p: TableChange.SetProperty => p.property() -> p.value()
+    }
+    val removes = changes.collect {
+      case p: TableChange.RemoveProperty => p.property()
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    require(unsupported.isEmpty,
+      s"unsupported ALTER TABLE change(s) ${unsupported.mkString(", ")}: " +
+        "column evolution goes through StreamTable writes (mergeSchema)")
+    require(!(sets.map(_._1) ++ removes).exists(
+        Set("primary-key", "bucket-key", "bucket")),
+      "primary-key/bucketing are immutable table structure " +
+        "(rewriting the layout is a compaction job, not a property flip)")
+    if (removes.nonEmpty) {
+      // GraftCatalog's alterTable merges on write; removal rewrites the map
+      val kept = backing.tableOptions(db(ident.namespace()), ident.name()) --
+        removes
+      backing.replaceTableOptions(db(ident.namespace()), ident.name(), kept)
+    }
+    if (sets.nonEmpty)
+      backing.alterTable(db(ident.namespace()), ident.name(), sets.toMap)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)

@@ -68,6 +68,13 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     writeOptions(optsFile(db, name), merged)
   }
 
+  /** Replace the option map wholesale (property REMOVAL — [[alterTable]]
+    * only merges). */
+  def replaceTableOptions(db: String, name: String, options: Map[String, String]): Unit = {
+    require(Files.exists(optsFile(db, name)), s"no such table $db.$name")
+    writeOptions(optsFile(db, name), options)
+  }
+
   def tableOptions(db: String, name: String): Map[String, String] = {
     val f = optsFile(db, name)
     require(Files.exists(f), s"no such table $db.$name")

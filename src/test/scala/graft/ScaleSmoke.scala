@@ -112,7 +112,10 @@ object ScaleSmoke {
       // round-8 additions: Spark-native surfaces + the V2 connector
       "q_sql_recursive_cte",   // per-round frontier join, frontier shrinks
       "q_agg_approx_top_k",    // constant sketch state, map-side combined
-      "q_source_v2_pushdown")  // manifest-planned scan + stats skipping
+      "q_source_v2_pushdown",  // manifest-planned scan + stats skipping
+      // round-9 additions: the V2 pushdown suite
+      "q_source_v2_agg_pushdown", // metadata-only COUNT/MIN/MAX (zero data read)
+      "q_join_spj")            // co-bucketed join: write-time shuffle, not per-query
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

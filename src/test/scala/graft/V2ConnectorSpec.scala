@@ -278,6 +278,40 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES through the V2 catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("v2_alter_wh_").toString
+    val cat = new graft.table.GraftCatalog(spark, wh)
+    val catName = s"graft_alt_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    spark.sql(s"CREATE TABLE $catName.d.alt_t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('k0' = 'v0')")
+    spark.sql(s"ALTER TABLE $catName.d.alt_t SET TBLPROPERTIES " +
+      "('snapshot.num-retained.max' = '5', 'k0' = 'v1')")
+    val opts = cat.tableOptions("d", "alt_t")
+    assert(opts("snapshot.num-retained.max") == "5" && opts("k0") == "v1")
+    spark.sql(s"ALTER TABLE $catName.d.alt_t UNSET TBLPROPERTIES ('k0')")
+    assert(!cat.tableOptions("d", "alt_t").contains("k0"))
+    // structural keys refuse the property path
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catName.d.alt_t SET TBLPROPERTIES ('bucket' = '16')")
+    }
+    assert(e.getMessage.contains("immutable table structure"), e.getMessage)
+  }
+
+  test("scan reports skipping metrics for the SQL UI") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft").load(stagedLineitemRoot)
+      .where(col("l_orderkey").between(1000, 2500))
+    val scan = scanOf(df)
+    val m = scan.reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+    assert(m("graftFilesSkipped") > 0, s"stats must skip key-range files: $m")
+    assert(m("graftFilesRead") >= 1 && m("graftBytesPlanned") > 0, m.toString)
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      m.keySet)
+  }
+
   test("columnar fast path engages iff provably safe") {
     import org.apache.spark.sql.functions.col
     def factoryOf(df: org.apache.spark.sql.DataFrame) = {
