@@ -151,10 +151,12 @@ class GraftV2Table(tableName: String, val table: StreamTable,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, schema())
+    new GraftScanBuilder(this, schema(),
+      consumerId = Option(options.get("consumer-id")))
 
   /** Batch append (`INSERT INTO` / `df.writeTo(...).append()` /
     * `format("graft").mode("append")`): the [[org.apache.spark.sql.connector.write.V1Write]]
@@ -169,24 +171,32 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
       "writes go to the current table version")
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT OVERWRITE: Spark asks for truncate-then-append; we commit
+      // both as ONE atomic manifest swap (overwriteBatch) — readers never
+      // see an empty or half-written table
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite, "graft V2 write is append-only " +
-                "(truncation goes through StreamTable deleteWhere/rollback)")
               val next = math.max(
                 table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
-              table.appendBatch(data, next)
+              if (replace || overwrite) table.overwriteBatch(data, next)
+              else table.appendBatch(data, next)
             }
         }
     }
   }
 }
 
-class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)
+class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
+    consumerId: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -324,7 +334,7 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType)
   override def build(): Scan = pushedAgg match {
     case Some((schema, row, desc)) =>
       new GraftAggregateScan(table.name(), schema, row, desc)
-    case None => new GraftScan(table, required, pushed, limit)
+    case None => new GraftScan(table, required, pushed, limit, consumerId)
   }
 }
 
@@ -392,7 +402,8 @@ case class GraftAggregateReaderFactory(row: InternalRow)
 }
 
 class GraftScan(table: GraftV2Table, required: StructType,
-    pushed: Array[Filter], limit: Option[Int] = None) extends Scan with Batch
+    pushed: Array[Filter], limit: Option[Int] = None,
+    consumerId: Option[String] = None) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -597,10 +608,13 @@ class GraftScan(table: GraftV2Table, required: StructType,
 
   /** Streaming read: snapshot-id offsets, initial catch-up + append-only
     * increments (see [[GraftMicroBatchStream]]); the pushed predicate still
-    * reaches parquet row-group filtering in each delivered file. */
+    * reaches parquet row-group filtering in each delivered file. With
+    * `.option("consumer-id", …)` the stream registers itself as a retention
+    * root and advances it on every committed trigger (Paimon's consumer-id
+    * contract) — snapshot expiry can then never outrun a slow reader. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table.table, required, pushed)
+    new GraftMicroBatchStream(table.table, required, pushed, consumerId)
 
   override def planInputPartitions(): Array[InputPartition] = spjGroups match {
     case Some((_, groups)) =>

@@ -196,6 +196,20 @@ object V2Queries {
            |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     },
 
+    // INSERT OVERWRITE: atomic whole-table replacement — the new snapshot's
+    // live set is exactly the overwrite batch (readers see old or new,
+    // never a mix), and the replaced version stays time-travelable until
+    // retention. Staged once per sf dir: full customer, then OVERWRITE with
+    // the positive-balance slice; the read sees only the overwrite.
+    QDef(
+      "q_source_v2_overwrite",
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = overwriteTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_mktsegment, c_acctbal
+               |FROM $catName.v2db.ovw_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // Storage-partitioned join: lineitem and orders staged as CO-BUCKETED
     // graft tables (bucket(8, orderkey), recorded per file in the manifest);
     // under V2 bucketing the scans report KeyGroupedPartitioning over the
@@ -264,6 +278,23 @@ object V2Queries {
                |FROM $catName.v2db.`orders_t$$files`""".stripMargin)
     }
   )
+
+  /** customer staged as INSERT-then-OVERWRITE (the overwrite is the live
+    * version; the full insert remains as snapshot history). */
+  private val stagedOvw = new ConcurrentHashMap[String, String]()
+  private def overwriteTable(s: SparkSession, d: String): String =
+    stagedOvw.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2o_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.ovw_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.ovw_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2o_customer""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE $catName.v2db.ovw_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2o_customer
+               |WHERE c_acctbal > 0""".stripMargin)
+      catName
+    })
 
   /** lineitem + orders as CO-BUCKETED catalog tables (bucket(8, orderkey))
     * for the storage-partitioned join. */

@@ -31,9 +31,17 @@ case class GraftOffset(snapshotId: Long) extends Offset {
   * `expireSnapshots` keeps consumer offsets as retention roots for exactly
   * this reason. */
 class GraftMicroBatchStream(table: StreamTable, schema: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    consumerId: Option[String] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // consumer-id (Paimon's expiry-safe incremental read): register as a
+  // retention root up front — from this moment expireSnapshots keeps every
+  // snapshot at or beyond the consumer's position
+  consumerId.foreach { id =>
+    if (!table.consumers.exists(_._1 == id)) table.registerConsumer(id, 0L)
+  }
 
   private def snaps = table.snapshots
 
@@ -102,6 +110,10 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     GraftReaderFactory(schema, pushed,
       columnar = GraftVector.eligible(schema, pushed, None, lastPlanned))
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    // a committed trigger moves the consumer forward: the next undelivered
+    // snapshot is end+1, so retention may release everything before `end`
+    consumerId.foreach(id =>
+      table.advanceConsumer(id, end.asInstanceOf[GraftOffset].snapshotId + 1))
   override def stop(): Unit = ()
 }

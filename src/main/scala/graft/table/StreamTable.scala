@@ -171,15 +171,39 @@ class StreamTable(
     * a failure commits nothing (exactly-once file commits, the Structured
     * Streaming `batchId` + Paimon checkpoint-commit pattern). */
   def appendBatch(df: DataFrame, batchId: Long): Unit = {
-    if (latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)) {
+    if (replaySkip("appendBatch", batchId)) return
+    val metas = stageBatchFiles(df, batchId)
+    commit(live => (live ++ metas, batchId))
+  }
+
+  /** Atomic whole-table replacement (`INSERT OVERWRITE`, Paimon/Flink's
+    * batch overwrite): the new snapshot's live set is EXACTLY this batch's
+    * files — readers see the old table until the single manifest commit,
+    * then only the new one (never a mix). The replaced files stay on disk
+    * for time travel until retention expires their snapshots. Same
+    * batch-id idempotency as [[appendBatch]]. */
+  def overwriteBatch(df: DataFrame, batchId: Long): Unit = {
+    if (replaySkip("overwriteBatch", batchId)) return
+    val metas = stageBatchFiles(df, batchId)
+    commit(_ => (metas, batchId))
+  }
+
+  private def replaySkip(op: String, batchId: Long): Boolean = {
+    val skip = latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)
+    if (skip) {
       // Replay of an already-committed batch (normal after a streaming
       // restart) — but a non-monotonic id from a FRESH writer would be
       // silently dropped here, so make the skip observable. writeStream
       // avoids the fresh-checkpoint case via its writer-epoch offset.
-      log.warn(s"appendBatch skipped: batchId=$batchId already committed " +
+      log.warn(s"$op skipped: batchId=$batchId already committed " +
         s"(latest=${latestSnapshot.map(_.batchId).getOrElse(-1L)}) at $root")
-      return
     }
+    skip
+  }
+
+  /** Distributed staging write + atomic per-file rename into the append
+    * dir; returns the committed-ready file metadata. */
+  private def stageBatchFiles(df: DataFrame, batchId: Long): Seq[DataFileMeta] = {
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val stamped = df.withColumn(SeqColName, lit(batchId))
     val out = bucketKey match {
@@ -205,11 +229,10 @@ class StreamTable(
       (dest.toString, k)
     }
     deleteRecursively(Paths.get(staging))
-    val metas = fileMetas(spark, moved.map(_._1), level = 0, minSeq = batchId, maxSeq = batchId)
+    fileMetas(spark, moved.map(_._1), level = 0, minSeq = batchId, maxSeq = batchId)
       .zip(moved).map { case (m, (_, k)) =>
         if (bucketKey.isDefined) m.copy(bucket = Some(k)) else m
       }
-    commit(live => (live ++ metas, batchId))
   }
 
   /** Delete rows by key (PK tables only): commits tombstone rows that the

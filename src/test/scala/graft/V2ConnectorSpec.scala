@@ -278,6 +278,56 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("INSERT OVERWRITE replaces the table in one atomic commit") {
+    val wh = java.nio.file.Files.createTempDirectory("v2_ovw_wh_").toString
+    val catName = s"graft_ovw_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    spark.sql(s"CREATE TABLE $catName.d.ovw_t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $catName.d.ovw_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"INSERT OVERWRITE $catName.d.ovw_t VALUES (10, 'x'), (11, 'y')")
+    val now = spark.sql(s"SELECT id, v FROM $catName.d.ovw_t ORDER BY id").collect()
+    assert(now.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "x"), (11L, "y")))
+    // the replaced version remains time-travelable (snapshot 0 = the insert)
+    val old = spark.sql(
+      s"SELECT id FROM $catName.d.ovw_t VERSION AS OF 0 ORDER BY id").collect()
+    assert(old.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming consumer-id registers and advances a retention root") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_cons_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a")).toDF("id", "s"), 0L)
+    tbl.appendBatch(Seq((2L, "b")).toDF("id", "s"), 1L)
+    val chk = java.nio.file.Files.createTempDirectory("v2_cons_chk_").toString
+    val out = java.nio.file.Files.createTempDirectory("v2_cons_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("consumer-id", "etl-job").load(root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", chk).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // registration is immediate (the root exists before any expiry window)
+    assert(tbl.consumers.toMap.contains("etl-job"))
+    tbl.appendBatch(Seq((3L, "c")).toDF("id", "s"), 2L)
+    drain()
+    // a later run commits the earlier trigger: the consumer has advanced
+    // past the first drained snapshot (commit() is post-checkpoint, so the
+    // position trails by at most one trigger — retention keeps that margin)
+    val pos = tbl.consumers.toMap.apply("etl-job")
+    assert(pos >= 2L, s"consumer must advance after a committed trigger, got $pos")
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES through the V2 catalog") {
     val wh = java.nio.file.Files.createTempDirectory("v2_alter_wh_").toString
     val cat = new graft.table.GraftCatalog(spark, wh)
