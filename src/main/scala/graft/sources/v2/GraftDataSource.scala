@@ -411,13 +411,41 @@ class GraftScan(table: GraftV2Table, required: StructType,
   // ---- driver-side file skipping (eager: explain shows the real counts) --
   private val allFiles = table.liveFiles
   private var kept: Seq[DataFileMeta] = {
-    if (pushed.isEmpty) allFiles
+    // bucket pruning first (pure arithmetic, no footer I/O): a point lookup
+    // `bucketKey = v` can only live in bucket pmod(murmur3(v), n) — on a
+    // bucketed table that is a 1/numBuckets metadata-only cut BEFORE any
+    // stats pass (Paimon's PK point read). Files without a recorded bucket
+    // (legacy/maintenance) conservatively survive.
+    val bucketPruned = bucketPointLookup match {
+      case Some(b) => allFiles.filter(_.bucket.forall(_ == b))
+      case None => allFiles
+    }
+    if (pushed.isEmpty) bucketPruned
     else {
       val conf = new Configuration()
-      allFiles.filter { f =>
+      bucketPruned.filter { f =>
         val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
         pushed.forall(keepFile(_, mins, maxs))
       }
+    }
+  }
+
+  /** The target bucket id when the pushed filters pin the bucket key to a
+    * single value on a bucket-keyed table. */
+  private def bucketPointLookup: Option[Int] = {
+    val t = table.table
+    for {
+      k <- t.bucketKey
+      dt <- table.schema().find(_.name == k).map(_.dataType)
+      if dt == LongType || dt == IntegerType
+      v <- pushed.collectFirst { case EqualTo(a, v: Number) if a == k => v }
+    } yield {
+      // the same function SPJ serves from the catalog — one definition of
+      // the layout, used by write, join alignment, and pruning alike
+      val in = new GenericInternalRow(Array[Any](t.numBuckets,
+        if (dt == LongType) v.longValue() else v.intValue()))
+      (if (dt == LongType) GraftBucketLong else GraftBucketInt)
+        .produceResult(in).intValue()
     }
   }
 

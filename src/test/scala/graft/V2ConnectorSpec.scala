@@ -278,6 +278,30 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("bucket pruning: a point lookup reads one bucket's files") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("v2_bpt_wh_").toString
+    val cat = new graft.table.GraftCatalog(spark, wh)
+    val t = cat.createTable("d", "pt_t", Map("bucket-key" -> "id", "bucket" -> "8"))
+    import spark.implicits._
+    t.appendBatch((0L until 4000L).map(i => (i, i * 3.0)).toDF("id", "x"), 0L)
+    t.appendBatch((4000L until 8000L).map(i => (i, i * 3.0)).toDF("id", "x"), 1L)
+    val catName = s"graft_bpt_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    val df = spark.sql(s"SELECT id, x FROM $catName.d.pt_t WHERE id = 1234")
+    val desc = scanOf(df).description()
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt == 16, desc)
+    // arithmetic prunes to the key's bucket: ≤ 1 file per batch (stats may
+    // drop the second batch too — 1234 is outside its key range)
+    assert(kept.toInt <= 2, s"point lookup must stay in one bucket: $desc")
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1234L, 3702.0)))
+  }
+
   test("INSERT OVERWRITE replaces the table in one atomic commit") {
     val wh = java.nio.file.Files.createTempDirectory("v2_ovw_wh_").toString
     val catName = s"graft_ovw_${Integer.toHexString(wh.hashCode).take(6)}"
