@@ -181,7 +181,14 @@ class StreamTable(
     * files — readers see the old table until the single manifest commit,
     * then only the new one (never a mix). The replaced files stay on disk
     * for time travel until retention expires their snapshots. Same
-    * batch-id idempotency as [[appendBatch]]. */
+    * batch-id idempotency as [[appendBatch]].
+    *
+    * Concurrency: an overwrite racing a concurrent append is
+    * last-committer-wins for the WHOLE table (the overwrite's live set is
+    * total by definition — an append that commits before it is replaced
+    * like any pre-existing data, one that commits after it survives).
+    * Quiesce streaming writers before an overwrite whose input was derived
+    * from the table itself. */
   def overwriteBatch(df: DataFrame, batchId: Long): Unit = {
     if (replaySkip("overwriteBatch", batchId)) return
     val metas = stageBatchFiles(df, batchId)
