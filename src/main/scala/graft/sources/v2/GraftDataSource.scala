@@ -105,7 +105,14 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     * rewrite — the reader fills them from the manifest entry it is already
     * holding, so they cost nothing. `SELECT _graft_file, _graft_seq FROM t`
     * works in plain SQL through the catalog. */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    // a data column that uses a metadata name shadows it (stored data wins)
+    val dataNames =
+      try schema().fieldNames.toSet catch { case _: Exception => Set.empty[String] }
+    all.filterNot(m => dataNames.contains(m.name()))
+  }
+
+  private def all: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = GraftV2Table.FileCol
@@ -235,8 +242,11 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     // narrow column so the reader still paces row counts correctly
     val kept = fullSchema.filter(f => keep.contains(f.name))
     // requested METADATA columns (_graft_file/_graft_seq) ride after the
-    // data columns; the reader fills them from the manifest entry
-    val meta = requiredSchema.fields.filter(f => GraftV2Table.MetaCols.contains(f.name))
+    // data columns; the reader fills them from the manifest entry. A real
+    // data column with a metadata name shadows the metadata column (it is
+    // already in `kept`) — stored data always wins over manifest constants.
+    val meta = requiredSchema.fields.filter(f =>
+      GraftV2Table.MetaCols.contains(f.name) && !fullSchema.fieldNames.contains(f.name))
     required = if (kept.nonEmpty) StructType(kept ++ meta)
       else StructType(fullSchema.take(1) ++ meta)
   }
@@ -267,11 +277,23 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
 
+  // Spark probes supportCompletePushDown then pushAggregation with the same
+  // Aggregation — memoize so the footer pass runs once, not twice
+  private var lastAnswer: Option[(Aggregation, Option[(StructType, InternalRow, String)])] = None
+  private def answerCached(agg: Aggregation): Option[(StructType, InternalRow, String)] =
+    lastAnswer match {
+      case Some((a, ans)) if a eq agg => ans
+      case _ =>
+        val ans = answerFor(agg)
+        lastAnswer = Some((agg, ans))
+        ans
+    }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerFor(agg).isDefined
+    answerCached(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    answerFor(agg) match {
+    answerCached(agg) match {
       case Some(ans) => pushedAgg = Some(ans); true
       case None => false
     }
@@ -606,11 +628,24 @@ class GraftScan(table: GraftV2Table, required: StructType,
     // runtime pruning stands down (SPJ already avoided the exchange)
     if (spjGroups.isDefined) return
     val conf = new Configuration()
+    // footers are immutable per path: read each at most once even across
+    // multiple runtime predicates (the static pass may have read them too —
+    // a production manifest would carry the stats and skip the I/O)
+    val statsMemo = scala.collection.mutable.Map[String, (Map[String, String], Map[String, String])]()
+    def stats(path: String) = statsMemo.getOrElseUpdate(path, {
+      val (_, mins, maxs) = StreamTable.footerStats(path, conf)
+      (mins, maxs)
+    })
     predicates.foreach { p =>
       val perValue: Option[(String, Seq[Any])] = p.name() match {
         case "IN" =>
-          for (n <- refName(p.children().head)) yield
-            n -> p.children().drop(1).toSeq.flatMap(litValue)
+          // EVERY child must convert — a dropped unconvertible value would
+          // over-prune files that only contain its rows
+          val vals = p.children().drop(1).toSeq.map(litValue)
+          for {
+            n <- refName(p.children().head)
+            if vals.forall(_.isDefined)
+          } yield n -> vals.flatten
         case "=" if p.children().length == 2 =>
           (refName(p.children()(0)), litValue(p.children()(1))) match {
             case (Some(n), Some(v)) => Some(n -> Seq(v))
@@ -623,7 +658,7 @@ class GraftScan(table: GraftV2Table, required: StructType,
       }
       perValue.foreach { case (n, values) if values.nonEmpty =>
         kept = kept.filter { f =>
-          val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+          val (mins, maxs) = stats(f.path)
           // keep the file if ANY key could be in it (conservative overlap)
           values.exists(v => keepFile(EqualTo(n, v), mins, maxs))
         }
@@ -793,8 +828,12 @@ object GraftVector {
   private val fieldCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, PrimitiveType]]()
 
-  /** Per-file primitive layout (name → primitive type), footer-cached. */
-  private def layout(path: String): Map[String, PrimitiveType] =
+  /** Per-file primitive layout (name → primitive type), footer-cached.
+    * Bounded: compaction/overwrite keep minting new immutable paths, so a
+    * long-lived driver would otherwise accumulate entries for dead files —
+    * dropping the whole cache is only a re-read, never a correctness risk. */
+  private def layout(path: String): Map[String, PrimitiveType] = {
+    if (fieldCache.size() > 8192) fieldCache.clear()
     fieldCache.computeIfAbsent(path, { p =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p), new Configuration())
@@ -808,6 +847,7 @@ object GraftVector {
         }.toMap
       } finally r.close()
     })
+  }
 
   /** Does this parquet primitive decode EXACTLY as the declared Spark type
     * under the vectorized reader's own schema conversion? Strict by design:
@@ -880,8 +920,9 @@ class GraftPartitionReader(path: String, required: StructType,
   // projection: requested DATA columns present in THIS file (schema
   // evolution: columns a file predates are null-filled at assembly;
   // metadata columns are filled from the manifest entry, never the file)
-  private val present = required.fields.filter(f =>
-    !GraftV2Table.MetaCols.contains(f.name) && inFile(f.name))
+  // a metadata name present in the FILE is a real (shadowing) data column,
+  // so file presence alone decides projection membership
+  private val present = required.fields.filter(f => inFile(f.name))
   // getType is overload-ambiguous from Scala (String vs String*); index it
   private def fieldType(name: String) =
     fileSchema.getFields.get(fileSchema.getFieldIndex(name))
@@ -972,8 +1013,8 @@ class GraftPartitionReader(path: String, required: StructType,
   private val fieldPlan: Array[(Int, DataType, PrimitiveType)] = {
     var projIdx = -1
     required.fields.map { f =>
-      if (f.name == GraftV2Table.FileCol) (-2, f.dataType, null)
-      else if (f.name == GraftV2Table.SeqMetaCol) (-3, f.dataType, null)
+      if (f.name == GraftV2Table.FileCol && !inFile(f.name)) (-2, f.dataType, null)
+      else if (f.name == GraftV2Table.SeqMetaCol && !inFile(f.name)) (-3, f.dataType, null)
       else if (!inFile(f.name)) (-1, f.dataType, null)
       else {
         projIdx += 1

@@ -189,8 +189,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       s"unsupported ALTER TABLE change(s) ${unsupported.mkString(", ")}: " +
         "column evolution goes through StreamTable writes (mergeSchema)")
     require(!(sets.map(_._1) ++ removes).exists(
-        Set("primary-key", "bucket-key", "bucket")),
-      "primary-key/bucketing are immutable table structure " +
+        Set("primary-key", "bucket-key", "bucket", SchemaOption)),
+      "primary-key/bucketing/declared-schema are immutable table structure " +
         "(rewriting the layout is a compaction job, not a property flip)")
     if (removes.nonEmpty) {
       // GraftCatalog's alterTable merges on write; removal rewrites the map

@@ -227,6 +227,10 @@ object V2Queries {
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY l.l_orderkey ORDER BY okey""".stripMargin) { (s, d) =>
       val catName = spjTables(s, d)
+      // deliberately session-global and NOT restored: plans resolve lazily
+      // (a restore here would disable SPJ at execution time), and the conf
+      // only changes scans of bucket-keyed graft tables — in this registry,
+      // exactly the two tables this query stages
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(
         s"""SELECT l.l_orderkey AS okey, count(*) AS n_lines,

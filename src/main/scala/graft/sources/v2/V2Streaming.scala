@@ -112,8 +112,15 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
 
   override def commit(end: Offset): Unit =
     // a committed trigger moves the consumer forward: the next undelivered
-    // snapshot is end+1, so retention may release everything before `end`
-    consumerId.foreach(id =>
-      table.advanceConsumer(id, end.asInstanceOf[GraftOffset].snapshotId + 1))
+    // snapshot is end+1, so retention may release everything before `end`.
+    // Only ever move FORWARD: a second query sharing the id (or a restored
+    // older checkpoint) may trail the stored position — retention roots
+    // must honor the slowest legitimate reader, never crash the query
+    // (advanceConsumer itself refuses regressions).
+    consumerId.foreach { id =>
+      val next = end.asInstanceOf[GraftOffset].snapshotId + 1
+      if (!table.consumers.exists { case (cid, pos) => cid == id && pos >= next })
+        table.advanceConsumer(id, next)
+    }
   override def stop(): Unit = ()
 }

@@ -220,26 +220,39 @@ class StreamTable(
       case None    => stamped
     }
     out.write.mode("overwrite").parquet(staging)
-    val parts = listDir(Paths.get(staging)).iterator
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    // bucketed write: the STAGING part index (part-NNNNN) IS the bucket id
-    // (the shuffle partition of repartition(numBuckets, key)). zipWithIndex
-    // would mislabel when an empty bucket wrote no file, so parse the name.
-    val PartIdx = ".*part-(\\d+).*".r
-    val moved = parts.zipWithIndex.map { case (p, i) =>
-      val k = if (bucketKey.isEmpty) i else p.getFileName.toString match {
-        case PartIdx(n) => n.toInt
-        case _ => i
-      }
-      val dest = Paths.get(dataAppend, s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      (dest.toString, k)
-    }
-    deleteRecursively(Paths.get(staging))
+    val moved = moveStagedParts(staging, dataAppend, s"b$batchId")
     fileMetas(spark, moved.map(_._1), level = 0, minSeq = batchId, maxSeq = batchId)
       .zip(moved).map { case (m, (_, k)) =>
         if (bucketKey.isDefined) m.copy(bucket = Some(k)) else m
       }
+  }
+
+  /** Atomically rename staged parquet parts into `destDir` as
+    * `<prefix>-<uuid>-<k>.parquet` and return (path, k) in part order.
+    *
+    * `k` is the STAGING part index (part-NNNNN) — for a bucketed layout
+    * that IS the bucket id (the shuffle partition of
+    * `repartition(numBuckets, key)`). zipWithIndex would mislabel whenever
+    * an empty bucket wrote no file, so the name is authoritative; the
+    * index is only the unbucketed/unparseable fallback. This is the ONE
+    * definition of the staging→bucket contract — append and maintenance
+    * rewrites must never diverge on it. */
+  private def moveStagedParts(staging: String, destDir: String,
+      prefix: String): Seq[(String, Int)] = {
+    val parts = listDir(Paths.get(staging)).iterator
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val PartIdx = ".*part-(\\d+).*".r
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val k = p.getFileName.toString match {
+        case PartIdx(n) => n.toInt
+        case _ => i
+      }
+      val dest = Paths.get(destDir, s"$prefix-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      (dest.toString, k)
+    }
+    deleteRecursively(Paths.get(staging))
+    moved
   }
 
   /** Delete rows by key (PK tables only): commits tombstone rows that the
@@ -1148,20 +1161,7 @@ class StreamTable(
     val rewritten = layout(resolved)
     rewritten.write.mode("overwrite").parquet(staging)
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
-    val parts = listDir(Paths.get(staging)).iterator
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    val PartIdx = ".*part-(\\d+).*".r
-    val moved = parts.zipWithIndex.map { case (p, i) =>
-      // bucketed rewrite: staging part index = bucket id (see appendBatch)
-      val k = if (!recordBuckets) i else p.getFileName.toString match {
-        case PartIdx(n) => n.toInt
-        case _ => i
-      }
-      val dest = Paths.get(dataCompact, s"c$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      (dest.toString, k)
-    }
-    deleteRecursively(Paths.get(staging))
+    val moved = moveStagedParts(staging, dataCompact, s"c$snapId")
     val maxSeq = before.map(_.maxSeq).max
     val metas = fileMetas(spark, moved.map(_._1), level = 1,
       minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)

@@ -278,6 +278,18 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("a data column named like a metadata column shadows it (stored data wins)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_shadow_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, 777L), (2L, 888L)).toDF("id", "_graft_seq"), 0L)
+    val rows = spark.read.format("graft").load(root)
+      .select("id", "_graft_seq").orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(777L, 888L),
+      "stored values, not manifest constants")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("bucket pruning: a point lookup reads one bucket's files") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("v2_bpt_wh_").toString
