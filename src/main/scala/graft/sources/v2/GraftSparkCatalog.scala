@@ -259,24 +259,27 @@ private[graft] sealed abstract class GraftBucketScalar(keyType: org.apache.spark
     org.apache.spark.sql.types.IntegerType
   override def name(): String = "bucket"
   override def isResultNullable: Boolean = false
-  protected def hash(row: org.apache.spark.sql.catalyst.InternalRow): Int
-  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
-    val n = input.getInt(0)
-    val h = if (input.isNullAt(1)) 42 else hash(input)
+  protected final def pmod(h: Int, n: Int): Integer =
     Integer.valueOf(((h % n) + n) % n)
-  }
 }
 
+// produceResult must be DECLARED on the concrete class — Spark resolves the
+// function reflectively via getDeclaredMethod, which ignores inherited
+// overrides (SCALAR_FUNCTION_NOT_FULLY_IMPLEMENTED otherwise)
 private[graft] object GraftBucketLong extends GraftBucketScalar(org.apache.spark.sql.types.LongType) {
   override def canonicalName(): String = "graft.bucket.long"
-  override protected def hash(r: org.apache.spark.sql.catalyst.InternalRow): Int =
-    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(r.getLong(1), 42)
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+    pmod(if (input.isNullAt(1)) 42
+      else org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(input.getLong(1), 42),
+      input.getInt(0))
 }
 
 private[graft] object GraftBucketInt extends GraftBucketScalar(org.apache.spark.sql.types.IntegerType) {
   override def canonicalName(): String = "graft.bucket.int"
-  override protected def hash(r: org.apache.spark.sql.catalyst.InternalRow): Int =
-    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(r.getInt(1), 42)
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+    pmod(if (input.isNullAt(1)) 42
+      else org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(input.getInt(1), 42),
+      input.getInt(0))
 }
 
 object GraftSparkCatalog {

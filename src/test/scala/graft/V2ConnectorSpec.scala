@@ -495,6 +495,49 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ shuffles an unbucketed side INTO the bucketed layout") {
+    // the strongest hash-parity proof: Spark evaluates GraftBucketFunction
+    // to shuffle the plain side; every matching row must land in the same
+    // partition as the bucketed files' rows or the join silently loses them
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("v2_spjs_wh_").toString
+    val cat = new graft.table.GraftCatalog(spark, wh)
+    val t = cat.createTable("spj", "facts_c",
+      Map("bucket-key" -> "id", "bucket" -> "8"))
+    t.appendBatch((0L until 5000L).map(i => (i, i * 2.0)).toDF("id", "x"), 0L)
+    val catName = s"graft_spjs_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    (0L until 5000L by 5).map(i => (i, s"p$i")).toDF("id", "y")
+      .createOrReplaceTempView("spjs_plain")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT count(*) AS n FROM $catName.spj.facts_c a
+           |JOIN spjs_plain p ON a.id = p.id""".stripMargin)
+      assert(df.head().getLong(0) == 1000L, "every 5th id joins exactly once")
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SMJ:\n$plan")
+      // the bucketed side must NOT re-shuffle; the plain side may
+      val joinSub = plan.substring(joinIdx)
+      assert(!joinSub.contains("BatchScan") ||
+        !joinSub.substring(0, joinSub.indexOf("BatchScan"))
+          .contains("Exchange hashpartitioning"),
+        s"bucketed side must stay exchange-free:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("metadata columns carry per-row provenance from the manifest") {
     val df = spark.read.format("graft").load(stagedLineitemRoot)
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
