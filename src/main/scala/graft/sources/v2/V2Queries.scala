@@ -214,10 +214,12 @@ object V2Queries {
     // graft tables (bucket(8, orderkey), recorded per file in the manifest);
     // under V2 bucketing the scans report KeyGroupedPartitioning over the
     // catalog-served bucket function, so the fact-fact join needs NO
-    // exchange on either side (V2ConnectorSpec asserts the exchange-free
-    // SMJ; at bench scale AQE may still pick a broadcast — the ORACLE pins
-    // values, the spec pins the plan). The 100 TB fact-fact join story:
-    // pay the shuffle once at write time, never per query.
+    // exchange on either side. The MERGE hint pins the sort-merge join at
+    // every scale (broadcast would otherwise usurp it at test SF), so the
+    // registry query executes the genuinely storage-partitioned plan —
+    // V2ConnectorSpec additionally asserts exchange-freedom. The 100 TB
+    // fact-fact join story: pay the shuffle once at write time, never per
+    // query.
     QDef(
       "q_join_spj",
       """SELECT l.l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n_lines,
@@ -233,7 +235,7 @@ object V2Queries {
       // exactly the two tables this query stages
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(
-        s"""SELECT l.l_orderkey AS okey, count(*) AS n_lines,
+        s"""SELECT /*+ MERGE(l) */ l.l_orderkey AS okey, count(*) AS n_lines,
            |       CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
            |       max(o.o_totalprice) AS o_total
            |FROM $catName.v2db.spj_lineitem l

@@ -495,6 +495,19 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_spj executes the storage-partitioned SMJ as registered") {
+    val df = SparkEntry.queries("q_join_spj")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val i = plan.indexOf("SortMergeJoin")
+    assert(i >= 0, s"MERGE hint must pin the SMJ:\n$plan")
+    // no hash exchange ANYWHERE: the join consumes the bucket layout, and
+    // even the per-key aggregation above reuses it (group key = join key);
+    // the only exchange in the whole plan is the ORDER BY's range partition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the storage-partitioned plan must need no hash exchange:\n$plan")
+  }
+
   test("SPJ shuffles an unbucketed side INTO the bucketed layout") {
     // the strongest hash-parity proof: Spark evaluates GraftBucketFunction
     // to shuffle the plain side; every matching row must land in the same
