@@ -62,7 +62,7 @@ object PlanDump {
       "q_agg_approx_top_k" -> "approx_top_k: constant-size sketch state partial-combines map-side (one ObjectHashAggregate row crosses the shuffle, never the key space); exact in this regime because capacity exceeds the distinct count.",
       "q_ext_dedup_e2e" -> "End-to-end dedup: banded candidates (self-joins, never all-pairs) feed the CC fixpoint — the shown plan is the FINAL flat round (lineage-truncated) + the label roll-up; per round one edge-label shuffle + min-groupBy + pointer-jump self-join.",
       "q_source_v2_agg_pushdown" -> "V2 aggregate pushdown: COUNT/MIN/MAX collapsed into GraftAggregateScan (PushedAggregates) — the answer is one precomputed row from manifest rowCounts + typed footer stats; NO aggregate exec, zero data bytes read.",
-      "q_join_spj" -> "Storage-partitioned join: both bucketed scans report KeyGroupedPartitioning(bucket(8, key)), so the fact-fact join has NO exchange on either input (at bench scale AQE may broadcast the small side instead — the spec pins the exchange-free SMJ with broadcast disabled); the only hash exchange left is the post-join aggregation's.")
+      "q_join_spj" -> "Storage-partitioned join: both bucketed scans report KeyGroupedPartitioning(bucket(8, key)) and the MERGE hint pins the SMJ — ZERO hash exchanges in the whole plan: the join consumes the bucket layout and the per-key aggregation above reuses it (group key = join key); the only exchange is the final ORDER BY's range partition.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")
