@@ -640,6 +640,20 @@ class StreamTableSpec extends AnyFunSuite {
     assert(after.toSeq == Seq((2L, "B2"), (3L, "c")))
   }
 
+  test("overwriteBatch replaces atomically and is idempotent on batch id") {
+    import spark.implicits._
+    val t = new StreamTable(tmp(), spark)
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    t.overwriteBatch(Seq((9L, "z")).toDF("id", "v"), 1L)
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // replay of the same batch id commits nothing (exactly-once)
+    t.overwriteBatch(Seq((7L, "x"), (8L, "y")).toDF("id", "v"), 1L)
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(t.snapshots.size == 2)
+    // the pre-overwrite version remains readable
+    assert(t.readAt(0L).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("legacy manifests without the bucket field still deserialize") {
     import spark.implicits._
     val root = tmp()
