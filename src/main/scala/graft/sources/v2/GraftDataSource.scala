@@ -64,7 +64,9 @@ import graft.table.{DataFileMeta, StreamTable}
 class GraftDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft"
-  override def supportsExternalMetadata(): Boolean = false
+  // a streaming SINK's target may not exist yet: accept the write query's
+  // schema as the declared schema (committed files always win once present)
+  override def supportsExternalMetadata(): Boolean = true
 
   private def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -77,7 +79,7 @@ class GraftDataSource extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    GraftV2Table.fromPath(properties.get("path"))
+    GraftV2Table.fromPath(properties.get("path"), Option(schema))
 }
 
 object GraftV2Table {
@@ -86,10 +88,10 @@ object GraftV2Table {
   val SeqMetaCol = "_graft_seq"
   val MetaCols: Set[String] = Set(FileCol, SeqMetaCol)
 
-  def fromPath(root: String): GraftV2Table = {
+  def fromPath(root: String, declared: Option[StructType] = None): GraftV2Table = {
     val spark = SparkSession.active
     val table = new StreamTable(root, spark)
-    new GraftV2Table(s"graft.`$root`", table, spark)
+    new GraftV2Table(s"graft.`$root`", table, spark, declared)
   }
 }
 
@@ -159,7 +161,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema(),
@@ -197,6 +199,15 @@ class GraftV2Table(tableName: String, val table: StreamTable,
               if (replace || overwrite) table.overwriteBatch(data, next)
               else table.appendBatch(data, next)
             }
+
+          // `df.writeStream.format("graft")` / `.toTable(...)`: the native
+          // streaming sink (executor parquet writers + one snapshot per
+          // epoch, exactly-once via the per-queryId writer offset)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!replace, "streaming writes are append-only")
+            new GraftStreamingWrite(table, info.schema(), info.queryId())
+          }
         }
     }
   }

@@ -227,6 +227,48 @@ class StreamTable(
       }
   }
 
+  /** Commit files written OUTSIDE the table's own staging (the V2 streaming
+    * sink's executor-side writers): move them into the append dir and
+    * publish one snapshot. Same batch-id idempotency as [[appendBatch]] — a
+    * replayed epoch deletes its files and commits nothing. */
+  private[graft] def commitExternalFiles(staged: Seq[String], batchId: Long): Unit = {
+    if (replaySkip("commitExternalFiles", batchId)) {
+      staged.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      return
+    }
+    val moved = staged.zipWithIndex.map { case (p, k) =>
+      val dest = Paths.get(dataAppend,
+        s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+    val metas = fileMetas(spark, moved, level = 0, minSeq = batchId, maxSeq = batchId)
+    commit(live => (live ++ metas, batchId))
+  }
+
+  /** Stable batch-id offset for an external writer identity (the V2 sink's
+    * streaming queryId): first use pins `latest+1` durably under
+    * `_writers/`, so restarts of the SAME checkpoint reuse it (epoch
+    * replays stay idempotent) while a NEW query gets a fresh, larger
+    * offset (its epoch 0 cannot collide with committed batches) — the
+    * writer-epoch contract of [[writeStream]], keyed by query identity
+    * instead of checkpoint directory. */
+  private[graft] def writerOffset(writerId: String): Long = {
+    require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
+    val dir = Paths.get(root, "_writers")
+    Files.createDirectories(dir)
+    val f = dir.resolve(writerId)
+    if (Files.exists(f)) return new String(Files.readAllBytes(f)).trim.toLong
+    val off = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, off.toString.getBytes)
+    try { Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE); off }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      new String(Files.readAllBytes(f)).trim.toLong
+    }
+  }
+
   /** Atomically rename staged parquet parts into `destDir` as
     * `<prefix>-<uuid>-<k>.parquet` and return (path, k) in part order.
     *

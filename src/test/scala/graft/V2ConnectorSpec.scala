@@ -314,6 +314,73 @@ class V2ConnectorSpec extends AnyFunSuite {
       Seq((1234L, 3702.0)))
   }
 
+  test("native streaming sink: graft-to-graft pipe, exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("v2_sink_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("v2_sink_dst_").toString
+    val chk = java.nio.file.Files.createTempDirectory("v2_sink_chk_").toString
+    val srcT = new StreamTable(src, spark)
+    srcT.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), 0L)
+
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pipe()
+    val dstT = new StreamTable(dst, spark)
+    assert(dstT.read.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // incremental: only the new source commit flows; no duplicates
+    srcT.appendBatch(Seq((3L, "c")).toDF("id", "s"), 1L)
+    pipe()
+    assert(dstT.read.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // a FRESH checkpoint (new queryId) re-delivers the live set under a new
+    // writer offset — appended, never silently skipped as an epoch replay
+    val chk2 = java.nio.file.Files.createTempDirectory("v2_sink_chk2_").toString
+    val q2 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", chk2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(dstT.read.count() == 6, "fresh query must append, not no-op")
+    // PK tables are refused: PK identity lives in the catalog, and the
+    // catalog refuses PK tables at load (before any write machinery); the
+    // sink's own require is the second fence for direct API use
+    val wh = java.nio.file.Files.createTempDirectory("v2_sink_pk_wh_").toString
+    val cat = new graft.table.GraftCatalog(spark, wh)
+    cat.createTable("d", "pk_sink", Map("primary-key" -> "id"))
+    val catName = s"graft_psk_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("v2_sink_chk3_").toString)
+        .toTable(s"$catName.d.pk_sink")
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("primary-key table"),
+      s"PK sink must refuse: ${e.getMessage}")
+    // and the direct-API fence
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.sources.v2.GraftStreamingWrite(
+        new StreamTable(java.nio.file.Files.createTempDirectory("v2_pk2_").toString,
+          spark, primaryKey = Some(Seq("id"))),
+        new org.apache.spark.sql.types.StructType().add("id", "long"), "q1")
+    }
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    Seq(src, dst).foreach(p => StreamTable.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("INSERT OVERWRITE replaces the table in one atomic commit") {
     val wh = java.nio.file.Files.createTempDirectory("v2_ovw_wh_").toString
     val catName = s"graft_ovw_${Integer.toHexString(wh.hashCode).take(6)}"
