@@ -196,6 +196,22 @@ object V2Queries {
            |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     },
 
+    // Native streaming SINK (the write-side dual of q_stream_v2_source): a
+    // graft→graft pipe — readStream from the 8-range-batch table through
+    // writeStream.format("graft"), executor parquet writers committing one
+    // snapshot per epoch with per-queryId writer offsets (exactly-once
+    // across restarts). The sink table's batch read must equal the source
+    // projection = the oracle. A 24th real Structured Streaming job.
+    QDef(
+      "q_stream_v2_sink",
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_quantity""".stripMargin) { (s, d) =>
+      val dst = sinkTable(s, d)
+      s.read.format("graft").load(dst)
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")
+    },
+
     // INSERT OVERWRITE: atomic whole-table replacement — the new snapshot's
     // live set is exactly the overwrite batch (readers see old or new,
     // never a mix), and the replaced version stays time-travelable until
@@ -284,6 +300,25 @@ object V2Queries {
                |FROM $catName.v2db.`orders_t$$files`""".stripMargin)
     }
   )
+
+  /** graft→graft streaming pipe: the staged lineitem table drained through
+    * the native V2 sink once per sf dir (AvailableNow; the checkpoint rides
+    * beside the sink so a re-stage would resume, not duplicate). */
+  private val stagedSink = new ConcurrentHashMap[String, String]()
+  private def sinkTable(s: SparkSession, d: String): String =
+    stagedSink.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.streaming.Trigger
+      val src = lineitemTable(s, d)
+      val dst = Files.createTempDirectory("graft_v2_sink_").toString
+      val chk = s"$dst/_pipe_checkpoint"
+      val q = s.readStream.format("graft").load(src)
+        .select("l_orderkey", "l_quantity")
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dst
+    })
 
   /** customer staged as INSERT-then-OVERWRITE (the overwrite is the live
     * version; the full insert remains as snapshot history). */
