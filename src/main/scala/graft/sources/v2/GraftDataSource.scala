@@ -78,8 +78,23 @@ class GraftDataSource extends TableProvider
     GraftV2Table.fromPath(rootOf(options)).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    GraftV2Table.fromPath(properties.get("path"), Option(schema))
+      properties: util.Map[String, String]): Table = {
+    // with supportsExternalMetadata Spark may skip inferSchema (its path
+    // validation included) — a missing path must still fail loudly here,
+    // never silently create a table rooted at the literal "null"
+    val p = properties.get("path")
+    require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<tableRoot>)")
+    val t = GraftV2Table.fromPath(p, Option(schema))
+    // a COMMITTED table's schema comes from its files; a user-specified
+    // read schema that differs is an unsupported projection, not a silent
+    // no-op (the declared schema only resolves not-yet-committed sinks)
+    if (schema != null && t.table.latestSnapshot.isDefined && schema != t.schema())
+      throw new IllegalArgumentException(
+        s"graft does not support a user-specified read schema on a " +
+          s"committed table (got ${schema.catalogString}, " +
+          s"table is ${t.schema().catalogString})")
+    t
+  }
 }
 
 object GraftV2Table {

@@ -51,19 +51,48 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
       "StreamTable.writeStream (the LWW view needs the stamped commit sequence)")
   GraftStreamingWrite.parquetSchema(schema) // fail at planning, not in tasks
 
+  /** Filesystem-safe writer identity: the streaming queryId (stable across
+    * restarts of the same checkpoint, fresh for a new one). */
+  private val writerId = "q" + queryId.replaceAll("[^A-Za-z0-9._-]", "")
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(table.root, schema)
+    GraftStreamingWriterFactory(table.root, schema, writerId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val batchId = table.writerOffset(queryId) + epochId
-    val files = messages.collect { case m: GraftSinkCommitMessage => m.path }
-    if (files.nonEmpty) table.commitExternalFiles(files.toSeq, batchId)
+    val (empty, data) = messages.collect { case m: GraftSinkCommitMessage => m }
+      .partition(_.rows == 0L)
+    // a no-row partition's file never enters the manifest (a trickle stream
+    // would otherwise accrue parallelism-many empty files per epoch)
+    empty.foreach(m =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.path)))
+    if (data.nonEmpty)
+      table.commitExternalFiles(data.map(_.path).toSeq, writerId, epochId)
+    sweepOrphans(epochId)
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: GraftSinkCommitMessage => m.path }
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    sweepOrphans(epochId)
+  }
+
+  /** Delete THIS writer's staging leftovers for epochs at or before the one
+    * just resolved: a task that died before sending its commit message (lost
+    * executor, speculation) leaves a file no commit or abort ever
+    * references — without this sweep the table root leaks disk forever.
+    * Committed files were MOVED out of staging, so everything still matching
+    * our prefix at ≤ epochId is an orphan; other writers' files (different
+    * writer id in the name) are untouched. */
+  private def sweepOrphans(epochId: Long): Unit = {
+    val Re = s"\\.sink-${java.util.regex.Pattern.quote(writerId)}-e(\\d+)-.*".r
+    StreamTable.listDir(java.nio.file.Paths.get(table.root)).foreach { p =>
+      p.getFileName.toString match {
+        case Re(e) if e.toLong <= epochId => java.nio.file.Files.deleteIfExists(p)
+        case _ => ()
+      }
+    }
+  }
 }
 
 object GraftStreamingWrite {
@@ -98,21 +127,22 @@ object GraftStreamingWrite {
 case class GraftSinkCommitMessage(path: String, rows: Long)
     extends WriterCommitMessage
 
-case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType)
-    extends StreamingDataWriterFactory {
+case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
+    writerId: String) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new GraftStreamingDataWriter(tableRoot, schema, epochId, partitionId)
+    new GraftStreamingDataWriter(tableRoot, schema, writerId, epochId, partitionId)
 }
 
 /** Executor-side parquet writer for one (epoch, partition) slice. The file
   * stays in staging until this task's commit message reaches the driver —
   * speculative/retried twins are simply never referenced. */
 class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
-    epochId: Long, partitionId: Int) extends DataWriter[InternalRow] {
+    writerId: String, epochId: Long, partitionId: Int)
+    extends DataWriter[InternalRow] {
 
   private val path = new org.apache.hadoop.fs.Path(
-    s"$tableRoot/.sink-e$epochId-p$partitionId-${UUID.randomUUID().toString.take(8)}.parquet")
+    s"$tableRoot/.sink-$writerId-e$epochId-p$partitionId-${UUID.randomUUID().toString.take(8)}.parquet")
   private val conf = new Configuration()
   private val msgType = GraftStreamingWrite.parquetSchema(schema)
   GroupWriteSupport.setSchema(msgType, conf)

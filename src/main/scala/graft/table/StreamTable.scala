@@ -37,7 +37,19 @@ case class Snapshot(
     id: Long,
     committedAtMs: Long,
     batchId: Long,
-    files: Seq[DataFileMeta])
+    files: Seq[DataFileMeta],
+    /** Identity + epoch of the external (V2 streaming sink) writer that
+      * produced this snapshot: the durable replay evidence that makes an
+      * epoch commit idempotent PER WRITER — the global batch-id watermark
+      * cannot serve that role once independent writers interleave (another
+      * writer advancing it must never make a sink epoch look committed).
+      * None for all other commit paths and legacy manifests. */
+    writer: Option[String] = None,
+    // contentAs: erasure makes Jackson materialize small Option[Long]
+    // values as Integer, which then CCEs on comparison — pin the content
+    // type explicitly
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    writerEpoch: Option[Long] = None)
 
 /** A Spark-native streaming table: a directory of immutable parquet files plus
   * an atomic snapshot manifest — the engine-level translation of a Paimon
@@ -139,20 +151,29 @@ class StreamTable(
   /** Atomically publish the next snapshot; optimistic retry on id collision
     * (concurrent writer + compactor). `recompute` receives the current live
     * file list and returns (newLiveFiles, batchId). */
-  private def commit(recompute: Seq[DataFileMeta] => (Seq[DataFileMeta], Long)): Snapshot = {
+  private def commit(recompute: Seq[DataFileMeta] => (Seq[DataFileMeta], Long),
+      writer: Option[(String, Long)] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = latestSnapshot
       val (files, batchId) = recompute(base.map(_.files).getOrElse(Seq.empty))
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
-        System.currentTimeMillis(), batchId, files)
+        System.currentTimeMillis(), batchId, files,
+        writer = writer.map(_._1), writerEpoch = writer.map(_._2))
       val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, mapper.writeValueAsBytes(next))
       try {
-        // ATOMIC_MOVE fails if the target exists → a concurrent committer
-        // won the race; re-read and retry.
-        Files.move(tmp, Paths.get(snapDir, s"snap-${next.id}.json"),
-          StandardCopyOption.ATOMIC_MOVE)
+        // Publish via hard LINK, not rename: POSIX rename() silently
+        // REPLACES an existing target (ATOMIC_MOVE gives no fail-if-exists
+        // guarantee), so a rename-based publish would let a concurrent
+        // committer's snapshot be overwritten and its commit silently
+        // lost. createLink is atomic AND fails with EEXIST when the loser
+        // arrives second — exactly the optimistic-concurrency primitive
+        // this retry loop needs. Readers still only ever see a fully
+        // written file (the link appears after the tmp content is
+        // complete).
+        Files.createLink(Paths.get(snapDir, s"snap-${next.id}.json"), tmp)
+        Files.deleteIfExists(tmp)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -229,13 +250,47 @@ class StreamTable(
 
   /** Commit files written OUTSIDE the table's own staging (the V2 streaming
     * sink's executor-side writers): move them into the append dir and
-    * publish one snapshot. Same batch-id idempotency as [[appendBatch]] — a
-    * replayed epoch deletes its files and commits nothing. */
-  private[graft] def commitExternalFiles(staged: Seq[String], batchId: Long): Unit = {
-    if (replaySkip("commitExternalFiles", batchId)) {
+    * publish one snapshot, idempotent PER (writerId, epoch).
+    *
+    * Replay detection is per-writer evidence — the snapshot this writer's
+    * epoch produced (primary, crash-safe: the replay window is at most the
+    * last uncommitted-to-checkpoint epoch, far inside any retention
+    * policy) plus a best-effort high-water file (survives even retention).
+    * The GLOBAL batch-id watermark cannot serve here: any other writer
+    * advancing it would make a new sink epoch look already-committed and
+    * its data would be deleted as a "replay". The committed batch id is
+    * simply the next fresh one.
+    *
+    * Guard: if the table's live history carries stamped commit sequences
+    * (PK/stamped DataFrame writers), unstamped sink rows would corrupt the
+    * LWW ordering — refuse and direct to [[writeStream]]. */
+  private[graft] def commitExternalFiles(staged: Seq[String], writerId: String,
+      epochId: Long): Unit = {
+    require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
+    val committed =
+      snapshots.exists(s => s.writer.contains(writerId) &&
+        s.writerEpoch.exists(_ >= epochId)) || highWater(writerId) >= epochId
+    if (committed) {
+      log.warn(s"commitExternalFiles skipped: $writerId epoch $epochId " +
+        s"already committed at $root")
       staged.foreach(p => Files.deleteIfExists(Paths.get(p)))
       return
     }
+    latestSnapshot.flatMap(_.files.headOption).foreach { f =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val stamped =
+        try r.getFooter.getFileMetaData.getSchema.containsField(SeqColName)
+        finally r.close()
+      if (stamped) throw new IllegalStateException(
+        s"$root carries stamped commit sequences (PK or DataFrame-written " +
+          "history); the V2 streaming sink writes unstamped rows and would " +
+          "corrupt last-writer-wins ordering — use StreamTable.writeStream " +
+          "or a catalog identifier instead")
+    }
+    val batchId = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
     val moved = staged.zipWithIndex.map { case (p, k) =>
       val dest = Paths.get(dataAppend,
         s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
@@ -243,30 +298,20 @@ class StreamTable(
       dest.toString
     }
     val metas = fileMetas(spark, moved, level = 0, minSeq = batchId, maxSeq = batchId)
-    commit(live => (live ++ metas, batchId))
-  }
-
-  /** Stable batch-id offset for an external writer identity (the V2 sink's
-    * streaming queryId): first use pins `latest+1` durably under
-    * `_writers/`, so restarts of the SAME checkpoint reuse it (epoch
-    * replays stay idempotent) while a NEW query gets a fresh, larger
-    * offset (its epoch 0 cannot collide with committed batches) — the
-    * writer-epoch contract of [[writeStream]], keyed by query identity
-    * instead of checkpoint directory. */
-  private[graft] def writerOffset(writerId: String): Long = {
-    require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
+    commit(live => (live ++ metas, batchId), writer = Some((writerId, epochId)))
+    // best-effort high-water (replay evidence beyond retention); REPLACE is
+    // fine — it is monotonic and secondary to the snapshot evidence
     val dir = Paths.get(root, "_writers")
     Files.createDirectories(dir)
-    val f = dir.resolve(writerId)
-    if (Files.exists(f)) return new String(Files.readAllBytes(f)).trim.toLong
-    val off = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
     val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, off.toString.getBytes)
-    try { Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE); off }
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
-      new String(Files.readAllBytes(f)).trim.toLong
-    }
+    Files.write(tmp, epochId.toString.getBytes)
+    Files.move(tmp, dir.resolve(writerId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def highWater(writerId: String): Long = {
+    val f = Paths.get(root, "_writers", writerId)
+    if (Files.exists(f)) new String(Files.readAllBytes(f)).trim.toLong else -1L
   }
 
   /** Atomically rename staged parquet parts into `destDir` as

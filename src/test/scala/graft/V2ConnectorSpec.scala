@@ -341,6 +341,17 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(dstT.read.as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
 
+    // ANOTHER writer interleaving must not make the sink's next epoch look
+    // already-committed (replay detection is per-writer evidence, not the
+    // global batch-id watermark — a watermark check would DELETE the
+    // epoch's data here)
+    dstT.appendBatch(Seq((100L, "w")).toDF("id", "s"),
+      dstT.latestSnapshot.get.batchId + 1)
+    srcT.appendBatch(Seq((4L, "d")).toDF("id", "s"), 2L)
+    pipe()
+    assert(dstT.read.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (100L, "w")))
+
     // a FRESH checkpoint (new queryId) re-delivers the live set under a new
     // writer offset — appended, never silently skipped as an epoch replay
     val chk2 = java.nio.file.Files.createTempDirectory("v2_sink_chk2_").toString
@@ -349,7 +360,7 @@ class V2ConnectorSpec extends AnyFunSuite {
       .option("path", dst).option("checkpointLocation", chk2)
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
-    assert(dstT.read.count() == 6, "fresh query must append, not no-op")
+    assert(dstT.read.count() == 9, "fresh query must append, not no-op")
     // PK tables are refused: PK identity lives in the catalog, and the
     // catalog refuses PK tables at load (before any write machinery); the
     // sink's own require is the second fence for direct API use
