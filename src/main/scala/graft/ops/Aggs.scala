@@ -412,20 +412,22 @@ object Aggs {
         .orderBy("o_orderpriority")
     },
 
-    // Distinct-set aggregation surfaced as a SORTED ARRAY column:
-    // collect_set's order is partition-dependent, so the deterministic
-    // contract is sort_array on top — same rule as q_agg_string_agg. The
-    // distinct-combine happens in the partial aggregate, so the shuffle
-    // carries per-group distinct sets, never raw rows.
+    // Distinct-set aggregation. collect_set's order is partition-dependent,
+    // so the deterministic contract is sort_array on top — and the array is
+    // RENDERED AS A STRING via array_join, because the driver's pandas
+    // comparator cannot sort raw array cells (the same rule every
+    // array-valued query in Funcs.scala follows). The distinct-combine
+    // happens in the partial aggregate, so the shuffle carries per-group
+    // distinct sets, never raw rows.
     QDef(
       "q_agg_collect_set",
       """SELECT c_mktsegment,
-        |  list_sort(list(DISTINCT c_nationkey)) AS nations,
+        |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
         |  count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
         .groupBy("c_mktsegment")
-        .agg(sort_array(collect_set(col("c_nationkey"))).as("nations"),
+        .agg(array_join(sort_array(collect_set(col("c_nationkey"))), ",").as("nations"),
           countDistinct(col("c_nationkey")).as("n_nations"))
         .orderBy("c_mktsegment")
     },

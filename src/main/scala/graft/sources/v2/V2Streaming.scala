@@ -77,10 +77,10 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     val e = end.asInstanceOf[GraftOffset].snapshotId
     if (e <= s) return Array.empty
     val all = snaps
-    def filesAt(id: Long): Seq[String] =
-      all.find(_.id == id).map(_.files.map(_.path)).getOrElse(Seq.empty)
+    def filesAt(id: Long): Seq[graft.table.DataFileMeta] =
+      all.find(_.id == id).map(_.files).getOrElse(Seq.empty)
     val endFiles = filesAt(e)
-    val newPaths =
+    val newFiles =
       if (s < 0L) endFiles // initial catch-up: the full live set
       else {
         // a consumed-but-expired start snapshot would make `seen` empty and
@@ -93,11 +93,15 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
             s"stream offset snapshot $s has been retention-expired at " +
               s"${table.root}: cannot compute the incremental diff " +
               "(protect slow consumers via registerConsumer/num-retained)")
-        val seen = filesAt(s).toSet
-        endFiles.filterNot(seen).filter(_.contains("/data/append/"))
+        val seen = filesAt(s).map(_.path).toSet
+        endFiles.filterNot(f => seen(f.path))
+          .filter(_.path.contains("/data/append/"))
       }
-    lastPlanned = newPaths
-    newPaths.map(p => GraftInputPartition(p): InputPartition).toArray
+    lastPlanned = newFiles.map(_.path)
+    // thread each file's commit sequence through: a streaming read that
+    // projects the _graft_seq metadata column must see the same values a
+    // batch scan returns (the partition default of -1 would lie)
+    newFiles.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
   }
 
   // files of the most recent planInputPartitions call — the exec node calls

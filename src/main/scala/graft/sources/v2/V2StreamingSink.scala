@@ -30,11 +30,15 @@ import graft.table.StreamTable
   *    (a retried task's orphan file is never referenced and is abandoned in
   *    staging), which moves them into the append dir and publishes ONE
   *    snapshot per epoch ([[StreamTable.commitExternalFiles]]);
-  *  - exactly-once across restarts: the epoch id is offset by a durable
-  *    per-queryId writer offset ([[StreamTable.writerOffset]]) — a restart
-  *    of the same checkpoint replays epochs idempotently (batch-id skip),
-  *    while a fresh checkpoint (new queryId) claims a fresh offset and can
-  *    never collide with committed batches.
+  *  - exactly-once across restarts via PER-WRITER replay evidence in
+  *    [[StreamTable.commitExternalFiles]]: each committed snapshot records
+  *    (writer, writerEpoch), and a best-effort `_writers/<id>` high-water
+  *    file survives even snapshot retention — a restarted checkpoint
+  *    replaying an epoch finds its own evidence and skips, while a fresh
+  *    checkpoint (new queryId ⇒ new writer id) can never collide with
+  *    another writer's committed epochs. A global batch-id watermark could
+  *    NOT serve here: any other writer advancing it would make a first-time
+  *    epoch look replayed.
   *
   * Append tables only: the PK LWW view orders by the stamped commit
   * sequence that [[StreamTable.appendBatch]]'s DataFrame path provides —
@@ -68,27 +72,33 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.path)))
     if (data.nonEmpty)
       table.commitExternalFiles(data.map(_.path).toSeq, writerId, epochId)
-    sweepOrphans(epochId)
+    // at COMMIT time sweep strictly-older epochs only: a zombie/speculative
+    // task of the CURRENT epoch may still be writing its (never-referenced)
+    // twin, and deleting the file under it turns a harmless orphan into
+    // spurious task-failure noise — the next epoch's sweep reclaims it
+    sweepOrphans(epochId - 1)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: GraftSinkCommitMessage => m.path }
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    // the epoch is dead — every surviving task was aborted, so the current
+    // epoch's files are sweepable too
     sweepOrphans(epochId)
   }
 
-  /** Delete THIS writer's staging leftovers for epochs at or before the one
-    * just resolved: a task that died before sending its commit message (lost
+  /** Delete THIS writer's staging leftovers for epochs at or before
+    * `upToEpoch`: a task that died before sending its commit message (lost
     * executor, speculation) leaves a file no commit or abort ever
     * references — without this sweep the table root leaks disk forever.
     * Committed files were MOVED out of staging, so everything still matching
-    * our prefix at ≤ epochId is an orphan; other writers' files (different
+    * our prefix at ≤ upToEpoch is an orphan; other writers' files (different
     * writer id in the name) are untouched. */
-  private def sweepOrphans(epochId: Long): Unit = {
+  private def sweepOrphans(upToEpoch: Long): Unit = {
     val Re = s"\\.sink-${java.util.regex.Pattern.quote(writerId)}-e(\\d+)-.*".r
     StreamTable.listDir(java.nio.file.Paths.get(table.root)).foreach { p =>
       p.getFileName.toString match {
-        case Re(e) if e.toLong <= epochId => java.nio.file.Files.deleteIfExists(p)
+        case Re(e) if e.toLong <= upToEpoch => java.nio.file.Files.deleteIfExists(p)
         case _ => ()
       }
     }

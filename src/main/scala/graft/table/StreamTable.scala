@@ -290,15 +290,25 @@ class StreamTable(
           "corrupt last-writer-wins ordering — use StreamTable.writeStream " +
           "or a catalog identifier instead")
     }
-    val batchId = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
+    // File names carry the writer epoch, NOT the batch id: the committed
+    // batch id is derived INSIDE the commit() retry closure so a retry after
+    // losing the optimistic race re-reads latestSnapshot and claims a FRESH
+    // id. (Computing it once out here would let a concurrent writer advance
+    // the table's batchId and then have our retry republish the stale lower
+    // one — regressing the watermark that replaySkip compares against, so a
+    // later replayed appendBatch would no longer be skipped.)
     val moved = staged.zipWithIndex.map { case (p, k) =>
       val dest = Paths.get(dataAppend,
-        s"b$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+        s"w$epochId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
       Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
       dest.toString
     }
-    val metas = fileMetas(spark, moved, level = 0, minSeq = batchId, maxSeq = batchId)
-    commit(live => (live ++ metas, batchId), writer = Some((writerId, epochId)))
+    // footer stats are batch-id-independent; only minSeq/maxSeq get restamped
+    val metas0 = fileMetas(spark, moved, level = 0, minSeq = 0L, maxSeq = 0L)
+    commit(live => {
+      val b = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
+      (live ++ metas0.map(_.copy(minSeq = b, maxSeq = b)), b)
+    }, writer = Some((writerId, epochId)))
     // best-effort high-water (replay evidence beyond retention); REPLACE is
     // fine — it is monotonic and secondary to the snapshot evidence
     val dir = Paths.get(root, "_writers")
