@@ -5,13 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: only dump queries whose name starts with the prefix
-    // (local iteration aid; the driver always passes exactly two args)
+    // optional 3rd arg: only dump queries whose name starts with one of the
+    // comma-separated prefixes (local iteration aid; the driver always
+    // passes exactly two args)
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
-      case Array(a, b, c) => (a, b, Some(c))
+      case Array(a, b, c) => (a, b, Some(c.split(",").toSeq))
       case _ => throw new IllegalArgumentException(
-        "usage: Verify <sfDir> <outDir> [queryPrefix]")
+        "usage: Verify <sfDir> <outDir> [queryPrefix[,queryPrefix...]]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -23,7 +24,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -129,12 +129,22 @@ object Ext {
     * 16-row md5-ordered codebook; each vector's 8 subspaces (8 dims each)
     * encoded by squared-L2 argmin with the (dist ASC, cid ASC) tie-break.
     * One definition per engine — the encoder and the searcher must use the
-    * SAME codes or ADC distances are garbage. */
-  private def pqSubDist(sub: Int): org.apache.spark.sql.Column = expr(
-    s"aggregate(zip_with(slice(embedding, ${8 * sub - 7}, 8), " +
-      s"slice(ce, ${8 * sub - 7}, 8), " +
-      "(x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * " +
-      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), 0D, (a, v) -> a + v)")
+    * SAME codes or ADC distances are garbage.
+    *
+    * Both engines compute the subspace distance DECOMPOSED:
+    * ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·c, associated as (xx + cc) − (2·xc), every
+    * dot a left-to-right double sum. On the Spark side that turns the hot
+    * loop into codegen'd [[graft.functions.FloatDot]] calls over subspace
+    * slices materialized ONCE per side — ‖x‖² per vector (not per pair),
+    * ‖c‖² on the 16-row broadcast side — instead of 128 interpreted
+    * zip_with/aggregate lambdas per pair. The oracle mirrors the exact
+    * arithmetic so the 6-decimal err/ADC outputs stay bit-consistent. */
+  private def pqSubDist(sub: Int): org.apache.spark.sql.Column = {
+    val lo = 8 * sub - 7
+    expr(s"float_dot(slice(embedding, $lo, 8), slice(embedding, $lo, 8))" +
+      s" + float_dot(slice(ce, $lo, 8), slice(ce, $lo, 8))" +
+      s" - 2D * float_dot(slice(embedding, $lo, 8), slice(ce, $lo, 8))")
+  }
   private def pqCodebook(emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
@@ -143,24 +153,40 @@ object Ext {
     * lexicographic struct-min ≡ the oracle's ORDER BY dist, cid. */
   private def pqMins(src: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val paired = src.crossJoin(broadcast(cb))
+    graft.functions.VectorFunctions.registerOn(src.sparkSession)
+    def dot(a: String, b: String) = call_function("float_dot", col(a), col(b))
+    // subspace slices + self-dots materialized once per SIDE, so the
+    // per-pair work is 8 codegen'd dots + 3 double ops per subspace
+    val v = src.select(Seq(col("vec_id")) ++
+      (1 to 8).map(s0 => expr(s"slice(embedding, ${8 * s0 - 7}, 8)").as(s"x$s0")): _*)
+      .select(Seq(col("vec_id")) ++ (1 to 8).map(s0 => col(s"x$s0")) ++
+        (1 to 8).map(s0 => dot(s"x$s0", s"x$s0").as(s"xx$s0")): _*)
+    val c = cb.select(Seq(col("cid")) ++
+      (1 to 8).map(s0 => expr(s"slice(ce, ${8 * s0 - 7}, 8)").as(s"c$s0")): _*)
+      .select(Seq(col("cid")) ++ (1 to 8).map(s0 => col(s"c$s0")) ++
+        (1 to 8).map(s0 => dot(s"c$s0", s"c$s0").as(s"cc$s0")): _*)
+    val paired = v.crossJoin(broadcast(c))
       .select(Seq(col("vec_id"), col("cid")) ++
-        (1 to 8).map(sub => pqSubDist(sub).as(s"d$sub")): _*)
+        (1 to 8).map(s0 => (col(s"xx$s0") + col(s"cc$s0") -
+          lit(2d) * dot(s"x$s0", s"c$s0")).as(s"d$s0")): _*)
     val mins = (1 to 8).map(sub =>
       min(struct(col(s"d$sub"), col("cid"))).as(s"m$sub"))
     paired.groupBy("vec_id").agg(mins.head, mins.tail: _*)
   }
   /** DuckDB side of the PQ contract, parameterized by the candidate source
-    * CTE: codebook, per-pair subspace distances, per-subspace argmin
-    * winners joined into one `codes` row per vec_id. */
+    * CTE: codebook, per-pair subspace distances (same decomposed
+    * arithmetic as [[pqMins]]), per-subspace argmin winners joined into
+    * one `codes` row per vec_id. */
   private def pqCodesCtes(src: String): String = {
     def dist(sub: Int) = {
       val lo = 8 * sub - 7
-      s"list_sum(list_transform(range($lo, ${lo + 8}), " +
-        "i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
-        "(CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range($lo, ${lo + 8}), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"${d("v.embedding", "v.embedding")} + ${d("c.ce", "c.ce")}" +
+        s" - 2 * ${d("v.embedding", "c.ce")}"
     }
-    val dcols = (1 to 8).map(s0 => s"${dist(s0)} AS d$s0").mkString(", ")
+    val dcols = (1 to 8).map(s0 => s"(${dist(s0)}) AS d$s0").mkString(", ")
     val ms = (1 to 8).map(s0 =>
       s"""m$s0 AS (SELECT vec_id, cid AS code$s0, d$s0 FROM (
          |  SELECT vec_id, cid, d$s0, row_number() OVER (
@@ -876,6 +902,7 @@ object Ext {
     QDef(
       "q_ext_ivfpq_search",
       ivfpqSql) { (s, d) =>
+      graft.functions.VectorFunctions.registerOn(s)
       val IvfIndex(_, cell, q, qcell) = ivfIndex(s, d)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val cb = pqCodebook(emb)
@@ -958,12 +985,14 @@ object Ext {
     * top-20, exact rerank to top-10. */
   private def ivfpqSql: String = {
     def adcDist(sub: Int) = {
+      // same decomposed arithmetic as the Spark-side pqSubDist ADC table
       val lo = 8 * sub - 7
-      s"list_sum(list_transform(range($lo, ${lo + 8}), " +
-        "i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
-        "(CAST(q.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))"
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range($lo, ${lo + 8}), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"${d("q.qe", "q.qe")} + ${d("c.ce", "c.ce")} - 2 * ${d("q.qe", "c.ce")}"
     }
-    val tcols = (1 to 8).map(s0 => s"${adcDist(s0)} AS t$s0").mkString(", ")
+    val tcols = (1 to 8).map(s0 => s"(${adcDist(s0)}) AS t$s0").mkString(", ")
     val adcJoins = (1 to 8).map(s0 =>
       s"JOIN adc a$s0 ON a$s0.cid = k.code$s0").mkString(" ")
     val approxExpr = (1 to 8).map(s0 => s"a$s0.t$s0").mkString(" + ")

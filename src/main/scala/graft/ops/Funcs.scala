@@ -217,11 +217,17 @@ object Funcs {
         |  json_extract_string(props, '$.k') AS k_str,
         |  (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS k_high
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // Parse the JSON ONCE per row (from_json to a typed struct) and derive
+      // every output from the struct: three independent extractions over the
+      // same document would triple the per-row parse CPU — the repeated-parse
+      // anti-pattern (see q_fn_variant). k_str renders from the typed field,
+      // value-identical to json_extract_string for integer-valued keys.
+      val k = from_json(col("props"), lit("k INT")).getField("k")
       Tables.events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-          get_json_object(col("props"), "$.k").as("k_str"),
-          (from_json(col("props"), lit("k INT")).getField("k") >= 50).as("k_high"))
+          k.as("k_int"),
+          k.cast("string").as("k_str"),
+          (k >= 50).as("k_high"))
         .orderBy("event_id")
     },
 
