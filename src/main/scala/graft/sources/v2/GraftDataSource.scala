@@ -105,7 +105,10 @@ object GraftV2Table {
 
   def fromPath(root: String, declared: Option[StructType] = None): GraftV2Table = {
     val spark = SparkSession.active
-    val table = new StreamTable(root, spark)
+    // honor catalog-persisted structural options (primary key, merge
+    // engine, bucketing) when present — a PK warehouse table loaded by bare
+    // path must resolve merge-on-read, not leak raw versions
+    val table = graft.table.GraftCatalog.openPath(spark, root)
     new GraftV2Table(s"graft.`$root`", table, spark, declared)
   }
 }
@@ -170,7 +173,8 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     StructType(spark.read.option("mergeSchema", "true")
       .parquet(files.map(_.path): _*).schema
       .filterNot(f => f.name == StreamTable.SeqColName ||
-        f.name == StreamTable.TombstoneColName))
+        f.name == StreamTable.TombstoneColName ||
+        f.name.startsWith(StreamTable.FieldSeqPrefix)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -179,8 +183,22 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, schema(),
-      consumerId = Option(options.get("consumer-id")))
+    table.primaryKey match {
+      case Some(pk) =>
+        // PK merge-on-read: per-bucket last-writer-wins resolution inside
+        // the readers (see V2PkRead.scala). Aggregation/partial-update
+        // merge engines need a distributed aggregate, which a reader
+        // cannot express — those keep the library view.
+        val eng = table.effectiveEngine
+        if (eng != "deduplicate" && eng != "first-row")
+          throw new UnsupportedOperationException(
+            s"$tableName has merge-engine=$eng: its merge is a distributed " +
+              "aggregate — read it through StreamTable.read")
+        new GraftPkScanBuilder(this, schema(), pk)
+      case None =>
+        new GraftScanBuilder(this, schema(),
+          consumerId = Option(options.get("consumer-id")))
+    }
 
   /** Batch append (`INSERT INTO` / `df.writeTo(...).append()` /
     * `format("graft").mode("append")`): the [[org.apache.spark.sql.connector.write.V1Write]]
@@ -497,47 +515,8 @@ class GraftScan(table: GraftV2Table, required: StructType,
     }
   }
 
-  /** Conservative overlap test of one filter against one file's [min,max]:
-    * false ONLY when the stats prove no row can match. */
   private def keepFile(f: Filter, mins: Map[String, String],
-      maxs: Map[String, String]): Boolean = {
-    def stats(a: String): Option[(String, String)] =
-      for (mn <- mins.get(a); mx <- maxs.get(a)) yield (mn, mx)
-    def num(s: String): Option[Double] =
-      try Some(s.toDouble) catch { case _: NumberFormatException => None }
-    // string stats compare only when pure ASCII: footer strings are java
-    // (UTF-16) ordered, Spark compares UTF-8 bytes — the orders agree on
-    // ASCII and may not beyond, so non-ASCII stats never prune
-    def ascii(s: String) = s.forall(_ < 128)
-    def cmp(attr: String, v: Any)(noOverlap: (Double, Double, Double) => Boolean)
-        (strNoOverlap: (String, String, String) => Boolean): Boolean =
-      stats(attr) match {
-        case Some((mn, mx)) => v match {
-          case s: String =>
-            if (ascii(mn) && ascii(mx) && ascii(s)) !strNoOverlap(mn, mx, s) else true
-          case n: Number =>
-            (num(mn), num(mx)) match {
-              case (Some(a), Some(b)) => !noOverlap(a, b, n.doubleValue())
-              case _ => true
-            }
-          case _ => true
-        }
-        case None => true
-      }
-    f match {
-      case EqualTo(a, v) =>
-        cmp(a, v)((mn, mx, x) => x < mn || x > mx)((mn, mx, s) => s < mn || s > mx)
-      case GreaterThan(a, v) =>
-        cmp(a, v)((_, mx, x) => mx <= x)((_, mx, s) => mx <= s)
-      case GreaterThanOrEqual(a, v) =>
-        cmp(a, v)((_, mx, x) => mx < x)((_, mx, s) => mx < s)
-      case LessThan(a, v) =>
-        cmp(a, v)((mn, _, x) => mn >= x)((mn, _, s) => mn >= s)
-      case LessThanOrEqual(a, v) =>
-        cmp(a, v)((mn, _, x) => mn > x)((mn, _, s) => mn > s)
-      case _ => true
-    }
-  }
+      maxs: Map[String, String]): Boolean = FileSkip.keep(f, mins, maxs)
 
   override def readSchema(): StructType = required
 
@@ -818,6 +797,52 @@ class GraftVectorReader(path: String, required: StructType)
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.resultBatch()
   override def close(): Unit = reader.close()
+}
+
+/** Conservative file-level stats overlap: `keep` is false ONLY when the
+  * footer [min,max] prove no row of the file can match the filter. Shared
+  * by the append scan and the PK merge-on-read scan (where it may only be
+  * fed filters over primary-key columns — see GraftPkScanBuilder). */
+private[v2] object FileSkip {
+  def keep(f: Filter, mins: Map[String, String],
+      maxs: Map[String, String]): Boolean = {
+    def stats(a: String): Option[(String, String)] =
+      for (mn <- mins.get(a); mx <- maxs.get(a)) yield (mn, mx)
+    def num(s: String): Option[Double] =
+      try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    // string stats compare only when pure ASCII: footer strings are java
+    // (UTF-16) ordered, Spark compares UTF-8 bytes — the orders agree on
+    // ASCII and may not beyond, so non-ASCII stats never prune
+    def ascii(s: String) = s.forall(_ < 128)
+    def cmp(attr: String, v: Any)(noOverlap: (Double, Double, Double) => Boolean)
+        (strNoOverlap: (String, String, String) => Boolean): Boolean =
+      stats(attr) match {
+        case Some((mn, mx)) => v match {
+          case s: String =>
+            if (ascii(mn) && ascii(mx) && ascii(s)) !strNoOverlap(mn, mx, s) else true
+          case n: Number =>
+            (num(mn), num(mx)) match {
+              case (Some(a), Some(b)) => !noOverlap(a, b, n.doubleValue())
+              case _ => true
+            }
+          case _ => true
+        }
+        case None => true
+      }
+    f match {
+      case EqualTo(a, v) =>
+        cmp(a, v)((mn, mx, x) => x < mn || x > mx)((mn, mx, s) => s < mn || s > mx)
+      case GreaterThan(a, v) =>
+        cmp(a, v)((_, mx, x) => mx <= x)((_, mx, s) => mx <= s)
+      case GreaterThanOrEqual(a, v) =>
+        cmp(a, v)((_, mx, x) => mx < x)((_, mx, s) => mx < s)
+      case LessThan(a, v) =>
+        cmp(a, v)((mn, _, x) => mn >= x)((mn, _, s) => mn >= s)
+      case LessThanOrEqual(a, v) =>
+        cmp(a, v)((mn, _, x) => mn > x)((mn, _, s) => mn > s)
+      case _ => true
+    }
+  }
 }
 
 /** Driver-planning metrics (Spark SQL UI): how much the manifest + footer

@@ -81,23 +81,8 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     mapper.readValue(Files.readAllBytes(f), classOf[Map[String, String]])
   }
 
-  def getTable(db: String, name: String): StreamTable = {
-    val o = tableOptions(db, name)
-    // Paimon merge-engine keys: 'merge-engine' picks the resolution
-    // strategy; 'fields.<f>.aggregate-function' entries assemble the
-    // aggregation spec (their presence implies merge-engine=aggregation,
-    // matching Paimon's validation)
-    val FieldAgg = "fields\\.(.+)\\.aggregate-function".r
-    val aggSpec = o.collect { case (FieldAgg(f), fn) => f -> fn }.toSeq.sortBy(_._1)
-    new StreamTable(tablePath(db, name), spark,
-      primaryKey = o.get("primary-key").map(_.split(",").map(_.trim).toSeq),
-      seqCol = o.get("sequence.field"),
-      bucketKey = o.get("bucket-key"),
-      numBuckets = o.get("bucket").map(_.toInt).getOrElse(4),
-      aggSpec = if (aggSpec.nonEmpty) Some(aggSpec) else None,
-      mergeEngine = o.get("merge-engine")
-        .filterNot(_ == "aggregation").getOrElse("deduplicate"))
-  }
+  def getTable(db: String, name: String): StreamTable =
+    GraftCatalog.tableFromOptions(spark, tablePath(db, name), tableOptions(db, name))
 
   /** Register every table of a database as a temp view (`<db>_<table>`), so
     * the whole catalog is queryable through `spark.sql` — the analog of
@@ -172,6 +157,41 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
 object GraftCatalog {
   private val mapper = new ObjectMapper()
   mapper.registerModule(DefaultScalaModule)
+
+  /** Construct a [[StreamTable]] from a root dir + its Paimon-style option
+    * map. Recognized structural keys: `primary-key` (comma-separated),
+    * `sequence.field`, `bucket` (int), `bucket-key`, `merge-engine`,
+    * `fields.<f>.aggregate-function` (their presence implies
+    * merge-engine=aggregation, matching Paimon's validation); everything
+    * else is carried opaquely. */
+  def tableFromOptions(spark: SparkSession, root: String,
+      o: Map[String, String]): StreamTable = {
+    val FieldAgg = "fields\\.(.+)\\.aggregate-function".r
+    val aggSpec = o.collect { case (FieldAgg(f), fn) => f -> fn }.toSeq.sortBy(_._1)
+    new StreamTable(root, spark,
+      primaryKey = o.get("primary-key").map(_.split(",").map(_.trim).toSeq),
+      seqCol = o.get("sequence.field"),
+      bucketKey = o.get("bucket-key"),
+      numBuckets = o.get("bucket").map(_.toInt).getOrElse(4),
+      aggSpec = if (aggSpec.nonEmpty) Some(aggSpec) else None,
+      mergeEngine = o.get("merge-engine")
+        .filterNot(_ == "aggregation").getOrElse("deduplicate"))
+  }
+
+  /** Open a table directly from its root dir, honoring the structural
+    * options persisted beside it when the root is catalog-managed
+    * (`_table_options.json`) — so `format("graft").load(<warehouse table>)`
+    * sees the SAME primary-key/merge-engine semantics as the catalog door.
+    * A bare StreamTable root written without a catalog has no option file
+    * and opens as a plain append table (its structure lives only in the
+    * constructing code). */
+  def openPath(spark: SparkSession, root: String): StreamTable = {
+    val f = Paths.get(root, "_table_options.json")
+    if (Files.exists(f))
+      tableFromOptions(spark, root,
+        mapper.readValue(Files.readAllBytes(f), classOf[Map[String, String]]))
+    else new StreamTable(root, spark)
+  }
 
   private def writeOptions(target: java.nio.file.Path, o: Map[String, String]): Unit = {
     val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")

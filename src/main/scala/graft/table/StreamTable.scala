@@ -133,6 +133,10 @@ class StreamTable(
   /** The effective engine: aggSpec implies aggregation. */
   private val engine: String = if (aggSpec.isDefined) "aggregation" else mergeEngine
 
+  /** The effective merge engine, for connector-layer capability checks
+    * (the V2 PK merge-on-read supports deduplicate/first-row only). */
+  private[graft] def effectiveEngine: String = engine
+
   private val dataAppend = s"$root/data/append"
   private val dataCompact = s"$root/data/compact"
   private val snapDir = s"$root/_snapshots"
