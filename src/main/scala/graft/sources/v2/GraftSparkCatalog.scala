@@ -115,9 +115,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = backing.getTable(db(ident.namespace()), ident.name())
-    require(t.primaryKey.isEmpty,
-      s"$ident is a primary-key table: read it through StreamTable.read " +
-        "(PK merge-on-read needs the distributed resolution pass)")
+    // PK tables resolve merge-on-read inside the scan (per-bucket
+    // last-writer-wins, V2PkRead.scala); distributed-aggregate merge
+    // engines are refused at scan build, not here, so DDL still works
     // a freshly created table has no snapshot yet; its declared schema
     // (persisted as an option at CREATE TABLE) resolves INSERT INTO
     val declared = backing.tableOptions(db(ident.namespace()), ident.name())

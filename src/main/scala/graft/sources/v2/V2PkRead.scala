@@ -1,0 +1,278 @@
+package graft.sources.v2
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+
+import graft.table.{DataFileMeta, StreamTable}
+
+/** Primary-key merge-on-read through the V2 connector — the reference's
+  * signature table (the PK `sensor_info` upsert table,
+  * `tutorial/guide.md:59-74`) readable through plain SQL
+  * (`SELECT * FROM graft.db.sensor_info`), not just the library view.
+  *
+  * Execution model — the distributed dual of [[StreamTable.read]]'s
+  * window-resolve, with NO shuffle at all:
+  *
+  *  - PK tables write hash-bucketed on a bucket key that is a subset of the
+  *    primary key (`pmod(murmur3(key), n)`, recorded per file in the
+  *    manifest), so EVERY version of a key — updates, tombstones, compacted
+  *    winners — lives in one bucket. The scan plans one [[InputPartition]]
+  *    per bucket and each reader resolves last-writer-wins locally with a
+  *    hash merge: winner per key by largest (`sequence.field`, commit batch)
+  *    for `deduplicate`, smallest for `first-row`; tombstone winners emit
+  *    nothing. The library's global window shuffle becomes zero exchanges.
+  *  - Merge engines that require a distributed AGGREGATE
+  *    (aggregation/partial-update re-merge partial states) cannot run inside
+  *    a per-file reader and keep the library view
+  *    ([[GraftV2Table.newScanBuilder]] refuses them).
+  *
+  * Filter safety: only predicates over PRIMARY-KEY columns may prune files
+  * or rows before the merge — all versions of a key share its key columns,
+  * so pre- and post-merge filtering agree. A non-key predicate could skip
+  * the file holding a key's WINNING version and resurrect a superseded row;
+  * those filters stay Spark-side residuals (every pushed filter is re-applied
+  * as a residual anyway — pushdown is a fast path, never a correctness
+  * dependency).
+  *
+  * 100 TB posture: the per-reader working set is one bucket's DISTINCT keys
+  * (the hash-merge dual of Paimon's sorted-run merge; compaction keeps the
+  * version multiplicity per bucket near 1), and the bucket count is the
+  * declared write-time parallelism knob. A key-equality lookup prunes to a
+  * single bucket before any I/O (the PK point read). Files without recorded
+  * bucket ids (legacy manifests) degrade to one merge group — correct, not
+  * parallel; rewrite via compaction to restore the layout.
+  */
+class GraftPkScanBuilder(table: GraftV2Table, fullSchema: StructType,
+    pk: Seq[String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Safe to evaluate pre-merge: simple comparisons whose every reference is
+    * a primary-key column of a stats-covered type. */
+  private def pkPushable(f: Filter): Boolean = {
+    def ok(attr: String) = pk.contains(attr) &&
+      fullSchema.find(_.name == attr).exists(_.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | StringType => true
+        case _ => false
+      })
+    f match {
+      case EqualTo(a, v) => v != null && ok(a)
+      case GreaterThan(a, _) => ok(a)
+      case GreaterThanOrEqual(a, _) => ok(a)
+      case LessThan(a, _) => ok(a)
+      case LessThanOrEqual(a, _) => ok(a)
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(pkPushable)
+    filters // all residual (incl. the pushed ones): merge output is re-checked
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    val kept = fullSchema.filter(f => keep.contains(f.name))
+    // requested metadata columns ride after the data columns (provenance of
+    // the WINNING version, filled by the per-file reader from the manifest)
+    val meta = requiredSchema.fields.filter(f =>
+      GraftV2Table.MetaCols.contains(f.name) && !fullSchema.fieldNames.contains(f.name))
+    required = StructType(kept ++ meta)
+  }
+
+  override def build(): Scan = new GraftPkScan(table, fullSchema, required, pushed, pk)
+}
+
+class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter], pk: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private val t = table.table
+  private val firstRow = t.effectiveEngine == "first-row"
+
+  // ---- driver-side pruning (metadata-only, like partition pruning) -------
+  private val allFiles = table.liveFiles
+  private val kept: Seq[DataFileMeta] = {
+    // bucket point lookup: an equality on the bucket key pins the single
+    // bucket that can hold the key — 1/numBuckets of the table cut before
+    // any I/O (Paimon's PK point read)
+    val bucketPruned = bucketPointLookup match {
+      case Some(b) => allFiles.filter(_.bucket.forall(_ == b))
+      case None => allFiles
+    }
+    if (pushed.isEmpty) bucketPruned
+    else {
+      val conf = new Configuration()
+      bucketPruned.filter { f =>
+        val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+        pushed.forall(FileSkip.keep(_, mins, maxs))
+      }
+    }
+  }
+
+  private def bucketPointLookup: Option[Int] =
+    for {
+      k <- t.bucketKey
+      dt <- fullSchema.find(_.name == k).map(_.dataType)
+      if dt == LongType || dt == IntegerType
+      v <- pushed.collectFirst { case EqualTo(a, v: Number) if a == k => v }
+    } yield {
+      val in = new GenericInternalRow(Array[Any](t.numBuckets,
+        if (dt == LongType) v.longValue() else v.intValue()))
+      (if (dt == LongType) GraftBucketLong else GraftBucketInt)
+        .produceResult(in).intValue()
+    }
+
+  /** One merge group per recorded bucket; a manifest with any unbucketed
+    * file degrades to a single group (correct, serial — the documented
+    * legacy fallback). Files merge in commit order for deterministic
+    * iteration (exact (seq, commit) ties are arbitrary, as in the library). */
+  private val groups: Seq[(Int, Seq[DataFileMeta])] =
+    if (kept.isEmpty) Seq.empty
+    else if (kept.forall(_.bucket.isDefined))
+      kept.groupBy(_.bucket.get).toSeq.sortBy(_._1)
+        .map { case (b, fs) => (b, fs.sortBy(f => (f.minSeq, f.path))) }
+    else Seq((-1, kept.sortBy(f => (f.minSeq, f.path))))
+
+  // ---- merge-internal schema: projection ++ pk/seq/commit/tombstone ------
+  private[v2] val internal: StructType = {
+    val extras = (pk ++ t.seqCol.toSeq).distinct
+      .filterNot(n => required.fieldNames.contains(n))
+      .map(n => fullSchema.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"key/sequence column $n missing from table schema")))
+    StructType(required.fields.toSeq ++ extras ++ Seq(
+      StructField(StreamTable.SeqColName, LongType),
+      StructField(StreamTable.TombstoneColName, BooleanType)))
+  }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftPkScan ${table.name()} buckets=${groups.size} files=${kept.size}/${allFiles.size} " +
+      s"merge=${t.effectiveEngine} PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  /** Pre-merge upper bound (the resolved view can only shrink) — enough for
+    * Catalyst's broadcast decision, which needs "provably small", not exact. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, kept.map(_.fileSizeInBytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(kept.map(_.rowCount).sum)
+  }
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"${table.name()} is a primary-key table: stream its CHANGELOG " +
+        "(readStream.option(\"read-changelog\", true)) or use " +
+        "StreamTable.readStream — raw upsert files are not an append stream")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map { case (b, fs) =>
+      GraftPkInputPartition(fs.map(f => (f.path, f.minSeq)), b): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPkReaderFactory(internal, required.length,
+      pk.map(internal.fieldIndex).toArray,
+      t.seqCol.map(internal.fieldIndex).getOrElse(-1),
+      internal.fieldIndex(StreamTable.SeqColName),
+      internal.fieldIndex(StreamTable.TombstoneColName),
+      firstRow, pushed)
+}
+
+/** All live files of one hash bucket (or the whole table for the legacy
+  * unbucketed fallback), with their manifest commit sequences. */
+case class GraftPkInputPartition(files: Seq[(String, Long)], bucketId: Int)
+    extends InputPartition
+
+case class GraftPkReaderFactory(internal: StructType, outLen: Int,
+    pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
+    firstRow: Boolean, pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPkMergeReader(p.asInstanceOf[GraftPkInputPartition].files,
+      internal, outLen, pkIdxs, seqIdx, commitIdx, tombIdx, firstRow, pushed)
+}
+
+/** Executor-side hash merge of one bucket: stream every file's rows through
+  * the shared [[GraftPartitionReader]] (schema evolution null-fills, pushed
+  * PK predicates hit parquet row groups, metadata columns fill from the
+  * manifest), keep the winning version per key, then emit the non-tombstone
+  * winners projected to the scan's output schema. Working set = the bucket's
+  * distinct keys. */
+class GraftPkMergeReader(files: Seq[(String, Long)], internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
+    firstRow: Boolean, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val dts: Array[DataType] = internal.fields.map(_.dataType)
+
+  /** Null-safe ordering compare; null = -infinity (matches the library's
+    * window resolve: desc nulls-last / asc nulls-first). */
+  private def cmpAny(a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** (sequence.field, commit batch) order between two versions of a key. */
+  private def cmpOrd(x: InternalRow, y: InternalRow): Int = {
+    val bySeq = if (seqIdx < 0) 0
+      else cmpAny(x.get(seqIdx, dts(seqIdx)), y.get(seqIdx, dts(seqIdx)))
+    if (bySeq != 0) bySeq
+    else cmpAny(x.get(commitIdx, dts(commitIdx)), y.get(commitIdx, dts(commitIdx)))
+  }
+
+  private def isTombstone(r: InternalRow): Boolean = {
+    val v = r.get(tombIdx, BooleanType)
+    v != null && v.asInstanceOf[Boolean]
+  }
+
+  private lazy val merged: Iterator[InternalRow] = {
+    val winners = new java.util.HashMap[List[Any], InternalRow]()
+    files.foreach { case (path, fileSeq) =>
+      val r = new GraftPartitionReader(path, internal, pushed,
+        limit = None, fileSeq = fileSeq)
+      try {
+        while (r.next()) {
+          val row = r.get() // fresh GenericInternalRow per call — safe to keep
+          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
+          val prev = winners.get(key)
+          val wins = prev == null || {
+            val c = cmpOrd(row, prev)
+            if (firstRow) c < 0 else c >= 0
+          }
+          if (wins) winners.put(key, row)
+        }
+      } finally r.close()
+    }
+    winners.values.iterator.asScala.collect {
+      case w if !isTombstone(w) =>
+        val out = new Array[Any](outLen)
+        var i = 0
+        while (i < outLen) { out(i) = w.get(i, dts(i)); i += 1 }
+        new GenericInternalRow(out): InternalRow
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = merged.hasNext
+    if (has) current = merged.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -282,6 +282,23 @@ object V2Queries {
         .orderBy("commit_seq")
     },
 
+    // PK merge-on-read through the catalog: the reference's SIGNATURE table
+    // (the primary-key upsert `sensor_info`, guide.md:59-74) readable in
+    // plain SQL. Staged as base + updates + deletes; the scan resolves
+    // last-writer-wins PER BUCKET inside the readers (V2PkRead.scala) with
+    // zero exchanges — V2ConnectorSpec asserts the per-bucket plan and the
+    // point-lookup bucket pruning; the oracle pins the resolved view.
+    QDef(
+      "q_source_v2_pk_read",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS acctbal
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = pkTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_name, c_acctbal AS acctbal
+               |FROM $catName.v2db.pk_cust ORDER BY c_custkey""".stripMargin)
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -351,6 +368,25 @@ object V2Queries {
       val o = cat.createTable("v2db", "spj_orders", opts("o_orderkey"))
       o.appendBatch(Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus"), 0L)
+      catName
+    })
+
+  /** customer as a PK upsert table: batch 0 = base rows, batch 1 = balance
+    * updates for every third key, batch 2 = delete tombstones for every
+    * seventh key. Defaults make it hash-bucketed on the key (the Paimon
+    * fixed-bucket layout the per-bucket merge reads stand on). */
+  private val stagedPk = new ConcurrentHashMap[String, String]()
+  private def pkTable(s: SparkSession, d: String): String =
+    stagedPk.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "pk_cust",
+        Map("primary-key" -> "c_custkey", "bucket" -> "4"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      tbl.appendBatch(c, 0L)
+      tbl.appendBatch(c.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000d), 1L)
+      tbl.deleteBatch(c.where(col("c_custkey") % 7 === 0).select("c_custkey"), 2L)
       catName
     })
 

@@ -168,10 +168,15 @@ object GraftCatalog {
       o: Map[String, String]): StreamTable = {
     val FieldAgg = "fields\\.(.+)\\.aggregate-function".r
     val aggSpec = o.collect { case (FieldAgg(f), fn) => f -> fn }.toSeq.sortBy(_._1)
+    val pk = o.get("primary-key").map(_.split(",").map(_.trim).toSeq)
     new StreamTable(root, spark,
-      primaryKey = o.get("primary-key").map(_.split(",").map(_.trim).toSeq),
+      primaryKey = pk,
       seqCol = o.get("sequence.field"),
-      bucketKey = o.get("bucket-key"),
+      // Paimon's fixed-bucket default: a PK table without an explicit
+      // bucket-key buckets on (the first column of) its primary key, so
+      // every version of a key co-locates — the layout the V2 per-bucket
+      // merge-on-read and PK point-lookup pruning stand on
+      bucketKey = o.get("bucket-key").orElse(pk.map(_.head)),
       numBuckets = o.get("bucket").map(_.toInt).getOrElse(4),
       aggSpec = if (aggSpec.nonEmpty) Some(aggSpec) else None,
       mergeEngine = o.get("merge-engine")

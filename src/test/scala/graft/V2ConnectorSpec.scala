@@ -187,20 +187,19 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
-  test("PK tables are refused (merge-on-read needs the resolution pass)") {
+  test("PK tables read through the catalog via the merge-on-read scan") {
     val wh = java.nio.file.Files.createTempDirectory("v2_pk_wh_").toString
     val cat = new graft.table.GraftCatalog(spark, wh)
     val t = cat.createTable("d", "pk_t", Map("primary-key" -> "k"))
     import spark.implicits._
     t.appendBatch(Seq((1L, "v1")).toDF("k", "v"), 0L)
+    t.appendBatch(Seq((1L, "v2")).toDF("k", "v"), 1L)
     val catName = s"graft_pk_${Integer.toHexString(wh.hashCode).take(6)}"
     spark.conf.set(s"spark.sql.catalog.$catName",
       classOf[graft.sources.v2.GraftSparkCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $catName.d.pk_t").collect()
-    }
-    assert(e.getMessage.contains("primary-key table"), e.getMessage)
+    val rows = spark.sql(s"SELECT k, v FROM $catName.d.pk_t").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "v2")))
   }
 
   test("aggregate pushdown answers COUNT/MIN/MAX from metadata only") {
@@ -361,16 +360,16 @@ class V2ConnectorSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(dstT.read.count() == 9, "fresh query must append, not no-op")
-    // PK tables are refused: PK identity lives in the catalog, and the
-    // catalog refuses PK tables at load (before any write machinery); the
-    // sink's own require is the second fence for direct API use
+    // PK tables are refused AT THE SINK (reads resolve merge-on-read now,
+    // so the catalog loads PK tables fine — the write fence lives in
+    // GraftStreamingWrite: unstamped sink rows would corrupt LWW ordering)
     val wh = java.nio.file.Files.createTempDirectory("v2_sink_pk_wh_").toString
-    val cat = new graft.table.GraftCatalog(spark, wh)
-    cat.createTable("d", "pk_sink", Map("primary-key" -> "id"))
     val catName = s"graft_psk_${Integer.toHexString(wh.hashCode).take(6)}"
     spark.conf.set(s"spark.sql.catalog.$catName",
       classOf[graft.sources.v2.GraftSparkCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    spark.sql(s"CREATE TABLE $catName.d.pk_sink (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('primary-key' = 'id')")
     val e = intercept[Exception] {
       val q = spark.readStream.format("graft").load(src)
         .writeStream
@@ -379,7 +378,7 @@ class V2ConnectorSpec extends AnyFunSuite {
         .toTable(s"$catName.d.pk_sink")
       q.awaitTermination()
     }
-    assert(e.getMessage.contains("primary-key table"),
+    assert(e.getMessage.contains("append-only"),
       s"PK sink must refuse: ${e.getMessage}")
     // and the direct-API fence
     val e2 = intercept[IllegalArgumentException] {
@@ -652,4 +651,104 @@ class V2ConnectorSpec extends AnyFunSuite {
   /** Root of the registry's staged 8-range-batch lineitem table. */
   private def stagedLineitemRoot: String =
     scanOf(SparkEntry.queries("q_source_v2_pushdown")(spark, sf)).tableRoot
+
+  // ---- PK merge-on-read (V2PkRead) ----------------------------------------
+
+  private def pkScanOf(df: org.apache.spark.sql.DataFrame): graft.sources.v2.GraftPkScan =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.v2.GraftPkScan]
+
+  /** Fresh warehouse + catalog per test table (isolated from the registry's). */
+  private def freshCatalog(): (String, graft.table.GraftCatalog) = {
+    val wh = java.nio.file.Files.createTempDirectory("v2_pk_wh_").toString
+    val name = s"gpk_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, new graft.table.GraftCatalog(spark, wh))
+  }
+
+  test("PK merge-on-read: per-bucket LWW with sequence field, tombstones, zero shuffle") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "sensors",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "4"))
+    tbl.appendBatch(Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("id", "ver", "v"), 0L)
+    tbl.appendBatch(Seq((1L, 20L, "A")).toDF("id", "ver", "v"), 1L) // update wins
+    tbl.appendBatch(Seq((2L, 5L, "stale")).toDF("id", "ver", "v"), 2L) // stale seq loses
+    tbl.deleteBatch(Seq(3L).toDF("id"), 3L) // tombstone wins
+    val df = spark.sql(s"SELECT id, ver, v FROM $cat.db.sensors ORDER BY id")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 20L, "A"), (2L, 10L, "b")))
+    // equals the library's resolved view
+    val lib = gc.getTable("db", "sensors").read
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == lib)
+    // per-bucket plan: one input partition per hash bucket, no exchange
+    val scan = pkScanOf(spark.sql(s"SELECT id, v FROM $cat.db.sensors"))
+    assert(scan.description().contains("GraftPkScan"), scan.description())
+    assert(scan.description().contains("merge=deduplicate"), scan.description())
+    val parts = scan.planInputPartitions()
+    assert(parts.length <= 4 && parts.length >= 1, s"got ${parts.length} partitions")
+    val plain = spark.sql(s"SELECT id, v FROM $cat.db.sensors")
+    assert(!plain.queryExecution.executedPlan.toString.contains("Exchange"),
+      "PK merge-on-read must introduce no shuffle")
+  }
+
+  test("PK point lookup prunes to a single bucket before any I/O") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "pts",
+      Map("primary-key" -> "id", "bucket" -> "4"))
+    // 3 batches x 4 buckets of files; a point lookup keeps only 1 bucket's
+    tbl.appendBatch((1L to 40L).map(i => (i, i * 10)).toDF("id", "x"), 0L)
+    tbl.appendBatch((1L to 40L by 2).map(i => (i, i * 100)).toDF("id", "x"), 1L)
+    tbl.appendBatch((2L to 40L by 2).map(i => (i, i * 1000)).toDF("id", "x"), 2L)
+    val all = pkScanOf(spark.sql(s"SELECT id, x FROM $cat.db.pts"))
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(allKept, allTotal) = all.description()
+    val point = pkScanOf(spark.sql(s"SELECT id, x FROM $cat.db.pts WHERE id = 7"))
+    val Files(ptKept, ptTotal) = point.description()
+    assert(ptTotal == allTotal)
+    assert(ptKept.toInt <= allKept.toInt / 2,
+      s"point lookup must prune buckets: $ptKept/$ptTotal vs $allKept/$allTotal")
+    val row = spark.sql(s"SELECT id, x FROM $cat.db.pts WHERE id = 7").collect()
+    assert(row.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 700L)))
+  }
+
+  test("PK first-row engine keeps the earliest version through V2") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "fr",
+      Map("primary-key" -> "id", "merge-engine" -> "first-row"))
+    tbl.appendBatch(Seq((1L, "first"), (2L, "x")).toDF("id", "v"), 0L)
+    tbl.appendBatch(Seq((1L, "later")).toDF("id", "v"), 1L)
+    val rows = spark.sql(s"SELECT id, v FROM $cat.db.fr ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "first"), (2L, "x")))
+  }
+
+  test("aggregation merge engines are refused at V2 scan build, not at DDL") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "agg",
+      Map("primary-key" -> "id", "fields.x.aggregate-function" -> "sum"))
+    tbl.appendBatch(Seq((1L, 5L), (1L, 7L)).toDF("id", "x"), 0L)
+    // DDL-level introspection still works (loadTable does not refuse)
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect().nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.agg").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("distributed aggregate")))),
+      s"unexpected error: $e")
+    // the library view still resolves it
+    assert(gc.getTable("db", "agg").read.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 12L)))
+  }
 }
