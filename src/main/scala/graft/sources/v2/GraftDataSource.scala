@@ -103,6 +103,35 @@ object GraftV2Table {
   val SeqMetaCol = "_graft_seq"
   val MetaCols: Set[String] = Set(FileCol, SeqMetaCol)
 
+  /** Lossless V1 `Filter` → `Column` translation for row-level DML pushdown.
+    * `None` means "cannot express exactly" — the caller must then refuse the
+    * whole operation (never approximate a DELETE condition). */
+  private[v2] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   def fromPath(root: String, declared: Option[StructType] = None): GraftV2Table = {
     val spark = SparkSession.active
     // honor catalog-persisted structural options (primary key, merge
@@ -118,7 +147,31 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     atSnapshot: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Native `DELETE FROM <table> WHERE <cond>` (Paimon's batch delete, the
+    * second thing a user types at a real table) — routed to
+    * [[StreamTable.deleteWhere]], which picks the physical strategy:
+    * merge-on-read tombstones for PK tables (cost ∝ matching keys), touched-
+    * file-pruned copy-on-write for append tables (non-overlapping files are
+    * neither read nor rewritten, and survive in the new snapshot verbatim).
+    * Either way one atomic manifest commit; the pre-delete snapshot stays
+    * time-travelable until retention. Spark only offers the push when EVERY
+    * predicate converted losslessly ([[canDeleteWhere]]) — a partial
+    * condition could silently delete a superset. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    atSnapshot.isEmpty && filters.forall(GraftV2Table.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(atSnapshot.isEmpty,
+      s"$tableName is a time-travel read; DELETE targets the current version")
+    val cond = filters.toSeq.map(f => GraftV2Table.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"cannot push DELETE filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.deleteWhere(cond)
+  }
 
   /** System columns (Paimon's `__paimon_file_path` / sequence surface,
     * Spark's `_metadata` idiom): provenance per row without any data-file
@@ -849,23 +902,34 @@ private[v2] object FileSkip {
   * stats actually skipped — at 100 TB "files skipped" IS the query plan's
   * quality signal, and it must be observable, not inferred from runtimes. */
 object GraftScanMetrics {
-  private class SumMetric(n: String, desc: String)
-      extends org.apache.spark.sql.connector.metric.CustomMetric {
-    override def name(): String = n
-    override def description(): String = desc
-    override def aggregateTaskMetrics(values: Array[Long]): String =
-      values.sum.toString
-  }
   val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new SumMetric("graftFilesRead", "data files planned for read"),
-    new SumMetric("graftFilesSkipped", "data files skipped by footer stats"),
-    new SumMetric("graftBytesPlanned", "bytes planned for read"))
+    new GraftFilesReadMetric, new GraftFilesSkippedMetric,
+    new GraftBytesPlannedMetric)
 
   def task(n: String, v: Long): org.apache.spark.sql.connector.metric.CustomTaskMetric =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {
       override def name(): String = n
       override def value(): Long = v
     }
+}
+
+// Top-level, zero-arg-constructible: the SQL UI listener re-instantiates
+// metric classes REFLECTIVELY to aggregate them — an inner class with
+// constructor args silently drops the metric from the UI.
+class GraftFilesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesRead"
+  override def description(): String = "data files planned for read"
+}
+class GraftFilesSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesSkipped"
+  override def description(): String = "data files skipped by footer stats"
+}
+class GraftBytesPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftBytesPlanned"
+  override def description(): String = "bytes planned for read"
 }
 
 /** Driver-side eligibility proof for the columnar path. File footers are

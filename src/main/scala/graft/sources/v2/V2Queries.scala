@@ -299,6 +299,21 @@ object V2Queries {
                |FROM $catName.v2db.pk_cust ORDER BY c_custkey""".stripMargin)
     },
 
+    // Native row-level DELETE: Spark's `DELETE FROM … WHERE` against the
+    // V2 catalog (SupportsDelete) routed to the engine's touched-file-pruned
+    // copy-on-write — non-overlapping files are neither read nor rewritten,
+    // and the pre-delete version stays time-travelable (asserted in
+    // V2ConnectorSpec). Staged once: full customer, then SQL-delete the
+    // negative balances; the read sees only the survivors.
+    QDef(
+      "q_source_v2_delete",
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = deleteTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_mktsegment, c_acctbal
+               |FROM $catName.v2db.del_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -368,6 +383,20 @@ object V2Queries {
       val o = cat.createTable("v2db", "spj_orders", opts("o_orderkey"))
       o.appendBatch(Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus"), 0L)
+      catName
+    })
+
+  /** customer staged then SQL-`DELETE FROM`-ed (negative balances). */
+  private val stagedDel = new ConcurrentHashMap[String, String]()
+  private def deleteTable(s: SparkSession, d: String): String =
+    stagedDel.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2d_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.del_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.del_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2d_customer""".stripMargin)
+      s.sql(s"DELETE FROM $catName.v2db.del_customers WHERE c_acctbal < 0")
       catName
     })
 

@@ -731,6 +731,30 @@ class V2ConnectorSpec extends AnyFunSuite {
       Seq((1L, "first"), (2L, "x")))
   }
 
+  test("DELETE FROM through the V2 catalog: COW on append, tombstones on PK") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    // append table: copy-on-write with touched-file pruning
+    spark.sql(s"CREATE TABLE $cat.db.adel (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.adel VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql(s"DELETE FROM $cat.db.adel WHERE id IN (2, 4) OR v = 'c'")
+    assert(spark.sql(s"SELECT id FROM $cat.db.adel ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // the pre-delete version stays time-travelable
+    assert(spark.sql(s"SELECT id FROM $cat.db.adel VERSION AS OF 0 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // PK table: merge-on-read tombstones, resolved by the PK scan
+    val t = gc.createTable("db", "pdel", Map("primary-key" -> "id"))
+    t.appendBatch(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v"), 0L)
+    spark.sql(s"DELETE FROM $cat.db.pdel WHERE v = 'y'")
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.pdel ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (3L, "z")))
+    // no data file of the PK table was rewritten (tombstones appended)
+    assert(gc.getTable("db", "pdel").latestSnapshot.get.files
+      .forall(_.path.contains("/data/append/")), "PK delete must not rewrite")
+  }
+
   test("aggregation merge engines are refused at V2 scan build, not at DDL") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
