@@ -85,14 +85,19 @@ class GraftDataSource extends TableProvider
     val p = properties.get("path")
     require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<tableRoot>)")
     val t = GraftV2Table.fromPath(p, Option(schema))
-    // a COMMITTED table's schema comes from its files; a user-specified
-    // read schema that differs is an unsupported projection, not a silent
-    // no-op (the declared schema only resolves not-yet-committed sinks)
-    if (schema != null && t.table.latestSnapshot.isDefined && schema != t.schema())
-      throw new IllegalArgumentException(
-        s"graft does not support a user-specified read schema on a " +
-          s"committed table (got ${schema.catalogString}, " +
-          s"table is ${t.schema().catalogString})")
+    // a COMMITTED table's schema comes from its files (or its persisted
+    // evolved declaration); a user-specified read schema that differs is an
+    // unsupported projection, not a silent no-op (the declared schema only
+    // resolves not-yet-committed sinks). Compare against the table's
+    // INTRINSIC schema — the user-supplied one must not mask the check.
+    if (schema != null && t.table.latestSnapshot.isDefined) {
+      val intrinsic = GraftV2Table.fromPath(p).schema()
+      if (schema != intrinsic)
+        throw new IllegalArgumentException(
+          s"graft does not support a user-specified read schema on a " +
+            s"committed table (got ${schema.catalogString}, " +
+            s"table is ${intrinsic.catalogString})")
+    }
     t
   }
 }
@@ -135,16 +140,50 @@ object GraftV2Table {
   def fromPath(root: String, declared: Option[StructType] = None): GraftV2Table = {
     val spark = SparkSession.active
     // honor catalog-persisted structural options (primary key, merge
-    // engine, bucketing) when present — a PK warehouse table loaded by bare
-    // path must resolve merge-on-read, not leak raw versions
+    // engine, bucketing, declared/evolved schema) when present — a PK
+    // warehouse table loaded by bare path must resolve merge-on-read, not
+    // leak raw versions, and an evolved table must show its evolved schema
     val table = graft.table.GraftCatalog.openPath(spark, root)
-    new GraftV2Table(s"graft.`$root`", table, spark, declared)
+    val (evolved, renames) = evolutionOf(graft.table.GraftCatalog.pathOptions(root))
+    new GraftV2Table(s"graft.`$root`", table, spark,
+      evolved.orElse(declared), renameMap = renames)
+  }
+
+  /** The table's EVOLVED declared schema + rename mappings (declared name →
+    * file-level name) from its option map. Two stores, one meaning: the V2
+    * catalog's `graft.declared-schema` (Spark DDL) and the SQL shell's
+    * `ddl.schema` (`name type|…`, Flink-ish types) + `ddl.rename.<declared>`
+    * records — whichever is present, both front doors see the same evolved
+    * table. An unparseable store yields None (file-derived schema, the
+    * pre-evolution behavior), never a crash. */
+  private[v2] def evolutionOf(opts: Map[String, String])
+      : (Option[StructType], Map[String, String]) = {
+    val renames = opts.collect {
+      case (k, v) if k.startsWith("ddl.rename.") && v.nonEmpty &&
+          k.stripPrefix("ddl.rename.") != v =>
+        k.stripPrefix("ddl.rename.") -> v
+    }
+    val declared = opts.get(GraftSparkCatalog.SchemaOption)
+      .flatMap(s => scala.util.Try(StructType.fromDDL(s)).toOption)
+      .orElse(opts.get("ddl.schema").flatMap { s =>
+        val cols = s.split("\\|").filter(_.nonEmpty).toSeq.map { cd =>
+          val p = cd.split("\\s+", 2)
+          (p(0), p.lift(1).flatMap(graft.table.GraftSql.sparkType))
+        }
+        if (cols.isEmpty || cols.exists(_._2.isEmpty)) None
+        else Some(StructType(cols.map { case (n, t) => StructField(n, t.get) }))
+      })
+    (declared, renames)
   }
 }
 
 class GraftV2Table(tableName: String, val table: StreamTable,
     spark: SparkSession, declaredSchema: Option[StructType] = None,
-    atSnapshot: Option[Long] = None)
+    atSnapshot: Option[Long] = None,
+    /** Declared column name → FILE-level column name for columns renamed by
+      * metadata-only schema evolution (`ALTER TABLE … RENAME COLUMN`): data
+      * files keep serving the old name; the scan translates at plan time. */
+    renameMap: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -205,7 +244,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     require(table.snapshots.exists(_.id == snapshotId),
       s"$tableName has no snapshot $snapshotId")
     new GraftV2Table(s"$tableName@$snapshotId", table, spark,
-      declaredSchema, Some(snapshotId))
+      declaredSchema, Some(snapshotId), renameMap)
   }
 
   private[v2] def liveFiles: Seq[DataFileMeta] = atSnapshot match {
@@ -217,17 +256,24 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   override def name(): String = tableName
 
   override def schema(): StructType = {
-    val files = liveFiles
-    if (files.isEmpty)
-      return declaredSchema.getOrElse(
-        throw new IllegalStateException(s"$tableName has no committed snapshot"))
-    // engine-internal sequencing columns never surface through the source;
-    // mergeSchema unions layouts across evolution (old files null-fill)
-    StructType(spark.read.option("mergeSchema", "true")
-      .parquet(files.map(_.path): _*).schema
-      .filterNot(f => f.name == StreamTable.SeqColName ||
-        f.name == StreamTable.TombstoneColName ||
-        f.name.startsWith(StreamTable.FieldSeqPrefix)))
+    // a DECLARED schema is authoritative: it is the CREATE TABLE contract
+    // and the carrier of metadata-only evolution (ADD appends a column no
+    // file has yet — readers null-fill; DROP hides one files still carry;
+    // RENAME shows the new name while files keep the old)
+    declaredSchema match {
+      case Some(d) => d
+      case None =>
+        val files = liveFiles
+        if (files.isEmpty)
+          throw new IllegalStateException(s"$tableName has no committed snapshot")
+        // engine-internal sequencing columns never surface through the source;
+        // mergeSchema unions layouts across evolution (old files null-fill)
+        StructType(spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.path): _*).schema
+          .filterNot(f => f.name == StreamTable.SeqColName ||
+            f.name == StreamTable.TombstoneColName ||
+            f.name.startsWith(StreamTable.FieldSeqPrefix)))
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -247,10 +293,10 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           throw new UnsupportedOperationException(
             s"$tableName has merge-engine=$eng: its merge is a distributed " +
               "aggregate — read it through StreamTable.read")
-        new GraftPkScanBuilder(this, schema(), pk)
+        new GraftPkScanBuilder(this, schema(), pk, renameMap)
       case None =>
         new GraftScanBuilder(this, schema(),
-          consumerId = Option(options.get("consumer-id")))
+          consumerId = Option(options.get("consumer-id")), nameMap = renameMap)
     }
 
   /** Batch append (`INSERT INTO` / `df.writeTo(...).append()` /
@@ -280,10 +326,18 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              // renamed columns persist under their FILE-level name so every
+              // data file (pre- and post-rename) carries one uniform column;
+              // the scan maps it back to the declared name (the shell's
+              // INSERT does the same — Paimon's stable-field-id model)
+              val stored = renameMap.foldLeft(data) { case (df, (decl, file)) =>
+                if (df.columns.contains(decl)) df.withColumnRenamed(decl, file)
+                else df
+              }
               val next = math.max(
                 table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
-              if (replace || overwrite) table.overwriteBatch(data, next)
-              else table.appendBatch(data, next)
+              if (replace || overwrite) table.overwriteBatch(stored, next)
+              else table.appendBatch(stored, next)
             }
 
           // `df.writeStream.format("graft")` / `.toTable(...)`: the native
@@ -292,7 +346,10 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!replace, "streaming writes are append-only")
-            new GraftStreamingWrite(table, info.schema(), info.queryId())
+            // same file-level-name rule as the batch write above
+            val stored = StructType(info.schema().map(f =>
+              f.copy(name = renameMap.getOrElse(f.name, f.name))))
+            new GraftStreamingWrite(table, stored, info.queryId())
           }
         }
     }
@@ -300,7 +357,8 @@ class GraftV2Table(tableName: String, val table: StreamTable,
 }
 
 class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
-    consumerId: Option[String] = None)
+    consumerId: Option[String] = None,
+    nameMap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -415,8 +473,9 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
         if (!integral) None
         else {
           val conf = new Configuration()
+          val fileName = nameMap.getOrElse(name, name) // renamed: files keep the old name
           val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
-            GraftScanBuilder.fileLongMinMax(f.path, name, conf)
+            GraftScanBuilder.fileLongMinMax(f.path, fileName, conf)
           }
           if (perFile.contains(None)) None // stats missing somewhere: refuse
           else {
@@ -453,7 +512,7 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some((schema, row, desc)) =>
       new GraftAggregateScan(table.name(), schema, row, desc)
-    case None => new GraftScan(table, required, pushed, limit, consumerId)
+    case None => new GraftScan(table, required, pushed, limit, consumerId, nameMap)
   }
 }
 
@@ -522,10 +581,21 @@ case class GraftAggregateReaderFactory(row: InternalRow)
 
 class GraftScan(table: GraftV2Table, required: StructType,
     pushed: Array[Filter], limit: Option[Int] = None,
-    consumerId: Option[String] = None) extends Scan with Batch
+    consumerId: Option[String] = None,
+    nameMap: Map[String, String] = Map.empty) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // Everything INSIDE the scan (footer stats, parquet predicates, reader
+  // projections) speaks FILE-level column names; readSchema/description keep
+  // the declared names Spark resolves against. Rows are positional, so the
+  // translated reader output aligns with the declared readSchema verbatim.
+  private val fileRequired: StructType =
+    if (nameMap.isEmpty) required
+    else StructType(required.map(f => f.copy(name = nameMap.getOrElse(f.name, f.name))))
+  private val filePushed: Array[Filter] =
+    if (nameMap.isEmpty) pushed else pushed.map(GraftScan.translate(_, nameMap))
 
   // ---- driver-side file skipping (eager: explain shows the real counts) --
   private val allFiles = table.liveFiles
@@ -539,12 +609,12 @@ class GraftScan(table: GraftV2Table, required: StructType,
       case Some(b) => allFiles.filter(_.bucket.forall(_ == b))
       case None => allFiles
     }
-    if (pushed.isEmpty) bucketPruned
+    if (filePushed.isEmpty) bucketPruned
     else {
       val conf = new Configuration()
       bucketPruned.filter { f =>
         val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
-        pushed.forall(keepFile(_, mins, maxs))
+        filePushed.forall(keepFile(_, mins, maxs))
       }
     }
   }
@@ -715,10 +785,11 @@ class GraftScan(table: GraftV2Table, required: StructType,
         case _ => None
       }
       perValue.foreach { case (n, values) if values.nonEmpty =>
+        val fileN = nameMap.getOrElse(n, n) // footer stats use file-level names
         kept = kept.filter { f =>
           val (mins, maxs) = stats(f.path)
           // keep the file if ANY key could be in it (conservative overlap)
-          values.exists(v => keepFile(EqualTo(n, v), mins, maxs))
+          values.exists(v => keepFile(EqualTo(fileN, v), mins, maxs))
         }
       case _ => ()
       }
@@ -735,7 +806,7 @@ class GraftScan(table: GraftV2Table, required: StructType,
     * contract) — snapshot expiry can then never outrun a slow reader. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table.table, required, pushed, consumerId)
+    new GraftMicroBatchStream(table.table, fileRequired, filePushed, consumerId)
 
   override def planInputPartitions(): Array[InputPartition] = spjGroups match {
     case Some((_, groups)) =>
@@ -748,8 +819,21 @@ class GraftScan(table: GraftV2Table, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required, pushed, limit,
-      columnar = GraftVector.eligible(required, pushed, limit, kept.map(_.path)))
+    GraftReaderFactory(fileRequired, filePushed, limit,
+      columnar = GraftVector.eligible(fileRequired, filePushed, limit, kept.map(_.path)))
+}
+
+object GraftScan {
+  /** Rename attribute references declared → file-level in a pushed filter.
+    * Only the five pushable comparison shapes can reach the scan. */
+  private[v2] def translate(f: Filter, m: Map[String, String]): Filter = f match {
+    case EqualTo(a, v) => EqualTo(m.getOrElse(a, a), v)
+    case GreaterThan(a, v) => GreaterThan(m.getOrElse(a, a), v)
+    case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(m.getOrElse(a, a), v)
+    case LessThan(a, v) => LessThan(m.getOrElse(a, a), v)
+    case LessThanOrEqual(a, v) => LessThanOrEqual(m.getOrElse(a, a), v)
+    case other => other
+  }
 }
 
 case class GraftInputPartition(path: String, minSeq: Long = -1L)

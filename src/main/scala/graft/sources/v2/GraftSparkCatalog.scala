@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.GraftCatalog
@@ -118,12 +118,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // PK tables resolve merge-on-read inside the scan (per-bucket
     // last-writer-wins, V2PkRead.scala); distributed-aggregate merge
     // engines are refused at scan build, not here, so DDL still works
-    // a freshly created table has no snapshot yet; its declared schema
-    // (persisted as an option at CREATE TABLE) resolves INSERT INTO
-    val declared = backing.tableOptions(db(ident.namespace()), ident.name())
-      .get(SchemaOption).map(j => StructType.fromDDL(j))
+    // the declared (possibly EVOLVED) schema + rename mappings persist as
+    // options: they resolve INSERT INTO on empty tables and carry
+    // metadata-only ADD/DROP/RENAME COLUMN evolution on committed ones
+    val (declared, renames) = GraftV2Table.evolutionOf(
+      backing.tableOptions(db(ident.namespace()), ident.name()))
     new GraftV2Table(s"$catalogName.${db(ident.namespace())}.${ident.name()}",
-      t, SparkSession.active, declared)
+      t, SparkSession.active, declared, renameMap = renames)
   }
 
   /** `VERSION AS OF <id|'tag'>` — snapshot-pinned reads through plain SQL
@@ -167,13 +168,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** `ALTER TABLE … SET TBLPROPERTIES` in plain SQL — the reference's
-    * `ALTER TABLE … SET ('snapshot.num-retained.max' = …)` retention/
-    * compaction knobs (guide.md:180-184, :265-271) through the V2 front
-    * door. Properties merge into the warehouse option file (the Paimon
-    * WITH-clause store); structural changes keep their dedicated paths
-    * (ADD COLUMN is write-side schema evolution — just append the wider
-    * frame; mergeSchema null-fills history). */
+  /** `ALTER TABLE` in plain SQL — two families through the V2 front door:
+    *
+    *  - `SET/UNSET TBLPROPERTIES`: the reference's retention/compaction
+    *    knobs (guide.md:180-184, :265-271) merged into the warehouse option
+    *    file (the Paimon WITH-clause store).
+    *  - `ADD/DROP/RENAME COLUMN`: METADATA-ONLY schema evolution, the
+    *    Paimon model — no data file is rewritten. ADD appends to the
+    *    declared schema (old files null-fill at read); DROP removes it (the
+    *    scan never projects the column files still carry); RENAME records a
+    *    declared→file-level name mapping (`ddl.rename.<name>`, chasing prior
+    *    renames) that the scan translates at plan time. The SAME option keys
+    *    the SQL shell uses, so both front doors see one evolved table.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val sets = changes.collect {
@@ -182,12 +189,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val removes = changes.collect {
       case p: TableChange.RemoveProperty => p.property()
     }
+    val structural = changes.collect {
+      case c: TableChange.AddColumn => c: TableChange
+      case c: TableChange.DeleteColumn => c: TableChange
+      case c: TableChange.RenameColumn => c: TableChange
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        structural.contains(c))
     require(unsupported.isEmpty,
-      s"unsupported ALTER TABLE change(s) ${unsupported.mkString(", ")}: " +
-        "column evolution goes through StreamTable writes (mergeSchema)")
+      s"unsupported ALTER TABLE change(s) ${unsupported.mkString(", ")} " +
+        "(supported: properties, ADD/DROP/RENAME COLUMN)")
     require(!(sets.map(_._1) ++ removes).exists(
         Set("primary-key", "bucket-key", "bucket", SchemaOption)),
       "primary-key/bucketing/declared-schema are immutable table structure " +
@@ -200,7 +213,64 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
     if (sets.nonEmpty)
       backing.alterTable(db(ident.namespace()), ident.name(), sets.toMap)
+    if (structural.nonEmpty) applyEvolution(ident, structural)
     loadTable(ident)
+  }
+
+  /** Apply ADD/DROP/RENAME COLUMN to the persisted evolution state. */
+  private def applyEvolution(ident: Identifier, changes: Seq[TableChange]): Unit = {
+    val dbN = db(ident.namespace()); val tn = ident.name()
+    val opts = backing.tableOptions(dbN, tn)
+    // columns evolution must not touch: primary key, bucket key, sequence
+    // field — the merge/layout contracts are pinned to their names
+    val keyCols = opts.get("primary-key").toSeq.flatMap(_.split(",").map(_.trim)) ++
+      opts.get("bucket-key") ++ opts.get("sequence.field")
+    val (declared0, renames0) = GraftV2Table.evolutionOf(opts)
+    // synthesize the declared schema from the live files when the table was
+    // created without one (library API) — evolution needs a base to evolve
+    var decl: StructType = declared0.getOrElse(
+      loadTable(ident).asInstanceOf[GraftV2Table].schema())
+    var renames = renames0
+    val setOpts = scala.collection.mutable.Map[String, String]()
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested ADD COLUMN is unsupported")
+        val n = a.fieldNames.head
+        require(!decl.fieldNames.contains(n), s"column '$n' already exists")
+        decl = StructType(decl.fields :+ StructField(n, a.dataType, a.isNullable))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested DROP COLUMN is unsupported")
+        val n = d.fieldNames.head
+        if (!decl.fieldNames.contains(n)) {
+          require(d.ifExists(), s"no column '$n' to drop")
+        } else {
+          require(!keyCols.contains(n),
+            s"cannot drop key column '$n' (primary/bucket/sequence key)")
+          decl = StructType(decl.filterNot(_.name == n))
+          if (renames.contains(n)) { setOpts(s"ddl.rename.$n") = ""; renames -= n }
+        }
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested RENAME COLUMN is unsupported")
+        val from = r.fieldNames.head; val to = r.newName
+        require(decl.fieldNames.contains(from), s"no column '$from'")
+        require(!decl.fieldNames.contains(to), s"column '$to' already exists")
+        require(!keyCols.contains(from),
+          s"cannot rename key column '$from' (primary/bucket/sequence key)")
+        // chase prior renames so the mapping always points at the ORIGINAL
+        // file-level name (Paimon's stable-field-id model)
+        val fileN = renames.getOrElse(from, from)
+        decl = StructType(decl.map(f => if (f.name == from) f.copy(name = to) else f))
+        setOpts(s"ddl.rename.$from") = "" // retired mapping (empty = removed)
+        if (fileN != to) setOpts(s"ddl.rename.$to") = fileN
+        renames = renames - from ++ (if (fileN != to) Map(to -> fileN) else Map.empty)
+      case other => throw new IllegalArgumentException(s"unreachable: $other")
+    }
+    setOpts(SchemaOption) = decl.toDDL
+    // keep the shell's store in sync when the table carries one, so a table
+    // created in the shell and evolved here stays coherent in both doors
+    if (opts.contains("ddl.schema"))
+      setOpts("ddl.schema") = decl.map(f => s"${f.name} ${f.dataType.sql}").mkString("|")
+    backing.alterTable(dbN, tn, setOpts.toMap)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -49,7 +49,7 @@ import graft.table.{DataFileMeta, StreamTable}
   * parallel; rewrite via compaction to restore the layout.
   */
 class GraftPkScanBuilder(table: GraftV2Table, fullSchema: StructType,
-    pk: Seq[String]) extends ScanBuilder
+    pk: Seq[String], nameMap: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -89,12 +89,22 @@ class GraftPkScanBuilder(table: GraftV2Table, fullSchema: StructType,
     required = StructType(kept ++ meta)
   }
 
-  override def build(): Scan = new GraftPkScan(table, fullSchema, required, pushed, pk)
+  override def build(): Scan =
+    new GraftPkScan(table, fullSchema, required, pushed, pk, nameMap)
 }
 
 class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter], pk: Seq[String])
+    required: StructType, pushed: Array[Filter], pk: Seq[String],
+    nameMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
+
+  // Key/sequence columns are never renameable (the evolution guard), so the
+  // merge bookkeeping columns keep their names; only projected PAYLOAD
+  // columns may need declared → file-level translation (rows are positional,
+  // so the translated reader output aligns with the declared readSchema).
+  private val fileRequired: StructType =
+    if (nameMap.isEmpty) required
+    else StructType(required.map(f => f.copy(name = nameMap.getOrElse(f.name, f.name))))
 
   private val t = table.table
   private val firstRow = t.effectiveEngine == "first-row"
@@ -146,10 +156,10 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
   // ---- merge-internal schema: projection ++ pk/seq/commit/tombstone ------
   private[v2] val internal: StructType = {
     val extras = (pk ++ t.seqCol.toSeq).distinct
-      .filterNot(n => required.fieldNames.contains(n))
+      .filterNot(n => fileRequired.fieldNames.contains(n))
       .map(n => fullSchema.find(_.name == n).getOrElse(
         throw new IllegalStateException(s"key/sequence column $n missing from table schema")))
-    StructType(required.fields.toSeq ++ extras ++ Seq(
+    StructType(fileRequired.fields.toSeq ++ extras ++ Seq(
       StructField(StreamTable.SeqColName, LongType),
       StructField(StreamTable.TombstoneColName, BooleanType)))
   }

@@ -314,6 +314,21 @@ object V2Queries {
                |FROM $catName.v2db.del_customers ORDER BY c_custkey""".stripMargin)
     },
 
+    // Metadata-only schema evolution through native ALTER TABLE: ADD COLUMN
+    // (pre-evolution files null-fill at read), then RENAME COLUMN (files
+    // keep serving the old name through a declared→file mapping the scan
+    // translates at plan time) — no data file is ever rewritten
+    // (V2ConnectorSpec asserts DROP COLUMN and pushdown-through-rename too).
+    QDef(
+      "q_source_v2_evolution",
+      """SELECT c_custkey, c_name AS cust_name,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE NULL END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = evoTable(s, d)
+      s.sql(s"""SELECT c_custkey, cust_name, c_acctbal AS acctbal
+               |FROM $catName.v2db.evo_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -383,6 +398,27 @@ object V2Queries {
       val o = cat.createTable("v2db", "spj_orders", opts("o_orderkey"))
       o.appendBatch(Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus"), 0L)
+      catName
+    })
+
+  /** customer staged across a schema-evolution boundary: evens written
+    * BEFORE `ADD COLUMN c_acctbal` (read as NULL), odds after (with
+    * balances), then `RENAME COLUMN c_name TO cust_name`. */
+  private val stagedEvo = new ConcurrentHashMap[String, String]()
+  private def evoTable(s: SparkSession, d: String): String =
+    stagedEvo.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2e_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.evo_customers
+               |(c_custkey BIGINT, c_name STRING)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.evo_customers
+               |SELECT c_custkey, c_name FROM graft_v2e_customer
+               |WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $catName.v2db.evo_customers ADD COLUMNS (c_acctbal DOUBLE)")
+      s.sql(s"""INSERT INTO $catName.v2db.evo_customers
+               |SELECT c_custkey, c_name, c_acctbal FROM graft_v2e_customer
+               |WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql(s"ALTER TABLE $catName.v2db.evo_customers RENAME COLUMN c_name TO cust_name")
       catName
     })
 

@@ -191,11 +191,18 @@ object GraftCatalog {
     * and opens as a plain append table (its structure lives only in the
     * constructing code). */
   def openPath(spark: SparkSession, root: String): StreamTable = {
+    val o = pathOptions(root)
+    if (o.nonEmpty) tableFromOptions(spark, root, o)
+    else new StreamTable(root, spark)
+  }
+
+  /** The option map persisted beside a catalog-managed table root
+    * (`_table_options.json`); empty for a bare StreamTable directory. */
+  def pathOptions(root: String): Map[String, String] = {
     val f = Paths.get(root, "_table_options.json")
     if (Files.exists(f))
-      tableFromOptions(spark, root,
-        mapper.readValue(Files.readAllBytes(f), classOf[Map[String, String]]))
-    else new StreamTable(root, spark)
+      mapper.readValue(Files.readAllBytes(f), classOf[Map[String, String]])
+    else Map.empty
   }
 
   private def writeOptions(target: java.nio.file.Path, o: Map[String, String]): Unit = {

@@ -484,7 +484,7 @@ object GraftSql {
 
   /** Best-effort Flink-DDL → Spark type (INSERT alignment + view padding).
     * Unparseable types yield None and the column is carried uncast. */
-  private[table] def sparkType(ddl: String)
+  private[graft] def sparkType(ddl: String)
       : Option[org.apache.spark.sql.types.DataType] = {
     val norm = ddl.replaceAll("/\\*.*?\\*/", " ")
       .replaceAll("(?i)\\bTIMESTAMP(?:_LTZ)?\\s*\\(\\d+\\)", "TIMESTAMP")

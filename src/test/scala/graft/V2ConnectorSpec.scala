@@ -755,6 +755,47 @@ class V2ConnectorSpec extends AnyFunSuite {
       .forall(_.path.contains("/data/append/")), "PK delete must not rewrite")
   }
 
+  test("ALTER TABLE column evolution: ADD/RENAME/DROP are metadata-only") {
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.evo (id BIGINT, a STRING)")
+    spark.sql(s"INSERT INTO $cat.db.evo VALUES (1, 'x'), (2, 'y')")
+    val filesBefore = gc.getTable("db", "evo").latestSnapshot.get.files.map(_.path)
+
+    // ADD: old files null-fill; new writes carry the column
+    spark.sql(s"ALTER TABLE $cat.db.evo ADD COLUMNS (score DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.evo VALUES (3, 'z', 9.5)")
+    assert(spark.sql(s"SELECT id, score FROM $cat.db.evo ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSeq ==
+      Seq((1L, null), (2L, null), (3L, 9.5)))
+
+    // RENAME: files keep the old name; reads AND pushed filters translate
+    spark.sql(s"ALTER TABLE $cat.db.evo RENAME COLUMN a TO label")
+    assert(spark.sql(s"SELECT label FROM $cat.db.evo WHERE label = 'y'").collect()
+      .map(_.getString(0)).toSeq == Seq("y"))
+    // a write AFTER the rename persists under the FILE-level name (uniform
+    // files), and reads still serve the declared name
+    spark.sql(s"INSERT INTO $cat.db.evo VALUES (4, 'w', 1.5)")
+    assert(spark.sql(s"SELECT id, label, score FROM $cat.db.evo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")))
+
+    // DROP: the column leaves the schema; files are untouched
+    spark.sql(s"ALTER TABLE $cat.db.evo DROP COLUMN score")
+    assert(spark.table(s"$cat.db.evo").columns.toSeq == Seq("id", "label"))
+
+    // metadata-only: every pre-evolution file survives verbatim
+    val filesAfter = gc.getTable("db", "evo").latestSnapshot.get.files.map(_.path)
+    assert(filesBefore.forall(filesAfter.contains), "evolution must not rewrite files")
+
+    // key columns are protected: renaming a PK table's key is refused
+    spark.sql(s"CREATE TABLE $cat.db.evo_pk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key' = 'k')")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.evo_pk RENAME COLUMN k TO k2")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
   test("aggregation merge engines are refused at V2 scan build, not at DDL") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
