@@ -74,8 +74,14 @@ class GraftDataSource extends TableProvider
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftV2Table.fromPath(rootOf(options)).schema()
+  private def isChangelog(get: String => String): Boolean =
+    Option(get("read-changelog")).exists(v => v == "true" || v == "1")
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GraftV2Table.fromPath(rootOf(options))
+    if (isChangelog(options.get)) new GraftChangelogV2Table(base).schema()
+    else base.schema()
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -84,6 +90,8 @@ class GraftDataSource extends TableProvider
     // never silently create a table rooted at the literal "null"
     val p = properties.get("path")
     require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<tableRoot>)")
+    if (isChangelog(k => properties.get(k)))
+      return new GraftChangelogV2Table(GraftV2Table.fromPath(p))
     val t = GraftV2Table.fromPath(p, Option(schema))
     // a COMMITTED table's schema comes from its files (or its persisted
     // evolved declaration); a user-specified read schema that differs is an
@@ -188,6 +196,9 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Rename mappings, exposed for the changelog wrapper. */
+  private[v2] def renames: Map[String, String] = renameMap
 
   /** Native `DELETE FROM <table> WHERE <cond>` (Paimon's batch delete, the
     * second thing a user types at a real table) — routed to

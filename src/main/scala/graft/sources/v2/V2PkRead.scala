@@ -229,51 +229,12 @@ class GraftPkMergeReader(files: Seq[(String, Long)], internal: StructType,
 
   private val dts: Array[DataType] = internal.fields.map(_.dataType)
 
-  /** Null-safe ordering compare; null = -infinity (matches the library's
-    * window resolve: desc nulls-last / asc nulls-first). */
-  private def cmpAny(a: Any, b: Any): Int =
-    if (a == null && b == null) 0
-    else if (a == null) -1
-    else if (b == null) 1
-    else a.asInstanceOf[Comparable[Any]].compareTo(b)
-
-  /** (sequence.field, commit batch) order between two versions of a key. */
-  private def cmpOrd(x: InternalRow, y: InternalRow): Int = {
-    val bySeq = if (seqIdx < 0) 0
-      else cmpAny(x.get(seqIdx, dts(seqIdx)), y.get(seqIdx, dts(seqIdx)))
-    if (bySeq != 0) bySeq
-    else cmpAny(x.get(commitIdx, dts(commitIdx)), y.get(commitIdx, dts(commitIdx)))
-  }
-
-  private def isTombstone(r: InternalRow): Boolean = {
-    val v = r.get(tombIdx, BooleanType)
-    v != null && v.asInstanceOf[Boolean]
-  }
-
   private lazy val merged: Iterator[InternalRow] = {
-    val winners = new java.util.HashMap[List[Any], InternalRow]()
-    files.foreach { case (path, fileSeq) =>
-      val r = new GraftPartitionReader(path, internal, pushed,
-        limit = None, fileSeq = fileSeq)
-      try {
-        while (r.next()) {
-          val row = r.get() // fresh GenericInternalRow per call — safe to keep
-          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
-          val prev = winners.get(key)
-          val wins = prev == null || {
-            val c = cmpOrd(row, prev)
-            if (firstRow) c < 0 else c >= 0
-          }
-          if (wins) winners.put(key, row)
-        }
-      } finally r.close()
-    }
+    val winners = PkMerge.winners(files.map { case (p, s) => (p, s) },
+      internal, pkIdxs, seqIdx, commitIdx, firstRow, pushed)
     winners.values.iterator.asScala.collect {
-      case w if !isTombstone(w) =>
-        val out = new Array[Any](outLen)
-        var i = 0
-        while (i < outLen) { out(i) = w.get(i, dts(i)); i += 1 }
-        new GenericInternalRow(out): InternalRow
+      case w if !PkMerge.isTombstone(w, tombIdx) =>
+        PkMerge.project(w, outLen, dts): InternalRow
     }
   }
 
@@ -285,4 +246,68 @@ class GraftPkMergeReader(files: Seq[(String, Long)], internal: StructType,
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Shared per-bucket hash-merge machinery (the PK scan and the changelog
+  * stream both resolve winners this way). */
+private[v2] object PkMerge {
+  /** Null-safe ordering compare; null = -infinity (matches the library's
+    * window resolve: desc nulls-last / asc nulls-first). */
+  def cmpAny(a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  def isTombstone(r: InternalRow, tombIdx: Int): Boolean = {
+    val v = r.get(tombIdx, BooleanType)
+    v != null && v.asInstanceOf[Boolean]
+  }
+
+  /** First `outLen` fields of a merged row as a fresh output row. */
+  def project(w: InternalRow, outLen: Int, dts: Array[DataType]): GenericInternalRow = {
+    val out = new Array[Any](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = w.get(i, dts(i)); i += 1 }
+    new GenericInternalRow(out)
+  }
+
+  /** Stream every file's rows through [[GraftPartitionReader]] and keep the
+    * winning version per key — largest (sequence.field, commit batch) for
+    * deduplicate, smallest for first-row; exact ties resolve to the later-
+    * merged row (arbitrary, as in the library's window resolve). Tombstone
+    * winners STAY in the map (callers decide whether a tombstone means
+    * "absent" or "-D evidence"). `onRow(key, path)` observes every raw row. */
+  def winners(files: Seq[(String, Long)], internal: StructType,
+      pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, firstRow: Boolean,
+      pushed: Array[Filter],
+      onRow: (List[Any], String) => Unit = (_, _) => ())
+      : java.util.HashMap[List[Any], InternalRow] = {
+    val dts = internal.fields.map(_.dataType)
+    def cmpOrd(x: InternalRow, y: InternalRow): Int = {
+      val bySeq = if (seqIdx < 0) 0
+        else cmpAny(x.get(seqIdx, dts(seqIdx)), y.get(seqIdx, dts(seqIdx)))
+      if (bySeq != 0) bySeq
+      else cmpAny(x.get(commitIdx, dts(commitIdx)), y.get(commitIdx, dts(commitIdx)))
+    }
+    val winners = new java.util.HashMap[List[Any], InternalRow]()
+    files.foreach { case (path, fileSeq) =>
+      val r = new GraftPartitionReader(path, internal, pushed,
+        limit = None, fileSeq = fileSeq)
+      try {
+        while (r.next()) {
+          val row = r.get() // fresh GenericInternalRow per call — safe to keep
+          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
+          onRow(key, path)
+          val prev = winners.get(key)
+          val wins = prev == null || {
+            val c = cmpOrd(row, prev)
+            if (firstRow) c < 0 else c >= 0
+          }
+          if (wins) winners.put(key, row)
+        }
+      } finally r.close()
+    }
+    winners
+  }
 }

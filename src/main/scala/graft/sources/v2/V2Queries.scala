@@ -2,6 +2,7 @@ package graft.sources.v2
 
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -329,6 +330,34 @@ object V2Queries {
                |FROM $catName.v2db.evo_customers ORDER BY c_custkey""".stripMargin)
     },
 
+    // Streaming CHANGELOG read (Paimon's audit_log/CDC stream): the +I/-U/
+    // +U/-D alphabet over a PK table through readStream.format("graft")
+    // .option("read-changelog", true) — snapshot-pair offsets, per-bucket
+    // interval diff inside the readers (V2Changelog.scala). Staged as two
+    // drains of one checkpoint: the initial catch-up (+I of the base state),
+    // then updates + deletes netted into -U/+U pairs and -D retractions.
+    // A 25th real Structured Streaming job; oracled row-for-row.
+    QDef(
+      "q_stream_v2_changelog",
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal, '+I' AS op FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, '-U' FROM customer
+        |WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 1000, '+U' FROM customer
+        |WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, '-D' FROM customer
+        |WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey, op""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val rows = changelogRows(s, d)
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("acctbal", DoubleType), StructField("op", StringType))))
+        .orderBy("c_custkey", "op")
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -399,6 +428,44 @@ object V2Queries {
       o.appendBatch(Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus"), 0L)
       catName
+    })
+
+  /** The changelog pipe: a PK customer table drained through the streaming
+    * changelog reader across two runs of ONE checkpoint — run 1 catches up
+    * the base state (+I), run 2 nets the update+delete interval. */
+  private val stagedCl = new ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]()
+  private def changelogRows(s: SparkSession, d: String): Seq[org.apache.spark.sql.Row] =
+    stagedCl.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.streaming.Trigger
+      val (_, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "cl_cust",
+        Map("primary-key" -> "c_custkey", "bucket" -> "4"))
+      val root = s"$wh/v2db.db/cl_cust"
+      val chk = Files.createTempDirectory("graft_v2_cl_chk_").toString
+      val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      def drain(): Seq[org.apache.spark.sql.Row] = {
+        // foreachBatch (not the memory sink): the second drain RESUMES the
+        // checkpoint, and only durable sinks support recovery
+        val buf = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[org.apache.spark.sql.Row]())
+        val q = s.readStream.format("graft").option("read-changelog", "true")
+          .load(root)
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        buf.asScala.toSeq
+      }
+      tbl.appendBatch(c, 0L)
+      val run1 = drain()
+      tbl.appendBatch(c.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000d), 1L)
+      tbl.deleteBatch(c.where(col("c_custkey") % 7 === 0).select("c_custkey"), 2L)
+      run1 ++ drain()
     })
 
   /** customer staged across a schema-evolution boundary: evens written

@@ -796,6 +796,57 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key column"), e.getMessage)
   }
 
+  test("streaming changelog read emits +I/-U/+U/-D matching the batch changelog") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "cl",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "2"))
+    val root = s"${gc.warehouse}/db.db/cl"
+    val chk = java.nio.file.Files.createTempDirectory("v2_cl_chk_").toString
+    def drain(): Seq[(Long, Long, String, String)] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      val q = spark.readStream.format("graft").option("read-changelog", "true")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .sorted
+    }
+    tbl.appendBatch(Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("id", "ver", "v"), 0L)
+    // run 1: initial catch-up = the full state as +I
+    assert(drain() == Seq((1L, 10L, "a", "+I"), (2L, 10L, "b", "+I"),
+      (3L, 10L, "c", "+I")))
+    // update id=1, stale arrival for id=2 (loses resolution), delete id=3
+    tbl.appendBatch(Seq((1L, 20L, "A")).toDF("id", "ver", "v"), 1L)
+    tbl.appendBatch(Seq((2L, 5L, "stale")).toDF("id", "ver", "v"), 2L)
+    tbl.deleteBatch(Seq((3L, 10L)).toDF("id", "ver"), 3L)
+    val run2 = drain()
+    // id=1: real update; id=2: stale arrival nets an identical -U/+U pair;
+    // id=3: delete retracts the old image
+    assert(run2 == Seq(
+      (1L, 10L, "a", "-U"), (1L, 20L, "A", "+U"),
+      (2L, 10L, "b", "-U"), (2L, 10L, "b", "+U"),
+      (3L, 10L, "c", "-D")).sorted, run2.toString)
+    // row-for-row the batch changelog between the same snapshots
+    val batch = tbl.changelogWithRetractions(0L, tbl.latestSnapshot.get.id)
+      .select("id", "ver", "v", "op").as[(Long, Long, String, String)]
+      .collect().toSeq.sorted
+    assert(run2 == batch, s"stream=$run2 batch=$batch")
+    // a new key inserted after the last drain arrives as +I
+    tbl.appendBatch(Seq((9L, 1L, "new")).toDF("id", "ver", "v"), 4L)
+    assert(drain() == Seq((9L, 1L, "new", "+I")))
+  }
+
   test("aggregation merge engines are refused at V2 scan build, not at DDL") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
