@@ -797,38 +797,60 @@ object Curation {
         .limit(100)
     },
 
-    // Blocked Levenshtein near-dup — character-level fuzzy matching, the
-    // edit-distance member of the dedup family (beside shingle/minhash/
-    // simhash token-level and embedding semantic-level). Candidates are
-    // BLOCKED on (lang, n_chars div 10) before any pairwise work — the
-    // classic blocking-key discipline — and the distance runs on a 120-char
-    // prefix so per-pair cost is a constant, not O(len²) on outliers. At
-    // corpus scale the blocking key would add a fingerprint prefix to push
-    // block sizes toward O(1); the pair space is block-bounded, never
-    // all-pairs (the q_ext_ngram_jaccard discipline).
+    // Levenshtein near-dup VERIFY over MinHash candidates — character-level
+    // fuzzy matching, the edit-distance member of the dedup family (beside
+    // shingle/minhash/simhash token-level and embedding semantic-level).
+    // Candidates come from the SHARED banded-LSH pipeline (minhashPipeline —
+    // the same candidate set the estimator and its evaluator see), so the
+    // pair space is proportional to the corpus's true duplicate structure,
+    // never to block sizes: the earlier (lang, n_chars div 10) blocking
+    // self-join grew quadratically with docs-per-block (SCALE.md measured
+    // 29.4× at 10×) because block cardinality scales WITH the corpus — LSH
+    // band buckets don't. The old blocking keys survive as residual FILTERS
+    // on the candidate pairs: same lang, and |len| within the distance bound
+    // (|len_a − len_b| > k proves dist > k, so the residual is sound, not
+    // heuristic). The distance runs on a 120-char prefix (constant per-pair
+    // cost, never O(len²) on outliers).
     //
     // Two CPU-shape decisions a size-based planner cannot make: (1) the
-    // generated pairs re-spread over defaultParallelism by pair id — the
-    // pair stream is tiny in BYTES but quadratic in CPU, so AQE's size-based
-    // coalescing would otherwise serialize the distance loop onto the few
-    // block-key reducers; (2) the distance is the BOUNDED O(len·k)
+    // candidate pairs re-spread over defaultParallelism by pair id — the
+    // pair stream is tiny in BYTES but expensive in CPU, so AQE's size-based
+    // coalescing would otherwise serialize the distance loop onto a few
+    // reducers; (2) the distance is the BOUNDED O(len·k)
     // levenshtein(l, r, 20) (Ukkonen band), which returns -1 past the
     // threshold — the kept set and kept values are identical to the
     // oracle's unbounded filter.
     QDef(
       "q_ext_edit_distance",
-      """WITH c AS (SELECT doc_id, lang, n_chars // 10 AS lb,
-        |             substring(text, 1, 120) AS pfx FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       levenshtein(a.pfx, b.pfx) AS dist
-        |FROM c a JOIN c b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.pfx, b.pfx) <= 20
+      s"""WITH $minhashCtes,
+        |meta AS (
+        |  SELECT doc_id, lang, substring(text, 1, 120) AS pfx FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |         substring(text || ' graft dup probe', 1, 120)
+        |  FROM documents WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id, lang, pfx, length(pfx) AS pl FROM meta)
+        |SELECT cand.id_a, cand.id_b, levenshtein(a.pfx, b.pfx) AS dist
+        |FROM cand
+        |JOIN m2 a ON cand.id_a = a.doc_id
+        |JOIN m2 b ON cand.id_b = b.doc_id
+        |WHERE a.lang = b.lang AND abs(a.pl - b.pl) <= 20
+        |  AND levenshtein(a.pfx, b.pfx) <= 20
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val c = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        expr("n_chars div 10").as("lb"), substring(col("text"), 1, 120).as("pfx"))
-      c.as("a").join(c.as("b"),
-          expr("a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+      val (_, _, cand) = minhashPipeline(s, d)
+      val docs = Tables.documents(s, d)
+      val meta = docs.select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 120).as("pfx"))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            substring(concat(col("text"), lit(" graft dup probe")), 1, 120).as("pfx")))
+        .withColumn("pl", length(col("pfx")))
+      cand.select("id_a", "id_b")
+        .join(meta.as("a"), col("id_a") === col("a.doc_id"))
+        .join(meta.as("b"), col("id_b") === col("b.doc_id"))
+        .filter(col("a.lang") === col("b.lang") &&
+          abs(col("a.pl") - col("b.pl")) <= 20)
+        .select(col("id_a"), col("id_b"),
           col("a.pfx").as("pa"), col("b.pfx").as("pb"))
         .repartition(s.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
         .select(col("id_a"), col("id_b"),

@@ -222,17 +222,23 @@ class CurationSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  test("edit distance: exact dups at distance 0; blocking keys respected") {
+  test("edit distance: bounded verify over minhash candidates; probes surface") {
     val rows = run("q_ext_edit_distance").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rows.nonEmpty && rows.exists(_._3 == 0),
-      "the planted exact-dup pairs must collocate in a block at distance 0")
-    assert(rows.forall { case (a, b, d) => a < b && d <= 20 })
-    val meta = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"), expr("n_chars div 10").as("lb"))
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-    assert(rows.forall { case (a, b, _) => meta(a) == meta(b) },
-      "a pair escaped its (lang, length-bucket) block")
+      "exact-dup candidate pairs must verify at distance 0")
+    assert(rows.forall { case (a, b, d) => a < b && d >= 0 && d <= 20 })
+    // the planted suffix probes (doc_id + 1e6) are guaranteed minhash
+    // candidates and must verify at small distance (≤ the 16-char suffix)
+    val probes = rows.filter { case (a, b, _) => b == a + 1000000L }
+    assert(probes.nonEmpty, "planted probe pairs missing from the verify")
+    assert(probes.forall(_._3 <= 16), probes.mkString(","))
+    // residual filter: a pair never crosses languages
+    val langOf = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lang(id: Long) = langOf(if (id >= 1000000L) id - 1000000L else id)
+    assert(rows.forall { case (a, b, _) => lang(a) == lang(b) },
+      "a pair escaped the language residual")
   }
 
   test("semdedup: every planted near-copy is dropped against its original") {

@@ -29,7 +29,7 @@ object PlanDump {
       "q_tpch_q6_shape" -> "Q6: all three range predicates in PushedFilters (row-group pruning does the work), then a single global exact sum.",
       "q_ext_length_deciles" -> "Per-language deciles: rank and per-language count share ONE lang exchange (the unordered count window reuses the rank sort); the 9-row decile grid broadcasts.",
       "q_ext_pagerank" -> "PageRank: each of the 5 iterations is ONE shuffle join (outdeg pre-folded onto the edge relation) + a map-side-combined integer sum; localCheckpoint truncates lineage so the shown plan is the final flat round, not 5 nested rounds.",
-      "q_ext_edit_distance" -> "Blocked Levenshtein: the self-join exchanges BOTH sides on the (lang, length-bucket) blocking key — pair generation is block-local, never all-pairs; the 120-char prefix bounds per-pair cost.",
+      "q_ext_edit_distance" -> "Levenshtein verify over banded-MinHash candidates: pair space proportional to true duplicate structure (LSH buckets), (lang, |len| ≤ k) kept as sound residual filters; the 120-char prefix bounds per-pair cost.",
       "q_ext_embed_center" -> "Corpus mean-centering: 64 exact nano sums partial-combine map-side into ONE 1-row frame that broadcasts back; the distance pass is map-only over the scan.",
       "q_ext_null_profile" -> "Column profiling: a single scan feeds one 25-expression aggregate (Expand ×6 for the exact count-distincts — the documented scale knob), stacked to rows afterwards.",
       "q_ext_time_weighted" -> "Time-weighted average: the lead window and the per-user aggregate share ONE hashpartitioning(user_id) exchange; products sum as longs map-side.",

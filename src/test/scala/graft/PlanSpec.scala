@@ -262,11 +262,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p.take(2000))
   }
 
-  test("q_ext_edit_distance: block-keyed equi pair-gen, then CPU-spread repartition") {
+  test("q_ext_edit_distance: LSH-banded equi pair-gen, then CPU-spread repartition") {
     val p = plan("q_ext_edit_distance")
-    // pair generation must be an equi-join on the blocking key — a
-    // cartesian/BNL here would be the all-pairs plan the blocking exists
-    // to prevent
+    // candidate generation must stay equi-joins (band-signature self-join +
+    // metadata joins) — a cartesian/BNL here would be the all-pairs plan
+    // the LSH banding exists to prevent
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
     // the explicit pair-id repartition survives to the physical plan (the
