@@ -36,7 +36,7 @@ import graft.table.GraftCatalog
   * atomic manifest commit — the same protocol the streaming writer uses.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
   import GraftSparkCatalog.SchemaOption
 
   private var catalogName: String = _
@@ -296,6 +296,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.name() == GraftBucketFunction.name()) GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // ---- procedures (Spark 4 native CALL — the maintenance entry point) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(V2Procedures.Namespace))
+      V2Procedures.names.map(Identifier.of(V2Procedures.Namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(V2Procedures.Namespace),
+      s"procedures live in the `sys` namespace: CALL $catalogName.sys.<name>(…)")
+    V2Procedures.load(backing, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure $ident (have: ${V2Procedures.names.mkString(", ")})"))
+  }
 }
 
 /** The bucketed-write layout function, `bucket(numBuckets, key) =

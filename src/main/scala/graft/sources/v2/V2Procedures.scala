@@ -1,0 +1,123 @@
+package graft.sources.v2
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.{GraftCatalog, StreamTable}
+
+/** Maintenance procedures through Spark 4's native `CALL` statement — the
+  * reference's flink-action jobs (`tutorial/guide.md:172-177` compact,
+  * `:180-184` retention) as REAL catalog procedures instead of shell
+  * regexes:
+  *
+  * {{{
+  *   CALL mycat.sys.compact(`table` => 'db.t', target_file_count => 4)
+  *   CALL mycat.sys.expire_snapshots('db.t', 1, 5, 3600000)
+  *   CALL mycat.sys.rollback_to('db.t', '3')      -- snapshot id or tag name
+  *   CALL mycat.sys.create_tag('db.t', 'release-1')
+  *   CALL mycat.sys.delete_tag('db.t', 'release-1')
+  * }}}
+  *
+  * Each call runs the library's maintenance op (the compaction rewrite is a
+  * distributed Spark job; retention/rollback/tags are manifest metadata) and
+  * returns a one-row summary as a driver-local scan — the same result shape
+  * Paimon's Spark procedures produce. */
+object V2Procedures {
+
+  val Namespace: Array[String] = Array("sys")
+
+  def names: Seq[String] =
+    Seq("compact", "expire_snapshots", "rollback_to", "create_tag", "delete_tag")
+
+  def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
+    def p = catalog // materialize lazily per call
+    name match {
+      case "compact" => Some(proc("compact",
+        Seq(in("table", StringType),
+          in("target_file_count", IntegerType, Some("2"))),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("num_files", IntegerType))),
+        (t, args) => {
+          val snap = t.compact(math.max(1, args(1).asInstanceOf[Int]))
+          Array[Any](snap.id, snap.files.size)
+        }, p))
+      case "expire_snapshots" => Some(proc("expire_snapshots",
+        Seq(in("table", StringType),
+          in("retain_min", IntegerType, Some("1")),
+          in("retain_max", IntegerType, Some("2147483647")),
+          in("older_than_ms", LongType, Some("0"))),
+        StructType(Seq(StructField("expired", IntegerType))),
+        (t, args) => Array[Any](t.expireSnapshots(args(1).asInstanceOf[Int],
+          args(2).asInstanceOf[Int], args(3).asInstanceOf[Long])), p))
+      case "rollback_to" => Some(proc("rollback_to",
+        Seq(in("table", StringType), in("version", StringType)),
+        StructType(Seq(StructField("snapshot_id", LongType))),
+        (t, args) => {
+          val v = args(1).asInstanceOf[UTF8String].toString
+          val snap = if (v.matches("-?\\d+")) t.rollbackTo(v.toLong)
+                     else t.rollbackToTag(v)
+          Array[Any](snap.id)
+        }, p))
+      case "create_tag" => Some(proc("create_tag",
+        Seq(in("table", StringType), in("tag", StringType),
+          in("snapshot_id", LongType, Some("-1"))),
+        StructType(Seq(StructField("snapshot_id", LongType))),
+        (t, args) => {
+          val sid = args(2).asInstanceOf[Long]
+          Array[Any](t.createTag(args(1).asInstanceOf[UTF8String].toString,
+            if (sid < 0) None else Some(sid)))
+        }, p))
+      case "delete_tag" => Some(proc("delete_tag",
+        Seq(in("table", StringType), in("tag", StringType)),
+        StructType(Seq(StructField("deleted", BooleanType))),
+        (t, args) => Array[Any](
+          t.deleteTag(args(1).asInstanceOf[UTF8String].toString)), p))
+      case _ => None
+    }
+  }
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row-result procedure over a `db.table` first argument. */
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType, run: (StreamTable, Array[Any]) => Array[Any],
+      catalog: => GraftCatalog): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft maintenance: $procName"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false // mutates table state
+          override def call(input: InternalRow): JIterator[Scan] = {
+            val args = params.indices.map(i =>
+              input.get(i, params(i).dataType())).toArray
+            val ident = args(0).asInstanceOf[UTF8String].toString
+            val parts = ident.split("\\.", 2)
+            require(parts.length == 2,
+              s"$procName expects table => 'db.table', got '$ident'")
+            val t = catalog.getTable(parts(0), parts(1))
+            val result = run(t, args)
+            val row = new GenericInternalRow(result)
+            Collections.singletonList(new LocalScan {
+              override def readSchema(): StructType = out
+              override def rows(): Array[InternalRow] = Array(row)
+              override def description(): String = s"GraftProcedureResult $procName"
+            }: Scan).iterator()
+          }
+        }
+    }
+}

@@ -229,4 +229,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(snaps.length == 1)
     intercept[IllegalArgumentException] { sh.sql("CALL sys.frobnicate('m_t')") }
   }
+
+  test("native CALL procedures through the V2 catalog (Spark 4 ProcedureCatalog)") {
+    val wh = tmp()
+    val cat = s"gproc_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.pt (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.pt VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.db.pt VALUES (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.db.pt VALUES (3, 'c')")
+
+    // create_tag pins the head snapshot; rollback later lands on it
+    val tagged = spark.sql(s"CALL $cat.sys.create_tag('db.pt', 'v1')")
+      .collect().head.getLong(0)
+    assert(tagged == 2L, s"head snapshot should be 2, got $tagged")
+    spark.sql(s"INSERT INTO $cat.db.pt VALUES (4, 'd')")
+
+    // compact rewrites the live set into one level-1 file (named args too)
+    val c = spark.sql(s"CALL $cat.sys.compact(`table` => 'db.pt', " +
+      "target_file_count => 1)").collect().head
+    assert(c.getInt(1) == 1, s"expected 1 compacted file, got $c")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pt").head().getLong(0) == 4)
+
+    // rollback_to by tag restores the pre-compact, pre-insert version
+    val rb = spark.sql(s"CALL $cat.sys.rollback_to('db.pt', 'v1')")
+      .collect().head.getLong(0)
+    assert(rb == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pt").head().getLong(0) == 3)
+
+    // delete_tag + expire_snapshots shrink history to the head
+    assert(spark.sql(s"CALL $cat.sys.delete_tag('db.pt', 'v1')")
+      .collect().head.getBoolean(0))
+    val expired = spark.sql(s"CALL $cat.sys.expire_snapshots('db.pt', 1, 1, 0)")
+      .collect().head.getInt(0)
+    assert(expired == 2, s"expected 2 expired snapshots, got $expired")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.`pt$$snapshots`")
+      .head().getLong(0) == 1)
+
+    // unknown procedure fails loudly
+    intercept[Exception] { spark.sql(s"CALL $cat.sys.frobnicate('db.pt')") }
+  }
 }
