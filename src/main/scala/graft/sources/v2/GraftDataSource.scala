@@ -195,7 +195,22 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Native UPDATE / MERGE INTO / non-pushable DELETE: group-based
+    * copy-on-write at file granularity (see [[GraftRowLevelOperation]]).
+    * Built unconditionally — Spark's OptimizeMetadataOnlyDeleteFromTable
+    * converts pushable DELETEs back to [[deleteWhere]] BEFORE any scan is
+    * created, so PK tombstone deletes and touched-file COW keep their fast
+    * paths; the operation itself refuses PK tables at scan build. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
+      s"${info.command()} targets the current table version")
+    () => new GraftRowLevelOperation(this, info.command())
+  }
 
   /** Rename mappings, exposed for the changelog wrapper. */
   private[v2] def renames: Map[String, String] = renameMap

@@ -358,6 +358,36 @@ object V2Queries {
         .orderBy("c_custkey", "op")
     },
 
+    // Native UPDATE: Spark's group-based row-level operation backed by
+    // file-granular copy-on-write (V2RowLevel.scala) — runtime group
+    // filtering rewrites only files containing matching rows; one atomic
+    // scanned-for-staged manifest swap; pre-update version stays
+    // time-travelable (V2ConnectorSpec asserts all three).
+    QDef(
+      "q_source_v2_update",
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = updateTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.upd_customers ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Native MERGE INTO (ANSI): matched UPDATE + not-matched INSERT through
+    // the same group-based COW — the CDC upsert shape in one statement.
+    QDef(
+      "q_source_v2_merge",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 0.0 ELSE c_acctbal END AS acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_acctbal FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = mergeTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.mrg_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -486,6 +516,51 @@ object V2Queries {
                |SELECT c_custkey, c_name, c_acctbal FROM graft_v2e_customer
                |WHERE c_custkey % 2 = 1""".stripMargin)
       s.sql(s"ALTER TABLE $catName.v2db.evo_customers RENAME COLUMN c_name TO cust_name")
+      catName
+    })
+
+  /** customer staged then SQL-`UPDATE`-d (BUILDING segment +100). */
+  private val stagedUpd = new ConcurrentHashMap[String, String]()
+  private def updateTable(s: SparkSession, d: String): String =
+    stagedUpd.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2u_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.upd_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.upd_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2u_customer""".stripMargin)
+      s.sql(s"""UPDATE $catName.v2db.upd_customers
+               |SET c_acctbal = c_acctbal + 100
+               |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      catName
+    })
+
+  /** customer staged then SQL-`MERGE INTO`-d: every fifth key's balance
+    * zeroed (matched UPDATE) and re-inserted under key+10M (not-matched
+    * INSERT), from one source in one atomic statement. */
+  private val stagedMrg = new ConcurrentHashMap[String, String]()
+  private def mergeTable(s: SparkSession, d: String): String =
+    stagedMrg.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2m_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.mrg_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.mrg_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2m_customer""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $catName.v2db.mrg_customers t
+           |USING (SELECT c_custkey, c_acctbal FROM graft_v2m_customer
+           |       WHERE c_custkey % 5 = 0) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = 0.0
+           |""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $catName.v2db.mrg_customers t
+           |USING (SELECT c_custkey + 10000000 AS k, c_acctbal
+           |       FROM graft_v2m_customer WHERE c_custkey % 5 = 0) s
+           |ON t.c_custkey = s.k
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.k, s.c_acctbal)
+           |""".stripMargin)
       catName
     })
 

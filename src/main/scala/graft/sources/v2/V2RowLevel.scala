@@ -1,0 +1,285 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.{DataFileMeta, StreamTable}
+
+/** Native `UPDATE` / `MERGE INTO` (and non-pushable `DELETE`) on append
+  * tables — Spark's group-based row-level operations
+  * (SupportsRowLevelOperations) backed by copy-on-write at FILE granularity:
+  *
+  *  1. the operation's scan finds the affected "groups" (our groups are
+  *     data files — `_graft_file` is the declared metadata attribute);
+  *     Spark's runtime group filtering injects `_graft_file IN (…)` from a
+  *     matching-rows subquery, so only files that CONTAIN matching rows
+  *     survive the plan ([[GraftCowScan.filter]]) — a selective UPDATE over
+  *     100 TB rewrites only the overlapping slice, like the library's
+  *     [[StreamTable.cowRewrite]];
+  *  2. Spark computes the replacement rows (non-matching rows verbatim,
+  *     matching rows through the SET/WHEN clauses) — executor-parallel,
+  *     never on the driver;
+  *  3. the write stages replacement files via the shared executor parquet
+  *     writers and [[StreamTable.commitReplace]] swaps scanned-for-staged in
+  *     ONE atomic manifest commit (concurrent appends survive; concurrent
+  *     maintenance on the same files fails loudly; the pre-op snapshot
+  *     stays time-travelable).
+  *
+  * Correctness constraint the scan encodes: pushed filters prune whole
+  * FILES only and are never applied row-level inside the readers — a
+  * row-group predicate would silently drop the non-matching rows of a
+  * rewritten file from its replacement. (The matching-rows SUBQUERY scan is
+  * a second instance of the same class where row-filtering would be legal,
+  * but uniform file-only pruning costs at most one re-read of matched
+  * files' non-matching row groups.)
+  *
+  * Pushable DELETEs never get here (Spark's OptimizeMetadataOnlyDeleteFromTable
+  * converts them back to [[GraftV2Table.deleteWhere]] — tombstones on PK
+  * tables, touched-file COW on append tables). PK tables refuse at scan
+  * build: their update/merge is merge-on-read
+  * ([[StreamTable.updateWhere]]/[[StreamTable.mergeInto]] — cost ∝ matched
+  * rows, no rewrite), which group-based COW cannot express without
+  * stamping commit sequences; the error message points there.
+  */
+class GraftRowLevelOperation(table: GraftV2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** The main (ReplaceData) scan — set by the FIRST scan build: Spark plans
+    * the replace-data read before the runtime-filter subquery's matching
+    * scan, and only the first instance is runtime-filtered and executed. */
+  @volatile private[v2] var scanned: Option[GraftCowScan] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftRowLevelOperation[$cmd]"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftV2Table.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = table.table
+    if (t.primaryKey.isDefined)
+      throw new UnsupportedOperationException(
+        s"${table.name()} is a primary-key table: $cmd rewrites files, but a " +
+          "PK table's update/merge is merge-on-read — use " +
+          "StreamTable.updateWhere / mergeInto (cost ∝ matched rows, no " +
+          "rewrite); pushable DELETEs commit tombstones natively")
+    new GraftCowScanBuilder(this, table)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftCowBatchWrite(GraftRowLevelOperation.this, table, info.schema())
+      }
+    }
+}
+
+class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftV2Table)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val fullSchema = table.schema()
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  // same pushable alphabet as the plain scan — but the scan will use these
+  // for FILE skipping only (see the class note on replacement completeness)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(a, v) => v != null && statsType(a)
+      case org.apache.spark.sql.sources.GreaterThan(a, _) => statsType(a)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, _) => statsType(a)
+      case org.apache.spark.sql.sources.LessThan(a, _) => statsType(a)
+      case org.apache.spark.sql.sources.LessThanOrEqual(a, _) => statsType(a)
+      case _ => false
+    }
+    filters
+  }
+  private def statsType(attr: String): Boolean =
+    fullSchema.find(_.name == attr).exists(_.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    val kept = fullSchema.filter(f => keep.contains(f.name))
+    val meta = requiredSchema.fields.filter(f =>
+      GraftV2Table.MetaCols.contains(f.name) && !fullSchema.fieldNames.contains(f.name))
+    required = StructType(kept ++ meta)
+  }
+
+  override def build(): Scan = {
+    val scan = new GraftCowScan(table, required, pushed)
+    if (op.scanned.isEmpty) op.scanned = Some(scan)
+    scan
+  }
+}
+
+/** The row-level read: per-file partitions over the live set, file-level
+  * pruning only (static footer stats + runtime `_graft_file`/key-set
+  * filters), NO row-level predicates in the readers. */
+class GraftCowScan(table: GraftV2Table, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  private val nameMap = table.renames
+  private val fileRequired: StructType =
+    if (nameMap.isEmpty) required
+    else StructType(required.map(f => f.copy(name = nameMap.getOrElse(f.name, f.name))))
+  private val filePushed: Array[Filter] =
+    if (nameMap.isEmpty) pushed else pushed.map(GraftScan.translate(_, nameMap))
+
+  private val allFiles = table.liveFiles
+  @volatile private[v2] var kept: Seq[DataFileMeta] =
+    if (filePushed.isEmpty) allFiles
+    else {
+      val conf = new Configuration()
+      allFiles.filter { f =>
+        val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+        filePushed.forall(FileSkip.keep(_, mins, maxs))
+      }
+    }
+
+  private[v2] def keptPaths: Seq[String] = kept.map(_.path)
+  private[v2] def keptRows: Long = kept.map(_.rowCount).sum
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftCowScan ${table.name()} files=${kept.size}/${allFiles.size} " +
+      s"PushedGroupFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, kept.map(_.fileSizeInBytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptRows)
+  }
+
+  override def filterAttributes(): Array[NamedReference] = {
+    import org.apache.spark.sql.types._
+    val data = required.fields.collect {
+      case f if !GraftV2Table.MetaCols.contains(f.name) &&
+          Set[DataType](LongType, IntegerType, DoubleType, FloatType, StringType)
+          .contains(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+    // the group-filtering handle: matching rows' distinct _graft_file
+    data :+ org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftV2Table.FileCol)
+  }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    def litValue(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(l.value() match { case u: UTF8String => u.toString; case v => v })
+        case _ => None
+      }
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    val conf = new Configuration()
+    val statsMemo = scala.collection.mutable.Map[String, (Map[String, String], Map[String, String])]()
+    def stats(path: String) = statsMemo.getOrElseUpdate(path, {
+      val (_, mins, maxs) = StreamTable.footerStats(path, conf)
+      (mins, maxs)
+    })
+    predicates.foreach { p =>
+      val perValue: Option[(String, Seq[Any])] = p.name() match {
+        case "IN" =>
+          val vals = p.children().drop(1).toSeq.map(litValue)
+          for (n <- refName(p.children().head) if vals.forall(_.isDefined))
+            yield n -> vals.flatten
+        case "=" if p.children().length == 2 =>
+          (refName(p.children()(0)), litValue(p.children()(1))) match {
+            case (Some(n), Some(v)) => Some(n -> Seq(v))
+            case _ => (refName(p.children()(1)), litValue(p.children()(0))) match {
+              case (Some(n), Some(v)) => Some(n -> Seq(v))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+      perValue.foreach {
+        case (n, values) if n == GraftV2Table.FileCol && values.nonEmpty =>
+          // the group filter itself: keep exactly the named files
+          val paths = values.collect { case s: String => s }.toSet
+          kept = kept.filter(f => paths.contains(f.path))
+        case (n, values) if values.nonEmpty =>
+          val fileN = nameMap.getOrElse(n, n)
+          kept = kept.filter { f =>
+            val (mins, maxs) = stats(f.path)
+            values.exists(v => FileSkip.keep(EqualTo(fileN, v), mins, maxs))
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
+
+  // NO pushed predicates reach the readers: every row of a scanned file
+  // must appear in the replacement data (see the class note)
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(fileRequired, Array.empty, limit = None, columnar = false)
+}
+
+/** Batch write of the replacement rows: executor parquet writers into the
+  * table's staging area, then ONE atomic scanned→staged manifest swap. */
+class GraftCowBatchWrite(op: GraftRowLevelOperation, table: GraftV2Table,
+    schema0: StructType) extends BatchWrite {
+
+  // renamed columns persist under their FILE-level names (the shared rule)
+  private val schema = StructType(schema0.map(f =>
+    f.copy(name = table.renames.getOrElse(f.name, f.name))))
+  private val writerId = "rlo" + UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftCowWriterFactory(table.table.root, schema, writerId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (empty, data) = messages.collect { case m: GraftSinkCommitMessage => m }
+      .partition(_.rows == 0L)
+    empty.foreach(m =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.path)))
+    val scan = op.scanned.getOrElse(throw new IllegalStateException(
+      "row-level write committed without a configured scan"))
+    table.table.commitReplace(scan.keptPaths.toSet, data.map(_.path).toSeq,
+      op.command().toString)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftSinkCommitMessage => m.path }
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+}
+
+case class GraftCowWriterFactory(tableRoot: String, schema: StructType,
+    writerId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // the shared executor parquet writer (epoch 0 — batch has no epochs);
+    // taskId disambiguates speculative twins beyond the uuid in the name
+    new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L, partitionId)
+}

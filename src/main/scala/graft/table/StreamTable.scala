@@ -521,6 +521,63 @@ class StreamTable(
     matches
   }
 
+  /** Commit a copy-on-write group replacement prepared by an EXTERNAL
+    * distributed writer (the V2 row-level operation's executor writers):
+    * atomically swap `removedPaths` (the files a row-level scan read) for
+    * the staged replacement files. The dual of [[cowRewrite]] with the
+    * rewrite itself already done by Spark's ReplaceData plan.
+    *
+    *  - `mode` carries the SQL command for the conservation check: UPDATE
+    *    replaces every scanned row exactly once, DELETE can only shrink,
+    *    MERGE may grow (inserts) or shrink (matched deletes) — unchecked.
+    *  - same concurrent-maintenance guard as [[cowRewrite]]: a removed file
+    *    no longer live means another job rewrote it; committing our copy of
+    *    its rows would duplicate them — fail loudly. Files appended
+    *    concurrently since the scan survive untouched.
+    *  - replacement files are level-1 maintenance output (changesBetween
+    *    must not re-emit surviving rows as +I); zero-row staged files are
+    *    dropped. Returns the replacement row count. */
+  private[graft] def commitReplace(removedPaths: Set[String],
+      staged: Seq[String], mode: String): Long = {
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val removedMetas = live.filter(f => removedPaths.contains(f.path))
+    require(removedMetas.size == removedPaths.size,
+      s"commitReplace: ${removedPaths.size - removedMetas.size} removed " +
+        s"file(s) are not live (concurrent maintenance?)")
+    if (removedPaths.isEmpty && staged.isEmpty) return 0L
+    val snapId = latestSnapshot.map(_.id).getOrElse(0L)
+    val moved = staged.zipWithIndex.map { case (p, k) =>
+      val dest = Paths.get(dataCompact,
+        s"u$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+    val (minSeq, maxSeq) =
+      if (removedMetas.nonEmpty)
+        (removedMetas.map(_.minSeq).min, removedMetas.map(_.maxSeq).max)
+      else (math.max(latestSnapshot.map(_.batchId).getOrElse(0L), 0L),
+        math.max(latestSnapshot.map(_.batchId).getOrElse(0L), 0L))
+    val metasAll = fileMetas(spark, moved, level = 1, minSeq, maxSeq)
+    val (metas, empties) = metasAll.partition(_.rowCount > 0)
+    empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+    val (inRows, outRows) = (removedMetas.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    mode.toUpperCase match {
+      case "UPDATE" => require(outRows == inRows,
+        s"UPDATE must conserve scanned rows: $inRows in, $outRows out")
+      case "DELETE" => require(outRows <= inRows,
+        s"DELETE cannot grow rows: $inRows in, $outRows out")
+      case _ => () // MERGE: inserts grow, matched deletes shrink
+    }
+    commit { liveNow =>
+      val gone = removedPaths -- liveNow.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) out from under this $mode (e.g. ${gone.take(2).mkString(", ")})")
+      (liveNow.filterNot(f => removedPaths.contains(f.path)) ++ metas,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }
+    outRows
+  }
+
   /** `MERGE INTO target USING source ON cond WHEN …` (Paimon's merge-into
     * action, PK tables only — same restriction as the reference). Spark-first
     * single-commit design: one join of the resolved target view against the

@@ -847,6 +847,55 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(drain() == Seq((9L, 1L, "new", "+I")))
   }
 
+  test("UPDATE and MERGE INTO through the V2 catalog: group-based COW") {
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.upd (id BIGINT, grp BIGINT, v STRING)")
+    // two separate commits → two+ files, so group filtering has groups to prune
+    spark.sql(s"INSERT INTO $cat.db.upd VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql(s"INSERT INTO $cat.db.upd VALUES (3, 1, 'c'), (4, 1, 'd')")
+    val filesBefore = gc.getTable("db", "upd").latestSnapshot.get.files.map(_.path)
+
+    // UPDATE rewrites only matching rows; non-matching rows of touched
+    // files survive verbatim
+    spark.sql(s"UPDATE $cat.db.upd SET v = concat(v, '!') WHERE id IN (2, 3)")
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.upd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b!"), (3L, "c!"), (4L, "d")))
+    // pre-update version stays time-travelable
+    assert(spark.sql(s"SELECT v FROM $cat.db.upd VERSION AS OF 1 WHERE id = 2")
+      .head().getString(0) == "b")
+
+    // MERGE INTO: matched update + not-matched insert in one atomic commit
+    spark.sql("SELECT * FROM VALUES (2, 'upd'), (9, 'new') AS s(id, sv)")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.upd t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, -1, s.sv)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.upd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "upd"), (3L, "c!"), (4L, "d"), (9L, "new")))
+
+    // MERGE with matched delete
+    spark.sql("SELECT * FROM VALUES (9) AS s(id)").createOrReplaceTempView("del_src")
+    spark.sql(s"MERGE INTO $cat.db.upd t USING del_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.upd").head().getLong(0) == 4)
+
+    // PK tables refuse with a pointer at the merge-on-read path
+    import spark.implicits._
+    val pt = gc.createTable("db", "updpk", Map("primary-key" -> "id"))
+    pt.appendBatch(Seq((1L, "x")).toDF("id", "v"), 0L)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.db.updpk SET v = 'y' WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("merge-on-read")), e.toString)
+  }
+
   test("aggregation merge engines are refused at V2 scan build, not at DDL") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
