@@ -21,6 +21,7 @@ object PlanDump {
       "q_ext_contamination" -> "Decontamination: benchmark 3-gram set joins the corpus gram stream on the gram key — linear shuffle join that AQE converts to broadcast when the benchmark side is small.",
       "q_win_topk_agg_native" -> "Bounded top-k TypedImperativeAggregate: partial_topkpairs combines the O(k) heap map-side; only k pairs per group cross the shuffle (vs the window variant's full partition sort).",
       "q_source_partitioned_pruning" -> "Hive-partitioned scan: the event_type filter resolves to PartitionFilters — whole directories pruned at planning time.",
+      "q_source_v2_pk_read" -> "PK merge-on-read through the V2 catalog: one input partition per hash bucket, last-writer-wins resolved inside the readers — zero exchanges below the presentation sort.",
       "q_ext_sessionize" -> "Batch sessionization: lag window, cumsum window and the session aggregate all share ONE hashpartitioning(user_id) exchange.",
       "q_ext_anomaly_zscore" -> "Anomaly detection: long-cents moments partial-aggregate map-side; the |event_type|-bounded stats frame broadcasts back; the 2.5σ cut evaluates inside the broadcast join.",
       "q_ext_minhash_jaccard" -> "Oracled MinHash: one explode feeds 8 min-aggregates (no seed×shingle blowup); candidates come from per-band signature self-joins; the true-Jaccard intersection join is candidate-bounded.",

@@ -79,7 +79,7 @@ object ScaleSmoke {
       "q_ext_doc_chunks",      // map-only explode chunking
       // round-4 continuation: link analysis + profiling + step integral
       "q_ext_pagerank",        // 5 × (edge join + agg), lineage-truncated
-      "q_ext_edit_distance",   // blocked pairs (dup-degenerate caveat above)
+      "q_ext_edit_distance",   // LSH-banded verify pairs (dup-degenerate caveat above)
       "q_ext_time_weighted",   // user-keyed lead window + exact long agg
       "q_ext_null_profile",    // one-pass 25-expr agg (6× Expand)
       "q_ext_boilerplate",     // linear digest-keyed df aggs (no pair space)
