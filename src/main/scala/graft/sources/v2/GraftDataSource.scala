@@ -286,7 +286,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     // and the carrier of metadata-only evolution (ADD appends a column no
     // file has yet — readers null-fill; DROP hides one files still carry;
     // RENAME shows the new name while files keep the old)
-    declaredSchema match {
+    val base = declaredSchema match {
       case Some(d) => d
       case None =>
         val files = liveFiles
@@ -300,6 +300,15 @@ class GraftV2Table(tableName: String, val table: StreamTable,
             f.name == StreamTable.TombstoneColName ||
             f.name.startsWith(StreamTable.FieldSeqPrefix)))
     }
+    // an aggregation table's READ view is exactly (primary key, aggregated
+    // fields) — the library's aggResolve groups by pk and aggregates the
+    // declared fields, so any other stored column has no merged value
+    (table.primaryKey, table.aggSpec) match {
+      case (Some(pk), Some(spec)) =>
+        val order = pk ++ spec.map(_._1)
+        StructType(order.flatMap(n => base.find(_.name == n)))
+      case _ => base
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -310,15 +319,19 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     table.primaryKey match {
       case Some(pk) =>
-        // PK merge-on-read: per-bucket last-writer-wins resolution inside
-        // the readers (see V2PkRead.scala). Aggregation/partial-update
-        // merge engines need a distributed aggregate, which a reader
-        // cannot express — those keep the library view.
+        // PK merge-on-read: per-bucket resolution inside the readers (see
+        // V2PkRead.scala) — last-writer-wins for deduplicate, first wins
+        // for first-row, and per-key ACCUMULATION for the aggregation
+        // engine (all its functions are associative+commutative, so the
+        // bucket-local fold equals the distributed aggregate; key
+        // co-location is the bucketed layout's contract). partial-update
+        // keeps the library view: its per-field winning-sequence structs
+        // are nested columns the connector's type bridge does not read.
         val eng = table.effectiveEngine
-        if (eng != "deduplicate" && eng != "first-row")
+        if (eng == "partial-update")
           throw new UnsupportedOperationException(
-            s"$tableName has merge-engine=$eng: its merge is a distributed " +
-              "aggregate — read it through StreamTable.read")
+            s"$tableName has merge-engine=partial-update: its per-field " +
+              "sequence structs need the library view — StreamTable.read")
         new GraftPkScanBuilder(this, schema(), pk, renameMap)
       case None =>
         new GraftScanBuilder(this, schema(),

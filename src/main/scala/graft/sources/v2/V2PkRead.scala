@@ -108,6 +108,24 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
 
   private val t = table.table
   private val firstRow = t.effectiveEngine == "first-row"
+  private val aggregation = t.effectiveEngine == "aggregation"
+
+  // aggregation-engine constraints the reader's fold depends on: no
+  // metadata columns (an accumulated row has no single source file), and
+  // additive fields in a type whose sum the library view matches bit-for-bit
+  if (aggregation) {
+    require(!required.fieldNames.exists(GraftV2Table.MetaCols.contains),
+      s"${table.name()}: metadata columns are undefined on an aggregation " +
+        "merge view (the merged row has no single source file)")
+    t.aggSpec.get.foreach { case (f, fn) =>
+      if ((fn == "sum" || fn == "count") && required.fieldNames.contains(f))
+        require(fullSchema.find(_.name == f).exists(x =>
+            x.dataType == LongType || x.dataType == DoubleType),
+          s"${table.name()}: $fn($f) through the connector needs a BIGINT " +
+            "or DOUBLE field (INT/FLOAT sums widen in the library view — " +
+            "read those through StreamTable.read)")
+    }
+  }
 
   // ---- driver-side pruning (metadata-only, like partition pruning) -------
   private val allFiles = table.liveFiles
@@ -195,12 +213,24 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftPkReaderFactory(internal, required.length,
-      pk.map(internal.fieldIndex).toArray,
-      t.seqCol.map(internal.fieldIndex).getOrElse(-1),
-      internal.fieldIndex(StreamTable.SeqColName),
-      internal.fieldIndex(StreamTable.TombstoneColName),
-      firstRow, pushed)
+    if (aggregation)
+      GraftPkAggReaderFactory(internal, required.length,
+        pk.map(internal.fieldIndex).toArray,
+        // fold plan: only projected aggregated fields accumulate (the rest
+        // of `required` is necessarily primary-key columns — constant per
+        // key); fields the projection dropped never cost anything
+        t.aggSpec.get.collect {
+          case (f, fn) if fileRequired.fieldNames.contains(
+              nameMap.getOrElse(f, f)) =>
+            (internal.fieldIndex(nameMap.getOrElse(f, f)), fn)
+        }.toArray, pushed)
+    else
+      GraftPkReaderFactory(internal, required.length,
+        pk.map(internal.fieldIndex).toArray,
+        t.seqCol.map(internal.fieldIndex).getOrElse(-1),
+        internal.fieldIndex(StreamTable.SeqColName),
+        internal.fieldIndex(StreamTable.TombstoneColName),
+        firstRow, pushed)
 }
 
 /** All live files of one hash bucket (or the whole table for the legacy
@@ -236,6 +266,78 @@ class GraftPkMergeReader(files: Seq[(String, Long)], internal: StructType,
       case w if !PkMerge.isTombstone(w, tombIdx) =>
         PkMerge.project(w, outLen, dts): InternalRow
     }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = merged.hasNext
+    if (has) current = merged.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+case class GraftPkAggReaderFactory(internal: StructType, outLen: Int,
+    pkIdxs: Array[Int], specs: Array[(Int, String)], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPkAggMergeReader(p.asInstanceOf[GraftPkInputPartition].files,
+      internal, outLen, pkIdxs, specs, pushed)
+}
+
+/** Executor-side per-bucket fold for merge-engine=aggregation: every
+  * version of a key combines field-wise by its declared function (sum/min/
+  * max/count — associative and commutative, which is exactly what makes the
+  * bucket-local fold equal the distributed aggregate; NULL is the identity,
+  * matching Spark's null-skipping aggregates). Compacted partial aggregates
+  * re-merge with fresh rows to the same result, the same closure the
+  * library's three merge sites rely on. */
+class GraftPkAggMergeReader(files: Seq[(String, Long)], internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], specs: Array[(Int, String)],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val dts: Array[DataType] = internal.fields.map(_.dataType)
+
+  private def combine(fn: String, a: Any, b: Any): Any =
+    if (a == null) b
+    else if (b == null) a
+    else fn match {
+      case "sum" | "count" => (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long) =>
+          java.lang.Long.valueOf(x.longValue() + y.longValue())
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          java.lang.Double.valueOf(x.doubleValue() + y.doubleValue())
+        case other => throw new IllegalStateException(s"unsummable $other")
+      }
+      case "min" => if (PkMerge.cmpAny(a, b) <= 0) a else b
+      case "max" => if (PkMerge.cmpAny(a, b) >= 0) a else b
+    }
+
+  private lazy val merged: Iterator[InternalRow] = {
+    val acc = new java.util.HashMap[List[Any], Array[Any]]()
+    files.foreach { case (path, fileSeq) =>
+      val r = new GraftPartitionReader(path, internal, pushed,
+        limit = None, fileSeq = fileSeq)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
+          val cur = acc.get(key)
+          if (cur == null) {
+            val fresh = new Array[Any](outLen)
+            var i = 0
+            while (i < outLen) { fresh(i) = row.get(i, dts(i)); i += 1 }
+            acc.put(key, fresh)
+          } else {
+            specs.foreach { case (i, fn) =>
+              cur(i) = combine(fn, cur(i), row.get(i, dts(i)))
+            }
+          }
+        }
+      } finally r.close()
+    }
+    acc.values.iterator.asScala.map(v => new GenericInternalRow(v): InternalRow)
   }
 
   private var current: InternalRow = _

@@ -300,6 +300,23 @@ object V2Queries {
                |FROM $catName.v2db.pk_cust ORDER BY c_custkey""".stripMargin)
     },
 
+    // Aggregation merge engine through plain SQL: same-key rows collapse by
+    // the declared per-field function (sum/max here) INSIDE the per-bucket
+    // readers — associative+commutative functions make the bucket-local fold
+    // equal the distributed aggregate, so the scan stays zero-exchange like
+    // the LWW PK read. Staged as two overlapping lineitem slices whose keyed
+    // sums must equal a plain GROUP BY over the union = the whole table.
+    QDef(
+      "q_source_v2_pk_agg",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      val catName = pkAggTable(s, d)
+      s.sql(s"""SELECT l_orderkey, qty_cents, max_price
+               |FROM $catName.v2db.agg_li ORDER BY l_orderkey""".stripMargin)
+    },
+
     // Native row-level DELETE: Spark's `DELETE FROM … WHERE` against the
     // V2 catalog (SupportsDelete) routed to the engine's touched-file-pruned
     // copy-on-write — non-overlapping files are neither read nor rewritten,
@@ -516,6 +533,27 @@ object V2Queries {
                |SELECT c_custkey, c_name, c_acctbal FROM graft_v2e_customer
                |WHERE c_custkey % 2 = 1""".stripMargin)
       s.sql(s"ALTER TABLE $catName.v2db.evo_customers RENAME COLUMN c_name TO cust_name")
+      catName
+    })
+
+  /** lineitem as an aggregation-engine table: qty summed (exact long
+    * cents), price maxed, staged as two part-keyed slices. */
+  private val stagedPkAgg = new ConcurrentHashMap[String, String]()
+  private def pkAggTable(s: SparkSession, d: String): String =
+    stagedPkAgg.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "agg_li",
+        Map("primary-key" -> "l_orderkey", "bucket" -> "4",
+          "fields.qty_cents.aggregate-function" -> "sum",
+          "fields.max_price.aggregate-function" -> "max"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"),
+        col("l_extendedprice").as("max_price"), col("l_partkey"))
+      tbl.appendBatch(li.where(col("l_partkey") % 2 === 0)
+        .drop("l_partkey"), 0L)
+      tbl.appendBatch(li.where(col("l_partkey") % 2 === 1)
+        .drop("l_partkey"), 1L)
       catName
     })
 

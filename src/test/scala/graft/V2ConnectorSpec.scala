@@ -896,24 +896,38 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("merge-on-read")), e.toString)
   }
 
-  test("aggregation merge engines are refused at V2 scan build, not at DDL") {
+  test("aggregation engine resolves per-bucket in the V2 readers; partial-update refuses") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
     val tbl = gc.createTable("db", "agg",
-      Map("primary-key" -> "id", "fields.x.aggregate-function" -> "sum"))
-    tbl.appendBatch(Seq((1L, 5L), (1L, 7L)).toDF("id", "x"), 0L)
-    // DDL-level introspection still works (loadTable does not refuse)
-    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect().nonEmpty)
+      Map("primary-key" -> "id",
+        "fields.x.aggregate-function" -> "sum",
+        "fields.hi.aggregate-function" -> "max"))
+    tbl.appendBatch(Seq((1L, 5L, 3.0), (1L, 7L, 9.0), (2L, 1L, 1.0))
+      .toDF("id", "x", "hi"), 0L)
+    tbl.appendBatch(Seq((1L, 100L, 2.0), (2L, 1L, 5.5)).toDF("id", "x", "hi"), 1L)
+    val rows = spark.sql(s"SELECT id, x, hi FROM $cat.db.agg ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 112L, 9.0), (2L, 2L, 5.5)))
+    // equals the library view (incl. after compaction re-merges partials)
+    tbl.compact(1)
+    tbl.appendBatch(Seq((2L, 10L, 0.5)).toDF("id", "x", "hi"), 2L)
+    val viaSql = spark.sql(s"SELECT id, x, hi FROM $cat.db.agg ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    val viaLib = gc.getTable("db", "agg").read.select("id", "x", "hi")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaLib, s"sql=$viaSql lib=$viaLib")
+    assert(viaSql.map(r => (r(0), r(1))) == Seq((1L, 112L), (2L, 12L)))
+    // partial-update keeps the library view (nested fseq structs)
+    val pu = gc.createTable("db", "pu",
+      Map("primary-key" -> "id", "merge-engine" -> "partial-update"))
+    pu.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
     val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.db.agg").collect()
+      spark.sql(s"SELECT * FROM $cat.db.pu").collect()
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(e).exists(_.getMessage != null &&
-      causes(e).exists(c => Option(c.getMessage).exists(_.contains("distributed aggregate")))),
-      s"unexpected error: $e")
-    // the library view still resolves it
-    assert(gc.getTable("db", "agg").read.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 12L)))
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("partial-update"))), s"unexpected error: $e")
   }
 }
