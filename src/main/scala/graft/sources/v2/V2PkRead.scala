@@ -96,7 +96,8 @@ class GraftPkScanBuilder(table: GraftV2Table, fullSchema: StructType,
 class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
     required: StructType, pushed: Array[Filter], pk: Seq[String],
     nameMap: Map[String, String] = Map.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // Key/sequence columns are never renameable (the evolution guard), so the
   // merge bookkeeping columns keep their names; only projected PAYLOAD
@@ -207,6 +208,41 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
         "(readStream.option(\"read-changelog\", true)) or use " +
         "StreamTable.readStream — raw upsert files are not an append stream")
 
+  /** Storage-partitioned join over the MERGED view: the per-bucket plan is
+    * already key-grouped, so under V2 bucketing the scan reports it and a
+    * join of the resolved PK table against a co-bucketed fact on the key
+    * needs no exchange on either side — the upsert dim ⋈ fact join with
+    * the merge AND the join both riding the write-time layout. Engages only
+    * when every group is a real bucket and the scan projects the bucket key
+    * with a bucketable type (same conditions as [[GraftScan]]'s SPJ). */
+  private def spjPartitioning: Option[Int] = {
+    val confOn = try {
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled") == "true"
+    } catch { case _: Exception => false }
+    t.bucketKey match {
+      case Some(k) if confOn && groups.nonEmpty && groups.forall(_._1 >= 0) &&
+          required.fieldNames.contains(k) &&
+          fullSchema.find(_.name == k).exists(f =>
+            f.dataType == LongType || f.dataType == IntegerType) =>
+        Some(t.numBuckets)
+      case _ => None
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjPartitioning match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            n, t.bucketKey.get)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          groups.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     groups.map { case (b, fs) =>
       GraftPkInputPartition(fs.map(f => (f.path, f.minSeq)), b): InputPartition
@@ -234,9 +270,15 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
 }
 
 /** All live files of one hash bucket (or the whole table for the legacy
-  * unbucketed fallback), with their manifest commit sequences. */
+  * unbucketed fallback), with their manifest commit sequences. The bucket id
+  * doubles as the storage-partitioned-join partition key (ignored unless the
+  * scan reported KeyGroupedPartitioning). */
 case class GraftPkInputPartition(files: Seq[(String, Long)], bucketId: Int)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
 
 case class GraftPkReaderFactory(internal: StructType, outLen: Int,
     pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,

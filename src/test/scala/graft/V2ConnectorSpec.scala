@@ -731,6 +731,39 @@ class V2ConnectorSpec extends AnyFunSuite {
       Seq((1L, "first"), (2L, "x")))
   }
 
+  test("SPJ over the MERGED view: PK dim joins a co-bucketed fact, no exchange") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val dim = gc.createTable("db", "spj_dim",
+      Map("primary-key" -> "id", "bucket" -> "4"))
+    dim.appendBatch((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), 0L)
+    dim.appendBatch((1L to 50L by 5).map(i => (i, s"V$i")).toDF("id", "v"), 1L) // upserts
+    val fact = gc.createTable("db", "spj_fact",
+      Map("bucket-key" -> "fk", "bucket" -> "4"))
+    fact.appendBatch((1L to 200L).map(i => (i % 50 + 1, i)).toDF("fk", "m"), 0L)
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ d.id, d.v, count(*) AS n
+           |FROM $cat.db.spj_fact f JOIN $cat.db.spj_dim d ON f.fk = d.id
+           |GROUP BY d.id, d.v ORDER BY d.id""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 50)
+      // upserted keys carry the RESOLVED image through the join
+      assert(rows.filter(_.getLong(0) % 5 == 1)
+        .forall(r => r.getString(1).startsWith("V")), rows.take(6).mkString(","))
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SMJ:\n${plan.take(3000)}")
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"PK-dim SPJ must be exchange-free below the join:\n${plan.take(3000)}")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("DELETE FROM through the V2 catalog: COW on append, tombstones on PK") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
