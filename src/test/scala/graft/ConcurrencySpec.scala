@@ -118,4 +118,43 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(c == id * lastOdd, s"key $id c=$c")
     }
   }
+
+  test("commitReplace: concurrent appends survive; concurrent maintenance fails loudly") {
+    import spark.implicits._
+    import graft.table.StreamTable
+    val root = java.nio.file.Files.createTempDirectory("graft_crpl_").toString
+    val t = new StreamTable(root, spark)
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val before = t.latestSnapshot.get.files.map(_.path)
+
+    // stage a replacement file the way the row-level write does
+    def stage(rows: Seq[(Long, String)]): String = {
+      val p = s"$root/.staged-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      val one = java.nio.file.Files.createTempDirectory("crpl_one_")
+      rows.toDF("id", "v").repartition(1).write.mode("overwrite").parquet(one.toString)
+      val part = StreamTable.listDir(one).find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(p))
+      p
+    }
+
+    // a file appended AFTER the scan snapshot survives the swap untouched
+    t.appendBatch(Seq((9L, "z")).toDF("id", "v"), 1L)
+    t.commitReplace(before.toSet, Seq(stage(Seq((1L, "A"), (2L, "B")))), "UPDATE")
+    assert(t.read.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A"), (2L, "B"), (9L, "z")))
+
+    // replacing files that are no longer live = concurrent maintenance: refuse
+    val e = intercept[IllegalArgumentException] {
+      t.commitReplace(before.toSet, Seq(stage(Seq((1L, "X"), (2L, "X")))), "UPDATE")
+    }
+    assert(e.getMessage.contains("not live"), e.getMessage)
+
+    // UPDATE row-conservation: a replacement that drops rows is refused
+    val liveNow = t.latestSnapshot.get.files.map(_.path).toSet
+    val e2 = intercept[IllegalArgumentException] {
+      t.commitReplace(liveNow, Seq(stage(Seq((1L, "only")))), "UPDATE")
+    }
+    assert(e2.getMessage.contains("conserve"), e2.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
 }

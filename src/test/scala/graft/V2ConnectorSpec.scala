@@ -929,6 +929,56 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("merge-on-read")), e.toString)
   }
 
+  test("changelog stream: compaction between drains is not a logical change") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "clc", Map("primary-key" -> "id"))
+    val root = s"${gc.warehouse}/db.db/clc"
+    val chk = java.nio.file.Files.createTempDirectory("v2_clc_chk_").toString
+    def drain(): Seq[(Long, String, String)] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      val q = spark.readStream.format("graft").option("read-changelog", "true")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    }
+    tbl.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    assert(drain() == Seq((1L, "a", "+I"), (2L, "b", "+I")))
+    // compaction rewrites the layout but changes no logical row: the next
+    // drain must deliver ONLY the genuine update committed after it
+    tbl.compact(1)
+    tbl.appendBatch(Seq((2L, "B")).toDF("id", "v"), 1L)
+    assert(drain() == Seq((2L, "b", "-U"), (2L, "B", "+U")).sorted)
+    // a drain over a purely-compacted interval delivers nothing
+    tbl.compact(1)
+    assert(drain() == Seq.empty)
+  }
+
+  test("PK merge-on-read across ADD COLUMN evolution null-fills old versions") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.pke (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key' = 'id')")
+    spark.sql(s"INSERT INTO $cat.db.pke VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $cat.db.pke ADD COLUMNS (score DOUBLE)")
+    // post-evolution upsert for id=1 carries the new column; id=2's winner
+    // predates it and must read as NULL through the merge
+    spark.sql(s"INSERT INTO $cat.db.pke VALUES (1, 'A', 9.5)")
+    val rows = spark.sql(s"SELECT id, v, score FROM $cat.db.pke ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "A", 9.5), (2L, "b", null)))
+  }
+
   test("aggregation engine resolves per-bucket in the V2 readers; partial-update refuses") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
