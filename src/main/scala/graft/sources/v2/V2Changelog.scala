@@ -41,9 +41,10 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
   require(t.primaryKey.isDefined,
     s"${base.name()}: read-changelog requires a primary-key table — an " +
       "append table's changelog IS its append stream (drop the option)")
-  require(t.effectiveEngine == "deduplicate" || t.effectiveEngine == "first-row",
-    s"${base.name()} has merge-engine=${t.effectiveEngine}: its merge is a " +
-      "distributed aggregate — use StreamTable.changelogWithRetractions")
+  require(t.effectiveEngine != "partial-update",
+    s"${base.name()} has merge-engine=partial-update: its per-field " +
+      "sequence structs need the library view — " +
+      "StreamTable.changelogWithRetractions")
 
   private[v2] val baseSchema: StructType = base.schema()
   private[v2] val renames: Map[String, String] = base.renames
@@ -147,12 +148,26 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftChangelogReaderFactory(internal, baseSchema.length,
-      pk.map(internal.fieldIndex).toArray,
-      table.seqCol.map(internal.fieldIndex).getOrElse(-1),
-      internal.fieldIndex(StreamTable.SeqColName),
-      internal.fieldIndex(StreamTable.TombstoneColName),
-      table.effectiveEngine == "first-row")
+    if (table.effectiveEngine == "aggregation")
+      // the aggregation dual: old/new states are per-key FOLDS, not winners;
+      // sum/count fields must fold in BIGINT/DOUBLE (same guard as the scan)
+      GraftChangelogAggReaderFactory(internal, baseSchema.length,
+        pk.map(internal.fieldIndex).toArray,
+        table.aggSpec.get.map { case (f, fn) =>
+          val fileN = nameMap.getOrElse(f, f)
+          if (fn == "sum" || fn == "count")
+            require(internal(internal.fieldIndex(fileN)).dataType == LongType ||
+                internal(internal.fieldIndex(fileN)).dataType == DoubleType,
+              s"$fn($f): changelog fold needs a BIGINT or DOUBLE field")
+          (internal.fieldIndex(fileN), fn)
+        }.toArray)
+    else
+      GraftChangelogReaderFactory(internal, baseSchema.length,
+        pk.map(internal.fieldIndex).toArray,
+        table.seqCol.map(internal.fieldIndex).getOrElse(-1),
+        internal.fieldIndex(StreamTable.SeqColName),
+        internal.fieldIndex(StreamTable.TombstoneColName),
+        table.effectiveEngine == "first-row")
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -208,6 +223,60 @@ class GraftChangelogReader(p: GraftChangelogPartition, internal: StructType,
         case (Some(ow), Some(nw)) => Iterator(opRow(ow, "-U"), opRow(nw, "+U"))
         case (Some(ow), None) => Iterator(opRow(ow, "-D"))
         case (None, Some(nw)) => Iterator(opRow(nw, "+I"))
+        case (None, None) => Iterator.empty
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = rows.hasNext
+    if (has) current = rows.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+case class GraftChangelogAggReaderFactory(internal: StructType, outLen: Int,
+    pkIdxs: Array[Int], specs: Array[(Int, String)]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftChangelogAggReader(p.asInstanceOf[GraftChangelogPartition],
+      internal, outLen, pkIdxs, specs)
+}
+
+/** The aggregation-engine interval diff of one bucket: old/new states are
+  * per-key FOLDS ([[PkMerge.accumulate]]) instead of winners; per changed
+  * key the old ACCUMULATED image retracts (`-U`) and the new asserts
+  * (`+U`) — a downstream aggregate that applies retract/accumulate lands on
+  * the merged value, exactly what a changelog over an aggregation table
+  * means. Keys first seen in the interval emit `+I`; the aggregation engine
+  * has no delete path, so `-D` never fires from commits (it can only arise
+  * from snapshot surgery like rollback, where the old image retracts). */
+class GraftChangelogAggReader(p: GraftChangelogPartition, internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], specs: Array[(Int, String)])
+    extends PartitionReader[InternalRow] {
+
+  private def opRow(v: Array[Any], op: String): InternalRow = {
+    val out = new Array[Any](outLen + 1)
+    System.arraycopy(v, 0, out, 0, outLen)
+    out(outLen) = UTF8String.fromString(op)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val oldAcc = PkMerge.accumulate(p.oldFiles.map((_, -1L)), internal,
+      pkIdxs, specs, outLen, Array.empty)
+    val changed = scala.collection.mutable.LinkedHashSet[List[Any]]()
+    val newOnly = p.newOnly.toSet
+    val newAcc = PkMerge.accumulate(p.newFiles.map((_, -1L)), internal,
+      pkIdxs, specs, outLen, Array.empty,
+      onRow = (key, path) => if (newOnly(path)) changed += key)
+    changed.iterator.flatMap { key =>
+      (Option(oldAcc.get(key)), Option(newAcc.get(key))) match {
+        case (Some(o), Some(n)) => Iterator(opRow(o, "-U"), opRow(n, "+U"))
+        case (Some(o), None) => Iterator(opRow(o, "-D"))
+        case (None, Some(n)) => Iterator(opRow(n, "+I"))
         case (None, None) => Iterator.empty
       }
     }

@@ -339,48 +339,9 @@ class GraftPkAggMergeReader(files: Seq[(String, Long)], internal: StructType,
     outLen: Int, pkIdxs: Array[Int], specs: Array[(Int, String)],
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
-  private val dts: Array[DataType] = internal.fields.map(_.dataType)
-
-  private def combine(fn: String, a: Any, b: Any): Any =
-    if (a == null) b
-    else if (b == null) a
-    else fn match {
-      case "sum" | "count" => (a, b) match {
-        case (x: java.lang.Long, y: java.lang.Long) =>
-          java.lang.Long.valueOf(x.longValue() + y.longValue())
-        case (x: java.lang.Double, y: java.lang.Double) =>
-          java.lang.Double.valueOf(x.doubleValue() + y.doubleValue())
-        case other => throw new IllegalStateException(s"unsummable $other")
-      }
-      case "min" => if (PkMerge.cmpAny(a, b) <= 0) a else b
-      case "max" => if (PkMerge.cmpAny(a, b) >= 0) a else b
-    }
-
-  private lazy val merged: Iterator[InternalRow] = {
-    val acc = new java.util.HashMap[List[Any], Array[Any]]()
-    files.foreach { case (path, fileSeq) =>
-      val r = new GraftPartitionReader(path, internal, pushed,
-        limit = None, fileSeq = fileSeq)
-      try {
-        while (r.next()) {
-          val row = r.get()
-          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
-          val cur = acc.get(key)
-          if (cur == null) {
-            val fresh = new Array[Any](outLen)
-            var i = 0
-            while (i < outLen) { fresh(i) = row.get(i, dts(i)); i += 1 }
-            acc.put(key, fresh)
-          } else {
-            specs.foreach { case (i, fn) =>
-              cur(i) = combine(fn, cur(i), row.get(i, dts(i)))
-            }
-          }
-        }
-      } finally r.close()
-    }
-    acc.values.iterator.asScala.map(v => new GenericInternalRow(v): InternalRow)
-  }
+  private lazy val merged: Iterator[InternalRow] =
+    PkMerge.accumulate(files, internal, pkIdxs, specs, outLen, pushed)
+      .values.iterator.asScala.map(v => new GenericInternalRow(v): InternalRow)
 
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -414,6 +375,59 @@ private[v2] object PkMerge {
     var i = 0
     while (i < outLen) { out(i) = w.get(i, dts(i)); i += 1 }
     new GenericInternalRow(out)
+  }
+
+  /** Field-wise combine for the aggregation engine: NULL is the identity
+    * (matching Spark's null-skipping aggregates); sum/count add in the
+    * field's own type (guarded to BIGINT/DOUBLE at scan build). */
+  def combineAgg(fn: String, a: Any, b: Any): Any =
+    if (a == null) b
+    else if (b == null) a
+    else fn match {
+      case "sum" | "count" => (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long) =>
+          java.lang.Long.valueOf(x.longValue() + y.longValue())
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          java.lang.Double.valueOf(x.doubleValue() + y.doubleValue())
+        case other => throw new IllegalStateException(s"unsummable $other")
+      }
+      case "min" => if (cmpAny(a, b) <= 0) a else b
+      case "max" => if (cmpAny(a, b) >= 0) a else b
+    }
+
+  /** Per-key field-wise fold for merge-engine=aggregation: every version of
+    * a key combines by its declared function. Accumulators are the first
+    * `outLen` internal fields. `onRow(key, path)` observes every raw row. */
+  def accumulate(files: Seq[(String, Long)], internal: StructType,
+      pkIdxs: Array[Int], specs: Array[(Int, String)], outLen: Int,
+      pushed: Array[Filter],
+      onRow: (List[Any], String) => Unit = (_, _) => ())
+      : java.util.HashMap[List[Any], Array[Any]] = {
+    val dts = internal.fields.map(_.dataType)
+    val acc = new java.util.HashMap[List[Any], Array[Any]]()
+    files.foreach { case (path, fileSeq) =>
+      val r = new GraftPartitionReader(path, internal, pushed,
+        limit = None, fileSeq = fileSeq)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
+          onRow(key, path)
+          val cur = acc.get(key)
+          if (cur == null) {
+            val fresh = new Array[Any](outLen)
+            var i = 0
+            while (i < outLen) { fresh(i) = row.get(i, dts(i)); i += 1 }
+            acc.put(key, fresh)
+          } else {
+            specs.foreach { case (i, fn) =>
+              cur(i) = combineAgg(fn, cur(i), row.get(i, dts(i)))
+            }
+          }
+        }
+      } finally r.close()
+    }
+    acc
   }
 
   /** Stream every file's rows through [[GraftPartitionReader]] and keep the

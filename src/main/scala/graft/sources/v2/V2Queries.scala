@@ -317,6 +317,43 @@ object V2Queries {
                |FROM $catName.v2db.agg_li ORDER BY l_orderkey""".stripMargin)
     },
 
+    // CDC over AGGREGATES: the changelog stream on an aggregation-engine
+    // table nets each interval per changed key as -U(old accumulated image)
+    // / +U(new) — what a downstream retract/accumulate consumer applies to
+    // stay on the merged value; keys first seen in the interval emit +I.
+    // Staged as two drains of one checkpoint over the even-partkey slice
+    // then the odd-partkey slice of lineitem. A 26th real streaming job.
+    QDef(
+      "q_stream_v2_agg_changelog",
+      """WITH ev AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |         max(l_extendedprice) AS max_price
+        |  FROM lineitem WHERE l_partkey % 2 = 0 GROUP BY l_orderkey),
+        |tot AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |         max(l_extendedprice) AS max_price
+        |  FROM lineitem GROUP BY l_orderkey),
+        |odd AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey % 2 = 1)
+        |SELECT l_orderkey, qty_cents, max_price, '+I' AS op FROM ev
+        |UNION ALL
+        |SELECT e.l_orderkey, e.qty_cents, e.max_price, '-U' FROM ev e JOIN odd USING (l_orderkey)
+        |UNION ALL
+        |SELECT t.l_orderkey, t.qty_cents, t.max_price, '+U'
+        |FROM tot t JOIN odd USING (l_orderkey)
+        |WHERE EXISTS (SELECT 1 FROM ev e WHERE e.l_orderkey = t.l_orderkey)
+        |UNION ALL
+        |SELECT t.l_orderkey, t.qty_cents, t.max_price, '+I'
+        |FROM tot t JOIN odd USING (l_orderkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.l_orderkey = t.l_orderkey)
+        |ORDER BY l_orderkey, op""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val rows = aggChangelogRows(s, d)
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("qty_cents", LongType),
+        StructField("max_price", DoubleType), StructField("op", StringType))))
+        .orderBy("l_orderkey", "op")
+    },
+
     // Native row-level DELETE: Spark's `DELETE FROM … WHERE` against the
     // V2 catalog (SupportsDelete) routed to the engine's touched-file-pruned
     // copy-on-write — non-overlapping files are neither read nor rewritten,
@@ -534,6 +571,48 @@ object V2Queries {
                |WHERE c_custkey % 2 = 1""".stripMargin)
       s.sql(s"ALTER TABLE $catName.v2db.evo_customers RENAME COLUMN c_name TO cust_name")
       catName
+    })
+
+  /** The aggregation-changelog pipe: an aggregation-engine lineitem table
+    * drained twice through the streaming changelog reader across the
+    * even-/odd-partkey commits. */
+  private val stagedAggCl = new ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]()
+  private def aggChangelogRows(s: SparkSession, d: String): Seq[org.apache.spark.sql.Row] =
+    stagedAggCl.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.streaming.Trigger
+      val (_, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "agg_cl",
+        Map("primary-key" -> "l_orderkey", "bucket" -> "4",
+          "fields.qty_cents.aggregate-function" -> "sum",
+          "fields.max_price.aggregate-function" -> "max"))
+      val root = s"$wh/v2db.db/agg_cl"
+      val chk = Files.createTempDirectory("graft_v2_aggcl_chk_").toString
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"),
+        col("l_extendedprice").as("max_price"), col("l_partkey"))
+      def drain(): Seq[org.apache.spark.sql.Row] = {
+        val buf = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[org.apache.spark.sql.Row]())
+        val q = s.readStream.format("graft").option("read-changelog", "true")
+          .load(root)
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            // the merged schema orders spec fields by NAME (max_price before
+            // qty_cents) — pin the projection the result frame declares
+            buf.addAll(java.util.Arrays.asList(
+              df.select("l_orderkey", "qty_cents", "max_price", "op")
+                .collect(): _*)); ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        buf.asScala.toSeq
+      }
+      tbl.appendBatch(li.where(col("l_partkey") % 2 === 0).drop("l_partkey"), 0L)
+      val run1 = drain()
+      tbl.appendBatch(li.where(col("l_partkey") % 2 === 1).drop("l_partkey"), 1L)
+      run1 ++ drain()
     })
 
   /** lineitem as an aggregation-engine table: qty summed (exact long
