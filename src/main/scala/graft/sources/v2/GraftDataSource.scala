@@ -116,6 +116,32 @@ object GraftV2Table {
   val SeqMetaCol = "_graft_seq"
   val MetaCols: Set[String] = Set(FileCol, SeqMetaCol)
 
+  /** Rename every attribute reference declared → file-level in a pushed
+    * DML filter (ALL the shapes [[filterToColumn]] accepts — a renamed
+    * column in a DELETE condition must resolve against the FILE-level
+    * names [[StreamTable.deleteWhere]] reads). */
+  private[v2] def translateFilter(f: Filter, m: Map[String, String]): Filter = {
+    def t(a: String) = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => EqualTo(t(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(t(a), v)
+      case GreaterThan(a, v) => GreaterThan(t(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(t(a), v)
+      case LessThan(a, v) => LessThan(t(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(t(a), v)
+      case In(a, vs) => In(t(a), vs)
+      case IsNull(a) => IsNull(t(a))
+      case IsNotNull(a) => IsNotNull(t(a))
+      case StringStartsWith(a, v) => StringStartsWith(t(a), v)
+      case StringEndsWith(a, v) => StringEndsWith(t(a), v)
+      case StringContains(a, v) => StringContains(t(a), v)
+      case And(l, r) => And(translateFilter(l, m), translateFilter(r, m))
+      case Or(l, r) => Or(translateFilter(l, m), translateFilter(r, m))
+      case Not(c) => Not(translateFilter(c, m))
+      case other => other
+    }
+  }
+
   /** Lossless V1 `Filter` → `Column` translation for row-level DML pushdown.
     * `None` means "cannot express exactly" — the caller must then refuse the
     * whole operation (never approximate a DELETE condition). */
@@ -231,7 +257,12 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(atSnapshot.isEmpty,
       s"$tableName is a time-travel read; DELETE targets the current version")
-    val cond = filters.toSeq.map(f => GraftV2Table.filterToColumn(f).getOrElse(
+    // declared → file-level attribute translation FIRST: StreamTable's
+    // deleteWhere/cowRewrite resolve against the stored column names, so a
+    // DELETE on a renamed column must arrive pre-translated
+    val cond = filters.toSeq
+      .map(f => GraftV2Table.filterToColumn(
+          GraftV2Table.translateFilter(f, renameMap)).getOrElse(
         throw new UnsupportedOperationException(s"cannot push DELETE filter $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -302,11 +333,22 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     }
     // an aggregation table's READ view is exactly (primary key, aggregated
     // fields) — the library's aggResolve groups by pk and aggregates the
-    // declared fields, so any other stored column has no merged value
+    // declared fields, so any other stored column has no merged value.
+    // Additive fields WIDEN like Spark's own sum (INT→BIGINT, FLOAT→DOUBLE):
+    // the declared V2 schema carries the widened type and the reader's fold
+    // accumulates in it, so the connector view matches the library view
+    // bit-for-bit on every input type.
     (table.primaryKey, table.aggSpec) match {
       case (Some(pk), Some(spec)) =>
+        val fns = spec.toMap
         val order = pk ++ spec.map(_._1)
-        StructType(order.flatMap(n => base.find(_.name == n)))
+        StructType(order.flatMap(n => base.find(_.name == n).map { f =>
+          (fns.get(n), f.dataType) match {
+            case (Some("sum" | "count"), IntegerType) => f.copy(dataType = LongType)
+            case (Some("sum" | "count"), FloatType) => f.copy(dataType = DoubleType)
+            case _ => f
+          }
+        }))
       case _ => base
     }
   }
@@ -321,17 +363,11 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       case Some(pk) =>
         // PK merge-on-read: per-bucket resolution inside the readers (see
         // V2PkRead.scala) — last-writer-wins for deduplicate, first wins
-        // for first-row, and per-key ACCUMULATION for the aggregation
-        // engine (all its functions are associative+commutative, so the
-        // bucket-local fold equals the distributed aggregate; key
-        // co-location is the bucketed layout's contract). partial-update
-        // keeps the library view: its per-field winning-sequence structs
-        // are nested columns the connector's type bridge does not read.
-        val eng = table.effectiveEngine
-        if (eng == "partial-update")
-          throw new UnsupportedOperationException(
-            s"$tableName has merge-engine=partial-update: its per-field " +
-              "sequence structs need the library view — StreamTable.read")
+        // for first-row, per-key ACCUMULATION for the aggregation engine,
+        // and per-FIELD last-non-null for partial-update (the reader reads
+        // the persisted `__graft_fseq_*` provenance structs and applies the
+        // library's exact per-field rule — all four engines' merges are
+        // bucket-local because key co-location is the layout's contract).
         new GraftPkScanBuilder(this, schema(), pk, renameMap)
       case None =>
         new GraftScanBuilder(this, schema(),
@@ -361,7 +397,32 @@ class GraftV2Table(tableName: String, val table: StreamTable,
         replace = true; this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
+        new org.apache.spark.sql.connector.write.V1Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // best-effort clustering by the bucket key (micro-batches shuffle
+          // into one task per bucket → one sink file per bucket per epoch);
+          // NOT strictly required — the sink's per-row bucket split keeps
+          // labels correct whatever shape the plan takes, and the batch
+          // path's appendBatch clusters for itself
+          override def requiredDistribution
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            table.bucketKey match {
+              case Some(k) if info.schema().fieldNames.contains(k) =>
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .clustered(Array(
+                    org.apache.spark.sql.connector.expressions.Expressions.column(k)))
+              case _ =>
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .unspecified()
+            }
+          override def requiredNumPartitions: Int =
+            if (table.bucketKey.exists(info.schema().fieldNames.contains))
+              table.numBuckets
+            else 0
+          override def requiredOrdering
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def distributionStrictlyRequired(): Boolean = false
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -1246,9 +1307,11 @@ class GraftPartitionReader(path: String, required: StructType,
 
   // per-output-field plan, computed once (never per row): projection index
   // (-1 = column absent from this file → null-fill; -2 = _graft_file;
-  // -3 = _graft_seq) + resolved types
+  // -3 = _graft_seq) + resolved types (parquet side kept as the generic
+  // Type — struct columns, e.g. the partial-update `__graft_fseq_*`
+  // markers, are GroupTypes)
   private val filePathUtf8 = UTF8String.fromString(path)
-  private val fieldPlan: Array[(Int, DataType, PrimitiveType)] = {
+  private val fieldPlan: Array[(Int, DataType, org.apache.parquet.schema.Type)] = {
     var projIdx = -1
     required.fields.map { f =>
       if (f.name == GraftV2Table.FileCol && !inFile(f.name)) (-2, f.dataType, null)
@@ -1256,7 +1319,7 @@ class GraftPartitionReader(path: String, required: StructType,
       else if (!inFile(f.name)) (-1, f.dataType, null)
       else {
         projIdx += 1
-        (projIdx, f.dataType, projection.getType(projIdx).asPrimitiveType())
+        (projIdx, f.dataType, projection.getType(projIdx))
       }
     }
   }
@@ -1276,21 +1339,53 @@ class GraftPartitionReader(path: String, required: StructType,
     val row = new GenericInternalRow(required.length)
     var out = 0
     while (out < fieldPlan.length) {
-      val (i, dt, prim) = fieldPlan(out)
+      val (i, dt, typ) = fieldPlan(out)
       if (i == -2) row.update(out, filePathUtf8)
       else if (i == -3) row.update(out, fileSeq)
       else if (i < 0 || current.getFieldRepetitionCount(i) == 0) row.update(out, null)
-      else row.update(out, convert(current, i, dt, prim))
+      else row.update(out, convertAny(current, i, dt, typ))
       out += 1
     }
     row
   }
 
+  /** Struct-aware conversion: flat structs of primitives (the partial-update
+    * `__graft_fseq_*` provenance markers) materialize as nested rows; inner
+    * fields resolve by NAME against the file's group layout, null-filling
+    * absent ones. Everything else is the primitive bridge. */
+  private def convertAny(g: Group, i: Int, dt: DataType,
+      typ: org.apache.parquet.schema.Type): Any = dt match {
+    case st: StructType =>
+      val inner = g.getGroup(i, 0)
+      val gt = typ.asGroupType()
+      val vals = new Array[Any](st.length)
+      st.fields.zipWithIndex.foreach { case (f, out) =>
+        if (!gt.containsField(f.name)) vals(out) = null
+        else {
+          val j = gt.getFieldIndex(f.name)
+          vals(out) =
+            if (inner.getFieldRepetitionCount(j) == 0) null
+            else convertAny(inner, j, f.dataType, gt.getType(j))
+        }
+      }
+      new GenericInternalRow(vals)
+    case _ => convert(g, i, dt, typ.asPrimitiveType())
+  }
+
   private def convert(g: Group, i: Int, dt: DataType, prim: PrimitiveType): Any =
     dt match {
-      case LongType => g.getLong(i, 0)
+      // INT32→BIGINT / FLOAT→DOUBLE widen at read: the aggregation merge
+      // view declares additive fields in their accumulator type (Spark's
+      // own sum widening) while files keep the narrow written type
+      case LongType =>
+        if (prim.getPrimitiveTypeName == PrimitiveTypeName.INT32)
+          g.getInteger(i, 0).toLong
+        else g.getLong(i, 0)
       case IntegerType => g.getInteger(i, 0)
-      case DoubleType => g.getDouble(i, 0)
+      case DoubleType =>
+        if (prim.getPrimitiveTypeName == PrimitiveTypeName.FLOAT)
+          g.getFloat(i, 0).toDouble
+        else g.getDouble(i, 0)
       case FloatType => g.getFloat(i, 0)
       case BooleanType => g.getBoolean(i, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)

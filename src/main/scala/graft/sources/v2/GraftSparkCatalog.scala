@@ -231,12 +231,39 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     var decl: StructType = declared0.getOrElse(
       loadTable(ident).asInstanceOf[GraftV2Table].schema())
     var renames = renames0
+    // FILE-level column names still carried by live data files (incl.
+    // previously dropped or renamed-away columns): a new/renamed-to
+    // declared name must never collide with one — the old files' data
+    // would silently surface under the new column (it must null-fill),
+    // and the rename translation would then produce duplicate file-level
+    // names on both read projections and INSERT writes. Paimon avoids
+    // this with stable field ids; we refuse the collision loudly.
+    val fileCols: Set[String] = {
+      val files = backing.getTable(dbN, tn).latestSnapshot
+        .map(_.files).getOrElse(Seq.empty)
+      if (files.isEmpty) Set.empty
+      else SparkSession.active.read.option("mergeSchema", "true")
+        .parquet(files.map(_.path): _*).schema.fieldNames.toSet
+        .filterNot(n => n == graft.table.StreamTable.SeqColName ||
+          n == graft.table.StreamTable.TombstoneColName ||
+          n.startsWith(graft.table.StreamTable.FieldSeqPrefix))
+    }
+    def requireFreshName(n: String, what: String): Unit = {
+      require(!renames.values.toSet.contains(n),
+        s"$what '$n' collides with a file-level name a renamed column " +
+          "still reads from (pick a different name)")
+      require(!fileCols.contains(n) || decl.fieldNames.contains(n),
+        s"$what '$n' collides with a column live data files still carry " +
+          "(a previously dropped/renamed name) — its old data would " +
+          "silently surface instead of null-filling; pick a different name")
+    }
     val setOpts = scala.collection.mutable.Map[String, String]()
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested ADD COLUMN is unsupported")
         val n = a.fieldNames.head
         require(!decl.fieldNames.contains(n), s"column '$n' already exists")
+        requireFreshName(n, "ADD COLUMN")
         decl = StructType(decl.fields :+ StructField(n, a.dataType, a.isNullable))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested DROP COLUMN is unsupported")
@@ -259,6 +286,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         // chase prior renames so the mapping always points at the ORIGINAL
         // file-level name (Paimon's stable-field-id model)
         val fileN = renames.getOrElse(from, from)
+        // reverting a rename to its own file-level name is always safe;
+        // any OTHER target must be genuinely fresh
+        if (fileN != to) requireFreshName(to, "RENAME COLUMN target")
+        // an aggregated field's merge spec is keyed by its FILE-level name
+        // (`fields.<f>.aggregate-function`): renaming it would silently drop
+        // the field from the merge view and the fold — refuse like key cols
+        require(!opts.contains(s"fields.$from.aggregate-function") &&
+            !opts.contains(s"fields.$fileN.aggregate-function"),
+          s"cannot rename aggregated field '$from' " +
+            "(its aggregate-function option is keyed by name)")
         decl = StructType(decl.map(f => if (f.name == from) f.copy(name = to) else f))
         setOpts(s"ddl.rename.$from") = "" // retired mapping (empty = removed)
         if (fileN != to) setOpts(s"ddl.rename.$to") = fileN

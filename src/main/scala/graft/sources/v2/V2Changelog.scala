@@ -41,10 +41,6 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
   require(t.primaryKey.isDefined,
     s"${base.name()}: read-changelog requires a primary-key table — an " +
       "append table's changelog IS its append stream (drop the option)")
-  require(t.effectiveEngine != "partial-update",
-    s"${base.name()} has merge-engine=partial-update: its per-field " +
-      "sequence structs need the library view — " +
-      "StreamTable.changelogWithRetractions")
 
   private[v2] val baseSchema: StructType = base.schema()
   private[v2] val renames: Map[String, String] = base.renames
@@ -59,24 +55,34 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    () => new GraftChangelogScan(outer)
+    () => new GraftChangelogScan(outer, Option(options.get("consumer-id")))
   }
 }
 
-class GraftChangelogScan(table: GraftChangelogV2Table) extends Scan {
+class GraftChangelogScan(table: GraftChangelogV2Table,
+    consumerId: Option[String] = None) extends Scan {
   override def readSchema(): StructType = table.schema()
   override def description(): String =
     s"GraftChangelogScan ${table.name()} merge=${table.t.effectiveEngine}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftChangelogStream(table.t, table.baseSchema, table.renames)
+    new GraftChangelogStream(table.t, table.baseSchema, table.renames, consumerId)
 }
 
 /** Snapshot-pair micro-batch stream (same offset/admission model as
-  * [[GraftMicroBatchStream]]; `-1` = before the first commit). */
+  * [[GraftMicroBatchStream]]; `-1` = before the first commit). With
+  * `.option("consumer-id", …)` the stream is a RETENTION ROOT with the same
+  * advance-after-commit contract as the plain source — the CDC interval
+  * diff needs every covered snapshot, so expiry must never outrun a
+  * registered reader (without one, an over-eager retention policy fails the
+  * stream loudly at the next trigger). */
 class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
-    nameMap: Map[String, String])
+    nameMap: Map[String, String], consumerId: Option[String] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  consumerId.foreach { id =>
+    if (!table.consumers.exists(_._1 == id)) table.registerConsumer(id, 0L)
+  }
 
   private def snaps = table.snapshots
 
@@ -112,43 +118,94 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
     val e = end.asInstanceOf[GraftOffset].snapshotId
     if (e <= s) return Array.empty
     val all = snaps
-    def filesAt(id: Long): Seq[graft.table.DataFileMeta] =
-      all.find(_.id == id).map(_.files).getOrElse(Seq.empty)
-    if (s >= 0 && !all.exists(_.id == s))
-      throw new IllegalStateException(
-        s"changelog offset snapshot $s has been retention-expired at " +
-          s"${table.root}: cannot compute the interval diff")
+    def snapAt(id: Long): graft.table.Snapshot =
+      all.find(_.id == id).getOrElse(throw new IllegalStateException(
+        s"changelog interval snapshot $id has been retention-expired at " +
+          s"${table.root}: cannot compute the interval diff (register a " +
+          "consumer-id or widen snapshot retention to protect slow readers)"))
+    def filesAt(id: Long): Seq[graft.table.DataFileMeta] = snapAt(id).files
+
+    if (s >= 0) {
+      // EVERY snapshot of the interval is needed — the per-commit walk is
+      // what keeps an append-then-compact-within-one-trigger from silently
+      // absorbing a commit's changes into a level-1 file
+      val interval = (s + 1) to e
+      interval.foreach(snapAt)
+
+      // fast path (`changelog-producer`): every covered commit persisted its
+      // netted change rows at write time — the trigger reads ONLY the
+      // interval's changelog files, O(delta) instead of two full resolves
+      if (interval.forall(id => snapAt(id).clogProduced)) {
+        val clog = interval.flatMap(id => snapAt(id).changelog)
+        if (clog.isEmpty) return Array.empty
+        val groups: Seq[Seq[graft.table.DataFileMeta]] =
+          if (clog.forall(_.bucket.isDefined))
+            clog.groupBy(_.bucket.get).toSeq.sortBy(_._1).map(_._2)
+          else Seq(clog)
+        return groups.map { fs =>
+          GraftChangelogDeltaPartition(
+            fs.sortBy(f => (f.minSeq, f.path)).map(f => (f.path, f.minSeq)))
+            : InputPartition
+        }.toArray
+      }
+    }
+
     val oldFiles = if (s < 0) Seq.empty else filesAt(s)
     val newFiles = filesAt(e)
-    // keys "changed in the interval" come from the diffed LEVEL-0 files
-    // (compaction rewrites are layout maintenance, not logical changes); the
-    // initial catch-up treats every file as new so the full state emits +I
-    val newOnly: Set[String] =
-      if (s < 0) newFiles.map(_.path).toSet
+    // keys "changed in the interval" come from the level-0 files ADDED at
+    // each covered commit (compaction rewrites are layout maintenance, not
+    // logical changes) — walked commit-by-commit so a file absorbed by a
+    // later compaction INSIDE the interval still contributes its keys (as an
+    // extra key-only scan; its images come from the resolved states). The
+    // initial catch-up treats every file as new so the full state emits +I.
+    val (newOnly: Set[String], extras: Seq[graft.table.DataFileMeta]) =
+      if (s < 0) (newFiles.map(_.path).toSet, Seq.empty)
       else {
-        val seen = oldFiles.map(_.path).toSet
-        newFiles.filterNot(f => seen(f.path)).filter(_.level == 0)
-          .map(_.path).toSet
+        val added = ((s + 1) to e).flatMap { id =>
+          val prev = filesAt(id - 1).map(_.path).toSet
+          filesAt(id).filterNot(f => prev(f.path)).filter(_.level == 0)
+        }
+        val endPaths = newFiles.map(_.path).toSet
+        (added.map(_.path).toSet.intersect(endPaths),
+          added.filterNot(f => endPaths(f.path)).distinct)
       }
     // one partition per hash bucket when the layout proves co-location of
     // every key version; otherwise a single (serial, still correct) group
-    val both = oldFiles ++ newFiles
-    val groups: Seq[(Seq[String], Seq[String])] =
+    val both = oldFiles ++ newFiles ++ extras
+    val groups: Seq[(Seq[String], Seq[String], Seq[String])] =
       if (both.isEmpty) Seq.empty
       else if (both.forall(_.bucket.isDefined)) {
         val o = oldFiles.groupBy(_.bucket.get); val n = newFiles.groupBy(_.bucket.get)
-        (o.keySet ++ n.keySet).toSeq.sorted.map { b =>
+        val x = extras.groupBy(_.bucket.get)
+        (o.keySet ++ n.keySet ++ x.keySet).toSeq.sorted.map { b =>
           (o.getOrElse(b, Seq.empty).map(_.path).sorted,
-            n.getOrElse(b, Seq.empty).map(_.path).sorted)
+            n.getOrElse(b, Seq.empty).map(_.path).sorted,
+            x.getOrElse(b, Seq.empty).map(_.path).sorted)
         }
-      } else Seq((oldFiles.map(_.path).sorted, newFiles.map(_.path).sorted))
-    groups.map { case (of, nf) =>
-      GraftChangelogPartition(of, nf, nf.filter(newOnly)): InputPartition
+      } else Seq((oldFiles.map(_.path).sorted, newFiles.map(_.path).sorted,
+        extras.map(_.path).sorted))
+    groups.map { case (of, nf, xf) =>
+      GraftChangelogPartition(of, nf, nf.filter(newOnly), xf): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (table.effectiveEngine == "aggregation")
+    if (table.effectiveEngine == "partial-update") {
+      // per-field last-non-null states, with the persisted fseq provenance
+      // structs in the read schema (the PK scan's exact fold)
+      val internalP = StructType(internal.fields ++ fileBase.collect {
+        case f if !pk.contains(f.name) =>
+          StructField(StreamTable.FieldSeqPrefix + f.name, PkMerge.FseqType)
+      })
+      GraftChangelogPartialReaderFactory(internalP, baseSchema.length,
+        pk.map(internalP.fieldIndex).toArray,
+        fileBase.fields.zipWithIndex.collect {
+          case (f, i) if !pk.contains(f.name) =>
+            (i, internalP.fieldIndex(StreamTable.FieldSeqPrefix + f.name))
+        },
+        table.seqCol.map(internalP.fieldIndex).getOrElse(-1),
+        internalP.fieldIndex(StreamTable.SeqColName))
+    } else if (table.effectiveEngine == "aggregation")
       // the aggregation dual: old/new states are per-key FOLDS, not winners;
       // sum/count fields must fold in BIGINT/DOUBLE (same guard as the scan)
       GraftChangelogAggReaderFactory(internal, baseSchema.length,
@@ -169,22 +226,44 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
         internal.fieldIndex(StreamTable.TombstoneColName),
         table.effectiveEngine == "first-row")
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    // committed trigger → the next undelivered snapshot is end+1; retention
+    // may release everything before `end`. Forward-only (a restored older
+    // checkpoint must not crash the query; advanceConsumer refuses
+    // regressions) — same contract as [[GraftMicroBatchStream.commit]].
+    consumerId.foreach { id =>
+      val next = end.asInstanceOf[GraftOffset].snapshotId + 1
+      if (!table.consumers.exists { case (cid, pos) => cid == id && pos >= next })
+        table.advanceConsumer(id, next)
+    }
   override def stop(): Unit = ()
 }
 
 /** One bucket's changelog interval: the bucket's live files at the start
-  * snapshot, at the end snapshot, and which of the latter are NEW level-0
-  * commits (the changed-key evidence). */
+  * snapshot, at the end snapshot, which of the latter are NEW level-0
+  * commits (the changed-key evidence), and interval-added level-0 files a
+  * later in-interval compaction already absorbed (scanned for KEYS only —
+  * their surviving content lives in the compacted files). */
 case class GraftChangelogPartition(oldFiles: Seq[String], newFiles: Seq[String],
-    newOnly: Seq[String]) extends InputPartition
+    newOnly: Seq[String], extraChanged: Seq[String] = Seq.empty)
+    extends InputPartition
+
+/** One bucket's PRODUCED changelog slice: the interval's persisted
+  * changelog files in commit order — the O(delta) fast path. */
+case class GraftChangelogDeltaPartition(files: Seq[(String, Long)])
+    extends InputPartition
 
 case class GraftChangelogReaderFactory(internal: StructType, outLen: Int,
     pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
     firstRow: Boolean) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftChangelogReader(p.asInstanceOf[GraftChangelogPartition],
-      internal, outLen, pkIdxs, seqIdx, commitIdx, tombIdx, firstRow)
+    p match {
+      case d: GraftChangelogDeltaPartition =>
+        new GraftChangelogDeltaReader(d, internal, outLen, pkIdxs)
+      case _ =>
+        new GraftChangelogReader(p.asInstanceOf[GraftChangelogPartition],
+          internal, outLen, pkIdxs, seqIdx, commitIdx, tombIdx, firstRow)
+    }
 }
 
 /** Executor-side interval diff of one bucket: resolve winners at the start
@@ -216,6 +295,7 @@ class GraftChangelogReader(p: GraftChangelogPartition, internal: StructType,
     val newW = PkMerge.winners(p.newFiles.map((_, -1L)), internal, pkIdxs,
       seqIdx, commitIdx, firstRow, Array.empty,
       onRow = (key, path) => if (newOnly(path)) changed += key)
+    PkMerge.collectKeys(p.extraChanged, internal, pkIdxs, changed)
     changed.iterator.flatMap { key =>
       val o = Option(oldW.get(key)).filterNot(PkMerge.isTombstone(_, tombIdx))
       val n = Option(newW.get(key)).filterNot(PkMerge.isTombstone(_, tombIdx))
@@ -241,8 +321,15 @@ class GraftChangelogReader(p: GraftChangelogPartition, internal: StructType,
 case class GraftChangelogAggReaderFactory(internal: StructType, outLen: Int,
     pkIdxs: Array[Int], specs: Array[(Int, String)]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftChangelogAggReader(p.asInstanceOf[GraftChangelogPartition],
-      internal, outLen, pkIdxs, specs)
+    p match {
+      case d: GraftChangelogDeltaPartition =>
+        // the fold already happened at write time: the persisted rows carry
+        // accumulated images, so the delta fold is engine-agnostic
+        new GraftChangelogDeltaReader(d, internal, outLen, pkIdxs)
+      case _ =>
+        new GraftChangelogAggReader(p.asInstanceOf[GraftChangelogPartition],
+          internal, outLen, pkIdxs, specs)
+    }
 }
 
 /** The aggregation-engine interval diff of one bucket: old/new states are
@@ -272,12 +359,164 @@ class GraftChangelogAggReader(p: GraftChangelogPartition, internal: StructType,
     val newAcc = PkMerge.accumulate(p.newFiles.map((_, -1L)), internal,
       pkIdxs, specs, outLen, Array.empty,
       onRow = (key, path) => if (newOnly(path)) changed += key)
+    PkMerge.collectKeys(p.extraChanged, internal, pkIdxs, changed)
     changed.iterator.flatMap { key =>
       (Option(oldAcc.get(key)), Option(newAcc.get(key))) match {
         case (Some(o), Some(n)) => Iterator(opRow(o, "-U"), opRow(n, "+U"))
         case (Some(o), None) => Iterator(opRow(o, "-D"))
         case (None, Some(n)) => Iterator(opRow(n, "+I"))
         case (None, None) => Iterator.empty
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = rows.hasNext
+    if (has) current = rows.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+case class GraftChangelogPartialReaderFactory(internal: StructType, outLen: Int,
+    pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int, commitIdx: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case d: GraftChangelogDeltaPartition =>
+        new GraftChangelogDeltaReader(d, internal, outLen, pkIdxs)
+      case _ =>
+        new GraftChangelogPartialReader(p.asInstanceOf[GraftChangelogPartition],
+          internal, outLen, pkIdxs, fields, seqIdx, commitIdx)
+    }
+}
+
+/** The partial-update interval diff of one bucket: old/new states are
+  * per-key per-FIELD folds ([[PkMerge.partialState]]); per changed key the
+  * old merged image retracts (`-U`) and the new asserts (`+U`) — the
+  * partial-update engine has no delete path, so `-D` only arises from
+  * snapshot surgery (rollback). Keys first seen in the interval emit
+  * `+I`. */
+class GraftChangelogPartialReader(p: GraftChangelogPartition, internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int,
+    commitIdx: Int) extends PartitionReader[InternalRow] {
+
+  private def opRow(v: Array[Any], op: String): InternalRow = {
+    val out = new Array[Any](outLen + 1)
+    System.arraycopy(v, 0, out, 0, outLen)
+    out(outLen) = UTF8String.fromString(op)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val oldAcc = PkMerge.partialState(p.oldFiles.map((_, -1L)), internal,
+      pkIdxs, fields, seqIdx, commitIdx, outLen, Array.empty)
+    val changed = scala.collection.mutable.LinkedHashSet[List[Any]]()
+    val newOnly = p.newOnly.toSet
+    val newAcc = PkMerge.partialState(p.newFiles.map((_, -1L)), internal,
+      pkIdxs, fields, seqIdx, commitIdx, outLen, Array.empty,
+      onRow = (key, path) => if (newOnly(path)) changed += key)
+    PkMerge.collectKeys(p.extraChanged, internal, pkIdxs, changed)
+    changed.iterator.flatMap { key =>
+      (Option(oldAcc.get(key)), Option(newAcc.get(key))) match {
+        case (Some(o), Some(n)) => Iterator(opRow(o, "-U"), opRow(n, "+U"))
+        case (Some(o), None) => Iterator(opRow(o, "-D"))
+        case (None, Some(n)) => Iterator(opRow(n, "+I"))
+        case (None, None) => Iterator.empty
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = rows.hasNext
+    if (has) current = rows.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** The O(delta) changelog reader: fold one bucket's PERSISTED per-commit
+  * changelog files into the interval's netted ops — per key, the old image
+  * comes from the FIRST covered commit that retracted it and the new image
+  * from the LAST covered commit that touched it ("existed before" iff that
+  * first op was a retraction), exactly the netting the state-diff reader
+  * computes — but from O(interval changelog rows), never a table resolve.
+  * Engine-agnostic: the write-time producer already resolved the images
+  * (winners for deduplicate/first-row, folds for aggregation, per-field
+  * merges for partial-update).
+  *
+  * Rows are folded COMMIT-AT-A-TIME (files are commit-ordered; intra-commit
+  * row order is arbitrary, so a commit's `-U`/`+U` pair must land together
+  * before the cross-commit transition applies). */
+class GraftChangelogDeltaReader(p: GraftChangelogDeltaPartition,
+    internal: StructType, outLen: Int, pkIdxs: Array[Int])
+    extends PartitionReader[InternalRow] {
+
+  // changelog files carry the table's base columns + the op (no engine
+  // sequencing columns — the producer resolved them away)
+  private val readSchema: StructType =
+    StructType(internal.fields.take(outLen) :+ StructField("op", StringType))
+  private val dts: Array[DataType] = readSchema.fields.map(_.dataType)
+  private val opIdx = outLen
+
+  /** Cross-commit per-key state. */
+  private final class St(var existed: Boolean, var old: InternalRow,
+    var nw: InternalRow)
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val state = new java.util.LinkedHashMap[List[Any], St]()
+    // one commit's ops per key: (retraction image | null, assertion | null)
+    val commitOps = new java.util.LinkedHashMap[List[Any], (InternalRow, InternalRow)]()
+    def flushCommit(): Unit = {
+      commitOps.forEach { (key, ops) =>
+        val (retract, assertImg) = ops
+        var st = state.get(key)
+        if (st == null) {
+          st = new St(existed = retract != null, old = retract, nw = null)
+          state.put(key, st)
+        }
+        st.nw = assertImg // null iff the commit deleted the key
+      }
+      commitOps.clear()
+    }
+    var curCommit = Long.MinValue
+    p.files.foreach { case (path, commitSeq) =>
+      if (commitSeq != curCommit) { flushCommit(); curCommit = commitSeq }
+      val r = new GraftPartitionReader(path, readSchema, Array.empty,
+        limit = None, fileSeq = commitSeq)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
+          val op = row.getUTF8String(opIdx).toString
+          val prev = commitOps.get(key)
+          val (retract, assertImg) =
+            if (prev == null) (null: InternalRow, null: InternalRow) else prev
+          commitOps.put(key, op match {
+            case "-U" | "-D" => (row, assertImg)
+            case _           => (retract, row) // +U / +I
+          })
+        }
+      } finally r.close()
+    }
+    flushCommit()
+    state.values.iterator.asScala.flatMap { st =>
+      def tag(w: InternalRow, op: String): InternalRow = {
+        val out = new Array[Any](outLen + 1)
+        var i = 0
+        while (i < outLen) { out(i) = w.get(i, dts(i)); i += 1 }
+        out(outLen) = UTF8String.fromString(op)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+      }
+      (st.existed, Option(st.nw)) match {
+        case (true, Some(nw)) => Iterator(tag(st.old, "-U"), tag(nw, "+U"))
+        case (true, None)     => Iterator(tag(st.old, "-D"))
+        case (false, Some(nw)) => Iterator(tag(nw, "+I"))
+        case (false, None)     => Iterator.empty // inserted AND deleted inside
       }
     }
   }

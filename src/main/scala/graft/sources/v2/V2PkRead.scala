@@ -110,6 +110,13 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
   private val t = table.table
   private val firstRow = t.effectiveEngine == "first-row"
   private val aggregation = t.effectiveEngine == "aggregation"
+  private val partial = t.effectiveEngine == "partial-update"
+
+  // merged-row engines have no single source file per output row
+  if (partial)
+    require(!required.fieldNames.exists(GraftV2Table.MetaCols.contains),
+      s"${table.name()}: metadata columns are undefined on a partial-update " +
+        "merge view (the merged row has no single source file)")
 
   // aggregation-engine constraints the reader's fold depends on: no
   // metadata columns (an accumulated row has no single source file), and
@@ -120,11 +127,13 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
         "merge view (the merged row has no single source file)")
     t.aggSpec.get.foreach { case (f, fn) =>
       if ((fn == "sum" || fn == "count") && required.fieldNames.contains(f))
+        // INT/FLOAT fields already widened in the declared schema (the
+        // reader folds in the accumulator type); only exotic additive
+        // types (decimal) stay library-only
         require(fullSchema.find(_.name == f).exists(x =>
             x.dataType == LongType || x.dataType == DoubleType),
-          s"${table.name()}: $fn($f) through the connector needs a BIGINT " +
-            "or DOUBLE field (INT/FLOAT sums widen in the library view — " +
-            "read those through StreamTable.read)")
+          s"${table.name()}: $fn($f) needs an integral/floating field " +
+            "(decimal sums keep the library view — StreamTable.read)")
     }
   }
 
@@ -178,10 +187,29 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
       .filterNot(n => fileRequired.fieldNames.contains(n))
       .map(n => fullSchema.find(_.name == n).getOrElse(
         throw new IllegalStateException(s"key/sequence column $n missing from table schema")))
-    StructType(fileRequired.fields.toSeq ++ extras ++ Seq(
+    val base = fileRequired.fields.toSeq ++ extras ++ Seq(
       StructField(StreamTable.SeqColName, LongType),
-      StructField(StreamTable.TombstoneColName, BooleanType)))
+      StructField(StreamTable.TombstoneColName, BooleanType))
+    // partial-update: each PROJECTED non-key field's persisted per-field
+    // winning sequence (struct<s1,s2>, written by compaction; null-filled
+    // in fresh level-0 files) rides along for the reader's per-field race —
+    // fields the projection dropped resolve independently and cost nothing
+    val fseqs =
+      if (!partial) Seq.empty
+      else fileRequired.fields.toSeq.collect {
+        case f if !pk.contains(f.name) =>
+          StructField(StreamTable.FieldSeqPrefix + f.name, PkMerge.FseqType)
+      }
+    StructType(base ++ fseqs)
   }
+
+  /** partial-update fold plan: (value idx, persisted-fseq idx) per non-key
+    * field of the merge-internal schema. */
+  private def partialFields: Array[(Int, Int)] =
+    internal.fields.zipWithIndex.collect {
+      case (f, i) if internal.fieldNames.contains(StreamTable.FieldSeqPrefix + f.name) =>
+        (i, internal.fieldIndex(StreamTable.FieldSeqPrefix + f.name))
+    }
 
   override def readSchema(): StructType = required
 
@@ -245,11 +273,21 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     groups.map { case (b, fs) =>
-      GraftPkInputPartition(fs.map(f => (f.path, f.minSeq)), b): InputPartition
+      // every file a SORTED RUN on the full pk → the reader streams a k-way
+      // merge with O(files) memory; any unsorted file (legacy manifest,
+      // sink-fed epoch) degrades the group to the hash merge until the next
+      // compaction re-sorts it
+      GraftPkInputPartition(fs.map(f => (f.path, f.minSeq)), b,
+        sorted = fs.forall(_.sortedBy.contains(pk))): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (aggregation)
+    if (partial)
+      GraftPkPartialReaderFactory(internal, required.length,
+        pk.map(internal.fieldIndex).toArray, partialFields,
+        t.seqCol.map(internal.fieldIndex).getOrElse(-1),
+        internal.fieldIndex(StreamTable.SeqColName), pushed)
+    else if (aggregation)
       GraftPkAggReaderFactory(internal, required.length,
         pk.map(internal.fieldIndex).toArray,
         // fold plan: only projected aggregated fields accumulate (the rest
@@ -272,8 +310,10 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
 /** All live files of one hash bucket (or the whole table for the legacy
   * unbucketed fallback), with their manifest commit sequences. The bucket id
   * doubles as the storage-partitioned-join partition key (ignored unless the
-  * scan reported KeyGroupedPartitioning). */
-case class GraftPkInputPartition(files: Seq[(String, Long)], bucketId: Int)
+  * scan reported KeyGroupedPartitioning). `sorted` = every file is a sorted
+  * run on the full primary key (streaming-merge eligible). */
+case class GraftPkInputPartition(files: Seq[(String, Long)], bucketId: Int,
+    sorted: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -283,9 +323,15 @@ case class GraftPkInputPartition(files: Seq[(String, Long)], bucketId: Int)
 case class GraftPkReaderFactory(internal: StructType, outLen: Int,
     pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
     firstRow: Boolean, pushed: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPkMergeReader(p.asInstanceOf[GraftPkInputPartition].files,
-      internal, outLen, pkIdxs, seqIdx, commitIdx, tombIdx, firstRow, pushed)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftPkInputPartition]
+    if (part.sorted)
+      new GraftPkSortedMergeReader(part.files, internal, outLen, pkIdxs,
+        seqIdx, commitIdx, tombIdx, firstRow, pushed)
+    else
+      new GraftPkMergeReader(part.files,
+        internal, outLen, pkIdxs, seqIdx, commitIdx, tombIdx, firstRow, pushed)
+  }
 }
 
 /** Executor-side hash merge of one bucket: stream every file's rows through
@@ -323,9 +369,15 @@ class GraftPkMergeReader(files: Seq[(String, Long)], internal: StructType,
 case class GraftPkAggReaderFactory(internal: StructType, outLen: Int,
     pkIdxs: Array[Int], specs: Array[(Int, String)], pushed: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPkAggMergeReader(p.asInstanceOf[GraftPkInputPartition].files,
-      internal, outLen, pkIdxs, specs, pushed)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftPkInputPartition]
+    if (part.sorted)
+      new GraftPkSortedAggReader(part.files, internal, outLen, pkIdxs,
+        specs, pushed)
+    else
+      new GraftPkAggMergeReader(part.files,
+        internal, outLen, pkIdxs, specs, pushed)
+  }
 }
 
 /** Executor-side per-bucket fold for merge-engine=aggregation: every
@@ -353,9 +405,152 @@ class GraftPkAggMergeReader(files: Seq[(String, Long)], internal: StructType,
   override def close(): Unit = ()
 }
 
+/** Streaming dual of [[GraftPkMergeReader]] for buckets whose every file is
+  * a SORTED RUN on the primary key: k-way-merge the runs
+  * ([[PkMerge.sortedGroups]]), resolve each key's version group as it
+  * streams past, and emit the winner — memory is O(open files + one key's
+  * versions), never the bucket's distinct keys. This is what survives a
+  * mis-sized or skew-hot bucket at 100 TB; the hash merge remains the
+  * fallback for unsorted (legacy / sink-fed) files until compaction
+  * re-sorts them. Tie semantics are IDENTICAL to the hash path: group rows
+  * arrive in (file commit order, within-file order), and later wins exact
+  * ties (first-row: earlier). */
+class GraftPkSortedMergeReader(files: Seq[(String, Long)], internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
+    firstRow: Boolean, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val dts: Array[DataType] = internal.fields.map(_.dataType)
+
+  private lazy val groups = PkMerge.sortedGroups(files, internal, pkIdxs, pushed)
+  private lazy val merged: Iterator[InternalRow] =
+    groups.flatMap { group =>
+      var w: InternalRow = null
+      group.foreach { row =>
+        val wins = w == null || {
+          val c = PkMerge.cmpOrd(row, w, seqIdx, commitIdx, dts)
+          if (firstRow) c < 0 else c >= 0
+        }
+        if (wins) w = row
+      }
+      if (PkMerge.isTombstone(w, tombIdx)) Iterator.empty
+      else Iterator(PkMerge.project(w, outLen, dts): InternalRow)
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = merged.hasNext
+    if (has) current = merged.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = groups.close()
+}
+
+/** Streaming per-key fold for merge-engine=aggregation over sorted runs —
+  * the sorted dual of [[GraftPkAggMergeReader]], same O(open files) memory
+  * story as [[GraftPkSortedMergeReader]]. */
+class GraftPkSortedAggReader(files: Seq[(String, Long)], internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], specs: Array[(Int, String)],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val dts: Array[DataType] = internal.fields.map(_.dataType)
+
+  private lazy val groups = PkMerge.sortedGroups(files, internal, pkIdxs, pushed)
+  private lazy val merged: Iterator[InternalRow] =
+    groups.map { group =>
+      var acc: Array[Any] = null
+      group.foreach { row =>
+        if (acc == null) {
+          acc = new Array[Any](outLen)
+          var i = 0
+          while (i < outLen) { acc(i) = row.get(i, dts(i)); i += 1 }
+        } else specs.foreach { case (i, fn) =>
+          acc(i) = PkMerge.combineAgg(fn, acc(i), row.get(i, dts(i)))
+        }
+      }
+      new GenericInternalRow(acc): InternalRow
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = merged.hasNext
+    if (has) current = merged.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = groups.close()
+}
+
+/** Executor-side per-bucket fold for merge-engine=partial-update (hash
+  * variant): every non-key field resolves independently to the value set at
+  * the largest (per-field sequence) among rows where it is non-null —
+  * [[StreamTable]]'s partialResolve rule applied inside the reader, with
+  * the compaction-persisted `__graft_fseq_*` structs as each field's
+  * provenance (without them an out-of-order arrival would lose to a
+  * compacted row's inflated row-level sequence). */
+class GraftPkPartialMergeReader(files: Seq[(String, Long)], internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int,
+    commitIdx: Int, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private lazy val merged: Iterator[InternalRow] =
+    PkMerge.partialState(files, internal, pkIdxs, fields, seqIdx, commitIdx,
+      outLen, pushed).values.iterator.asScala
+      .map(v => new GenericInternalRow(v): InternalRow)
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = merged.hasNext
+    if (has) current = merged.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Sorted-run dual of [[GraftPkPartialMergeReader]]: per-key groups stream
+  * out of the k-way merge and fold field-wise — O(open files) memory. */
+class GraftPkSortedPartialReader(files: Seq[(String, Long)], internal: StructType,
+    outLen: Int, pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int,
+    commitIdx: Int, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private lazy val groups = PkMerge.sortedGroups(files, internal, pkIdxs, pushed)
+  private lazy val merged: Iterator[InternalRow] = {
+    val op = new PkMerge.PartialOp(internal, outLen, fields, seqIdx, commitIdx)
+    groups.map { group =>
+      val acc = op.fresh(group.head)
+      group.iterator.drop(1).foreach(op.update(acc, _))
+      new GenericInternalRow(acc.out): InternalRow
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val has = merged.hasNext
+    if (has) current = merged.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = groups.close()
+}
+
+case class GraftPkPartialReaderFactory(internal: StructType, outLen: Int,
+    pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int, commitIdx: Int,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftPkInputPartition]
+    if (part.sorted)
+      new GraftPkSortedPartialReader(part.files, internal, outLen, pkIdxs,
+        fields, seqIdx, commitIdx, pushed)
+    else
+      new GraftPkPartialMergeReader(part.files, internal, outLen, pkIdxs,
+        fields, seqIdx, commitIdx, pushed)
+  }
+}
+
 /** Shared per-bucket hash-merge machinery (the PK scan and the changelog
   * stream both resolve winners this way). */
-private[v2] object PkMerge {
+private[graft] object PkMerge {
   /** Null-safe ordering compare; null = -infinity (matches the library's
     * window resolve: desc nulls-last / asc nulls-first). */
   def cmpAny(a: Any, b: Any): Int =
@@ -364,10 +559,216 @@ private[v2] object PkMerge {
     else if (b == null) 1
     else a.asInstanceOf[Comparable[Any]].compareTo(b)
 
+  /** The persisted per-field provenance struct (see
+    * [[StreamTable.FieldSeqPrefix]]): s1 = the user sequence value at the
+    * field's winning write (0 when the table has none), s2 = its commit. */
+  val FseqType: StructType = StructType(Seq(
+    StructField("s1", LongType), StructField("s2", LongType)))
+
+  /** Per-key partial-update accumulator: `out` is the output row under
+    * construction; `s1`/`s2`/`has` track each folded field's winning
+    * per-field sequence (indexed like `fields`). */
+  final class PartialAcc(val out: Array[Any], val s1: Array[Any],
+      val s2: Array[Any], val has: Array[Boolean])
+
+  /** The per-row partial-update fold: per field, the candidate sequence is
+    * the persisted `__graft_fseq_*` struct when present, else (user seq,
+    * commit seq) when the row sets the field; the largest (s1, s2, value)
+    * wins — identical to the library's `max(struct(eff, value))`. */
+  final class PartialOp(internal: StructType, outLen: Int,
+      fields: Array[(Int, Int)], seqIdx: Int, commitIdx: Int) {
+    private val dts = internal.fields.map(_.dataType)
+    private val fieldOut: Array[Boolean] = {
+      val isField = fields.map(_._1).toSet
+      Array.tabulate(internal.length)(isField.contains)
+    }
+
+    /** Candidate (s1, s2) for field j on this row; null when the row
+      * neither carries provenance nor sets the field. */
+    private def candidate(row: InternalRow, j: Int): (Any, Any) = {
+      val (valIdx, fseqIdx) = fields(j)
+      if (!row.isNullAt(fseqIdx)) {
+        val st = row.getStruct(fseqIdx, 2)
+        (if (st.isNullAt(0)) null else st.getLong(0),
+          if (st.isNullAt(1)) null else st.getLong(1))
+      } else if (!row.isNullAt(valIdx)) {
+        // baseOrd: the user sequence (null stays null — loses to any set
+        // provenance, the library's nulls-first struct order) + commit seq
+        (if (seqIdx < 0) java.lang.Long.valueOf(0L)
+         else numAsLong(row.get(seqIdx, dts(seqIdx))),
+          numAsLong(row.get(commitIdx, dts(commitIdx))))
+      } else null
+    }
+
+    private def numAsLong(v: Any): Any = v match {
+      case null => null
+      case n: Number => java.lang.Long.valueOf(n.longValue())
+      case other => other
+    }
+
+    def fresh(row: InternalRow): PartialAcc = {
+      val acc = new PartialAcc(new Array[Any](outLen),
+        new Array[Any](fields.length), new Array[Any](fields.length),
+        new Array[Boolean](fields.length))
+      // non-folded outputs (primary-key columns) are constant per key
+      var i = 0
+      while (i < outLen) {
+        if (!fieldOut(i)) acc.out(i) = row.get(i, dts(i))
+        i += 1
+      }
+      update(acc, row)
+      acc
+    }
+
+    def update(acc: PartialAcc, row: InternalRow): Unit = {
+      var j = 0
+      while (j < fields.length) {
+        val cand = candidate(row, j)
+        if (cand != null) {
+          val (valIdx, _) = fields(j)
+          val v = row.get(valIdx, dts(valIdx))
+          val wins = !acc.has(j) || {
+            val c1 = cmpAny(cand._1, acc.s1(j))
+            val c =
+              if (c1 != 0) c1
+              else {
+                val c2 = cmpAny(cand._2, acc.s2(j))
+                if (c2 != 0) c2
+                else cmpAny(v, if (valIdx < outLen) acc.out(valIdx) else null)
+              }
+            c > 0
+          }
+          if (wins) {
+            acc.s1(j) = cand._1; acc.s2(j) = cand._2; acc.has(j) = true
+            if (valIdx < outLen) acc.out(valIdx) = v
+          }
+        }
+        j += 1
+      }
+    }
+  }
+
+  /** Per-key partial-update fold over a bucket's files (hash variant;
+    * `onRow` observes every raw row, as in [[winners]]/[[accumulate]]). */
+  def partialState(files: Seq[(String, Long)], internal: StructType,
+      pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int,
+      commitIdx: Int, outLen: Int, pushed: Array[Filter],
+      onRow: (List[Any], String) => Unit = (_, _) => ())
+      : java.util.HashMap[List[Any], Array[Any]] = {
+    val dts = internal.fields.map(_.dataType)
+    val op = new PartialOp(internal, outLen, fields, seqIdx, commitIdx)
+    val accs = new java.util.HashMap[List[Any], PartialAcc]()
+    files.foreach { case (path, fileSeq) =>
+      val r = new GraftPartitionReader(path, internal, pushed,
+        limit = None, fileSeq = fileSeq)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          val key = pkIdxs.map(i => row.get(i, dts(i))).toList
+          onRow(key, path)
+          val acc = accs.get(key)
+          if (acc == null) accs.put(key, op.fresh(row))
+          else op.update(acc, row)
+        }
+      } finally r.close()
+    }
+    val out = new java.util.HashMap[List[Any], Array[Any]]()
+    accs.forEach { (k, a) => out.put(k, a.out) }
+    out
+  }
+
   def isTombstone(r: InternalRow, tombIdx: Int): Boolean = {
     val v = r.get(tombIdx, BooleanType)
     v != null && v.asInstanceOf[Boolean]
   }
+
+  /** LWW ordering of two versions: by `sequence.field` (when declared), tie
+    * broken by commit batch — shared by the hash and sorted merges so their
+    * winners are bit-identical. */
+  def cmpOrd(x: InternalRow, y: InternalRow, seqIdx: Int, commitIdx: Int,
+      dts: Array[DataType]): Int = {
+    val bySeq = if (seqIdx < 0) 0
+      else cmpAny(x.get(seqIdx, dts(seqIdx)), y.get(seqIdx, dts(seqIdx)))
+    if (bySeq != 0) bySeq
+    else cmpAny(x.get(commitIdx, dts(commitIdx)), y.get(commitIdx, dts(commitIdx)))
+  }
+
+  /** Lexicographic primary-key comparison matching the writer's
+    * `sortWithinPartitions(pk)` order (ascending, nulls first; strings are
+    * binary-comparable [[org.apache.spark.unsafe.types.UTF8String]]s). */
+  def keyCmp(a: List[Any], b: List[Any]): Int = {
+    var x = a; var y = b
+    while (x.nonEmpty) {
+      val c = cmpAny(x.head, y.head)
+      if (c != 0) return c
+      x = x.tail; y = y.tail
+    }
+    0
+  }
+
+  /** K-way merge of sorted runs into per-key version GROUPS: each emitted
+    * buffer holds every version of one key, ordered by (file position in
+    * `files`, within-file row order) — the exact iteration order the hash
+    * merge sees for that key, so exact-tie resolution agrees. Memory is
+    * O(open files + the current key's versions); emission is lazy (the
+    * caller pulls one key group at a time). */
+  def sortedGroups(files: Seq[(String, Long)], internal: StructType,
+      pkIdxs: Array[Int], pushed: Array[Filter]): SortedGroupIterator = {
+    val dts = internal.fields.map(_.dataType)
+
+    final class Run(path: String, fileSeq: Long, val idx: Int)
+        extends AutoCloseable {
+      private val r = new GraftPartitionReader(path, internal, pushed,
+        limit = None, fileSeq = fileSeq)
+      var cur: InternalRow = _
+      var curKey: List[Any] = _
+      def advance(): Boolean =
+        if (r.next()) {
+          cur = r.get()
+          curKey = pkIdxs.map(i => cur.get(i, dts(i))).toList
+          true
+        } else { r.close(); cur = null; false }
+      override def close(): Unit = r.close()
+    }
+
+    val heap = new java.util.PriorityQueue[Run](math.max(1, files.size),
+      (a: Run, b: Run) => {
+        val c = keyCmp(a.curKey, b.curKey)
+        if (c != 0) c else Integer.compare(a.idx, b.idx)
+      })
+    files.zipWithIndex.foreach { case ((p, s), i) =>
+      val run = new Run(p, s, i)
+      if (run.advance()) heap.add(run)
+    }
+
+    new SortedGroupIterator {
+      override def hasNext: Boolean = !heap.isEmpty
+      override def next(): Seq[InternalRow] = {
+        val group = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        val key = heap.peek().curKey
+        // drain runs in (key, file idx) order; consecutive same-key rows of
+        // one run drain before the next run is considered
+        while (!heap.isEmpty && keyCmp(heap.peek().curKey, key) == 0) {
+          val run = heap.poll()
+          var more = true
+          while (more && keyCmp(run.curKey, key) == 0) {
+            group += run.cur
+            more = run.advance()
+          }
+          if (more) heap.add(run)
+        }
+        group.toSeq
+      }
+      override def close(): Unit = {
+        while (!heap.isEmpty) heap.poll().close()
+      }
+    }
+  }
+
+  /** Lazy per-key group stream over sorted runs; `close()` releases the
+    * still-open file readers of an interrupted task (exhaustion closes each
+    * run as it drains). */
+  trait SortedGroupIterator extends Iterator[Seq[InternalRow]] with AutoCloseable
 
   /** First `outLen` fields of a merged row as a fresh output row. */
   def project(w: InternalRow, outLen: Int, dts: Array[DataType]): GenericInternalRow = {
@@ -430,6 +831,25 @@ private[v2] object PkMerge {
     acc
   }
 
+  /** Collect the distinct keys present in `paths` into `into` — the
+    * key-only scan the changelog fallback runs over interval-added files a
+    * later in-interval compaction absorbed (their images come from the
+    * resolved states; only the CHANGED-KEY evidence is needed here). */
+  def collectKeys(paths: Seq[String], internal: StructType, pkIdxs: Array[Int],
+      into: scala.collection.mutable.LinkedHashSet[List[Any]]): Unit = {
+    val dts = internal.fields.map(_.dataType)
+    paths.foreach { path =>
+      val r = new GraftPartitionReader(path, internal, Array.empty,
+        limit = None, fileSeq = -1L)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          into += pkIdxs.map(i => row.get(i, dts(i))).toList
+        }
+      } finally r.close()
+    }
+  }
+
   /** Stream every file's rows through [[GraftPartitionReader]] and keep the
     * winning version per key — largest (sequence.field, commit batch) for
     * deduplicate, smallest for first-row; exact ties resolve to the later-
@@ -442,12 +862,6 @@ private[v2] object PkMerge {
       onRow: (List[Any], String) => Unit = (_, _) => ())
       : java.util.HashMap[List[Any], InternalRow] = {
     val dts = internal.fields.map(_.dataType)
-    def cmpOrd(x: InternalRow, y: InternalRow): Int = {
-      val bySeq = if (seqIdx < 0) 0
-        else cmpAny(x.get(seqIdx, dts(seqIdx)), y.get(seqIdx, dts(seqIdx)))
-      if (bySeq != 0) bySeq
-      else cmpAny(x.get(commitIdx, dts(commitIdx)), y.get(commitIdx, dts(commitIdx)))
-    }
     val winners = new java.util.HashMap[List[Any], InternalRow]()
     files.foreach { case (path, fileSeq) =>
       val r = new GraftPartitionReader(path, internal, pushed,
@@ -459,7 +873,7 @@ private[v2] object PkMerge {
           onRow(key, path)
           val prev = winners.get(key)
           val wins = prev == null || {
-            val c = cmpOrd(row, prev)
+            val c = cmpOrd(row, prev, seqIdx, commitIdx, dts)
             if (firstRow) c < 0 else c >= 0
           }
           if (wins) winners.put(key, row)

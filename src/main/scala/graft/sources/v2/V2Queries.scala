@@ -442,6 +442,42 @@ object V2Queries {
                |FROM $catName.v2db.mrg_customers ORDER BY c_custkey""".stripMargin)
     },
 
+    // PK upsert through the NATIVE V2 streaming sink: a graft→graft pipe
+    // whose target is a primary-key table — the sink stamps each epoch's
+    // rows with its writer-offset commit sequence, so the second drain's
+    // updates supersede the first drain's base rows in the LWW view, read
+    // back through plain SQL (merge-on-read per bucket). Completes the
+    // stream-in/stream-out duality for the reference's signature table.
+    QDef(
+      "q_stream_v2_pk_sink",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val root = pkSinkTable(s, d)
+      s.read.format("graft").load(root)
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // partial-update merge engine through the V2 scan: per-field
+    // last-non-null with compaction-persisted `__graft_fseq_*` provenance —
+    // staged as full rows (ver=1), a bal-only partial layer (ver=3, evens),
+    // a COMPACTION, then an out-of-order full layer (ver=2, every third
+    // key) that must win c_name (beats ver=1; ver=3 never wrote it) but
+    // lose c_acctbal to ver=3 on evens. The oracle replays the per-field
+    // races in closed form.
+    QDef(
+      "q_source_v2_pk_partial",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name || '_v2' ELSE c_name END AS name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 500
+        |       WHEN c_custkey % 3 = 0 THEN -999.0 ELSE c_acctbal END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = puTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_name AS name, c_acctbal AS acctbal
+               |FROM $catName.v2db.pu_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // The `t$files` system table as a real SQL identifier (guide.md:200-232):
     // manifest + footer metadata queryable in place. Oracled on the
     // file-count-independent invariants (total rows, level, sequence range —
@@ -524,7 +560,11 @@ object V2Queries {
       val (_, wh) = ordersCatalog(s, d)
       val cat = new GraftCatalog(s, wh)
       val tbl = cat.createTable("v2db", "cl_cust",
-        Map("primary-key" -> "c_custkey", "bucket" -> "4"))
+        // the reference's literal option (guide.md:69-73): the writer
+        // persists per-commit changelog files, so each drain below reads
+        // O(interval changelog), never re-resolving two full snapshots
+        Map("primary-key" -> "c_custkey", "bucket" -> "4",
+          "changelog-producer" -> "input"))
       val root = s"$wh/v2db.db/cl_cust"
       val chk = Files.createTempDirectory("graft_v2_cl_chk_").toString
       val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
@@ -584,6 +624,7 @@ object V2Queries {
       val cat = new GraftCatalog(s, wh)
       val tbl = cat.createTable("v2db", "agg_cl",
         Map("primary-key" -> "l_orderkey", "bucket" -> "4",
+          "changelog-producer" -> "input",
           "fields.qty_cents.aggregate-function" -> "sum",
           "fields.max_price.aggregate-function" -> "max"))
       val root = s"$wh/v2db.db/agg_cl"
@@ -694,6 +735,68 @@ object V2Queries {
       s.sql(s"DELETE FROM $catName.v2db.del_customers WHERE c_acctbal < 0")
       catName
     })
+
+  /** customer as a partial-update table: full rows at ver=1, bal-only
+    * partials at ver=3 (evens), a full compaction (persisting the per-field
+    * fseq provenance), then an OUT-OF-ORDER ver=2 layer for every third
+    * key — the post-compaction arrival the fseq structs exist to resolve. */
+  private val stagedPu = new ConcurrentHashMap[String, String]()
+  private def puTable(s: SparkSession, d: String): String =
+    stagedPu.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "pu_customers",
+        Map("primary-key" -> "c_custkey", "bucket" -> "4",
+          "merge-engine" -> "partial-update", "sequence.field" -> "ver"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      tbl.appendBatch(c.withColumn("ver", lit(1L)), 0L)
+      tbl.appendBatch(c.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          (col("c_acctbal") + 500d).as("c_acctbal"), lit(3L).as("ver")), 1L)
+      tbl.compact(4)
+      tbl.appendBatch(c.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("_v2")).as("c_name"),
+          lit(-999.0).as("c_acctbal"), lit(2L).as("ver")), 2L)
+      catName
+    })
+
+  /** The PK-sink pipe: an append source drained TWICE through one
+    * checkpoint into a primary-key target via the native V2 sink — drain 1
+    * lands the base rows at sink epoch 0, drain 2 the %3 balance updates at
+    * epoch 1, and the stamped sequences make the LWW view deterministic. */
+  private val stagedPkSink = new ConcurrentHashMap[String, String]()
+  private def pkSinkTable(s: SparkSession, d: String): String =
+    stagedPkSink.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.streaming.Trigger
+      val (_, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      cat.createTable("v2db", "pks_customers",
+        Map("primary-key" -> "c_custkey", "bucket" -> "4"))
+      val dst = s"$wh/v2db.db/pks_customers"
+      val srcRoot = Files.createTempDirectory("graft_v2_pks_src_").toString
+      val src = new StreamTable(srcRoot, s)
+      val chk = s"$dst/_pipe_checkpoint"
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(srcRoot)
+          .writeStream.format("graft")
+          .option("path", dst).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      src.appendBatch(c, 0L)
+      drain()
+      src.appendBatch(c.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000d), 1L)
+      drain()
+      dst
+    })
+
+  /** Test hook: the staged partial-update table's root for `d`. */
+  private[graft] def debugPuRoot(d: String): String = {
+    val (_, wh) = stagedCat.get(d)
+    s"$wh/v2db.db/pu_customers"
+  }
 
   /** customer as a PK upsert table: batch 0 = base rows, batch 1 = balance
     * updates for every third key, batch 2 = delete tombstones for every

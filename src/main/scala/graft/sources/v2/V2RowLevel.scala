@@ -261,25 +261,29 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, table: GraftV2Table,
     GraftCowWriterFactory(table.table.root, schema, writerId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (empty, data) = messages.collect { case m: GraftSinkCommitMessage => m }
-      .partition(_.rows == 0L)
-    empty.foreach(m =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.path)))
+    val files = messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files)
+    val (empty, data) = files.partition(_._2 == 0L)
+    empty.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
     val scan = op.scanned.getOrElse(throw new IllegalStateException(
       "row-level write committed without a configured scan"))
-    table.table.commitReplace(scan.keptPaths.toSet, data.map(_.path).toSeq,
+    table.table.commitReplace(scan.keptPaths.toSet, data.map(_._1).toSeq,
       op.command().toString)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftSinkCommitMessage => m.path }
+    messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files.map(_._1))
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
 }
 
 case class GraftCowWriterFactory(tableRoot: String, schema: StructType,
     writerId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    // the shared executor parquet writer (epoch 0 — batch has no epochs);
+    // the shared executor parquet writer (epoch 0 — batch has no epochs;
+    // append-table COW output is unbucketed/unstamped maintenance data);
     // taskId disambiguates speculative twins beyond the uuid in the name
-    new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L, partitionId)
+    new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L, partitionId,
+      bucketPlan = None, numBuckets = 0, stamp = None)
 }

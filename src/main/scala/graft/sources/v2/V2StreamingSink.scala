@@ -25,7 +25,17 @@ import graft.table.StreamTable
   *
   *  - executors write their partitions as parquet files into the table's
   *    staging area ([[GraftStreamingDataWriter]] — the symmetric inverse of
-  *    the source's Group reader);
+  *    the source's Group reader). On a BUCKETED table each writer computes
+  *    every row's bucket (`pmod(murmur3(key), n)`, the
+  *    [[GraftBucketFunction]] layout) and writes one file per bucket it
+  *    sees, so committed files carry content-derived bucket ids — the PK
+  *    per-bucket merge, SPJ, and point-lookup pruning all survive a
+  *    sink-fed table without waiting for compaction. The write also
+  *    REQUESTS clustering by the bucket key
+  *    ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]],
+  *    best-effort): when Spark honors it each task sees one bucket and
+  *    writes one file; when it cannot, the per-row split still labels
+  *    correctly — correctness never depends on plan shape.
   *  - ONLY files named in committed task messages reach the driver commit
   *    (a retried task's orphan file is never referenced and is abandoned in
   *    staging), which moves them into the append dir and publishes ONE
@@ -39,39 +49,78 @@ import graft.table.StreamTable
   *    another writer's committed epochs. A global batch-id watermark could
   *    NOT serve here: any other writer advancing it would make a first-time
   *    epoch look replayed.
-  *
-  * Append tables only: the PK LWW view orders by the stamped commit
-  * sequence that [[StreamTable.appendBatch]]'s DataFrame path provides —
-  * PK upsert streams keep the library `writeStream`/foreachBatch front
-  * door. Bucketed tables accept the write with `bucket = None` files
-  * (bucket-dependent fast paths fall back; the next compaction restores
-  * the clustering).
+  *  - PRIMARY-KEY targets upsert: the writer stamps every row's
+  *    `__graft_seq` with `offset + epochId`, where the offset is claimed
+  *    once per writer (`_writers/<id>.offset`, max(table batch)+1 at first
+  *    contact) — exactly [[StreamTable.writeStream]]'s writer-epoch offset,
+  *    so LWW ordering interleaves correctly with prior DataFrame-written
+  *    history and epoch replays re-stamp identically. Single logical
+  *    writer at a time, the same contract every stamped write path carries.
+  *    Sink files are NOT key-sorted (rows stream through); the PK scan's
+  *    hash-merge fallback reads them until compaction re-sorts.
   */
 class GraftStreamingWrite(table: StreamTable, schema: StructType,
     queryId: String) extends StreamingWrite {
 
-  require(table.primaryKey.isEmpty,
-    "the V2 streaming sink is append-only; PK upsert streams go through " +
-      "StreamTable.writeStream (the LWW view needs the stamped commit sequence)")
-  GraftStreamingWrite.parquetSchema(schema) // fail at planning, not in tasks
+  GraftStreamingWrite.parquetSchema(schema,
+    stamp = table.primaryKey.isDefined) // fail at planning, not in tasks
+  table.primaryKey.foreach { pk =>
+    require(pk.forall(schema.fieldNames.contains),
+      s"PK sink target needs every key column in the stream schema: $pk")
+  }
 
   /** Filesystem-safe writer identity: the streaming queryId (stable across
     * restarts of the same checkpoint, fresh for a new one). */
   private val writerId = "q" + queryId.replaceAll("[^A-Za-z0-9._-]", "")
 
+  /** PK stamping offset (see class doc); None for append targets. */
+  private val stampOffset: Option[Long] =
+    if (table.primaryKey.isEmpty) None
+    else Some {
+      val dir = java.nio.file.Paths.get(table.root, "_writers")
+      java.nio.file.Files.createDirectories(dir)
+      val f = dir.resolve(s"$writerId.offset")
+      if (java.nio.file.Files.exists(f))
+        new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+      else {
+        val off = math.max(
+          table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
+        try java.nio.file.Files.write(f, off.toString.getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+      }
+    }
+
+  /** Per-row bucket computation when the layout supports it (bucketed table,
+    * key projected, bucketable type): (key column index, key is long). */
+  private val bucketPlan: Option[(Int, Boolean)] =
+    table.bucketKey.flatMap { k =>
+      val i = schema.fieldNames.indexOf(k)
+      if (i < 0) None
+      else schema(i).dataType match {
+        case LongType => Some((i, true))
+        case IntegerType => Some((i, false))
+        case _ => None
+      }
+    }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(table.root, schema, writerId)
+    GraftStreamingWriterFactory(table.root, schema, writerId,
+      bucketPlan, table.numBuckets, stampOffset)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val (empty, data) = messages.collect { case m: GraftSinkCommitMessage => m }
-      .partition(_.rows == 0L)
-    // a no-row partition's file never enters the manifest (a trickle stream
-    // would otherwise accrue parallelism-many empty files per epoch)
-    empty.foreach(m =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.path)))
+    val files = messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files)
+    val (empty, data) = files.partition(_._2 == 0L)
+    // a no-row file never enters the manifest (a trickle stream would
+    // otherwise accrue parallelism-many empty files per epoch)
+    empty.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
     if (data.nonEmpty)
-      table.commitExternalFiles(data.map(_.path).toSeq, writerId, epochId)
+      table.commitExternalFiles(data.map(f => (f._1, f._3)).toSeq, writerId,
+        epochId, stampedSeq = stampOffset.map(_ + epochId))
     // at COMMIT time sweep strictly-older epochs only: a zombie/speculative
     // task of the CURRENT epoch may still be writing its (never-referenced)
     // twin, and deleting the file under it turns a harmless orphan into
@@ -80,12 +129,30 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case m: GraftSinkCommitMessage => m.path }
-      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files)
+      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
     // the epoch is dead — every surviving task was aborted, so the current
     // epoch's files are sweepable too
     sweepOrphans(epochId)
   }
+
+  // ---- best-effort clustering request (correctness never depends on it) --
+  // Declared on the WRITE so Spark shuffles the micro-batch by the bucket
+  // key into numBuckets tasks: one file per bucket per epoch instead of
+  // (tasks × buckets). Spark's HashPartitioning is the same
+  // pmod(murmur3(key), n) the per-row split computes.
+  def requiredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
+    bucketPlan match {
+      case Some(_) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+            table.bucketKey.get)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  def requiredNumPartitions: Int =
+    if (bucketPlan.isDefined) table.numBuckets else 0
 
   /** Delete THIS writer's staging leftovers for epochs at or before
     * `upToEpoch`: a task that died before sending its commit message (lost
@@ -107,8 +174,9 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
 
 object GraftStreamingWrite {
   /** StructType → parquet MessageType (the safe primitive set — the same
-    * alphabet the source's type bridge reads back). */
-  private[v2] def parquetSchema(schema: StructType): MessageType = {
+    * alphabet the source's type bridge reads back); `stamp` appends the
+    * engine's commit-sequence column (PK sink targets). */
+  private[v2] def parquetSchema(schema: StructType, stamp: Boolean = false): MessageType = {
     val fields = schema.fields.map { f =>
       val b = f.dataType match {
         case LongType => Types.optional(PrimitiveTypeName.INT64)
@@ -130,41 +198,74 @@ object GraftStreamingWrite {
       }
       b.named(f.name): org.apache.parquet.schema.Type
     }
-    new MessageType("spark_schema", fields.toList: _*)
+    val all =
+      if (stamp) fields :+ (Types.optional(PrimitiveTypeName.INT64)
+        .named(StreamTable.SeqColName): org.apache.parquet.schema.Type)
+      else fields
+    new MessageType("spark_schema", all.toList: _*)
   }
 }
 
-case class GraftSinkCommitMessage(path: String, rows: Long)
+/** One task's committed files: (path, rows, bucket id). */
+case class GraftSinkCommitMessage(files: Seq[(String, Long, Option[Int])])
     extends WriterCommitMessage
 
 case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
-    writerId: String) extends StreamingDataWriterFactory {
+    writerId: String, bucketPlan: Option[(Int, Boolean)], numBuckets: Int,
+    stampOffset: Option[Long]) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new GraftStreamingDataWriter(tableRoot, schema, writerId, epochId, partitionId)
+    new GraftStreamingDataWriter(tableRoot, schema, writerId, epochId,
+      partitionId, bucketPlan, numBuckets, stampOffset.map(_ + epochId))
 }
 
-/** Executor-side parquet writer for one (epoch, partition) slice. The file
-  * stays in staging until this task's commit message reaches the driver —
-  * speculative/retried twins are simply never referenced. */
+/** Executor-side parquet writer for one (epoch, partition) slice — one FILE
+  * per bucket the slice contains (content-derived labels; normally a single
+  * bucket when the requested clustering held). Files stay in staging until
+  * this task's commit message reaches the driver — speculative/retried
+  * twins are simply never referenced. `stamp` = the commit-sequence value
+  * every row carries on PK targets. */
 class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
-    writerId: String, epochId: Long, partitionId: Int)
+    writerId: String, epochId: Long, partitionId: Int,
+    bucketPlan: Option[(Int, Boolean)], numBuckets: Int, stamp: Option[Long])
     extends DataWriter[InternalRow] {
 
-  private val path = new org.apache.hadoop.fs.Path(
-    s"$tableRoot/.sink-$writerId-e$epochId-p$partitionId-${UUID.randomUUID().toString.take(8)}.parquet")
   private val conf = new Configuration()
-  private val msgType = GraftStreamingWrite.parquetSchema(schema)
+  private val msgType = GraftStreamingWrite.parquetSchema(schema, stamp.isDefined)
   GroupWriteSupport.setSchema(msgType, conf)
-  private val writer = ExampleParquetWriter
-    .builder(HadoopOutputFile.fromPath(path, conf))
-    .withConf(conf)
-    .withCompressionCodec(CompressionCodecName.SNAPPY)
-    .build()
   private val factory = new SimpleGroupFactory(msgType)
-  private var rows = 0L
+
+  private final class Sink(val bucket: Option[Int]) {
+    val path = new org.apache.hadoop.fs.Path(
+      s"$tableRoot/.sink-$writerId-e$epochId-p$partitionId-b${bucket.getOrElse(-1)}-${UUID.randomUUID().toString.take(8)}.parquet")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(path, conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    var rows = 0L
+  }
+
+  // bucket id → open file (at most numBuckets entries; a clustered epoch
+  // opens exactly one)
+  private val sinks = scala.collection.mutable.Map.empty[Int, Sink]
+
+  private def bucketOf(row: InternalRow): Int = bucketPlan match {
+    case Some((i, isLong)) =>
+      val h =
+        if (row.isNullAt(i)) 42
+        else if (isLong)
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(row.getLong(i), 42)
+        else
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(row.getInt(i), 42)
+      ((h % numBuckets) + numBuckets) % numBuckets
+    case None => -1
+  }
 
   override def write(row: InternalRow): Unit = {
+    val b = bucketOf(row)
+    val sink = sinks.getOrElseUpdate(b,
+      new Sink(if (bucketPlan.isDefined) Some(b) else None))
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -186,18 +287,21 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
       }
       i += 1
     }
-    writer.write(g)
-    rows += 1
+    stamp.foreach(s => g.add(StreamTable.SeqColName, s))
+    sink.writer.write(g)
+    sink.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    GraftSinkCommitMessage(path.toString, rows)
+    sinks.values.foreach(_.writer.close())
+    GraftSinkCommitMessage(sinks.values.toSeq.sortBy(_.path.toString)
+      .map(s => (s.path.toString, s.rows, s.bucket)))
   }
 
-  override def abort(): Unit = {
-    try writer.close() catch { case _: Exception => () }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path.toUri.getPath))
+  override def abort(): Unit = sinks.values.foreach { s =>
+    try s.writer.close() catch { case _: Exception => () }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s.path.toUri.getPath))
   }
 
   override def close(): Unit = ()

@@ -180,7 +180,12 @@ object GraftCatalog {
       numBuckets = o.get("bucket").map(_.toInt).getOrElse(4),
       aggSpec = if (aggSpec.nonEmpty) Some(aggSpec) else None,
       mergeEngine = o.get("merge-engine")
-        .filterNot(_ == "aggregation").getOrElse("deduplicate"))
+        .filterNot(_ == "aggregation").getOrElse("deduplicate"),
+      // the reference's literal option (guide.md:69-73): 'input' (their
+      // setting) and 'lookup' both persist per-commit changelog files —
+      // 'none' (Paimon's default) leaves the CDC reader on the state diff
+      changelogProducer = o.get("changelog-producer")
+        .exists(v => v == "input" || v == "lookup"))
   }
 
   /** Open a table directly from its root dir, honoring the structural

@@ -27,7 +27,15 @@ case class DataFileMeta(
       * bucketed write). None for unbucketed writes, legacy manifests, and
       * maintenance rewrites — readers that need the bucket contract
       * (storage-partitioned joins) fall back gracefully when absent. */
-    bucket: Option[Int] = None)
+    bucket: Option[Int] = None,
+    /** Columns this file's rows are ascending-sorted by (nulls first), when
+      * the writer sorted them — PK writes sort by the primary key, making
+      * each file a SORTED RUN: the per-bucket merge-on-read can then stream
+      * a k-way merge with O(open files) memory instead of hashing the
+      * bucket's distinct keys (Paimon's sorted-run LSM invariant). None for
+      * legacy manifests and unsorted writers — readers fall back to the
+      * hash merge. */
+    sortedBy: Option[Seq[String]] = None)
 
 /** One committed table version: the full list of live files after the commit
   * (snapshot semantics, tutorial/guide.md:180-184). `batchId` makes streaming
@@ -49,7 +57,19 @@ case class Snapshot(
     // values as Integer, which then CCEs on comparison — pin the content
     // type explicitly
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    writerEpoch: Option[Long] = None)
+    writerEpoch: Option[Long] = None,
+    /** Per-commit CHANGELOG files (the `changelog-producer` contract,
+      * tutorial/guide.md:69-73): the netted `+I/-U/+U/-D` rows THIS commit
+      * contributed, persisted at write time so a CDC reader consumes the
+      * interval's changelog files instead of re-resolving two full
+      * snapshots. Empty for commits with no logical change (compaction) and
+      * for every commit of a table without the producer. */
+    changelog: Seq[DataFileMeta] = Seq.empty,
+    /** True iff this commit RAN under the changelog producer — distinguishes
+      * "produced, and there were no logical changes" (maintenance) from
+      * "not produced" (pre-option history, overwrites): a CDC interval may
+      * ride the changelog files only when every covered commit produced. */
+    clogProduced: Boolean = false)
 
 /** A Spark-native streaming table: a directory of immutable parquet files plus
   * an atomic snapshot manifest — the engine-level translation of a Paimon
@@ -109,7 +129,21 @@ class StreamTable(
       *    Paimon needs sequence-groups for the same reason.
       *  - `"aggregation"` is implied by `aggSpec` (kept as its own
       *    parameter for source compatibility). */
-    val mergeEngine: String = "deduplicate") {
+    val mergeEngine: String = "deduplicate",
+    /** Paimon's `changelog-producer` option (the reference sets `'input'`
+      * verbatim, tutorial/guide.md:69-73): when true, every LOGICAL commit on
+      * this PK table also persists its netted `+I/-U/+U/-D` change rows as
+      * changelog files beside the data files, so a CDC reader is O(interval
+      * changelog) per trigger instead of re-resolving two full snapshots.
+      * The reference's Flink pipeline likewise materializes the change
+      * stream at write time; our ingest rows are raw upserts, so the writer
+      * generates the retractions by resolving the touched buckets once per
+      * commit (Paimon's 'lookup' producer does the same point-lookup work).
+      * Contract: ONE logical writer at a time (already the batch-id
+      * watermark's contract) — a concurrent COMPACTOR is fine, because
+      * compaction never changes the resolved state the diff is computed
+      * against. */
+    val changelogProducer: Boolean = false) {
 
   import StreamTable._
 
@@ -124,6 +158,9 @@ class StreamTable(
     s"merge-engine=$mergeEngine requires a primary key")
   require(aggSpec.isEmpty || primaryKey.nonEmpty,
     "merge-engine=aggregation requires a primary key")
+  require(!changelogProducer || primaryKey.nonEmpty,
+    "changelog-producer requires a primary-key table " +
+      "(an append table's changelog IS its append stream)")
   aggSpec.foreach(_.foreach { case (f, fn) =>
     require(Set("sum", "min", "max", "count").contains(fn),
       s"unsupported aggregate-function '$fn' for field '$f' " +
@@ -139,8 +176,10 @@ class StreamTable(
 
   private val dataAppend = s"$root/data/append"
   private val dataCompact = s"$root/data/compact"
+  private val dataChangelog = s"$root/data/changelog"
   private val snapDir = s"$root/_snapshots"
-  Seq(dataAppend, dataCompact, snapDir).foreach(p => Files.createDirectories(Paths.get(p)))
+  Seq(dataAppend, dataCompact, dataChangelog, snapDir)
+    .foreach(p => Files.createDirectories(Paths.get(p)))
 
   // ---- snapshot manifest -------------------------------------------------
 
@@ -156,14 +195,17 @@ class StreamTable(
     * (concurrent writer + compactor). `recompute` receives the current live
     * file list and returns (newLiveFiles, batchId). */
   private def commit(recompute: Seq[DataFileMeta] => (Seq[DataFileMeta], Long),
-      writer: Option[(String, Long)] = None): Snapshot = {
+      writer: Option[(String, Long)] = None,
+      changelog: Seq[DataFileMeta] = Seq.empty,
+      produced: Boolean = false): Snapshot = {
     var attempt = 0
     while (true) {
       val base = latestSnapshot
       val (files, batchId) = recompute(base.map(_.files).getOrElse(Seq.empty))
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
         System.currentTimeMillis(), batchId, files,
-        writer = writer.map(_._1), writerEpoch = writer.map(_._2))
+        writer = writer.map(_._1), writerEpoch = writer.map(_._2),
+        changelog = changelog, clogProduced = produced)
       val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, mapper.writeValueAsBytes(next))
       try {
@@ -198,7 +240,55 @@ class StreamTable(
   def appendBatch(df: DataFrame, batchId: Long): Unit = {
     if (replaySkip("appendBatch", batchId)) return
     val metas = stageBatchFiles(df, batchId)
-    commit(live => (live ++ metas, batchId))
+    // the producer's diff is computed against the CURRENT resolved state —
+    // correct under the single-logical-writer contract (a concurrent
+    // compactor never changes the resolved state, so an interleaved
+    // compaction commit cannot invalidate the staged changelog)
+    val clog = if (changelogProducer) stageChangelog(metas, batchId) else Seq.empty
+    commit(live => (live ++ metas, batchId),
+      changelog = clog, produced = changelogProducer)
+  }
+
+  /** Persist this commit's netted change rows (`changelog-producer`,
+    * guide.md:69-73): per key the batch touched, the OLD resolved image
+    * retracts and the NEW resolved image asserts — exactly one commit's
+    * slice of [[changelogWithRetractions]], written as level-0 files under
+    * `data/changelog/` and referenced by the snapshot. Cost: one resolve of
+    * the TOUCHED buckets (bucket-pruned when the layout allows), not the
+    * table — the write-time dual of Paimon's 'lookup' producer; the payoff
+    * is every downstream CDC trigger reading O(interval changelog) instead
+    * of re-resolving two full snapshots. */
+  private def stageChangelog(newMetas: Seq[DataFileMeta], batchId: Long): Seq[DataFileMeta] = {
+    val pk = primaryKey.get
+    val prev = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    // only buckets this commit touched can change — prune the resolve to them
+    val prevKept =
+      if (bucketKey.isDefined && prev.forall(_.bucket.isDefined) &&
+          newMetas.forall(_.bucket.isDefined)) {
+        val touched = newMetas.flatMap(_.bucket).toSet
+        prev.filter(f => touched.contains(f.bucket.get))
+      } else prev
+    val newRows = readFiles(newMetas)
+    val changedKeys = newRows.select(pk.map(col): _*).distinct()
+    val oldState =
+      if (prevKept.isEmpty) resolveView(newRows, pk, keepSeq = false).limit(0)
+      else resolveView(readFiles(prevKept), pk, keepSeq = false)
+        .join(changedKeys, pk, "left_semi")
+    val newState = resolveView(readFiles(prevKept ++ newMetas), pk, keepSeq = false)
+      .join(changedKeys, pk, "left_semi")
+    // co-locate the change rows with their key's bucket (via writeClustered's
+    // content-derived labeling) so the CDC reader keeps the per-bucket plan
+    val ops = netOps(oldState, newState, pk)
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    val moved = writeClustered(ops, sortKey = None, staging, dataChangelog,
+      s"cl$batchId")
+    val (metas, empties) = fileMetas(spark, moved.map(_._1), level = 0,
+      minSeq = batchId, maxSeq = batchId)
+      .zip(moved).map { case (m, (_, k)) =>
+        if (bucketKey.isDefined) m.copy(bucket = Some(k)) else m
+      }.partition(_.rowCount > 0)
+    empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+    metas
   }
 
   /** Atomic whole-table replacement (`INSERT OVERWRITE`, Paimon/Flink's
@@ -217,6 +307,9 @@ class StreamTable(
   def overwriteBatch(df: DataFrame, batchId: Long): Unit = {
     if (replaySkip("overwriteBatch", batchId)) return
     val metas = stageBatchFiles(df, batchId)
+    // an overwrite is a whole-table replacement, not an incremental change —
+    // no changelog is produced (clogProduced=false) and a CDC interval
+    // covering it falls back to the state diff
     commit(_ => (metas, batchId))
   }
 
@@ -238,18 +331,80 @@ class StreamTable(
   private def stageBatchFiles(df: DataFrame, batchId: Long): Seq[DataFileMeta] = {
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val stamped = df.withColumn(SeqColName, lit(batchId))
-    val out = bucketKey match {
-      // Paimon hash bucketing ('bucket-key', guide.md:28-29): co-locate rows
-      // by key so per-key reads and upsert resolution shuffle less.
-      case Some(k) => stamped.repartition(numBuckets, col(k))
-      case None    => stamped
-    }
-    out.write.mode("overwrite").parquet(staging)
-    val moved = moveStagedParts(staging, dataAppend, s"b$batchId")
+    val sortKey = primaryKey.filter(pk => pk.forall(df.columns.contains))
+    val moved = writeClustered(stamped, sortKey, staging, dataAppend, s"b$batchId")
     fileMetas(spark, moved.map(_._1), level = 0, minSeq = batchId, maxSeq = batchId)
       .zip(moved).map { case (m, (_, k)) =>
-        if (bucketKey.isDefined) m.copy(bucket = Some(k)) else m
+        val b = if (bucketKey.isDefined) m.copy(bucket = Some(k)) else m
+        if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
       }
+  }
+
+  /** One definition of the physical layout contract, for every staged write:
+    *
+    *  - Paimon hash bucketing ('bucket-key', guide.md:28-29): each row's
+    *    bucket is `pmod(murmur3(key), numBuckets)` — computed EXPLICITLY as
+    *    a column and written via `partitionBy`, so the recorded bucket id is
+    *    derived from ROW CONTENT, never from the output part index. (The
+    *    part-index shortcut is a correctness landmine: when the input is
+    *    already hash-partitioned on the key — any groupBy/window resolve —
+    *    and `spark.sql.shuffle.partitions == numBuckets`, Catalyst elides
+    *    the explicit repartition and AQE may then coalesce the surviving
+    *    shuffle, collapsing "one part per bucket" without warning.) The
+    *    repartition is kept as best-effort clustering: one file per bucket
+    *    when it holds, several correctly-labeled files when it does not.
+    *  - PK files write as SORTED RUNS (ascending pk, the LSM invariant): a
+    *    cheap per-partition sort at write buys the reader a streaming k-way
+    *    merge with O(open files) memory. The sort leads with the bucket
+    *    column so the dynamic-partition writer keeps it (its own
+    *    partition-column sort requirement is already satisfied — it would
+    *    otherwise re-sort and destroy the pk order). Row order never
+    *    affects the resolved VIEW (LWW orders by sequence, not position).
+    *
+    * Returns (path, bucketId) per file; bucketId is the staging part index
+    * for unbucketed tables (callers ignore it there). */
+  private def writeClustered(stamped: DataFrame, sortKey: Option[Seq[String]],
+      staging: String, destDir: String, prefix: String): Seq[(String, Int)] =
+    bucketKey match {
+      case Some(k) =>
+        val laid = stamped
+          .withColumn(BucketColName, pmod(hash(col(k)), lit(numBuckets)))
+          .repartition(numBuckets, col(k))
+        val ordered = laid.sortWithinPartitions(
+          (BucketColName +: sortKey.getOrElse(Seq.empty)).map(col): _*)
+        ordered.write.mode("overwrite").partitionBy(BucketColName).parquet(staging)
+        moveStagedBuckets(staging, destDir, prefix)
+      case None =>
+        val ordered = sortKey match {
+          case Some(pk) => stamped.sortWithinPartitions(pk.map(col): _*)
+          case None     => stamped
+        }
+        ordered.write.mode("overwrite").parquet(staging)
+        moveStagedParts(staging, destDir, prefix)
+    }
+
+  /** Move a `partitionBy(bucket)` staging layout into `destDir`; the bucket
+    * id comes from the partition DIRECTORY name (authoritative — written
+    * from row content). */
+  private def moveStagedBuckets(staging: String, destDir: String,
+      prefix: String): Seq[(String, Int)] = {
+    val moved = listDir(Paths.get(staging)).iterator
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$BucketColName="))
+      .toSeq.sortBy(_.toString)
+      .flatMap { dir =>
+        val k = dir.getFileName.toString.stripPrefix(s"$BucketColName=").toInt
+        listDir(dir).iterator
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.toString).map { p =>
+            val dest = Paths.get(destDir,
+              s"$prefix-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+            Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+            (dest.toString, k)
+          }
+      }
+    deleteRecursively(Paths.get(staging))
+    moved
   }
 
   /** Commit files written OUTSIDE the table's own staging (the V2 streaming
@@ -266,10 +421,15 @@ class StreamTable(
     * simply the next fresh one.
     *
     * Guard: if the table's live history carries stamped commit sequences
-    * (PK/stamped DataFrame writers), unstamped sink rows would corrupt the
-    * LWW ordering — refuse and direct to [[writeStream]]. */
-  private[graft] def commitExternalFiles(staged: Seq[String], writerId: String,
-      epochId: Long): Unit = {
+    * (PK/stamped DataFrame writers), UNSTAMPED sink rows would corrupt the
+    * LWW ordering — refuse and direct to [[writeStream]]. A sink that
+    * stamps (`stampedSeq` — the PK sink's `offset + epoch`) passes: its
+    * files physically carry [[SeqColName]] like every appendBatch file.
+    *
+    * `staged` carries each file's content-derived bucket id (None =
+    * unbucketed write) so sink-fed tables keep the per-bucket read paths. */
+  private[graft] def commitExternalFiles(staged: Seq[(String, Option[Int])],
+      writerId: String, epochId: Long, stampedSeq: Option[Long] = None): Unit = {
     require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
     val committed =
       snapshots.exists(s => s.writer.contains(writerId) &&
@@ -277,41 +437,47 @@ class StreamTable(
     if (committed) {
       log.warn(s"commitExternalFiles skipped: $writerId epoch $epochId " +
         s"already committed at $root")
-      staged.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      staged.foreach(p => Files.deleteIfExists(Paths.get(p._1)))
       return
     }
-    latestSnapshot.flatMap(_.files.headOption).foreach { f =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(f.path), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val stamped =
-        try r.getFooter.getFileMetaData.getSchema.containsField(SeqColName)
-        finally r.close()
-      if (stamped) throw new IllegalStateException(
-        s"$root carries stamped commit sequences (PK or DataFrame-written " +
-          "history); the V2 streaming sink writes unstamped rows and would " +
-          "corrupt last-writer-wins ordering — use StreamTable.writeStream " +
-          "or a catalog identifier instead")
-    }
+    if (stampedSeq.isEmpty)
+      latestSnapshot.flatMap(_.files.headOption).foreach { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.path), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val stamped =
+          try r.getFooter.getFileMetaData.getSchema.containsField(SeqColName)
+          finally r.close()
+        if (stamped) throw new IllegalStateException(
+          s"$root carries stamped commit sequences (PK or DataFrame-written " +
+            "history); the V2 streaming sink writes unstamped rows and would " +
+            "corrupt last-writer-wins ordering — use StreamTable.writeStream " +
+            "or a catalog identifier instead")
+      }
     // File names carry the writer epoch, NOT the batch id: the committed
     // batch id is derived INSIDE the commit() retry closure so a retry after
     // losing the optimistic race re-reads latestSnapshot and claims a FRESH
     // id. (Computing it once out here would let a concurrent writer advance
     // the table's batchId and then have our retry republish the stale lower
     // one — regressing the watermark that replaySkip compares against, so a
-    // later replayed appendBatch would no longer be skipped.)
-    val moved = staged.zipWithIndex.map { case (p, k) =>
+    // later replayed appendBatch would no longer be skipped.) A STAMPED sink
+    // commit instead pins the batch id to the stamp already inside its rows
+    // (floored at the current watermark so it stays monotone).
+    val moved = staged.zipWithIndex.map { case ((p, bkt), k) =>
       val dest = Paths.get(dataAppend,
         s"w$epochId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
       Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
-      dest.toString
+      (dest.toString, bkt)
     }
     // footer stats are batch-id-independent; only minSeq/maxSeq get restamped
-    val metas0 = fileMetas(spark, moved, level = 0, minSeq = 0L, maxSeq = 0L)
+    val metas0 = fileMetas(spark, moved.map(_._1), level = 0, minSeq = 0L, maxSeq = 0L)
+      .zip(moved).map { case (m, (_, bkt)) => m.copy(bucket = bkt) }
     commit(live => {
-      val b = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
-      (live ++ metas0.map(_.copy(minSeq = b, maxSeq = b)), b)
+      val next = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
+      val b = stampedSeq.map(math.max(_, next)).getOrElse(next)
+      val seq = stampedSeq.getOrElse(b)
+      (live ++ metas0.map(_.copy(minSeq = seq, maxSeq = seq)), b)
     }, writer = Some((writerId, epochId)))
     // best-effort high-water (replay evidence beyond retention); REPLACE is
     // fine — it is monotonic and secondary to the snapshot evidence
@@ -329,15 +495,11 @@ class StreamTable(
   }
 
   /** Atomically rename staged parquet parts into `destDir` as
-    * `<prefix>-<uuid>-<k>.parquet` and return (path, k) in part order.
-    *
-    * `k` is the STAGING part index (part-NNNNN) — for a bucketed layout
-    * that IS the bucket id (the shuffle partition of
-    * `repartition(numBuckets, key)`). zipWithIndex would mislabel whenever
-    * an empty bucket wrote no file, so the name is authoritative; the
-    * index is only the unbucketed/unparseable fallback. This is the ONE
-    * definition of the staging→bucket contract — append and maintenance
-    * rewrites must never diverge on it. */
+    * `<prefix>-<uuid>-<k>.parquet` and return (path, k) in part order —
+    * the UNBUCKETED staging layout (`k` = the part-NNNNN index, parsed from
+    * the name; callers ignore it). Bucketed writes go through
+    * [[writeClustered]]/[[moveStagedBuckets]], whose bucket ids derive from
+    * row content. */
   private def moveStagedParts(staging: String, destDir: String,
       prefix: String): Seq[(String, Int)] = {
     val parts = listDir(Paths.get(staging)).iterator
@@ -534,9 +696,18 @@ class StreamTable(
     *    no longer live means another job rewrote it; committing our copy of
     *    its rows would duplicate them — fail loudly. Files appended
     *    concurrently since the scan survive untouched.
-    *  - replacement files are level-1 maintenance output (changesBetween
-    *    must not re-emit surviving rows as +I); zero-row staged files are
-    *    dropped. Returns the replacement row count. */
+    *  - replacement files are level-1 maintenance output — changesBetween
+    *    must not re-emit SURVIVING rows as +I. The cost of that rule, stated
+    *    loudly: rows genuinely CHANGED or INSERTED by SQL UPDATE/MERGE on an
+    *    APPEND table are likewise not observable through the streaming /
+    *    changelog surfaces (the staged files mix surviving and new rows at
+    *    file granularity, so the commit cannot split them). A pipeline that
+    *    needs streamed row-level changes uses a PRIMARY-KEY table, whose
+    *    UPDATE/MERGE/DELETE commit as level-0 upserts and stream correctly —
+    *    the same posture as Paimon, where append tables have no changelog
+    *    semantics for row-level DML at all. A warning is logged per commit.
+    *    Zero-row staged files are dropped. Returns the replacement row
+    *    count. */
   private[graft] def commitReplace(removedPaths: Set[String],
       staged: Seq[String], mode: String): Long = {
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
@@ -568,6 +739,11 @@ class StreamTable(
         s"DELETE cannot grow rows: $inRows in, $outRows out")
       case _ => () // MERGE: inserts grow, matched deletes shrink
     }
+    if (mode.toUpperCase != "DELETE")
+      log.warn(s"$mode on append table $root committed as level-1 " +
+        "(maintenance) files: its changed/inserted rows will NOT appear on " +
+        "the streaming/changelog surfaces — use a primary-key table for " +
+        "streamable row-level DML")
     commit { liveNow =>
       val gone = removedPaths -- liveNow.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
@@ -980,6 +1156,14 @@ class StreamTable(
     val newState = resolveView(readFiles(files(toId)), pk, keepSeq = false)
       .join(changedKeys, pk, "left_semi")
     val oldChanged = oldState.join(changedKeys, pk, "left_semi")
+    netOps(oldChanged, newState, pk)
+  }
+
+  /** Net two per-key resolved states into the changelog alphabet: old+new →
+    * `-U old, +U new`; old only → `-D old`; new only → `+I new` (shared by
+    * [[changelogWithRetractions]] and the write-time changelog producer). */
+  private def netOps(oldChanged: DataFrame, newState: DataFrame,
+      pk: Seq[String]): DataFrame = {
     val newKeys = newState.select(pk.map(col): _*).withColumn("__in_new", lit(1))
     val oldKeys = oldChanged.select(pk.map(col): _*).withColumn("__in_old", lit(1))
     // retractions carry the OLD image; -D when the key is gone from the new
@@ -1211,8 +1395,10 @@ class StreamTable(
       s"tags pin snapshots newer than $snapshotId: " +
         newerTags.map(t => s"${t._1}->${t._2}").mkString(", "))
     val newer = snaps.filter(_.id > snapshotId)
-    val keptRefs = snaps.filter(_.id <= snapshotId).flatMap(_.files.map(_.path)).toSet
-    val orphaned = newer.flatMap(_.files.map(_.path)).toSet -- keptRefs
+    val keptRefs = snaps.filter(_.id <= snapshotId)
+      .flatMap(s0 => (s0.files ++ s0.changelog).map(_.path)).toSet
+    val orphaned = newer.flatMap(s0 => (s0.files ++ s0.changelog).map(_.path))
+      .toSet -- keptRefs
     // delete manifests NEWEST-FIRST so a concurrent reader's max-id scan can
     // never select a manifest whose successor was already removed
     newer.sortBy(-_.id).foreach { s0 =>
@@ -1238,18 +1424,18 @@ class StreamTable(
     * (guide.md:212-231 → :258-259); for PK tables the rewrite also resolves
     * last-writer-wins, shrinking data like Paimon's full compaction. */
   def compact(targetFileCount: Int): Snapshot =
-    rewriteLive({ resolved =>
-      bucketKey match {
-        // preserve the hash-bucket layout through compaction (Paimon
-        // compacts WITHIN buckets — the bucket count is invariant): rows
-        // re-shuffle on the same pmod(hash(key), numBuckets) function, so
-        // per-key co-location AND the storage-partitioned-join contract
-        // survive the rewrite; targetFileCount is advisory for bucketed
-        // tables (one file per bucket is the compacted layout)
-        case Some(k) => resolved.repartition(numBuckets, col(k))
-        case None    => resolved.repartition(targetFileCount)
-      }
-    }, recordBuckets = bucketKey.isDefined)
+    // bucketed tables preserve the hash-bucket layout through compaction
+    // (Paimon compacts WITHIN buckets — the bucket count is invariant):
+    // [[writeClustered]] re-clusters on the same pmod(murmur3(key), n)
+    // function with content-derived labels, so per-key co-location AND the
+    // storage-partitioned-join contract survive the rewrite;
+    // targetFileCount is advisory there (one file per bucket is the
+    // compacted layout)
+    rewriteLive(
+      resolved =>
+        if (bucketKey.isDefined) resolved else resolved.repartition(targetFileCount),
+      recordBuckets = bucketKey.isDefined, sortByKey = primaryKey.isDefined,
+      clustered = bucketKey.isDefined)
 
   /** Z-order sort-compaction (Paimon's `sort-compact` with
     * `'sort-order'='zorder'`): rewrite the live set CLUSTERED on the
@@ -1303,7 +1489,8 @@ class StreamTable(
     * never a re-read of the live table — a concurrent writer committing
     * mid-rewrite must not fail the check. */
   private def rewriteLive(layout: DataFrame => DataFrame,
-      recordBuckets: Boolean = false): Snapshot = {
+      recordBuckets: Boolean = false, sortByKey: Boolean = false,
+      clustered: Boolean = false): Snapshot = {
     val before = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (before.isEmpty) return latestSnapshot.orNull
     val raw = readFiles(before)
@@ -1316,15 +1503,28 @@ class StreamTable(
       case Some(pk) => resolveView(raw, pk, keepSeq = true)
     }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
-    val rewritten = layout(resolved)
-    rewritten.write.mode("overwrite").parquet(staging)
+    val laid = layout(resolved)
+    // compaction re-establishes the sorted-run invariant for PK tables
+    // (see writeClustered) — the sort rides inside the clustered write, or
+    // after the layout's own repartitioning otherwise
+    val sortKey = if (sortByKey) primaryKey else None
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
-    val moved = moveStagedParts(staging, dataCompact, s"c$snapId")
+    val moved =
+      if (clustered) writeClustered(laid, sortKey, staging, dataCompact, s"c$snapId")
+      else {
+        val rewritten = sortKey match {
+          case Some(pk) => laid.sortWithinPartitions(pk.map(col): _*)
+          case None     => laid
+        }
+        rewritten.write.mode("overwrite").parquet(staging)
+        moveStagedParts(staging, dataCompact, s"c$snapId")
+      }
     val maxSeq = before.map(_.maxSeq).max
     val metas = fileMetas(spark, moved.map(_._1), level = 1,
       minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)
       .zip(moved).map { case (m, (_, k)) =>
-        if (recordBuckets) m.copy(bucket = Some(k)) else m
+        val b = if (recordBuckets) m.copy(bucket = Some(k)) else m
+        if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
       }
     // Conservation is validated against the rewrite's own inputs/outputs
     // (footer row counts), never a re-read of the live table — a concurrent
@@ -1342,13 +1542,15 @@ class StreamTable(
     // its rows on top of that job's would silently duplicate them, so fail
     // loudly instead (the safe contract is one maintenance job at a time;
     // concurrent APPENDS remain fine).
-    commit { live =>
+    commit({ live =>
       val gone = compactedPaths -- live.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this compaction (e.g. ${gone.take(2).mkString(", ")})")
       (live.filterNot(f => compactedPaths.contains(f.path)) ++ metas,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
-    }
+    }, // a layout rewrite changes no logical row — an empty PRODUCED
+       // changelog keeps CDC intervals spanning it on the delta fast path
+      produced = changelogProducer)
   }
 
   /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,
@@ -1374,8 +1576,9 @@ class StreamTable(
         (fromNewest <= numRetainedMax && now - s0.committedAtMs <= timeRetainedMs)
     }.map(_._1)
     val expired = snaps.filterNot(s0 => keep.exists(_.id == s0.id))
-    val liveRefs = keep.flatMap(_.files.map(_.path)).toSet
-    val deletable = expired.flatMap(_.files.map(_.path)).toSet -- liveRefs
+    val liveRefs = keep.flatMap(s0 => (s0.files ++ s0.changelog).map(_.path)).toSet
+    val deletable = expired.flatMap(s0 => (s0.files ++ s0.changelog).map(_.path))
+      .toSet -- liveRefs
     deletable.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(s0 => Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json")))
     expired.size
@@ -1389,6 +1592,13 @@ object StreamTable {
 
   /** Internal delete-tombstone marker column (the `-D` changelog op). */
   val TombstoneColName = "__graft_tomb"
+
+  /** Synthetic staging-only column carrying each row's computed bucket id
+    * (`pmod(murmur3(key), numBuckets)`, the [[graft.sources.v2.GraftBucketFunction]]
+    * layout) — written as a `partitionBy` directory so the manifest's bucket
+    * label derives from row content, then dropped (never lands inside a
+    * data file). */
+  val BucketColName = "__graft_bucket"
 
   /** Prefix of the per-field winning-sequence columns partial-update
     * compaction persists (struct of user seq + commit seq); hidden from

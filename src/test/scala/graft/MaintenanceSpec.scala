@@ -88,6 +88,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.snapshots.map(_.id) == Seq(4L))
   }
 
+  test("changelog stream with consumer-id: expiry cannot outrun the CDC reader") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = java.nio.file.Files.createTempDirectory("cdc_cons_wh_").toString
+    val gc = new graft.table.GraftCatalog(spark, wh)
+    val t = gc.createTable("db", "cdc_cons",
+      Map("primary-key" -> "id", "bucket" -> "2"))
+    val root = s"$wh/db.db/cdc_cons"
+    val chk = java.nio.file.Files.createTempDirectory("cdc_cons_chk_").toString
+    def drain(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val q = spark.readStream.format("graft")
+        .option("read-changelog", "true").option("consumer-id", "cdc")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      n.get()
+    }
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0)
+    assert(drain() == 2) // +I catch-up; registration is immediate
+    assert(t.consumers == Seq("cdc" -> 0L), t.consumers.toString)
+    (1 to 4).foreach(i =>
+      t.appendBatch(Seq((1L, s"u$i")).toDF("id", "v"), i.toLong))
+    // an aggressive policy may NOT expire what the CDC interval (0, 4]
+    // still needs: the consumer floor pins the stream's position
+    t.expireSnapshots(numRetainedMin = 1, numRetainedMax = 1, timeRetainedMs = 0)
+    assert(t.snapshots.map(_.id) == (0L to 4L), t.snapshots.map(_.id).toString)
+    // the interval still nets correctly after the (no-op) expiry
+    assert(drain() == 2) // -U a, +U u4
+    // commit() is post-checkpoint (the position trails one trigger): the
+    // first drain's offset is now committed, the second's commits at the
+    // NEXT run — retention keeps exactly that margin
+    assert(t.consumers == Seq("cdc" -> 1L), t.consumers.toString)
+    t.expireSnapshots(1, 1, 0)
+    assert(t.snapshots.map(_.id) == (0L to 4L), t.snapshots.map(_.id).toString)
+    // the next trigger (new commit → new batch) commits the prior one,
+    // letting retention release everything before the committed position
+    t.appendBatch(Seq((2L, "B")).toDF("id", "v"), 5L)
+    assert(drain() == 2) // -U b, +U B
+    assert(t.consumers == Seq("cdc" -> 5L), t.consumers.toString)
+    t.expireSnapshots(1, 1, 0)
+    assert(t.snapshots.map(_.id) == Seq(4L, 5L), t.snapshots.map(_.id).toString)
+  }
+
   // ---- rollback ----------------------------------------------------------
 
   test("rollbackTo restores an earlier snapshot and deletes orphaned files") {

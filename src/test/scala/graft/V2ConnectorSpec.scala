@@ -360,9 +360,9 @@ class V2ConnectorSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(dstT.read.count() == 9, "fresh query must append, not no-op")
-    // PK tables are refused AT THE SINK (reads resolve merge-on-read now,
-    // so the catalog loads PK tables fine — the write fence lives in
-    // GraftStreamingWrite: unstamped sink rows would corrupt LWW ordering)
+    // PK tables now UPSERT through the sink (stamped commit sequences —
+    // deeper coverage in the dedicated sink test): the catalog .toTable
+    // door resolves the LWW view afterwards
     val wh = java.nio.file.Files.createTempDirectory("v2_sink_pk_wh_").toString
     val catName = s"graft_psk_${Integer.toHexString(wh.hashCode).take(6)}"
     spark.conf.set(s"spark.sql.catalog.$catName",
@@ -370,24 +370,25 @@ class V2ConnectorSpec extends AnyFunSuite {
     spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
     spark.sql(s"CREATE TABLE $catName.d.pk_sink (id BIGINT, s STRING) " +
       "TBLPROPERTIES ('primary-key' = 'id')")
-    val e = intercept[Exception] {
-      val q = spark.readStream.format("graft").load(src)
-        .writeStream
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("v2_sink_chk3_").toString)
-        .toTable(s"$catName.d.pk_sink")
-      q.awaitTermination()
-    }
-    assert(e.getMessage.contains("append-only"),
-      s"PK sink must refuse: ${e.getMessage}")
-    // and the direct-API fence
+    val q3 = spark.readStream.format("graft").load(src)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2_sink_chk3_").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$catName.d.pk_sink")
+    q3.awaitTermination()
+    // the source holds 4 distinct keys (1..4); the PK view resolves them
+    assert(spark.sql(s"SELECT count(*) FROM $catName.d.pk_sink")
+      .head().getLong(0) == 4)
+    // the direct-API fence that REMAINS: a PK sink schema must carry the
+    // key columns (stamping cannot route rows without them)
     val e2 = intercept[IllegalArgumentException] {
       new graft.sources.v2.GraftStreamingWrite(
         new StreamTable(java.nio.file.Files.createTempDirectory("v2_pk2_").toString,
           spark, primaryKey = Some(Seq("id"))),
-        new org.apache.spark.sql.types.StructType().add("id", "long"), "q1")
+        new org.apache.spark.sql.types.StructType().add("s", "string"), "q1")
     }
-    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    assert(e2.getMessage.contains("key column"), e2.getMessage)
     Seq(src, dst).foreach(p => StreamTable.deleteTree(java.nio.file.Paths.get(p)))
   }
 
@@ -963,6 +964,349 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(drain() == Seq.empty)
   }
 
+  test("sorted-run merge: PK files write key-sorted; the scan streams a k-way merge") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "srt",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "2"))
+    tbl.appendBatch(Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"),
+      (4L, 10L, "d")).toDF("id", "ver", "v"), 0L)
+    tbl.appendBatch(Seq((1L, 20L, "A"), (3L, 5L, "stale"), (5L, 1L, "e"))
+      .toDF("id", "ver", "v"), 1L)
+    tbl.deleteBatch(Seq((4L, 10L)).toDF("id", "ver"), 2L)
+    // every file carries its sort evidence; the planned partitions are
+    // streaming-merge eligible
+    val files = tbl.latestSnapshot.get.files
+    assert(files.forall(_.sortedBy.contains(Seq("id"))), files.toString)
+    val df = spark.sql(s"SELECT id, ver, v FROM $cat.db.srt")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.v2.GraftPkScan]
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.asInstanceOf[graft.sources.v2.GraftPkInputPartition].sorted),
+      "every bucket group must be streaming-merge eligible")
+    // resolved view matches the library (incl. stale-arrival + tombstone)
+    val viaSql = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val viaLib = tbl.read.select("id", "ver", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(viaSql == viaLib)
+    assert(viaSql == Seq((1L, 20L, "A"), (2L, 10L, "b"), (3L, 10L, "c"),
+      (5L, 1L, "e")))
+    // compaction preserves the sorted-run invariant
+    tbl.compact(1)
+    assert(tbl.latestSnapshot.get.files.forall(_.sortedBy.contains(Seq("id"))))
+    tbl.appendBatch(Seq((2L, 30L, "B")).toDF("id", "ver", "v"), 3L)
+    assert(spark.sql(s"SELECT id, ver, v FROM $cat.db.srt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      tbl.read.select("id", "ver", "v").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+  }
+
+  test("sorted-run merge: exact-tie resolution agrees with the hash merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val (_, gc) = freshCatalog()
+    // NO sequence field: exact (seq, commit) ties happen where a key repeats
+    // within one batch — tie resolution is arbitrary BUT the sorted and hash
+    // paths must agree bit-for-bit (the same files must read the same either
+    // way, or a compaction could appear to change data)
+    val tbl = gc.createTable("db", "srt_tie", Map("primary-key" -> "id", "bucket" -> "1"))
+    tbl.appendBatch(Seq((1L, "x1"), (1L, "x2"), (2L, "y")).toDF("id", "v"), 0L)
+    tbl.appendBatch(Seq((1L, "x3"), (2L, "y2"), (2L, "y3")).toDF("id", "v"), 1L)
+    val files = tbl.latestSnapshot.get.files.sortBy(f => (f.minSeq, f.path))
+      .map(f => (f.path, f.minSeq))
+    val internal = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField(StreamTable.SeqColName, LongType),
+      StructField(StreamTable.TombstoneColName, BooleanType)))
+    val hash = graft.sources.v2.PkMerge.winners(files, internal, Array(0),
+      seqIdx = -1, commitIdx = 2, firstRow = false, Array.empty)
+    val groups = graft.sources.v2.PkMerge.sortedGroups(files, internal,
+      Array(0), Array.empty)
+    try {
+      var seen = 0
+      groups.foreach { g =>
+        var w: org.apache.spark.sql.catalyst.InternalRow = null
+        g.foreach { row =>
+          if (w == null ||
+              graft.sources.v2.PkMerge.cmpOrd(row, w, -1, 2,
+                internal.fields.map(_.dataType)) >= 0) w = row
+        }
+        val h = hash.get(List(w.getLong(0)))
+        assert(h.getUTF8String(1).toString == w.getUTF8String(1).toString,
+          s"key ${w.getLong(0)}: sorted=${w.getUTF8String(1)} hash=${h.getUTF8String(1)}")
+        seen += 1
+      }
+      assert(seen == 2)
+    } finally groups.close()
+  }
+
+  test("sorted-run merge: an oversized single bucket streams (O(files) memory)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (cat, gc) = freshCatalog()
+    // ONE bucket, 3 sorted runs, 120k keys x up to 3 versions: the hash
+    // merge would hold 120k keys resident; the sorted merge holds 3 runs +
+    // one key's versions (laziness asserted by pulling a single group)
+    val tbl = gc.createTable("db", "srt_big",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "1"))
+    val n = 120000L
+    tbl.appendBatch(spark.range(n).select(col("id"), lit(1L).as("ver"),
+      (col("id") * 2).as("x")), 0L)
+    tbl.appendBatch(spark.range(0, n, 2).select(col("id"), lit(2L).as("ver"),
+      (col("id") * 3).as("x")), 1L)
+    tbl.appendBatch(spark.range(0, n, 3).select(col("id"), lit(3L).as("ver"),
+      (col("id") * 5).as("x")), 2L)
+    // merged totals through the V2 scan: every key once, LWW x
+    val agg = spark.sql(
+      s"SELECT count(*) AS n, sum(x) AS sx FROM $cat.db.srt_big").head()
+    assert(agg.getLong(0) == n)
+    val expected = (0L until n).map(i =>
+      if (i % 3 == 0) i * 5 else if (i % 2 == 0) i * 3 else i * 2).sum
+    assert(agg.getLong(1) == expected)
+    // lazy streaming: one pulled group == the smallest key's versions, with
+    // the other 119999 groups never materialized
+    val snapFiles = tbl.latestSnapshot.get.files.sortBy(f => (f.minSeq, f.path))
+    val internal = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    val groups = graft.sources.v2.PkMerge.sortedGroups(
+      snapFiles.map(f => (f.path, f.minSeq)), internal, Array(0), Array.empty)
+    try {
+      val first = groups.next()
+      assert(first.size == 3, s"key 0 has 3 versions, got ${first.size}")
+      assert(first.forall(_.getLong(0) == 0L))
+    } finally groups.close()
+  }
+
+  test("evolution guards: DML on renamed columns; stale file-level name collisions") {
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.evg (id BIGINT, v STRING, x DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.evg VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+    spark.sql(s"ALTER TABLE $cat.db.evg RENAME COLUMN v TO label")
+    // DELETE through the renamed column must translate to the file-level
+    // name before it reaches the storage layer
+    spark.sql(s"DELETE FROM $cat.db.evg WHERE label = 'a'")
+    assert(spark.sql(s"SELECT id, label FROM $cat.db.evg").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+
+    // ADD COLUMN reusing the renamed-away file-level name is refused (old
+    // files' data would surface under the new column instead of null)
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.evg ADD COLUMNS (v STRING)")
+    }
+    assert(e1.getMessage.contains("collides"), e1.getMessage)
+    // DROP then re-ADD the same name: same trap, same refusal
+    spark.sql(s"ALTER TABLE $cat.db.evg DROP COLUMN x")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.evg ADD COLUMNS (x DOUBLE)")
+    }
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+    // REVERTING a rename to its own file-level name stays legal
+    spark.sql(s"ALTER TABLE $cat.db.evg RENAME COLUMN label TO v")
+    assert(spark.sql(s"SELECT v FROM $cat.db.evg").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+
+    // renaming an AGGREGATED field is refused (the merge spec is keyed by
+    // its name; the rename would silently drop it from the fold)
+    spark.sql(s"CREATE TABLE $cat.db.evga (k BIGINT, total BIGINT) " +
+      "TBLPROPERTIES ('primary-key' = 'k', " +
+      "'fields.total.aggregate-function' = 'sum')")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.evga RENAME COLUMN total TO sum_total")
+    }
+    assert(e3.getMessage.contains("aggregated field"), e3.getMessage)
+  }
+
+  test("V2 streaming sink preserves bucket ids; PK targets upsert with stamped sequences") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+
+    // bucketed APPEND target: committed files carry content-derived buckets
+    val app = gc.createTable("db", "sink_b",
+      Map("bucket-key" -> "k", "bucket" -> "4"))
+    val appRoot = s"${gc.warehouse}/db.db/sink_b"
+    val srcRoot = java.nio.file.Files.createTempDirectory("v2_sink_src_").toString
+    val src = new StreamTable(srcRoot, spark)
+    src.appendBatch((0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v"), 0L)
+    val chk1 = java.nio.file.Files.createTempDirectory("v2_sink_chk_").toString
+    val q1 = spark.readStream.format("graft").load(srcRoot)
+      .writeStream.format("graft")
+      .option("path", appRoot).option("checkpointLocation", chk1)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val appFiles = gc.getTable("db", "sink_b").latestSnapshot.get.files
+    assert(appFiles.nonEmpty && appFiles.forall(_.bucket.isDefined),
+      appFiles.map(f => (f.path.split('/').last, f.bucket)).toString)
+    // labels are content-derived: each file's keys hash to its recorded bucket
+    appFiles.foreach { f =>
+      val ks = spark.read.parquet(f.path).select("k").collect().map(_.getLong(0))
+      assert(ks.forall(k => ((org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(k, 42) % 4) + 4) % 4 == f.bucket.get), s"bucket mislabel in ${f.path}")
+    }
+    assert(spark.read.format("graft").load(appRoot).count() == 1000L)
+
+    // PK target: the sink stamps offset+epoch — a graft→graft upsert pipe
+    val pk = gc.createTable("db", "sink_pk",
+      Map("primary-key" -> "k", "bucket" -> "2"))
+    // pre-existing DataFrame-written history the sink must supersede
+    pk.appendBatch(Seq((1L, "old1"), (2L, "old2"), (900L, "keep"))
+      .toDF("k", "v"), 0L)
+    val pkRoot = s"${gc.warehouse}/db.db/sink_pk"
+    val chk2 = java.nio.file.Files.createTempDirectory("v2_sinkpk_chk_").toString
+    val q2 = spark.readStream.format("graft").load(srcRoot)
+      .where(col("k") < 10)
+      .writeStream.format("graft")
+      .option("path", pkRoot).option("checkpointLocation", chk2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rows = spark.read.format("graft").load(pkRoot)
+      .select("k", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // keys 0-9 upserted (v0..v9 beat old1/old2 via the stamped offset);
+    // key 900 untouched
+    assert(rows == ((0L until 10L).map(i => (i, s"v$i")) :+ (900L, "keep")),
+      rows.toString)
+    assert(rows == pk.read.select("k", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // sink files carry buckets AND the stamped sequence column
+    val pkFiles = gc.getTable("db", "sink_pk").latestSnapshot.get.files
+      .filter(_.path.contains("/w0-"))
+    assert(pkFiles.nonEmpty && pkFiles.forall(_.bucket.isDefined))
+    assert(spark.read.parquet(pkFiles.head.path).columns
+      .contains(StreamTable.SeqColName))
+  }
+
+  test("changelog-producer: commits persist their netted changelog; CDC reads only it") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "clp",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "2",
+        "changelog-producer" -> "input"))
+    val root = s"${gc.warehouse}/db.db/clp"
+    tbl.appendBatch(Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("id", "ver", "v"), 0L)
+    tbl.appendBatch(Seq((1L, 20L, "A")).toDF("id", "ver", "v"), 1L)
+    tbl.appendBatch(Seq((2L, 5L, "stale")).toDF("id", "ver", "v"), 2L)
+    tbl.deleteBatch(Seq((3L, 10L)).toDF("id", "ver"), 3L)
+
+    // every commit carries produced changelog files beside its data files
+    val snaps = tbl.snapshots
+    assert(snaps.forall(_.clogProduced), snaps.map(_.clogProduced).toString)
+    assert(snaps.forall(_.changelog.nonEmpty))
+    assert(snaps.flatMap(_.changelog).forall(_.path.contains("/data/changelog/")))
+
+    // the file-count metric: an incremental trigger plans ONLY the
+    // interval's changelog files — zero data files, O(delta) per trigger
+    val stream = new graft.sources.v2.GraftChangelogStream(
+      tbl, spark.read.format("graft").load(root).schema, Map.empty)
+    val parts = stream.planInputPartitions(
+      graft.sources.v2.GraftOffset(0L), graft.sources.v2.GraftOffset(3L))
+    assert(parts.nonEmpty)
+    val planned = parts.toSeq.map {
+      case d: graft.sources.v2.GraftChangelogDeltaPartition => d.files.map(_._1)
+      case other => fail(s"expected a delta partition, got $other")
+    }.flatten
+    val intervalClog = snaps.filter(s0 => s0.id >= 1 && s0.id <= 3)
+      .flatMap(_.changelog.map(_.path))
+    assert(planned.toSet == intervalClog.toSet, s"planned=$planned")
+
+    // end-to-end: the drained stream matches the state-diff changelog
+    val chk = java.nio.file.Files.createTempDirectory("v2_clp_chk_").toString
+    def drain(): Seq[(Long, Long, String, String)] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      val q = spark.readStream.format("graft").option("read-changelog", "true")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .sorted
+    }
+    // run 1 = initial catch-up (+I of the resolved state at the pinned end)
+    assert(drain() == Seq((1L, 20L, "A", "+I"), (2L, 10L, "b", "+I")))
+    // incremental run over producer commits: matches the batch changelog
+    tbl.appendBatch(Seq((1L, 30L, "AA"), (9L, 1L, "new")).toDF("id", "ver", "v"), 4L)
+    tbl.deleteBatch(Seq((2L, 10L)).toDF("id", "ver"), 5L)
+    val run2 = drain()
+    val batch = tbl.changelogWithRetractions(3L, tbl.latestSnapshot.get.id)
+      .select("id", "ver", "v", "op").as[(Long, Long, String, String)]
+      .collect().toSeq.sorted
+    assert(run2 == batch, s"stream=$run2 batch=$batch")
+  }
+
+  test("changelog-producer: append-then-compact inside one trigger keeps the changes") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    for (producer <- Seq(true, false)) {
+      val (_, gc) = freshCatalog()
+      val opts = Map("primary-key" -> "id") ++
+        (if (producer) Map("changelog-producer" -> "input") else Map.empty)
+      val tbl = gc.createTable("db", "clac", opts)
+      val root = s"${gc.warehouse}/db.db/clac"
+      val chk = java.nio.file.Files.createTempDirectory("v2_clac_chk_").toString
+      def drain(): Seq[(Long, String, String)] = {
+        val buf = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[org.apache.spark.sql.Row]())
+        val q = spark.readStream.format("graft").option("read-changelog", "true")
+          .load(root)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      }
+      tbl.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+      assert(drain() == Seq((1L, "a", "+I"), (2L, "b", "+I")))
+      // an update AND a delete commit, then a compaction absorbs their
+      // level-0 files — all inside ONE undrained interval: the changes must
+      // still stream (the commit-by-commit walk / the persisted changelog)
+      tbl.appendBatch(Seq((2L, "B")).toDF("id", "v"), 1L)
+      tbl.deleteBatch(Seq(Tuple1(1L)).toDF("id"), 2L)
+      tbl.compact(1)
+      assert(drain() == Seq((1L, "a", "-D"), (2L, "b", "-U"), (2L, "B", "+U")).sorted,
+        s"producer=$producer")
+    }
+  }
+
+  test("changelog-producer: retention expires changelog files with their snapshots") {
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "clr",
+      Map("primary-key" -> "id", "changelog-producer" -> "input"))
+    (0L until 6L).foreach(i =>
+      tbl.appendBatch(Seq((i % 2, s"v$i")).toDF("id", "v"), i))
+    val allClog = tbl.snapshots.flatMap(_.changelog.map(_.path))
+    assert(allClog.size >= 6)
+    val expired = tbl.expireSnapshots(numRetainedMin = 2, numRetainedMax = 2,
+      timeRetainedMs = 0L)
+    assert(expired > 0)
+    val keptClog = tbl.snapshots.flatMap(_.changelog.map(_.path)).toSet
+    allClog.foreach { p =>
+      val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      assert(exists == keptClog.contains(p),
+        s"$p exists=$exists kept=${keptClog.contains(p)}")
+    }
+  }
+
   test("PK merge-on-read across ADD COLUMN evolution null-fills old versions") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
@@ -979,7 +1323,7 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "A", 9.5), (2L, "b", null)))
   }
 
-  test("aggregation engine resolves per-bucket in the V2 readers; partial-update refuses") {
+  test("aggregation engine resolves per-bucket in the V2 readers") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
     val tbl = gc.createTable("db", "agg",
@@ -1001,16 +1345,100 @@ class V2ConnectorSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(viaSql == viaLib, s"sql=$viaSql lib=$viaLib")
     assert(viaSql.map(r => (r(0), r(1))) == Seq((1L, 112L), (2L, 12L)))
-    // partial-update keeps the library view (nested fseq structs)
+    // partial-update reads natively too (per-field last-non-null in the
+    // reader — the deeper coverage lives in its own test below)
     val pu = gc.createTable("db", "pu",
       Map("primary-key" -> "id", "merge-engine" -> "partial-update"))
     pu.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.db.pu").collect()
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.pu").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+  }
+
+  test("aggregation read widens INT/FLOAT sums like the library view") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "aggw",
+      Map("primary-key" -> "id",
+        "fields.n.aggregate-function" -> "sum",
+        "fields.x.aggregate-function" -> "sum",
+        "fields.hi.aggregate-function" -> "max"))
+    // INT sum overflowing Int.MaxValue proves the fold runs in the widened
+    // accumulator, not the narrow file type
+    tbl.appendBatch(Seq((1L, 2000000000, 1.5f, 3), (2L, 7, 0.25f, 9))
+      .toDF("id", "n", "x", "hi"), 0L)
+    tbl.appendBatch(Seq((1L, 2000000000, 2.25f, 5)).toDF("id", "n", "x", "hi"), 1L)
+    val df = spark.sql(s"SELECT id, n, x, hi FROM $cat.db.aggw ORDER BY id")
+    assert(df.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.schema("hi").dataType == org.apache.spark.sql.types.IntegerType)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).toSeq
+    assert(rows == Seq((1L, 4000000000L, 3.75, 5), (2L, 7L, 0.25, 9)), rows.toString)
+    // bit-for-bit the library view
+    val lib = gc.getTable("db", "aggw").read.select("id", "n", "x", "hi")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == lib)
+  }
+
+  test("partial-update through the V2 scan: per-field last-non-null, fseq provenance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "pun",
+      Map("primary-key" -> "id", "merge-engine" -> "partial-update",
+        "sequence.field" -> "ver", "bucket" -> "2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toSeq
+    // commit 0: full rows at ver=1
+    tbl.appendBatch(Seq((1L, 1L, "a", 10.0), (2L, 1L, "b", 20.0))
+      .toDF("id", "ver", "name", "bal"), 0L)
+    // commit 1: partial update at ver=3 — bal only (name not written)
+    tbl.appendBatch(Seq((1L, 3L, null, 99.0))
+      .toDF("id", "ver", "name", "bal")
+      .select(col("id"), col("ver"), col("name").cast("string"), col("bal")), 1L)
+    val viaSql1 = rows(spark.sql(s"SELECT id, name, bal FROM $cat.db.pun ORDER BY id"))
+    assert(viaSql1 == Seq((1L, "a", 99.0), (2L, "b", 20.0)), viaSql1.toString)
+    assert(viaSql1 == rows(tbl.read.select("id", "name", "bal").orderBy("id")))
+    // compaction persists per-field provenance; an OUT-OF-ORDER arrival
+    // (ver=2 for both fields) must then lose bal to ver=3 but win name over
+    // ver=1 — the fseq structs are what make this resolve correctly
+    tbl.compact(1)
+    tbl.appendBatch(Seq((1L, 2L, "late", -1.0)).toDF("id", "ver", "name", "bal"), 2L)
+    val viaSql2 = rows(spark.sql(s"SELECT id, name, bal FROM $cat.db.pun ORDER BY id"))
+    assert(viaSql2 == Seq((1L, "late", 99.0), (2L, "b", 20.0)), viaSql2.toString)
+    assert(viaSql2 == rows(tbl.read.select("id", "name", "bal").orderBy("id")))
+
+    // the CDC stream serves partial-update too (write-time producer):
+    import org.apache.spark.sql.streaming.Trigger
+    val clTbl = gc.createTable("db", "puncl",
+      Map("primary-key" -> "id", "merge-engine" -> "partial-update",
+        "sequence.field" -> "ver", "changelog-producer" -> "input"))
+    val root = s"${gc.warehouse}/db.db/puncl"
+    val chk = java.nio.file.Files.createTempDirectory("v2_pun_chk_").toString
+    def drain(): Seq[(Long, String, String)] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      val q = spark.readStream.format("graft").option("read-changelog", "true")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.addAll(java.util.Arrays.asList(
+            df.select("id", "name", "op").collect(): _*)); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2))).sorted
     }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(e).exists(c => Option(c.getMessage)
-      .exists(_.contains("partial-update"))), s"unexpected error: $e")
+    clTbl.appendBatch(Seq((1L, 1L, "a", 1.0)).toDF("id", "ver", "name", "bal"), 0L)
+    assert(drain() == Seq((1L, "a", "+I")))
+    // a partial write (bal only): the changelog's +U image keeps name='a'
+    clTbl.appendBatch(Seq((1L, 2L, null, 7.0)).toDF("id", "ver", "name", "bal")
+      .select(col("id"), col("ver"), col("name").cast("string"), col("bal")), 1L)
+    assert(drain() == Seq((1L, "a", "-U"), (1L, "a", "+U")).sorted)
   }
 }
