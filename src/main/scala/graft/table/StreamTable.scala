@@ -269,16 +269,23 @@ class StreamTable(
         prev.filter(f => touched.contains(f.bucket.get))
       } else prev
     val newRows = readFiles(newMetas)
-    val changedKeys = newRows.select(pk.map(col): _*).distinct()
-    val oldState =
-      if (prevKept.isEmpty) resolveView(newRows, pk, keepSeq = false).limit(0)
-      else resolveView(readFiles(prevKept), pk, keepSeq = false)
-        .join(changedKeys, pk, "left_semi")
-    val newState = resolveView(readFiles(prevKept ++ newMetas), pk, keepSeq = false)
-      .join(changedKeys, pk, "left_semi")
     // co-locate the change rows with their key's bucket (via writeClustered's
     // content-derived labeling) so the CDC reader keeps the per-bucket plan
-    val ops = netOps(oldState, newState, pk)
+    val ops =
+      if (prevKept.isEmpty) {
+        // first commit into these buckets: no old images exist, so the whole
+        // netted changelog is the resolved new state as +I — ONE resolve,
+        // no key join (halves the producer's cost on initial loads;
+        // resolveView already drops tombstone winners)
+        resolveView(newRows, pk, keepSeq = false).withColumn("op", lit("+I"))
+      } else {
+        val changedKeys = newRows.select(pk.map(col): _*).distinct()
+        val oldState = resolveView(readFiles(prevKept), pk, keepSeq = false)
+          .join(changedKeys, pk, "left_semi")
+        val newState = resolveView(readFiles(prevKept ++ newMetas), pk, keepSeq = false)
+          .join(changedKeys, pk, "left_semi")
+        netOps(oldState, newState, pk)
+      }
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val moved = writeClustered(ops, sortKey = None, staging, dataChangelog,
       s"cl$batchId")
@@ -473,12 +480,22 @@ class StreamTable(
     // footer stats are batch-id-independent; only minSeq/maxSeq get restamped
     val metas0 = fileMetas(spark, moved.map(_._1), level = 0, minSeq = 0L, maxSeq = 0L)
       .zip(moved).map { case (m, (_, bkt)) => m.copy(bucket = bkt) }
+    // a stamped (PK) sink epoch under the changelog producer persists its
+    // netted change rows like any appendBatch commit — sink-fed CDC readers
+    // stay on the O(delta) fast path (the moved files already carry the
+    // stamped sequences the resolve reads)
+    val clog =
+      if (changelogProducer && stampedSeq.isDefined)
+        stageChangelog(metas0.map(m =>
+          m.copy(minSeq = stampedSeq.get, maxSeq = stampedSeq.get)), stampedSeq.get)
+      else Seq.empty
     commit(live => {
       val next = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
       val b = stampedSeq.map(math.max(_, next)).getOrElse(next)
       val seq = stampedSeq.getOrElse(b)
       (live ++ metas0.map(_.copy(minSeq = seq, maxSeq = seq)), b)
-    }, writer = Some((writerId, epochId)))
+    }, writer = Some((writerId, epochId)),
+      changelog = clog, produced = changelogProducer && stampedSeq.isDefined)
     // best-effort high-water (replay evidence beyond retention); REPLACE is
     // fine — it is monotonic and secondary to the snapshot evidence
     val dir = Paths.get(root, "_writers")

@@ -1287,6 +1287,44 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("changelog-producer: a PK sink epoch persists its changelog too") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "clsink",
+      Map("primary-key" -> "k", "bucket" -> "2", "changelog-producer" -> "input"))
+    val dst = s"${gc.warehouse}/db.db/clsink"
+    val srcRoot = java.nio.file.Files.createTempDirectory("v2_clsink_src_").toString
+    val src = new StreamTable(srcRoot, spark)
+    val chk = java.nio.file.Files.createTempDirectory("v2_clsink_chk_").toString
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(srcRoot)
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    src.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    pipe()
+    src.appendBatch(Seq((1L, "A")).toDF("k", "v"), 1L)
+    pipe()
+    // both sink epochs committed WITH produced changelog
+    val snaps = tbl.snapshots
+    assert(snaps.size == 2 && snaps.forall(_.clogProduced), snaps.toString)
+    assert(snaps.last.changelog.nonEmpty)
+    // the CDC interval over the second epoch plans ONLY changelog files
+    val stream = new graft.sources.v2.GraftChangelogStream(
+      tbl, spark.read.format("graft").load(dst).schema, Map.empty)
+    val parts = stream.planInputPartitions(
+      graft.sources.v2.GraftOffset(0L), graft.sources.v2.GraftOffset(1L))
+    assert(parts.forall(_.isInstanceOf[graft.sources.v2.GraftChangelogDeltaPartition]),
+      parts.toSeq.toString)
+    // and nets the upsert correctly
+    val batch = tbl.changelogWithRetractions(0L, 1L)
+      .select("k", "v", "op").as[(Long, String, String)].collect().toSeq.sorted
+    assert(batch == Seq((1L, "A", "+U"), (1L, "a", "-U")).sorted, batch.toString)
+  }
+
   test("changelog-producer: retention expires changelog files with their snapshots") {
     import spark.implicits._
     val (_, gc) = freshCatalog()
