@@ -61,6 +61,74 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ids == (ids.min to ids.max))
   }
 
+  test("changelog producer + concurrent compactor: per-commit changelog stays correct") {
+    // the producer computes each commit's diff against the CURRENT resolved
+    // state; an interleaved compaction never changes that state, so the
+    // concatenated per-commit changelogs must replay to the final table no
+    // matter which snapshots the compactor rewrote mid-stream
+    import org.apache.spark.sql.functions._
+    val t = new StreamTable(Files.createTempDirectory("graft_conc_cl_").toString,
+      spark, primaryKey = Some(Seq("id")), bucketKey = Some("id"), numBuckets = 2,
+      changelogProducer = true)
+    val nBatches = 10
+    val keys = 15L
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    @volatile var writerErr: Throwable = null
+    @volatile var compactorErr: Throwable = null
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          for (b <- 0 until nBatches) {
+            val df = spark.range(keys).select(col("id"),
+              concat(lit(s"b$b-"), col("id")).as("v"))
+              .where(col("id") % (b % 3 + 1) === 0)
+            t.appendBatch(df, b.toLong)
+          }
+        } catch { case e: Throwable => writerErr = e }
+      }
+    })
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          for (_ <- 0 until 4) {
+            Thread.sleep(120)
+            t.compact(targetFileCount = 2)
+          }
+        } catch { case e: Throwable => compactorErr = e }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "threads did not finish")
+    assert(writerErr == null, s"writer failed: $writerErr")
+    assert(compactorErr == null, s"compactor failed: $compactorErr")
+    // every logical commit produced; compaction commits produced-empty
+    assert(t.snapshots.forall(_.clogProduced))
+    // replay the concatenated changelog (commit order): the final image per
+    // key must equal the table's resolved view
+    val clog = t.snapshots.flatMap(_.changelog).sortBy(_.minSeq)
+    assert(clog.nonEmpty)
+    val replayed = scala.collection.mutable.Map[Long, String]()
+    clog.foreach { f =>
+      spark.read.parquet(f.path).orderBy("op") // -D/-U before +I/+U per commit
+        .collect().foreach { r =>
+          val id = r.getAs[Long]("id")
+          r.getAs[String]("op") match {
+            case "+I" | "+U" => replayed(id) = r.getAs[String]("v")
+            case "-D"        => replayed.remove(id)
+            case "-U"        => () // retraction of the pre-commit image
+          }
+        }
+    }
+    val table = t.read.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(replayed.toMap == table,
+      s"replayed=${replayed.toMap.toSeq.sorted} table=${table.toSeq.sorted}")
+  }
+
   test("concurrent partial-update appender + compactor: per-field winners survive races") {
     // the compactor's pre-merged rows (carrying __graft_fseq_* provenance)
     // race fresh partial appends; the final read must equal the sequential

@@ -21,7 +21,7 @@ object PlanDump {
       "q_ext_contamination" -> "Decontamination: benchmark 3-gram set joins the corpus gram stream on the gram key — linear shuffle join that AQE converts to broadcast when the benchmark side is small.",
       "q_win_topk_agg_native" -> "Bounded top-k TypedImperativeAggregate: partial_topkpairs combines the O(k) heap map-side; only k pairs per group cross the shuffle (vs the window variant's full partition sort).",
       "q_source_partitioned_pruning" -> "Hive-partitioned scan: the event_type filter resolves to PartitionFilters — whole directories pruned at planning time.",
-      "q_source_v2_pk_read" -> "PK merge-on-read through the V2 catalog: one input partition per hash bucket, last-writer-wins resolved inside the readers — zero exchanges below the presentation sort.",
+      "q_source_v2_pk_read" -> "PK merge-on-read through the V2 catalog: one input partition per hash bucket, last-writer-wins resolved inside the readers (streaming k-way merge over key-sorted runs, O(open files) memory) — zero exchanges below the presentation sort.",
       "q_ext_sessionize" -> "Batch sessionization: lag window, cumsum window and the session aggregate all share ONE hashpartitioning(user_id) exchange.",
       "q_ext_anomaly_zscore" -> "Anomaly detection: long-cents moments partial-aggregate map-side; the |event_type|-bounded stats frame broadcasts back; the 2.5σ cut evaluates inside the broadcast join.",
       "q_ext_minhash_jaccard" -> "Oracled MinHash: one explode feeds 8 min-aggregates (no seed×shingle blowup); candidates come from per-band signature self-joins; the true-Jaccard intersection join is candidate-bounded.",
@@ -63,7 +63,8 @@ object PlanDump {
       "q_agg_approx_top_k" -> "approx_top_k: constant-size sketch state partial-combines map-side (one ObjectHashAggregate row crosses the shuffle, never the key space); exact in this regime because capacity exceeds the distinct count.",
       "q_ext_dedup_e2e" -> "End-to-end dedup: banded candidates (self-joins, never all-pairs) feed the CC fixpoint — the shown plan is the FINAL flat round (lineage-truncated) + the label roll-up; per round one edge-label shuffle + min-groupBy + pointer-jump self-join.",
       "q_source_v2_agg_pushdown" -> "V2 aggregate pushdown: COUNT/MIN/MAX collapsed into GraftAggregateScan (PushedAggregates) — the answer is one precomputed row from manifest rowCounts + typed footer stats; NO aggregate exec, zero data bytes read.",
-      "q_join_spj" -> "Storage-partitioned join: both bucketed scans report KeyGroupedPartitioning(bucket(8, key)) and the MERGE hint pins the SMJ — ZERO hash exchanges in the whole plan: the join consumes the bucket layout and the per-key aggregation above reuses it (group key = join key); the only exchange is the final ORDER BY's range partition.")
+      "q_join_spj" -> "Storage-partitioned join: both bucketed scans report KeyGroupedPartitioning(bucket(8, key)) and the MERGE hint pins the SMJ — ZERO hash exchanges in the whole plan: the join consumes the bucket layout and the per-key aggregation above reuses it (group key = join key); the only exchange is the final ORDER BY's range partition.",
+      "q_source_v2_pk_partial" -> "partial-update merge-on-read: the same per-bucket BatchScan shape as q_source_v2_pk_read, with per-FIELD last-non-null folds inside the readers (persisted fseq provenance structs) — the merge engine changes the reader, never the plan.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")
