@@ -244,7 +244,16 @@ class StreamTable(
     // correct under the single-logical-writer contract (a concurrent
     // compactor never changes the resolved state, so an interleaved
     // compaction commit cannot invalidate the staged changelog)
-    val clog = if (changelogProducer) stageChangelog(metas, batchId) else Seq.empty
+    // an empty micro-batch (trickle stream) stages no files — nothing to
+    // diff. The TABLE's first snapshot also skips: a changelog file for
+    // snapshot 0 is unreachable by construction (a CDC interval (s, e]
+    // rides the delta path only for s ≥ 0, so it never covers snapshot 0;
+    // the initial catch-up (s = -1) resolves the live state directly) —
+    // producing it would be a full-table write nobody ever reads.
+    val clog =
+      if (changelogProducer && metas.nonEmpty && latestSnapshot.isDefined)
+        stageChangelog(metas, batchId)
+      else Seq.empty
     commit(live => (live ++ metas, batchId),
       changelog = clog, produced = changelogProducer)
   }
@@ -483,9 +492,10 @@ class StreamTable(
     // a stamped (PK) sink epoch under the changelog producer persists its
     // netted change rows like any appendBatch commit — sink-fed CDC readers
     // stay on the O(delta) fast path (the moved files already carry the
-    // stamped sequences the resolve reads)
+    // stamped sequences the resolve reads). The table's first snapshot
+    // skips, same as appendBatch: its changelog is unreachable.
     val clog =
-      if (changelogProducer && stampedSeq.isDefined)
+      if (changelogProducer && stampedSeq.isDefined && latestSnapshot.isDefined)
         stageChangelog(metas0.map(m =>
           m.copy(minSeq = stampedSeq.get, maxSeq = stampedSeq.get)), stampedSeq.get)
       else Seq.empty

@@ -107,11 +107,14 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(compactorErr == null, s"compactor failed: $compactorErr")
     // every logical commit produced; compaction commits produced-empty
     assert(t.snapshots.forall(_.clogProduced))
-    // replay the concatenated changelog (commit order): the final image per
-    // key must equal the table's resolved view
+    // replay = the catch-up image (snapshot 0's resolved state — its
+    // changelog is skipped as unreachable) + the concatenated changelog in
+    // commit order: the final image per key must equal the resolved view
     val clog = t.snapshots.flatMap(_.changelog).sortBy(_.minSeq)
     assert(clog.nonEmpty)
     val replayed = scala.collection.mutable.Map[Long, String]()
+    t.readAt(0L).collect().foreach(r =>
+      replayed(r.getAs[Long]("id")) = r.getAs[String]("v"))
     clog.foreach { f =>
       spark.read.parquet(f.path).orderBy("op") // -D/-U before +I/+U per commit
         .collect().foreach { r =>

@@ -1197,10 +1197,13 @@ class V2ConnectorSpec extends AnyFunSuite {
     tbl.appendBatch(Seq((2L, 5L, "stale")).toDF("id", "ver", "v"), 2L)
     tbl.deleteBatch(Seq((3L, 10L)).toDF("id", "ver"), 3L)
 
-    // every commit carries produced changelog files beside its data files
+    // every commit carries produced changelog files beside its data files —
+    // except the table's FIRST snapshot, whose changelog is unreachable by
+    // construction (delta intervals start at s ≥ 0) and is skipped
     val snaps = tbl.snapshots
     assert(snaps.forall(_.clogProduced), snaps.map(_.clogProduced).toString)
-    assert(snaps.forall(_.changelog.nonEmpty))
+    assert(snaps.head.changelog.isEmpty, "snapshot 0's changelog is never read")
+    assert(snaps.tail.forall(_.changelog.nonEmpty))
     assert(snaps.flatMap(_.changelog).forall(_.path.contains("/data/changelog/")))
 
     // the file-count metric: an incremental trigger plans ONLY the
@@ -1333,7 +1336,7 @@ class V2ConnectorSpec extends AnyFunSuite {
     (0L until 6L).foreach(i =>
       tbl.appendBatch(Seq((i % 2, s"v$i")).toDF("id", "v"), i))
     val allClog = tbl.snapshots.flatMap(_.changelog.map(_.path))
-    assert(allClog.size >= 6)
+    assert(allClog.size >= 5) // snapshot 0 skips (unreachable changelog)
     val expired = tbl.expireSnapshots(numRetainedMin = 2, numRetainedMax = 2,
       timeRetainedMs = 0L)
     assert(expired > 0)
