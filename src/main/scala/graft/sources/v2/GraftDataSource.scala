@@ -50,11 +50,11 @@ import graft.table.{DataFileMeta, StreamTable}
   *      re-applies every filter as a residual — pushdown is a fast path,
   *      never a correctness dependency.
   *
-  * Append tables only: PK merge-on-read needs the sorted-run LSM invariant
-  * Paimon's bucket files keep; our level-0 appends are unsorted, so PK
-  * resolution is a distributed shuffle ([[StreamTable.read]]), not a
-  * per-partition merge. A PK table read through this source would silently
-  * resurrect superseded rows — refused at table-load time instead.
+  * PK tables resolve merge-on-read inside per-bucket readers (all four
+  * merge engines; see [[GraftPkScanBuilder]]): the bucketed layout
+  * co-locates every version of a key, and PK files write as key-sorted
+  * runs, so the readers stream a k-way merge — the Paimon LSM read model,
+  * through Spark's public connector API.
   *
   * 100 TB posture: one manifest read + one footer pass per scan on the
   * driver (a production variant persists per-column stats in the manifest —

@@ -29,11 +29,19 @@ import graft.table.StreamTable
   * semantics (oracled against it). The initial catch-up (`start = -1`)
   * emits the current resolved state as `+I` (Paimon `latest-full`).
   *
-  * Execution is the PK merge-on-read plan run TWICE per bucket — old
-  * winners, new winners — inside the reader: per-bucket, zero exchanges,
-  * working set = the bucket's distinct keys (see [[GraftPkScanBuilder]]'s
-  * scale notes; changed-key tracking rides the same pass over the new
-  * files, so the interval diff costs one extra hash set, not a join).
+  * Execution, two regimes:
+  *  - **`changelog-producer` tables (the fast path)**: every covered commit
+  *    persisted its netted change rows at write time, so the trigger reads
+  *    ONLY the interval's changelog files and folds them per key
+  *    ([[GraftChangelogDeltaReader]]) — O(interval changelog) per trigger,
+  *    never a table resolve. This is what a 20 s-trigger CDC consumer on a
+  *    100 TB table stands on.
+  *  - **fallback (pre-option history)**: the PK merge-on-read plan run
+  *    TWICE per bucket — old winners, new winners — inside the reader:
+  *    per-bucket, zero exchanges, working set = the bucket's distinct keys;
+  *    the interval walks COMMIT-BY-COMMIT for its changed-key evidence, so
+  *    a level-0 file absorbed by an in-interval compaction still
+  *    contributes its keys (scanned key-only as `extraChanged`).
   */
 class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead {
 

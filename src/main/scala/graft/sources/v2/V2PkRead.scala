@@ -40,13 +40,17 @@ import graft.table.{DataFileMeta, StreamTable}
   * as a residual anyway — pushdown is a fast path, never a correctness
   * dependency).
   *
-  * 100 TB posture: the per-reader working set is one bucket's DISTINCT keys
-  * (the hash-merge dual of Paimon's sorted-run merge; compaction keeps the
-  * version multiplicity per bucket near 1), and the bucket count is the
-  * declared write-time parallelism knob. A key-equality lookup prunes to a
-  * single bucket before any I/O (the PK point read). Files without recorded
-  * bucket ids (legacy manifests) degrade to one merge group — correct, not
-  * parallel; rewrite via compaction to restore the layout.
+  * 100 TB posture: PK files write as SORTED RUNS (ascending pk) and
+  * compaction re-sorts, so the default reader is a STREAMING k-way merge
+  * with O(open files + one key's versions) memory — Paimon's sorted-run
+  * LSM merge, which survives a mis-sized or skew-hot bucket where a hash
+  * of the bucket's distinct keys would not. Unsorted files (legacy
+  * manifests, sink epochs) degrade that group to the hash merge until the
+  * next compaction; the bucket count remains the declared write-time
+  * parallelism knob, and a key-equality lookup prunes to a single bucket
+  * before any I/O (the PK point read). Files without recorded bucket ids
+  * degrade to one merge group — correct, not parallel; rewrite via
+  * compaction to restore the layout.
   */
 class GraftPkScanBuilder(table: GraftV2Table, fullSchema: StructType,
     pk: Seq[String], nameMap: Map[String, String] = Map.empty) extends ScanBuilder

@@ -277,24 +277,16 @@ class StreamTable(
         val touched = newMetas.flatMap(_.bucket).toSet
         prev.filter(f => touched.contains(f.bucket.get))
       } else prev
-    val newRows = readFiles(newMetas)
     // co-locate the change rows with their key's bucket (via writeClustered's
     // content-derived labeling) so the CDC reader keeps the per-bucket plan
     val ops =
-      if (prevKept.isEmpty) {
+      if (prevKept.isEmpty)
         // first commit into these buckets: no old images exist, so the whole
         // netted changelog is the resolved new state as +I — ONE resolve,
-        // no key join (halves the producer's cost on initial loads;
-        // resolveView already drops tombstone winners)
-        resolveView(newRows, pk, keepSeq = false).withColumn("op", lit("+I"))
-      } else {
-        val changedKeys = newRows.select(pk.map(col): _*).distinct()
-        val oldState = resolveView(readFiles(prevKept), pk, keepSeq = false)
-          .join(changedKeys, pk, "left_semi")
-        val newState = resolveView(readFiles(prevKept ++ newMetas), pk, keepSeq = false)
-          .join(changedKeys, pk, "left_semi")
-        netOps(oldState, newState, pk)
-      }
+        // no key join (resolveView already drops tombstone winners)
+        resolveView(readFiles(newMetas), pk, keepSeq = false)
+          .withColumn("op", lit("+I"))
+      else fusedChangelog(prevKept, newMetas, pk)
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val moved = writeClustered(ops, sortKey = None, staging, dataChangelog,
       s"cl$batchId")
@@ -1186,22 +1178,140 @@ class StreamTable(
     netOps(oldChanged, newState, pk)
   }
 
+  /** The producer's one-shuffle changelog: old AND new per-key images come
+    * out of a SINGLE aggregation over (previous ∪ fresh) rows — the old
+    * image aggregates only the pre-commit rows (a conditional aggregate /
+    * null-ordered `max_by`, which skips them like any null input), the new
+    * image aggregates everything, and `max(isNew)` marks the touched keys —
+    * so a commit costs ONE shuffle over the touched buckets instead of two
+    * resolves plus key joins. Engine-correct by the same arguments as the
+    * read-side merges: LWW/first-row pick by (sequence, commit) order,
+    * aggregation folds are associative+commutative, partial-update races
+    * per field on its provenance. Exact-tie image choice is arbitrary
+    * (matching every other merge site's contract).
+    *
+    * Emission matches [[netOps]]: old+new → `-U old, +U new` (identical
+    * images for a stale arrival — a delta consumer nets zero); old only
+    * (tombstone won) → `-D old`; new only → `+I new`. */
+  private def fusedChangelog(prevFiles: Seq[DataFileMeta],
+      newMetas: Seq[DataFileMeta], pk: Seq[String]): DataFrame = {
+    val marker = "__graft_isnew"
+    val all = readFiles(prevFiles).withColumn(marker, lit(false))
+      .unionByName(readFiles(newMetas).withColumn(marker, lit(true)),
+        allowMissingColumns = true)
+    val isNew = col(marker)
+    val metaCols = pk.toSet + SeqColName + TombstoneColName + marker
+    val fields = all.columns
+      .filterNot(c => metaCols.contains(c) || c.startsWith(FieldSeqPrefix)).toSeq
+    val tomb =
+      if (all.columns.contains(TombstoneColName))
+        coalesce(col(TombstoneColName), lit(false))
+      else lit(false)
+
+    // (old image struct | null, new image struct | null, touched) per key
+    val staged: DataFrame = engine match {
+      case "aggregation" =>
+        val spec = aggSpec.get
+        def fold(fn: String, c: org.apache.spark.sql.Column) = fn match {
+          case "sum" | "count" => sum(c)
+          case "min"           => min(c)
+          case "max"           => max(c)
+        }
+        val aggs = spec.flatMap { case (f, fn) =>
+          Seq(fold(fn, col(f)).as(s"__nw_$f"),
+            fold(fn, when(!isNew, col(f))).as(s"__ow_$f"))
+        } ++ Seq(count(when(!isNew, lit(1))).as("__nold"), max(isNew).as("__t"))
+        all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(pk.map(col) ++ Seq(
+            when(col("__nold") > 0,
+              struct(spec.map(s => col(s"__ow_${s._1}").as(s._1)): _*)).as("__ow"),
+            struct(spec.map(s => col(s"__nw_${s._1}").as(s._1)): _*).as("__nw"),
+            col("__t")): _*)
+      case "partial-update" =>
+        val baseOrd = struct(
+          seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
+          col(SeqColName).cast("long").as("s2"))
+        def eff(f: String) = {
+          val persisted =
+            if (all.columns.contains(FieldSeqPrefix + f)) col(FieldSeqPrefix + f)
+            else lit(null).cast("struct<s1:bigint,s2:bigint>")
+          when(persisted.isNotNull, persisted).when(col(f).isNotNull, baseOrd)
+        }
+        val aggs = fields.flatMap { f =>
+          val cand = struct(eff(f).as("s"), col(f).as("v"))
+          Seq(max(when(eff(f).isNotNull, cand)).getField("v").as(s"__nw_$f"),
+            max(when(eff(f).isNotNull && !isNew, cand)).getField("v").as(s"__ow_$f"))
+        } ++ Seq(count(when(!isNew, lit(1))).as("__nold"), max(isNew).as("__t"))
+        all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(pk.map(col) ++ Seq(
+            when(col("__nold") > 0,
+              struct(fields.map(f => col(s"__ow_$f").as(f)): _*)).as("__ow"),
+            struct(fields.map(f => col(s"__nw_$f").as(f)): _*).as("__nw"),
+            col("__t")): _*)
+      case _ => // deduplicate | first-row: pick the winning VERSION per key
+        val ord = struct(
+          seqCol.map(col).getOrElse(lit(0L)).as("s1"), col(SeqColName).as("s2"))
+        val img = struct(fields.map(col) :+ tomb.as("__tomb"): _*)
+        def pick(o: org.apache.spark.sql.Column) =
+          if (engine == "first-row") min_by(img, o) else max_by(img, o)
+        all.groupBy(pk.map(col): _*).agg(
+          pick(ord).as("__nwr"),
+          // null ordering skips the fresh rows — the old-state winner
+          pick(when(!isNew, ord)).as("__owr"),
+          max(isNew).as("__t"))
+          .select(pk.map(col) ++ Seq(
+            when(col("__owr").isNotNull && !col("__owr").getField("__tomb"),
+              struct(fields.map(f => col(s"__owr.$f").as(f)): _*)).as("__ow"),
+            when(col("__nwr").isNotNull && !col("__nwr").getField("__tomb"),
+              struct(fields.map(f => col(s"__nwr.$f").as(f)): _*)).as("__nw"),
+            col("__t")): _*)
+    }
+    staged.filter(col("__t") && (col("__ow").isNotNull || col("__nw").isNotNull))
+      .select(pk.map(col) :+ explode(
+        when(col("__ow").isNotNull && col("__nw").isNotNull,
+          array(struct(lit("-U").as("op"), col("__ow").as("img")),
+            struct(lit("+U").as("op"), col("__nw").as("img"))))
+          .when(col("__nw").isNull,
+            array(struct(lit("-D").as("op"), col("__ow").as("img"))))
+          .otherwise(array(struct(lit("+I").as("op"), col("__nw").as("img")))))
+        .as("__e"): _*)
+      .select(pk.map(col) ++
+        fields.map(f => col(s"__e.img.$f").as(f)) :+
+        col("__e.op").as("op"): _*)
+  }
+
   /** Net two per-key resolved states into the changelog alphabet: old+new →
     * `-U old, +U new`; old only → `-D old`; new only → `+I new` (shared by
-    * [[changelogWithRetractions]] and the write-time changelog producer). */
+    * [[changelogWithRetractions]] and the write-time changelog producer).
+    *
+    * ONE full-outer join on the key, payloads packed as structs, then the
+    * op rows explode out — retractions carry the OLD image (`-D` when the
+    * key is gone from the new state, i.e. a tombstone won). Columns align
+    * by name first (a pre-evolution old state null-fills columns it
+    * predates). */
   private def netOps(oldChanged: DataFrame, newState: DataFrame,
       pk: Seq[String]): DataFrame = {
-    val newKeys = newState.select(pk.map(col): _*).withColumn("__in_new", lit(1))
-    val oldKeys = oldChanged.select(pk.map(col): _*).withColumn("__in_old", lit(1))
-    // retractions carry the OLD image; -D when the key is gone from the new
-    // state (tombstone won), -U when it survives with a (possibly) new image
-    val retracts = oldChanged.join(newKeys, pk, "left")
-      .withColumn("op", when(col("__in_new").isNull, "-D").otherwise("-U"))
-      .drop("__in_new")
-    val upserts = newState.join(oldKeys, pk, "left")
-      .withColumn("op", when(col("__in_old").isNull, "+I").otherwise("+U"))
-      .drop("__in_old")
-    retracts.unionByName(upserts, allowMissingColumns = true)
+    val payload = (newState.schema.filterNot(f => pk.contains(f.name)) ++
+      oldChanged.schema.filterNot(f =>
+        pk.contains(f.name) || newState.columns.contains(f.name))).toSeq
+    def packed(df: DataFrame, as: String) = df.select(pk.map(col) :+
+      struct(payload.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*).as(as): _*)
+    val joined = packed(oldChanged, "__old")
+      .join(packed(newState, "__new"), pk, "full_outer")
+    val opped = joined.select(pk.map(col) :+ explode(
+      when(col("__old").isNotNull && col("__new").isNotNull,
+        array(struct(lit("-U").as("op"), col("__old").as("img")),
+          struct(lit("+U").as("op"), col("__new").as("img"))))
+        .when(col("__new").isNull,
+          array(struct(lit("-D").as("op"), col("__old").as("img"))))
+        .otherwise(
+          array(struct(lit("+I").as("op"), col("__new").as("img")))))
+      .as("__e"): _*)
+    opped.select(pk.map(col) ++
+      payload.map(f => col(s"__e.img.${f.name}").as(f.name)) :+
+      col("__e.op").as("op"): _*)
   }
 
   /** Incremental changelog read between two snapshots (the

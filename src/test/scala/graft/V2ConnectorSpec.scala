@@ -1290,6 +1290,27 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("changelog-producer: first-row engine — later arrivals net to identical pairs") {
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "clfr",
+      Map("primary-key" -> "id", "merge-engine" -> "first-row",
+        "changelog-producer" -> "input"))
+    tbl.appendBatch(Seq((1L, "first"), (2L, "x")).toDF("id", "v"), 0L)
+    // a LATER arrival for id=1 loses first-row resolution: its produced
+    // changelog must carry the SURVIVING (first) image on both sides of the
+    // pair (the min_by old-state pick must never leak a fresh row); id=9 is
+    // genuinely new
+    tbl.appendBatch(Seq((1L, "late"), (9L, "new")).toDF("id", "v"), 1L)
+    val clog = tbl.snapshots.last.changelog
+    assert(clog.nonEmpty)
+    val rows = spark.read.parquet(clog.map(_.path): _*)
+      .select("id", "v", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(rows == Seq((1L, "first", "-U"), (1L, "first", "+U"),
+      (9L, "new", "+I")).sorted, rows.toString)
+  }
+
   test("changelog-producer: a PK sink epoch persists its changelog too") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
