@@ -77,10 +77,33 @@ class GraftDataSource extends TableProvider
   private def isChangelog(get: String => String): Boolean =
     Option(get("read-changelog")).exists(v => v == "true" || v == "1")
 
+  /** `incremental-between = "from,to"` → the `(from, to]` snapshot interval
+    * as a batch changelog read (V2Incremental.scala). Each endpoint is a
+    * snapshot id or a TAG name (Paimon's incremental-between-tags: nightly
+    * tags make `"2024-01-01,2024-01-02"` the day's change set). */
+  private def incrementalOf(get: String => String,
+      base: => GraftV2Table): Option[(Long, Long)] =
+    Option(get("incremental-between")).map { v =>
+      v.split(",").map(_.trim) match {
+        case Array(a, b) =>
+          lazy val tags = base.table.tags.toMap
+          def resolve(x: String): Long = x.toLongOption.getOrElse(
+            tags.getOrElse(x, throw new IllegalArgumentException(
+              s"incremental-between endpoint '$x' is neither a snapshot id " +
+                s"nor a tag (tags: ${tags.keys.toSeq.sorted.mkString(", ")})")))
+          (resolve(a), resolve(b))
+        case _ => throw new IllegalArgumentException(
+          s"incremental-between expects 'fromSnapshot,toSnapshot', got '$v'")
+      }
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = GraftV2Table.fromPath(rootOf(options))
     if (isChangelog(options.get)) new GraftChangelogV2Table(base).schema()
-    else base.schema()
+    else incrementalOf(options.get, base) match {
+      case Some((a, b)) => new GraftIncrementalV2Table(base, a, b).schema()
+      case None => base.schema()
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -92,6 +115,10 @@ class GraftDataSource extends TableProvider
     require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<tableRoot>)")
     if (isChangelog(k => properties.get(k)))
       return new GraftChangelogV2Table(GraftV2Table.fromPath(p))
+    incrementalOf(k => properties.get(k), GraftV2Table.fromPath(p))
+      .foreach { case (a, b) =>
+        return new GraftIncrementalV2Table(GraftV2Table.fromPath(p), a, b)
+      }
     val t = GraftV2Table.fromPath(p, Option(schema))
     // a COMMITTED table's schema comes from its files (or its persisted
     // evolved declaration); a user-specified read schema that differs is an

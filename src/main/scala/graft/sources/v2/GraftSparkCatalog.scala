@@ -102,11 +102,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val baseIdent = Identifier.of(ident.namespace(), base)
         if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
         val t = backing.getTable(db(ident.namespace()), base)
+        if (sys == "audit_log") {
+          // data-sized (the retained change history) — a DISTRIBUTED scan
+          // over changelog/delta files, never a driver-local metadata view
+          val (declared, renames) = GraftV2Table.evolutionOf(
+            backing.tableOptions(db(ident.namespace()), base))
+          return new GraftAuditLogV2Table(new GraftV2Table(
+            s"$catalogName.${db(ident.namespace())}.$base",
+            t, SparkSession.active, declared, renameMap = renames))
+        }
         val view = sys match {
           case "files"     => () => t.filesView
           case "snapshots" => () => t.snapshotsView
           case "tags"      => () => t.tagsView
           case "consumers" => () => t.consumersView
+          case "options" => () => {
+            // the persisted table properties (Paimon `t$options`): what
+            // CREATE declared plus every ALTER TABLE SET since
+            val sp = SparkSession.active
+            import sp.implicits._
+            backing.tableOptions(db(ident.namespace()), base).toSeq
+              .sortBy(_._1).toDF("key", "value")
+          }
           case other => throw new NoSuchTableException(ident)
         }
         return new MetadataV2Table(

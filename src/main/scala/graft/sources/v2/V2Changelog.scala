@@ -112,18 +112,53 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 
-  // ---- the merge-internal schema (file-level names; see GraftPkScan) -----
-  private val fileBase: StructType =
-    if (nameMap.isEmpty) baseSchema
-    else StructType(baseSchema.map(f => f.copy(name = nameMap.getOrElse(f.name, f.name))))
-  private val internal: StructType = StructType(fileBase.fields ++ Seq(
-    StructField(StreamTable.SeqColName, LongType),
-    StructField(StreamTable.TombstoneColName, BooleanType)))
-  private val pk = table.primaryKey.get
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val e = end.asInstanceOf[GraftOffset].snapshotId
+    ChangelogPlanning.planInterval(table, snaps, s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangelogPlanning.readerFactory(table, baseSchema, nameMap)
+
+  override def commit(end: Offset): Unit =
+    // committed trigger → the next undelivered snapshot is end+1; retention
+    // may release everything before `end`. Forward-only (a restored older
+    // checkpoint must not crash the query; advanceConsumer refuses
+    // regressions) — same contract as [[GraftMicroBatchStream.commit]].
+    consumerId.foreach { id =>
+      val next = end.asInstanceOf[GraftOffset].snapshotId + 1
+      if (!table.consumers.exists { case (cid, pos) => cid == id && pos >= next })
+        table.advanceConsumer(id, next)
+    }
+  override def stop(): Unit = ()
+}
+
+/** The changelog interval planner + reader wiring, shared by the STREAMING
+  * CDC source ([[GraftChangelogStream]], one interval per trigger) and the
+  * BATCH incremental/audit surfaces (`incremental-between`,
+  * `` `t$audit_log` `` — V2Incremental.scala): one `(start, end]` netting
+  * plan, identical either way. */
+private[v2] object ChangelogPlanning {
+
+  /** The merge-internal schema (file-level names; see GraftPkScan). */
+  private[v2] def fileBaseOf(baseSchema: StructType,
+      nameMap: Map[String, String]): StructType =
+    if (nameMap.isEmpty) baseSchema
+    else StructType(baseSchema.map(f => f.copy(name = nameMap.getOrElse(f.name, f.name))))
+
+  private[v2] def internalOf(fileBase: StructType): StructType =
+    StructType(fileBase.fields ++ Seq(
+      StructField(StreamTable.SeqColName, LongType),
+      StructField(StreamTable.TombstoneColName, BooleanType)))
+
+  /** Plan the netted `(s, e]` interval over `snaps`: the persisted-changelog
+    * fast path when every covered commit produced, else the per-bucket
+    * state-diff walked commit-by-commit (so a level-0 file absorbed by an
+    * in-interval compaction still contributes its keys). `s = -1` is the
+    * initial catch-up: the full state emits `+I`. */
+  def planInterval(table: StreamTable, snaps: Seq[graft.table.Snapshot],
+      s: Long, e: Long): Array[InputPartition] = {
     if (e <= s) return Array.empty
     val all = snaps
     def snapAt(id: Long): graft.table.Snapshot =
@@ -197,7 +232,14 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  /** The per-engine reader factory (winners for deduplicate/first-row,
+    * folds for aggregation, per-field merges for partial-update); every
+    * factory also serves the persisted-changelog delta partitions. */
+  def readerFactory(table: StreamTable, baseSchema: StructType,
+      nameMap: Map[String, String]): PartitionReaderFactory = {
+    val fileBase = fileBaseOf(baseSchema, nameMap)
+    val internal = internalOf(fileBase)
+    val pk = table.primaryKey.get
     if (table.effectiveEngine == "partial-update") {
       // per-field last-non-null states, with the persisted fseq provenance
       // structs in the read schema (the PK scan's exact fold)
@@ -233,18 +275,7 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
         internal.fieldIndex(StreamTable.SeqColName),
         internal.fieldIndex(StreamTable.TombstoneColName),
         table.effectiveEngine == "first-row")
-
-  override def commit(end: Offset): Unit =
-    // committed trigger → the next undelivered snapshot is end+1; retention
-    // may release everything before `end`. Forward-only (a restored older
-    // checkpoint must not crash the query; advanceConsumer refuses
-    // regressions) — same contract as [[GraftMicroBatchStream.commit]].
-    consumerId.foreach { id =>
-      val next = end.asInstanceOf[GraftOffset].snapshotId + 1
-      if (!table.consumers.exists { case (cid, pos) => cid == id && pos >= next })
-        table.advanceConsumer(id, next)
-    }
-  override def stop(): Unit = ()
+  }
 }
 
 /** One bucket's changelog interval: the bucket's live files at the start

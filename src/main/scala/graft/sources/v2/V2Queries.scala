@@ -300,6 +300,60 @@ object V2Queries {
                |FROM $catName.v2db.pk_cust ORDER BY c_custkey""".stripMargin)
     },
 
+    // Batch INCREMENTAL read (Paimon's `incremental-between`): the (0, 2]
+    // snapshot interval of the staged PK history netted per changed key as
+    // +I/-U/+U/-D — the streaming CDC trigger's exact batch, through the
+    // DataFrameReader door, on a table WITHOUT a persisted changelog (the
+    // per-bucket state-diff fallback running as a batch scan). Keys the
+    // interval never touched stay silent; the deleted keys retract their
+    // snapshot-0 image.
+    QDef(
+      "q_source_v2_incremental",
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, '-U' AS op FROM base
+        |  WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 1000, '+U' FROM base
+        |  WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, '-D' FROM base
+        |  WHERE c_custkey % 7 = 0
+        |) ORDER BY c_custkey, op""".stripMargin) { (s, d) =>
+      pkTable(s, d) // stage the 3-commit history
+      val (_, wh) = ordersCatalog(s, d)
+      s.read.format("graft").option("incremental-between", "0,2")
+        .load(s"$wh/v2db.db/pk_cust")
+        .orderBy("c_custkey", "op")
+    },
+
+    // The `t$audit_log` system table: the RETAINED change history of a
+    // `changelog-producer` table in plain SQL — snapshot 0 resolves as +I,
+    // every later commit is a pass-through of its PERSISTED changelog files
+    // (O(changelog bytes), no state resolve, no netting across commits —
+    // a log, not an interval diff). The deletes retract the CURRENT
+    // (post-update) image, unlike the interval read above, because each
+    // commit's changelog diffs against its own predecessor.
+    QDef(
+      "q_source_v2_audit_log",
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, '+I' AS rowkind FROM base
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, '-U' FROM base WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 1000, '+U' FROM base WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END, '-D'
+        |  FROM base WHERE c_custkey % 7 = 0
+        |) ORDER BY c_custkey, rowkind""".stripMargin) { (s, d) =>
+      val catName = audTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_name, c_acctbal, rowkind
+               |FROM $catName.v2db.`aud_cust$$audit_log`
+               |ORDER BY c_custkey, rowkind""".stripMargin)
+    },
+
     // Aggregation merge engine through plain SQL: same-key rows collapse by
     // the declared per-field function (sum/max here) INSIDE the per-bucket
     // readers — associative+commutative functions make the bucket-local fold
@@ -809,6 +863,25 @@ object V2Queries {
       val cat = new GraftCatalog(s, wh)
       val tbl = cat.createTable("v2db", "pk_cust",
         Map("primary-key" -> "c_custkey", "bucket" -> "4"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      tbl.appendBatch(c, 0L)
+      tbl.appendBatch(c.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000d), 1L)
+      tbl.deleteBatch(c.where(col("c_custkey") % 7 === 0).select("c_custkey"), 2L)
+      catName
+    })
+
+  /** pk_cust's history staged under `changelog-producer='input'` — every
+    * commit persists its netted change rows, so the batch audit_log is a
+    * pass-through of the changelog files (plus snapshot 0 resolved as +I). */
+  private val stagedAud = new ConcurrentHashMap[String, String]()
+  private def audTable(s: SparkSession, d: String): String =
+    stagedAud.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "aud_cust",
+        Map("primary-key" -> "c_custkey", "bucket" -> "4",
+          "changelog-producer" -> "input"))
       val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
       tbl.appendBatch(c, 0L)
       tbl.appendBatch(c.where(col("c_custkey") % 3 === 0)

@@ -1290,6 +1290,127 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental-between: append table serves the interval's added rows as +I") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_inc_app_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    tbl.appendBatch(Seq((3L, "c")).toDF("id", "v"), 1L)
+    tbl.appendBatch(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), 2L)
+    val inc = spark.read.format("graft")
+      .option("incremental-between", "0,2").load(root)
+    assert(inc.schema.fieldNames.toSeq == Seq("id", "v", "op"))
+    val rows = inc.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).toSeq.sorted
+    assert(rows == Seq((3L, "c", "+I"), (4L, "d", "+I"), (5L, "e", "+I")))
+    // out-of-range snapshot fails loudly, never returns a partial interval
+    val err = intercept[Exception](spark.read.format("graft")
+      .option("incremental-between", "0,9").load(root).collect())
+    assert(err.getMessage.contains("not retained"), err.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("incremental-between: PK table nets the interval (state-diff fallback, batch)") {
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "inc_pk",
+      Map("primary-key" -> "id", "bucket" -> "2"))
+    tbl.appendBatch(Seq((1L, "a0"), (2L, "b0"), (3L, "c0")).toDF("id", "v"), 0L)
+    tbl.appendBatch(Seq((2L, "b1")).toDF("id", "v"), 1L)
+    tbl.deleteBatch(Seq(Tuple1(3L)).toDF("id"), 2L)
+    val rows = spark.read.format("graft")
+      .option("incremental-between", "0,2").load(tbl.root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    // key 2 updated (-U old, +U new), key 3 deleted (-D old), key 1 silent
+    assert(rows == Seq((2L, "b1", "+U"), (2L, "b0", "-U"), (3L, "c0", "-D")),
+      rows.toString)
+  }
+
+  test("incremental-between: producer table rides the persisted changelog files") {
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "inc_cl",
+      Map("primary-key" -> "id", "changelog-producer" -> "input"))
+    tbl.appendBatch(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"), 0L)
+    tbl.appendBatch(Seq((1L, "a1"), (7L, "g0")).toDF("id", "v"), 1L)
+    val df = spark.read.format("graft")
+      .option("incremental-between", "0,1").load(tbl.root)
+    // the plan reads ONLY changelog files (the O(delta) fast path)
+    val parts = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .partitions.map(_.head)
+    assert(parts.nonEmpty && parts.forall {
+      case d: graft.sources.v2.GraftChangelogDeltaPartition =>
+        d.files.forall(_._1.contains("/data/changelog/"))
+      case other => fail(s"unexpected partition $other")
+    })
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).toSeq.sortBy(t => (t._1, t._3))
+    assert(rows == Seq((1L, "a1", "+U"), (1L, "a0", "-U"), (7L, "g0", "+I")),
+      rows.toString)
+  }
+
+  test("audit_log: producer PK table serves its retained change history") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "aud_cl",
+      Map("primary-key" -> "id", "sequence.field" -> "ver",
+        "changelog-producer" -> "input", "bucket" -> "2"))
+    // snapshot 0 carries TWO versions of key 1: audit must emit the winner
+    tbl.appendBatch(Seq((1L, 1L, "a0"), (1L, 2L, "a1"), (2L, 1L, "b0"))
+      .toDF("id", "ver", "v"), 0L)
+    tbl.appendBatch(Seq((2L, 2L, "b1")).toDF("id", "ver", "v"), 1L)
+    tbl.deleteBatch(Seq(Tuple1(1L)).toDF("id"), 2L)
+    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`aud_cl$$audit_log`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(rows == Seq(
+      (1L, "a1", "+I"), (1L, "a1", "-D"),
+      (2L, "b0", "+I"), (2L, "b1", "+U"), (2L, "b0", "-U")), rows.toString)
+  }
+
+  test("audit_log: append table history is +I; pre-producer PK history refuses") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val app = gc.createTable("db", "aud_app", Map.empty)
+    app.appendBatch(Seq((1L, "x")).toDF("id", "v"), 0L)
+    app.appendBatch(Seq((2L, "y")).toDF("id", "v"), 1L)
+    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`aud_app$$audit_log`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(rows == Seq((1L, "x", "+I"), (2L, "y", "+I")))
+    val pk = gc.createTable("db", "aud_nopro", Map("primary-key" -> "id"))
+    pk.appendBatch(Seq((1L, "x")).toDF("id", "v"), 0L)
+    pk.appendBatch(Seq((1L, "y")).toDF("id", "v"), 1L)
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.`aud_nopro$$audit_log`").collect())
+    assert(err.getMessage.contains("changelog-producer"), err.getMessage)
+  }
+
+  test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "inc_tags", Map("primary-key" -> "id"))
+    tbl.appendBatch(Seq((1L, "a0")).toDF("id", "v"), 0L)
+    tbl.createTag("day1", Some(0L))
+    tbl.appendBatch(Seq((1L, "a1"), (2L, "b0")).toDF("id", "v"), 1L)
+    tbl.createTag("day2", Some(1L))
+    val rows = spark.read.format("graft")
+      .option("incremental-between", "day1,day2").load(tbl.root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    assert(rows == Seq((1L, "a1", "+U"), (1L, "a0", "-U"), (2L, "b0", "+I")),
+      rows.toString)
+    val err = intercept[Exception](spark.read.format("graft")
+      .option("incremental-between", "day1,nope").load(tbl.root))
+    assert(err.getMessage.contains("neither a snapshot id nor a tag"),
+      err.getMessage)
+    val opts = spark.sql(s"SELECT key, value FROM $cat.db.`inc_tags$$options`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(opts.get("primary-key").contains("id"), opts.toString)
+  }
+
   test("changelog-producer: first-row engine — later arrivals net to identical pairs") {
     import spark.implicits._
     val (_, gc) = freshCatalog()
