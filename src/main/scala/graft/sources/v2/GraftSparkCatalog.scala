@@ -102,14 +102,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val baseIdent = Identifier.of(ident.namespace(), base)
         if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
         val t = backing.getTable(db(ident.namespace()), base)
-        if (sys == "audit_log") {
-          // data-sized (the retained change history) — a DISTRIBUTED scan
-          // over changelog/delta files, never a driver-local metadata view
+        if (sys == "audit_log" || sys == "changelog") {
+          // data-sized — a DISTRIBUTED scan, never a driver-local metadata
+          // view: `$audit_log` is the current state as +I (Paimon's batch
+          // semantics), `$changelog` the retained change history
           val (declared, renames) = GraftV2Table.evolutionOf(
             backing.tableOptions(db(ident.namespace()), base))
-          return new GraftAuditLogV2Table(new GraftV2Table(
+          val v2 = new GraftV2Table(
             s"$catalogName.${db(ident.namespace())}.$base",
-            t, SparkSession.active, declared, renameMap = renames))
+            t, SparkSession.active, declared, renameMap = renames)
+          return if (sys == "audit_log") new GraftAuditLogV2Table(v2)
+          else new GraftChangeHistoryV2Table(v2)
         }
         val view = sys match {
           case "files"     => () => t.filesView

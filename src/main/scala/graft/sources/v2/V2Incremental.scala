@@ -24,23 +24,34 @@ import graft.table.{Snapshot, StreamTable}
   *    covered commit produced, else the per-bucket state diff; append
   *    tables return the interval's added level-0 rows as `+I`.
   *
-  *  - **`` `t$audit_log` ``** (system table through the V2 catalog): the
+  *  - **`` `t$changelog` ``** (system table through the V2 catalog): the
   *    table's RETAINED change history — the concatenation of every
-  *    retained commit's change rows as columns + `rowkind` (Paimon's
-  *    audit_log column name). Commits are served from their PERSISTED
-  *    changelog files when produced (`changelog-producer`, O(changelog
-  *    bytes) — no resolve, no netting across commits: this is a log, not
-  *    an interval diff); the table's first commit (snapshot 0) resolves
-  *    its own files as `+I` (the producer never persists it — a CDC
-  *    catch-up resolves the live state instead); append-table commits are
-  *    `+I` pass-throughs. A PK commit WITHOUT a persisted changelog
-  *    (pre-option history) is refused loudly — reconstructing old images
-  *    per historical commit would re-resolve the table once per commit,
-  *    the exact cost the producer exists to avoid (the streaming CDC
-  *    source remains the fallback door: its per-trigger interval diff
-  *    pays that cost once, not once per commit). Snapshots whose
-  *    predecessor has been retention-expired contribute nothing (their
-  *    delta is unrecoverable — expired history is gone in Paimon too).
+  *    retained commit's change rows as columns + `rowkind`. Commits are
+  *    served from their PERSISTED changelog files when produced
+  *    (`changelog-producer`, O(changelog bytes) — no resolve, no netting
+  *    across commits: this is a log, not an interval diff); the table's
+  *    first commit (snapshot 0) resolves its own files as `+I` (the
+  *    producer never persists it — a CDC catch-up resolves the live state
+  *    instead); append-table commits are `+I` pass-throughs. A PK commit
+  *    WITHOUT a persisted changelog (pre-option history) is refused
+  *    loudly — reconstructing old images per historical commit would
+  *    re-resolve the table once per commit, the exact cost the producer
+  *    exists to avoid (the streaming CDC source remains the fallback
+  *    door: its per-trigger interval diff pays that cost once, not once
+  *    per commit). Snapshots whose predecessor has been retention-expired
+  *    contribute nothing (their delta is unrecoverable — expired history
+  *    is gone in Paimon too). The library dual is
+  *    [[StreamTable.changeHistoryView]] (the shell's `` t$changelog ``).
+  *
+  *  - **`` `t$audit_log` ``** (system table through the V2 catalog):
+  *    Paimon's literal audit_log BATCH semantics — the current resolved
+  *    rows with a `rowkind` column, every live row `+I` (a batch scan
+  *    sees only inserts; history lives in `` `t$changelog` `` and the CDC
+  *    stream). Served distributed: the PK engines resolve per bucket via
+  *    the catch-up interval plan, append tables pass their live files
+  *    through. Matches the shell's [[StreamTable.auditLogView]] row-for-
+  *    row (the shell leads with `rowkind`, this door appends it — project
+  *    by name).
   *
   * 100 TB posture: both surfaces plan one partition per changelog/data
   * file (per bucket where the layout records them), read only the files
@@ -99,7 +110,8 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
   }
 }
 
-/** The `` `t$audit_log` `` system table (see the file scaladoc). */
+/** The `` `t$audit_log` `` system table (see the file scaladoc): the
+  * current resolved state, every row `+I`. */
 class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
 
   private[v2] val t = base.table
@@ -119,6 +131,51 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
     () => new Scan with Batch {
       override def readSchema(): StructType = outer.schema()
       override def description(): String = s"GraftAuditLogScan ${outer.name()}"
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val snaps = t.snapshots
+        snaps.lastOption match {
+          case None => Array.empty
+          case Some(last) =>
+            if (t.primaryKey.isDefined)
+              // the CDC catch-up plan: resolve the live state per bucket, +I
+              ChangelogPlanning.planInterval(t, Seq(last), -1L, last.id)
+            else last.files.map(f =>
+              GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
+        }
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        if (t.primaryKey.isDefined)
+          ChangelogPlanning.readerFactory(t, baseSchema, renames)
+        else GraftPassthroughOpReaderFactory(
+          ChangelogPlanning.fileBaseOf(baseSchema, renames))
+    }
+  }
+}
+
+/** The `` `t$changelog` `` system table (see the file scaladoc): the
+  * retained change history. */
+class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsRead {
+
+  private[v2] val t = base.table
+  private[v2] val baseSchema: StructType = base.schema()
+  private[v2] val renames: Map[String, String] = base.renames
+
+  override def name(): String = s"${base.name()}$$changelog"
+
+  override def schema(): StructType =
+    StructType(baseSchema.fields :+ StructField("rowkind", StringType, nullable = false))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val outer = this
+    () => new Scan with Batch {
+      override def readSchema(): StructType = outer.schema()
+      override def description(): String = s"GraftChangeHistoryScan ${outer.name()}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -143,7 +200,7 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
               added.map(f => GraftConstOpPartition(f.path, "+I"): InputPartition)
             else throw new UnsupportedOperationException(
               s"${outer.name()}: snapshot ${s.id} has no persisted " +
-                "changelog — audit_log history on a primary-key table " +
+                "changelog — change history on a primary-key table " +
                 "needs changelog-producer='input' at write time (or read " +
                 "the CDC stream, whose interval diff reconstructs state " +
                 "once per trigger instead of once per historical commit)")

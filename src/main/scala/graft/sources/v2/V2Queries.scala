@@ -327,7 +327,24 @@ object V2Queries {
         .orderBy("c_custkey", "op")
     },
 
-    // The `t$audit_log` system table: the RETAINED change history of a
+    // The `t$audit_log` system table: Paimon's literal BATCH semantics —
+    // the current resolved state with every live row `+I` (history lives in
+    // `t$changelog` below and the CDC stream). Pins the cross-door parity:
+    // this is exactly the shell's auditLogView and the resolved PK view.
+    QDef(
+      "q_source_v2_audit_log",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS acctbal,
+        |  '+I' AS rowkind
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = pkTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_name, c_acctbal AS acctbal, rowkind
+               |FROM $catName.v2db.`pk_cust$$audit_log`
+               |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // The `t$changelog` system table: the RETAINED change history of a
     // `changelog-producer` table in plain SQL — snapshot 0 resolves as +I,
     // every later commit is a pass-through of its PERSISTED changelog files
     // (O(changelog bytes), no state resolve, no netting across commits —
@@ -335,7 +352,7 @@ object V2Queries {
     // (post-update) image, unlike the interval read above, because each
     // commit's changelog diffs against its own predecessor.
     QDef(
-      "q_source_v2_audit_log",
+      "q_source_v2_change_history",
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
         |SELECT * FROM (
         |  SELECT c_custkey, c_name, c_acctbal, '+I' AS rowkind FROM base
@@ -350,7 +367,7 @@ object V2Queries {
         |) ORDER BY c_custkey, rowkind""".stripMargin) { (s, d) =>
       val catName = audTable(s, d)
       s.sql(s"""SELECT c_custkey, c_name, c_acctbal, rowkind
-               |FROM $catName.v2db.`aud_cust$$audit_log`
+               |FROM $catName.v2db.`aud_cust$$changelog`
                |ORDER BY c_custkey, rowkind""".stripMargin)
     },
 

@@ -257,7 +257,7 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         // (guide.md:200-232): Spark identifiers can't carry the `$`, so
         // rewrite to the registered `<t>__<meta>` views
         spark.sql(rewriteTimeTravel(stmt).replaceAll(
-          "(\\w+)\\$(files|snapshots|tags|options|consumers|audit_log)", "$1__$2"))
+          "(\\w+)\\$(files|snapshots|tags|options|consumers|audit_log|changelog)", "$1__$2"))
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
@@ -311,6 +311,10 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       table.tagsView.createOrReplaceTempView(s"${t}__tags")
       table.consumersView.createOrReplaceTempView(s"${t}__consumers")
       table.auditLogView.createOrReplaceTempView(s"${t}__audit_log")
+      // lazily served: $changelog refuses on pre-producer PK history, which
+      // must not break registration of the OTHER views
+      try table.changeHistoryView.createOrReplaceTempView(s"${t}__changelog")
+      catch { case _: UnsupportedOperationException => () }
       optionsView(t).createOrReplaceTempView(s"${t}__options")
     }
 

@@ -1513,6 +1513,47 @@ class StreamTable(
     r.select(lit("+I").as("rowkind") +: r.columns.map(col): _*)
   }
 
+  /** The `$changelog` system table: the table's RETAINED change history as
+    * `rowkind` + columns — per retained commit, its persisted changelog rows
+    * when produced (`changelog-producer`; a log, no netting across commits),
+    * the resolved first commit as `+I`, append commits as `+I`; a PK commit
+    * without a persisted changelog refuses (reconstructing old images per
+    * historical commit would re-resolve the table once per commit — use the
+    * CDC stream, whose per-trigger interval diff pays that cost once).
+    * Snapshots whose predecessor expired contribute nothing (their delta is
+    * unrecoverable). Mirrors the V2 door's `` `t$changelog` ``
+    * (GraftChangeHistoryV2Table) row-for-row. */
+  def changeHistoryView: DataFrame = {
+    val snaps = snapshots
+    val byId = snaps.map(s => s.id -> s).toMap
+    val empty = read.limit(0).withColumn("rowkind", lit(""))
+    val parts: Seq[DataFrame] = snaps.flatMap { s =>
+      val pred = byId.get(s.id - 1)
+      if (s.id > 0 && pred.isEmpty) None // expired predecessor
+      else {
+        val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
+        if (s.id == 0 && primaryKey.isDefined)
+          Some(resolveView(readFiles(added), primaryKey.get, keepSeq = false)
+            .withColumn("rowkind", lit("+I")))
+        else if (s.clogProduced && s.id > 0)
+          if (s.changelog.isEmpty) None
+          else Some(spark.read.parquet(s.changelog.map(_.path): _*)
+            .withColumnRenamed("op", "rowkind"))
+        else if (added.isEmpty) None // maintenance-only commit
+        else if (primaryKey.isEmpty)
+          Some(readFiles(added).drop(SeqColName).withColumn("rowkind", lit("+I")))
+        else throw new UnsupportedOperationException(
+          s"$root$$changelog: snapshot ${s.id} has no persisted changelog — " +
+            "change history on a primary-key table needs " +
+            "changelog-producer='input' at write time (or read the CDC stream)")
+      }
+    }
+    val all = parts.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
+    // shell convention: rowkind leads (Paimon's audit_log/changelog shape)
+    all.select(col("rowkind") +: all.columns.filterNot(_ == "rowkind").map(col): _*)
+  }
+
   // ---- rollback (Paimon `rollback-to`: undo commits) ----------------------
 
   /** Roll the table back so `snapshotId` is the latest snapshot again: every
