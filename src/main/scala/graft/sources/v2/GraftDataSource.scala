@@ -143,6 +143,25 @@ object GraftV2Table {
   val SeqMetaCol = "_graft_seq"
   val MetaCols: Set[String] = Set(FileCol, SeqMetaCol)
 
+  /** Paimon's streaming start modes, as the stream's initial offset:
+    * `scan.snapshot-id = N` starts delivery AT snapshot N (offset N-1);
+    * `scan.mode = latest` starts at the current head — NEW changes only,
+    * no catch-up; the default (`latest-full`) catches up on the live state
+    * then streams changes. Only consulted when no checkpoint exists —
+    * recovery always resumes from the checkpointed offset. */
+  private[v2] def scanStartOf(get: String => String,
+      t: graft.table.StreamTable): Option[Long] =
+    Option(get("scan.snapshot-id")) match {
+      case Some(id) => Some(id.toLong - 1)
+      case None => Option(get("scan.mode")) match {
+        case Some("latest") => Some(t.latestSnapshot.map(_.id).getOrElse(-1L))
+        case None | Some("latest-full") | Some("default") => None
+        case Some(other) => throw new IllegalArgumentException(
+          s"unsupported scan.mode '$other' (latest-full | latest, " +
+            "or scan.snapshot-id=N)")
+      }
+    }
+
   /** Rename every attribute reference declared → file-level in a pushed
     * DML filter (ALL the shapes [[filterToColumn]] accepts — a renamed
     * column in a DELETE condition must resolve against the FILE-level
@@ -398,7 +417,8 @@ class GraftV2Table(tableName: String, val table: StreamTable,
         new GraftPkScanBuilder(this, schema(), pk, renameMap)
       case None =>
         new GraftScanBuilder(this, schema(),
-          consumerId = Option(options.get("consumer-id")), nameMap = renameMap)
+          consumerId = Option(options.get("consumer-id")), nameMap = renameMap,
+          scanStart = GraftV2Table.scanStartOf(options.get, table))
     }
 
   /** Batch append (`INSERT INTO` / `df.writeTo(...).append()` /
@@ -485,7 +505,8 @@ class GraftV2Table(tableName: String, val table: StreamTable,
 
 class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     consumerId: Option[String] = None,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    scanStart: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -639,7 +660,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some((schema, row, desc)) =>
       new GraftAggregateScan(table.name(), schema, row, desc)
-    case None => new GraftScan(table, required, pushed, limit, consumerId, nameMap)
+    case None =>
+      new GraftScan(table, required, pushed, limit, consumerId, nameMap, scanStart)
   }
 }
 
@@ -709,7 +731,8 @@ case class GraftAggregateReaderFactory(row: InternalRow)
 class GraftScan(table: GraftV2Table, required: StructType,
     pushed: Array[Filter], limit: Option[Int] = None,
     consumerId: Option[String] = None,
-    nameMap: Map[String, String] = Map.empty) extends Scan with Batch
+    nameMap: Map[String, String] = Map.empty,
+    scanStart: Option[Long] = None) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -933,7 +956,8 @@ class GraftScan(table: GraftV2Table, required: StructType,
     * contract) — snapshot expiry can then never outrun a slow reader. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table.table, fileRequired, filePushed, consumerId)
+    new GraftMicroBatchStream(table.table, fileRequired, filePushed, consumerId,
+      scanStart)
 
   override def planInputPartitions(): Array[InputPartition] = spjGroups match {
     case Some((_, groups)) =>

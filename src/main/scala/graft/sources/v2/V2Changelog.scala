@@ -63,17 +63,20 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    () => new GraftChangelogScan(outer, Option(options.get("consumer-id")))
+    () => new GraftChangelogScan(outer, Option(options.get("consumer-id")),
+      GraftV2Table.scanStartOf(options.get, t))
   }
 }
 
 class GraftChangelogScan(table: GraftChangelogV2Table,
-    consumerId: Option[String] = None) extends Scan {
+    consumerId: Option[String] = None,
+    scanStart: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = table.schema()
   override def description(): String =
     s"GraftChangelogScan ${table.name()} merge=${table.t.effectiveEngine}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftChangelogStream(table.t, table.baseSchema, table.renames, consumerId)
+    new GraftChangelogStream(table.t, table.baseSchema, table.renames,
+      consumerId, scanStart)
 }
 
 /** Snapshot-pair micro-batch stream (same offset/admission model as
@@ -84,7 +87,8 @@ class GraftChangelogScan(table: GraftChangelogV2Table,
   * registered reader (without one, an over-eager retention policy fails the
   * stream loudly at the next trigger). */
 class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
-    nameMap: Map[String, String], consumerId: Option[String] = None)
+    nameMap: Map[String, String], consumerId: Option[String] = None,
+    scanStart: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -98,7 +102,9 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableEnd = Some(currentLatest())
 
-  override def initialOffset(): Offset = GraftOffset(-1L)
+  // scan.mode=latest / scan.snapshot-id=N position a FRESH stream (changes
+  // only / from a commit); a checkpointed one resumes from its stored offset
+  override def initialOffset(): Offset = GraftOffset(scanStart.getOrElse(-1L))
   private def currentLatest(): Offset =
     GraftOffset(snaps.lastOption.map(_.id).getOrElse(-1L))
   override def latestOffset(): Offset = availableEnd.getOrElse(currentLatest())

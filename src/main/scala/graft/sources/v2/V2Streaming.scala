@@ -32,7 +32,8 @@ case class GraftOffset(snapshotId: Long) extends Offset {
   * this reason. */
 class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    consumerId: Option[String] = None)
+    consumerId: Option[String] = None,
+    scanStart: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -51,7 +52,9 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableEnd = Some(currentLatest())
 
-  override def initialOffset(): Offset = GraftOffset(-1L)
+  // scan.mode=latest / scan.snapshot-id=N position a FRESH stream; a
+  // checkpointed one always resumes from its stored offset
+  override def initialOffset(): Offset = GraftOffset(scanStart.getOrElse(-1L))
 
   private def currentLatest(): Offset =
     GraftOffset(snaps.lastOption.map(_.id).getOrElse(-1L))

@@ -104,6 +104,58 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("scan.mode=latest / scan.snapshot-id position a FRESH stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_scanmode_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), 0L)
+    tbl.appendBatch(Seq((3L, "c")).toDF("id", "s"), 1L)
+    tbl.appendBatch(Seq((4L, "d")).toDF("id", "s"), 2L)
+
+    def drain(opts: Map[String, String]): Seq[(Long, String)] = {
+      val chk = java.nio.file.Files.createTempDirectory("v2_sm_chk_").toString
+      val out = java.nio.file.Files.createTempDirectory("v2_sm_out_").toString
+      val q = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v) }.load(root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", chk).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+    }
+    // from-snapshot: delivery starts AT snapshot 1 — no snapshot-0 catch-up
+    assert(drain(Map("scan.snapshot-id" -> "1")) ==
+      Seq((3L, "c"), (4L, "d")))
+    // latest: changes only; nothing existed after the head when it drained
+    assert(drain(Map("scan.mode" -> "latest")) == Seq.empty)
+    // default: full catch-up
+    assert(drain(Map.empty) ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // the CDC stream honors the same options: a producer PK table's
+    // snapshot-1 changelog alone
+    val (_, gc) = freshCatalog()
+    val pk = gc.createTable("db", "sm_pk",
+      Map("primary-key" -> "id", "changelog-producer" -> "input"))
+    pk.appendBatch(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"), 0L)
+    pk.appendBatch(Seq((1L, "a1")).toDF("id", "v"), 1L)
+    val chk = java.nio.file.Files.createTempDirectory("v2_sm_cl_chk_").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val q = spark.readStream.format("graft")
+      .option("read-changelog", "true").option("scan.snapshot-id", "1")
+      .load(pk.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2))) }; ()
+      }.option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.sortBy(t => (t._1, t._3)).toSeq ==
+      Seq((1L, "a1", "+U"), (1L, "a0", "-U")), seen.toString)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("INSERT INTO through the catalog commits via the manifest protocol") {
     val df = SparkEntry.queries("q_source_v2_write")(spark, sf)
     val expect = Tables.customer(spark, sf)
@@ -1351,7 +1403,7 @@ class V2ConnectorSpec extends AnyFunSuite {
       rows.toString)
   }
 
-  test("audit_log: producer PK table serves its retained change history") {
+  test("$changelog: producer PK table serves its retained change history") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
     val tbl = gc.createTable("db", "aud_cl",
@@ -1362,21 +1414,33 @@ class V2ConnectorSpec extends AnyFunSuite {
       .toDF("id", "ver", "v"), 0L)
     tbl.appendBatch(Seq((2L, 2L, "b1")).toDF("id", "ver", "v"), 1L)
     tbl.deleteBatch(Seq(Tuple1(1L)).toDF("id"), 2L)
-    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`aud_cl$$audit_log`")
+    val expected = Seq(
+      (1L, "a1", "+I"), (1L, "a1", "-D"),
+      (2L, "b0", "+I"), (2L, "b1", "+U"), (2L, "b0", "-U"))
+    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`aud_cl$$changelog`")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       .sortBy(t => (t._1, t._3, t._2))
-    assert(rows == Seq(
-      (1L, "a1", "+I"), (1L, "a1", "-D"),
-      (2L, "b0", "+I"), (2L, "b1", "+U"), (2L, "b0", "-U")), rows.toString)
+    assert(rows == expected, rows.toString)
+    // the library dual serves the identical history
+    val lib = tbl.changeHistoryView.select("id", "v", "rowkind")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(lib == expected, lib.toString)
+    // $audit_log is Paimon's BATCH semantics: the current state, all +I
+    val audit = spark.sql(
+      s"SELECT id, v, rowkind FROM $cat.db.`aud_cl$$audit_log`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(audit == Seq((2L, "b1", "+I")), audit.toString)
   }
 
-  test("audit_log: append table history is +I; pre-producer PK history refuses") {
+  test("$changelog: append table history is +I; pre-producer PK history refuses") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
     val app = gc.createTable("db", "aud_app", Map.empty)
     app.appendBatch(Seq((1L, "x")).toDF("id", "v"), 0L)
     app.appendBatch(Seq((2L, "y")).toDF("id", "v"), 1L)
-    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`aud_app$$audit_log`")
+    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`aud_app$$changelog`")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .toSeq.sorted
     assert(rows == Seq((1L, "x", "+I"), (2L, "y", "+I")))
@@ -1384,8 +1448,13 @@ class V2ConnectorSpec extends AnyFunSuite {
     pk.appendBatch(Seq((1L, "x")).toDF("id", "v"), 0L)
     pk.appendBatch(Seq((1L, "y")).toDF("id", "v"), 1L)
     val err = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.db.`aud_nopro$$audit_log`").collect())
+      spark.sql(s"SELECT * FROM $cat.db.`aud_nopro$$changelog`").collect())
     assert(err.getMessage.contains("changelog-producer"), err.getMessage)
+    // …but $audit_log (current state, +I) still serves that same table
+    val audit = spark.sql(
+      s"SELECT id, v, rowkind FROM $cat.db.`aud_nopro$$audit_log`").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(audit == Seq((1L, "y", "+I")), audit.toString)
   }
 
   test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
