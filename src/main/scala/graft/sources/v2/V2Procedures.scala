@@ -33,7 +33,8 @@ object V2Procedures {
   val Namespace: Array[String] = Array("sys")
 
   def names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback_to", "create_tag", "delete_tag")
+    Seq("compact", "expire_snapshots", "rollback_to", "create_tag",
+      "delete_tag", "rescale")
 
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
     def p = catalog // materialize lazily per call
@@ -78,6 +79,22 @@ object V2Procedures {
         StructType(Seq(StructField("deleted", BooleanType))),
         (t, args) => Array[Any](
           t.deleteTag(args(1).asInstanceOf[UTF8String].toString)), p))
+      // `bucket` is immutable through ALTER TABLE (a mixed-generation layout
+      // would split a key's versions across bucket ids and break the
+      // per-bucket merge) — rescale is the OFFLINE maintenance path, like
+      // Paimon's: rewrite every live row into the new bucket count first
+      // (an atomic compaction commit under the patched count), then persist
+      // the option so subsequent writes stamp the new ids. Stop concurrent
+      // writers first (the documented single-maintenance-job contract): a
+      // write landing between the two steps would stamp old-count ids.
+      case "rescale" => Some(procRaw("rescale",
+        Seq(in("table", StringType), in("buckets", IntegerType)),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("buckets", IntegerType))),
+        (c, db, name, args) => {
+          val n = args(1).asInstanceOf[Int]
+          Array[Any](c.rescale(db, name, n).id, n)
+        }, p))
       case _ => None
     }
   }
@@ -92,6 +109,14 @@ object V2Procedures {
   /** One-row-result procedure over a `db.table` first argument. */
   private def proc(procName: String, params: Seq[ProcedureParameter],
       out: StructType, run: (StreamTable, Array[Any]) => Array[Any],
+      catalog: => GraftCatalog): UnboundProcedure =
+    procRaw(procName, params, out,
+      (c, db, name, args) => run(c.getTable(db, name), args), catalog)
+
+  /** Like [[proc]], but hands the CATALOG + identifier to the body (for
+    * procedures that must re-derive the table mid-run, e.g. rescale). */
+  private def procRaw(procName: String, params: Seq[ProcedureParameter],
+      out: StructType, run: (GraftCatalog, String, String, Array[Any]) => Array[Any],
       catalog: => GraftCatalog): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
@@ -109,8 +134,7 @@ object V2Procedures {
             val parts = ident.split("\\.", 2)
             require(parts.length == 2,
               s"$procName expects table => 'db.table', got '$ident'")
-            val t = catalog.getTable(parts(0), parts(1))
-            val result = run(t, args)
+            val result = run(catalog, parts(0), parts(1), args)
             val row = new GenericInternalRow(result)
             Collections.singletonList(new LocalScan {
               override def readSchema(): StructType = out

@@ -68,6 +68,26 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     writeOptions(optsFile(db, name), merged)
   }
 
+  /** OFFLINE bucket rescale (Paimon's rescale action): `bucket` is immutable
+    * through ALTER TABLE because a mixed-generation layout would split a
+    * key's versions across bucket ids and break the per-bucket merge — so
+    * rescaling rewrites every live row into the new count FIRST (one atomic
+    * compaction commit under the patched count), then persists the option so
+    * subsequent writes stamp the new ids. Stop concurrent writers before
+    * calling (the single-maintenance-job contract): a write landing between
+    * the two steps would stamp old-count ids. */
+  def rescale(db: String, name: String, buckets: Int): Snapshot = {
+    require(buckets > 0, s"rescale needs buckets > 0, got $buckets")
+    val opts = tableOptions(db, name)
+    require(opts.contains("primary-key") || opts.contains("bucket-key"),
+      s"rescale targets a bucketed table (primary-key or bucket-key): $db.$name")
+    val patched = GraftCatalog.tableFromOptions(spark, tablePath(db, name),
+      opts + ("bucket" -> buckets.toString))
+    val snap = patched.compact(buckets)
+    alterTable(db, name, Map("bucket" -> buckets.toString))
+    snap
+  }
+
   /** Replace the option map wholesale (property REMOVAL — [[alterTable]]
     * only merges). */
   def replaceTableOptions(db: String, name: String, options: Map[String, String]): Unit = {

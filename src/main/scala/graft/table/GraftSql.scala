@@ -356,6 +356,10 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         require(args.length <= 2, "compact(table[, targetFileCount])")
         val snap = table.compact(args.lift(1).map(_.toInt).getOrElse(2))
         ok(s"$t compacted: snapshot ${snap.id}, ${snap.files.size} files")
+      case "rescale" =>
+        require(args.length == 2, "rescale(table, buckets)")
+        val snap = catalog.rescale(currentDb, t, args(1).toInt)
+        ok(s"$t rescaled to ${args(1)} buckets: snapshot ${snap.id}")
       case other =>
         throw new IllegalArgumentException(s"unknown procedure sys.$other")
     }

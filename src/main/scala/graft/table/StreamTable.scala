@@ -1364,9 +1364,10 @@ class StreamTable(
       }
     }.toDF("file_path", "record_count", "min_value_stats", "max_value_stats")
     val metaDf = spark.createDataset(files.map(f =>
-      (f.path, f.level, f.fileSizeInBytes, f.minSeq, f.maxSeq, f.creationTimeMs)))
-      .toDF("file_path", "level", "file_size_in_bytes", "min_sequence_number",
-        "max_sequence_number", "creation_time_ms")
+      (f.path, f.level, f.bucket, f.fileSizeInBytes, f.minSeq, f.maxSeq,
+        f.creationTimeMs)))
+      .toDF("file_path", "level", "bucket", "file_size_in_bytes",
+        "min_sequence_number", "max_sequence_number", "creation_time_ms")
     statsDf.join(metaDf, "file_path")
       .withColumn("creation_time", timestamp_millis(col("creation_time_ms")))
       .drop("creation_time_ms")

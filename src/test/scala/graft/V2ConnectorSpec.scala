@@ -104,6 +104,35 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("CALL sys.rescale: offline bucket rewrite preserves the view, relayouts, new writes land") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "rs",
+      Map("primary-key" -> "id", "bucket" -> "2"))
+    tbl.appendBatch((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), 0L)
+    tbl.appendBatch(Seq((7L, "v7b"), (8L, "v8b")).toDF("id", "v"), 1L)
+    val before = spark.sql(s"SELECT id, v FROM $cat.db.rs ORDER BY id").collect().toSeq
+
+    val res = spark.sql(
+      s"CALL $cat.sys.rescale(`table` => 'db.rs', buckets => 4)").collect().head
+    assert(res.getInt(1) == 4)
+    assert(gc.tableOptions("db", "rs")("bucket") == "4")
+    // every live file re-clustered into the 4-bucket layout
+    val reloaded = gc.getTable("db", "rs")
+    val buckets = reloaded.filesView.select("bucket").collect()
+      .map(_.getInt(0)).toSet
+    assert(buckets.subsetOf(Set(0, 1, 2, 3)) && buckets.size > 2, buckets.toString)
+    // the resolved view is untouched
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.rs ORDER BY id").collect().toSeq
+      == before)
+    // a write through the RELOADED table stamps new-count ids and resolves
+    reloaded.appendBatch(Seq((7L, "v7c"), (200L, "new")).toDF("id", "v"), 2L)
+    val after = spark.sql(
+      s"SELECT v FROM $cat.db.rs WHERE id IN (7, 200) ORDER BY id").collect()
+      .map(_.getString(0)).toSeq
+    assert(after == Seq("v7c", "new"), after.toString)
+  }
+
   test("scan.mode=latest / scan.snapshot-id position a FRESH stream") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
