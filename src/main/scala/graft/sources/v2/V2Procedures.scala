@@ -34,7 +34,7 @@ object V2Procedures {
 
   def names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback_to", "create_tag",
-      "delete_tag", "rescale")
+      "delete_tag", "rescale", "remove_orphan_files")
 
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
     def p = catalog // materialize lazily per call
@@ -87,6 +87,12 @@ object V2Procedures {
       // the option so subsequent writes stamp the new ids. Stop concurrent
       // writers first (the documented single-maintenance-job contract): a
       // write landing between the two steps would stamp old-count ids.
+      case "remove_orphan_files" => Some(proc("remove_orphan_files",
+        Seq(in("table", StringType),
+          in("older_than_ms", LongType, Some((24L * 3600 * 1000).toString))),
+        StructType(Seq(StructField("removed", IntegerType))),
+        (t, args) => Array[Any](
+          t.removeOrphanFiles(args(1).asInstanceOf[Long])), p))
       case "rescale" => Some(procRaw("rescale",
         Seq(in("table", StringType), in("buckets", IntegerType)),
         StructType(Seq(StructField("snapshot_id", LongType),

@@ -360,6 +360,11 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         require(args.length == 2, "rescale(table, buckets)")
         val snap = catalog.rescale(currentDb, t, args(1).toInt)
         ok(s"$t rescaled to ${args(1)} buckets: snapshot ${snap.id}")
+      case "remove_orphan_files" =>
+        require(args.length <= 2, "remove_orphan_files(table[, olderThanDuration])")
+        val n = table.removeOrphanFiles(args.lift(1)
+          .map(GraftCatalog.parseDurationMs).getOrElse(24L * 3600 * 1000))
+        ok(s"removed $n orphan file(s) of $t")
       case other =>
         throw new IllegalArgumentException(s"unknown procedure sys.$other")
     }

@@ -1740,6 +1740,41 @@ class StreamTable(
     * progress `next` still needs snapshot `next-1` (its [[changesBetween]]
     * base) and everything after, so those never expire — Paimon's
     * consumer-id contract. */
+  /** Delete files NO retained snapshot references (Paimon's
+    * `remove_orphan_files`): crash leftovers — abandoned `.staging-*` trees
+    * from a writer that died mid-stage, data/changelog files whose commit
+    * lost an id race and was retried under a new name. Only files older
+    * than `olderThanMs` are touched, so an in-flight writer's staged-but-
+    * uncommitted output survives (the grace period is the correctness
+    * knob — keep it above the longest plausible stage-to-commit gap);
+    * manifests are never deleted (that is [[expireSnapshots]]' job).
+    * Returns the number of files removed. */
+  def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced =
+      snapshots.flatMap(s => (s.files ++ s.changelog).map(_.path)).toSet
+    var n = 0
+    Seq(dataAppend, dataCompact, dataChangelog).foreach { d =>
+      listDir(Paths.get(d)).foreach { p =>
+        if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          if (Files.deleteIfExists(p)) n += 1
+        }
+      }
+    }
+    listDir(Paths.get(root))
+      .filter(_.getFileName.toString.startsWith(".staging-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach { d =>
+        val s = Files.walk(d)
+        val staged = try s.iterator().asScala.count(Files.isRegularFile(_))
+          finally s.close()
+        StreamTable.deleteTree(d)
+        n += staged
+      }
+    n
+  }
+
   def expireSnapshots(numRetainedMin: Int, numRetainedMax: Int, timeRetainedMs: Long): Int = {
     val snaps = snapshots
     if (snaps.size <= numRetainedMin) return 0

@@ -319,4 +319,35 @@ class MaintenanceSpec extends AnyFunSuite {
     // unknown procedure fails loudly
     intercept[Exception] { spark.sql(s"CALL $cat.sys.frobnicate('db.pt')") }
   }
+
+  test("CALL sys.remove_orphan_files deletes crash leftovers, keeps live data") {
+    import java.nio.file.{Files, Paths}
+    val wh = Files.createTempDirectory("orph_wh_").toString
+    val cat = s"orph_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.ot (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.ot VALUES (1, 'a'), (2, 'b')")
+    val root = s"$wh/db.db/ot"
+    // plant crash leftovers: an uncommitted data file (a lost commit race)
+    // and an abandoned staging tree (a writer that died mid-stage)
+    Files.write(Paths.get(s"$root/data/append/b9-deadbeef-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val staging = Paths.get(s"$root/.staging-dead")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-0.parquet"), Array[Byte](4, 5, 6))
+
+    // a fresh grace period protects them (in-flight writers look identical)
+    val kept = spark.sql(s"CALL $cat.sys.remove_orphan_files('db.ot')")
+      .collect().head.getInt(0)
+    assert(kept == 0, s"grace period must protect young files, removed $kept")
+    // grace 0: both leftovers go, live data survives
+    val removed = spark.sql(s"CALL $cat.sys.remove_orphan_files(" +
+      "`table` => 'db.ot', older_than_ms => 0L)").collect().head.getInt(0)
+    assert(removed == 2, s"expected 2 orphans removed, got $removed")
+    assert(!Files.exists(Paths.get(s"$root/data/append/b9-deadbeef-0.parquet")))
+    assert(!Files.exists(staging))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ot").head().getLong(0) == 2)
+  }
 }
