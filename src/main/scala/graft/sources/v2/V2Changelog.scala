@@ -63,20 +63,33 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    () => new GraftChangelogScan(outer, Option(options.get("consumer-id")),
-      GraftV2Table.scanStartOf(options.get, t))
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: Option[StructType] = None
+      override def pruneColumns(req: StructType): Unit = {
+        // keep table order; `op` always emits (Spark re-projects on top)
+        val keep = req.fieldNames.toSet
+        pruned = Some(StructType(baseSchema.filter(f => keep.contains(f.name))))
+      }
+      override def build(): Scan =
+        new GraftChangelogScan(outer, Option(options.get("consumer-id")),
+          GraftV2Table.scanStartOf(options.get, t), pruned)
+    }
   }
 }
 
 class GraftChangelogScan(table: GraftChangelogV2Table,
     consumerId: Option[String] = None,
-    scanStart: Option[Long] = None) extends Scan {
-  override def readSchema(): StructType = table.schema()
+    scanStart: Option[Long] = None,
+    pruned: Option[StructType] = None) extends Scan {
+  override def readSchema(): StructType = StructType(
+    pruned.getOrElse(table.baseSchema).fields :+
+      StructField("op", StringType, nullable = false))
   override def description(): String =
-    s"GraftChangelogScan ${table.name()} merge=${table.t.effectiveEngine}"
+    s"GraftChangelogScan ${table.name()} merge=${table.t.effectiveEngine} " +
+      s"ReadSchema: ${readSchema().catalogString}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangelogStream(table.t, table.baseSchema, table.renames,
-      consumerId, scanStart)
+      consumerId, scanStart, pruned)
 }
 
 /** Snapshot-pair micro-batch stream (same offset/admission model as
@@ -88,7 +101,7 @@ class GraftChangelogScan(table: GraftChangelogV2Table,
   * stream loudly at the next trigger). */
 class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
     nameMap: Map[String, String], consumerId: Option[String] = None,
-    scanStart: Option[Long] = None)
+    scanStart: Option[Long] = None, pruned: Option[StructType] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -125,7 +138,7 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangelogPlanning.readerFactory(table, baseSchema, nameMap)
+    ChangelogPlanning.readerFactory(table, baseSchema, nameMap, pruned)
 
   override def commit(end: Offset): Unit =
     // committed trigger → the next undelivered snapshot is end+1; retention
@@ -240,22 +253,43 @@ private[v2] object ChangelogPlanning {
 
   /** The per-engine reader factory (winners for deduplicate/first-row,
     * folds for aggregation, per-field merges for partial-update); every
-    * factory also serves the persisted-changelog delta partitions. */
+    * factory also serves the persisted-changelog delta partitions.
+    *
+    * `pruned` (when the query projects a subset) makes the readers emit —
+    * and READ — only the projected columns: the merge bookkeeping (pk,
+    * sequence field, commit seq, tombstone, per-field provenance of the
+    * projected fields) rides in a trailing region the output never copies,
+    * so a 3-column CDC consumer of a 200-column table reads 3 columns plus
+    * keys, not 200. */
   def readerFactory(table: StreamTable, baseSchema: StructType,
-      nameMap: Map[String, String]): PartitionReaderFactory = {
-    val fileBase = fileBaseOf(baseSchema, nameMap)
-    val internal = internalOf(fileBase)
+      nameMap: Map[String, String],
+      pruned: Option[StructType] = None): PartitionReaderFactory = {
+    val fullFile = fileBaseOf(baseSchema, nameMap)
+    val prunedFile = fileBaseOf(pruned.getOrElse(baseSchema), nameMap)
     val pk = table.primaryKey.get
+    // key/sequence columns the projection dropped still drive the merge —
+    // appended after the output region, read but never emitted
+    val extras = (pk ++ table.seqCol.toSeq).distinct
+      .filterNot(prunedFile.fieldNames.contains)
+      .map(n => fullFile.find(_.name == n).getOrElse(throw new IllegalStateException(
+        s"key/sequence column $n missing from table schema")))
+    val outLen = prunedFile.length
+    val dataFields = prunedFile.fields.toSeq ++ extras
+    val dataLen = dataFields.length
+    val internal = StructType(dataFields ++ Seq(
+      StructField(StreamTable.SeqColName, LongType),
+      StructField(StreamTable.TombstoneColName, BooleanType)))
     if (table.effectiveEngine == "partial-update") {
       // per-field last-non-null states, with the persisted fseq provenance
-      // structs in the read schema (the PK scan's exact fold)
-      val internalP = StructType(internal.fields ++ fileBase.collect {
+      // structs in the read schema (the PK scan's exact fold) — only the
+      // PROJECTED fields race; dropped fields resolve independently
+      val internalP = StructType(internal.fields ++ prunedFile.collect {
         case f if !pk.contains(f.name) =>
           StructField(StreamTable.FieldSeqPrefix + f.name, PkMerge.FseqType)
       })
-      GraftChangelogPartialReaderFactory(internalP, baseSchema.length,
+      GraftChangelogPartialReaderFactory(internalP, outLen, dataLen,
         pk.map(internalP.fieldIndex).toArray,
-        fileBase.fields.zipWithIndex.collect {
+        prunedFile.fields.zipWithIndex.collect {
           case (f, i) if !pk.contains(f.name) =>
             (i, internalP.fieldIndex(StreamTable.FieldSeqPrefix + f.name))
         },
@@ -263,19 +297,23 @@ private[v2] object ChangelogPlanning {
         internalP.fieldIndex(StreamTable.SeqColName))
     } else if (table.effectiveEngine == "aggregation")
       // the aggregation dual: old/new states are per-key FOLDS, not winners;
-      // sum/count fields must fold in BIGINT/DOUBLE (same guard as the scan)
-      GraftChangelogAggReaderFactory(internal, baseSchema.length,
+      // sum/count fields must fold in BIGINT/DOUBLE (same guard as the
+      // scan); fields the projection dropped are neither read nor folded
+      GraftChangelogAggReaderFactory(internal, outLen, dataLen,
         pk.map(internal.fieldIndex).toArray,
-        table.aggSpec.get.map { case (f, fn) =>
+        table.aggSpec.get.flatMap { case (f, fn) =>
           val fileN = nameMap.getOrElse(f, f)
-          if (fn == "sum" || fn == "count")
-            require(internal(internal.fieldIndex(fileN)).dataType == LongType ||
-                internal(internal.fieldIndex(fileN)).dataType == DoubleType,
-              s"$fn($f): changelog fold needs a BIGINT or DOUBLE field")
-          (internal.fieldIndex(fileN), fn)
+          if (!prunedFile.fieldNames.contains(fileN)) None
+          else {
+            if (fn == "sum" || fn == "count")
+              require(internal(internal.fieldIndex(fileN)).dataType == LongType ||
+                  internal(internal.fieldIndex(fileN)).dataType == DoubleType,
+                s"$fn($f): changelog fold needs a BIGINT or DOUBLE field")
+            Some((internal.fieldIndex(fileN), fn))
+          }
         }.toArray)
     else
-      GraftChangelogReaderFactory(internal, baseSchema.length,
+      GraftChangelogReaderFactory(internal, outLen, dataLen,
         pk.map(internal.fieldIndex).toArray,
         table.seqCol.map(internal.fieldIndex).getOrElse(-1),
         internal.fieldIndex(StreamTable.SeqColName),
@@ -299,12 +337,12 @@ case class GraftChangelogDeltaPartition(files: Seq[(String, Long)])
     extends InputPartition
 
 case class GraftChangelogReaderFactory(internal: StructType, outLen: Int,
-    pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
+    dataLen: Int, pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, tombIdx: Int,
     firstRow: Boolean) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case d: GraftChangelogDeltaPartition =>
-        new GraftChangelogDeltaReader(d, internal, outLen, pkIdxs)
+        new GraftChangelogDeltaReader(d, internal, outLen, dataLen, pkIdxs)
       case _ =>
         new GraftChangelogReader(p.asInstanceOf[GraftChangelogPartition],
           internal, outLen, pkIdxs, seqIdx, commitIdx, tombIdx, firstRow)
@@ -364,13 +402,14 @@ class GraftChangelogReader(p: GraftChangelogPartition, internal: StructType,
 }
 
 case class GraftChangelogAggReaderFactory(internal: StructType, outLen: Int,
-    pkIdxs: Array[Int], specs: Array[(Int, String)]) extends PartitionReaderFactory {
+    dataLen: Int, pkIdxs: Array[Int], specs: Array[(Int, String)])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case d: GraftChangelogDeltaPartition =>
         // the fold already happened at write time: the persisted rows carry
         // accumulated images, so the delta fold is engine-agnostic
-        new GraftChangelogDeltaReader(d, internal, outLen, pkIdxs)
+        new GraftChangelogDeltaReader(d, internal, outLen, dataLen, pkIdxs)
       case _ =>
         new GraftChangelogAggReader(p.asInstanceOf[GraftChangelogPartition],
           internal, outLen, pkIdxs, specs)
@@ -426,12 +465,12 @@ class GraftChangelogAggReader(p: GraftChangelogPartition, internal: StructType,
 }
 
 case class GraftChangelogPartialReaderFactory(internal: StructType, outLen: Int,
-    pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int, commitIdx: Int)
-    extends PartitionReaderFactory {
+    dataLen: Int, pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int,
+    commitIdx: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case d: GraftChangelogDeltaPartition =>
-        new GraftChangelogDeltaReader(d, internal, outLen, pkIdxs)
+        new GraftChangelogDeltaReader(d, internal, outLen, dataLen, pkIdxs)
       case _ =>
         new GraftChangelogPartialReader(p.asInstanceOf[GraftChangelogPartition],
           internal, outLen, pkIdxs, fields, seqIdx, commitIdx)
@@ -498,15 +537,17 @@ class GraftChangelogPartialReader(p: GraftChangelogPartition, internal: StructTy
   * row order is arbitrary, so a commit's `-U`/`+U` pair must land together
   * before the cross-commit transition applies). */
 class GraftChangelogDeltaReader(p: GraftChangelogDeltaPartition,
-    internal: StructType, outLen: Int, pkIdxs: Array[Int])
+    internal: StructType, outLen: Int, dataLen: Int, pkIdxs: Array[Int])
     extends PartitionReader[InternalRow] {
 
   // changelog files carry the table's base columns + the op (no engine
-  // sequencing columns — the producer resolved them away)
+  // sequencing columns — the producer resolved them away); under pruning
+  // the [outLen, dataLen) region holds key/sequence columns the projection
+  // dropped — read for keying, never emitted
   private val readSchema: StructType =
-    StructType(internal.fields.take(outLen) :+ StructField("op", StringType))
+    StructType(internal.fields.take(dataLen) :+ StructField("op", StringType))
   private val dts: Array[DataType] = readSchema.fields.map(_.dataType)
-  private val opIdx = outLen
+  private val opIdx = dataLen
 
   /** Cross-commit per-key state. */
   private final class St(var existed: Boolean, var old: InternalRow,

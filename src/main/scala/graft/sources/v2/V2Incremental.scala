@@ -76,12 +76,12 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val outer = this
-    () => new Scan with Batch {
-      override def readSchema(): StructType = outer.schema()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftOpScanBuilder(baseSchema, "op", pruned => new Scan with Batch {
+      override def readSchema(): StructType = GraftOpScanBuilder.withOp(
+        pruned.getOrElse(baseSchema), "op")
       override def description(): String =
-        s"GraftIncrementalScan ${outer.name()}"
+        s"GraftIncrementalScan ${name()} ReadSchema: ${readSchema().catalogString}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -103,11 +103,29 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
 
       override def createReaderFactory(): PartitionReaderFactory =
         if (t.primaryKey.isDefined)
-          ChangelogPlanning.readerFactory(t, baseSchema, renames)
-        else GraftPassthroughOpReaderFactory(
-          ChangelogPlanning.fileBaseOf(baseSchema, renames))
-    }
+          ChangelogPlanning.readerFactory(t, baseSchema, renames, pruned)
+        else GraftPassthroughOpReaderFactory(ChangelogPlanning.fileBaseOf(
+          pruned.getOrElse(baseSchema), renames))
+    })
+}
+
+/** Shared pruning ScanBuilder for the op/rowkind-suffixed change surfaces:
+  * keeps the projected DATA columns in table order; the op column always
+  * emits (Spark re-projects on top when it was not requested). */
+private[v2] class GraftOpScanBuilder(base: StructType, opName: String,
+    mk: Option[StructType] => Scan)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var pruned: Option[StructType] = None
+  override def pruneColumns(req: StructType): Unit = {
+    val keep = req.fieldNames.toSet
+    pruned = Some(StructType(base.filter(f => keep.contains(f.name))))
   }
+  override def build(): Scan = mk(pruned)
+}
+
+private[v2] object GraftOpScanBuilder {
+  def withOp(base: StructType, opName: String): StructType =
+    StructType(base.fields :+ StructField(opName, StringType, nullable = false))
 }
 
 /** The `` `t$audit_log` `` system table (see the file scaladoc): the
@@ -126,11 +144,12 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val outer = this
-    () => new Scan with Batch {
-      override def readSchema(): StructType = outer.schema()
-      override def description(): String = s"GraftAuditLogScan ${outer.name()}"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftOpScanBuilder(baseSchema, "rowkind", pruned => new Scan with Batch {
+      override def readSchema(): StructType = GraftOpScanBuilder.withOp(
+        pruned.getOrElse(baseSchema), "rowkind")
+      override def description(): String =
+        s"GraftAuditLogScan ${name()} ReadSchema: ${readSchema().catalogString}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -148,11 +167,10 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
 
       override def createReaderFactory(): PartitionReaderFactory =
         if (t.primaryKey.isDefined)
-          ChangelogPlanning.readerFactory(t, baseSchema, renames)
-        else GraftPassthroughOpReaderFactory(
-          ChangelogPlanning.fileBaseOf(baseSchema, renames))
-    }
-  }
+          ChangelogPlanning.readerFactory(t, baseSchema, renames, pruned)
+        else GraftPassthroughOpReaderFactory(ChangelogPlanning.fileBaseOf(
+          pruned.getOrElse(baseSchema), renames))
+    })
 }
 
 /** The `` `t$changelog` `` system table (see the file scaladoc): the
@@ -173,9 +191,11 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    () => new Scan with Batch {
-      override def readSchema(): StructType = outer.schema()
-      override def description(): String = s"GraftChangeHistoryScan ${outer.name()}"
+    new GraftOpScanBuilder(baseSchema, "rowkind", pruned => new Scan with Batch {
+      override def readSchema(): StructType = GraftOpScanBuilder.withOp(
+        pruned.getOrElse(baseSchema), "rowkind")
+      override def description(): String =
+        s"GraftChangeHistoryScan ${outer.name()} ReadSchema: ${readSchema().catalogString}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -209,15 +229,16 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
       }
 
       override def createReaderFactory(): PartitionReaderFactory = {
-        val fileBase = ChangelogPlanning.fileBaseOf(baseSchema, renames)
+        val prunedFile = ChangelogPlanning.fileBaseOf(
+          pruned.getOrElse(baseSchema), renames)
         if (t.primaryKey.isDefined)
           // wraps the engine factory so snapshot-0 state partitions and
           // passthrough/const partitions share one factory
-          GraftAuditReaderFactory(fileBase,
-            ChangelogPlanning.readerFactory(t, baseSchema, renames))
-        else GraftPassthroughOpReaderFactory(fileBase)
+          GraftAuditReaderFactory(prunedFile,
+            ChangelogPlanning.readerFactory(t, baseSchema, renames, pruned))
+        else GraftPassthroughOpReaderFactory(prunedFile)
       }
-    }
+    })
   }
 }
 

@@ -75,7 +75,11 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     * compaction commit under the patched count), then persists the option so
     * subsequent writes stamp the new ids. Stop concurrent writers before
     * calling (the single-maintenance-job contract): a write landing between
-    * the two steps would stamp old-count ids. */
+    * the two steps would stamp old-count ids. Like rollback, rescale is
+    * snapshot SURGERY for CDC purposes: restart changelog readers rather
+    * than letting an interval span it — the per-bucket diff groups by
+    * recorded bucket id, and a key's old/new versions straddle generations
+    * across the rescale boundary. */
   def rescale(db: String, name: String, buckets: Int): Snapshot = {
     require(buckets > 0, s"rescale needs buckets > 0, got $buckets")
     val opts = tableOptions(db, name)

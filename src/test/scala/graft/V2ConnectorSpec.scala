@@ -1486,6 +1486,35 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(audit == Seq((1L, "y", "+I")), audit.toString)
   }
 
+  test("change surfaces prune columns: projected subset + op, keys read but not emitted") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "pr_cl",
+      Map("primary-key" -> "id", "changelog-producer" -> "input", "bucket" -> "2"))
+    tbl.appendBatch(Seq((1L, "a0", 10.0), (2L, "b0", 20.0))
+      .toDF("id", "v", "w"), 0L)
+    tbl.appendBatch(Seq((1L, "a1", 11.0)).toDF("id", "v", "w"), 1L)
+    // batch incremental: project ONE payload column (not even the key)
+    val df = spark.read.format("graft")
+      .option("incremental-between", "0,1").load(tbl.root).select("v", "op")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(scan.readSchema().fieldNames.toSeq == Seq("v", "op"),
+      scan.readSchema().catalogString)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      == Seq(("a0", "-U"), ("a1", "+U")))
+    // $changelog history and $audit_log prune the same way
+    val hist = spark.sql(s"SELECT v, rowkind FROM $cat.db.`pr_cl$$changelog`")
+    val hScan = hist.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    assert(hScan.readSchema().fieldNames.toSeq == Seq("v", "rowkind"),
+      hScan.readSchema().catalogString)
+    assert(hist.collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      == Seq(("a0", "+I"), ("a0", "-U"), ("a1", "+U"), ("b0", "+I")))
+  }
+
   test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
