@@ -82,20 +82,37 @@ class GraftDataSource extends TableProvider
     * snapshot id or a TAG name (Paimon's incremental-between-tags: nightly
     * tags make `"2024-01-01,2024-01-02"` the day's change set). */
   private def incrementalOf(get: String => String,
-      base: => GraftV2Table): Option[(Long, Long)] =
-    Option(get("incremental-between")).map { v =>
+      base: => GraftV2Table): Option[(Long, Long)] = {
+    def split(opt: String, v: String): (String, String) =
       v.split(",").map(_.trim) match {
-        case Array(a, b) =>
-          lazy val tags = base.table.tags.toMap
-          def resolve(x: String): Long = x.toLongOption.getOrElse(
-            tags.getOrElse(x, throw new IllegalArgumentException(
-              s"incremental-between endpoint '$x' is neither a snapshot id " +
-                s"nor a tag (tags: ${tags.keys.toSeq.sorted.mkString(", ")})")))
-          (resolve(a), resolve(b))
+        case Array(a, b) => (a, b)
         case _ => throw new IllegalArgumentException(
-          s"incremental-between expects 'fromSnapshot,toSnapshot', got '$v'")
+          s"$opt expects 'from,to', got '$v'")
       }
-    }
+    Option(get("incremental-between")).map { v =>
+      val (a, b) = split("incremental-between", v)
+      lazy val tags = base.table.tags.toMap
+      def resolve(x: String): Long = x.toLongOption.getOrElse(
+        tags.getOrElse(x, throw new IllegalArgumentException(
+          s"incremental-between endpoint '$x' is neither a snapshot id " +
+            s"nor a tag (tags: ${tags.keys.toSeq.sorted.mkString(", ")})")))
+      (resolve(a), resolve(b))
+    }.orElse(Option(get("incremental-between-timestamp")).map { v =>
+      // wall-clock endpoints (epoch millis or ISO date/datetime): each
+      // resolves to the LAST snapshot committed at or before it — the same
+      // floor rule as TIMESTAMP AS OF time travel
+      val (a, b) = split("incremental-between-timestamp", v)
+      val snaps = base.table.snapshots
+      def resolve(x: String): Long = {
+        val ms = x.toLongOption.getOrElse(java.sql.Timestamp.valueOf(
+          if (x.length == 10) s"$x 00:00:00" else x.replace('T', ' ')).getTime)
+        snaps.takeWhile(_.committedAtMs <= ms).lastOption.map(_.id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot committed at or before '$x' at ${base.table.root}"))
+      }
+      (resolve(a), resolve(b))
+    })
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = GraftV2Table.fromPath(rootOf(options))

@@ -64,7 +64,10 @@ object PlanDump {
       "q_ext_dedup_e2e" -> "End-to-end dedup: banded candidates (self-joins, never all-pairs) feed the CC fixpoint — the shown plan is the FINAL flat round (lineage-truncated) + the label roll-up; per round one edge-label shuffle + min-groupBy + pointer-jump self-join.",
       "q_source_v2_agg_pushdown" -> "V2 aggregate pushdown: COUNT/MIN/MAX collapsed into GraftAggregateScan (PushedAggregates) — the answer is one precomputed row from manifest rowCounts + typed footer stats; NO aggregate exec, zero data bytes read.",
       "q_join_spj" -> "Storage-partitioned join: both bucketed scans report KeyGroupedPartitioning(bucket(8, key)) and the MERGE hint pins the SMJ — ZERO hash exchanges in the whole plan: the join consumes the bucket layout and the per-key aggregation above reuses it (group key = join key); the only exchange is the final ORDER BY's range partition.",
-      "q_source_v2_pk_partial" -> "partial-update merge-on-read: the same per-bucket BatchScan shape as q_source_v2_pk_read, with per-FIELD last-non-null folds inside the readers (persisted fseq provenance structs) — the merge engine changes the reader, never the plan.")
+      "q_source_v2_pk_partial" -> "partial-update merge-on-read: the same per-bucket BatchScan shape as q_source_v2_pk_read, with per-FIELD last-non-null folds inside the readers (persisted fseq provenance structs) — the merge engine changes the reader, never the plan.",
+      "q_source_v2_incremental" -> "Batch incremental read: the (a,b] interval as a per-bucket BatchScan — here the state-diff fallback (no producer on this table); with changelog-producer the same plan reads ONLY the interval's persisted changelog files. Column pruning reaches the readers (projected cols + never-emitted key region).",
+      "q_source_v2_audit_log" -> "The $audit_log system table: the current resolved state as +I through the CDC catch-up plan — per-bucket engine readers, zero exchanges below the presentation sort, identical shape to the PK merge-on-read scan.",
+      "q_source_v2_change_history" -> "The $changelog system table: the retained change history — snapshot 0 resolves per bucket, every later produced commit is a PASS-THROUGH partition over its persisted changelog files (one partition per file, no resolve, no netting).")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

@@ -115,7 +115,12 @@ object ScaleSmoke {
       "q_source_v2_pushdown",  // manifest-planned scan + stats skipping
       // round-9 additions: the V2 pushdown suite
       "q_source_v2_agg_pushdown", // metadata-only COUNT/MIN/MAX (zero data read)
-      "q_join_spj")            // co-bucketed join: write-time shuffle, not per-query
+      "q_join_spj",            // co-bucketed join: write-time shuffle, not per-query
+      // round-13 additions: the batch change surfaces (staged PK history
+      // scales with customer; staging itself amortizes under min-of-2)
+      "q_source_v2_pk_read",   // per-bucket sorted-run merge-on-read
+      "q_source_v2_incremental", // interval state-diff per bucket, batch
+      "q_source_v2_change_history") // pass-through of persisted changelog files
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

@@ -1515,6 +1515,31 @@ class V2ConnectorSpec extends AnyFunSuite {
       == Seq(("a0", "+I"), ("a0", "-U"), ("a1", "+U"), ("b0", "+I")))
   }
 
+  test("incremental-between-timestamp floors each endpoint to its snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_inc_ts_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    val t0 = tbl.snapshots.last.committedAtMs
+    Thread.sleep(5)
+    tbl.appendBatch(Seq((2L, "b")).toDF("id", "v"), 1L)
+    Thread.sleep(5)
+    tbl.appendBatch(Seq((3L, "c")).toDF("id", "v"), 2L)
+    val t2 = tbl.snapshots.last.committedAtMs
+    // (floor(t0), floor(t2)] = (snap 0, snap 2] → rows of commits 1..2
+    val rows = spark.read.format("graft")
+      .option("incremental-between-timestamp", s"$t0,$t2").load(root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(rows == Seq((2L, "b", "+I"), (3L, "c", "+I")), rows.toString)
+    // an endpoint before the first commit fails loudly
+    val err = intercept[Exception](spark.read.format("graft")
+      .option("incremental-between-timestamp", s"${t0 - 100000},$t2").load(root))
+    assert(err.getMessage.contains("no snapshot committed at or before"),
+      err.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
