@@ -162,6 +162,25 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(drain(Map.empty) ==
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
 
+    // a CHECKPOINTED stream ignores the start option: restarting the
+    // scan.snapshot-id=1 drain with MORE options must resume from its
+    // stored offset (deliver only the new commit), not re-position
+    val chk2 = java.nio.file.Files.createTempDirectory("v2_sm_chk2_").toString
+    val out2 = java.nio.file.Files.createTempDirectory("v2_sm_out2_").toString
+    def drain2(startAt: String): Seq[(Long, String)] = {
+      val q = spark.readStream.format("graft")
+        .option("scan.snapshot-id", startAt).load(root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", chk2).option("path", out2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out2).as[(Long, String)].collect().sorted.toSeq
+    }
+    assert(drain2("2") == Seq((4L, "d")))
+    tbl.appendBatch(Seq((5L, "e")).toDF("id", "s"), 3L)
+    // restart with a DIFFERENT scan.snapshot-id: checkpoint wins
+    assert(drain2("1") == Seq((4L, "d"), (5L, "e")))
+
     // the CDC stream honors the same options: a producer PK table's
     // snapshot-1 changelog alone
     val (_, gc) = freshCatalog()
