@@ -63,16 +63,32 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var pruned: Option[StructType] = None
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(req: StructType): Unit = {
         // keep table order; `op` always emits (Spark re-projects on top)
         val keep = req.fieldNames.toSet
         pruned = Some(StructType(baseSchema.filter(f => keep.contains(f.name))))
       }
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        // only a bucket-key equality prunes (to ONE bucket's partitions);
+        // every filter stays a residual — pushdown is never load-bearing
+        pushed = filters.filter {
+          case org.apache.spark.sql.sources.EqualTo(a, _) =>
+            t.bucketKey.contains(a)
+          case _ => false
+        }
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
       override def build(): Scan =
         new GraftChangelogScan(outer, Option(options.get("consumer-id")),
-          GraftV2Table.scanStartOf(options.get, t), pruned)
+          GraftV2Table.scanStartOf(options.get, t), pruned,
+          ChangelogPlanning.bucketPointLookup(t, baseSchema, pushed))
     }
   }
 }
@@ -80,16 +96,18 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
 class GraftChangelogScan(table: GraftChangelogV2Table,
     consumerId: Option[String] = None,
     scanStart: Option[Long] = None,
-    pruned: Option[StructType] = None) extends Scan {
+    pruned: Option[StructType] = None,
+    onlyBucket: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = StructType(
     pruned.getOrElse(table.baseSchema).fields :+
       StructField("op", StringType, nullable = false))
   override def description(): String =
     s"GraftChangelogScan ${table.name()} merge=${table.t.effectiveEngine} " +
+      onlyBucket.map(b => s"bucket=$b ").getOrElse("") +
       s"ReadSchema: ${readSchema().catalogString}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangelogStream(table.t, table.baseSchema, table.renames,
-      consumerId, scanStart, pruned)
+      consumerId, scanStart, pruned, onlyBucket)
 }
 
 /** Snapshot-pair micro-batch stream (same offset/admission model as
@@ -101,7 +119,8 @@ class GraftChangelogScan(table: GraftChangelogV2Table,
   * stream loudly at the next trigger). */
 class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
     nameMap: Map[String, String], consumerId: Option[String] = None,
-    scanStart: Option[Long] = None, pruned: Option[StructType] = None)
+    scanStart: Option[Long] = None, pruned: Option[StructType] = None,
+    onlyBucket: Option[Int] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -134,7 +153,7 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val e = end.asInstanceOf[GraftOffset].snapshotId
-    ChangelogPlanning.planInterval(table, snaps, s, e)
+    ChangelogPlanning.planInterval(table, snaps, s, e, onlyBucket)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -171,13 +190,36 @@ private[v2] object ChangelogPlanning {
       StructField(StreamTable.SeqColName, LongType),
       StructField(StreamTable.TombstoneColName, BooleanType)))
 
+  /** Bucket point lookup over pushed filters: an equality on the bucket key
+    * pins the single bucket that can hold the key — 1/numBuckets of every
+    * interval cut before any I/O (the PK point read, on the change
+    * surfaces). Same conditions as [[GraftPkScan]]'s. */
+  def bucketPointLookup(t: StreamTable, schema: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Option[Int] =
+    for {
+      k <- t.bucketKey
+      dt <- schema.find(_.name == k).map(_.dataType)
+      if dt == LongType || dt == IntegerType
+      v <- pushed.collectFirst {
+        case org.apache.spark.sql.sources.EqualTo(a, v: Number) if a == k => v }
+    } yield {
+      val in = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](t.numBuckets,
+          if (dt == LongType) v.longValue() else v.intValue()))
+      (if (dt == LongType) GraftBucketLong else GraftBucketInt)
+        .produceResult(in).intValue()
+    }
+
   /** Plan the netted `(s, e]` interval over `snaps`: the persisted-changelog
     * fast path when every covered commit produced, else the per-bucket
     * state-diff walked commit-by-commit (so a level-0 file absorbed by an
     * in-interval compaction still contributes its keys). `s = -1` is the
-    * initial catch-up: the full state emits `+I`. */
+    * initial catch-up: the full state emits `+I`. `onlyBucket` (a pushed
+    * bucket-key point lookup) keeps a single bucket's group — honored only
+    * when the layout records bucket ids on every file (the unbucketed
+    * fallback group must read everything to stay correct). */
   def planInterval(table: StreamTable, snaps: Seq[graft.table.Snapshot],
-      s: Long, e: Long): Array[InputPartition] = {
+      s: Long, e: Long, onlyBucket: Option[Int] = None): Array[InputPartition] = {
     if (e <= s) return Array.empty
     val all = snaps
     def snapAt(id: Long): graft.table.Snapshot =
@@ -202,7 +244,9 @@ private[v2] object ChangelogPlanning {
         if (clog.isEmpty) return Array.empty
         val groups: Seq[Seq[graft.table.DataFileMeta]] =
           if (clog.forall(_.bucket.isDefined))
-            clog.groupBy(_.bucket.get).toSeq.sortBy(_._1).map(_._2)
+            clog.groupBy(_.bucket.get).toSeq
+              .filter(g => onlyBucket.forall(_ == g._1))
+              .sortBy(_._1).map(_._2)
           else Seq(clog)
         return groups.map { fs =>
           GraftChangelogDeltaPartition(
@@ -239,7 +283,8 @@ private[v2] object ChangelogPlanning {
       else if (both.forall(_.bucket.isDefined)) {
         val o = oldFiles.groupBy(_.bucket.get); val n = newFiles.groupBy(_.bucket.get)
         val x = extras.groupBy(_.bucket.get)
-        (o.keySet ++ n.keySet ++ x.keySet).toSeq.sorted.map { b =>
+        (o.keySet ++ n.keySet ++ x.keySet).toSeq
+          .filter(b => onlyBucket.forall(_ == b)).sorted.map { b =>
           (o.getOrElse(b, Seq.empty).map(_.path).sorted,
             n.getOrElse(b, Seq.empty).map(_.path).sorted,
             x.getOrElse(b, Seq.empty).map(_.path).sorted)

@@ -77,11 +77,14 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftOpScanBuilder(baseSchema, "op", pruned => new Scan with Batch {
+    new GraftOpScanBuilder(t, baseSchema, "op",
+      (pruned, onlyBucket) => new Scan with Batch {
       override def readSchema(): StructType = GraftOpScanBuilder.withOp(
         pruned.getOrElse(baseSchema), "op")
       override def description(): String =
-        s"GraftIncrementalScan ${name()} ReadSchema: ${readSchema().catalogString}"
+        s"GraftIncrementalScan ${name()} " +
+          onlyBucket.map(b => s"bucket=$b ").getOrElse("") +
+          s"ReadSchema: ${readSchema().catalogString}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -90,14 +93,15 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
           snaps.find(_.id == id).getOrElse(throw new IllegalArgumentException(
             s"incremental-between snapshot $id is not retained at ${t.root}"))
         if (t.primaryKey.isDefined)
-          ChangelogPlanning.planInterval(t, snaps, from, to)
+          ChangelogPlanning.planInterval(t, snaps, from, to, onlyBucket)
         else {
           // append table: the interval's added level-0 rows ARE its changes
           (from to to).foreach(snapAt)
           ((from + 1) to to).flatMap { id =>
             val prev = snapAt(id - 1).files.map(_.path).toSet
             snapAt(id).files.filterNot(f => prev(f.path)).filter(_.level == 0)
-          }.map(f => GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
+          }.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
+            .map(f => GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
         }
       }
 
@@ -109,23 +113,42 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
     })
 }
 
-/** Shared pruning ScanBuilder for the op/rowkind-suffixed change surfaces:
-  * keeps the projected DATA columns in table order; the op column always
-  * emits (Spark re-projects on top when it was not requested). */
-private[v2] class GraftOpScanBuilder(base: StructType, opName: String,
-    mk: Option[StructType] => Scan)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+/** Shared pruning/pushdown ScanBuilder for the op/rowkind-suffixed change
+  * surfaces: keeps the projected DATA columns in table order (the op column
+  * always emits — Spark re-projects on top when it was not requested), and
+  * a pushed bucket-key equality prunes the plan to ONE bucket's partitions
+  * (every filter stays a residual; pushdown is never load-bearing). */
+private[v2] class GraftOpScanBuilder(t: StreamTable, base: StructType,
+    opName: String, mk: (Option[StructType], Option[Int]) => Scan)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var pruned: Option[StructType] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(req: StructType): Unit = {
     val keep = req.fieldNames.toSet
     pruned = Some(StructType(base.filter(f => keep.contains(f.name))))
   }
-  override def build(): Scan = mk(pruned)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter {
+      case org.apache.spark.sql.sources.EqualTo(a, _) => t.bucketKey.contains(a)
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan =
+    mk(pruned, ChangelogPlanning.bucketPointLookup(t, base, pushed))
 }
 
 private[v2] object GraftOpScanBuilder {
   def withOp(base: StructType, opName: String): StructType =
     StructType(base.fields :+ StructField(opName, StringType, nullable = false))
+
+  /** A file survives a bucket point lookup when its recorded bucket matches
+    * — or when it has none (unknown must be read to stay correct). */
+  def keepBucket(f: graft.table.DataFileMeta, onlyBucket: Option[Int]): Boolean =
+    onlyBucket.forall(b => f.bucket.forall(_ == b))
 }
 
 /** The `` `t$audit_log` `` system table (see the file scaladoc): the
@@ -145,11 +168,14 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftOpScanBuilder(baseSchema, "rowkind", pruned => new Scan with Batch {
+    new GraftOpScanBuilder(t, baseSchema, "rowkind",
+      (pruned, onlyBucket) => new Scan with Batch {
       override def readSchema(): StructType = GraftOpScanBuilder.withOp(
         pruned.getOrElse(baseSchema), "rowkind")
       override def description(): String =
-        s"GraftAuditLogScan ${name()} ReadSchema: ${readSchema().catalogString}"
+        s"GraftAuditLogScan ${name()} " +
+          onlyBucket.map(b => s"bucket=$b ").getOrElse("") +
+          s"ReadSchema: ${readSchema().catalogString}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -159,9 +185,12 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
           case Some(last) =>
             if (t.primaryKey.isDefined)
               // the CDC catch-up plan: resolve the live state per bucket, +I
-              ChangelogPlanning.planInterval(t, Seq(last), -1L, last.id)
-            else last.files.map(f =>
-              GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
+              ChangelogPlanning.planInterval(t, Seq(last), -1L, last.id,
+                onlyBucket)
+            else last.files
+              .filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
+              .map(f =>
+                GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
         }
       }
 
@@ -191,11 +220,14 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    new GraftOpScanBuilder(baseSchema, "rowkind", pruned => new Scan with Batch {
+    new GraftOpScanBuilder(t, baseSchema, "rowkind",
+      (pruned, onlyBucket) => new Scan with Batch {
       override def readSchema(): StructType = GraftOpScanBuilder.withOp(
         pruned.getOrElse(baseSchema), "rowkind")
       override def description(): String =
-        s"GraftChangeHistoryScan ${outer.name()} ReadSchema: ${readSchema().catalogString}"
+        s"GraftChangeHistoryScan ${outer.name()} " +
+          onlyBucket.map(b => s"bucket=$b ").getOrElse("") +
+          s"ReadSchema: ${readSchema().catalogString}"
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -211,13 +243,15 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
               // first commit: resolve its own files per bucket and emit the
               // winners as +I (the producer never persists snapshot 0; a
               // multi-version or tombstone-carrying first batch still nets)
-              ChangelogPlanning.planInterval(t, Seq(s), -1L, s.id).toSeq
+              ChangelogPlanning.planInterval(t, Seq(s), -1L, s.id,
+                onlyBucket).toSeq
             else if (s.clogProduced && s.id > 0)
-              s.changelog.map(f =>
-                GraftPassthroughOpPartition(f.path): InputPartition)
+              s.changelog.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
+                .map(f => GraftPassthroughOpPartition(f.path): InputPartition)
             else if (added.isEmpty) Seq.empty // maintenance-only commit
             else if (t.primaryKey.isEmpty)
-              added.map(f => GraftConstOpPartition(f.path, "+I"): InputPartition)
+              added.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
+                .map(f => GraftConstOpPartition(f.path, "+I"): InputPartition)
             else throw new UnsupportedOperationException(
               s"${outer.name()}: snapshot ${s.id} has no persisted " +
                 "changelog — change history on a primary-key table " +

@@ -1559,6 +1559,34 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("bucket point lookup prunes change-surface plans to one bucket") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "bpl_cl",
+      Map("primary-key" -> "id", "changelog-producer" -> "input", "bucket" -> "4"))
+    tbl.appendBatch((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), 0L)
+    tbl.appendBatch((1L to 40L).map(i => (i, s"w$i")).toDF("id", "v"), 1L)
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.partitions.size
+      }.sum
+    val all = spark.read.format("graft")
+      .option("incremental-between", "0,1").load(tbl.root)
+    val one = all.where(org.apache.spark.sql.functions.col("id") === 7L)
+    assert(parts(all) == 4, s"expected 4 bucket partitions, got ${parts(all)}")
+    assert(parts(one) == 1, s"point lookup must prune to 1, got ${parts(one)}")
+    assert(one.collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+      == Seq(("v7", "-U"), ("w7", "+U")))
+    // the $changelog history read prunes its pass-through files the same way
+    val hist = spark.sql(
+      s"SELECT * FROM $cat.db.`bpl_cl$$changelog` WHERE id = 7")
+    assert(parts(hist) == 2, // snapshot-0 state partition + snapshot-1 clog file
+      s"history point lookup: got ${parts(hist)}")
+    assert(hist.collect().map(_.getString(1)).toSeq.sorted
+      == Seq("v7", "v7", "w7"))
+  }
+
   test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
