@@ -77,8 +77,8 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
         // only a bucket-key equality prunes (to ONE bucket's partitions);
         // every filter stays a residual — pushdown is never load-bearing
         pushed = filters.filter {
-          case org.apache.spark.sql.sources.EqualTo(a, _) =>
-            t.bucketKey.contains(a)
+          case org.apache.spark.sql.sources.EqualTo(a, v: Number) =>
+            t.bucketKey.contains(a) && v != null
           case _ => false
         }
         filters

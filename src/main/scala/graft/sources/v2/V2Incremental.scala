@@ -131,7 +131,8 @@ private[v2] class GraftOpScanBuilder(t: StreamTable, base: StructType,
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters.filter {
-      case org.apache.spark.sql.sources.EqualTo(a, _) => t.bucketKey.contains(a)
+      case org.apache.spark.sql.sources.EqualTo(a, v: Number) =>
+        t.bucketKey.contains(a) && v != null
       case _ => false
     }
     filters

@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   *  - `CALL sys.<proc>(…)` — the maintenance actions the reference drives as
   *    flink-action jobs (guide.md:172-177, :180-184), as SQL procedures:
   *    `rollback_to(table, snapshotOrTag)`, `create_tag` / `delete_tag`,
-  *    `expire_snapshots(table, min, max, olderThan)`, `compact(table[, n])`
+  *    `expire_snapshots(table, min, max, olderThan)`, `compact(table[, n])`,
+  *    `rescale(table, buckets)` (offline bucket-count change),
+  *    `remove_orphan_files(table[, olderThan])` (crash-leftover cleanup)
   *  - metadata tables `t$files` / `t$snapshots` / `t$tags` / `t$options` /
-  *    `t$consumers` / `t$audit_log` in any SELECT (guide.md:200-232)
+  *    `t$consumers` / `t$audit_log` / `t$changelog` in any SELECT
+  *    (guide.md:200-232)
   *
   * The statement grammar is intentionally exactly the subset the reference
   * exercises — this is a catalog shell, not a SQL parser (SELECT bodies are
