@@ -162,6 +162,11 @@ class StreamTableSpec extends AnyFunSuite {
           t.deleteBatch(Seq(Tuple1(rnd.nextInt(8).toLong)).toDF("id"), batch)
           batch += 1
         }
+        // mid-history compaction: the next commits diff against COMPACTED
+        // state (partial-update's persisted fseq provenance, aggregation's
+        // re-merged partial folds), and the compaction commit itself must
+        // contribute an EMPTY produced changelog
+        if (rnd.nextBoolean()) t.compact(2)
       }
       def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
         val cols = df.columns.sorted
