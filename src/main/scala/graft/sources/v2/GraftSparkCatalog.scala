@@ -258,7 +258,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // and the rename translation would then produce duplicate file-level
     // names on both read projections and INSERT writes. Paimon avoids
     // this with stable field ids; we refuse the collision loudly.
-    val fileCols: Set[String] = {
+    // lazy: only ADD/RENAME consult it — a plain SET-option ALTER must not
+    // pay a footer scan of every live file
+    lazy val fileCols: Set[String] = {
       val files = backing.getTable(dbN, tn).latestSnapshot
         .map(_.files).getOrElse(Seq.empty)
       if (files.isEmpty) Set.empty

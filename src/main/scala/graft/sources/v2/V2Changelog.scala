@@ -63,33 +63,11 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    new ScanBuilder with SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-      private var pruned: Option[StructType] = None
-      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-      override def pruneColumns(req: StructType): Unit = {
-        // keep table order; `op` always emits (Spark re-projects on top)
-        val keep = req.fieldNames.toSet
-        pruned = Some(StructType(baseSchema.filter(f => keep.contains(f.name))))
-      }
-      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
-          : Array[org.apache.spark.sql.sources.Filter] = {
-        // only a bucket-key equality prunes (to ONE bucket's partitions);
-        // every filter stays a residual — pushdown is never load-bearing
-        pushed = filters.filter {
-          case org.apache.spark.sql.sources.EqualTo(a, v: Number) =>
-            t.bucketKey.contains(a) && v != null
-          case _ => false
-        }
-        filters
-      }
-      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-        pushed
-      override def build(): Scan =
-        new GraftChangelogScan(outer, Option(options.get("consumer-id")),
-          GraftV2Table.scanStartOf(options.get, t), pruned,
-          ChangelogPlanning.bucketPointLookup(t, baseSchema, pushed))
-    }
+    // shares the batch change surfaces' pruning/point-lookup builder so the
+    // streaming and batch doors can never diverge in what they prune
+    new GraftOpScanBuilder(t, baseSchema, "op", (pruned, onlyBucket) =>
+      new GraftChangelogScan(outer, Option(options.get("consumer-id")),
+        GraftV2Table.scanStartOf(options.get, t), pruned, onlyBucket))
   }
 }
 
@@ -221,13 +199,18 @@ private[v2] object ChangelogPlanning {
   def planInterval(table: StreamTable, snaps: Seq[graft.table.Snapshot],
       s: Long, e: Long, onlyBucket: Option[Int] = None): Array[InputPartition] = {
     if (e <= s) return Array.empty
-    val all = snaps
+    // indexed once: the walk below touches each id several times, and a
+    // linear find per touch made catch-up planning O(interval × snapshots)
+    val byId = snaps.map(s0 => s0.id -> s0).toMap
     def snapAt(id: Long): graft.table.Snapshot =
-      all.find(_.id == id).getOrElse(throw new IllegalStateException(
+      byId.getOrElse(id, throw new IllegalStateException(
         s"changelog interval snapshot $id has been retention-expired at " +
           s"${table.root}: cannot compute the interval diff (register a " +
           "consumer-id or widen snapshot retention to protect slow readers)"))
     def filesAt(id: Long): Seq[graft.table.DataFileMeta] = snapAt(id).files
+    val pathsAt = scala.collection.mutable.HashMap[Long, Set[String]]()
+    def pathSetAt(id: Long): Set[String] =
+      pathsAt.getOrElseUpdate(id, filesAt(id).map(_.path).toSet)
 
     if (s >= 0) {
       // EVERY snapshot of the interval is needed — the per-commit walk is
@@ -262,18 +245,29 @@ private[v2] object ChangelogPlanning {
     // each covered commit (compaction rewrites are layout maintenance, not
     // logical changes) — walked commit-by-commit so a file absorbed by a
     // later compaction INSIDE the interval still contributes its keys (as an
-    // extra key-only scan; its images come from the resolved states). The
-    // initial catch-up treats every file as new so the full state emits +I.
+    // extra key-only scan; its images come from the resolved states). A
+    // NON-compaction commit that REMOVES level-0 files (overwriteBatch: a
+    // whole-state replacement) contributes the removed files' keys the same
+    // way — without them, keys the overwrite dropped would never emit -D.
+    // The initial catch-up treats every file as new so the state emits +I.
     val (newOnly: Set[String], extras: Seq[graft.table.DataFileMeta]) =
       if (s < 0) (newFiles.map(_.path).toSet, Seq.empty)
       else {
-        val added = ((s + 1) to e).flatMap { id =>
-          val prev = filesAt(id - 1).map(_.path).toSet
-          filesAt(id).filterNot(f => prev(f.path)).filter(_.level == 0)
+        val walked = ((s + 1) to e).map { id =>
+          val prevPaths = pathSetAt(id - 1)
+          val curPaths = pathSetAt(id)
+          val addedAll = filesAt(id).filterNot(f => prevPaths(f.path))
+          val removed = filesAt(id - 1)
+            .filterNot(f => curPaths(f.path)).filter(_.level == 0)
+          val compaction = addedAll.exists(_.level > 0)
+          (addedAll.filter(_.level == 0),
+            if (compaction) Seq.empty else removed)
         }
+        val added = walked.flatMap(_._1)
         val endPaths = newFiles.map(_.path).toSet
         (added.map(_.path).toSet.intersect(endPaths),
-          added.filterNot(f => endPaths(f.path)).distinct)
+          (added.filterNot(f => endPaths(f.path)) ++
+            walked.flatMap(_._2).filterNot(f => endPaths(f.path))).distinct)
       }
     // one partition per hash bucket when the layout proves co-location of
     // every key version; otherwise a single (serial, still correct) group

@@ -236,20 +236,23 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
         val byId = snaps.map(s => s.id -> s).toMap
         snaps.flatMap { s =>
           val pred = byId.get(s.id - 1)
-          if (s.id > 0 && pred.isEmpty) Seq.empty // expired predecessor
+          if (s.id == 0 && t.primaryKey.isDefined)
+            // first commit: resolve its own files per bucket and emit the
+            // winners as +I (the producer never persists snapshot 0; a
+            // multi-version or tombstone-carrying first batch still nets)
+            ChangelogPlanning.planInterval(t, Seq(s), -1L, s.id,
+              onlyBucket).toSeq
+          else if (s.clogProduced && s.id > 0)
+            // persisted changelog files are SELF-CONTAINED — retention
+            // expiring the predecessor must not drop history we still hold
+            s.changelog.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
+              .map(f => GraftPassthroughOpPartition(f.path): InputPartition)
+          else if (s.id > 0 && pred.isEmpty)
+            Seq.empty // expired predecessor: non-produced delta unrecoverable
           else {
             val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
             val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
-            if (s.id == 0 && t.primaryKey.isDefined)
-              // first commit: resolve its own files per bucket and emit the
-              // winners as +I (the producer never persists snapshot 0; a
-              // multi-version or tombstone-carrying first batch still nets)
-              ChangelogPlanning.planInterval(t, Seq(s), -1L, s.id,
-                onlyBucket).toSeq
-            else if (s.clogProduced && s.id > 0)
-              s.changelog.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
-                .map(f => GraftPassthroughOpPartition(f.path): InputPartition)
-            else if (added.isEmpty) Seq.empty // maintenance-only commit
+            if (added.isEmpty) Seq.empty // maintenance-only commit
             else if (t.primaryKey.isEmpty)
               added.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
                 .map(f => GraftConstOpPartition(f.path, "+I"): InputPartition)

@@ -79,6 +79,12 @@ object V2Procedures {
         StructType(Seq(StructField("deleted", BooleanType))),
         (t, args) => Array[Any](
           t.deleteTag(args(1).asInstanceOf[UTF8String].toString)), p))
+      case "remove_orphan_files" => Some(proc("remove_orphan_files",
+        Seq(in("table", StringType),
+          in("older_than_ms", LongType, Some((24L * 3600 * 1000).toString))),
+        StructType(Seq(StructField("removed", IntegerType))),
+        (t, args) => Array[Any](
+          t.removeOrphanFiles(args(1).asInstanceOf[Long])), p))
       // `bucket` is immutable through ALTER TABLE (a mixed-generation layout
       // would split a key's versions across bucket ids and break the
       // per-bucket merge) — rescale is the OFFLINE maintenance path, like
@@ -87,12 +93,6 @@ object V2Procedures {
       // the option so subsequent writes stamp the new ids. Stop concurrent
       // writers first (the documented single-maintenance-job contract): a
       // write landing between the two steps would stamp old-count ids.
-      case "remove_orphan_files" => Some(proc("remove_orphan_files",
-        Seq(in("table", StringType),
-          in("older_than_ms", LongType, Some((24L * 3600 * 1000).toString))),
-        StructType(Seq(StructField("removed", IntegerType))),
-        (t, args) => Array[Any](
-          t.removeOrphanFiles(args(1).asInstanceOf[Long])), p))
       case "rescale" => Some(procRaw("rescale",
         Seq(in("table", StringType), in("buckets", IntegerType)),
         StructType(Seq(StructField("snapshot_id", LongType),

@@ -137,22 +137,12 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
     sweepOrphans(epochId)
   }
 
-  // ---- best-effort clustering request (correctness never depends on it) --
-  // Declared on the WRITE so Spark shuffles the micro-batch by the bucket
-  // key into numBuckets tasks: one file per bucket per epoch instead of
-  // (tasks × buckets). Spark's HashPartitioning is the same
-  // pmod(murmur3(key), n) the per-row split computes.
-  def requiredDistribution: org.apache.spark.sql.connector.distributions.Distribution =
-    bucketPlan match {
-      case Some(_) =>
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-            table.bucketKey.get)))
-      case None =>
-        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    }
-  def requiredNumPartitions: Int =
-    if (bucketPlan.isDefined) table.numBuckets else 0
+  // NOTE: the best-effort clustering request (shuffle the micro-batch by
+  // the bucket key into numBuckets tasks — one file per bucket per epoch)
+  // lives on the WRITE, the object Spark actually consults:
+  // RequiresDistributionAndOrdering in GraftDataSource's WriteBuilder.
+  // Correctness never depends on it — the per-row bucket split below keeps
+  // labels right whatever shape the plan takes.
 
   /** Delete THIS writer's staging leftovers for epochs at or before
     * `upToEpoch`: a task that died before sending its commit message (lost

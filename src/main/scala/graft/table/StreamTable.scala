@@ -1155,16 +1155,29 @@ class StreamTable(
     val pk = primaryKey.getOrElse(throw new UnsupportedOperationException(
       "changelogWithRetractions requires a primary-key table"))
     val snaps = snapshots
-    def files(id: Long) = snaps.find(_.id == id)
-      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id")).files
-    val oldPaths = files(fromId).map(_.path).toSet
-    val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
-      .filter(_.level == 0)
+    val byId = snaps.map(s => s.id -> s).toMap
+    def files(id: Long) = byId.getOrElse(id,
+      throw new IllegalArgumentException(s"no snapshot $id")).files
+    // changed-key evidence walked COMMIT-BY-COMMIT (the V2 planner's exact
+    // rule, ChangelogPlanning.planInterval): level-0 files ADDED at each
+    // covered commit — even when a later in-interval compaction absorbed
+    // them into a level-1 file, which a plain end-state diff would silently
+    // lose — plus level-0 files REMOVED by a non-compaction commit (an
+    // overwrite replaces state: its dropped keys must emit -D)
+    val evidence = ((fromId + 1) to toId).flatMap { id =>
+      val prevPaths = files(id - 1).map(_.path).toSet
+      val curPaths = files(id).map(_.path).toSet
+      val addedAll = files(id).filterNot(f => prevPaths(f.path))
+      val removed = files(id - 1)
+        .filterNot(f => curPaths(f.path)).filter(_.level == 0)
+      addedAll.filter(_.level == 0) ++
+        (if (addedAll.exists(_.level > 0)) Seq.empty else removed)
+    }.distinct
     // empty changelog keeps the table's schema + op so consumers can still
     // select their columns
-    if (newFiles.isEmpty) return read.limit(0).withColumn("op", lit(""))
+    if (evidence.isEmpty) return read.limit(0).withColumn("op", lit(""))
     // keys touched in the interval…
-    val changedKeys = readFiles(newFiles).select(pk.map(col): _*).distinct()
+    val changedKeys = readFiles(evidence).select(pk.map(col): _*).distinct()
     // …but their images come from the RESOLVED states, so a stale-sequence
     // arrival that loses last-writer-wins resolution (seqCol contract) can
     // never retract the live row or emit a stale image: for such keys the
@@ -1172,7 +1185,9 @@ class StreamTable(
     val oldState =
       if (files(fromId).isEmpty) read.limit(0)
       else resolveView(readFiles(files(fromId)), pk, keepSeq = false)
-    val newState = resolveView(readFiles(files(toId)), pk, keepSeq = false)
+    val newState =
+      (if (files(toId).isEmpty) read.limit(0) // overwritten to empty: all -D
+       else resolveView(readFiles(files(toId)), pk, keepSeq = false))
       .join(changedKeys, pk, "left_semi")
     val oldChanged = oldState.join(changedKeys, pk, "left_semi")
     netOps(oldChanged, newState, pk)
@@ -1208,8 +1223,11 @@ class StreamTable(
         coalesce(col(TombstoneColName), lit(false))
       else lit(false)
 
-    // (old image struct | null, new image struct | null, touched) per key
-    val staged: DataFrame = engine match {
+    // (old image struct | null, new image struct | null, touched) per key;
+    // each branch also names ITS image fields (the aggregation view carries
+    // only the declared aggregate fields — a stored column outside the spec
+    // must not reach the emission select)
+    val (staged: DataFrame, imgFields: Seq[String]) = engine match {
       case "aggregation" =>
         val spec = aggSpec.get
         def fold(fn: String, c: org.apache.spark.sql.Column) = fn match {
@@ -1221,12 +1239,12 @@ class StreamTable(
           Seq(fold(fn, col(f)).as(s"__nw_$f"),
             fold(fn, when(!isNew, col(f))).as(s"__ow_$f"))
         } ++ Seq(count(when(!isNew, lit(1))).as("__nold"), max(isNew).as("__t"))
-        all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        (all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .select(pk.map(col) ++ Seq(
             when(col("__nold") > 0,
               struct(spec.map(s => col(s"__ow_${s._1}").as(s._1)): _*)).as("__ow"),
             struct(spec.map(s => col(s"__nw_${s._1}").as(s._1)): _*).as("__nw"),
-            col("__t")): _*)
+            col("__t")): _*), spec.map(_._1))
       case "partial-update" =>
         val baseOrd = struct(
           seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
@@ -1242,19 +1260,19 @@ class StreamTable(
           Seq(max(when(eff(f).isNotNull, cand)).getField("v").as(s"__nw_$f"),
             max(when(eff(f).isNotNull && !isNew, cand)).getField("v").as(s"__ow_$f"))
         } ++ Seq(count(when(!isNew, lit(1))).as("__nold"), max(isNew).as("__t"))
-        all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        (all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .select(pk.map(col) ++ Seq(
             when(col("__nold") > 0,
               struct(fields.map(f => col(s"__ow_$f").as(f)): _*)).as("__ow"),
             struct(fields.map(f => col(s"__nw_$f").as(f)): _*).as("__nw"),
-            col("__t")): _*)
+            col("__t")): _*), fields)
       case _ => // deduplicate | first-row: pick the winning VERSION per key
         val ord = struct(
           seqCol.map(col).getOrElse(lit(0L)).as("s1"), col(SeqColName).as("s2"))
         val img = struct(fields.map(col) :+ tomb.as("__tomb"): _*)
         def pick(o: org.apache.spark.sql.Column) =
           if (engine == "first-row") min_by(img, o) else max_by(img, o)
-        all.groupBy(pk.map(col): _*).agg(
+        (all.groupBy(pk.map(col): _*).agg(
           pick(ord).as("__nwr"),
           // null ordering skips the fresh rows — the old-state winner
           pick(when(!isNew, ord)).as("__owr"),
@@ -1264,9 +1282,20 @@ class StreamTable(
               struct(fields.map(f => col(s"__owr.$f").as(f)): _*)).as("__ow"),
             when(col("__nwr").isNotNull && !col("__nwr").getField("__tomb"),
               struct(fields.map(f => col(s"__nwr.$f").as(f)): _*)).as("__nw"),
-            col("__t")): _*)
+            col("__t")): _*), fields)
     }
-    staged.filter(col("__t") && (col("__ow").isNotNull || col("__nw").isNotNull))
+    emitOps(staged.filter(col("__t")), pk, imgFields)
+  }
+
+  /** Shared changelog-alphabet emission over a per-key frame of
+    * `(__ow: old image | null, __nw: new image | null)`: both → `-U old,
+    * +U new` (identical images for a stale arrival — a delta consumer nets
+    * zero); old only → `-D old`; new only → `+I new`. Used by both the
+    * fused write-time producer and [[netOps]], so the fast path and the
+    * state-diff fallback can never drift. */
+  private def emitOps(staged: DataFrame, pk: Seq[String],
+      imgFields: Seq[String]): DataFrame =
+    staged.filter(col("__ow").isNotNull || col("__nw").isNotNull)
       .select(pk.map(col) :+ explode(
         when(col("__ow").isNotNull && col("__nw").isNotNull,
           array(struct(lit("-U").as("op"), col("__ow").as("img")),
@@ -1276,9 +1305,8 @@ class StreamTable(
           .otherwise(array(struct(lit("+I").as("op"), col("__nw").as("img")))))
         .as("__e"): _*)
       .select(pk.map(col) ++
-        fields.map(f => col(s"__e.img.$f").as(f)) :+
+        imgFields.map(f => col(s"__e.img.$f").as(f)) :+
         col("__e.op").as("op"): _*)
-  }
 
   /** Net two per-key resolved states into the changelog alphabet: old+new →
     * `-U old, +U new`; old only → `-D old`; new only → `+I new` (shared by
@@ -1298,20 +1326,9 @@ class StreamTable(
       struct(payload.map(f =>
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*).as(as): _*)
-    val joined = packed(oldChanged, "__old")
-      .join(packed(newState, "__new"), pk, "full_outer")
-    val opped = joined.select(pk.map(col) :+ explode(
-      when(col("__old").isNotNull && col("__new").isNotNull,
-        array(struct(lit("-U").as("op"), col("__old").as("img")),
-          struct(lit("+U").as("op"), col("__new").as("img"))))
-        .when(col("__new").isNull,
-          array(struct(lit("-D").as("op"), col("__old").as("img"))))
-        .otherwise(
-          array(struct(lit("+I").as("op"), col("__new").as("img")))))
-      .as("__e"): _*)
-    opped.select(pk.map(col) ++
-      payload.map(f => col(s"__e.img.${f.name}").as(f.name)) :+
-      col("__e.op").as("op"): _*)
+    val joined = packed(oldChanged, "__ow")
+      .join(packed(newState, "__nw"), pk, "full_outer")
+    emitOps(joined, pk, payload.map(_.name))
   }
 
   /** Incremental changelog read between two snapshots (the
@@ -1530,18 +1547,21 @@ class StreamTable(
     val empty = read.limit(0).withColumn("rowkind", lit(""))
     val parts: Seq[DataFrame] = snaps.flatMap { s =>
       val pred = byId.get(s.id - 1)
-      if (s.id > 0 && pred.isEmpty) None // expired predecessor
+      if (s.id == 0 && primaryKey.isDefined)
+        Some(resolveView(readFiles(s.files.filter(_.level == 0)),
+          primaryKey.get, keepSeq = false).withColumn("rowkind", lit("+I")))
+      else if (s.clogProduced && s.id > 0)
+        // persisted changelog files are SELF-CONTAINED — retention expiring
+        // the predecessor must not drop history we still hold
+        if (s.changelog.isEmpty) None
+        else Some(spark.read.parquet(s.changelog.map(_.path): _*)
+          .withColumnRenamed("op", "rowkind"))
+      else if (s.id > 0 && pred.isEmpty)
+        None // expired predecessor: non-produced delta unrecoverable
       else {
         val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
-        if (s.id == 0 && primaryKey.isDefined)
-          Some(resolveView(readFiles(added), primaryKey.get, keepSeq = false)
-            .withColumn("rowkind", lit("+I")))
-        else if (s.clogProduced && s.id > 0)
-          if (s.changelog.isEmpty) None
-          else Some(spark.read.parquet(s.changelog.map(_.path): _*)
-            .withColumnRenamed("op", "rowkind"))
-        else if (added.isEmpty) None // maintenance-only commit
+        if (added.isEmpty) None // maintenance-only commit
         else if (primaryKey.isEmpty)
           Some(readFiles(added).drop(SeqColName).withColumn("rowkind", lit("+I")))
         else throw new UnsupportedOperationException(

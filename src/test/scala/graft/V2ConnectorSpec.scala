@@ -1587,6 +1587,56 @@ class V2ConnectorSpec extends AnyFunSuite {
       == Seq("v7", "v7", "w7"))
   }
 
+  test("interval evidence survives absorption and overwrites; history survives expiry") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+
+    // 1. LIBRARY door: a commit's level-0 file absorbed by an in-interval
+    // compaction must still contribute its changes (the commit walk)
+    val t1 = gc.createTable("db", "ev_absorb", Map("primary-key" -> "id"))
+    t1.appendBatch(Seq((1L, "a0")).toDF("id", "v"), 0L)
+    t1.appendBatch(Seq((1L, "a1"), (2L, "b0")).toDF("id", "v"), 1L)
+    t1.compact(1) // snapshot 2 absorbs commit 1's level-0 file
+    val ch = t1.changelogWithRetractions(0L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(x => (x._1, x._3))
+    assert(ch == Seq((1L, "a1", "+U"), (1L, "a0", "-U"), (2L, "b0", "+I")),
+      ch.toString)
+
+    // 2. overwriteBatch drops keys: the interval diff must emit -D for them
+    // (removed level-0 files are changed-key evidence on a non-compaction
+    // commit) — through BOTH the library and the V2 batch incremental
+    val t2 = gc.createTable("db", "ev_ow", Map("primary-key" -> "id"))
+    t2.appendBatch(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"), 0L)
+    t2.overwriteBatch(Seq((1L, "a1")).toDF("id", "v"), 1L)
+    val lib = t2.changelogWithRetractions(0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(x => (x._1, x._3))
+    assert(lib == Seq((1L, "a1", "+U"), (1L, "a0", "-U"), (2L, "b0", "-D")),
+      lib.toString)
+    val v2 = spark.read.format("graft")
+      .option("incremental-between", "0,1").load(t2.root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(x => (x._1, x._3))
+    assert(v2 == lib, s"v2=$v2 lib=$lib")
+
+    // 3. a PRODUCED commit's history survives its predecessor's expiry
+    // (persisted changelog files are self-contained)
+    val t3 = gc.createTable("db", "ev_exp",
+      Map("primary-key" -> "id", "changelog-producer" -> "input"))
+    t3.appendBatch(Seq((1L, "a0")).toDF("id", "v"), 0L)
+    t3.appendBatch(Seq((1L, "a1")).toDF("id", "v"), 1L)
+    t3.appendBatch(Seq((2L, "b0")).toDF("id", "v"), 2L)
+    assert(t3.expireSnapshots(2, 2, 0L) == 1) // snapshot 0 gone
+    val hist = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`ev_exp$$changelog`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(x => (x._1, x._3))
+    // snapshot 1's produced changelog (-U a0/+U a1) and snapshot 2's (+I b0)
+    // both serve; snapshot 0's +I catch-up is expired history
+    assert(hist == Seq((1L, "a1", "+U"), (1L, "a0", "-U"), (2L, "b0", "+I")),
+      hist.toString)
+  }
+
   test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
