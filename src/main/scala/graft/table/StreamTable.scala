@@ -317,7 +317,9 @@ class StreamTable(
     val metas = stageBatchFiles(df, batchId)
     // an overwrite is a whole-table replacement, not an incremental change —
     // no changelog is produced (clogProduced=false) and a CDC interval
-    // covering it falls back to the state diff
+    // covering it falls back to the state diff, which counts the REMOVED
+    // level-0 files as changed-key evidence (keys the overwrite dropped
+    // emit -D; see ChangelogPlanning.planInterval / changelogWithRetractions)
     commit(_ => (metas, batchId))
   }
 
