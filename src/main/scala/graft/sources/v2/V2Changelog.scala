@@ -208,9 +208,6 @@ private[v2] object ChangelogPlanning {
           s"${table.root}: cannot compute the interval diff (register a " +
           "consumer-id or widen snapshot retention to protect slow readers)"))
     def filesAt(id: Long): Seq[graft.table.DataFileMeta] = snapAt(id).files
-    val pathsAt = scala.collection.mutable.HashMap[Long, Set[String]]()
-    def pathSetAt(id: Long): Set[String] =
-      pathsAt.getOrElseUpdate(id, filesAt(id).map(_.path).toSet)
 
     if (s >= 0) {
       // EVERY snapshot of the interval is needed — the per-commit walk is
@@ -242,32 +239,20 @@ private[v2] object ChangelogPlanning {
     val oldFiles = if (s < 0) Seq.empty else filesAt(s)
     val newFiles = filesAt(e)
     // keys "changed in the interval" come from the level-0 files ADDED at
-    // each covered commit (compaction rewrites are layout maintenance, not
-    // logical changes) — walked commit-by-commit so a file absorbed by a
-    // later compaction INSIDE the interval still contributes its keys (as an
-    // extra key-only scan; its images come from the resolved states). A
-    // NON-compaction commit that REMOVES level-0 files (overwriteBatch: a
-    // whole-state replacement) contributes the removed files' keys the same
-    // way — without them, keys the overwrite dropped would never emit -D.
+    // each covered commit (walked so a later in-interval compaction cannot
+    // absorb a commit's changes) plus files a state-REPLACING commit
+    // removed (keys an overwrite dropped must emit -D) — the shared rule
+    // [[StreamTable.intervalEvidence]]; files not live at the end snapshot
+    // are scanned KEY-ONLY, their images come from the resolved states.
     // The initial catch-up treats every file as new so the state emits +I.
     val (newOnly: Set[String], extras: Seq[graft.table.DataFileMeta]) =
       if (s < 0) (newFiles.map(_.path).toSet, Seq.empty)
       else {
-        val walked = ((s + 1) to e).map { id =>
-          val prevPaths = pathSetAt(id - 1)
-          val curPaths = pathSetAt(id)
-          val addedAll = filesAt(id).filterNot(f => prevPaths(f.path))
-          val removed = filesAt(id - 1)
-            .filterNot(f => curPaths(f.path)).filter(_.level == 0)
-          val compaction = addedAll.exists(_.level > 0)
-          (addedAll.filter(_.level == 0),
-            if (compaction) Seq.empty else removed)
-        }
-        val added = walked.flatMap(_._1)
+        val (added, removedEv) = StreamTable.intervalEvidence(snapAt, s, e)
         val endPaths = newFiles.map(_.path).toSet
         (added.map(_.path).toSet.intersect(endPaths),
           (added.filterNot(f => endPaths(f.path)) ++
-            walked.flatMap(_._2).filterNot(f => endPaths(f.path))).distinct)
+            removedEv.filterNot(f => endPaths(f.path))).distinct)
       }
     // one partition per hash bucket when the layout proves co-location of
     // every key version; otherwise a single (serial, still correct) group

@@ -69,7 +69,15 @@ case class Snapshot(
       * "produced, and there were no logical changes" (maintenance) from
       * "not produced" (pre-option history, overwrites): a CDC interval may
       * ride the changelog files only when every covered commit produced. */
-    clogProduced: Boolean = false)
+    clogProduced: Boolean = false,
+    /** The commit KIND (Paimon's snapshot commitKind): "append" |
+      * "overwrite" | "compact" | "replace" (COW row-level DML). The
+      * changelog interval walk classifies on it — a compaction's removed
+      * files are absorbed layout maintenance, an overwrite's are dropped
+      * STATE whose keys must emit `-D`. Empty on legacy manifests, where
+      * the walk falls back to inferring compaction from added level>0
+      * files. */
+    kind: String = "")
 
 /** A Spark-native streaming table: a directory of immutable parquet files plus
   * an atomic snapshot manifest — the engine-level translation of a Paimon
@@ -197,7 +205,8 @@ class StreamTable(
   private def commit(recompute: Seq[DataFileMeta] => (Seq[DataFileMeta], Long),
       writer: Option[(String, Long)] = None,
       changelog: Seq[DataFileMeta] = Seq.empty,
-      produced: Boolean = false): Snapshot = {
+      produced: Boolean = false,
+      kind: String = "append"): Snapshot = {
     var attempt = 0
     while (true) {
       val base = latestSnapshot
@@ -205,7 +214,7 @@ class StreamTable(
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
         System.currentTimeMillis(), batchId, files,
         writer = writer.map(_._1), writerEpoch = writer.map(_._2),
-        changelog = changelog, clogProduced = produced)
+        changelog = changelog, clogProduced = produced, kind = kind)
       val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, mapper.writeValueAsBytes(next))
       try {
@@ -318,9 +327,9 @@ class StreamTable(
     // an overwrite is a whole-table replacement, not an incremental change —
     // no changelog is produced (clogProduced=false) and a CDC interval
     // covering it falls back to the state diff, which counts the REMOVED
-    // level-0 files as changed-key evidence (keys the overwrite dropped
-    // emit -D; see ChangelogPlanning.planInterval / changelogWithRetractions)
-    commit(_ => (metas, batchId))
+    // files (any level) as changed-key evidence: keys the overwrite dropped
+    // emit -D (see StreamTable.intervalEvidence)
+    commit(_ => (metas, batchId), kind = "overwrite")
   }
 
   private def replaySkip(op: String, batchId: Long): Boolean = {
@@ -765,13 +774,13 @@ class StreamTable(
         "(maintenance) files: its changed/inserted rows will NOT appear on " +
         "the streaming/changelog surfaces — use a primary-key table for " +
         "streamable row-level DML")
-    commit { liveNow =>
+    commit({ liveNow =>
       val gone = removedPaths -- liveNow.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this $mode (e.g. ${gone.take(2).mkString(", ")})")
       (liveNow.filterNot(f => removedPaths.contains(f.path)) ++ metas,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
-    }
+    }, kind = "replace")
     outRows
   }
 
@@ -1158,26 +1167,24 @@ class StreamTable(
       "changelogWithRetractions requires a primary-key table"))
     val snaps = snapshots
     val byId = snaps.map(s => s.id -> s).toMap
-    def files(id: Long) = byId.getOrElse(id,
-      throw new IllegalArgumentException(s"no snapshot $id")).files
-    // changed-key evidence walked COMMIT-BY-COMMIT (the V2 planner's exact
-    // rule, ChangelogPlanning.planInterval): level-0 files ADDED at each
-    // covered commit — even when a later in-interval compaction absorbed
-    // them into a level-1 file, which a plain end-state diff would silently
-    // lose — plus level-0 files REMOVED by a non-compaction commit (an
-    // overwrite replaces state: its dropped keys must emit -D)
-    val evidence = ((fromId + 1) to toId).flatMap { id =>
-      val prevPaths = files(id - 1).map(_.path).toSet
-      val curPaths = files(id).map(_.path).toSet
-      val addedAll = files(id).filterNot(f => prevPaths(f.path))
-      val removed = files(id - 1)
-        .filterNot(f => curPaths(f.path)).filter(_.level == 0)
-      addedAll.filter(_.level == 0) ++
-        (if (addedAll.exists(_.level > 0)) Seq.empty else removed)
-    }.distinct
+    def snapAt(id: Long) = byId.getOrElse(id,
+      throw new IllegalArgumentException(s"no snapshot $id"))
+    def files(id: Long) = snapAt(id).files
+    // changed-key evidence walked COMMIT-BY-COMMIT — the rule shared with
+    // the V2 planner (see [[StreamTable.intervalEvidence]])
+    val (added, removedEv) = StreamTable.intervalEvidence(snapAt, fromId, toId)
+    val evidence = (added ++ removedEv).distinct
+    // a typed empty frame even when a snapshot has NO files (a truncating
+    // overwrite): `read` on an empty latest snapshot is schema-less, which
+    // would break the key join below
+    def emptyState(): DataFrame =
+      Seq(files(toId), files(fromId)).find(_.nonEmpty) match {
+        case Some(fs) => resolveView(readFiles(fs), pk, keepSeq = false).limit(0)
+        case None => read.limit(0)
+      }
     // empty changelog keeps the table's schema + op so consumers can still
     // select their columns
-    if (evidence.isEmpty) return read.limit(0).withColumn("op", lit(""))
+    if (evidence.isEmpty) return emptyState().withColumn("op", lit(""))
     // keys touched in the interval…
     val changedKeys = readFiles(evidence).select(pk.map(col): _*).distinct()
     // …but their images come from the RESOLVED states, so a stale-sequence
@@ -1185,10 +1192,10 @@ class StreamTable(
     // never retract the live row or emit a stale image: for such keys the
     // -U/+U pair carries identical images and a delta-consumer nets zero.
     val oldState =
-      if (files(fromId).isEmpty) read.limit(0)
+      if (files(fromId).isEmpty) emptyState()
       else resolveView(readFiles(files(fromId)), pk, keepSeq = false)
     val newState =
-      (if (files(toId).isEmpty) read.limit(0) // overwritten to empty: all -D
+      (if (files(toId).isEmpty) emptyState() // overwritten to empty: all -D
        else resolveView(readFiles(files(toId)), pk, keepSeq = false))
       .join(changedKeys, pk, "left_semi")
     val oldChanged = oldState.join(changedKeys, pk, "left_semi")
@@ -1751,7 +1758,7 @@ class StreamTable(
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }, // a layout rewrite changes no logical row — an empty PRODUCED
        // changelog keeps CDC intervals spanning it on the delta fast path
-      produced = changelogProducer)
+      produced = changelogProducer, kind = "compact")
   }
 
   /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,
@@ -1822,6 +1829,41 @@ class StreamTable(
 }
 
 object StreamTable {
+  /** Changed-key evidence for a changelog interval, walked COMMIT-BY-COMMIT
+    * over `(from, to]` — THE rule shared by the library door
+    * ([[StreamTable.changelogWithRetractions]]) and the V2 planner
+    * (`ChangelogPlanning.planInterval`), factored so the two can never
+    * drift. Returns `(addedLevel0, removedEvidence)`:
+    *
+    *  - level-0 files ADDED at each covered commit — even when a later
+    *    in-interval compaction absorbed them (an end-state diff would
+    *    silently lose that commit's changes);
+    *  - files REMOVED (any level) by a commit that replaces state —
+    *    `kind = "overwrite"` (or a legacy-manifest commit that removes
+    *    files without adding any level>0 output, the pre-kind inference):
+    *    keys the replacement dropped must emit `-D`. A compaction's
+    *    removals are absorbed layout maintenance and contribute nothing.
+    */
+  def intervalEvidence(snapAt: Long => Snapshot, from: Long, to: Long)
+      : (Seq[DataFileMeta], Seq[DataFileMeta]) = {
+    val added = Seq.newBuilder[DataFileMeta]
+    val removedEv = Seq.newBuilder[DataFileMeta]
+    var prev = snapAt(from)
+    ((from + 1) to to).foreach { id =>
+      val cur = snapAt(id)
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val addedAll = cur.files.filterNot(f => prevPaths(f.path))
+      val removed = prev.files.filterNot(f => curPaths(f.path))
+      added ++= addedAll.filter(_.level == 0)
+      val isCompaction = cur.kind == "compact" ||
+        (cur.kind.isEmpty && addedAll.exists(_.level > 0))
+      if (!isCompaction && removed.nonEmpty) removedEv ++= removed
+      prev = cur
+    }
+    (added.result().distinct, removedEv.result().distinct)
+  }
+
   /** Internal per-row commit-sequence column on disk (Paimon sequence-number
     * analog, guide.md:206). Hidden from readers. */
   val SeqColName = "__graft_seq"

@@ -1620,6 +1620,24 @@ class V2ConnectorSpec extends AnyFunSuite {
       .toSeq.sortBy(x => (x._1, x._3))
     assert(v2 == lib, s"v2=$v2 lib=$lib")
 
+    // 2b. keys whose ONLY residence was a COMPACTED (level-1) file still
+    // emit -D when an overwrite drops them — removal evidence is any-level,
+    // classified by the commit KIND (a compaction's removals stay silent)
+    val t2b = gc.createTable("db", "ev_ow2", Map("primary-key" -> "id"))
+    t2b.appendBatch(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"), 0L)
+    t2b.compact(1) // snapshot 1: both keys now live ONLY in a level-1 file
+    t2b.overwriteBatch(Seq((1L, "a1")).toDF("id", "v"), 1L) // snapshot 2
+    val lib2 = t2b.changelogWithRetractions(1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(x => (x._1, x._3))
+    assert(lib2 == Seq((1L, "a1", "+U"), (1L, "a0", "-U"), (2L, "b0", "-D")),
+      lib2.toString)
+    // a truncating overwrite (to EMPTY) retracts everything, not crashes
+    t2b.overwriteBatch(Seq.empty[(Long, String)].toDF("id", "v"), 2L)
+    val lib3 = t2b.changelogWithRetractions(2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(lib3 == Seq((1L, "a1", "-D")), lib3.toString)
+
     // 3. a PRODUCED commit's history survives its predecessor's expiry
     // (persisted changelog files are self-contained)
     val t3 = gc.createTable("db", "ev_exp",
