@@ -1407,10 +1407,11 @@ class StreamTable(
   def snapshotsView: DataFrame = {
     import spark.implicits._
     spark.createDataset(snapshots.map(s =>
-      (s.id, s.committedAtMs, s.batchId, s.files.length.toLong,
+      (s.id, s.committedAtMs, s.batchId,
+        if (s.kind.isEmpty) "append" else s.kind, s.files.length.toLong,
         s.files.map(_.rowCount).sum, s.files.map(_.fileSizeInBytes).sum)))
-      .toDF("snapshot_id", "committed_at_ms", "batch_id", "num_files",
-        "total_record_count", "total_file_size_in_bytes")
+      .toDF("snapshot_id", "committed_at_ms", "batch_id", "commit_kind",
+        "num_files", "total_record_count", "total_file_size_in_bytes")
       .withColumn("committed_at", timestamp_millis(col("committed_at_ms")))
       .drop("committed_at_ms")
       .orderBy("snapshot_id")
