@@ -65,7 +65,7 @@ class GraftChangelogV2Table(base: GraftV2Table) extends Table with SupportsRead 
     val outer = this
     // shares the batch change surfaces' pruning/point-lookup builder so the
     // streaming and batch doors can never diverge in what they prune
-    new GraftOpScanBuilder(t, baseSchema, "op", (pruned, onlyBucket) =>
+    new GraftOpScanBuilder(t, baseSchema, "op", renames, (pruned, onlyBucket) =>
       new GraftChangelogScan(outer, Option(options.get("consumer-id")),
         GraftV2Table.scanStartOf(options.get, t), pruned, onlyBucket))
   }
@@ -155,7 +155,7 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   * BATCH incremental/audit surfaces (`incremental-between`,
   * `` `t$audit_log` `` — V2Incremental.scala): one `(start, end]` netting
   * plan, identical either way. */
-private[v2] object ChangelogPlanning {
+private[graft] object ChangelogPlanning {
 
   /** The merge-internal schema (file-level names; see GraftPkScan). */
   private[v2] def fileBaseOf(baseSchema: StructType,
@@ -220,17 +220,23 @@ private[v2] object ChangelogPlanning {
       // netted change rows at write time — the trigger reads ONLY the
       // interval's changelog files, O(delta) instead of two full resolves
       if (interval.forall(id => snapAt(id).clogProduced)) {
-        val clog = interval.flatMap(id => snapAt(id).changelog)
+        // files ordered and commit-grouped by SNAPSHOT id — the table's
+        // commit order. minSeq (the writer's batch/stamp sequence) is
+        // neither monotone with snapshot order nor unique once independent
+        // writers interleave (a stamped sink epoch's sequence can sort
+        // before an earlier appendBatch commit, or collide with one).
+        val clog = interval.flatMap(id => snapAt(id).changelog.map(f => (f, id)))
         if (clog.isEmpty) return Array.empty
-        val groups: Seq[Seq[graft.table.DataFileMeta]] =
-          if (clog.forall(_.bucket.isDefined))
-            clog.groupBy(_.bucket.get).toSeq
+        val groups: Seq[Seq[(graft.table.DataFileMeta, Long)]] =
+          if (clog.forall(_._1.bucket.isDefined))
+            clog.groupBy(_._1.bucket.get).toSeq
               .filter(g => onlyBucket.forall(_ == g._1))
               .sortBy(_._1).map(_._2)
           else Seq(clog)
         return groups.map { fs =>
           GraftChangelogDeltaPartition(
-            fs.sortBy(f => (f.minSeq, f.path)).map(f => (f.path, f.minSeq)))
+            fs.sortBy { case (f, id) => (id, f.path) }
+              .map { case (f, id) => (f.path, id) })
             : InputPartition
         }.toArray
       }
@@ -245,33 +251,42 @@ private[v2] object ChangelogPlanning {
     // [[StreamTable.intervalEvidence]]; files not live at the end snapshot
     // are scanned KEY-ONLY, their images come from the resolved states.
     // The initial catch-up treats every file as new so the state emits +I.
-    val (newOnly: Set[String], extras: Seq[graft.table.DataFileMeta]) =
-      if (s < 0) (newFiles.map(_.path).toSet, Seq.empty)
+    val oldPathSet = oldFiles.map(_.path).toSet
+    val (newOnly: Set[String], extras: Seq[graft.table.DataFileMeta],
+        oldEv: Seq[graft.table.DataFileMeta]) =
+      if (s < 0) (newFiles.map(_.path).toSet, Seq.empty, Seq.empty)
       else {
         val (added, removedEv) = StreamTable.intervalEvidence(snapAt, s, e)
         val endPaths = newFiles.map(_.path).toSet
+        // removal evidence LIVE at the start snapshot is key-collected
+        // during the old-state resolve (zero extra I/O); only evidence
+        // live at NEITHER end needs its own key-only scan
         (added.map(_.path).toSet.intersect(endPaths),
           (added.filterNot(f => endPaths(f.path)) ++
-            removedEv.filterNot(f => endPaths(f.path))).distinct)
+            removedEv.filterNot(f =>
+              endPaths(f.path) || oldPathSet(f.path))).distinct,
+          removedEv.filter(f => oldPathSet(f.path)).distinct)
       }
     // one partition per hash bucket when the layout proves co-location of
     // every key version; otherwise a single (serial, still correct) group
     val both = oldFiles ++ newFiles ++ extras
-    val groups: Seq[(Seq[String], Seq[String], Seq[String])] =
+    val groups: Seq[(Seq[String], Seq[String], Seq[String], Seq[String])] =
       if (both.isEmpty) Seq.empty
       else if (both.forall(_.bucket.isDefined)) {
         val o = oldFiles.groupBy(_.bucket.get); val n = newFiles.groupBy(_.bucket.get)
         val x = extras.groupBy(_.bucket.get)
+        val oc = oldEv.groupBy(_.bucket.get)
         (o.keySet ++ n.keySet ++ x.keySet).toSeq
           .filter(b => onlyBucket.forall(_ == b)).sorted.map { b =>
           (o.getOrElse(b, Seq.empty).map(_.path).sorted,
             n.getOrElse(b, Seq.empty).map(_.path).sorted,
-            x.getOrElse(b, Seq.empty).map(_.path).sorted)
+            x.getOrElse(b, Seq.empty).map(_.path).sorted,
+            oc.getOrElse(b, Seq.empty).map(_.path).sorted)
         }
       } else Seq((oldFiles.map(_.path).sorted, newFiles.map(_.path).sorted,
-        extras.map(_.path).sorted))
-    groups.map { case (of, nf, xf) =>
-      GraftChangelogPartition(of, nf, nf.filter(newOnly), xf): InputPartition
+        extras.map(_.path).sorted, oldEv.map(_.path).sorted))
+    groups.map { case (of, nf, xf, oc) =>
+      GraftChangelogPartition(of, nf, nf.filter(newOnly), xf, oc): InputPartition
     }.toArray
   }
 
@@ -348,15 +363,18 @@ private[v2] object ChangelogPlanning {
 
 /** One bucket's changelog interval: the bucket's live files at the start
   * snapshot, at the end snapshot, which of the latter are NEW level-0
-  * commits (the changed-key evidence), and interval-added level-0 files a
-  * later in-interval compaction already absorbed (scanned for KEYS only —
-  * their surviving content lives in the compacted files). */
+  * commits (the changed-key evidence), interval-touched files live at
+  * NEITHER end (scanned for KEYS only — their surviving content lives in
+  * the resolved states), and removal-evidence files live at the START
+  * (key-collected during the old resolve, zero extra reads). */
 case class GraftChangelogPartition(oldFiles: Seq[String], newFiles: Seq[String],
-    newOnly: Seq[String], extraChanged: Seq[String] = Seq.empty)
+    newOnly: Seq[String], extraChanged: Seq[String] = Seq.empty,
+    oldChanged: Seq[String] = Seq.empty)
     extends InputPartition
 
 /** One bucket's PRODUCED changelog slice: the interval's persisted
-  * changelog files in commit order — the O(delta) fast path. */
+  * changelog files as `(path, snapshotId)` in SNAPSHOT order — the O(delta)
+  * fast path; the reader folds commit-at-a-time on the snapshot id. */
 case class GraftChangelogDeltaPartition(files: Seq[(String, Long)])
     extends InputPartition
 
@@ -395,9 +413,11 @@ class GraftChangelogReader(p: GraftChangelogPartition, internal: StructType,
   }
 
   private lazy val rows: Iterator[InternalRow] = {
-    val oldW = PkMerge.winners(p.oldFiles.map((_, -1L)), internal, pkIdxs,
-      seqIdx, commitIdx, firstRow, Array.empty)
     val changed = scala.collection.mutable.LinkedHashSet[List[Any]]()
+    val oldOnly = p.oldChanged.toSet
+    val oldW = PkMerge.winners(p.oldFiles.map((_, -1L)), internal, pkIdxs,
+      seqIdx, commitIdx, firstRow, Array.empty,
+      onRow = (key, path) => if (oldOnly(path)) changed += key)
     val newOnly = p.newOnly.toSet
     val newW = PkMerge.winners(p.newFiles.map((_, -1L)), internal, pkIdxs,
       seqIdx, commitIdx, firstRow, Array.empty,
@@ -460,9 +480,11 @@ class GraftChangelogAggReader(p: GraftChangelogPartition, internal: StructType,
   }
 
   private lazy val rows: Iterator[InternalRow] = {
-    val oldAcc = PkMerge.accumulate(p.oldFiles.map((_, -1L)), internal,
-      pkIdxs, specs, outLen, Array.empty)
     val changed = scala.collection.mutable.LinkedHashSet[List[Any]]()
+    val oldOnly = p.oldChanged.toSet
+    val oldAcc = PkMerge.accumulate(p.oldFiles.map((_, -1L)), internal,
+      pkIdxs, specs, outLen, Array.empty,
+      onRow = (key, path) => if (oldOnly(path)) changed += key)
     val newOnly = p.newOnly.toSet
     val newAcc = PkMerge.accumulate(p.newFiles.map((_, -1L)), internal,
       pkIdxs, specs, outLen, Array.empty,
@@ -519,9 +541,11 @@ class GraftChangelogPartialReader(p: GraftChangelogPartition, internal: StructTy
   }
 
   private lazy val rows: Iterator[InternalRow] = {
-    val oldAcc = PkMerge.partialState(p.oldFiles.map((_, -1L)), internal,
-      pkIdxs, fields, seqIdx, commitIdx, outLen, Array.empty)
     val changed = scala.collection.mutable.LinkedHashSet[List[Any]]()
+    val oldOnly = p.oldChanged.toSet
+    val oldAcc = PkMerge.partialState(p.oldFiles.map((_, -1L)), internal,
+      pkIdxs, fields, seqIdx, commitIdx, outLen, Array.empty,
+      onRow = (key, path) => if (oldOnly(path)) changed += key)
     val newOnly = p.newOnly.toSet
     val newAcc = PkMerge.partialState(p.newFiles.map((_, -1L)), internal,
       pkIdxs, fields, seqIdx, commitIdx, outLen, Array.empty,

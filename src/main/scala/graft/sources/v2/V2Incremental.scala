@@ -77,7 +77,7 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftOpScanBuilder(t, baseSchema, "op",
+    new GraftOpScanBuilder(t, baseSchema, "op", renames,
       (pruned, onlyBucket) => new Scan with Batch {
       override def readSchema(): StructType = GraftOpScanBuilder.withOp(
         pruned.getOrElse(baseSchema), "op")
@@ -89,8 +89,9 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
 
       override def planInputPartitions(): Array[InputPartition] = {
         val snaps = t.snapshots
+        val byId = snaps.map(s => s.id -> s).toMap
         def snapAt(id: Long): Snapshot =
-          snaps.find(_.id == id).getOrElse(throw new IllegalArgumentException(
+          byId.getOrElse(id, throw new IllegalArgumentException(
             s"incremental-between snapshot $id is not retained at ${t.root}"))
         if (t.primaryKey.isDefined)
           ChangelogPlanning.planInterval(t, snaps, from, to, onlyBucket)
@@ -119,27 +120,37 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
   * a pushed bucket-key equality prunes the plan to ONE bucket's partitions
   * (every filter stays a residual; pushdown is never load-bearing). */
 private[v2] class GraftOpScanBuilder(t: StreamTable, base: StructType,
-    opName: String, mk: (Option[StructType], Option[Int]) => Scan)
+    opName: String, nameMap: Map[String, String],
+    mk: (Option[StructType], Option[Int]) => Scan)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var pruned: Option[StructType] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(req: StructType): Unit = {
     val keep = req.fieldNames.toSet
-    pruned = Some(StructType(base.filter(f => keep.contains(f.name))))
+    val kept = base.filter(f => keep.contains(f.name))
+    // empty projection (count(*) / op-only) keeps one narrow column so the
+    // readers still pace row counts correctly (the GraftScan rule)
+    pruned = Some(
+      if (kept.nonEmpty) StructType(kept) else StructType(base.take(1)))
   }
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
+    // declared names translate to FILE-level before matching the bucket key
+    // (a renamed-to-the-bucket-key-name column must never compute a bucket
+    // from the wrong column's value, and a merely-renamed bucket key keeps
+    // its point lookup)
     pushed = filters.filter {
       case org.apache.spark.sql.sources.EqualTo(a, v: Number) =>
-        t.bucketKey.contains(a) && v != null
+        t.bucketKey.contains(nameMap.getOrElse(a, a)) && v != null
       case _ => false
-    }
+    }.map(GraftScan.translate(_, nameMap))
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    mk(pruned, ChangelogPlanning.bucketPointLookup(t, base, pushed))
+    mk(pruned, ChangelogPlanning.bucketPointLookup(t,
+      ChangelogPlanning.fileBaseOf(base, nameMap), pushed))
 }
 
 private[v2] object GraftOpScanBuilder {
@@ -169,7 +180,7 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftOpScanBuilder(t, baseSchema, "rowkind",
+    new GraftOpScanBuilder(t, baseSchema, "rowkind", renames,
       (pruned, onlyBucket) => new Scan with Batch {
       override def readSchema(): StructType = GraftOpScanBuilder.withOp(
         pruned.getOrElse(baseSchema), "rowkind")
@@ -221,7 +232,7 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val outer = this
-    new GraftOpScanBuilder(t, baseSchema, "rowkind",
+    new GraftOpScanBuilder(t, baseSchema, "rowkind", renames,
       (pruned, onlyBucket) => new Scan with Batch {
       override def readSchema(): StructType = GraftOpScanBuilder.withOp(
         pruned.getOrElse(baseSchema), "rowkind")
@@ -249,6 +260,13 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
               .map(f => GraftPassthroughOpPartition(f.path): InputPartition)
           else if (s.id > 0 && pred.isEmpty)
             Seq.empty // expired predecessor: non-produced delta unrecoverable
+          else if (s.kind == "overwrite" && t.primaryKey.isDefined)
+            // an overwrite never produces a changelog (whole-state
+            // replacement) — serve its own single-commit interval diff so
+            // one INSERT OVERWRITE cannot break the table's history (a
+            // truncating overwrite serves all -D the same way)
+            ChangelogPlanning.planInterval(t, snaps, s.id - 1, s.id,
+              onlyBucket).toSeq
           else {
             val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
             val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
@@ -301,17 +319,14 @@ case class GraftPassthroughOpReaderFactory(fileBase: StructType)
 }
 
 /** Delegates engine partitions (state diff / delta fold) to the changelog
-  * factory and serves passthrough/const partitions directly. */
+  * factory and passthrough/const partitions to the passthrough factory. */
 case class GraftAuditReaderFactory(fileBase: StructType,
     engine: PartitionReaderFactory) extends PartitionReaderFactory {
+  private val passthrough = GraftPassthroughOpReaderFactory(fileBase)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GraftPassthroughOpPartition(path) =>
-        new GraftPartitionReader(path,
-          StructType(fileBase.fields :+ StructField("op", StringType)),
-          Array.empty)
-      case GraftConstOpPartition(path, op) =>
-        new GraftConstOpReader(path, fileBase, op)
+      case _: GraftPassthroughOpPartition | _: GraftConstOpPartition =>
+        passthrough.createReader(p)
       case other => engine.createReader(other)
     }
 }

@@ -1568,6 +1568,12 @@ class StreamTable(
           .withColumnRenamed("op", "rowkind"))
       else if (s.id > 0 && pred.isEmpty)
         None // expired predecessor: non-produced delta unrecoverable
+      else if (s.kind == "overwrite" && primaryKey.isDefined)
+        // an overwrite never produces a changelog — serve its own
+        // single-commit interval diff so one INSERT OVERWRITE cannot break
+        // the table's history (the V2 door applies the same rule)
+        Some(changelogWithRetractions(s.id - 1, s.id)
+          .withColumnRenamed("op", "rowkind"))
       else {
         val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)

@@ -1655,6 +1655,66 @@ class V2ConnectorSpec extends AnyFunSuite {
       hist.toString)
   }
 
+  test("delta fast path orders by SNAPSHOT id, not writer sequence; op-only projections read") {
+    import spark.implicits._
+    import graft.table.{DataFileMeta, Snapshot}
+    val (cat, gc) = freshCatalog()
+    // a stamped sink epoch's changelog minSeq can sort BELOW an earlier
+    // appendBatch commit's batchId — the plan must follow snapshot order
+    val tbl = gc.createTable("db", "ord_cl",
+      Map("primary-key" -> "id", "changelog-producer" -> "input"))
+    tbl.appendBatch(Seq((1L, "v0")).toDF("id", "v"), 100L) // snapshot 0
+    tbl.appendBatch(Seq((1L, "v1")).toDF("id", "v"), 101L) // snapshot 1
+    tbl.appendBatch(Seq((1L, "v2")).toDF("id", "v"), 102L) // snapshot 2
+    val snaps = tbl.snapshots
+    def meta(path: String, seq: Long) =
+      DataFileMeta(path, 1L, 1L, seq, seq, 0, 0L, None)
+    // adversarial: snapshot 11's changelog carries a LOWER writer seq (7)
+    // than snapshot 10's (100) — the interleaved-sink-epoch shape
+    val crafted = Seq(
+      snaps(1).copy(id = 10L, changelog = Seq(meta("/a", 100L)), clogProduced = true),
+      snaps(2).copy(id = 11L, changelog = Seq(meta("/b", 7L)), clogProduced = true))
+    val parts = graft.sources.v2.ChangelogPlanning
+      .planInterval(tbl, snaps.take(1).map(_.copy(id = 9L)) ++ crafted, 9L, 11L)
+    val files = parts.collect {
+      case d: graft.sources.v2.GraftChangelogDeltaPartition => d.files
+    }.flatten.toSeq
+    assert(files == Seq(("/a", 10L), ("/b", 11L)),
+      s"must order and group by snapshot id: $files")
+
+    // op-only / count(*) projections on append-table change surfaces keep
+    // one narrow pacing column instead of a zero-column parquet read
+    val app = gc.createTable("db", "ord_app", Map.empty)
+    app.appendBatch(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.`ord_app$$audit_log`").head().getLong(0) == 2)
+    val kinds = spark.sql(
+      s"SELECT rowkind FROM $cat.db.`ord_app$$changelog`").collect()
+      .map(_.getString(0)).toSeq
+    assert(kinds == Seq("+I", "+I"), kinds.toString)
+  }
+
+  test("$changelog serves an overwrite amid produced history as its own diff") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "ow_hist",
+      Map("primary-key" -> "id", "changelog-producer" -> "input"))
+    tbl.appendBatch(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"), 0L)
+    tbl.overwriteBatch(Seq((1L, "a1")).toDF("id", "v"), 1L) // drops key 2
+    tbl.appendBatch(Seq((3L, "c0")).toDF("id", "v"), 2L)
+    val rows = spark.sql(s"SELECT id, v, rowkind FROM $cat.db.`ow_hist$$changelog`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(x => (x._1, x._3))
+    assert(rows == Seq(
+      (1L, "a0", "+I"), (1L, "a1", "+U"), (1L, "a0", "-U"),
+      (2L, "b0", "+I"), (2L, "b0", "-D"), (3L, "c0", "+I")), rows.toString)
+    // the library dual applies the same rule
+    val lib = tbl.changeHistoryView.select("id", "v", "rowkind")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(x => (x._1, x._3))
+    assert(lib == rows, lib.toString)
+  }
+
   test("incremental-between accepts TAG endpoints; `t$options` lists properties") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
