@@ -41,9 +41,10 @@ import graft.table.{DataFileMeta, StreamTable}
   *   1. live files come from the latest snapshot manifest — readers never
   *      race a concurrent writer/compactor (the `snap-<n>.json` contract);
   *   2. comparison/equality filters on stats-covered columns prune whole
-  *      files by footer min/max (the `$files` stats, guide.md:205-212), with
-  *      conservative keep-on-unparseable semantics — skipping can never drop
-  *      a matching row;
+  *      files by MANIFEST-persisted min/max (captured once at commit time —
+  *      the `$files` stats, guide.md:205-212; legacy manifests fall back to
+  *      a counted footer read), with conservative keep-on-unparseable
+  *      semantics — skipping can never drop a matching row;
   *   3. surviving files become one [[InputPartition]] each; the executor-side
   *      reader re-applies the pushed predicate at parquet row-group level
   *      (`FilterCompat`), reads ONLY the projected columns, and Spark
@@ -56,10 +57,11 @@ import graft.table.{DataFileMeta, StreamTable}
   * runs, so the readers stream a k-way merge — the Paimon LSM read model,
   * through Spark's public connector API.
   *
-  * 100 TB posture: one manifest read + one footer pass per scan on the
-  * driver (a production variant persists per-column stats in the manifest —
-  * the footer pass is an implementation shortcut, not a design point); data
-  * work is per-file parallel with no shuffle introduced by the source.
+  * 100 TB posture: one manifest read per scan on the driver and ZERO data
+  * file I/O at plan time — per-column stats live in the manifest
+  * ([[DataFileMeta.minStats]], Paimon's DataFileMeta model), so a
+  * million-file plan is pure metadata work; data work is per-file parallel
+  * with no shuffle introduced by the source.
   */
 class GraftDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -640,7 +642,7 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
           val conf = new Configuration()
           val fileName = nameMap.getOrElse(name, name) // renamed: files keep the old name
           val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
-            GraftScanBuilder.fileLongMinMax(f.path, fileName, conf)
+            GraftScanBuilder.metaLongMinMax(f, fileName, conf)
           }
           if (perFile.contains(None)) None // stats missing somewhere: refuse
           else {
@@ -683,13 +685,34 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
 }
 
 object GraftScanBuilder {
-  /** Typed long-valued [min,max] of `col` in one file's footer.
+  /** Typed long-valued [min,max] of `col` in one file, manifest-first:
     *  - `None`          → stats unusable (missing while rows exist): refuse
     *  - `Some(None)`    → column contributes no non-null values here: skip
-    *  - `Some(Some(p))` → merged row-group min/max
-    */
+    *  - `Some(Some(p))` → merged min/max
+    * Manifest-served stats make the metadata-only MIN/MAX answer with zero
+    * file I/O; only a legacy manifest entry opens the footer (counted). */
+  private[v2] def metaLongMinMax(f: DataFileMeta, col: String, conf: Configuration)
+      : Option[Option[(Long, Long)]] =
+    (f.minStats, f.maxStats, f.fileCols) match {
+      case (Some(mins), Some(maxs), Some(cols)) =>
+        if (!cols.contains(col)) Some(None) // file predates the column
+        else if (f.badStats.exists(_.contains(col))) None // untrustworthy: refuse
+        else (mins.get(col), maxs.get(col)) match {
+          case (Some(mn), Some(mx)) =>
+            (mn.toLongOption, mx.toLongOption) match {
+              case (Some(a), Some(b)) => Some(Some((a, b)))
+              case _ => None // non-integral rendering: refuse the push
+            }
+          case _ => Some(None) // present + trusted + no entry ⇒ all-null here
+        }
+      case _ => fileLongMinMax(f.path, col, conf)
+    }
+
+  /** Footer fallback of [[metaLongMinMax]] for legacy manifests (same
+    * three-state contract, from the row-group chunk stats). */
   private[v2] def fileLongMinMax(path: String, col: String, conf: Configuration)
       : Option[Option[(Long, Long)]] = {
+    StreamTable.planFooterReads.incrementAndGet()
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -780,10 +803,21 @@ class GraftScan(table: GraftV2Table, required: StructType,
     else {
       val conf = new Configuration()
       bucketPruned.filter { f =>
-        val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+        val (mins, maxs) = statsOf(f, conf)
         filePushed.forall(keepFile(_, mins, maxs))
       }
     }
+  }
+
+  /** Per-file skipping stats: manifest-served (zero I/O — the commit
+    * captured them) with a counted footer fallback for legacy manifests.
+    * The count surfaces as the `graftFooterReads` driver metric: a
+    * stats-pruned plan over a current-format manifest must show 0. */
+  private var footerOpens = 0L
+  private def statsOf(f: DataFileMeta, conf: Configuration)
+      : (Map[String, String], Map[String, String]) = {
+    if (f.minStats.isEmpty || f.maxStats.isEmpty) footerOpens += 1
+    StreamTable.skipStats(f, conf)
   }
 
   /** The target bucket id when the pushed filters pin the bucket key to a
@@ -820,7 +854,8 @@ class GraftScan(table: GraftV2Table, required: StructType,
     Array(
       GraftScanMetrics.task("graftFilesRead", kept.size),
       GraftScanMetrics.task("graftFilesSkipped", allFiles.size - kept.size),
-      GraftScanMetrics.task("graftBytesPlanned", kept.map(_.fileSizeInBytes).sum))
+      GraftScanMetrics.task("graftBytesPlanned", kept.map(_.fileSizeInBytes).sum),
+      GraftScanMetrics.task("graftFooterReads", footerOpens))
 
   override def description(): String =
     s"GraftScan ${table.name()} files=${kept.size}/${allFiles.size} " +
@@ -923,14 +958,11 @@ class GraftScan(table: GraftV2Table, required: StructType,
     // runtime pruning stands down (SPJ already avoided the exchange)
     if (spjGroups.isDefined) return
     val conf = new Configuration()
-    // footers are immutable per path: read each at most once even across
-    // multiple runtime predicates (the static pass may have read them too —
-    // a production manifest would carry the stats and skip the I/O)
+    // manifest-served stats; the legacy-footer fallback memoizes per path
+    // (footers are immutable) even across multiple runtime predicates
     val statsMemo = scala.collection.mutable.Map[String, (Map[String, String], Map[String, String])]()
-    def stats(path: String) = statsMemo.getOrElseUpdate(path, {
-      val (_, mins, maxs) = StreamTable.footerStats(path, conf)
-      (mins, maxs)
-    })
+    def stats(f: DataFileMeta) =
+      statsMemo.getOrElseUpdate(f.path, statsOf(f, conf))
     predicates.foreach { p =>
       val perValue: Option[(String, Seq[Any])] = p.name() match {
         case "IN" =>
@@ -954,7 +986,7 @@ class GraftScan(table: GraftV2Table, required: StructType,
       perValue.foreach { case (n, values) if values.nonEmpty =>
         val fileN = nameMap.getOrElse(n, n) // footer stats use file-level names
         kept = kept.filter { f =>
-          val (mins, maxs) = stats(f.path)
+          val (mins, maxs) = stats(f)
           // keep the file if ANY key could be in it (conservative overlap)
           values.exists(v => keepFile(EqualTo(fileN, v), mins, maxs))
         }
@@ -1156,7 +1188,7 @@ private[v2] object FileSkip {
 object GraftScanMetrics {
   val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
     new GraftFilesReadMetric, new GraftFilesSkippedMetric,
-    new GraftBytesPlannedMetric)
+    new GraftBytesPlannedMetric, new GraftFooterReadsMetric)
 
   def task(n: String, v: Long): org.apache.spark.sql.connector.metric.CustomTaskMetric =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -1182,6 +1214,12 @@ class GraftBytesPlannedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "graftBytesPlanned"
   override def description(): String = "bytes planned for read"
+}
+class GraftFooterReadsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFooterReads"
+  override def description(): String =
+    "parquet footers opened at plan time (0 = stats fully manifest-served)"
 }
 
 /** Driver-side eligibility proof for the columnar path. File footers are

@@ -155,7 +155,7 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
     else {
       val conf = new Configuration()
       bucketPruned.filter { f =>
-        val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+        val (mins, maxs) = StreamTable.skipStats(f, conf)
         pushed.forall(FileSkip.keep(_, mins, maxs))
       }
     }

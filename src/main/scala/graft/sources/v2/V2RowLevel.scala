@@ -151,7 +151,7 @@ class GraftCowScan(table: GraftV2Table, required: StructType,
     else {
       val conf = new Configuration()
       allFiles.filter { f =>
-        val (_, mins, maxs) = StreamTable.footerStats(f.path, conf)
+        val (mins, maxs) = StreamTable.skipStats(f, conf)
         filePushed.forall(FileSkip.keep(_, mins, maxs))
       }
     }
@@ -200,10 +200,8 @@ class GraftCowScan(table: GraftV2Table, required: StructType,
       }
     val conf = new Configuration()
     val statsMemo = scala.collection.mutable.Map[String, (Map[String, String], Map[String, String])]()
-    def stats(path: String) = statsMemo.getOrElseUpdate(path, {
-      val (_, mins, maxs) = StreamTable.footerStats(path, conf)
-      (mins, maxs)
-    })
+    def stats(f: DataFileMeta) =
+      statsMemo.getOrElseUpdate(f.path, StreamTable.skipStats(f, conf))
     predicates.foreach { p =>
       val perValue: Option[(String, Seq[Any])] = p.name() match {
         case "IN" =>
@@ -228,7 +226,7 @@ class GraftCowScan(table: GraftV2Table, required: StructType,
         case (n, values) if values.nonEmpty =>
           val fileN = nameMap.getOrElse(n, n)
           kept = kept.filter { f =>
-            val (mins, maxs) = stats(f.path)
+            val (mins, maxs) = stats(f)
             values.exists(v => FileSkip.keep(EqualTo(fileN, v), mins, maxs))
           }
         case _ => ()

@@ -35,7 +35,29 @@ case class DataFileMeta(
       * bucket's distinct keys (Paimon's sorted-run LSM invariant). None for
       * legacy manifests and unsorted writers — readers fall back to the
       * hash merge. */
-    sortedBy: Option[Seq[String]] = None)
+    sortedBy: Option[Seq[String]] = None,
+    /** Per-column min/max captured ONCE from the footer at commit time and
+      * served from the manifest ever after (Paimon's DataFileMeta value
+      * stats, the `$files.min_value_stats` surface) — stats-based file
+      * skipping and metadata-only MIN/MAX then plan with ZERO file I/O. A
+      * column appears iff it has at least one non-null value AND every row
+      * group's chunk stats were trustworthy; values render through the
+      * parquet typed comparator (`minAsString`), exactly what the footer
+      * fallback produces. None on legacy manifests → readers re-open the
+      * footer (the pre-round-8 path). */
+    minStats: Option[Map[String, String]] = None,
+    maxStats: Option[Map[String, String]] = None,
+    /** All column names physically present in this file (chunk paths, minus
+      * engine bookkeeping) — distinguishes "file predates the column"
+      * (contributes only nulls: skippable) from "column exists here" for
+      * the metadata-only aggregate push. None on legacy manifests. */
+    fileCols: Option[Seq[String]] = None,
+    /** Columns present in the file whose footer stats could NOT be trusted
+      * at capture time (a chunk with rows but null/unprovable stats, or a
+      * rendered value over the manifest size cap): consumers must refuse
+      * stats shortcuts for these — skipping keeps the file, the aggregate
+      * push refuses the column. Empty in practice for our writers. */
+    badStats: Option[Seq[String]] = None)
 
 /** One committed table version: the full list of live files after the commit
   * (snapshot semantics, tutorial/guide.md:180-184). `batchId` makes streaming
@@ -1120,11 +1142,10 @@ class StreamTable(
     * PK table could resurrect a superseded key version whose latest row
     * lives in a pruned file. Numeric columns only (footer stats are parsed
     * back from their rendered form; a stat that does not parse keeps the
-    * file — skipping must never be able to drop a matching row). A
-    * production variant would persist per-column stats in the manifest like
-    * Paimon's DataFileMeta instead of re-opening footers; the manifest is
-    * small (file-count-sized) either way, so the pruning pass is driver-side
-    * metadata work exactly like partition pruning. */
+    * file — skipping must never be able to drop a matching row). Stats are
+    * manifest-served (persisted per file at commit time, Paimon's
+    * DataFileMeta model) — the pruning pass is pure driver-side metadata
+    * work with zero file I/O; only legacy manifests re-open footers. */
   def readWhere(column: String, lo: Double, hi: Double): DataFrame = {
     require(primaryKey.isEmpty,
       "readWhere data skipping is append-table only (PK resolution needs all files)")
@@ -1132,7 +1153,7 @@ class StreamTable(
     if (files.isEmpty) return spark.emptyDataFrame
     val conf = new org.apache.hadoop.conf.Configuration()
     val kept = files.filter { f =>
-      val (_, mins, maxs) = footerStats(f.path, conf)
+      val (mins, maxs) = skipStats(f, conf)
       (mins.get(column), maxs.get(column)) match {
         case (Some(mn), Some(mx)) =>
           try !(mx.toDouble < lo || mn.toDouble > hi)
@@ -1375,20 +1396,25 @@ class StreamTable(
   // ---- metadata (`$files`, reference op 2A#17) ---------------------------
 
   /** The `$files` system table: per-live-file metadata incl. per-column
-    * min/max stats from the parquet footers (guide.md:200-232). Footers are
-    * read distributed (one task per file partition), not on the driver. */
+    * min/max stats (guide.md:200-232). Stats come straight from the
+    * manifest when the commit captured them (zero file opens); only files
+    * from legacy manifests fall back to a DISTRIBUTED footer pass (one task
+    * per file partition, never on the driver). */
   def filesView: DataFrame = {
     import spark.implicits._
     val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
-    val byPath = files.map(f => f.path -> f).toMap
-    val paths = spark.createDataset(files.map(_.path))
-    val statsDf = paths.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { p =>
-        val stats = footerStats(p, conf)
-        (p, stats._1, stats._2, stats._3)
-      }
-    }.toDF("file_path", "record_count", "min_value_stats", "max_value_stats")
+    val statsDf =
+      if (files.forall(f => f.minStats.isDefined && f.maxStats.isDefined))
+        spark.createDataset(files.map(f =>
+          (f.path, f.rowCount, f.minStats.get, f.maxStats.get)))
+          .toDF("file_path", "record_count", "min_value_stats", "max_value_stats")
+      else spark.createDataset(files.map(_.path)).mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val stats = footerStats(p, conf)
+          (p, stats._1, stats._2, stats._3)
+        }
+      }.toDF("file_path", "record_count", "min_value_stats", "max_value_stats")
     val metaDf = spark.createDataset(files.map(f =>
       (f.path, f.level, f.bucket, f.fileSizeInBytes, f.minSeq, f.maxSeq,
         f.creationTimeMs)))
@@ -1934,10 +1960,95 @@ object StreamTable {
       minSeq: Long, maxSeq: Long): Seq[DataFileMeta] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     paths.map { p =>
-      val (rows, _, _) = footerStats(p, conf)
+      // ONE footer open per file, at commit time — the stats live in the
+      // manifest from here on, so no query plan ever re-opens this footer
+      val (rows, mins, maxs, cols, bad) = footerColumnStats(p, conf)
       DataFileMeta(p, rows, Files.size(Paths.get(p)), minSeq, maxSeq, level,
-        System.currentTimeMillis())
+        System.currentTimeMillis(),
+        minStats = Some(mins), maxStats = Some(maxs),
+        fileCols = Some(cols), badStats = Some(bad))
     }
+  }
+
+  /** Plan-time footer opens (the fallback path for legacy manifests without
+    * persisted stats). Commit-time capture is NOT counted — that read is
+    * paid once per file ever; this counter exists so specs can assert a
+    * stats-pruned plan over a current-format manifest performs ZERO footer
+    * I/O on the driver. */
+  val planFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Rendered per-file [min,max] maps for stats skipping: manifest-served
+    * when the commit captured them (zero I/O), footer fallback for legacy
+    * manifests. The two sources render identically (same typed-comparator
+    * `minAsString`), so [[graft.sources.v2.FileSkip]] semantics are
+    * unchanged either way. */
+  private[graft] def skipStats(f: DataFileMeta,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Map[String, String], Map[String, String]) =
+    (f.minStats, f.maxStats) match {
+      case (Some(mn), Some(mx)) => (mn, mx)
+      case _ =>
+        val (_, mn, mx) = footerStats(f.path, conf)
+        (mn, mx)
+    }
+
+  /** Rendered stats cap: a column whose min/max render longer than this
+    * (huge binary/text values) is dropped from the manifest maps and marked
+    * unusable — bounds manifest bytes; conservative for every consumer.
+    * Far above any numeric/date rendering, so typed pruning never degrades. */
+  private val StatsRenderCap = 256
+
+  /** Commit-time footer capture: rows + per-column merged min/max +
+    * presence/usability — everything [[DataFileMeta]] persists. Stricter
+    * than [[footerStats]]: a column chunk with rows but null or unprovable
+    * stats poisons the COLUMN (`bad`) instead of being silently skipped, so
+    * manifest-served pruning can trust an entry's absence. */
+  private[graft] def footerColumnStats(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, String], Map[String, String], Seq[String], Seq[String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      type AnyStats = org.apache.parquet.column.statistics.Statistics[_ <: Comparable[_]]
+      def merge[T <: Comparable[T]](a: AnyStats, b: AnyStats): Unit =
+        a.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]]
+          .mergeStatistics(
+            b.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]])
+      val acc = scala.collection.mutable.LinkedHashMap[String, AnyStats]()
+      val bad = scala.collection.mutable.LinkedHashSet[String]()
+      val cols = scala.collection.mutable.LinkedHashSet[String]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (name != SeqColName && name != TombstoneColName) {
+          cols += name
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) acc.get(name) match {
+            case Some(prev) => merge(prev, st)
+            case None       => acc(name) = st.copy()
+          } else if (b.getRowCount > 0 &&
+              (st == null || !st.isNumNullsSet || st.getNumNulls < b.getRowCount)) {
+            // rows exist but the chunk can't prove they're all null
+            bad += name
+          }
+        }
+      }
+      val mins = scala.collection.mutable.LinkedHashMap[String, String]()
+      val maxs = scala.collection.mutable.LinkedHashMap[String, String]()
+      acc.foreach { case (k, s) =>
+        if (bad.contains(k)) () // a poisoned column serves no stats at all
+        else {
+          val (mn, mx) = (s.minAsString(), s.maxAsString())
+          if (mn == null || mx == null ||
+              mn.length > StatsRenderCap || mx.length > StatsRenderCap) bad += k
+          else { mins(k) = mn; maxs(k) = mx }
+        }
+      }
+      (rows, mins.toMap, maxs.toMap, cols.toSeq, bad.toSeq)
+    } finally reader.close()
   }
 
   /** (rowCount, min_value_stats, max_value_stats) from a parquet footer —
@@ -1947,6 +2058,7 @@ object StreamTable {
       : (Long, Map[String, String], Map[String, String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    planFooterReads.incrementAndGet()
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {

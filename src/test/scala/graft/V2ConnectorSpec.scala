@@ -572,8 +572,87 @@ class V2ConnectorSpec extends AnyFunSuite {
     val m = scan.reportDriverMetrics().map(t => t.name() -> t.value()).toMap
     assert(m("graftFilesSkipped") > 0, s"stats must skip key-range files: $m")
     assert(m("graftFilesRead") >= 1 && m("graftBytesPlanned") > 0, m.toString)
+    assert(m("graftFooterReads") == 0,
+      s"manifest-served stats must not open footers at plan time: $m")
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
       m.keySet)
+  }
+
+  test("stats-pruned plans open ZERO footers: skipping, agg push, $files all manifest-served") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_nostat_").toString
+    val tbl = new StreamTable(root, spark)
+    (0 until 4).foreach { b =>
+      tbl.appendBatch((b * 1000L until (b + 1) * 1000L)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), b.toLong)
+    }
+    StreamTable.planFooterReads.set(0L)
+    // 1. stats-based file skipping prunes to one key-range file
+    val filtered = spark.read.format("graft").load(root)
+      .where(col("id").between(1200L, 1800L))
+    val scan = scanOf(filtered)
+    val m = scan.reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+    assert(m("graftFilesSkipped") >= 3, m.toString)
+    assert(filtered.count() == 601L)
+    // 2. metadata-only COUNT/MIN/MAX answers from the manifest alone
+    val agg = spark.read.format("graft").load(root)
+      .agg(org.apache.spark.sql.functions.count("*"),
+        org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id")).collect().head
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == (4000L, 0L, 3999L))
+    // 3. $files serves min/max stats straight from the manifest
+    val fv = tbl.filesView.select("file_path", "record_count", "min_value_stats")
+      .collect()
+    assert(fv.length == 4 && fv.forall(_.getLong(1) == 1000L))
+    assert(fv.forall(r =>
+      r.getAs[Map[String, String]]("min_value_stats").contains("id")))
+    assert(StreamTable.planFooterReads.get() == 0L,
+      s"plan-time footer opens: ${StreamTable.planFooterReads.get()} (want 0)")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("legacy manifests without persisted stats fall back to footers, same answers") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_legacy_").toString
+    val tbl = new StreamTable(root, spark)
+    (0 until 3).foreach { b =>
+      tbl.appendBatch((b * 100L until (b + 1) * 100L)
+        .map(i => (i, i * 1.5)).toDF("id", "x"), b.toLong)
+    }
+    def run() = spark.read.format("graft").load(root)
+      .where(col("id").between(120L, 180L)).orderBy("id").collect().toSeq
+    def statsMaps() = tbl.filesView
+      .select("file_path", "min_value_stats", "max_value_stats")
+      .collect().map(r => (r.getString(0),
+        r.getAs[Map[String, String]](1), r.getAs[Map[String, String]](2)))
+      .sortBy(_._1).toSeq
+    val (before, mapsBefore) = (run(), statsMaps())
+    // strip the persisted stats from every snapshot — the pre-round-8
+    // manifest format (Jackson leaves the absent fields as None)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val snapDir = java.nio.file.Paths.get(root, "_snapshots")
+    StreamTable.listDir(snapDir).filter(_.toString.endsWith(".json")).foreach { p =>
+      val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      Seq("files", "changelog").foreach { arr =>
+        val a = node.get(arr)
+        if (a != null && a.isArray) a.forEach { f =>
+          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .remove(java.util.Arrays.asList(
+              "minStats", "maxStats", "fileCols", "badStats"))
+        }
+      }
+      java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
+    }
+    StreamTable.planFooterReads.set(0L)
+    assert(run() == before, "legacy fallback must read the same rows")
+    assert(StreamTable.planFooterReads.get() > 0L,
+      "a stats-less manifest must have taken the footer fallback")
+    // and the two stats sources render identically ($files footer pass)
+    assert(statsMaps() == mapsBefore, "footer and manifest stats must agree")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
   test("columnar fast path engages iff provably safe") {
