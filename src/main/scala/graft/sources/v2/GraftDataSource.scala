@@ -485,9 +485,23 @@ class GraftV2Table(tableName: String, val table: StreamTable,
             if (table.bucketKey.exists(info.schema().fieldNames.contains))
               table.numBuckets
             else 0
+          // PK targets also request per-task ordering by the primary key:
+          // Spark plans ONE spillable SortExec before the writers, so sink
+          // epochs come out as key-sorted runs (the streaming writer
+          // verifies and flags them; the batch door's appendBatch sorts for
+          // itself either way). Best-effort like the distribution — an
+          // unhonored request only costs the sorted-run flag.
           override def requiredOrdering
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            Array.empty
+            table.primaryKey match {
+              case Some(pk) if pk.forall(info.schema().fieldNames.contains) =>
+                pk.map(c => org.apache.spark.sql.connector.expressions
+                  .Expressions.sort(
+                    org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                    org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+                  : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+              case _ => Array.empty
+            }
           override def distributionStrictlyRequired(): Boolean = false
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =

@@ -56,8 +56,15 @@ import graft.table.StreamTable
   *    so LWW ordering interleaves correctly with prior DataFrame-written
   *    history and epoch replays re-stamp identically. Single logical
   *    writer at a time, the same contract every stamped write path carries.
-  *    Sink files are NOT key-sorted (rows stream through); the PK scan's
-  *    hash-merge fallback reads them until compaction re-sorts.
+  *  - PK sink files write as SORTED RUNS: the write REQUESTS per-task
+  *    ordering by the primary key (Spark plans a spillable SortExec before
+  *    the writers — never task memory), and the writer VERIFIES each
+  *    per-bucket file's keys arrived non-decreasing under the merge's own
+  *    comparator before flagging it `sortedBy` in the commit. Sink-fed
+  *    buckets therefore ride the streaming k-way merge (O(open files)
+  *    memory) exactly like compacted/batch files; a plan shape that ignored
+  *    the ordering request simply leaves the flag off and the hash fallback
+  *    reads that epoch — correctness never depends on the plan.
   */
 class GraftStreamingWrite(table: StreamTable, schema: StructType,
     queryId: String) extends StreamingWrite {
@@ -105,10 +112,23 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
       }
     }
 
+  /** PK column indices for the writer's sorted-run verification — defined
+    * iff every key column's type carries the merge comparator's ordering
+    * ([[PkMerge.cmpAny]]); binary keys (not `Comparable`) never verify. */
+  private val pkVerify: Option[Array[Int]] = table.primaryKey.flatMap { pk =>
+    val idxs = pk.map(c => schema.fieldNames.indexOf(c)).toArray
+    val ok = idxs.forall(i => i >= 0 && (schema(i).dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }))
+    if (ok) Some(idxs) else None
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     GraftStreamingWriterFactory(table.root, schema, writerId,
-      bucketPlan, table.numBuckets, stampOffset)
+      bucketPlan, table.numBuckets, stampOffset, pkVerify)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftSinkCommitMessage => m }
@@ -119,8 +139,8 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
     empty.foreach(f =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
     if (data.nonEmpty)
-      table.commitExternalFiles(data.map(f => (f._1, f._3)).toSeq, writerId,
-        epochId, stampedSeq = stampOffset.map(_ + epochId))
+      table.commitExternalFiles(data.map(f => (f._1, f._3, f._4)).toSeq,
+        writerId, epochId, stampedSeq = stampOffset.map(_ + epochId))
     // at COMMIT time sweep strictly-older epochs only: a zombie/speculative
     // task of the CURRENT epoch may still be writing its (never-referenced)
     // twin, and deleting the file under it turns a harmless orphan into
@@ -196,17 +216,19 @@ object GraftStreamingWrite {
   }
 }
 
-/** One task's committed files: (path, rows, bucket id). */
-case class GraftSinkCommitMessage(files: Seq[(String, Long, Option[Int])])
+/** One task's committed files: (path, rows, bucket id, key-sorted run). */
+case class GraftSinkCommitMessage(files: Seq[(String, Long, Option[Int], Boolean)])
     extends WriterCommitMessage
 
 case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
     writerId: String, bucketPlan: Option[(Int, Boolean)], numBuckets: Int,
-    stampOffset: Option[Long]) extends StreamingDataWriterFactory {
+    stampOffset: Option[Long], pkVerify: Option[Array[Int]])
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftStreamingDataWriter(tableRoot, schema, writerId, epochId,
-      partitionId, bucketPlan, numBuckets, stampOffset.map(_ + epochId))
+      partitionId, bucketPlan, numBuckets, stampOffset.map(_ + epochId),
+      pkVerify)
 }
 
 /** Executor-side parquet writer for one (epoch, partition) slice — one FILE
@@ -217,7 +239,8 @@ case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
   * every row carries on PK targets. */
 class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
     writerId: String, epochId: Long, partitionId: Int,
-    bucketPlan: Option[(Int, Boolean)], numBuckets: Int, stamp: Option[Long])
+    bucketPlan: Option[(Int, Boolean)], numBuckets: Int, stamp: Option[Long],
+    pkVerify: Option[Array[Int]] = None)
     extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
@@ -234,6 +257,10 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     var rows = 0L
+    // sorted-run evidence: keys observed non-decreasing so far (PK targets
+    // with a verifiable key type only; flips off at the first inversion)
+    var sortedOk: Boolean = pkVerify.isDefined
+    var lastKey: Array[Any] = _
   }
 
   // bucket id → open file (at most numBuckets entries; a clustered epoch
@@ -252,10 +279,50 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
     case None => -1
   }
 
+  /** The row's primary-key values, copied out of the (reused) InternalRow
+    * buffer into the boxed forms [[PkMerge.cmpAny]] compares. */
+  private def keyOf(row: InternalRow, idxs: Array[Int]): Array[Any] = {
+    val k = new Array[Any](idxs.length)
+    var j = 0
+    while (j < idxs.length) {
+      val i = idxs(j)
+      k(j) =
+        if (row.isNullAt(i)) null
+        else schema(i).dataType match {
+          case StringType => row.getUTF8String(i).clone()
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+          case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case dt => throw new IllegalStateException(s"unverifiable pk type $dt")
+        }
+      j += 1
+    }
+    k
+  }
+
+  private def keyLeq(a: Array[Any], b: Array[Any]): Boolean = {
+    var j = 0
+    while (j < a.length) {
+      val c = PkMerge.cmpAny(a(j), b(j))
+      if (c < 0) return true
+      if (c > 0) return false
+      j += 1
+    }
+    true
+  }
+
   override def write(row: InternalRow): Unit = {
     val b = bucketOf(row)
     val sink = sinks.getOrElseUpdate(b,
       new Sink(if (bucketPlan.isDefined) Some(b) else None))
+    if (sink.sortedOk) pkVerify.foreach { idxs =>
+      val k = keyOf(row, idxs)
+      if (sink.lastKey != null && !keyLeq(sink.lastKey, k)) sink.sortedOk = false
+      sink.lastKey = k
+    }
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -285,7 +352,7 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     sinks.values.foreach(_.writer.close())
     GraftSinkCommitMessage(sinks.values.toSeq.sortBy(_.path.toString)
-      .map(s => (s.path.toString, s.rows, s.bucket)))
+      .map(s => (s.path.toString, s.rows, s.bucket, s.sortedOk)))
   }
 
   override def abort(): Unit = sinks.values.foreach { s =>

@@ -469,7 +469,7 @@ class StreamTable(
     *
     * `staged` carries each file's content-derived bucket id (None =
     * unbucketed write) so sink-fed tables keep the per-bucket read paths. */
-  private[graft] def commitExternalFiles(staged: Seq[(String, Option[Int])],
+  private[graft] def commitExternalFiles(staged: Seq[(String, Option[Int], Boolean)],
       writerId: String, epochId: Long, stampedSeq: Option[Long] = None): Unit = {
     require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
     val committed =
@@ -505,15 +505,21 @@ class StreamTable(
     // later replayed appendBatch would no longer be skipped.) A STAMPED sink
     // commit instead pins the batch id to the stamp already inside its rows
     // (floored at the current watermark so it stays monotone).
-    val moved = staged.zipWithIndex.map { case ((p, bkt), k) =>
+    val moved = staged.zipWithIndex.map { case ((p, bkt, srt), k) =>
       val dest = Paths.get(dataAppend,
         s"w$epochId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
       Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
-      (dest.toString, bkt)
+      (dest.toString, bkt, srt)
     }
-    // footer stats are batch-id-independent; only minSeq/maxSeq get restamped
+    // footer stats are batch-id-independent; only minSeq/maxSeq get restamped.
+    // A writer-VERIFIED key-sorted file records the sorted-run flag so the
+    // PK scan's streaming k-way merge reads sink epochs too (no hash-merge
+    // degradation between compactions on continuously-fed tables).
     val metas0 = fileMetas(spark, moved.map(_._1), level = 0, minSeq = 0L, maxSeq = 0L)
-      .zip(moved).map { case (m, (_, bkt)) => m.copy(bucket = bkt) }
+      .zip(moved).map { case (m, (_, bkt, srt)) =>
+        m.copy(bucket = bkt,
+          sortedBy = if (srt && primaryKey.isDefined) primaryKey else None)
+      }
     // a stamped (PK) sink epoch under the changelog producer persists its
     // netted change rows like any appendBatch commit — sink-fed CDC readers
     // stay on the O(delta) fast path (the moved files already carry the

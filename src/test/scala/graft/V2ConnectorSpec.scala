@@ -1260,6 +1260,104 @@ class V2ConnectorSpec extends AnyFunSuite {
       assert(first.size == 3, s"key 0 has 3 versions, got ${first.size}")
       assert(first.forall(_.getLong(0) == 0L))
     } finally groups.close()
+    // a SINK-fed epoch joins the same streaming merge: stream 4th versions
+    // for every 5th key through the native sink and re-check the bucket is
+    // still fully sorted-run (no hash fallback) with the view updated
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("v2_srtbig_src_").toString
+    new StreamTable(src, spark).appendBatch(
+      spark.range(0, n, 5).select(col("id"), lit(4L).as("ver"),
+        (col("id") * 7).as("x")), 0L)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2_srtbig_chk_").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.db.srt_big")
+    q.awaitTermination()
+    assert(tbl.latestSnapshot.get.files.forall(_.sortedBy.contains(Seq("id"))),
+      "sink epoch over the oversized bucket must stay a sorted run")
+    val agg2 = spark.sql(
+      s"SELECT count(*) AS n, sum(x) AS sx FROM $cat.db.srt_big").head()
+    assert(agg2.getLong(0) == n)
+    val expected2 = (0L until n).map(i =>
+      if (i % 5 == 0) i * 7
+      else if (i % 3 == 0) i * 5 else if (i % 2 == 0) i * 3 else i * 2).sum
+    assert(agg2.getLong(1) == expected2)
+    StreamTable.deleteTree(java.nio.file.Paths.get(src))
+  }
+
+  test("sorted-run merge: PK SINK epochs write key-sorted runs (no hash fallback)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // unsorted source rows; the sink's ordering request + writer-side
+    // verification must still produce flagged sorted runs per bucket
+    val src = java.nio.file.Files.createTempDirectory("v2_srtsink_src_").toString
+    val srcT = new StreamTable(src, spark)
+    srcT.appendBatch(Seq((7L, 1L, "g"), (1L, 1L, "a"), (5L, 1L, "e"),
+      (3L, 1L, "c"), (2L, 1L, "b")).toDF("id", "ver", "v"), 0L)
+    srcT.appendBatch(Seq((6L, 2L, "f"), (1L, 2L, "A"), (4L, 2L, "d"),
+      (3L, 0L, "stale")).toDF("id", "ver", "v"), 1L)
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.srt_sink (id BIGINT, ver BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key' = 'id', 'sequence.field' = 'ver', " +
+      "'bucket' = '2')")
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2_srtsink_chk_").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.db.srt_sink")
+    q.awaitTermination()
+    val tbl = gc.getTable("db", "srt_sink")
+    val files = tbl.latestSnapshot.get.files
+    assert(files.nonEmpty &&
+      files.forall(_.sortedBy.contains(Seq("id"))),
+      s"every sink epoch file must be a verified sorted run: " +
+        files.map(f => (f.path, f.sortedBy)).mkString(", "))
+    // the scan therefore plans the streaming k-way merge, not the hash path
+    val df = spark.sql(s"SELECT id, ver, v FROM $cat.db.srt_sink")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.v2.GraftPkScan]
+    assert(scan.planInputPartitions().forall(
+      _.asInstanceOf[graft.sources.v2.GraftPkInputPartition].sorted),
+      "sink-fed buckets must be streaming-merge eligible")
+    // and the LWW view is right (stale arrival loses; per-key latest wins)
+    assert(df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 2L, "A"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 2L, "d"),
+        (5L, 1L, "e"), (6L, 2L, "f"), (7L, 1L, "g")))
+    StreamTable.deleteTree(java.nio.file.Paths.get(src))
+  }
+
+  test("sorted-run verification: an out-of-order epoch keeps the flag OFF") {
+    import org.apache.spark.sql.types._
+    // drive the executor writer directly with inverted key order — the
+    // commit message must refuse the sorted-run flag (correctness never
+    // trusts the plan shape to have honored the ordering request)
+    val root = java.nio.file.Files.createTempDirectory("v2_srtver_").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val w = new graft.sources.v2.GraftStreamingDataWriter(root, schema,
+      "qtest", 0L, 0, bucketPlan = None, numBuckets = 1, stamp = Some(5L),
+      pkVerify = Some(Array(0)))
+    def row(id: Long, v: String) =
+      org.apache.spark.sql.catalyst.InternalRow(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    w.write(row(2L, "b")); w.write(row(1L, "a"))
+    val m = w.commit().asInstanceOf[graft.sources.v2.GraftSinkCommitMessage]
+    assert(m.files.size == 1 && !m.files.head._4,
+      s"inverted order must not flag a sorted run: ${m.files}")
+    // and a sorted epoch through the same writer DOES flag
+    val w2 = new graft.sources.v2.GraftStreamingDataWriter(root, schema,
+      "qtest", 1L, 0, bucketPlan = None, numBuckets = 1, stamp = Some(6L),
+      pkVerify = Some(Array(0)))
+    w2.write(row(1L, "a")); w2.write(row(1L, "a2")); w2.write(row(3L, "c"))
+    val m2 = w2.commit().asInstanceOf[graft.sources.v2.GraftSinkCommitMessage]
+    assert(m2.files.size == 1 && m2.files.head._4, m2.files.toString)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
   test("evolution guards: DML on renamed columns; stale file-level name collisions") {
