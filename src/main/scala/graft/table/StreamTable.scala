@@ -99,7 +99,25 @@ case class Snapshot(
       * STATE whose keys must emit `-D`. Empty on legacy manifests, where
       * the walk falls back to inferring compaction from added level>0
       * files. */
-    kind: String = "")
+    kind: String = "",
+    /** DELTA-MANIFEST list (the Paimon/Iceberg manifest-list structure,
+      * guide.md:180-184's snapshot model at metadata scale): ordered
+      * `_manifests/mf-*.json` file names whose fold — per entry, apply
+      * `removed` paths then append `added` metas — reconstructs `files`.
+      * When non-empty the snapshot JSON persists `files = []` and a commit
+      * writes ONE delta manifest bounded by its own change (plus a
+      * periodic full rebase when the list grows past the cap), so commit
+      * metadata is O(delta) instead of an O(live files) rewrite per
+      * commit. Readers hydrate `files` from the fold (manifest files are
+      * immutable — parsed once per table handle). Empty on legacy inline
+      * manifests. */
+    manifestList: Seq[String] = Seq.empty)
+
+/** One immutable delta-manifest file's content: the paths this commit
+  * removed from the live set, then the file metas it added. */
+case class ManifestDelta(
+    added: Seq[DataFileMeta] = Seq.empty,
+    removed: Seq[String] = Seq.empty)
 
 /** A Spark-native streaming table: a directory of immutable parquet files plus
   * an atomic snapshot manifest — the engine-level translation of a Paimon
@@ -208,18 +226,63 @@ class StreamTable(
   private val dataCompact = s"$root/data/compact"
   private val dataChangelog = s"$root/data/changelog"
   private val snapDir = s"$root/_snapshots"
-  Seq(dataAppend, dataCompact, dataChangelog, snapDir)
+  private val manifestDir = s"$root/_manifests"
+  Seq(dataAppend, dataCompact, dataChangelog, snapDir, manifestDir)
     .foreach(p => Files.createDirectories(Paths.get(p)))
 
   // ---- snapshot manifest -------------------------------------------------
 
+  /** Parsed delta manifests, cached for the handle's lifetime — manifest
+    * files are immutable once a snapshot links them, so each is read once
+    * however many times `snapshots`/`latestSnapshot` hydrate. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestDelta]()
+
+  private def manifestDelta(name: String): ManifestDelta =
+    manifestCache.computeIfAbsent(name, n =>
+      mapper.readValue(Files.readAllBytes(Paths.get(manifestDir, n)),
+        classOf[ManifestDelta]))
+
+  /** Materialize a v2 snapshot's live set from its manifest-list fold;
+    * legacy inline snapshots pass through untouched. */
+  private def hydrate(s: Snapshot): Snapshot =
+    if (s.manifestList.isEmpty) s
+    else {
+      val live = new java.util.LinkedHashMap[String, DataFileMeta]()
+      s.manifestList.foreach { n =>
+        val d = manifestDelta(n)
+        d.removed.foreach(live.remove)
+        d.added.foreach(f => live.put(f.path, f))
+      }
+      s.copy(files = live.values().asScala.toSeq)
+    }
+
   def snapshots: Seq[Snapshot] =
     listDir(Paths.get(snapDir)).iterator
       .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
-      .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
+      .map(p => hydrate(mapper.readValue(Files.readAllBytes(p), classOf[Snapshot])))
       .toSeq.sortBy(_.id)
 
-  def latestSnapshot: Option[Snapshot] = snapshots.lastOption
+  /** The head snapshot, reading ONLY the max-id manifest — commit planning
+    * and scans never pay an O(retained snapshots) parse. Retries the list
+    * when a concurrent rollback deletes the chosen head under the read. */
+  def latestSnapshot: Option[Snapshot] = {
+    var attempt = 0
+    while (attempt < 4) {
+      val ids = listDir(Paths.get(snapDir)).flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.matches("snap-\\d+\\.json"))
+          Some(n.stripPrefix("snap-").stripSuffix(".json").toLong)
+        else None
+      }
+      if (ids.isEmpty) return None
+      try return Some(hydrate(mapper.readValue(
+        Files.readAllBytes(Paths.get(snapDir, s"snap-${ids.max}.json")),
+        classOf[Snapshot])))
+      catch { case _: java.nio.file.NoSuchFileException => attempt += 1 }
+    }
+    snapshots.lastOption
+  }
 
   /** Atomically publish the next snapshot; optimistic retry on id collision
     * (concurrent writer + compactor). `recompute` receives the current live
@@ -236,9 +299,12 @@ class StreamTable(
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
         System.currentTimeMillis(), batchId, files,
         writer = writer.map(_._1), writerEpoch = writer.map(_._2),
-        changelog = changelog, clogProduced = produced, kind = kind)
+        changelog = changelog, clogProduced = produced, kind = kind,
+        manifestList = planManifestList(base, files))
       val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
-      Files.write(tmp, mapper.writeValueAsBytes(next))
+      // the snapshot JSON persists files = [] — the live set is the
+      // manifest-list fold, so commit metadata stays O(this commit's delta)
+      Files.write(tmp, mapper.writeValueAsBytes(next.copy(files = Seq.empty)))
       try {
         // Publish via hard LINK, not rename: POSIX rename() silently
         // REPLACES an existing target (ATOMIC_MOVE gives no fail-if-exists
@@ -261,6 +327,42 @@ class StreamTable(
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** List-length cap before a commit rebases the fold into one full
+    * manifest: deltas stay O(change) per commit; the O(live files) rewrite
+    * happens once per `MaxManifestList` commits (amortized O(files/N), the
+    * Paimon/Iceberg manifest-compaction policy). */
+  private val MaxManifestList = 16
+
+  /** The next snapshot's manifest list: reuse the base list and append one
+    * delta bounded by this commit's change; rebase to a single full
+    * manifest when the list is at cap or the base is a legacy inline
+    * snapshot (one-time conversion). A no-op commit reuses the base list
+    * verbatim — zero manifest bytes. */
+  private def planManifestList(base: Option[Snapshot],
+      files: Seq[DataFileMeta]): Seq[String] = {
+    def write(d: ManifestDelta): String = {
+      val name = s"mf-${UUID.randomUUID()}.json"
+      Files.write(Paths.get(manifestDir, name), mapper.writeValueAsBytes(d))
+      manifestCache.put(name, d)
+      name
+    }
+    val baseList = base.map(_.manifestList).getOrElse(Seq.empty)
+    val legacyBase = base.exists(s => s.manifestList.isEmpty && s.files.nonEmpty)
+    if (legacyBase || baseList.size >= MaxManifestList)
+      Seq(write(ManifestDelta(added = files)))
+    else {
+      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
+      val baseByPath = baseFiles.map(f => f.path -> f).toMap
+      val newPaths = files.map(_.path).toSet
+      val added = files.filter(f => !baseByPath.get(f.path).contains(f))
+      // a meta changed in place (same path) replaces: remove + re-add
+      val removed = baseFiles.map(_.path).filterNot(newPaths.contains) ++
+        added.map(_.path).filter(baseByPath.contains)
+      if (added.isEmpty && removed.isEmpty) baseList
+      else baseList :+ write(ManifestDelta(added, removed))
+    }
   }
 
   // ---- writes ------------------------------------------------------------
@@ -1652,6 +1754,10 @@ class StreamTable(
       Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json"))
     }
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // delta manifests only the rolled-back snapshots referenced
+    val keptManifests = snaps.filter(_.id <= snapshotId).flatMap(_.manifestList).toSet
+    (newer.flatMap(_.manifestList).toSet -- keptManifests)
+      .foreach(n => Files.deleteIfExists(Paths.get(manifestDir, n)))
     consumers.filter(_._2 > snapshotId + 1)
       .foreach { case (id, _) => writeConsumerFile(id, snapshotId + 1) }
     target
@@ -1819,8 +1925,9 @@ class StreamTable(
     * Returns the number of files removed. */
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val snaps = snapshots
     val referenced =
-      snapshots.flatMap(s => (s.files ++ s.changelog).map(_.path)).toSet
+      snaps.flatMap(s => (s.files ++ s.changelog).map(_.path)).toSet
     var n = 0
     Seq(dataAppend, dataCompact, dataChangelog).foreach { d =>
       listDir(Paths.get(d)).foreach { p =>
@@ -1828,6 +1935,17 @@ class StreamTable(
             Files.getLastModifiedTime(p).toMillis < cutoff) {
           if (Files.deleteIfExists(p)) n += 1
         }
+      }
+    }
+    // delta manifests no snapshot links (a commit retry's loser, a crashed
+    // committer): same grace period — an in-flight commit's freshly-written
+    // manifest is not yet referenced but about to be
+    val linkedManifests = snaps.flatMap(_.manifestList).toSet
+    listDir(Paths.get(manifestDir)).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("mf-") && !linkedManifests.contains(name) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) {
+        if (Files.deleteIfExists(p)) n += 1
       }
     }
     listDir(Paths.get(root))
@@ -1863,6 +1981,10 @@ class StreamTable(
       .toSet -- liveRefs
     deletable.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(s0 => Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json")))
+    // delta manifests referenced only by expired snapshots go with them
+    val keptManifests = keep.flatMap(_.manifestList).toSet
+    (expired.flatMap(_.manifestList).toSet -- keptManifests)
+      .foreach(n => Files.deleteIfExists(Paths.get(manifestDir, n)))
     expired.size
   }
 }

@@ -726,6 +726,67 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t.readAt(0L).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("delta manifests: commit metadata is O(delta), rebased periodically") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp()
+    val t = new StreamTable(root, spark)
+    val snapDir = java.nio.file.Paths.get(root, "_snapshots")
+    val mfDir = java.nio.file.Paths.get(root, "_manifests")
+    def mfNames() = java.nio.file.Files.list(mfDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    val n = 40
+    var nonRebaseMax = 0L
+    var rebases = 0
+    (0 until n).foreach { b =>
+      val before = mfNames()
+      t.appendBatch(Seq((b.toLong, s"value-$b")).toDF("id", "v").coalesce(1),
+        b.toLong)
+      val snap = t.latestSnapshot.get
+      val fresh = snap.manifestList.filterNot(before.contains)
+      assert(fresh.size == 1, s"commit $b must write exactly one manifest")
+      val written = fresh.map(f =>
+        java.nio.file.Files.size(mfDir.resolve(f))).sum +
+        java.nio.file.Files.size(snapDir.resolve(s"snap-${snap.id}.json"))
+      if (snap.manifestList.size == 1 && b > 0) { rebases += 1 }
+      else nonRebaseMax = math.max(nonRebaseMax, written)
+    }
+    // a delta commit's metadata is bounded by ITS change, not the live set:
+    // with 40 live stat-carrying files an inline manifest would be >10 KB
+    assert(nonRebaseMax < 2500,
+      s"per-commit manifest bytes must stay delta-sized, got $nonRebaseMax")
+    assert(rebases >= 1 && rebases <= 4,
+      s"periodic rebase expected (~n/16), got $rebases")
+    val head = t.latestSnapshot.get
+    assert(head.manifestList.size <= 17)
+    assert(head.files.size == n && t.read.count() == n.toLong)
+    // the snapshot JSON itself never carries the live set again
+    assert(java.nio.file.Files.size(
+      snapDir.resolve(s"snap-${head.id}.json")) < 2000)
+    // time travel folds any historical list correctly
+    assert(t.readAt(4L).count() == 5)
+    // expiry drops the manifests only expired snapshots referenced
+    val beforeExpiry = mfNames().size
+    assert(t.expireSnapshots(2, 2, 0L) > 0)
+    assert(mfNames().size < beforeExpiry, "expired deltas must be deleted")
+    assert(t.read.count() == n.toLong)
+    // a LEGACY inline snapshot converts on the next commit (one rebase)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val t2root = tmp()
+    val t2 = new StreamTable(t2root, spark)
+    t2.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val inline = t2.latestSnapshot.get.copy(manifestList = Seq.empty)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t2root, "_snapshots", s"snap-${inline.id}.json"),
+      mapper.writeValueAsBytes(inline))
+    val t3 = new StreamTable(t2root, spark)
+    assert(t3.latestSnapshot.get.files.size == 2, "inline snapshot reads as-is")
+    t3.appendBatch(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val converted = t3.latestSnapshot.get
+    assert(converted.manifestList.size == 1, "legacy base must rebase")
+    assert(t3.read.count() == 3)
+  }
+
   test("legacy manifests without the bucket field still deserialize") {
     import spark.implicits._
     val root = tmp()
@@ -733,16 +794,18 @@ class StreamTableSpec extends AnyFunSuite {
     t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
     // a bucketed write records its bucket ids
     assert(t.latestSnapshot.get.files.forall(_.bucket.isDefined))
-    // simulate a pre-bucket-era manifest: strip the field from the JSON
-    val snapDir = java.nio.file.Paths.get(root, "_snapshots")
-    val snap = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(snapDir).iterator().asScala
-        .find(_.getFileName.toString.startsWith("snap-")).get
+    // simulate a pre-bucket-era manifest: strip the field from every
+    // metadata JSON (snapshot + the delta manifests carrying file entries)
+    import scala.jdk.CollectionConverters._
+    Seq("_snapshots", "_manifests").foreach { d =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, d))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+          val legacy = new String(java.nio.file.Files.readAllBytes(p))
+            .replaceAll(",?\\s*\"bucket\":\\s*\\d+", "")
+          java.nio.file.Files.write(p, legacy.getBytes)
+        }
     }
-    val legacy = new String(java.nio.file.Files.readAllBytes(snap))
-      .replaceAll(",?\\s*\"bucket\":\\s*\\d+", "")
-    java.nio.file.Files.write(snap, legacy.getBytes)
     val t2 = new StreamTable(root, spark, bucketKey = Some("id"), numBuckets = 2)
     // missing field → None (never 0 — 0 is a real bucket id), reads intact
     assert(t2.latestSnapshot.get.files.forall(_.bucket.isEmpty))

@@ -623,35 +623,40 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
     def run() = spark.read.format("graft").load(root)
       .where(col("id").between(120L, 180L)).orderBy("id").collect().toSeq
-    def statsMaps() = tbl.filesView
+    def statsMaps(t: StreamTable) = t.filesView
       .select("file_path", "min_value_stats", "max_value_stats")
       .collect().map(r => (r.getString(0),
         r.getAs[Map[String, String]](1), r.getAs[Map[String, String]](2)))
       .sortBy(_._1).toSeq
-    val (before, mapsBefore) = (run(), statsMaps())
-    // strip the persisted stats from every snapshot — the pre-round-8
-    // manifest format (Jackson leaves the absent fields as None)
+    val (before, mapsBefore) = (run(), statsMaps(tbl))
+    // strip the persisted stats from every metadata JSON — the pre-round-8
+    // format (Jackson leaves the absent fields as None). File entries live
+    // in the delta manifests; changelog entries stay inline in snapshots.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val snapDir = java.nio.file.Paths.get(root, "_snapshots")
-    StreamTable.listDir(snapDir).filter(_.toString.endsWith(".json")).foreach { p =>
-      val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      Seq("files", "changelog").foreach { arr =>
-        val a = node.get(arr)
-        if (a != null && a.isArray) a.forEach { f =>
-          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-            .remove(java.util.Arrays.asList(
-              "minStats", "maxStats", "fileCols", "badStats"))
+    Seq("_snapshots", "_manifests").foreach { d =>
+      val dir = java.nio.file.Paths.get(root, d)
+      StreamTable.listDir(dir).filter(_.toString.endsWith(".json")).foreach { p =>
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        Seq("files", "changelog", "added").foreach { arr =>
+          val a = node.get(arr)
+          if (a != null && a.isArray) a.forEach { f =>
+            f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .remove(java.util.Arrays.asList(
+                "minStats", "maxStats", "fileCols", "badStats"))
+          }
         }
+        java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
       }
-      java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
     }
     StreamTable.planFooterReads.set(0L)
     assert(run() == before, "legacy fallback must read the same rows")
     assert(StreamTable.planFooterReads.get() > 0L,
       "a stats-less manifest must have taken the footer fallback")
-    // and the two stats sources render identically ($files footer pass)
-    assert(statsMaps() == mapsBefore, "footer and manifest stats must agree")
+    // and the two stats sources render identically ($files footer pass) —
+    // through a FRESH handle (the old one's manifest cache predates the edit)
+    assert(statsMaps(new StreamTable(root, spark)) == mapsBefore,
+      "footer and manifest stats must agree")
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
