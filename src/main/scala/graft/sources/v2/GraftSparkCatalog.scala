@@ -251,33 +251,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     var decl: StructType = declared0.getOrElse(
       loadTable(ident).asInstanceOf[GraftV2Table].schema())
     var renames = renames0
-    // FILE-level column names still carried by live data files (incl.
-    // previously dropped or renamed-away columns): a new/renamed-to
-    // declared name must never collide with one — the old files' data
-    // would silently surface under the new column (it must null-fill),
-    // and the rename translation would then produce duplicate file-level
-    // names on both read projections and INSERT writes. Paimon avoids
-    // this with stable field ids; we refuse the collision loudly.
-    // lazy: only ADD/RENAME consult it — a plain SET-option ALTER must not
-    // pay a footer scan of every live file
+    // STABLE FIELD IDS (Paimon's evolution model, by storage-name minting):
+    // a declared column's physical storage name may differ from its
+    // declared name (`ddl.rename.<declared> = <storage>`, the same mapping
+    // a RENAME leaves behind). When ADD COLUMN re-uses a name that live
+    // data files still carry (previously dropped, or renamed away), the
+    // new column is assigned a FRESH storage name — old files simply lack
+    // it and null-fill, new writes store under it, and the old data can
+    // never surface beneath the new declared name. Identity lives in the
+    // mapping, not the name: exactly what a field id buys.
+    // lazy: only ADD consults it — a plain SET-option ALTER must not pay a
+    // footer scan of every live file. Manifest fileCols serve it without
+    // I/O when every live file carries captured stats.
     lazy val fileCols: Set[String] = {
       val files = backing.getTable(dbN, tn).latestSnapshot
         .map(_.files).getOrElse(Seq.empty)
+      val fromManifest = files.flatMap(_.fileCols)
       if (files.isEmpty) Set.empty
+      else if (fromManifest.size == files.size) fromManifest.flatten.toSet
       else SparkSession.active.read.option("mergeSchema", "true")
         .parquet(files.map(_.path): _*).schema.fieldNames.toSet
-        .filterNot(n => n == graft.table.StreamTable.SeqColName ||
-          n == graft.table.StreamTable.TombstoneColName ||
-          n.startsWith(graft.table.StreamTable.FieldSeqPrefix))
-    }
-    def requireFreshName(n: String, what: String): Unit = {
-      require(!renames.values.toSet.contains(n),
-        s"$what '$n' collides with a file-level name a renamed column " +
-          "still reads from (pick a different name)")
-      require(!fileCols.contains(n) || decl.fieldNames.contains(n),
-        s"$what '$n' collides with a column live data files still carry " +
-          "(a previously dropped/renamed name) — its old data would " +
-          "silently surface instead of null-filling; pick a different name")
+          .filterNot(n => n == graft.table.StreamTable.SeqColName ||
+            n == graft.table.StreamTable.TombstoneColName ||
+            n.startsWith(graft.table.StreamTable.FieldSeqPrefix))
     }
     val setOpts = scala.collection.mutable.Map[String, String]()
     changes.foreach {
@@ -285,7 +281,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         require(a.fieldNames.length == 1, "nested ADD COLUMN is unsupported")
         val n = a.fieldNames.head
         require(!decl.fieldNames.contains(n), s"column '$n' already exists")
-        requireFreshName(n, "ADD COLUMN")
+        // storage names in use or still present in data files; a collision
+        // mints `<name>__fid<k>` instead of refusing the ADD
+        val taken = fileCols ++ renames.values ++
+          decl.fieldNames.filterNot(renames.contains)
+        if (taken.contains(n)) {
+          val storage = Iterator.from(1).map(k => s"${n}__fid$k")
+            .find(s => !taken.contains(s)).get
+          setOpts(s"ddl.rename.$n") = storage
+          renames += (n -> storage)
+        }
         decl = StructType(decl.fields :+ StructField(n, a.dataType, a.isNullable))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested DROP COLUMN is unsupported")
@@ -305,12 +310,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         require(!decl.fieldNames.contains(to), s"column '$to' already exists")
         require(!keyCols.contains(from),
           s"cannot rename key column '$from' (primary/bucket/sequence key)")
-        // chase prior renames so the mapping always points at the ORIGINAL
-        // file-level name (Paimon's stable-field-id model)
+        // chase prior renames so the mapping always points at the column's
+        // STORAGE name (its field identity) — the rename is pure metadata,
+        // and any target name is legal: reads and writes translate through
+        // the mapping, so a stale physical column of the same name in old
+        // files is simply never projected
         val fileN = renames.getOrElse(from, from)
-        // reverting a rename to its own file-level name is always safe;
-        // any OTHER target must be genuinely fresh
-        if (fileN != to) requireFreshName(to, "RENAME COLUMN target")
         // an aggregated field's merge spec is keyed by its FILE-level name
         // (`fields.<f>.aggregate-function`): renaming it would silently drop
         // the field from the merge view and the fold — refuse like key cols

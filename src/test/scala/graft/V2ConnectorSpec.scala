@@ -1365,6 +1365,46 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("stable field ids: renamed-away and dropped names re-add with null-fill") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.fid (id BIGINT, v STRING, x DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.fid VALUES (1,'a',1.0), (2,'b',2.0)")
+    spark.sql(s"ALTER TABLE $cat.db.fid RENAME COLUMN v TO label")
+    // re-ADD the renamed-away name: a FRESH field (minted storage name) —
+    // the old 'v' bytes stay under 'label' and never surface here
+    spark.sql(s"ALTER TABLE $cat.db.fid ADD COLUMNS (v STRING)")
+    assert(spark.sql(s"SELECT id, label, v FROM $cat.db.fid ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq ==
+      Seq((1L, "a", null), (2L, "b", null)))
+    spark.sql(s"INSERT INTO $cat.db.fid VALUES (3,'c',3.0,'fresh')")
+    assert(spark.sql(
+      s"SELECT id, label, v FROM $cat.db.fid WHERE v IS NOT NULL").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((3L, "c", "fresh")))
+    // DROP then re-ADD the same name: null-fill, new writes land
+    spark.sql(s"ALTER TABLE $cat.db.fid DROP COLUMN x")
+    spark.sql(s"ALTER TABLE $cat.db.fid ADD COLUMNS (x DOUBLE)")
+    assert(spark.sql(s"SELECT x FROM $cat.db.fid").collect()
+      .forall(_.isNullAt(0)), "re-added column must null-fill old files")
+    spark.sql(s"INSERT INTO $cat.db.fid VALUES (4,'d','v4',44.0)")
+    assert(spark.sql(s"SELECT id, x FROM $cat.db.fid WHERE x IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((4L, 44.0)))
+    // DML predicates on re-added fields translate to the minted storage
+    // name (same path RENAME translation takes)
+    spark.sql(s"DELETE FROM $cat.db.fid WHERE v = 'fresh'")
+    assert(spark.sql(s"SELECT id FROM $cat.db.fid ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // the surface schema shows declared names only — no minted name leaks
+    assert(spark.table(s"$cat.db.fid").schema.fieldNames.toSeq ==
+      Seq("id", "label", "v", "x"))
+    // a SECOND drop/re-add cycle mints another fresh field
+    spark.sql(s"ALTER TABLE $cat.db.fid DROP COLUMN x")
+    spark.sql(s"ALTER TABLE $cat.db.fid ADD COLUMNS (x DOUBLE)")
+    assert(spark.sql(s"SELECT x FROM $cat.db.fid").collect()
+      .forall(_.isNullAt(0)), "second re-add must null-fill again")
+  }
+
   test("evolution guards: DML on renamed columns; stale file-level name collisions") {
     val (cat, gc) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.evg (id BIGINT, v STRING, x DOUBLE)")
@@ -1376,19 +1416,8 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT id, label FROM $cat.db.evg").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
 
-    // ADD COLUMN reusing the renamed-away file-level name is refused (old
-    // files' data would surface under the new column instead of null)
-    val e1 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.evg ADD COLUMNS (v STRING)")
-    }
-    assert(e1.getMessage.contains("collides"), e1.getMessage)
-    // DROP then re-ADD the same name: same trap, same refusal
-    spark.sql(s"ALTER TABLE $cat.db.evg DROP COLUMN x")
-    val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.evg ADD COLUMNS (x DOUBLE)")
-    }
-    assert(e2.getMessage.contains("collides"), e2.getMessage)
     // REVERTING a rename to its own file-level name stays legal
+    spark.sql(s"ALTER TABLE $cat.db.evg DROP COLUMN x")
     spark.sql(s"ALTER TABLE $cat.db.evg RENAME COLUMN label TO v")
     assert(spark.sql(s"SELECT v FROM $cat.db.evg").collect()
       .map(_.getString(0)).toSeq == Seq("b"))
