@@ -268,7 +268,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .map(_.files).getOrElse(Seq.empty)
       val fromManifest = files.flatMap(_.fileCols)
       if (files.isEmpty) Set.empty
-      else if (fromManifest.size == files.size) fromManifest.flatten.toSet
+      else if (fromManifest.size == files.size)
+        // manifest fileCols are parquet LEAF dot-paths ('s.a' for struct
+        // column 's') and include engine bookkeeping — normalize to the
+        // top-level names the collision probe compares, or a dropped STRUCT
+        // column's re-ADD would find no collision ('s' ∉ {'s.a'}) and let
+        // old files' struct data resurface under the new declared name
+        fromManifest.flatten.iterator
+          .map(_.split("\\.", 2)(0))
+          .filterNot(n => n == graft.table.StreamTable.SeqColName ||
+            n == graft.table.StreamTable.TombstoneColName ||
+            n.startsWith(graft.table.StreamTable.FieldSeqPrefix))
+          .toSet
       else SparkSession.active.read.option("mergeSchema", "true")
         .parquet(files.map(_.path): _*).schema.fieldNames.toSet
           .filterNot(n => n == graft.table.StreamTable.SeqColName ||

@@ -1405,6 +1405,25 @@ class V2ConnectorSpec extends AnyFunSuite {
       .forall(_.isNullAt(0)), "second re-add must null-fill again")
   }
 
+  test("drop/re-add of a STRUCT column mints a fresh field (no resurrection)") {
+    // manifest fileCols record parquet LEAF paths ('s.a', 's.b') — the ADD
+    // collision probe must normalize them to top-level names, or old files'
+    // struct bytes would silently surface under the re-added column
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.fidst " +
+      "(id BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql(s"INSERT INTO $cat.db.fidst " +
+      "VALUES (1, named_struct('a', CAST(10 AS BIGINT), 'b', 'x'))")
+    spark.sql(s"ALTER TABLE $cat.db.fidst DROP COLUMN s")
+    spark.sql(s"ALTER TABLE $cat.db.fidst " +
+      "ADD COLUMNS (s STRUCT<a: BIGINT, b: STRING>)")
+    assert(spark.sql(s"SELECT s FROM $cat.db.fidst").collect()
+      .forall(_.isNullAt(0)),
+      "re-added struct column must null-fill old files, not resurrect them")
+    assert(spark.sql(s"SELECT id FROM $cat.db.fidst").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("evolution guards: DML on renamed columns; stale file-level name collisions") {
     val (cat, gc) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.evg (id BIGINT, v STRING, x DOUBLE)")
