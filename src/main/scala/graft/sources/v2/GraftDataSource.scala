@@ -104,7 +104,7 @@ class GraftDataSource extends TableProvider
       // resolves to the LAST snapshot committed at or before it — the same
       // floor rule as TIMESTAMP AS OF time travel
       val (a, b) = split("incremental-between-timestamp", v)
-      val snaps = base.table.snapshots
+      val snaps = base.table.snapshotHeaders
       def resolve(x: String): Long = {
         val ms = x.toLongOption.getOrElse(java.sql.Timestamp.valueOf(
           if (x.length == 10) s"$x 00:00:00" else x.replace('T', ' ')).getTime)
@@ -363,15 +363,14 @@ class GraftV2Table(tableName: String, val table: StreamTable,
 
   /** Snapshot-pinned copy (`VERSION AS OF` / `TIMESTAMP AS OF`). */
   private[v2] def at(snapshotId: Long): GraftV2Table = {
-    require(table.snapshots.exists(_.id == snapshotId),
+    require(table.hasSnapshot(snapshotId),
       s"$tableName has no snapshot $snapshotId")
     new GraftV2Table(s"$tableName@$snapshotId", table, spark,
       declaredSchema, Some(snapshotId), renameMap)
   }
 
   private[v2] def liveFiles: Seq[DataFileMeta] = atSnapshot match {
-    case Some(id) => table.snapshots.find(_.id == id).map(_.files)
-      .getOrElse(Seq.empty)
+    case Some(id) => table.snapshotAt(id).map(_.files).getOrElse(Seq.empty)
     case None => table.latestSnapshot.map(_.files).getOrElse(Seq.empty)
   }
 

@@ -168,7 +168,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     base match {
       case v2: GraftV2Table =>
         val tsMs = timestampMicros / 1000L
-        val snapId = v2.table.snapshots.takeWhile(_.committedAtMs <= tsMs)
+        val snapId = v2.table.snapshotHeaders.takeWhile(_.committedAtMs <= tsMs)
           .lastOption.map(_.id).getOrElse(throw new IllegalArgumentException(
             s"no snapshot at or before $tsMs ms"))
         v2.at(snapId)

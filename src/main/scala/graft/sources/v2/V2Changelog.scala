@@ -106,7 +106,9 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
     if (!table.consumers.exists(_._1 == id)) table.registerConsumer(id, 0L)
   }
 
-  private def snaps = table.snapshots
+  // headers only — offset bookkeeping and interval planning never hydrate
+  // a full live set (planInterval hydrates exactly the interval endpoints)
+  private def snaps = table.snapshotHeaders
 
   @volatile private var availableEnd: Option[Offset] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -200,14 +202,18 @@ private[graft] object ChangelogPlanning {
       s: Long, e: Long, onlyBucket: Option[Int] = None): Array[InputPartition] = {
     if (e <= s) return Array.empty
     // indexed once: the walk below touches each id several times, and a
-    // linear find per touch made catch-up planning O(interval × snapshots)
+    // linear find per touch made catch-up planning O(interval × snapshots).
+    // `snaps` are HEADERS (unhydrated): the per-commit walk reads delta
+    // manifests, and only the two interval ENDPOINTS hydrate — O(delta)
+    // driver work per trigger at any live-file count.
     val byId = snaps.map(s0 => s0.id -> s0).toMap
     def snapAt(id: Long): graft.table.Snapshot =
       byId.getOrElse(id, throw new IllegalStateException(
         s"changelog interval snapshot $id has been retention-expired at " +
           s"${table.root}: cannot compute the interval diff (register a " +
           "consumer-id or widen snapshot retention to protect slow readers)"))
-    def filesAt(id: Long): Seq[graft.table.DataFileMeta] = snapAt(id).files
+    def filesAt(id: Long): Seq[graft.table.DataFileMeta] =
+      table.hydrated(snapAt(id)).files
 
     if (s >= 0) {
       // EVERY snapshot of the interval is needed — the per-commit walk is
@@ -256,7 +262,8 @@ private[graft] object ChangelogPlanning {
         oldEv: Seq[graft.table.DataFileMeta]) =
       if (s < 0) (newFiles.map(_.path).toSet, Seq.empty, Seq.empty)
       else {
-        val (added, removedEv) = StreamTable.intervalEvidence(snapAt, s, e)
+        val (added, removedEv) = StreamTable.intervalEvidence(snapAt,
+          table.deltaOf, table.hydrated, s, e)
         val endPaths = newFiles.map(_.path).toSet
         // removal evidence LIVE at the start snapshot is key-collected
         // during the old-state resolve (zero extra I/O); only evidence

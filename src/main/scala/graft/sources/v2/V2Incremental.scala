@@ -88,7 +88,7 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val snaps = t.snapshots
+        val snaps = t.snapshotHeaders
         val byId = snaps.map(s => s.id -> s).toMap
         def snapAt(id: Long): Snapshot =
           byId.getOrElse(id, throw new IllegalArgumentException(
@@ -97,11 +97,12 @@ class GraftIncrementalV2Table(base: GraftV2Table, from: Long, to: Long)
           ChangelogPlanning.planInterval(t, snaps, from, to, onlyBucket)
         else {
           // append table: the interval's added level-0 rows ARE its changes
+          // — per-commit added files come straight from the delta manifests
+          // (the shared evidence rule; zero hydrations on v2 history)
           (from to to).foreach(snapAt)
-          ((from + 1) to to).flatMap { id =>
-            val prev = snapAt(id - 1).files.map(_.path).toSet
-            snapAt(id).files.filterNot(f => prev(f.path)).filter(_.level == 0)
-          }.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
+          StreamTable.intervalEvidence(snapAt, t.deltaOf, t.hydrated, from, to)
+            ._1
+            .filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
             .map(f => GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
         }
       }
@@ -191,8 +192,7 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val snaps = t.snapshots
-        snaps.lastOption match {
+        t.latestSnapshot match {
           case None => Array.empty
           case Some(last) =>
             if (t.primaryKey.isDefined)
@@ -243,7 +243,7 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val snaps = t.snapshots
+        val snaps = t.snapshotHeaders
         val byId = snaps.map(s => s.id -> s).toMap
         snaps.flatMap { s =>
           val pred = byId.get(s.id - 1)
@@ -268,8 +268,19 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
             ChangelogPlanning.planInterval(t, snaps, s.id - 1, s.id,
               onlyBucket).toSeq
           else {
-            val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-            val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
+            // this commit's added files: delta-manifest-served (hydrate-diff
+            // only on legacy history), same rule as changeHistoryView
+            val added = (t.deltaOf(s) match {
+              case Some(d) => d.added
+              case None if s.manifestList.nonEmpty &&
+                  pred.exists(_.manifestList == s.manifestList) =>
+                Seq.empty[graft.table.DataFileMeta]
+              case None =>
+                val predPaths = pred
+                  .map(p0 => t.hydrated(p0).files.map(_.path).toSet)
+                  .getOrElse(Set.empty[String])
+                t.hydrated(s).files.filterNot(f => predPaths(f.path))
+            }).filter(_.level == 0)
             if (added.isEmpty) Seq.empty // maintenance-only commit
             else if (t.primaryKey.isEmpty)
               added.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))

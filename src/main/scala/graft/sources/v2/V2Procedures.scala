@@ -82,9 +82,14 @@ object V2Procedures {
       case "remove_orphan_files" => Some(proc("remove_orphan_files",
         Seq(in("table", StringType),
           in("older_than_ms", LongType, Some((24L * 3600 * 1000).toString))),
-        StructType(Seq(StructField("removed", IntegerType))),
-        (t, args) => Array[Any](
-          t.removeOrphanFiles(args(1).asInstanceOf[Long])), p))
+        // data files and swept metadata (unlinked delta manifests) report
+        // separately — callers must not read manifest JSONs as data cleanup
+        StructType(Seq(StructField("removed", IntegerType),
+          StructField("removed_manifests", IntegerType))),
+        (t, args) => {
+          val data = t.removeOrphanFiles(args(1).asInstanceOf[Long])
+          Array[Any](data, t.lastOrphanManifestsRemoved)
+        }, p))
       // `bucket` is immutable through ALTER TABLE (a mixed-generation layout
       // would split a key's versions across bucket ids and break the
       // per-bucket merge) — rescale is the OFFLINE maintenance path, like

@@ -44,7 +44,9 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     if (!table.consumers.exists(_._1 == id)) table.registerConsumer(id, 0L)
   }
 
-  private def snaps = table.snapshots
+  // headers only: offsets are ids; the incremental diff folds the
+  // interval's delta manifests ([[StreamTable.addedBetween]])
+  private def snaps = table.snapshotHeaders
 
   /** AvailableNow contract: pin the end offset when the trigger starts, so
     * the run drains exactly the commits that existed then and stops. */
@@ -80,24 +82,24 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     val e = end.asInstanceOf[GraftOffset].snapshotId
     if (e <= s) return Array.empty
     val all = snaps
-    def filesAt(id: Long): Seq[graft.table.DataFileMeta] =
-      all.find(_.id == id).map(_.files).getOrElse(Seq.empty)
-    val endFiles = filesAt(e)
     val newFiles =
-      if (s < 0L) endFiles // initial catch-up: the full live set
+      if (s < 0L) // initial catch-up: the full live set (one hydration)
+        all.find(_.id == e).map(table.hydrated(_).files).getOrElse(Seq.empty)
       else {
-        // a consumed-but-expired start snapshot would make `seen` empty and
-        // silently RE-DELIVER the whole live set — the one failure mode an
-        // at-least-once file diff cannot detect on its own. Fail loudly:
-        // the stream's lag exceeded retention (register a consumer id or
-        // widen snapshot.num-retained to protect slow readers).
+        // a consumed-but-expired start snapshot would make the diff base
+        // empty and silently RE-DELIVER the whole live set — the one
+        // failure mode an at-least-once file diff cannot detect on its own.
+        // Fail loudly: the stream's lag exceeded retention (register a
+        // consumer id or widen snapshot.num-retained to protect slow
+        // readers).
         if (!all.exists(_.id == s))
           throw new IllegalStateException(
             s"stream offset snapshot $s has been retention-expired at " +
               s"${table.root}: cannot compute the incremental diff " +
               "(protect slow consumers via registerConsumer/num-retained)")
-        val seen = filesAt(s).map(_.path).toSet
-        endFiles.filterNot(f => seen(f.path))
+        // O(interval delta): fold the covered commits' delta manifests —
+        // a steady-state trigger never hydrates a snapshot
+        table.addedBetween(s, e)
           .filter(_.path.contains("/data/append/"))
       }
     lastPlanned = newFiles.map(_.path)

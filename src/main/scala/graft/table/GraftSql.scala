@@ -367,7 +367,10 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         require(args.length <= 2, "remove_orphan_files(table[, olderThanDuration])")
         val n = table.removeOrphanFiles(args.lift(1)
           .map(GraftCatalog.parseDurationMs).getOrElse(24L * 3600 * 1000))
-        ok(s"removed $n orphan file(s) of $t")
+        ok(s"removed $n orphan data file(s) of $t" +
+          (if (table.lastOrphanManifestsRemoved > 0)
+             s" (+${table.lastOrphanManifestsRemoved} unlinked manifest(s))"
+           else ""))
       case other =>
         throw new IllegalArgumentException(s"unknown procedure sys.$other")
     }

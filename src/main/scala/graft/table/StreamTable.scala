@@ -111,13 +111,26 @@ case class Snapshot(
       * commit. Readers hydrate `files` from the fold (manifest files are
       * immutable — parsed once per table handle). Empty on legacy inline
       * manifests. */
-    manifestList: Seq[String] = Seq.empty)
+    manifestList: Seq[String] = Seq.empty,
+    /** THIS commit's own change relative to its parent, as a delta-manifest
+      * file name (usually the `manifestList` tail entry; a rebase commit
+      * writes it separately). The per-commit evidence every change surface
+      * (CDC trigger, incremental-between, `$changelog`) plans from — O(this
+      * commit's delta) driver work, no parent hydration. None on legacy
+      * manifests and on no-op commits (whose evidence is empty). */
+    deltaManifest: Option[String] = None)
 
 /** One immutable delta-manifest file's content: the paths this commit
   * removed from the live set, then the file metas it added. */
 case class ManifestDelta(
     added: Seq[DataFileMeta] = Seq.empty,
-    removed: Seq[String] = Seq.empty)
+    removed: Seq[String] = Seq.empty,
+    /** Full metas of the files this commit removed WITHOUT re-adding,
+      * persisted only for state-REPLACING commits (overwrite / COW DML) —
+      * the `-D` evidence a changelog interval needs, served without
+      * hydrating the parent snapshot. None for compactions (absorbed layout
+      * maintenance, never evidence) and appends (nothing removed). */
+    removedMetas: Option[Seq[DataFileMeta]] = None)
 
 /** A Spark-native streaming table: a directory of immutable parquet files plus
   * an atomic snapshot manifest — the engine-level translation of a Paimon
@@ -243,25 +256,79 @@ class StreamTable(
       mapper.readValue(Files.readAllBytes(Paths.get(manifestDir, n)),
         classOf[ManifestDelta]))
 
-  /** Materialize a v2 snapshot's live set from its manifest-list fold;
-    * legacy inline snapshots pass through untouched. */
-  private def hydrate(s: Snapshot): Snapshot =
-    if (s.manifestList.isEmpty) s
-    else {
-      val live = new java.util.LinkedHashMap[String, DataFileMeta]()
-      s.manifestList.foreach { n =>
-        val d = manifestDelta(n)
-        d.removed.foreach(live.remove)
-        d.added.foreach(f => live.put(f.path, f))
-      }
-      s.copy(files = live.values().asScala.toSeq)
+  /** Memoized manifest-list folds. Keyed by (id, manifestList) — ids are
+    * reusable after a rollback, the list identifies the content. Tiny LRU:
+    * the hot access pattern is a handful of snapshots (head, CDC interval
+    * endpoints, a time-travel pin), while a long-running streaming writer
+    * commits unboundedly — an unbounded cache of file lists would leak. */
+  private val hydrateCache =
+    new java.util.LinkedHashMap[(Long, Seq[String]), Seq[DataFileMeta]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Seq[String]), Seq[DataFileMeta]]): Boolean =
+        size > 8
     }
 
-  def snapshots: Seq[Snapshot] =
+  private def hydrate(s: Snapshot): Snapshot = hydrated(s)
+
+  /** Materialize a v2 snapshot's live set from its manifest-list fold
+    * (memoized — see [[hydrateCache]]); legacy inline snapshots pass through
+    * untouched. Every fold increments [[StreamTable.hydrateFolds]], the
+    * observability specs assert O(delta) planning on. */
+  def hydrated(s: Snapshot): Snapshot =
+    if (s.manifestList.isEmpty) s
+    else {
+      val key = (s.id, s.manifestList)
+      val cached = hydrateCache.synchronized(Option(hydrateCache.get(key)))
+      val files = cached.getOrElse {
+        StreamTable.hydrateFolds.incrementAndGet()
+        val live = new java.util.LinkedHashMap[String, DataFileMeta]()
+        s.manifestList.foreach { n =>
+          val d = manifestDelta(n)
+          d.removed.foreach(live.remove)
+          d.added.foreach(f => live.put(f.path, f))
+        }
+        val fs = live.values().asScala.toSeq
+        hydrateCache.synchronized(hydrateCache.put(key, fs))
+        fs
+      }
+      s.copy(files = files)
+    }
+
+  /** This commit's own change, resolved from its delta manifest. None =
+    * legacy snapshot (diff the hydrated pair) or a no-op commit. */
+  def deltaOf(s: Snapshot): Option[ManifestDelta] =
+    s.deltaManifest.map(manifestDelta)
+
+  /** Raw snapshot manifests, id-ordered, WITHOUT hydration — `files` stays
+    * empty on v2 snapshots. O(retained) parses of O(delta)-sized JSON;
+    * surfaces needing a live set hydrate exactly the snapshots they touch
+    * ([[hydrated]]). Entries vanishing under the walk (concurrent
+    * rollback/expiry) are skipped. */
+  def snapshotHeaders: Seq[Snapshot] =
     listDir(Paths.get(snapDir)).iterator
       .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
-      .map(p => hydrate(mapper.readValue(Files.readAllBytes(p), classOf[Snapshot])))
+      .flatMap { p =>
+        try Some(mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
       .toSeq.sortBy(_.id)
+
+  /** One snapshot by id, hydrated — a direct manifest read, never an
+    * O(retained) scan. */
+  def snapshotAt(id: Long): Option[Snapshot] = {
+    val p = Paths.get(snapDir, s"snap-$id.json")
+    try
+      if (Files.exists(p))
+        Some(hydrated(mapper.readValue(Files.readAllBytes(p), classOf[Snapshot])))
+      else None
+    catch { case _: java.nio.file.NoSuchFileException => None }
+  }
+
+  /** Cheap existence check (no parse, no hydration). */
+  def hasSnapshot(id: Long): Boolean =
+    Files.exists(Paths.get(snapDir, s"snap-$id.json"))
+
+  def snapshots: Seq[Snapshot] = snapshotHeaders.map(hydrated)
 
   /** The head snapshot, reading ONLY the max-id manifest — commit planning
     * and scans never pay an O(retained snapshots) parse. Retries the list
@@ -281,13 +348,31 @@ class StreamTable(
         classOf[Snapshot])))
       catch { case _: java.nio.file.NoSuchFileException => attempt += 1 }
     }
-    snapshots.lastOption
+    // Sustained concurrent-rollback fallback: walk ids NEWEST-FIRST,
+    // skipping any entry whose snapshot or manifest file vanished under the
+    // read (a full `snapshots` parse here would throw on the same race).
+    listDir(Paths.get(snapDir)).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.matches("snap-\\d+\\.json"))
+        Some(n.stripPrefix("snap-").stripSuffix(".json").toLong)
+      else None
+    }.sorted.reverse.foreach { id =>
+      try return Some(hydrate(mapper.readValue(
+        Files.readAllBytes(Paths.get(snapDir, s"snap-$id.json")),
+        classOf[Snapshot])))
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    None
   }
 
   /** Atomically publish the next snapshot; optimistic retry on id collision
     * (concurrent writer + compactor). `recompute` receives the current live
-    * file list and returns (newLiveFiles, batchId). */
-  private def commit(recompute: Seq[DataFileMeta] => (Seq[DataFileMeta], Long),
+    * file list and returns this commit's CHANGE (added metas, removed
+    * paths, batch id) — the new live set is derived (base − removed +
+    * added), so commit metadata and changelog evidence are O(delta) by
+    * construction instead of a caller-recomputed full list the planner
+    * would have to re-diff. */
+  private def commit(recompute: Seq[DataFileMeta] => CommitChange,
       writer: Option[(String, Long)] = None,
       changelog: Seq[DataFileMeta] = Seq.empty,
       produced: Boolean = false,
@@ -295,12 +380,20 @@ class StreamTable(
     var attempt = 0
     while (true) {
       val base = latestSnapshot
-      val (files, batchId) = recompute(base.map(_.files).getOrElse(Seq.empty))
+      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
+      val ch = recompute(baseFiles)
+      val basePaths = baseFiles.iterator.map(_.path).toSet
+      // an added meta whose path is already live replaces it: remove+re-add
+      val removedAll =
+        ch.removedPaths ++ ch.added.iterator.map(_.path).filter(basePaths)
+      val files = baseFiles.filterNot(f => removedAll(f.path)) ++ ch.added
+      val (list, deltaName) =
+        planManifestList(base, files, ch.added, removedAll, baseFiles, kind)
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
-        System.currentTimeMillis(), batchId, files,
+        System.currentTimeMillis(), ch.batchId, files,
         writer = writer.map(_._1), writerEpoch = writer.map(_._2),
         changelog = changelog, clogProduced = produced, kind = kind,
-        manifestList = planManifestList(base, files))
+        manifestList = list, deltaManifest = deltaName)
       val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
       // the snapshot JSON persists files = [] — the live set is the
       // manifest-list fold, so commit metadata stays O(this commit's delta)
@@ -335,13 +428,21 @@ class StreamTable(
     * Paimon/Iceberg manifest-compaction policy). */
   private val MaxManifestList = 16
 
-  /** The next snapshot's manifest list: reuse the base list and append one
-    * delta bounded by this commit's change; rebase to a single full
-    * manifest when the list is at cap or the base is a legacy inline
-    * snapshot (one-time conversion). A no-op commit reuses the base list
-    * verbatim — zero manifest bytes. */
-  private def planManifestList(base: Option[Snapshot],
-      files: Seq[DataFileMeta]): Seq[String] = {
+  /** One commit's change relative to its base (see [[commit]]). */
+  private case class CommitChange(added: Seq[DataFileMeta],
+      removedPaths: Set[String], batchId: Long)
+
+  /** The next snapshot's (manifestList, deltaManifest): reuse the base list
+    * and append one delta carrying EXACTLY this commit's change (handed in
+    * by [[commit]] — never re-derived by diffing full lists); rebase to a
+    * single full manifest when the list is at cap or the base is a legacy
+    * inline snapshot (one-time conversion), still recording the commit's
+    * own delta separately so change surfaces stay O(delta) across rebases.
+    * A no-op commit reuses the base list verbatim — zero manifest bytes. */
+  private def planManifestList(base: Option[Snapshot], files: Seq[DataFileMeta],
+      added: Seq[DataFileMeta], removed: Set[String],
+      baseFiles: Seq[DataFileMeta], kind: String)
+      : (Seq[String], Option[String]) = {
     def write(d: ManifestDelta): String = {
       val name = s"mf-${UUID.randomUUID()}.json"
       Files.write(Paths.get(manifestDir, name), mapper.writeValueAsBytes(d))
@@ -350,19 +451,18 @@ class StreamTable(
     }
     val baseList = base.map(_.manifestList).getOrElse(Seq.empty)
     val legacyBase = base.exists(s => s.manifestList.isEmpty && s.files.nonEmpty)
+    if (added.isEmpty && removed.isEmpty) return (baseList, None)
+    // `-D` evidence rides in the delta for state-REPLACING commits only: a
+    // compaction's removals are absorbed maintenance, an append removes
+    // nothing — so evidence bytes stay O(logical change)
+    val addedPaths = added.iterator.map(_.path).toSet
+    val evidence =
+      if (kind == "compact" || removed.isEmpty) None
+      else Some(baseFiles.filter(f => removed(f.path) && !addedPaths(f.path)))
+    val deltaName = write(ManifestDelta(added, removed.toSeq.sorted, evidence))
     if (legacyBase || baseList.size >= MaxManifestList)
-      Seq(write(ManifestDelta(added = files)))
-    else {
-      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
-      val baseByPath = baseFiles.map(f => f.path -> f).toMap
-      val newPaths = files.map(_.path).toSet
-      val added = files.filter(f => !baseByPath.get(f.path).contains(f))
-      // a meta changed in place (same path) replaces: remove + re-add
-      val removed = baseFiles.map(_.path).filterNot(newPaths.contains) ++
-        added.map(_.path).filter(baseByPath.contains)
-      if (added.isEmpty && removed.isEmpty) baseList
-      else baseList :+ write(ManifestDelta(added, removed))
-    }
+      (Seq(write(ManifestDelta(added = files))), Some(deltaName))
+    else (baseList :+ deltaName, Some(deltaName))
   }
 
   // ---- writes ------------------------------------------------------------
@@ -387,7 +487,7 @@ class StreamTable(
       if (changelogProducer && metas.nonEmpty && latestSnapshot.isDefined)
         stageChangelog(metas, batchId)
       else Seq.empty
-    commit(live => (live ++ metas, batchId),
+    commit(_ => CommitChange(metas, Set.empty, batchId),
       changelog = clog, produced = changelogProducer)
   }
 
@@ -453,7 +553,8 @@ class StreamTable(
     // covering it falls back to the state diff, which counts the REMOVED
     // files (any level) as changed-key evidence: keys the overwrite dropped
     // emit -D (see StreamTable.intervalEvidence)
-    commit(_ => (metas, batchId), kind = "overwrite")
+    commit(live => CommitChange(metas, live.iterator.map(_.path).toSet, batchId),
+      kind = "overwrite")
   }
 
   private def replaySkip(op: String, batchId: Long): Boolean = {
@@ -575,7 +676,7 @@ class StreamTable(
       writerId: String, epochId: Long, stampedSeq: Option[Long] = None): Unit = {
     require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
     val committed =
-      snapshots.exists(s => s.writer.contains(writerId) &&
+      snapshotHeaders.exists(s => s.writer.contains(writerId) &&
         s.writerEpoch.exists(_ >= epochId)) || highWater(writerId) >= epochId
     if (committed) {
       log.warn(s"commitExternalFiles skipped: $writerId epoch $epochId " +
@@ -632,11 +733,11 @@ class StreamTable(
         stageChangelog(metas0.map(m =>
           m.copy(minSeq = stampedSeq.get, maxSeq = stampedSeq.get)), stampedSeq.get)
       else Seq.empty
-    commit(live => {
+    commit(_ => {
       val next = latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L)
       val b = stampedSeq.map(math.max(_, next)).getOrElse(next)
       val seq = stampedSeq.getOrElse(b)
-      (live ++ metas0.map(_.copy(minSeq = seq, maxSeq = seq)), b)
+      CommitChange(metas0.map(_.copy(minSeq = seq, maxSeq = seq)), Set.empty, b)
     }, writer = Some((writerId, epochId)),
       changelog = clog, produced = changelogProducer && stampedSeq.isDefined)
     // best-effort high-water (replay evidence beyond retention); REPLACE is
@@ -837,7 +938,7 @@ class StreamTable(
       val gone = touchedPaths -- liveNow.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this row-level op (e.g. ${gone.take(2).mkString(", ")})")
-      (liveNow.filterNot(f => touchedPaths.contains(f.path)) ++ metas,
+      CommitChange(metas, touchedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }
     matches
@@ -908,7 +1009,7 @@ class StreamTable(
       val gone = removedPaths -- liveNow.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this $mode (e.g. ${gone.take(2).mkString(", ")})")
-      (liveNow.filterNot(f => removedPaths.contains(f.path)) ++ metas,
+      CommitChange(metas, removedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }, kind = "replace")
     outRows
@@ -1176,7 +1277,7 @@ class StreamTable(
     * snapshot reads — the manifest makes every committed version readable
     * until retention expires it). */
   def readAt(snapshotId: Long): DataFrame = {
-    val snap = snapshots.find(_.id == snapshotId)
+    val snap = snapshotAt(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     if (snap.files.isEmpty) return spark.emptyDataFrame
     val raw = readFiles(snap.files)
@@ -1190,7 +1291,7 @@ class StreamTable(
     * read the newest snapshot committed at or before `tsMs`. Resolution is
     * driver-side manifest metadata, like every other travel surface. */
   def readAtTime(tsMs: Long): DataFrame = {
-    val snap = snapshots.takeWhile(_.committedAtMs <= tsMs).lastOption
+    val snap = snapshotHeaders.takeWhile(_.committedAtMs <= tsMs).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot committed at or before $tsMs"))
     readAt(snap.id)
@@ -1210,7 +1311,7 @@ class StreamTable(
     require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
     val id = snapshotId.orElse(latestSnapshot.map(_.id))
       .getOrElse(throw new IllegalStateException("cannot tag an empty table"))
-    require(snapshots.exists(_.id == id), s"no snapshot $id to tag")
+    require(hasSnapshot(id), s"no snapshot $id to tag")
     Files.createDirectories(Paths.get(tagDir))
     val p = Paths.get(tagDir, s"tag-$name.json")
     try Files.write(p, mapper.writeValueAsBytes(Map("snapshotId" -> id)),
@@ -1294,14 +1395,17 @@ class StreamTable(
   def changelogWithRetractions(fromId: Long, toId: Long): DataFrame = {
     val pk = primaryKey.getOrElse(throw new UnsupportedOperationException(
       "changelogWithRetractions requires a primary-key table"))
-    val snaps = snapshots
-    val byId = snaps.map(s => s.id -> s).toMap
+    val heads = snapshotHeaders
+    val byId = heads.map(s => s.id -> s).toMap
     def snapAt(id: Long) = byId.getOrElse(id,
       throw new IllegalArgumentException(s"no snapshot $id"))
-    def files(id: Long) = snapAt(id).files
+    // only the two ENDPOINT snapshots hydrate (their resolved states carry
+    // the images); the per-commit walk reads delta manifests
+    def files(id: Long) = hydrated(snapAt(id)).files
     // changed-key evidence walked COMMIT-BY-COMMIT — the rule shared with
     // the V2 planner (see [[StreamTable.intervalEvidence]])
-    val (added, removedEv) = StreamTable.intervalEvidence(snapAt, fromId, toId)
+    val (added, removedEv) =
+      StreamTable.intervalEvidence(snapAt, deltaOf, hydrated, fromId, toId)
     val evidence = (added ++ removedEv).distinct
     // a typed empty frame even when a snapshot has NO files (a truncating
     // overwrite): `read` on an empty latest snapshot is schema-less, which
@@ -1474,19 +1578,54 @@ class StreamTable(
     * rows pass through raw, no changelog-normalize operator). Rows from files
     * added after `fromId` are tagged `+I`; on PK tables, rows whose key
     * already existed at `fromId` are tagged `+U` instead. */
+  /** Files added in `(fromId, toId]` and still live at `toId` — the
+    * incremental end-state file diff, folded from the interval's per-commit
+    * delta manifests: O(interval delta) driver work, zero snapshot
+    * hydrations. Falls back to hydrating the two endpoints when any covered
+    * commit predates delta manifests. Shared by [[changesBetween]] and the
+    * V2 snapshot-offset streaming source. */
+  private[graft] def addedBetween(fromId: Long, toId: Long): Seq[DataFileMeta] = {
+    val byId = snapshotHeaders.map(s => s.id -> s).toMap
+    def headAt(id: Long) = byId.getOrElse(id,
+      throw new IllegalArgumentException(s"no snapshot $id"))
+    val live = new java.util.LinkedHashMap[String, DataFileMeta]()
+    var ok = byId.contains(fromId)
+    var prev = byId.get(fromId).orNull
+    var id = fromId + 1
+    while (ok && id <= toId) {
+      byId.get(id) match {
+        case Some(cur) =>
+          deltaOf(cur) match {
+            case Some(d) =>
+              d.removed.foreach(live.remove)
+              d.added.foreach(f => live.put(f.path, f))
+            case None if cur.manifestList.nonEmpty &&
+                cur.manifestList == prev.manifestList => () // no-op commit
+            case None => ok = false // legacy history: endpoint fallback
+          }
+          prev = cur
+        case None => ok = false
+      }
+      id += 1
+    }
+    if (ok) live.values().asScala.toSeq
+    else {
+      val oldPaths = hydrated(headAt(fromId)).files.map(_.path).toSet
+      hydrated(headAt(toId)).files.filterNot(f => oldPaths.contains(f.path))
+    }
+  }
+
   def changesBetween(fromId: Long, toId: Long): DataFrame = {
-    val snaps = snapshots
-    def files(id: Long) = snaps.find(_.id == id)
-      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id")).files
-    val oldPaths = files(fromId).map(_.path).toSet
-    val newFiles = files(toId).filterNot(f => oldPaths.contains(f.path))
-      .filter(_.level == 0) // compaction rewrites are not logical changes
+    // compaction rewrites are not logical changes
+    val newFiles = addedBetween(fromId, toId).filter(_.level == 0)
     if (newFiles.isEmpty) return read.limit(0).withColumn("op", lit(""))
     val added = readFiles(newFiles)
     primaryKey match {
       case None => added.drop(SeqColName).withColumn("op", lit("+I"))
       case Some(pk) =>
-        val oldKeys = readFiles(files(fromId))
+        val oldKeys = readFiles(hydrated(snapshotHeaders.find(_.id == fromId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot $fromId"))).files)
           .select(pk.map(col): _*).distinct()
           .withColumn("__existed", lit(1))
         val withTomb =
@@ -1540,10 +1679,42 @@ class StreamTable(
     * file metadata (no data files are opened). */
   def snapshotsView: DataFrame = {
     import spark.implicits._
-    spark.createDataset(snapshots.map(s =>
+    // ONE incremental pass over the retained history: per snapshot apply
+    // its own delta manifest to a running (files, rows, bytes) state —
+    // O(total delta entries) for the whole view, never O(retained × live
+    // files). Only legacy snapshots and retention gaps (a tagged survivor
+    // whose neighbors expired) re-fold from scratch.
+    val heads = snapshotHeaders
+    val live = new java.util.HashMap[String, (Long, Long)]()
+    var rows = 0L
+    var bytes = 0L
+    var prev: Option[Snapshot] = None
+    def put(f: DataFileMeta): Unit = {
+      val old = live.put(f.path, (f.rowCount, f.fileSizeInBytes))
+      if (old != null) { rows -= old._1; bytes -= old._2 }
+      rows += f.rowCount; bytes += f.fileSizeInBytes
+    }
+    def drop(p: String): Unit = {
+      val old = live.remove(p)
+      if (old != null) { rows -= old._1; bytes -= old._2 }
+    }
+    val out = heads.map { s =>
+      val contiguous = prev.exists(_.id == s.id - 1)
+      deltaOf(s) match {
+        case Some(d) if contiguous =>
+          d.removed.foreach(drop)
+          d.added.foreach(put)
+        case None if contiguous && s.manifestList.nonEmpty &&
+            prev.exists(_.manifestList == s.manifestList) => () // no-op
+        case _ =>
+          live.clear(); rows = 0L; bytes = 0L
+          hydrated(s).files.foreach(put)
+      }
+      prev = Some(s)
       (s.id, s.committedAtMs, s.batchId,
-        if (s.kind.isEmpty) "append" else s.kind, s.files.length.toLong,
-        s.files.map(_.rowCount).sum, s.files.map(_.fileSizeInBytes).sum)))
+        if (s.kind.isEmpty) "append" else s.kind, live.size.toLong, rows, bytes)
+    }
+    spark.createDataset(out)
       .toDF("snapshot_id", "committed_at_ms", "batch_id", "commit_kind",
         "num_files", "total_record_count", "total_file_size_in_bytes")
       .withColumn("committed_at", timestamp_millis(col("committed_at_ms")))
@@ -1555,7 +1726,7 @@ class StreamTable(
     * snapshot's commit time (Paimon's `$tags` shape). */
   def tagsView: DataFrame = {
     import spark.implicits._
-    val snapTime = snapshots.map(s => s.id -> s.committedAtMs).toMap
+    val snapTime = snapshotHeaders.map(s => s.id -> s.committedAtMs).toMap
     spark.createDataset(tags.map { case (n, id) =>
       (n, id, snapTime.getOrElse(id, -1L))
     })
@@ -1633,7 +1804,7 @@ class StreamTable(
         if (added.isEmpty) read.limit(0).withColumn("op", lit(""))
         else primaryKey match {
           case None => readFiles(added).drop(SeqColName).withColumn("op", lit("+I"))
-          case Some(_) => changesBetween(fromId = snapshots.head.id, toId = latest.id)
+          case Some(_) => changesBetween(fromId = snapshotHeaders.head.id, toId = latest.id)
             .unionByName(changesFromFirstSnapshot(), allowMissingColumns = true)
         }
       } else changesBetween(next - 1, latest.id)
@@ -1644,7 +1815,7 @@ class StreamTable(
   /** The first snapshot's own rows as `+I` (a from-scratch consumer sees the
     * initial commit as inserts, before [[changesBetween]] takes over). */
   private def changesFromFirstSnapshot(): DataFrame = {
-    val first = snapshots.head
+    val first = hydrated(snapshotHeaders.head)
     val added = first.files.filter(_.level == 0)
     if (added.isEmpty) read.limit(0).withColumn("op", lit(""))
     else {
@@ -1686,13 +1857,13 @@ class StreamTable(
     * unrecoverable). Mirrors the V2 door's `` `t$changelog` ``
     * (GraftChangeHistoryV2Table) row-for-row. */
   def changeHistoryView: DataFrame = {
-    val snaps = snapshots
-    val byId = snaps.map(s => s.id -> s).toMap
+    val heads = snapshotHeaders
+    val byId = heads.map(s => s.id -> s).toMap
     val empty = read.limit(0).withColumn("rowkind", lit(""))
-    val parts: Seq[DataFrame] = snaps.flatMap { s =>
+    val parts: Seq[DataFrame] = heads.flatMap { s =>
       val pred = byId.get(s.id - 1)
       if (s.id == 0 && primaryKey.isDefined)
-        Some(resolveView(readFiles(s.files.filter(_.level == 0)),
+        Some(resolveView(readFiles(hydrated(s).files.filter(_.level == 0)),
           primaryKey.get, keepSeq = false).withColumn("rowkind", lit("+I")))
       else if (s.clogProduced && s.id > 0)
         // persisted changelog files are SELF-CONTAINED — retention expiring
@@ -1709,8 +1880,17 @@ class StreamTable(
         Some(changelogWithRetractions(s.id - 1, s.id)
           .withColumnRenamed("op", "rowkind"))
       else {
-        val predPaths = pred.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-        val added = s.files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
+        // this commit's added files: its delta manifest when persisted
+        // (O(delta)), hydrate-diff only for legacy history
+        val added = (deltaOf(s) match {
+          case Some(d) => d.added
+          case None if s.manifestList.nonEmpty &&
+              pred.exists(_.manifestList == s.manifestList) => Seq.empty
+          case None =>
+            val predPaths = pred.map(p0 => hydrated(p0).files.map(_.path).toSet)
+              .getOrElse(Set.empty)
+            hydrated(s).files.filterNot(f => predPaths(f.path))
+        }).filter(_.level == 0)
         if (added.isEmpty) None // maintenance-only commit
         else if (primaryKey.isEmpty)
           Some(readFiles(added).drop(SeqColName).withColumn("rowkind", lit("+I")))
@@ -1736,7 +1916,7 @@ class StreamTable(
     * stopping concurrent writers first: a writer mid-commit could re-observe
     * a rolled-back id. */
   def rollbackTo(snapshotId: Long): Snapshot = {
-    val snaps = snapshots
+    val snaps = snapshotHeaders
     val target = snaps.find(_.id == snapshotId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapshotId to roll back to"))
     val newerTags = tags.filter(_._2 > snapshotId)
@@ -1744,10 +1924,9 @@ class StreamTable(
       s"tags pin snapshots newer than $snapshotId: " +
         newerTags.map(t => s"${t._1}->${t._2}").mkString(", "))
     val newer = snaps.filter(_.id > snapshotId)
-    val keptRefs = snaps.filter(_.id <= snapshotId)
-      .flatMap(s0 => (s0.files ++ s0.changelog).map(_.path)).toSet
-    val orphaned = newer.flatMap(s0 => (s0.files ++ s0.changelog).map(_.path))
-      .toSet -- keptRefs
+    val kept = snaps.filter(_.id <= snapshotId)
+    val (keptRefs, newerRefs) = liveUnions(snaps, _.id <= snapshotId)
+    val orphaned = newerRefs -- keptRefs
     // delete manifests NEWEST-FIRST so a concurrent reader's max-id scan can
     // never select a manifest whose successor was already removed
     newer.sortBy(-_.id).foreach { s0 =>
@@ -1755,12 +1934,12 @@ class StreamTable(
     }
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // delta manifests only the rolled-back snapshots referenced
-    val keptManifests = snaps.filter(_.id <= snapshotId).flatMap(_.manifestList).toSet
-    (newer.flatMap(_.manifestList).toSet -- keptManifests)
+    val keptManifests = kept.iterator.flatMap(linkedManifests).toSet
+    (newer.iterator.flatMap(linkedManifests).toSet -- keptManifests)
       .foreach(n => Files.deleteIfExists(Paths.get(manifestDir, n)))
     consumers.filter(_._2 > snapshotId + 1)
       .foreach { case (id, _) => writeConsumerFile(id, snapshotId + 1) }
-    target
+    hydrated(target)
   }
 
   /** [[rollbackTo]] the snapshot a tag pins (Paimon `rollback_to` with a tag
@@ -1899,7 +2078,7 @@ class StreamTable(
       val gone = compactedPaths -- live.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this compaction (e.g. ${gone.take(2).mkString(", ")})")
-      (live.filterNot(f => compactedPaths.contains(f.path)) ++ metas,
+      CommitChange(metas, compactedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }, // a layout rewrite changes no logical row — an empty PRODUCED
        // changelog keeps CDC intervals spanning it on the delta fast path
@@ -1922,12 +2101,62 @@ class StreamTable(
     * uncommitted output survives (the grace period is the correctness
     * knob — keep it above the longest plausible stage-to-commit gap);
     * manifests are never deleted (that is [[expireSnapshots]]' job).
-    * Returns the number of files removed. */
+    * Returns the number of DATA files removed; unlinked delta-manifest JSONs
+    * swept in the same pass are counted separately in
+    * [[lastOrphanManifestsRemoved]] (metadata, not data — callers reporting
+    * "orphan files cleaned" must not conflate the two). */
+  /** Every data/changelog path a snapshot's METADATA references: the union
+    * of its manifests' ADDED paths (⊇ the live set — removals never shrink
+    * what the metadata mentions) plus legacy inline files and changelog
+    * files. The ORPHAN sweep keys on this — O(distinct manifests), no
+    * hydration, and safely over-approximate (a manifest-referenced file is
+    * retention-managed, not a crash leftover; expiry reclaims it when its
+    * referencing snapshots go). */
+  private def refPaths(s: Snapshot): Iterator[String] =
+    (if (s.manifestList.isEmpty) s.files.iterator.map(_.path)
+     else s.manifestList.iterator
+       .flatMap(n => manifestDelta(n).added.iterator.map(_.path))) ++
+      s.changelog.iterator.map(_.path)
+
+  /** All manifest files a snapshot links (the fold list + its own delta). */
+  private def linkedManifests(s: Snapshot): Iterator[String] =
+    s.manifestList.iterator ++ s.deltaManifest.iterator
+
+  /** EXACT live-path unions over `snaps`, split by `inKept`: (keptUnion,
+    * otherUnion) — what retention/rollback deletion decisions key on
+    * (changelog paths included). ONE incremental delta fold across the
+    * id-ordered history: the running live set updates in O(each commit's
+    * delta); only legacy snapshots and retention gaps re-fold. */
+  private def liveUnions(snaps: Seq[Snapshot], inKept: Snapshot => Boolean)
+      : (Set[String], Set[String]) = {
+    val live = new java.util.LinkedHashSet[String]()
+    val kept = scala.collection.mutable.HashSet.empty[String]
+    val other = scala.collection.mutable.HashSet.empty[String]
+    var prev: Option[Snapshot] = None
+    snaps.foreach { s =>
+      val contiguous = prev.exists(_.id == s.id - 1)
+      deltaOf(s) match {
+        case Some(d) if contiguous =>
+          d.removed.foreach(live.remove)
+          d.added.foreach(f => live.add(f.path))
+        case None if contiguous && s.manifestList.nonEmpty &&
+            prev.exists(_.manifestList == s.manifestList) => () // no-op
+        case _ =>
+          live.clear()
+          hydrated(s).files.foreach(f => live.add(f.path))
+      }
+      val target = if (inKept(s)) kept else other
+      live.forEach(p => target += p)
+      s.changelog.foreach(f => target += f.path)
+      prev = Some(s)
+    }
+    (kept.toSet, other.toSet)
+  }
+
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val snaps = snapshots
-    val referenced =
-      snaps.flatMap(s => (s.files ++ s.changelog).map(_.path)).toSet
+    val snaps = snapshotHeaders
+    val referenced = snaps.iterator.flatMap(refPaths).toSet
     var n = 0
     Seq(dataAppend, dataCompact, dataChangelog).foreach { d =>
       listDir(Paths.get(d)).foreach { p =>
@@ -1939,15 +2168,18 @@ class StreamTable(
     }
     // delta manifests no snapshot links (a commit retry's loser, a crashed
     // committer): same grace period — an in-flight commit's freshly-written
-    // manifest is not yet referenced but about to be
-    val linkedManifests = snaps.flatMap(_.manifestList).toSet
+    // manifest is not yet referenced but about to be. Counted SEPARATELY:
+    // manifest JSONs are metadata, not orphan data files.
+    var manifests = 0
+    val linked = snaps.iterator.flatMap(linkedManifests).toSet
     listDir(Paths.get(manifestDir)).foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("mf-") && !linkedManifests.contains(name) &&
+      if (name.startsWith("mf-") && !linked.contains(name) &&
           Files.getLastModifiedTime(p).toMillis < cutoff) {
-        if (Files.deleteIfExists(p)) n += 1
+        if (Files.deleteIfExists(p)) manifests += 1
       }
     }
+    lastOrphanManifestsRemoved = manifests
     listDir(Paths.get(root))
       .filter(_.getFileName.toString.startsWith(".staging-"))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
@@ -1961,8 +2193,12 @@ class StreamTable(
     n
   }
 
+  /** Unlinked delta-manifest JSONs the most recent [[removeOrphanFiles]]
+    * swept (metadata cleanup, reported apart from the data-file count). */
+  @volatile var lastOrphanManifestsRemoved: Int = 0
+
   def expireSnapshots(numRetainedMin: Int, numRetainedMax: Int, timeRetainedMs: Long): Int = {
-    val snaps = snapshots
+    val snaps = snapshotHeaders
     if (snaps.size <= numRetainedMin) return 0
     val now = System.currentTimeMillis()
     val tagged = tags.map(_._2).toSet // tags are retention roots
@@ -1976,14 +2212,17 @@ class StreamTable(
         (fromNewest <= numRetainedMax && now - s0.committedAtMs <= timeRetainedMs)
     }.map(_._1)
     val expired = snaps.filterNot(s0 => keep.exists(_.id == s0.id))
-    val liveRefs = keep.flatMap(s0 => (s0.files ++ s0.changelog).map(_.path)).toSet
-    val deletable = expired.flatMap(s0 => (s0.files ++ s0.changelog).map(_.path))
-      .toSet -- liveRefs
+    // exact per-version live sets via one incremental delta fold — no
+    // per-snapshot hydration, and compacted-away files whose every
+    // referencing version expired are physically reclaimed
+    val keepIds = keep.map(_.id).toSet
+    val (liveRefs, expiredRefs) = liveUnions(snaps, s0 => keepIds.contains(s0.id))
+    val deletable = expiredRefs -- liveRefs
     deletable.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(s0 => Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json")))
     // delta manifests referenced only by expired snapshots go with them
-    val keptManifests = keep.flatMap(_.manifestList).toSet
-    (expired.flatMap(_.manifestList).toSet -- keptManifests)
+    val keptManifests = keep.iterator.flatMap(linkedManifests).toSet
+    (expired.iterator.flatMap(linkedManifests).toSet -- keptManifests)
       .foreach(n => Files.deleteIfExists(Paths.get(manifestDir, n)))
     expired.size
   }
@@ -2004,22 +2243,64 @@ object StreamTable {
     *    files without adding any level>0 output, the pre-kind inference):
     *    keys the replacement dropped must emit `-D`. A compaction's
     *    removals are absorbed layout maintenance and contribute nothing.
+    *
+    * Per-commit evidence is served from the commit's own PERSISTED delta
+    * manifest (`deltaOf` — O(this commit's change), no hydration); only
+    * legacy history falls back to diffing the two hydrated live sets, so a
+    * CDC trigger over a million-file table does O(interval delta) driver
+    * work, not O(interval × live files). `snapAt` may return unhydrated
+    * headers.
     */
-  def intervalEvidence(snapAt: Long => Snapshot, from: Long, to: Long)
-      : (Seq[DataFileMeta], Seq[DataFileMeta]) = {
+  def intervalEvidence(snapAt: Long => Snapshot,
+      deltaOf: Snapshot => Option[ManifestDelta],
+      hydrate: Snapshot => Snapshot,
+      from: Long, to: Long): (Seq[DataFileMeta], Seq[DataFileMeta]) = {
     val added = Seq.newBuilder[DataFileMeta]
     val removedEv = Seq.newBuilder[DataFileMeta]
     var prev = snapAt(from)
     ((from + 1) to to).foreach { id =>
       val cur = snapAt(id)
-      val prevPaths = prev.files.map(_.path).toSet
-      val curPaths = cur.files.map(_.path).toSet
-      val addedAll = cur.files.filterNot(f => prevPaths(f.path))
-      val removed = prev.files.filterNot(f => curPaths(f.path))
-      added ++= addedAll.filter(_.level == 0)
-      val isCompaction = cur.kind == "compact" ||
-        (cur.kind.isEmpty && addedAll.exists(_.level > 0))
-      if (!isCompaction && removed.nonEmpty) removedEv ++= removed
+      // O(delta) fast path: the commit's own persisted delta manifest IS its
+      // evidence — no snapshot hydration, however many files are live.
+      // Identical manifest lists ⇒ a no-op commit ⇒ empty evidence. Legacy
+      // snapshots (and pre-evidence deltas) fall back to diffing the two
+      // hydrated live sets, exactly the pre-delta rule.
+      val fast: Option[(Seq[DataFileMeta], Seq[DataFileMeta])] =
+        deltaOf(cur) match {
+          case Some(d) if cur.kind.nonEmpty =>
+            // a path both removed and re-added is an in-place meta
+            // replacement, not change evidence (matching the diff rule,
+            // which compares by path)
+            val readd = d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
+            val addedEv = d.added.filterNot(f => readd(f.path)).filter(_.level == 0)
+            if (cur.kind == "compact") Some((addedEv, Seq.empty))
+            else d.removedMetas match {
+              case Some(ms) => Some((addedEv, ms))
+              case None if d.removed.forall(readd) => Some((addedEv, Seq.empty))
+              case None => None // pre-evidence delta: hydrate-diff fallback
+            }
+          case Some(_) => None
+          case None if cur.manifestList.nonEmpty &&
+              cur.manifestList == prev.manifestList =>
+            Some((Seq.empty, Seq.empty))
+          case None => None
+        }
+      fast match {
+        case Some((a, r)) =>
+          added ++= a
+          removedEv ++= r
+        case None =>
+          val prevH = hydrate(prev)
+          val curH = hydrate(cur)
+          val prevPaths = prevH.files.map(_.path).toSet
+          val curPaths = curH.files.map(_.path).toSet
+          val addedAll = curH.files.filterNot(f => prevPaths(f.path))
+          val removed = prevH.files.filterNot(f => curPaths(f.path))
+          added ++= addedAll.filter(_.level == 0)
+          val isCompaction = curH.kind == "compact" ||
+            (curH.kind.isEmpty && addedAll.exists(_.level > 0))
+          if (!isCompaction && removed.nonEmpty) removedEv ++= removed
+      }
       prev = cur
     }
     (added.result().distinct, removedEv.result().distinct)
@@ -2104,6 +2385,13 @@ object StreamTable {
     * stats-pruned plan over a current-format manifest performs ZERO footer
     * I/O on the driver. */
   val planFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Manifest-list FOLDS (full live-set materializations; cache hits don't
+    * count) — the observability change-surface specs assert on: a CDC
+    * trigger / incremental read over a delta-manifest table must plan from
+    * the per-commit deltas, hydrating at most its interval ENDPOINTS, never
+    * one fold per covered commit. */
+  val hydrateFolds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Rendered per-file [min,max] maps for stats skipping: manifest-served
     * when the commit captured them (zero I/O), footer fallback for legacy

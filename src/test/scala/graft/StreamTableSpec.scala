@@ -787,6 +787,71 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t3.read.count() == 3)
   }
 
+  test("change surfaces plan from delta manifests: zero per-commit hydrations") {
+    import spark.implicits._
+    // PK producer table: 6 commits touching overlapping keys
+    val root = tmp()
+    def handle() = new StreamTable(root, spark, primaryKey = Some(Seq("id")),
+      bucketKey = Some("id"), numBuckets = 2, changelogProducer = true)
+    val t = handle()
+    (0 until 6).foreach { b =>
+      t.appendBatch(Seq((b.toLong % 4, s"v$b")).toDF("id", "v").coalesce(1),
+        b.toLong)
+    }
+    // count manifest-list FOLDS a fresh handle performs (fresh = empty
+    // hydration cache, so the count is the surface's real hydration demand)
+    def folds[A](f: => A): (A, Long) = {
+      val before = StreamTable.hydrateFolds.get()
+      val r = f
+      (r, StreamTable.hydrateFolds.get() - before)
+    }
+    // CDC trigger planning (the exact function GraftChangelogStream calls
+    // per micro-batch): every covered commit produced, so the plan reads
+    // ONLY per-commit changelog file lists from the headers — ZERO live-set
+    // folds however many files are live
+    val t2 = handle()
+    val (parts, nProducer) = folds(
+      graft.sources.v2.ChangelogPlanning.planInterval(
+        t2, t2.snapshotHeaders, 1L, 5L))
+    assert(parts.nonEmpty)
+    assert(nProducer == 0,
+      s"producer CDC trigger must plan with zero hydrations, folded $nProducer")
+    // the full-alphabet state walk hydrates AT MOST its two endpoints —
+    // per-commit evidence comes from the interval's delta manifests
+    val t3 = handle()
+    val (clog, nWalk) = folds(t3.changelogWithRetractions(1L, 5L).collect())
+    assert(clog.nonEmpty)
+    assert(nWalk <= 2,
+      s"interval walk must hydrate at most its endpoints, folded $nWalk")
+
+    // append table: incremental file diff folds the delta manifests, zero
+    // snapshot hydrations on a steady-state trigger
+    val rootA = tmp()
+    val ta = new StreamTable(rootA, spark)
+    (0 until 6).foreach { b =>
+      ta.appendBatch(Seq((b.toLong, s"a$b")).toDF("id", "v").coalesce(1),
+        b.toLong)
+    }
+    ta.compact(1) // an in-interval compaction must not surface its rewrites
+    val taf = new StreamTable(rootA, spark)
+    val (addedA, nAdd) = folds(taf.addedBetween(1L, 6L))
+    assert(nAdd == 0,
+      s"append incremental diff must fold deltas only, hydrated $nAdd")
+    // commits 2..5 added one level-0 file each; the compaction (snapshot 6)
+    // replaced them with a level-1 file — the END-STATE diff is just that
+    assert(addedA.map(_.level).toSet == Set(1),
+      s"end-state diff after compaction: ${addedA.map(f => (f.path, f.level))}")
+    // per-commit ADDED evidence (incremental-between semantics) still
+    // surfaces the absorbed level-0 commits, also with zero hydrations
+    val taf2 = new StreamTable(rootA, spark)
+    val byId = taf2.snapshotHeaders.map(s => s.id -> s).toMap
+    val (ev, nEv) = folds(StreamTable.intervalEvidence(
+      byId(_), taf2.deltaOf, taf2.hydrated, 1L, 6L))
+    assert(nEv == 0, s"evidence walk must read deltas only, hydrated $nEv")
+    assert(ev._1.size == 4 && ev._1.forall(_.level == 0),
+      s"absorbed level-0 commits must stay evidence: ${ev._1.map(_.path)}")
+  }
+
   test("legacy manifests without the bucket field still deserialize") {
     import spark.implicits._
     val root = tmp()
