@@ -2,11 +2,11 @@ package graft.sources.v2
 
 import java.util
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -18,11 +18,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM mycat.db.`tbl$snapshots`
   * }}}
   *
-  * Metadata is manifest/footer-derived and file-count-sized, so it is served
-  * as a [[LocalScan]] (driver-local rows — the same shape catalog metadata
-  * tables use in Spark itself); the underlying frame's own computation
-  * (footer stats via mapPartitions) still ran distributed before the
-  * collect. */
+  * Served through a [[V1Scan]] bridge that hands Spark the backing
+  * DataFrame's OWN RDD — the metadata view executes as a distributed scan
+  * (for `$files` over a delta-manifest table, one task per manifest
+  * partition parsing and emitting its file rows), and per-row metadata is
+  * NEVER collected to the driver the way a LocalScan would require. Filters
+  * and aggregates over the view run as ordinary plan nodes on top. */
 class MetadataV2Table(tableName: String, df: => DataFrame)
     extends Table with SupportsRead {
 
@@ -35,12 +36,15 @@ class MetadataV2Table(tableName: String, df: => DataFrame)
     new ScanBuilder {
       override def build(): Scan = {
         val frame = df
-        val conv = CatalystTypeConverters.createToCatalystConverter(frame.schema)
-        val collected: Array[InternalRow] =
-          frame.collect().map(r => conv(r).asInstanceOf[InternalRow])
-        new LocalScan {
+        new V1Scan {
           override def readSchema(): StructType = frame.schema
-          override def rows(): Array[InternalRow] = collected
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            (new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = frame.schema
+              override def buildScan(): RDD[Row] = frame.rdd
+            }).asInstanceOf[T]
           override def description(): String = s"GraftMetadataScan $tableName"
         }
       }

@@ -261,18 +261,18 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, table: GraftV2Table,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftSinkCommitMessage => m }
       .flatMap(_.files)
-    val (empty, data) = files.partition(_._2 == 0L)
+    val (empty, data) = files.partition(_.stats.rows == 0L)
     empty.foreach(f =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
     val scan = op.scanned.getOrElse(throw new IllegalStateException(
       "row-level write committed without a configured scan"))
-    table.table.commitReplace(scan.keptPaths.toSet, data.map(_._1).toSeq,
+    table.table.commitReplace(scan.keptPaths.toSet, data.map(_.path).toSeq,
       op.command().toString)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftSinkCommitMessage => m }
-      .flatMap(_.files.map(_._1))
+      .flatMap(_.files.map(_.path))
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
 }
 

@@ -133,13 +133,13 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftSinkCommitMessage => m }
       .flatMap(_.files)
-    val (empty, data) = files.partition(_._2 == 0L)
+    val (empty, data) = files.partition(_.stats.rows == 0L)
     // a no-row file never enters the manifest (a trickle stream would
     // otherwise accrue parallelism-many empty files per epoch)
     empty.foreach(f =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
     if (data.nonEmpty)
-      table.commitExternalFiles(data.map(f => (f._1, f._3, f._4)).toSeq,
+      table.commitExternalFiles(data.toSeq,
         writerId, epochId, stampedSeq = stampOffset.map(_ + epochId))
     // at COMMIT time sweep strictly-older epochs only: a zombie/speculative
     // task of the CURRENT epoch may still be writing its (never-referenced)
@@ -151,7 +151,7 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: GraftSinkCommitMessage => m }
       .flatMap(_.files)
-      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f._1)))
+      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
     // the epoch is dead — every surviving task was aborted, so the current
     // epoch's files are sweepable too
     sweepOrphans(epochId)
@@ -216,8 +216,10 @@ object GraftStreamingWrite {
   }
 }
 
-/** One task's committed files: (path, rows, bucket id, key-sorted run). */
-case class GraftSinkCommitMessage(files: Seq[(String, Long, Option[Int], Boolean)])
+/** One task's committed files: path + layout labels + the column stats the
+  * task captured from the footer it just wrote ([[StreamTable.StagedSinkFile]])
+  * — the driver commit builds manifest entries with zero footer opens. */
+case class GraftSinkCommitMessage(files: Seq[StreamTable.StagedSinkFile])
     extends WriterCommitMessage
 
 case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
@@ -352,7 +354,15 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     sinks.values.foreach(_.writer.close())
     GraftSinkCommitMessage(sinks.values.toSeq.sortBy(_.path.toString)
-      .map(s => (s.path.toString, s.rows, s.bucket, s.sortedOk)))
+      .map { s =>
+        // capture the stats HERE, in the task that wrote the file — the
+        // driver commit assembles the manifest entry without reopening it
+        val stats =
+          if (s.rows == 0L) // empty file: the driver deletes it unread
+            StreamTable.CapturedStats(0L, Map.empty, Map.empty, Nil, Nil)
+          else StreamTable.footerColumnStats(s.path.toString, conf)
+        StreamTable.StagedSinkFile(s.path.toString, s.bucket, s.sortedOk, stats)
+      })
   }
 
   override def abort(): Unit = sinks.values.foreach { s =>

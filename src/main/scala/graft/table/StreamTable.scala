@@ -671,8 +671,10 @@ class StreamTable(
     * files physically carry [[SeqColName]] like every appendBatch file.
     *
     * `staged` carries each file's content-derived bucket id (None =
-    * unbucketed write) so sink-fed tables keep the per-bucket read paths. */
-  private[graft] def commitExternalFiles(staged: Seq[(String, Option[Int], Boolean)],
+    * unbucketed write) so sink-fed tables keep the per-bucket read paths,
+    * plus the column stats its writer task already captured — the manifest
+    * entry is assembled here without reopening any footer. */
+  private[graft] def commitExternalFiles(staged: Seq[StreamTable.StagedSinkFile],
       writerId: String, epochId: Long, stampedSeq: Option[Long] = None): Unit = {
     require(writerId.matches("[A-Za-z0-9._-]+"), s"illegal writer id '$writerId'")
     val committed =
@@ -681,7 +683,7 @@ class StreamTable(
     if (committed) {
       log.warn(s"commitExternalFiles skipped: $writerId epoch $epochId " +
         s"already committed at $root")
-      staged.foreach(p => Files.deleteIfExists(Paths.get(p._1)))
+      staged.foreach(p => Files.deleteIfExists(Paths.get(p.path)))
       return
     }
     if (stampedSeq.isEmpty)
@@ -708,21 +710,27 @@ class StreamTable(
     // later replayed appendBatch would no longer be skipped.) A STAMPED sink
     // commit instead pins the batch id to the stamp already inside its rows
     // (floored at the current watermark so it stays monotone).
-    val moved = staged.zipWithIndex.map { case ((p, bkt, srt), k) =>
+    val moved = staged.zipWithIndex.map { case (sf, k) =>
       val dest = Paths.get(dataAppend,
         s"w$epochId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
-      Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
-      (dest.toString, bkt, srt)
+      Files.move(Paths.get(sf.path), dest, StandardCopyOption.ATOMIC_MOVE)
+      (dest.toString, sf)
     }
-    // footer stats are batch-id-independent; only minSeq/maxSeq get restamped.
-    // A writer-VERIFIED key-sorted file records the sorted-run flag so the
+    // Stats arrive FROM THE WRITER TASKS (captured executor-side right
+    // after each file closed) — the driver commit performs zero footer
+    // opens per sink epoch. minSeq/maxSeq get restamped below. A
+    // writer-VERIFIED key-sorted file records the sorted-run flag so the
     // PK scan's streaming k-way merge reads sink epochs too (no hash-merge
     // degradation between compactions on continuously-fed tables).
-    val metas0 = fileMetas(spark, moved.map(_._1), level = 0, minSeq = 0L, maxSeq = 0L)
-      .zip(moved).map { case (m, (_, bkt, srt)) =>
-        m.copy(bucket = bkt,
-          sortedBy = if (srt && primaryKey.isDefined) primaryKey else None)
-      }
+    val now = System.currentTimeMillis()
+    val metas0 = moved.map { case (p, sf) =>
+      DataFileMeta(p, sf.stats.rows, Files.size(Paths.get(p)),
+        minSeq = 0L, maxSeq = 0L, level = 0, creationTimeMs = now,
+        bucket = sf.bucket,
+        sortedBy = if (sf.sorted && primaryKey.isDefined) primaryKey else None,
+        minStats = Some(sf.stats.mins), maxStats = Some(sf.stats.maxs),
+        fileCols = Some(sf.stats.cols), badStats = Some(sf.stats.bad))
+    }
     // a stamped (PK) sink epoch under the changelog producer persists its
     // netted change rows like any appendBatch commit — sink-fed CDC readers
     // stay on the O(delta) fast path (the moved files already carry the
@@ -1643,13 +1651,63 @@ class StreamTable(
   // ---- metadata (`$files`, reference op 2A#17) ---------------------------
 
   /** The `$files` system table: per-live-file metadata incl. per-column
-    * min/max stats (guide.md:200-232). Stats come straight from the
-    * manifest when the commit captured them (zero file opens); only files
-    * from legacy manifests fall back to a DISTRIBUTED footer pass (one task
-    * per file partition, never on the driver). */
+    * min/max stats (guide.md:200-232). Served as a DISTRIBUTED scan over
+    * the snapshot's manifest partitions: the driver ships manifest NAMES
+    * plus per-manifest suppression sets (paths whose add entry is not the
+    * surviving one), and executors parse the manifests and materialize the
+    * rows — a `SELECT … FROM t$files` over a million-file table never
+    * builds per-file rows on the driver, and filters/aggregates over the
+    * view run as ordinary distributed plan nodes. Stats come straight from
+    * the manifests (zero file opens); legacy inline snapshots keep the
+    * driver-meta path with a distributed footer fallback. */
   def filesView: DataFrame = {
     import spark.implicits._
-    val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val head = snapshotHeaders.lastOption
+    if (head.exists(_.manifestList.nonEmpty)) {
+      val s = head.get
+      val list = s.manifestList.toVector
+      // fold decisions on PATH STRINGS only: a file row emits from the
+      // manifest of its LAST add, unless a later manifest removed it
+      val lastAdd = scala.collection.mutable.HashMap.empty[String, Int]
+      val lastRm = scala.collection.mutable.HashMap.empty[String, Int]
+      list.zipWithIndex.foreach { case (n, i) =>
+        val d = manifestDelta(n)
+        d.removed.foreach(p => lastRm(p) = i)
+        d.added.foreach(f => lastAdd(f.path) = i)
+      }
+      val tasks = list.zipWithIndex.map { case (n, i) =>
+        val sup = manifestDelta(n).added.iterator.map(_.path)
+          .filter(p => lastAdd(p) != i || lastRm.getOrElse(p, -1) > i).toSeq
+        (s"$manifestDir/$n", sup)
+      }
+      val metas = spark.createDataset(tasks)
+        .repartition(math.max(1, math.min(tasks.size, 32)))
+        .flatMap { case (mpath, sup) =>
+          val supSet = sup.toSet
+          val conf = new org.apache.hadoop.conf.Configuration()
+          StreamTable.parseManifest(mpath).added
+            .filterNot(f => supSet(f.path))
+            .map { f => // stats-less entry (hand-edited/older manifest):
+              if (f.minStats.isDefined && f.maxStats.isDefined) f
+              else { // footer fallback runs HERE, in the executor task
+                val (_, mn, mx) = StreamTable.footerStats(f.path, conf)
+                f.copy(minStats = Some(mn), maxStats = Some(mx))
+              }
+            }
+        }
+      return metas.map(f => (f.path, f.rowCount,
+          f.minStats.getOrElse(Map.empty[String, String]),
+          f.maxStats.getOrElse(Map.empty[String, String]),
+          f.level, f.bucket, f.fileSizeInBytes, f.minSeq, f.maxSeq,
+          f.creationTimeMs))
+        .toDF("file_path", "record_count", "min_value_stats",
+          "max_value_stats", "level", "bucket", "file_size_in_bytes",
+          "min_sequence_number", "max_sequence_number", "creation_time_ms")
+        .withColumn("creation_time", timestamp_millis(col("creation_time_ms")))
+        .drop("creation_time_ms")
+        .orderBy("min_sequence_number", "file_path")
+    }
+    val files = head.map(_.files).getOrElse(Seq.empty)
     val statsDf =
       if (files.forall(f => f.minStats.isDefined && f.maxStats.isDefined))
         spark.createDataset(files.map(f =>
@@ -2343,6 +2401,11 @@ object StreamTable {
   mapper.registerModule(DefaultScalaModule)
   mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
+  /** Parse one delta-manifest file — the executor-side read the distributed
+    * `$files` scan performs per manifest partition. */
+  private[graft] def parseManifest(path: String): ManifestDelta =
+    mapper.readValue(Files.readAllBytes(Paths.get(path)), classOf[ManifestDelta])
+
   private def deleteRecursively(p: JPath): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
@@ -2365,17 +2428,38 @@ object StreamTable {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Commits with at least this many staged files capture their stats in a
+    * DISTRIBUTED footer pass (one task per file) instead of a driver loop —
+    * a compaction/rescale rewriting 10k files must not serialize 10k footer
+    * opens on the driver. Small micro-batch commits stay driver-side: a
+    * Spark job's scheduling overhead would dominate a 1-2 file commit. */
+  private val DistributedStatsThreshold = 8
+
   private def fileMetas(spark: SparkSession, paths: Seq[String], level: Int,
       minSeq: Long, maxSeq: Long): Seq[DataFileMeta] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    paths.map { p =>
-      // ONE footer open per file, at commit time — the stats live in the
-      // manifest from here on, so no query plan ever re-opens this footer
-      val (rows, mins, maxs, cols, bad) = footerColumnStats(p, conf)
-      DataFileMeta(p, rows, Files.size(Paths.get(p)), minSeq, maxSeq, level,
-        System.currentTimeMillis(),
-        minStats = Some(mins), maxStats = Some(maxs),
-        fileCols = Some(cols), badStats = Some(bad))
+    // ONE footer open per file, at commit time — the stats live in the
+    // manifest from here on, so no query plan ever re-opens this footer
+    val captured: Seq[(String, CapturedStats, Long)] =
+      if (paths.size < DistributedStatsThreshold) {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.map(p => (p, footerColumnStats(p, conf), Files.size(Paths.get(p))))
+      } else {
+        // distributed capture: executors open the footers they can reach on
+        // the shared table filesystem (the same contract every read path
+        // already relies on); order restored below
+        val byPath = spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 64))
+          .map { p =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            (p, footerColumnStats(p, conf), Files.size(Paths.get(p)))
+          }.collect().map(x => x._1 -> x).toMap
+        paths.map(byPath)
+      }
+    val now = System.currentTimeMillis()
+    captured.map { case (p, st, size) =>
+      DataFileMeta(p, st.rows, size, minSeq, maxSeq, level, now,
+        minStats = Some(st.mins), maxStats = Some(st.maxs),
+        fileCols = Some(st.cols), badStats = Some(st.bad))
     }
   }
 
@@ -2414,16 +2498,36 @@ object StreamTable {
     * Far above any numeric/date rendering, so typed pruning never degrades. */
   private val StatsRenderCap = 256
 
+  /** Everything a commit captures from one file's footer (see
+    * [[footerColumnStats]]) — the [[DataFileMeta]] stats payload, shaped so
+    * WRITER TASKS can capture it executor-side and ship it to the driver
+    * commit in their commit messages. */
+  case class CapturedStats(rows: Long, mins: Map[String, String],
+      maxs: Map[String, String], cols: Seq[String], bad: Seq[String])
+
+  /** One externally-staged sink file: path + layout labels + the stats its
+    * writer task captured at write time — the driver commit builds the
+    * manifest entry with ZERO footer opens. */
+  case class StagedSinkFile(path: String, bucket: Option[Int], sorted: Boolean,
+      stats: CapturedStats)
+
+  /** Commit-time footer opens performed ON THE DRIVER (the small-commit
+    * path below [[StreamTable.DistributedStatsThreshold]]). Sink epochs and
+    * large rewrites must leave this untouched — their stats arrive from
+    * writer tasks / the distributed pass; specs assert the zero. */
+  val driverCommitFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Commit-time footer capture: rows + per-column merged min/max +
     * presence/usability — everything [[DataFileMeta]] persists. Stricter
     * than [[footerStats]]: a column chunk with rows but null or unprovable
     * stats poisons the COLUMN (`bad`) instead of being silently skipped, so
     * manifest-served pruning can trust an entry's absence. */
   private[graft] def footerColumnStats(path: String,
-      conf: org.apache.hadoop.conf.Configuration)
-      : (Long, Map[String, String], Map[String, String], Seq[String], Seq[String]) = {
+      conf: org.apache.hadoop.conf.Configuration): CapturedStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    if (org.apache.spark.TaskContext.get() == null)
+      driverCommitFooterReads.incrementAndGet()
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -2463,7 +2567,7 @@ object StreamTable {
           else { mins(k) = mn; maxs(k) = mx }
         }
       }
-      (rows, mins.toMap, maxs.toMap, cols.toSeq, bad.toSeq)
+      CapturedStats(rows, mins.toMap, maxs.toMap, cols.toSeq, bad.toSeq)
     } finally reader.close()
   }
 

@@ -1353,7 +1353,7 @@ class V2ConnectorSpec extends AnyFunSuite {
         org.apache.spark.unsafe.types.UTF8String.fromString(v))
     w.write(row(2L, "b")); w.write(row(1L, "a"))
     val m = w.commit().asInstanceOf[graft.sources.v2.GraftSinkCommitMessage]
-    assert(m.files.size == 1 && !m.files.head._4,
+    assert(m.files.size == 1 && !m.files.head.sorted,
       s"inverted order must not flag a sorted run: ${m.files}")
     // and a sorted epoch through the same writer DOES flag
     val w2 = new graft.sources.v2.GraftStreamingDataWriter(root, schema,
@@ -1361,8 +1361,79 @@ class V2ConnectorSpec extends AnyFunSuite {
       pkVerify = Some(Array(0)))
     w2.write(row(1L, "a")); w2.write(row(1L, "a2")); w2.write(row(3L, "c"))
     val m2 = w2.commit().asInstanceOf[graft.sources.v2.GraftSinkCommitMessage]
-    assert(m2.files.size == 1 && m2.files.head._4, m2.files.toString)
+    assert(m2.files.size == 1 && m2.files.head.sorted, m2.files.toString)
+    // the WRITER captured the footer stats the manifest will carry — rows
+    // and typed min/max agree with an independent footer read
+    val st = m2.files.head.stats
+    assert(st.rows == 3L && st.mins.get("id").contains("1") &&
+      st.maxs.get("id").contains("3"), st.toString)
+    val re = StreamTable.footerColumnStats(m2.files.head.path,
+      new org.apache.hadoop.conf.Configuration())
+    assert(st == re, s"writer-captured stats must equal the footer's: $st vs $re")
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("t$files is a distributed scan: manifest partitions, no driver rows") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "dfm", Map.empty)
+    (0 until 20).foreach(b => tbl.appendBatch(
+      Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1), b.toLong))
+    tbl.compact(2) // removals must drop out of the fold
+    val df = spark.sql(
+      s"SELECT file_path, record_count, level FROM $cat.db.`dfm$$files`")
+    val plan = df.queryExecution.executedPlan.toString
+    // a LocalTableScan would mean per-file rows were materialized on the
+    // driver; the V1Scan bridge must plan a real distributed row scan
+    assert(!plan.contains("LocalTableScan"), plan)
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.forall(_.getInt(2) == 1),
+      rows.mkString(", "))
+    assert(rows.map(_.getLong(1)).sum == 20L)
+    // stats columns survive the distributed fold (manifest-served)
+    val stats = spark.sql(s"SELECT min_value_stats['id'], " +
+      s"max_value_stats['id'] FROM $cat.db.`dfm$$files`").collect()
+    assert(stats.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      stats.mkString(", "))
+    // a filter over the view is a plan-node filter, not driver code
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.`dfm$$files` " +
+      "WHERE record_count > 0").head().getLong(0) == 2L)
+  }
+
+  test("sink epoch and large compaction commit with zero driver footer opens") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("v2_wstats_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("v2_wstats_dst_").toString
+    val srcT = new StreamTable(src, spark)
+    srcT.appendBatch((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), 0L)
+    val before = StreamTable.driverCommitFooterReads.get()
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", s"$dst/_chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(StreamTable.driverCommitFooterReads.get() == before,
+      "sink epoch commit must not open footers on the driver")
+    val dstT = new StreamTable(dst, spark)
+    assert(dstT.read.count() == 40L)
+    // manifest stats landed from the writer tasks, usable for skipping
+    val metas = dstT.latestSnapshot.get.files
+    assert(metas.forall(f => f.minStats.exists(_.contains("id")) &&
+      f.maxStats.exists(_.contains("id"))), metas.toString)
+    // a ≥8-file rewrite captures stats in a DISTRIBUTED footer pass
+    val big = java.nio.file.Files.createTempDirectory("v2_wstats_cmp_").toString
+    val bigT = new StreamTable(big, spark)
+    (0 until 3).foreach(b => bigT.appendBatch(
+      (1L to 20L).map(i => (b * 100 + i, s"x$i")).toDF("id", "v"), b.toLong))
+    val before2 = StreamTable.driverCommitFooterReads.get()
+    bigT.compact(8)
+    assert(StreamTable.driverCommitFooterReads.get() == before2,
+      "a threshold-size compaction must capture stats off the driver")
+    assert(bigT.read.count() == 60L)
+    assert(bigT.latestSnapshot.get.files.forall(_.minStats.isDefined))
+    Seq(src, dst, big).foreach(p =>
+      StreamTable.deleteTree(java.nio.file.Paths.get(p)))
   }
 
   test("stable field ids: renamed-away and dropped names re-add with null-fill") {
