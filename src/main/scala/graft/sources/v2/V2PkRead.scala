@@ -352,12 +352,17 @@ class GraftPkMergeReader(files: Seq[(String, Long)], internal: StructType,
   private val dts: Array[DataType] = internal.fields.map(_.dataType)
 
   private lazy val merged: Iterator[InternalRow] = {
-    val winners = PkMerge.winners(files.map { case (p, s) => (p, s) },
-      internal, pkIdxs, seqIdx, commitIdx, firstRow, pushed)
-    winners.values.iterator.asScala.collect {
+    // bounded: over HashMergeMaxKeys distinct keys the pass restarts under
+    // key-hash refinement (re-reads instead of an executor OOM); each
+    // refined map is complete for its key slice, so emission streams
+    PkMerge.refined[InternalRow] { keyFilter =>
+      PkMerge.winners(files.map { case (p, s) => (p, s) },
+        internal, pkIdxs, seqIdx, commitIdx, firstRow, pushed,
+        keyFilter = keyFilter, maxKeys = PkMerge.HashMergeMaxKeys.get())
+    }.flatMap(_.values.iterator.asScala.collect {
       case w if !PkMerge.isTombstone(w, tombIdx) =>
         PkMerge.project(w, outLen, dts): InternalRow
-    }
+    })
   }
 
   private var current: InternalRow = _
@@ -396,8 +401,11 @@ class GraftPkAggMergeReader(files: Seq[(String, Long)], internal: StructType,
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
   private lazy val merged: Iterator[InternalRow] =
-    PkMerge.accumulate(files, internal, pkIdxs, specs, outLen, pushed)
-      .values.iterator.asScala.map(v => new GenericInternalRow(v): InternalRow)
+    PkMerge.refined[Array[Any]] { keyFilter =>
+      PkMerge.accumulate(files, internal, pkIdxs, specs, outLen, pushed,
+        keyFilter = keyFilter, maxKeys = PkMerge.HashMergeMaxKeys.get())
+    }.flatMap(_.values.iterator.asScala
+      .map(v => new GenericInternalRow(v): InternalRow))
 
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -498,9 +506,12 @@ class GraftPkPartialMergeReader(files: Seq[(String, Long)], internal: StructType
     commitIdx: Int, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
   private lazy val merged: Iterator[InternalRow] =
-    PkMerge.partialState(files, internal, pkIdxs, fields, seqIdx, commitIdx,
-      outLen, pushed).values.iterator.asScala
-      .map(v => new GenericInternalRow(v): InternalRow)
+    PkMerge.refined[Array[Any]] { keyFilter =>
+      PkMerge.partialState(files, internal, pkIdxs, fields, seqIdx, commitIdx,
+        outLen, pushed,
+        keyFilter = keyFilter, maxKeys = PkMerge.HashMergeMaxKeys.get())
+    }.flatMap(_.values.iterator.asScala
+      .map(v => new GenericInternalRow(v): InternalRow))
 
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -555,6 +566,62 @@ case class GraftPkPartialReaderFactory(internal: StructType, outLen: Int,
 /** Shared per-bucket hash-merge machinery (the PK scan and the changelog
   * stream both resolve winners this way). */
 private[graft] object PkMerge {
+  /** Hard cap on distinct keys one hash-merge pass may hold resident — the
+    * legacy/unsorted-bucket fallback's memory bound. A bucket over the cap
+    * restarts under grace-hash REFINEMENT (see [[refined]]): the pass
+    * re-reads the bucket's files keeping only one key-hash slice at a time,
+    * trading re-reads for never OOMing an executor on a hot legacy bucket.
+    * Sorted-run buckets never hash (the k-way merge is O(open files)).
+    * Override for tests/small executors: -Dgraft.pk.hash-merge.max-keys. */
+  val HashMergeMaxKeys = new java.util.concurrent.atomic.AtomicInteger(
+    Integer.getInteger("graft.pk.hash-merge.max-keys", 4000000))
+
+  /** Refinement passes performed (observability — specs assert the bounded
+    * path engaged without changing answers). */
+  val refinePasses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[v2] final class HashMergeOverflow extends RuntimeException {
+    // control flow only — never collect a stack
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Refinement fan-out per level: 8-way splits reach a 4M-key cap's
+    * practical limits at depth 2-3 while keeping re-read volume ≤ R× the
+    * bucket per level actually needed. */
+  private val RefineFanout = 8
+
+  /** Salted key-hash slice for refinement level `depth` — independent of
+    * the bucket function (murmur3 of the key's boxed elements), so a
+    * skew-hot bucket still splits. */
+  private def refineSlice(key: List[Any], depth: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.orderedHash(key, 0x9e3779b9 + depth)
+    ((h % RefineFanout) + RefineFanout) % RefineFanout
+  }
+
+  /** Run `build(keyFilter)` under the key cap: ONE pass when the bucket's
+    * keys fit; otherwise restart with recursive key-hash refinement. Each
+    * refined pass's map is COMPLETE for its key slice (a key hashes to
+    * exactly one slice), so the caller streams results pass-by-pass with
+    * peak memory ≤ the cap — bounded memory, more file re-reads. */
+  def refined[V](
+      build: (List[Any] => Boolean) => java.util.HashMap[List[Any], V])
+      : Iterator[java.util.HashMap[List[Any], V]] = {
+    def slice(filter: List[Any] => Boolean, depth: Int)
+        : Iterator[java.util.HashMap[List[Any], V]] =
+      try Iterator.single(build(filter))
+      catch {
+        case _: HashMergeOverflow =>
+          if (depth >= 8) throw new IllegalStateException(
+            "hash-merge refinement exceeded depth 8 — raise " +
+              "graft.pk.hash-merge.max-keys (pathological key distribution)")
+          (0 until RefineFanout).iterator.flatMap { i =>
+            refinePasses.incrementAndGet()
+            slice(k => filter(k) && refineSlice(k, depth) == i, depth + 1)
+          }
+      }
+    slice(_ => true, 0)
+  }
+
   /** Null-safe ordering compare; null = -infinity (matches the library's
     * window resolve: desc nulls-last / asc nulls-first). */
   def cmpAny(a: Any, b: Any): Int =
@@ -657,7 +724,9 @@ private[graft] object PkMerge {
   def partialState(files: Seq[(String, Long)], internal: StructType,
       pkIdxs: Array[Int], fields: Array[(Int, Int)], seqIdx: Int,
       commitIdx: Int, outLen: Int, pushed: Array[Filter],
-      onRow: (List[Any], String) => Unit = (_, _) => ())
+      onRow: (List[Any], String) => Unit = (_, _) => (),
+      keyFilter: List[Any] => Boolean = _ => true,
+      maxKeys: Int = Int.MaxValue)
       : java.util.HashMap[List[Any], Array[Any]] = {
     val dts = internal.fields.map(_.dataType)
     val op = new PartialOp(internal, outLen, fields, seqIdx, commitIdx)
@@ -669,10 +738,14 @@ private[graft] object PkMerge {
         while (r.next()) {
           val row = r.get()
           val key = pkIdxs.map(i => row.get(i, dts(i))).toList
-          onRow(key, path)
-          val acc = accs.get(key)
-          if (acc == null) accs.put(key, op.fresh(row))
-          else op.update(acc, row)
+          if (keyFilter(key)) {
+            onRow(key, path)
+            val acc = accs.get(key)
+            if (acc == null) {
+              accs.put(key, op.fresh(row))
+              if (accs.size() > maxKeys) throw new HashMergeOverflow
+            } else op.update(acc, row)
+          }
         }
       } finally r.close()
     }
@@ -806,7 +879,9 @@ private[graft] object PkMerge {
   def accumulate(files: Seq[(String, Long)], internal: StructType,
       pkIdxs: Array[Int], specs: Array[(Int, String)], outLen: Int,
       pushed: Array[Filter],
-      onRow: (List[Any], String) => Unit = (_, _) => ())
+      onRow: (List[Any], String) => Unit = (_, _) => (),
+      keyFilter: List[Any] => Boolean = _ => true,
+      maxKeys: Int = Int.MaxValue)
       : java.util.HashMap[List[Any], Array[Any]] = {
     val dts = internal.fields.map(_.dataType)
     val acc = new java.util.HashMap[List[Any], Array[Any]]()
@@ -817,16 +892,19 @@ private[graft] object PkMerge {
         while (r.next()) {
           val row = r.get()
           val key = pkIdxs.map(i => row.get(i, dts(i))).toList
-          onRow(key, path)
-          val cur = acc.get(key)
-          if (cur == null) {
-            val fresh = new Array[Any](outLen)
-            var i = 0
-            while (i < outLen) { fresh(i) = row.get(i, dts(i)); i += 1 }
-            acc.put(key, fresh)
-          } else {
-            specs.foreach { case (i, fn) =>
-              cur(i) = combineAgg(fn, cur(i), row.get(i, dts(i)))
+          if (keyFilter(key)) {
+            onRow(key, path)
+            val cur = acc.get(key)
+            if (cur == null) {
+              val fresh = new Array[Any](outLen)
+              var i = 0
+              while (i < outLen) { fresh(i) = row.get(i, dts(i)); i += 1 }
+              acc.put(key, fresh)
+              if (acc.size() > maxKeys) throw new HashMergeOverflow
+            } else {
+              specs.foreach { case (i, fn) =>
+                cur(i) = combineAgg(fn, cur(i), row.get(i, dts(i)))
+              }
             }
           }
         }
@@ -863,7 +941,9 @@ private[graft] object PkMerge {
   def winners(files: Seq[(String, Long)], internal: StructType,
       pkIdxs: Array[Int], seqIdx: Int, commitIdx: Int, firstRow: Boolean,
       pushed: Array[Filter],
-      onRow: (List[Any], String) => Unit = (_, _) => ())
+      onRow: (List[Any], String) => Unit = (_, _) => (),
+      keyFilter: List[Any] => Boolean = _ => true,
+      maxKeys: Int = Int.MaxValue)
       : java.util.HashMap[List[Any], InternalRow] = {
     val dts = internal.fields.map(_.dataType)
     val winners = new java.util.HashMap[List[Any], InternalRow]()
@@ -874,13 +954,16 @@ private[graft] object PkMerge {
         while (r.next()) {
           val row = r.get() // fresh GenericInternalRow per call — safe to keep
           val key = pkIdxs.map(i => row.get(i, dts(i))).toList
-          onRow(key, path)
-          val prev = winners.get(key)
-          val wins = prev == null || {
-            val c = cmpOrd(row, prev, seqIdx, commitIdx, dts)
-            if (firstRow) c < 0 else c >= 0
+          if (keyFilter(key)) {
+            onRow(key, path)
+            val prev = winners.get(key)
+            val wins = prev == null || {
+              val c = cmpOrd(row, prev, seqIdx, commitIdx, dts)
+              if (firstRow) c < 0 else c >= 0
+            }
+            if (wins) winners.put(key, row)
+            if (winners.size() > maxKeys) throw new HashMergeOverflow
           }
-          if (wins) winners.put(key, row)
         }
       } finally r.close()
     }

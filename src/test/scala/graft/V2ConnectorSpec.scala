@@ -1373,6 +1373,44 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("oversized legacy hash merge refines under a capped heap, same answers") {
+    import scala.jdk.CollectionConverters._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "href",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "1"))
+    val n = 5000L
+    tbl.appendBatch(spark.range(n)
+      .selectExpr("id", "1L AS ver", "id * 2 AS x"), 0L)
+    tbl.appendBatch(spark.range(0, n, 2)
+      .selectExpr("id", "2L AS ver", "id * 3 AS x"), 1L)
+    // strip the sorted-run flags from the manifests — a pre-sorted-run
+    // (legacy) table: the scan must fall back to the HASH merge
+    java.nio.file.Files.list(
+      java.nio.file.Paths.get(tbl.root, "_manifests")).iterator().asScala
+      .foreach { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p))
+        java.nio.file.Files.write(p,
+          s.replace("\"sortedBy\":[\"id\"]", "\"sortedBy\":null").getBytes)
+      }
+    val expected = (0L until n).map(i => if (i % 2 == 0) i * 3 else i * 2).sum
+    val oldCap = graft.sources.v2.PkMerge.HashMergeMaxKeys.get()
+    val passesBefore = graft.sources.v2.PkMerge.refinePasses.get()
+    // cap far below the bucket's 5000 distinct keys: the merge must refine
+    // (bounded memory, more re-reads) instead of holding them all resident
+    graft.sources.v2.PkMerge.HashMergeMaxKeys.set(500)
+    try {
+      val rows = spark.sql(s"SELECT id, x FROM $cat.db.href").collect()
+      assert(rows.length == n.toInt)
+      assert(rows.map(_.getLong(1)).sum == expected)
+      assert(rows.map(_.getLong(0)).toSet.size == n.toInt)
+    } finally graft.sources.v2.PkMerge.HashMergeMaxKeys.set(oldCap)
+    assert(graft.sources.v2.PkMerge.refinePasses.get() > passesBefore,
+      "the capped hash merge must have engaged refinement")
+    // and at the default cap the single-pass answers are identical
+    assert(spark.sql(s"SELECT sum(x) FROM $cat.db.href").head().getLong(0)
+      == expected)
+  }
+
   test("t$files is a distributed scan: manifest partitions, no driver rows") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
