@@ -565,8 +565,82 @@ object V2Queries {
                |       CAST(min(min_sequence_number) AS INT) AS min_seq,
                |       CAST(max(max_sequence_number) AS INT) AS max_seq
                |FROM $catName.v2db.`orders_t$$files`""".stripMargin)
+    },
+
+    // CALL sys.rescale end to end: a 2-bucket PK table rewritten offline
+    // into 4 buckets (every live row re-clustered under the new count, one
+    // atomic commit, the option persisted for subsequent writes) — the
+    // RESOLVED VIEW must be untouched, which is exactly what the oracle
+    // checks: the post-rescale read equals the staged source slice. The
+    // stager asserts the relayout itself (new bucket ids on every file).
+    QDef(
+      "q_source_v2_rescale",
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        |       max(s_acctbal) AS top_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val catName = rescaleTable(s, d)
+      s.sql(s"""SELECT s_nationkey, count(*) AS n_sup, max(s_acctbal) AS top_bal
+               |FROM $catName.v2db.resc_supplier
+               |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+
+    // CALL sys.remove_orphan_files end to end: crash leftovers (an
+    // uncommitted data file from a lost commit race, an abandoned staging
+    // tree) planted beside live data, swept at grace 0 — LIVE rows must
+    // survive untouched, so the post-sweep read equals the staged source
+    // (a file-count-independent oracle). The stager asserts the sweep's
+    // own report (2 leftovers removed, counted apart from manifests).
+    QDef(
+      "q_source_v2_orphan_sweep",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val catName = orphanTable(s, d)
+      s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+               |FROM $catName.v2db.orph_nation ORDER BY n_nationkey""".stripMargin)
     }
   )
+
+  /** supplier as a 2-bucket PK catalog table, rescaled to 4 via the CALL
+    * procedure once per sf dir. */
+  private val stagedRescale = new ConcurrentHashMap[String, String]()
+  private def rescaleTable(s: SparkSession, d: String): String =
+    stagedRescale.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "resc_supplier",
+        Map("primary-key" -> "s_suppkey", "bucket" -> "2"))
+      tbl.appendBatch(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey", "s_acctbal"), 0L)
+      val res = s.sql(s"CALL $catName.sys.rescale(" +
+        "`table` => 'v2db.resc_supplier', buckets => 4)").collect().head
+      require(res.getInt(1) == 4, s"rescale must report the new count: $res")
+      val reloaded = cat.getTable("v2db", "resc_supplier")
+      require(reloaded.latestSnapshot.get.files.forall(_.bucket.exists(_ < 4)),
+        "rescale must relabel every live file under the new bucket count")
+      catName
+    })
+
+  /** nation through the catalog with planted crash leftovers, swept by the
+    * CALL procedure once per sf dir. */
+  private val stagedOrphan = new ConcurrentHashMap[String, String]()
+  private def orphanTable(s: SparkSession, d: String): String =
+    stagedOrphan.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "orph_nation", Map.empty)
+      tbl.appendBatch(Tables.nation(s, d), 0L)
+      val root = tbl.root
+      Files.write(java.nio.file.Paths.get(
+        s"$root/data/append/b9-orphan-0.parquet"), Array[Byte](1, 2, 3))
+      val staging = java.nio.file.Paths.get(s"$root/.staging-dead")
+      Files.createDirectories(staging)
+      Files.write(staging.resolve("part-0.parquet"), Array[Byte](4, 5, 6))
+      val removed = s.sql(s"CALL $catName.sys.remove_orphan_files(" +
+        "`table` => 'v2db.orph_nation', older_than_ms => 0L)")
+        .collect().head.getInt(0)
+      require(removed == 2, s"orphan sweep expected 2 leftovers, got $removed")
+      catName
+    })
 
   /** graft→graft streaming pipe: the staged lineitem table drained through
     * the native V2 sink once per sf dir (AvailableNow; the checkpoint rides

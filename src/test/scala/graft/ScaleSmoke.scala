@@ -120,7 +120,9 @@ object ScaleSmoke {
       // scales with customer; staging itself amortizes under min-of-2)
       "q_source_v2_pk_read",   // per-bucket sorted-run merge-on-read
       "q_source_v2_incremental", // interval state-diff per bucket, batch
-      "q_source_v2_change_history") // pass-through of persisted changelog files
+      "q_source_v2_change_history", // pass-through of persisted changelog files
+      // round-14 addition: catch-up CDC plan (per-bucket live resolve, +I)
+      "q_source_v2_audit_log")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

@@ -852,6 +852,29 @@ class StreamTableSpec extends AnyFunSuite {
       s"absorbed level-0 commits must stay evidence: ${ev._1.map(_.path)}")
   }
 
+  test("$snapshots over a long history: one incremental fold, not per-snapshot") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new StreamTable(root, spark)
+    (0 until 24).foreach { b => // crosses a manifest rebase (cap 16)
+      t.appendBatch(Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1),
+        b.toLong)
+    }
+    t.compact(2)
+    val fresh = new StreamTable(root, spark)
+    val before = StreamTable.hydrateFolds.get()
+    val view = fresh.snapshotsView.collect()
+    val folds = StreamTable.hydrateFolds.get() - before
+    assert(folds <= 1,
+      s"the view must fold incrementally (≤1 full hydration), folded $folds")
+    assert(view.length == 25) // 24 appends + 1 compaction
+    // totals agree with full per-snapshot hydration (ids, counts, rows)
+    val slow = fresh.snapshots.map(s =>
+      (s.id, s.files.length.toLong, s.files.map(_.rowCount).sum))
+    assert(view.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+      == slow, "incremental totals must equal hydrated totals")
+  }
+
   test("legacy manifests without the bucket field still deserialize") {
     import spark.implicits._
     val root = tmp()
