@@ -117,8 +117,8 @@ class GraftChangelogStream(table: StreamTable, baseSchema: StructType,
   // scan.mode=latest / scan.snapshot-id=N position a FRESH stream (changes
   // only / from a commit); a checkpointed one resumes from its stored offset
   override def initialOffset(): Offset = GraftOffset(scanStart.getOrElse(-1L))
-  private def currentLatest(): Offset =
-    GraftOffset(snaps.lastOption.map(_.id).getOrElse(-1L))
+  private def currentLatest(): Offset = // per-trigger poll: filename scan only
+    GraftOffset(table.latestSnapshotId.getOrElse(-1L))
   override def latestOffset(): Offset = availableEnd.getOrElse(currentLatest())
   override def latestOffset(startOffset: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =

@@ -34,7 +34,7 @@ object V2Procedures {
 
   def names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback_to", "create_tag",
-      "delete_tag", "rescale", "remove_orphan_files")
+      "delete_tag", "rescale", "remove_orphan_files", "compact_small_files")
 
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
     def p = catalog // materialize lazily per call
@@ -47,6 +47,21 @@ object V2Procedures {
         (t, args) => {
           val snap = t.compact(math.max(1, args(1).asInstanceOf[Int]))
           Array[Any](snap.id, snap.files.size)
+        }, p))
+      // targeted maintenance: rewrite only groups whose small-file backlog
+      // reached the trigger (a minor compaction — rows pass through raw,
+      // tombstones retained; see StreamTable.compactSmallFiles). Returns
+      // snapshot_id = -1 when no group qualified (zero I/O probe).
+      case "compact_small_files" => Some(proc("compact_small_files",
+        Seq(in("table", StringType),
+          in("small_bytes", LongType, Some((32L << 20).toString)),
+          in("trigger", IntegerType, Some("4"))),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("compacted", BooleanType))),
+        (t, args) => t.compactSmallFiles(args(1).asInstanceOf[Long],
+            math.max(2, args(2).asInstanceOf[Int])) match {
+          case Some(snap) => Array[Any](snap.id, true)
+          case None => Array[Any](-1L, false)
         }, p))
       case "expire_snapshots" => Some(proc("expire_snapshots",
         Seq(in("table", StringType),

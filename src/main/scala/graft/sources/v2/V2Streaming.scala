@@ -58,8 +58,8 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
   // checkpointed one always resumes from its stored offset
   override def initialOffset(): Offset = GraftOffset(scanStart.getOrElse(-1L))
 
-  private def currentLatest(): Offset =
-    GraftOffset(snaps.lastOption.map(_.id).getOrElse(-1L))
+  private def currentLatest(): Offset = // per-trigger poll: filename scan only
+    GraftOffset(table.latestSnapshotId.getOrElse(-1L))
 
   override def latestOffset(): Offset =
     availableEnd.getOrElse(currentLatest())

@@ -36,6 +36,8 @@ import org.apache.spark.sql.functions._
   *    `rollback_to(table, snapshotOrTag)`, `create_tag` / `delete_tag`,
   *    `expire_snapshots(table, min, max, olderThan)`, `compact(table[, n])`,
   *    `rescale(table, buckets)` (offline bucket-count change),
+  *    `compact_small_files(table[, smallBytes[, trigger]])` (targeted
+  *    minor compaction — rewrite only groups with a small-file backlog),
   *    `remove_orphan_files(table[, olderThan])` (crash-leftover cleanup)
   *  - metadata tables `t$files` / `t$snapshots` / `t$tags` / `t$options` /
   *    `t$consumers` / `t$audit_log` / `t$changelog` in any SELECT
@@ -359,6 +361,15 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         require(args.length <= 2, "compact(table[, targetFileCount])")
         val snap = table.compact(args.lift(1).map(_.toInt).getOrElse(2))
         ok(s"$t compacted: snapshot ${snap.id}, ${snap.files.size} files")
+      case "compact_small_files" =>
+        require(args.length <= 3, "compact_small_files(table[, smallBytes[, trigger]])")
+        table.compactSmallFiles(
+          args.lift(1).map(_.toLong).getOrElse(32L << 20),
+          math.max(2, args.lift(2).map(_.toInt).getOrElse(4))) match {
+          case Some(snap) =>
+            ok(s"$t minor-compacted: snapshot ${snap.id}, ${snap.files.size} live files")
+          case None => ok(s"$t has no small-file backlog at the trigger — nothing to do")
+        }
       case "rescale" =>
         require(args.length == 2, "rescale(table, buckets)")
         val snap = catalog.rescale(currentDb, t, args(1).toInt)

@@ -328,6 +328,19 @@ class StreamTable(
   def hasSnapshot(id: Long): Boolean =
     Files.exists(Paths.get(snapDir, s"snap-$id.json"))
 
+  /** The head snapshot ID from the directory listing alone — what the
+    * streaming sources poll per trigger (`latestOffset`): zero JSON parses,
+    * zero hydration, O(retained) filename scans only. */
+  def latestSnapshotId: Option[Long] = {
+    val ids = listDir(Paths.get(snapDir)).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.matches("snap-\\d+\\.json"))
+        Some(n.stripPrefix("snap-").stripSuffix(".json").toLong)
+      else None
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   def snapshots: Seq[Snapshot] = snapshotHeaders.map(hydrated)
 
   /** The head snapshot, reading ONLY the max-id manifest — commit planning
@@ -2078,6 +2091,76 @@ class StreamTable(
     * validated against the rewrite's own inputs/outputs (footer row counts),
     * never a re-read of the live table — a concurrent writer committing
     * mid-rewrite must not fail the check. */
+  /** TARGETED small-file compaction (Paimon's per-bucket compaction
+    * trigger, the `num-sorted-run.compaction-trigger` idea): rewrite ONLY
+    * the groups whose small-file backlog reached `trigger`, leaving every
+    * other live file byte-identical. At 100 TB a full-table [[compact]] is
+    * not a maintenance plan — the job must touch the BACKLOG, not the
+    * table. This is a MINOR compaction: no merge resolution runs — rows
+    * pass through with their stamped sequences, tombstones, and per-field
+    * provenance intact (read-time merging is unchanged; only a full
+    * compaction may drop tombstone winners that still suppress older files)
+    * — so row count is conserved EXACTLY on every engine. PK groups
+    * rewrite key-sorted and flag the output a sorted run (exact
+    * (sequence, commit) ties may re-resolve, the same arbitrary-tie
+    * contract every merge site states). Groups are hash buckets when the
+    * layout records them; unbucketed tables form one group. Returns None
+    * when no group qualifies — the probe is manifest metadata only, zero
+    * file I/O. */
+  def compactSmallFiles(smallBytes: Long = 32L << 20,
+      trigger: Int = 4): Option[Snapshot] = {
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (live.isEmpty) return None
+    val clustered = bucketKey.isDefined && live.forall(_.bucket.isDefined)
+    val groups: Seq[Seq[DataFileMeta]] =
+      if (clustered) live.groupBy(_.bucket.get).values.toSeq
+      else Seq(live)
+    val targets = groups.map(_.filter(_.fileSizeInBytes < smallBytes))
+      .filter(_.size >= trigger)
+    if (targets.isEmpty) return None
+    val before = targets.flatten
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    val snapId = latestSnapshot.map(_.id).getOrElse(0L)
+    val sortKey = if (primaryKey.isDefined) primaryKey else None
+    val raw = readFiles(before)
+    val moved: Seq[(String, Option[Int])] =
+      if (clustered)
+        // one clustered job: content-derived bucket labels, one file per
+        // qualifying bucket (only their rows are in the input)
+        writeClustered(raw, sortKey, staging, dataCompact, s"m$snapId")
+          .map { case (p, k) => (p, Some(k)) }
+      else {
+        val laid = sortKey match {
+          case Some(pk) => raw.coalesce(1).sortWithinPartitions(pk.map(col): _*)
+          case None     => raw.coalesce(1)
+        }
+        laid.write.mode("overwrite").parquet(staging)
+        moveStagedParts(staging, dataCompact, s"m$snapId")
+          .map { case (p, _) => (p, None) }
+      }
+    val metasAll = fileMetas(spark, moved.map(_._1), level = 1,
+      minSeq = before.map(_.minSeq).min, maxSeq = before.map(_.maxSeq).max)
+      .zip(moved).map { case (m, (_, bkt)) =>
+        val b = m.copy(bucket = bkt)
+        if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
+      }
+    val (metas, empties) = metasAll.partition(_.rowCount > 0)
+    empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+    // strict conservation: a minor compaction concatenates, never resolves
+    val (inRows, outRows) = (before.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    require(outRows == inRows,
+      s"minor compaction must conserve rows: $inRows -> $outRows")
+    val compactedPaths = before.map(_.path).toSet
+    Some(commit({ liveNow =>
+      val gone = compactedPaths -- liveNow.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) out from under this minor compaction " +
+        s"(e.g. ${gone.take(2).mkString(", ")})")
+      CommitChange(metas, compactedPaths,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }, produced = changelogProducer, kind = "compact"))
+  }
+
   private def rewriteLive(layout: DataFrame => DataFrame,
       recordBuckets: Boolean = false, sortByKey: Boolean = false,
       clustered: Boolean = false): Snapshot = {

@@ -320,6 +320,69 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"CALL $cat.sys.frobnicate('db.pt')") }
   }
 
+  test("compactSmallFiles: targeted minor compaction touches the backlog only") {
+    // append table with a LARGE file and a small-file backlog: only the
+    // backlog rewrites; the large file stays byte-identical
+    val ta = new StreamTable(tmp(), spark)
+    ta.appendBatch((1L to 20000L).map(i => (i, s"v$i" * 8)).toDF("id", "v")
+      .coalesce(1), 0L)
+    (1 to 4).foreach(b => ta.appendBatch(
+      Seq((100000L + b, "s")).toDF("id", "v").coalesce(1), b.toLong))
+    val big = ta.latestSnapshot.get.files.maxBy(_.fileSizeInBytes)
+    val threshold = big.fileSizeInBytes // everything smaller is backlog
+    assert(ta.compactSmallFiles(threshold, trigger = 5).isEmpty,
+      "below the trigger, the probe must be a no-op")
+    val snap = ta.compactSmallFiles(threshold, trigger = 4)
+    assert(snap.isDefined && snap.get.kind == "compact")
+    val after = ta.latestSnapshot.get.files
+    assert(after.exists(_.path == big.path), "the large file must survive untouched")
+    assert(after.size == 2, s"backlog must concatenate to one file: $after")
+    assert(ta.read.count() == 20004L)
+    // the minor rewrite is NOT a logical change: no +I re-emission
+    assert(ta.changesBetween(snap.get.id - 1, snap.get.id).count() == 0)
+
+    // PK table: sequences, an update, and a DELETE tombstone all pass
+    // through raw — resolution still wins post-compaction, and only a FULL
+    // compaction purges the tombstone
+    val tp = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      bucketKey = Some("id"), numBuckets = 2)
+    tp.appendBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0L)
+    tp.appendBatch(Seq((1L, "A")).toDF("id", "v"), 1L)
+    tp.deleteBatch(Seq(Tuple1(2L)).toDF("id"), 2L)
+    val inRows = tp.latestSnapshot.get.files.map(_.rowCount).sum
+    val psnap = tp.compactSmallFiles(1L << 30, trigger = 2)
+    assert(psnap.isDefined)
+    val pfiles = tp.latestSnapshot.get.files
+    assert(pfiles.map(_.rowCount).sum == inRows,
+      "minor compaction conserves rows exactly (tombstones retained)")
+    assert(pfiles.forall(f => f.bucket.isDefined &&
+      f.sortedBy.contains(Seq("id"))), pfiles.toString)
+    assert(tp.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (3L, "c")))
+    tp.compact(1) // full compaction purges the tombstone
+    assert(tp.latestSnapshot.get.files.map(_.rowCount).sum == 2L)
+
+    // the CALL door reports the committed snapshot / the no-op
+    val wh = Files.createTempDirectory("msf_wh_").toString
+    val cat = s"msf_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.msf (id BIGINT, v STRING)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.msf VALUES ($i, 'x$i')"))
+    val res = spark.sql(s"CALL $cat.sys.compact_small_files(" +
+      "`table` => 'db.msf', small_bytes => 1048576L, trigger => 3)")
+      .collect().head
+    assert(res.getLong(0) >= 0 && res.getBoolean(1), res.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.msf").head().getLong(0) == 3)
+    val noop = spark.sql(s"CALL $cat.sys.compact_small_files(" +
+      "`table` => 'db.msf', small_bytes => 1048576L, trigger => 3)")
+      .collect().head
+    assert(noop.getLong(0) == -1L && !noop.getBoolean(1), noop.toString)
+  }
+
   test("CALL sys.remove_orphan_files deletes crash leftovers, keeps live data") {
     import java.nio.file.{Files, Paths}
     val wh = Files.createTempDirectory("orph_wh_").toString
