@@ -852,6 +852,73 @@ class StreamTableSpec extends AnyFunSuite {
       s"absorbed level-0 commits must stay evidence: ${ev._1.map(_.path)}")
   }
 
+  test("interval evidence: delta-served ≡ hydrated diff over a random history") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val root = tmp()
+    val t = new StreamTable(root, spark, primaryKey = Some(Seq("id")),
+      bucketKey = Some("id"), numBuckets = 2)
+    var batch = 0L
+    def someRows(n: Int) =
+      (0 until n).map(_ => (rnd.nextInt(30).toLong, s"v${rnd.nextInt(999)}"))
+        .toDF("id", "v").coalesce(1)
+    // 24 random commits (appends, tombstone deletes, compactions, one
+    // overwrite) — crosses the 16-entry manifest rebase boundary
+    (0 until 24).foreach { i =>
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 =>
+          t.appendBatch(someRows(1 + rnd.nextInt(3)), batch); batch += 1
+        case 3 =>
+          t.deleteBatch(Seq(Tuple1(rnd.nextInt(30).toLong)).toDF("id"), batch)
+          batch += 1
+        case 4 if i == 11 =>
+          t.overwriteBatch(someRows(6), batch); batch += 1
+        case _ => t.compact(2)
+      }
+    }
+    // independent oracle: the pre-delta rule, diffing fully hydrated pairs
+    def diffEvidence(byId: Map[Long, graft.table.Snapshot], from: Long, to: Long)
+        : (Set[String], Set[String]) = {
+      var prev = t.hydrated(byId(from))
+      val added = Set.newBuilder[String]; val removedEv = Set.newBuilder[String]
+      ((from + 1) to to).foreach { id =>
+        val cur = t.hydrated(byId(id))
+        val prevPaths = prev.files.map(_.path).toSet
+        val curPaths = cur.files.map(_.path).toSet
+        val addedAll = cur.files.filterNot(f => prevPaths(f.path))
+        val removed = prev.files.filterNot(f => curPaths(f.path))
+        added ++= addedAll.filter(_.level == 0).map(_.path)
+        val isCompaction = cur.kind == "compact"
+        if (!isCompaction && removed.nonEmpty) removedEv ++= removed.map(_.path)
+        prev = cur
+      }
+      (added.result(), removedEv.result())
+    }
+    val heads = t.snapshotHeaders
+    val byId = heads.map(s => s.id -> s).toMap
+    val maxId = heads.last.id
+    rnd.setSeed(7)
+    val pairs = (0 until 12).map { _ =>
+      val a = rnd.nextInt(maxId.toInt + 1).toLong
+      val b = a + rnd.nextInt((maxId - a).toInt + 1)
+      (a, b)
+    } :+ (0L, maxId)
+    pairs.foreach { case (from, to) =>
+      val (a1, r1) = StreamTable.intervalEvidence(byId(_), t.deltaOf, t.hydrated,
+        from, to)
+      val (a2, r2) = diffEvidence(byId, from, to)
+      assert(a1.map(_.path).toSet == a2, s"added evidence diverged on ($from, $to]")
+      assert(r1.map(_.path).toSet == r2, s"removed evidence diverged on ($from, $to]")
+      // the incremental end-state diff agrees with the hydrated one too
+      val endDiff = {
+        val oldPaths = t.hydrated(byId(from)).files.map(_.path).toSet
+        t.hydrated(byId(to)).files.filterNot(f => oldPaths(f.path)).map(_.path).toSet
+      }
+      assert(t.addedBetween(from, to).map(_.path).toSet == endDiff,
+        s"addedBetween diverged on ($from, $to]")
+    }
+  }
+
   test("$snapshots over a long history: one incremental fold, not per-snapshot") {
     import spark.implicits._
     val root = tmp()
