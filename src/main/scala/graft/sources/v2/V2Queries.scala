@@ -584,6 +584,36 @@ object V2Queries {
                |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     },
 
+    // CALL sys.compact end to end: a PK table fed by many small upsert
+    // commits rewritten into target-count files — the FULL compaction
+    // resolves last-writer-wins and purges tombstones, and the oracle pins
+    // that the RESOLVED VIEW is untouched by the rewrite (the reference's
+    // row-conservation invariant, guide.md:236-259, in query form).
+    QDef(
+      "q_source_v2_compact",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_partkey % 7 <> 0 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val catName = compactTable(s, d)
+      s.sql(s"""SELECT p_partkey, p_name, p_retailprice
+               |FROM $catName.v2db.cmp_part ORDER BY p_partkey""".stripMargin)
+    },
+
+    // CALL sys.compact_small_files end to end: TARGETED minor compaction —
+    // only the small-file backlog rewrites (the stager asserts the large
+    // file survives byte-identical and rows are conserved EXACTLY); the
+    // oracle again pins view preservation. The 100 TB maintenance story:
+    // compaction touches the backlog, never the table.
+    QDef(
+      "q_source_v2_minor_compact",
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey + 100, r_name FROM region
+        |ORDER BY r_regionkey, r_name""".stripMargin) { (s, d) =>
+      val catName = minorCompactTable(s, d)
+      s.sql(s"""SELECT r_regionkey, r_name
+               |FROM $catName.v2db.mcf_region
+               |ORDER BY r_regionkey, r_name""".stripMargin)
+    },
+
     // CALL sys.remove_orphan_files end to end: crash leftovers (an
     // uncommitted data file from a lost commit race, an abandoned staging
     // tree) planted beside live data, swept at grace 0 — LIVE rows must
@@ -617,6 +647,59 @@ object V2Queries {
       val reloaded = cat.getTable("v2db", "resc_supplier")
       require(reloaded.latestSnapshot.get.files.forall(_.bucket.exists(_ < 4)),
         "rescale must relabel every live file under the new bucket count")
+      catName
+    })
+
+  /** part as a 2-bucket PK table fed with upserts + tombstone deletes, then
+    * FULL-compacted via the CALL procedure once per sf dir (the rewrite
+    * resolves LWW and purges the tombstones; the stager asserts the purge). */
+  private val stagedCompact = new ConcurrentHashMap[String, String]()
+  private def compactTable(s: SparkSession, d: String): String =
+    stagedCompact.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "cmp_part",
+        Map("primary-key" -> "p_partkey", "bucket" -> "2"))
+      val part = Tables.part(s, d).select("p_partkey", "p_name", "p_retailprice")
+      tbl.appendBatch(part, 0L)
+      tbl.deleteBatch(part.where(col("p_partkey") % 7 === 0)
+        .select("p_partkey"), 1L)
+      val res = s.sql(s"CALL $catName.sys.compact(" +
+        "`table` => 'v2db.cmp_part', target_file_count => 2)").collect().head
+      require(res.getLong(0) >= 0, res.toString)
+      val survivors = part.where(col("p_partkey") % 7 =!= 0).count()
+      val live = cat.getTable("v2db", "cmp_part").latestSnapshot.get.files
+      require(live.map(_.rowCount).sum == survivors,
+        s"full compaction must purge tombstones: ${live.map(_.rowCount).sum} vs $survivors")
+      catName
+    })
+
+  /** region written as a 4-batch small-file backlog, then minor-compacted
+    * via CALL sys.compact_small_files once per sf dir (strict conservation
+    * asserted — a minor compaction never resolves). */
+  private val stagedMinor = new ConcurrentHashMap[String, String]()
+  private def minorCompactTable(s: SparkSession, d: String): String =
+    stagedMinor.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "mcf_region", Map.empty)
+      val region = Tables.region(s, d).select("r_regionkey", "r_name")
+      val offset = region.withColumn("r_regionkey",
+        (col("r_regionkey") + lit(100))
+          .cast(region.schema("r_regionkey").dataType))
+      tbl.appendBatch(region.coalesce(1), 0L)
+      tbl.appendBatch(offset.where(col("r_regionkey") < 102).coalesce(1), 1L)
+      tbl.appendBatch(offset.where(col("r_regionkey") >= 102 &&
+        col("r_regionkey") < 104).coalesce(1), 2L)
+      tbl.appendBatch(offset.where(col("r_regionkey") >= 104).coalesce(1), 3L)
+      val inRows = tbl.latestSnapshot.get.files.map(_.rowCount).sum
+      val res = s.sql(s"CALL $catName.sys.compact_small_files(" +
+        "`table` => 'v2db.mcf_region', small_bytes => 1073741824L, " +
+        "trigger => 4)").collect().head
+      require(res.getBoolean(1), s"backlog of 4 small files must compact: $res")
+      val after = cat.getTable("v2db", "mcf_region").latestSnapshot.get.files
+      require(after.map(_.rowCount).sum == inRows,
+        s"minor compaction conserves rows exactly: $after")
       catName
     })
 
