@@ -245,16 +245,26 @@ class StreamTable(
 
   // ---- snapshot manifest -------------------------------------------------
 
-  /** Parsed delta manifests, cached for the handle's lifetime — manifest
-    * files are immutable once a snapshot links them, so each is read once
-    * however many times `snapshots`/`latestSnapshot` hydrate. */
+  /** Parsed delta manifests — manifest files are immutable once a snapshot
+    * links them, so a cached parse is valid forever; BOUNDED (LRU) because
+    * a long-running streaming writer's handle sees one new manifest per
+    * commit and an unbounded cache would accumulate every delta ever
+    * written. A miss just re-parses the (small) JSON. */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ManifestDelta]()
+    new java.util.LinkedHashMap[String, ManifestDelta](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ManifestDelta]): Boolean = size > 256
+    }
 
-  private def manifestDelta(name: String): ManifestDelta =
-    manifestCache.computeIfAbsent(name, n =>
-      mapper.readValue(Files.readAllBytes(Paths.get(manifestDir, n)),
-        classOf[ManifestDelta]))
+  private def manifestDelta(name: String): ManifestDelta = {
+    val cached = manifestCache.synchronized(Option(manifestCache.get(name)))
+    cached.getOrElse {
+      val d = mapper.readValue(Files.readAllBytes(Paths.get(manifestDir, name)),
+        classOf[ManifestDelta])
+      manifestCache.synchronized(manifestCache.put(name, d))
+      d
+    }
+  }
 
   /** Memoized manifest-list folds. Keyed by (id, manifestList) — ids are
     * reusable after a rollback, the list identifies the content. Tiny LRU:
@@ -459,7 +469,7 @@ class StreamTable(
     def write(d: ManifestDelta): String = {
       val name = s"mf-${UUID.randomUUID()}.json"
       Files.write(Paths.get(manifestDir, name), mapper.writeValueAsBytes(d))
-      manifestCache.put(name, d)
+      manifestCache.synchronized(manifestCache.put(name, d))
       name
     }
     val baseList = base.map(_.manifestList).getOrElse(Seq.empty)
@@ -701,13 +711,18 @@ class StreamTable(
     }
     if (stampedSeq.isEmpty)
       latestSnapshot.flatMap(_.files.headOption).foreach { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(f.path), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val stamped =
-          try r.getFooter.getFileMetaData.getSchema.containsField(SeqColName)
+        // memoized per checked path — the guard costs one footer open per
+        // DISTINCT head file (i.e. once per handle until a rewrite changes
+        // the head), not one per epoch
+        val stamped = stampGuardCache.computeIfAbsent(f.path, { p =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try java.lang.Boolean.valueOf(
+            r.getFooter.getFileMetaData.getSchema.containsField(SeqColName))
           finally r.close()
+        })
         if (stamped) throw new IllegalStateException(
           s"$root carries stamped commit sequences (PK or DataFrame-written " +
             "history); the V2 streaming sink writes unstamped rows and would " +
@@ -770,6 +785,11 @@ class StreamTable(
     Files.move(tmp, dir.resolve(writerId), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Memoized stamped-history probe results by head-file path (see the
+    * guard in [[commitExternalFiles]]). */
+  private val stampGuardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   private def highWater(writerId: String): Long = {
     val f = Paths.get(root, "_writers", writerId)
