@@ -269,9 +269,14 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
               onlyBucket).toSeq
           else {
             // this commit's added files: delta-manifest-served (hydrate-diff
-            // only on legacy history), same rule as changeHistoryView
+            // only on legacy history), same rule as changeHistoryView —
+            // incl. excluding same-manifest re-adds (intervalEvidence's
+            // `readd` contract)
             val added = (t.deltaOf(s) match {
-              case Some(d) => d.added
+              case Some(d) =>
+                val readd =
+                  d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
+                d.added.filterNot(f => readd(f.path))
               case None if s.manifestList.nonEmpty &&
                   pred.exists(_.manifestList == s.manifestList) =>
                 Seq.empty[graft.table.DataFileMeta]

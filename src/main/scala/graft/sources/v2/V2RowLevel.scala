@@ -281,7 +281,9 @@ case class GraftCowWriterFactory(tableRoot: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // the shared executor parquet writer (epoch 0 — batch has no epochs;
     // append-table COW output is unbucketed/unstamped maintenance data);
-    // taskId disambiguates speculative twins beyond the uuid in the name
+    // taskId disambiguates speculative twins beyond the uuid in the name.
+    // captureStats off: commitReplace derives the metas itself, so a
+    // writer-side footer open would be thrown away
     new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L, partitionId,
-      bucketPlan = None, numBuckets = 0, stamp = None)
+      bucketPlan = None, numBuckets = 0, stamp = None, captureStats = false)
 }

@@ -242,7 +242,11 @@ case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
 class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
     writerId: String, epochId: Long, partitionId: Int,
     bucketPlan: Option[(Int, Boolean)], numBuckets: Int, stamp: Option[Long],
-    pkVerify: Option[Array[Int]] = None)
+    pkVerify: Option[Array[Int]] = None,
+    /** False for consumers that re-derive metas themselves (the COW
+      * row-level commit goes through commitReplace's own capture) — the
+      * footer is then not opened here just to be thrown away. */
+    captureStats: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
@@ -358,8 +362,8 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
         // capture the stats HERE, in the task that wrote the file — the
         // driver commit assembles the manifest entry without reopening it
         val stats =
-          if (s.rows == 0L) // empty file: the driver deletes it unread
-            StreamTable.CapturedStats(0L, Map.empty, Map.empty, Nil, Nil)
+          if (s.rows == 0L || !captureStats) // empty files are deleted unread
+            StreamTable.CapturedStats(s.rows, Map.empty, Map.empty, Nil, Nil)
           else StreamTable.footerColumnStats(s.path.toString, conf)
         StreamTable.StagedSinkFile(s.path.toString, s.bucket, s.sortedOk, stats)
       })

@@ -474,7 +474,11 @@ class StreamTable(
     }
     val baseList = base.map(_.manifestList).getOrElse(Seq.empty)
     val legacyBase = base.exists(s => s.manifestList.isEmpty && s.files.nonEmpty)
-    if (added.isEmpty && removed.isEmpty) return (baseList, None)
+    val noop = added.isEmpty && removed.isEmpty
+    // a legacy base must STILL rebase on a no-op commit: the snapshot JSON
+    // persists files = [], so an empty manifest list would read as an empty
+    // table — the live set must ride in the (full) manifest either way
+    if (noop && !legacyBase) return (baseList, None)
     // `-D` evidence rides in the delta for state-REPLACING commits only: a
     // compaction's removals are absorbed maintenance, an append removes
     // nothing — so evidence bytes stay O(logical change)
@@ -482,10 +486,12 @@ class StreamTable(
     val evidence =
       if (kind == "compact" || removed.isEmpty) None
       else Some(baseFiles.filter(f => removed(f.path) && !addedPaths(f.path)))
-    val deltaName = write(ManifestDelta(added, removed.toSeq.sorted, evidence))
+    val deltaName =
+      if (noop) None
+      else Some(write(ManifestDelta(added, removed.toSeq.sorted, evidence)))
     if (legacyBase || baseList.size >= MaxManifestList)
-      (Seq(write(ManifestDelta(added = files))), Some(deltaName))
-    else (baseList :+ deltaName, Some(deltaName))
+      (Seq(write(ManifestDelta(added = files))), deltaName)
+    else (baseList :+ deltaName.get, deltaName)
   }
 
   // ---- writes ------------------------------------------------------------
@@ -714,7 +720,8 @@ class StreamTable(
         // memoized per checked path — the guard costs one footer open per
         // DISTINCT head file (i.e. once per handle until a rewrite changes
         // the head), not one per epoch
-        val stamped = stampGuardCache.computeIfAbsent(f.path, { p =>
+        val stamped = stampGuardCache.synchronized(
+          stampGuardCache.computeIfAbsent(f.path, { p =>
           val conf = new org.apache.hadoop.conf.Configuration()
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -722,7 +729,7 @@ class StreamTable(
           try java.lang.Boolean.valueOf(
             r.getFooter.getFileMetaData.getSchema.containsField(SeqColName))
           finally r.close()
-        })
+        }))
         if (stamped) throw new IllegalStateException(
           s"$root carries stamped commit sequences (PK or DataFrame-written " +
             "history); the V2 streaming sink writes unstamped rows and would " +
@@ -786,10 +793,15 @@ class StreamTable(
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Memoized stamped-history probe results by head-file path (see the
-    * guard in [[commitExternalFiles]]). */
+  /** Memoized stamped-history probe by head-file path (see the guard in
+    * [[commitExternalFiles]]) — single-entry: heads only move forward, so
+    * an old path is never probed again (and must not accumulate over a
+    * long-lived sink handle's compaction history). */
   private val stampGuardCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.LinkedHashMap[String, java.lang.Boolean](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean = size > 2
+    }
 
   private def highWater(writerId: String): Long = {
     val f = Paths.get(root, "_writers", writerId)
@@ -1664,9 +1676,9 @@ class StreamTable(
     primaryKey match {
       case None => added.drop(SeqColName).withColumn("op", lit("+I"))
       case Some(pk) =>
-        val oldKeys = readFiles(hydrated(snapshotHeaders.find(_.id == fromId)
+        val oldKeys = readFiles(snapshotAt(fromId)
           .getOrElse(throw new IllegalArgumentException(
-            s"no snapshot $fromId"))).files)
+            s"no snapshot $fromId")).files)
           .select(pk.map(col): _*).distinct()
           .withColumn("__existed", lit(1))
         val withTomb =
@@ -1972,9 +1984,13 @@ class StreamTable(
           .withColumnRenamed("op", "rowkind"))
       else {
         // this commit's added files: its delta manifest when persisted
-        // (O(delta)), hydrate-diff only for legacy history
+        // (O(delta)), hydrate-diff only for legacy history. Same-manifest
+        // re-adds (in-place meta replacement) are excluded like the diff
+        // rule excludes them — intervalEvidence's `readd` contract.
         val added = (deltaOf(s) match {
-          case Some(d) => d.added
+          case Some(d) =>
+            val readd = d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
+            d.added.filterNot(f => readd(f.path))
           case None if s.manifestList.nonEmpty &&
               pred.exists(_.manifestList == s.manifestList) => Seq.empty
           case None =>
@@ -2141,7 +2157,7 @@ class StreamTable(
     val before = targets.flatten
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
-    val sortKey = if (primaryKey.isDefined) primaryKey else None
+    val sortKey = primaryKey
     val raw = readFiles(before)
     val moved: Seq[(String, Option[Int])] =
       if (clustered)

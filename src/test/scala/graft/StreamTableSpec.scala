@@ -852,6 +852,46 @@ class StreamTableSpec extends AnyFunSuite {
       s"absorbed level-0 commits must stay evidence: ${ev._1.map(_.path)}")
   }
 
+  test("empty commit on a LEGACY inline base still rebases (no data loss)") {
+    import spark.implicits._
+    // BUCKETED table: an empty micro-batch's partitionBy write stages zero
+    // files, so the commit is a genuine NO-OP — on a legacy inline base the
+    // snapshot JSON persists files=[], and skipping the conversion rebase
+    // would publish a head that reads as an EMPTY table
+    val root = tmp()
+    val t = new StreamTable(root, spark, bucketKey = Some("id"), numBuckets = 2)
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val inline = t.latestSnapshot.get.copy(
+      manifestList = Seq.empty, deltaManifest = None)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_snapshots", s"snap-${inline.id}.json"),
+      mapper.writeValueAsBytes(inline))
+    val t2 = new StreamTable(root, spark, bucketKey = Some("id"), numBuckets = 2)
+    t2.appendBatch(spark.emptyDataset[(Long, String)].toDF("id", "v"), 1L)
+    val head = t2.latestSnapshot.get
+    assert(head.id == inline.id + 1 && head.manifestList.nonEmpty,
+      s"legacy no-op must rebase: $head")
+    if (head.files.isEmpty || t2.read.count() != 2)
+      fail(s"live rows must survive the empty commit: $head")
+    assert(new StreamTable(root, spark, bucketKey = Some("id"), numBuckets = 2)
+      .read.count() == 2)
+    // the UNBUCKETED shape (one staged 0-row part) must also convert safely
+    val root2 = tmp()
+    val u = new StreamTable(root2, spark)
+    u.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val inline2 = u.latestSnapshot.get.copy(
+      manifestList = Seq.empty, deltaManifest = None)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root2, "_snapshots", s"snap-${inline2.id}.json"),
+      mapper.writeValueAsBytes(inline2))
+    val u2 = new StreamTable(root2, spark)
+    u2.appendBatch(spark.emptyDataset[(Long, String)].toDF("id", "v"), 1L)
+    assert(u2.latestSnapshot.get.manifestList.nonEmpty)
+    assert(u2.read.count() == 2)
+  }
+
   test("interval evidence: delta-served ≡ hydrated diff over a random history") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
