@@ -309,6 +309,29 @@ class StreamTable(
   def deltaOf(s: Snapshot): Option[ManifestDelta] =
     s.deltaManifest.map(manifestDelta)
 
+  /** Fold ONE commit's change into a caller's running live-state: applies
+    * the commit's persisted delta (or nothing, for a no-op detected by
+    * manifest-list equality with the parent) and returns true; returns
+    * FALSE when the commit is not delta-served — legacy history or a
+    * retention gap (`prev` is not the parent) — and the caller must
+    * re-seed from a hydration. THE delta/no-op/legacy classification every
+    * incremental walk shares ([[addedBetween]], [[snapshotsView]],
+    * retention/rollback's [[liveUnions]]), so the rules cannot drift. */
+  private def foldCommit(prev: Option[Snapshot], cur: Snapshot)(
+      remove: String => Unit, add: DataFileMeta => Unit): Boolean = {
+    val contiguous = prev.exists(_.id == cur.id - 1)
+    deltaOf(cur) match {
+      case Some(d) if contiguous =>
+        d.removed.foreach(remove(_))
+        d.added.foreach(add(_))
+        true
+      case None if contiguous && cur.manifestList.nonEmpty &&
+          prev.exists(_.manifestList == cur.manifestList) =>
+        true // no-op commit: parent's fold is this commit's fold
+      case _ => false
+    }
+  }
+
   /** Raw snapshot manifests, id-ordered, WITHOUT hydration — `files` stays
     * empty on v2 snapshots. O(retained) parses of O(delta)-sized JSON;
     * surfaces needing a live set hydrate exactly the snapshots they touch
@@ -1643,20 +1666,14 @@ class StreamTable(
       throw new IllegalArgumentException(s"no snapshot $id"))
     val live = new java.util.LinkedHashMap[String, DataFileMeta]()
     var ok = byId.contains(fromId)
-    var prev = byId.get(fromId).orNull
+    var prev = byId.get(fromId)
     var id = fromId + 1
     while (ok && id <= toId) {
       byId.get(id) match {
         case Some(cur) =>
-          deltaOf(cur) match {
-            case Some(d) =>
-              d.removed.foreach(live.remove)
-              d.added.foreach(f => live.put(f.path, f))
-            case None if cur.manifestList.nonEmpty &&
-                cur.manifestList == prev.manifestList => () // no-op commit
-            case None => ok = false // legacy history: endpoint fallback
-          }
-          prev = cur
+          // legacy history / gaps: abort to the endpoint-diff fallback
+          ok = foldCommit(prev, cur)(live.remove(_), f => live.put(f.path, f))
+          prev = Some(cur)
         case None => ok = false
       }
       id += 1
@@ -1802,16 +1819,10 @@ class StreamTable(
       if (old != null) { rows -= old._1; bytes -= old._2 }
     }
     val out = heads.map { s =>
-      val contiguous = prev.exists(_.id == s.id - 1)
-      deltaOf(s) match {
-        case Some(d) if contiguous =>
-          d.removed.foreach(drop)
-          d.added.foreach(put)
-        case None if contiguous && s.manifestList.nonEmpty &&
-            prev.exists(_.manifestList == s.manifestList) => () // no-op
-        case _ =>
-          live.clear(); rows = 0L; bytes = 0L
-          hydrated(s).files.foreach(put)
+      if (!foldCommit(prev, s)(drop, put)) {
+        // legacy snapshot or retention gap: re-seed from the hydration
+        live.clear(); rows = 0L; bytes = 0L
+        hydrated(s).files.foreach(put)
       }
       prev = Some(s)
       (s.id, s.committedAtMs, s.batchId,
@@ -2311,16 +2322,9 @@ class StreamTable(
     val other = scala.collection.mutable.HashSet.empty[String]
     var prev: Option[Snapshot] = None
     snaps.foreach { s =>
-      val contiguous = prev.exists(_.id == s.id - 1)
-      deltaOf(s) match {
-        case Some(d) if contiguous =>
-          d.removed.foreach(live.remove)
-          d.added.foreach(f => live.add(f.path))
-        case None if contiguous && s.manifestList.nonEmpty &&
-            prev.exists(_.manifestList == s.manifestList) => () // no-op
-        case _ =>
-          live.clear()
-          hydrated(s).files.foreach(f => live.add(f.path))
+      if (!foldCommit(prev, s)(live.remove(_), f => live.add(f.path))) {
+        live.clear()
+        hydrated(s).files.foreach(f => live.add(f.path))
       }
       val target = if (inKept(s)) kept else other
       live.forEach(p => target += p)
