@@ -1077,9 +1077,10 @@ case class GraftReaderFactory(required: StructType, pushed: Array[Filter],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case p: GraftInputPartition => new GraftVectorReader(p.path, required)
+      case p: GraftInputPartition =>
+        new GraftVectorReader(p.path, required, pushed, limit)
       case b: GraftBucketInputPartition =>
-        new GraftChainedVectorReader(b.files.map(_._1), required)
+        new GraftChainedVectorReader(b.files.map(_._1), required, pushed, limit)
     }
 }
 
@@ -1107,19 +1108,25 @@ class GraftChainedReader(files: Seq[(String, Long)], required: StructType,
   override def close(): Unit = if (cur != null) cur.close()
 }
 
-/** Columnar reader over a whole bucket. */
-class GraftChainedVectorReader(paths: Seq[String], required: StructType)
+/** Columnar reader over a whole bucket. The per-partition limit spans the
+  * bucket's files, mirroring [[GraftChainedReader]]. */
+class GraftChainedVectorReader(paths: Seq[String], required: StructType,
+    pushed: Array[Filter] = Array.empty, limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   private var idx = -1
   private var cur: GraftVectorReader = _
+  private var delivered = 0L
 
   override def next(): Boolean = {
+    if (limit.exists(delivered >= _)) { return false }
     while (cur == null || !cur.next()) {
       if (cur != null) cur.close()
       idx += 1
       if (idx >= paths.length) { cur = null; return false }
-      cur = new GraftVectorReader(paths(idx), required)
+      cur = new GraftVectorReader(paths(idx), required, pushed,
+        limit.map(n => (n - delivered).toInt))
     }
+    delivered += cur.get().numRows()
     true
   }
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
@@ -1129,21 +1136,79 @@ class GraftChainedVectorReader(paths: Seq[String], required: StructType)
 /** Columnar fast path: Spark's vectorized parquet decoder feeding 4k-row
   * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es straight into the
   * scan — ~10× the row-by-row Group assembly for bulk reads (the initial
-  * streaming catch-up, full-table batch scans). Engaged only when
+  * streaming catch-up, full-table batch scans) and ~3× for the filtered
+  * read, the most common 100 TB scan shape. Engaged only when
   * [[GraftVector.eligible]] proved every planned file physically matches
-  * the projection (so the decode can never surprise an executor); filters,
-  * limits, metadata columns, and evolved/missing columns all take the
-  * row-based reader, where those features live. */
-class GraftVectorReader(path: String, required: StructType)
+  * the projection (so the decode can never surprise an executor); metadata
+  * columns and evolved/missing columns still take the row-based reader,
+  * where those features live.
+  *
+  * With pushed filters the reader initializes through Spark's own
+  * split-based path so parquet's row-group + column-index (page) pruning
+  * engages (`readNextFilteredRowGroup`), consistent with
+  * `getFilteredRecordCount`; record-level truth stays with the residual
+  * Filter node Spark keeps above this scan (pushFilters never claims
+  * filters handled). A pushed per-partition limit trims the final batch via
+  * `setNumRows` — Spark applies the global limit above. */
+class GraftVectorReader(path: String, required: StructType,
+    pushed: Array[Filter] = Array.empty, limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, /* capacity = */ 4096)
-  reader.initialize(path, required.fieldNames.toList.asJava)
+  GraftVector.toRowGroupPredicate(pushed, required) match {
+    case None =>
+      reader.initialize(path, required.fieldNames.toList.asJava)
+    case Some(pred) =>
+      // Spark's split initialize: requested schema via ParquetReadSupport
+      // clipping (conf-keyed), filter via ParquetInputFormat — the reader
+      // then opens the footer with row-group filtering and serves filtered
+      // (page-pruned) row groups.
+      val conf = new Configuration()
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+      conf.set(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+        required.json)
+      // the split-based initialize builds ParquetToSparkSchemaConverter from
+      // this conf and reads these five keys with no default — set them to
+      // the SQLConf defaults Spark's own ParquetFileFormat propagates
+      // (eligible() already refused any file whose physical layout these
+      // flags could reinterpret: INT96, non-annotated binary, nanos)
+      locally {
+        import org.apache.spark.sql.internal.SQLConf
+        conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+        conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+        conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+        conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+        conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+      }
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
+      val split = new org.apache.hadoop.mapred.FileSplit(hPath, 0L, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+      reader.initialize(split, ctx)
+  }
   reader.enableReturningBatches()
   reader.resultBatch() // force initBatch before the first nextBatch()
 
-  override def next(): Boolean = reader.nextBatch()
+  private var delivered = 0L
+
+  override def next(): Boolean = {
+    if (limit.exists(delivered >= _)) return false
+    val has = reader.nextBatch()
+    if (has) {
+      val b = reader.resultBatch()
+      limit.foreach { n =>
+        val remaining = n - delivered
+        if (b.numRows() > remaining) b.setNumRows(remaining.toInt)
+      }
+      delivered += b.numRows()
+    }
+    has
+  }
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.resultBatch()
   override def close(): Unit = reader.close()
@@ -1304,10 +1369,22 @@ object GraftVector {
   }
 
   /** True iff the columnar path is provably safe for this (projection,
-    * filters, limit, file set). */
+    * filters, limit, file set).
+    *
+    * Pushed filters are ALWAYS residual in this connector (GraftScanBuilder
+    * .pushFilters returns every filter), so Spark re-applies the exact
+    * predicate above the scan — the columnar reader only needs row-group /
+    * page-level pruning for speed, never record-level exactness. Filter
+    * columns are therefore also in `required` (the residual Filter node
+    * needs them in the scan output), so the per-file layout proof below
+    * already covers them. Limit stays per-partition-partial under columnar
+    * (batches are trimmed with setNumRows); Spark's plan shape guarantees a
+    * pushed limit never coexists with residual filters, but we refuse the
+    * combination anyway rather than reason about row counts under pruning. */
   def eligible(required: StructType, pushed: Array[Filter],
       limit: Option[Int], paths: Seq[String]): Boolean =
-    pushed.isEmpty && limit.isEmpty && paths.nonEmpty &&
+    !(pushed.nonEmpty && limit.nonEmpty) && paths.nonEmpty &&
+      pushed.forall(_.references.forall(r => required.fieldNames.contains(r))) &&
       required.fields.forall(f => !GraftV2Table.MetaCols.contains(f.name)) &&
       paths.forall { p =>
         try {
@@ -1315,6 +1392,51 @@ object GraftVector {
           required.fields.forall(f => l.get(f.name).exists(matches(f.dataType, _)))
         } catch { case _: Exception => false }
       }
+
+  /** Spark-typed Filter → parquet [[FilterPredicate]] for row-group/page
+    * pruning under the vectorized reader. Leaf column types come from the
+    * DECLARED schema — [[eligible]] proved every planned file stores the
+    * column with exactly that physical type, so one predicate serves all
+    * files. Unconvertible conjuncts are dropped (weaker pruning is always
+    * conservative: pages that might match are kept, the residual Filter
+    * above the scan decides row-level truth). */
+  def toRowGroupPredicate(pushed: Array[Filter],
+      schema: StructType): Option[FilterPredicate] = {
+    def leaf(attr: String, v: Any, op: String): Option[FilterPredicate] = {
+      def build[C <: java.lang.Comparable[C],
+          K <: org.apache.parquet.filter2.predicate.Operators.Column[C]
+            with org.apache.parquet.filter2.predicate.Operators.SupportsLtGt
+            with org.apache.parquet.filter2.predicate.Operators.SupportsEqNotEq](
+          c: K, x: C): FilterPredicate = op match {
+        case "eq" => FilterApi.eq(c, x)
+        case "gt" => FilterApi.gt(c, x)
+        case "ge" => FilterApi.gtEq(c, x)
+        case "lt" => FilterApi.lt(c, x)
+        case "le" => FilterApi.ltEq(c, x)
+      }
+      (schema.find(_.name == attr).map(_.dataType), v) match {
+        case (Some(LongType), n: Number) =>
+          Some(build(FilterApi.longColumn(attr), java.lang.Long.valueOf(n.longValue())))
+        case (Some(IntegerType), n: Number) =>
+          Some(build(FilterApi.intColumn(attr), java.lang.Integer.valueOf(n.intValue())))
+        case (Some(DoubleType), n: Number) =>
+          Some(build(FilterApi.doubleColumn(attr), java.lang.Double.valueOf(n.doubleValue())))
+        case (Some(FloatType), n: Number) =>
+          Some(build(FilterApi.floatColumn(attr), java.lang.Float.valueOf(n.floatValue())))
+        case (Some(StringType), s: String) =>
+          Some(build(FilterApi.binaryColumn(attr), Binary.fromString(s)))
+        case _ => None
+      }
+    }
+    pushed.flatMap {
+      case EqualTo(a, v) => leaf(a, v, "eq")
+      case GreaterThan(a, v) => leaf(a, v, "gt")
+      case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
+      case LessThan(a, v) => leaf(a, v, "lt")
+      case LessThanOrEqual(a, v) => leaf(a, v, "le")
+      case _ => None
+    }.reduceOption(FilterApi.and)
+  }
 }
 
 /** Executor-side reader for ONE data file: opens the footer, projects the

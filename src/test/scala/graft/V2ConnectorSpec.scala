@@ -341,8 +341,14 @@ class V2ConnectorSpec extends AnyFunSuite {
   test("limit pushdown caps per-file delivery; result stays exact") {
     val df = spark.read.format("graft").load(stagedLineitemRoot).limit(37)
     assert(df.count() == 37)
-    val desc = scanOf(df).description()
+    val scan = scanOf(df)
+    val desc = scan.description()
     assert(desc.contains("PushedLimit: 37"), desc)
+    // a pushed limit rides the columnar decoder (batches trimmed via
+    // setNumRows), not the row reader
+    val f = scan.createReaderFactory()
+    assert(f.supportColumnarReads(scan.planInputPartitions().head),
+      "pushed limit should stay columnar")
   }
 
   test("reported statistics auto-broadcast the small graft side") {
@@ -671,23 +677,61 @@ class V2ConnectorSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     val (fClean, pClean) = factoryOf(clean)
     assert(fClean.supportColumnarReads(pClean), "expected the columnar path")
-    // a pushed filter → row reader (row-group skipping + residual re-check
-    // live there)
+    // a pushed filter → STILL columnar (filters are residual, so the
+    // vectorized decode only needs row-group/page pruning, never
+    // record-level truth)
     val filtered = spark.read.format("graft").load(stagedLineitemRoot)
       .where(col("l_orderkey") > 1000)
     val (fFilt, pFilt) = factoryOf(filtered)
-    assert(!fFilt.supportColumnarReads(pFilt), "filters must take the row path")
+    assert(fFilt.supportColumnarReads(pFilt),
+      "pushed filters should stay on the columnar path")
     // metadata columns → row reader (manifest constants live there)
     val meta = spark.read.format("graft").load(stagedLineitemRoot)
       .select(col("l_orderkey"), col("_graft_seq"))
     val (fMeta, pMeta) = factoryOf(meta)
     assert(!fMeta.supportColumnarReads(pMeta), "metadata cols must take the row path")
-    // and the columnar read agrees with the row read bit for bit
+    // a metadata-column predicate survives pruning (the residual Filter
+    // needs it), forcing the whole-scan row path — the row-reader ground
+    // truth: columnar must agree with it bit for bit
     val viaRow = spark.read.format("graft").load(stagedLineitemRoot)
-      .where(col("l_orderkey") >= 0) // any filter forces the row path
+      .where(col("_graft_seq") >= 0) // always true; keeps the meta col live
       .select("l_orderkey", "l_quantity").orderBy("l_orderkey", "l_quantity")
+    assert(!scanOf(viaRow).createReaderFactory().supportColumnarReads(
+      scanOf(viaRow).planInputPartitions().head))
     assert(clean.orderBy("l_orderkey", "l_quantity").collect().toSeq ==
       viaRow.collect().toSeq)
+  }
+
+  test("filtered columnar scan: row-group pruning engages, results exact") {
+    import org.apache.spark.sql.functions.col
+    val pred = col("l_orderkey") > 1000 && col("l_orderkey") <= 2500
+    val df = spark.read.format("graft").load(stagedLineitemRoot)
+      .where(pred).select("l_orderkey", "l_quantity", "l_extendedprice")
+    val scan = scanOf(df)
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "every partition of a pushed-filter scan should decode columnar")
+    // the physical plan actually runs columnar (a ColumnarToRow boundary
+    // appears above the scan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected a columnar scan:\n$plan")
+    // and the answer matches the in-memory ground truth exactly
+    val got = df.orderBy("l_orderkey", "l_quantity", "l_extendedprice")
+      .collect().toSeq
+    val want = Tables.lineitem(spark, sf).where(pred)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_quantity", "l_extendedprice").collect().toSeq
+    assert(got == want)
+    // string-typed pushed filter takes the same path and stays exact
+    val sPred = col("l_returnflag") === "A"
+    val sDf = spark.read.format("graft").load(stagedLineitemRoot)
+      .where(sPred).select("l_orderkey", "l_returnflag")
+    val sScan = scanOf(sDf)
+    val sF = sScan.createReaderFactory()
+    assert(sScan.planInputPartitions().forall(sF.supportColumnarReads))
+    assert(sDf.orderBy("l_orderkey").collect().toSeq ==
+      Tables.lineitem(spark, sf).where(sPred).select("l_orderkey", "l_returnflag")
+        .orderBy("l_orderkey").collect().toSeq)
   }
 
   test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
