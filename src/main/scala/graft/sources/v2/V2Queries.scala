@@ -627,6 +627,36 @@ object V2Queries {
       val catName = orphanTable(s, d)
       s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
                |FROM $catName.v2db.orph_nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // CALL sys.expire_snapshots end to end (guide.md:180-184 retention):
+    // two append commits, a full compaction, then expiry down to the head —
+    // the pre-compaction snapshots expire, their now-dead append files are
+    // PHYSICALLY reclaimed (the stager asserts the append dir emptied and
+    // that time travel to an expired version refuses), and the oracle pins
+    // the retention invariant: the LIVE view is untouched by expiry.
+    QDef(
+      "q_source_v2_expire",
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |UNION ALL SELECT s_suppkey + 100000, s_name, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val catName = expireTable(s, d)
+      s.sql(s"""SELECT s_suppkey, s_name, s_acctbal
+               |FROM $catName.v2db.exp_supplier ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // CALL sys.rollback_to a TAG end to end: tag the first commit, append
+    // two more versions, roll the table back — the view must equal the
+    // tag-pinned read (asserted in the stager via VERSION AS OF), newer
+    // snapshots and their files are reclaimed, and the oracle pins the
+    // rolled-back view against the source slice the tag captured.
+    QDef(
+      "q_source_v2_rollback",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val catName = rollbackTable(s, d)
+      s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+               |FROM $catName.v2db.rb_nation ORDER BY n_nationkey""".stripMargin)
     }
   )
 
@@ -722,6 +752,77 @@ object V2Queries {
         "`table` => 'v2db.orph_nation', older_than_ms => 0L)")
         .collect().head.getInt(0)
       require(removed == 2, s"orphan sweep expected 2 leftovers, got $removed")
+      catName
+    })
+
+  /** supplier + offset replicas committed as two append batches, FULL-
+    * compacted, then expired down to the head snapshot once per sf dir. The
+    * stager asserts the physical retention effects the oracle can't see:
+    * both pre-compaction snapshots expired, their append files reclaimed
+    * from disk, and `VERSION AS OF` an expired id refusing. */
+  private val stagedExpire = new ConcurrentHashMap[String, String]()
+  private def expireTable(s: SparkSession, d: String): String =
+    stagedExpire.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "exp_supplier", Map.empty)
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      val replicas = sup.withColumn("s_suppkey",
+        (col("s_suppkey") + lit(100000)).cast(sup.schema("s_suppkey").dataType))
+      tbl.appendBatch(sup, 0L)
+      tbl.appendBatch(replicas, 1L)
+      tbl.compact(targetFileCount = 2) // snapshot 2: append files now dead
+      val expired = s.sql(s"CALL $catName.sys.expire_snapshots(" +
+        "`table` => 'v2db.exp_supplier', retain_min => 1, retain_max => 1, " +
+        "older_than_ms => 0L)").collect().head.getInt(0)
+      require(expired == 2, s"expected snapshots 0 and 1 to expire, got $expired")
+      val live = cat.getTable("v2db", "exp_supplier")
+      require(!live.hasSnapshot(0) && !live.hasSnapshot(1) && live.hasSnapshot(2),
+        "expiry must drop exactly the pre-compaction snapshots")
+      // the expired versions' files are physically reclaimed (compaction
+      // made them dead; no retained snapshot references them)
+      val appendLeft = StreamTable.listDir(
+        java.nio.file.Paths.get(live.root, "data", "append"))
+        .count(_.toString.endsWith(".parquet"))
+      require(appendLeft == 0,
+        s"expiry must reclaim the dead append files, $appendLeft left")
+      // time travel to an expired version refuses
+      require(scala.util.Try(s.sql(
+        s"SELECT * FROM $catName.v2db.exp_supplier VERSION AS OF 0").collect())
+        .isFailure, "VERSION AS OF an expired snapshot must refuse")
+      catName
+    })
+
+  /** nation tagged at its first commit, grown by two replica batches, then
+    * rolled back to the tag once per sf dir. The stager asserts the rollback
+    * report, the physical reclaim of the newer snapshots, and view equality
+    * with the tag-pinned read. */
+  private val stagedRollback = new ConcurrentHashMap[String, String]()
+  private def rollbackTable(s: SparkSession, d: String): String =
+    stagedRollback.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "rb_nation", Map.empty)
+      val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      def offset(by: Int) = nation.withColumn("n_nationkey",
+        (col("n_nationkey") + lit(by)).cast(nation.schema("n_nationkey").dataType))
+      tbl.appendBatch(nation, 0L)
+      s.sql(s"CALL $catName.sys.create_tag(`table` => 'v2db.rb_nation', tag => 'v0')")
+      tbl.appendBatch(offset(100), 1L)
+      tbl.appendBatch(offset(200), 2L)
+      val rolled = s.sql(s"CALL $catName.sys.rollback_to(" +
+        "`table` => 'v2db.rb_nation', version => 'v0')").collect().head.getLong(0)
+      require(rolled == 0L, s"rollback_to tag v0 must land on snapshot 0, got $rolled")
+      val live = cat.getTable("v2db", "rb_nation")
+      require(live.hasSnapshot(0) && !live.hasSnapshot(1) && !live.hasSnapshot(2),
+        "rollback must drop the newer snapshots")
+      // the rolled-back view IS the tag-pinned view, row for row
+      val now = s.sql(s"SELECT * FROM $catName.v2db.rb_nation ORDER BY n_nationkey")
+        .collect().toSeq
+      val pinned = s.sql(
+        s"SELECT * FROM $catName.v2db.rb_nation VERSION AS OF 'v0' ORDER BY n_nationkey")
+        .collect().toSeq
+      require(now == pinned, "post-rollback view must equal the tag-pinned read")
       catName
     })
 

@@ -2321,14 +2321,27 @@ class StreamTable(
     val kept = scala.collection.mutable.HashSet.empty[String]
     val other = scala.collection.mutable.HashSet.empty[String]
     var prev: Option[Snapshot] = None
+    // Within a contiguous run landing in the same target, the union of
+    // per-version live sets is the run-start live set plus every path the
+    // run's deltas ADD (removals never shrink a union) — so the fold's add
+    // callback feeds the union directly, O(delta) per commit, and the full
+    // O(live) re-seed happens only at kept↔other boundaries and fold
+    // fallbacks (legacy snapshots, retention gaps).
+    var prevTarget: scala.collection.mutable.HashSet[String] = null
     snaps.foreach { s =>
-      if (!foldCommit(prev, s)(live.remove(_), f => live.add(f.path))) {
+      val target = if (inKept(s)) kept else other
+      val sameRun = target eq prevTarget
+      val folded = foldCommit(prev, s)(live.remove(_), f => {
+        live.add(f.path)
+        if (sameRun) target += f.path
+      })
+      if (!folded) {
         live.clear()
         hydrated(s).files.foreach(f => live.add(f.path))
       }
-      val target = if (inKept(s)) kept else other
-      live.forEach(p => target += p)
+      if (!folded || !sameRun) live.forEach(p => target += p)
       s.changelog.foreach(f => target += f.path)
+      prevTarget = target
       prev = Some(s)
     }
     (kept.toSet, other.toSet)
