@@ -268,24 +268,11 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
             ChangelogPlanning.planInterval(t, snaps, s.id - 1, s.id,
               onlyBucket).toSeq
           else {
-            // this commit's added files: delta-manifest-served (hydrate-diff
-            // only on legacy history), same rule as changeHistoryView —
-            // incl. excluding same-manifest re-adds (intervalEvidence's
-            // `readd` contract)
-            val added = (t.deltaOf(s) match {
-              case Some(d) =>
-                val readd =
-                  d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
-                d.added.filterNot(f => readd(f.path))
-              case None if s.manifestList.nonEmpty &&
-                  pred.exists(_.manifestList == s.manifestList) =>
-                Seq.empty[graft.table.DataFileMeta]
-              case None =>
-                val predPaths = pred
-                  .map(p0 => t.hydrated(p0).files.map(_.path).toSet)
-                  .getOrElse(Set.empty[String])
-                t.hydrated(s).files.filterNot(f => predPaths(f.path))
-            }).filter(_.level == 0)
+            // this commit's added files: the classification shared with
+            // changeHistoryView and intervalEvidence
+            // (StreamTable.addedEvidence — delta-served, re-adds excluded,
+            // hydrate-diff only on legacy history)
+            val added = t.addedEvidenceOf(s, pred)
             if (added.isEmpty) Seq.empty // maintenance-only commit
             else if (t.primaryKey.isEmpty)
               added.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))

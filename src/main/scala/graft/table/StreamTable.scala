@@ -309,6 +309,11 @@ class StreamTable(
   def deltaOf(s: Snapshot): Option[ManifestDelta] =
     s.deltaManifest.map(manifestDelta)
 
+  /** One commit's ADDED level-0 evidence vs its predecessor — see
+    * [[StreamTable.addedEvidence]] (the shared classification). */
+  def addedEvidenceOf(cur: Snapshot, pred: Option[Snapshot]): Seq[DataFileMeta] =
+    StreamTable.addedEvidence(deltaOf, hydrated, cur, pred)
+
   /** Fold ONE commit's change into a caller's running live-state: applies
     * the commit's persisted delta (or nothing, for a no-op detected by
     * manifest-list equality with the parent) and returns true; returns
@@ -740,19 +745,25 @@ class StreamTable(
     }
     if (stampedSeq.isEmpty)
       latestSnapshot.flatMap(_.files.headOption).foreach { f =>
-        // memoized per checked path — the guard costs one footer open per
-        // DISTINCT head file (i.e. once per handle until a rewrite changes
-        // the head), not one per epoch
-        val stamped = stampGuardCache.synchronized(
-          stampGuardCache.computeIfAbsent(f.path, { p =>
+        // memoized per checked path (tiny LRU, capacity 2: the current head
+        // plus one survivor across a rewrite) — the guard costs one footer
+        // open per DISTINCT head file, not one per epoch. The footer I/O
+        // runs OUTSIDE the cache lock so a slow filesystem never stalls
+        // concurrent sink commits on the same handle; a racing duplicate
+        // probe is idempotent (footers are immutable).
+        val cached = stampGuardCache.synchronized(
+          Option(stampGuardCache.get(f.path)))
+        val stamped = cached.getOrElse {
           val conf = new org.apache.hadoop.conf.Configuration()
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+            .fromPath(new org.apache.hadoop.fs.Path(f.path), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try java.lang.Boolean.valueOf(
+          val b = try java.lang.Boolean.valueOf(
             r.getFooter.getFileMetaData.getSchema.containsField(SeqColName))
           finally r.close()
-        }))
+          stampGuardCache.synchronized(stampGuardCache.put(f.path, b))
+          b
+        }
         if (stamped) throw new IllegalStateException(
           s"$root carries stamped commit sequences (PK or DataFrame-written " +
             "history); the V2 streaming sink writes unstamped rows and would " +
@@ -817,9 +828,10 @@ class StreamTable(
   }
 
   /** Memoized stamped-history probe by head-file path (see the guard in
-    * [[commitExternalFiles]]) — single-entry: heads only move forward, so
-    * an old path is never probed again (and must not accumulate over a
-    * long-lived sink handle's compaction history). */
+    * [[commitExternalFiles]]) — a 2-entry LRU: heads only move forward, so
+    * old paths must not accumulate over a long-lived sink handle's
+    * compaction history; keeping the current head plus one survivor absorbs
+    * a compaction racing the probe. */
   private val stampGuardCache =
     new java.util.LinkedHashMap[String, java.lang.Boolean](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -1665,6 +1677,12 @@ class StreamTable(
     def headAt(id: Long) = byId.getOrElse(id,
       throw new IllegalArgumentException(s"no snapshot $id"))
     val live = new java.util.LinkedHashMap[String, DataFileMeta]()
+    // Paths removed in the interval that were NOT added within it must have
+    // been live at fromId — a later add of such a path (an in-place meta
+    // replacement, commit()'s already-live safety net) is NOT a new file
+    // and must not re-deliver its rows, exactly as the endpoint-diff
+    // fallback (which compares by path) would exclude it.
+    val preInterval = scala.collection.mutable.HashSet.empty[String]
     var ok = byId.contains(fromId)
     var prev = byId.get(fromId)
     var id = fromId + 1
@@ -1672,7 +1690,9 @@ class StreamTable(
       byId.get(id) match {
         case Some(cur) =>
           // legacy history / gaps: abort to the endpoint-diff fallback
-          ok = foldCommit(prev, cur)(live.remove(_), f => live.put(f.path, f))
+          ok = foldCommit(prev, cur)(
+            p => if (live.remove(p) == null) preInterval += p,
+            f => if (!preInterval.contains(f.path)) live.put(f.path, f))
           prev = Some(cur)
         case None => ok = false
       }
@@ -1747,7 +1767,18 @@ class StreamTable(
         .flatMap { case (mpath, sup) =>
           val supSet = sup.toSet
           val conf = new org.apache.hadoop.conf.Configuration()
-          StreamTable.parseManifest(mpath).added
+          // a manifest vanishing between planning and execution (concurrent
+          // expireSnapshots/rollbackTo unlinking it) skips rather than
+          // failing the whole query — mirroring snapshotHeaders' tolerance
+          // of vanished entries; its surviving adds were rebased into the
+          // retained head's list, which a re-read observes
+          val delta =
+            try StreamTable.parseManifest(mpath)
+            catch {
+              case _: java.nio.file.NoSuchFileException |
+                  _: java.io.FileNotFoundException => ManifestDelta()
+            }
+          delta.added
             .filterNot(f => supSet(f.path))
             .map { f => // stats-less entry (hand-edited/older manifest):
               if (f.minStats.isDefined && f.maxStats.isDefined) f
@@ -1994,21 +2025,10 @@ class StreamTable(
         Some(changelogWithRetractions(s.id - 1, s.id)
           .withColumnRenamed("op", "rowkind"))
       else {
-        // this commit's added files: its delta manifest when persisted
-        // (O(delta)), hydrate-diff only for legacy history. Same-manifest
-        // re-adds (in-place meta replacement) are excluded like the diff
-        // rule excludes them — intervalEvidence's `readd` contract.
-        val added = (deltaOf(s) match {
-          case Some(d) =>
-            val readd = d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
-            d.added.filterNot(f => readd(f.path))
-          case None if s.manifestList.nonEmpty &&
-              pred.exists(_.manifestList == s.manifestList) => Seq.empty
-          case None =>
-            val predPaths = pred.map(p0 => hydrated(p0).files.map(_.path).toSet)
-              .getOrElse(Set.empty)
-            hydrated(s).files.filterNot(f => predPaths(f.path))
-        }).filter(_.level == 0)
+        // this commit's added files: the shared classification
+        // (delta-manifest-served, re-adds excluded, hydrate-diff only for
+        // legacy history — StreamTable.addedEvidence)
+        val added = addedEvidenceOf(s, pred)
         if (added.isEmpty) None // maintenance-only commit
         else if (primaryKey.isEmpty)
           Some(readFiles(added).drop(SeqColName).withColumn("rowkind", lit("+I")))
@@ -2445,6 +2465,35 @@ object StreamTable {
     * work, not O(interval × live files). `snapAt` may return unhydrated
     * headers.
     */
+  /** (re-added paths, added level-0 evidence) of ONE persisted delta: a path
+    * both removed and re-added is an in-place meta replacement, not change
+    * evidence (matching the hydrate-diff rule, which compares by path) — the
+    * added half of the commit-evidence contract, single-sourced for
+    * [[intervalEvidence]] and [[addedEvidence]]. */
+  def deltaEvidence(d: ManifestDelta): (Set[String], Seq[DataFileMeta]) = {
+    val readd = d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
+    (readd, d.added.filterNot(f => readd(f.path)).filter(_.level == 0))
+  }
+
+  /** One commit's ADDED level-0 evidence vs its predecessor: the persisted
+    * delta when available (O(delta), re-adds excluded), the manifest-list
+    * no-op check, then the legacy hydrate-diff fallback — THE added-file
+    * classification `changeHistoryView` (the `$changelog`/`audit_log` door)
+    * and the V2 change-history planner share, so the sites cannot drift. */
+  def addedEvidence(deltaOf: Snapshot => Option[ManifestDelta],
+      hydrate: Snapshot => Snapshot, cur: Snapshot,
+      pred: Option[Snapshot]): Seq[DataFileMeta] =
+    deltaOf(cur) match {
+      case Some(d) => deltaEvidence(d)._2
+      case None if cur.manifestList.nonEmpty &&
+          pred.exists(_.manifestList == cur.manifestList) =>
+        Seq.empty // no-op commit: nothing added
+      case None =>
+        val predPaths = pred.map(p => hydrate(p).files.map(_.path).toSet)
+          .getOrElse(Set.empty[String])
+        hydrate(cur).files.filterNot(f => predPaths(f.path)).filter(_.level == 0)
+    }
+
   def intervalEvidence(snapAt: Long => Snapshot,
       deltaOf: Snapshot => Option[ManifestDelta],
       hydrate: Snapshot => Snapshot,
@@ -2462,11 +2511,7 @@ object StreamTable {
       val fast: Option[(Seq[DataFileMeta], Seq[DataFileMeta])] =
         deltaOf(cur) match {
           case Some(d) if cur.kind.nonEmpty =>
-            // a path both removed and re-added is an in-place meta
-            // replacement, not change evidence (matching the diff rule,
-            // which compares by path)
-            val readd = d.removed.filter(d.added.iterator.map(_.path).toSet).toSet
-            val addedEv = d.added.filterNot(f => readd(f.path)).filter(_.level == 0)
+            val (readd, addedEv) = deltaEvidence(d)
             if (cur.kind == "compact") Some((addedEv, Seq.empty))
             else d.removedMetas match {
               case Some(ms) => Some((addedEv, ms))

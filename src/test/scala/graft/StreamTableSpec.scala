@@ -787,6 +787,46 @@ class StreamTableSpec extends AnyFunSuite {
     assert(t3.read.count() == 3)
   }
 
+  test("in-place meta replacement (remove+re-add) is not re-delivered by addedBetween") {
+    import spark.implicits._
+    import graft.table.ManifestDelta
+    val root = tmp()
+    val t = new StreamTable(root, spark)
+    t.appendBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), 0L)
+    t.appendBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), 1L)
+    val snap1 = t.latestSnapshot.get
+    val f0 = t.snapshotAt(0L).get.files.head // live since snapshot 0
+    val f1Path = (snap1.files.map(_.path).toSet - f0.path).head
+    // hand-craft snapshot 2 as a remove+re-add of f0's path with refreshed
+    // meta — the shape commit()'s already-live safety net produces (no
+    // current writer does: paths are fresh UUIDs). The incremental fold
+    // must classify it as an in-place replacement, not a new file, exactly
+    // as the endpoint-diff fallback (path comparison) would.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val mfName = "mf-readd-pin.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifests", mfName),
+      mapper.writeValueAsBytes(ManifestDelta(
+        added = Seq(f0.copy(creationTimeMs = f0.creationTimeMs + 1)),
+        removed = Seq(f0.path))))
+    val snap2 = snap1.copy(id = 2L, batchId = 2L, files = Seq.empty,
+      manifestList = snap1.manifestList :+ mfName,
+      deltaManifest = Some(mfName), kind = "append")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_snapshots", "snap-2.json"),
+      mapper.writeValueAsBytes(snap2))
+    val t2 = new StreamTable(root, spark)
+    // delta fold ≡ endpoint diff: only snapshot 1's file is new over (0, 2]
+    assert(t2.addedBetween(0L, 2L).map(_.path) == Seq(f1Path))
+    // and the replacement commit alone delivers nothing
+    assert(t2.addedBetween(1L, 2L).isEmpty,
+      "a meta replacement must not re-deliver its file's rows")
+    // the live view still folds the refreshed meta (replacement applied)
+    assert(t2.latestSnapshot.get.files.map(_.path).toSet ==
+      snap1.files.map(_.path).toSet)
+  }
+
   test("change surfaces plan from delta manifests: zero per-commit hydrations") {
     import spark.implicits._
     // PK producer table: 6 commits touching overlapping keys
