@@ -988,15 +988,20 @@ class StreamTable(
       rewrite: DataFrame => DataFrame, conserves: Boolean): Long = {
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (live.isEmpty) return 0L
-    val byFile = readFiles(live).filter(cond)
-      .groupBy(input_file_name().as("__graft_file")).count()
-      .collect()
-      .map(r => stripScheme(r.getString(0)) -> r.getLong(1)).toMap
-    if (byFile.isEmpty) return 0L
-    val touched = live.filter(f => byFile.contains(f.path))
-    require(touched.size == byFile.size, // a path that maps to no live meta
-      s"cow discovery returned unknown files: ${byFile.keys.toSeq.diff(touched.map(_.path)).take(3)}")
-    val matches = byFile.values.sum
+    // the driver receives the touched-file SET (which the planner needs)
+    // plus ONE total-match scalar — never per-file match counts: on a
+    // million-file table the discovery payload is bounded by the distinct
+    // touched paths, deduped map-side by the partial collect_set
+    val found = readFiles(live).filter(cond)
+      .select(input_file_name().as("__graft_file"))
+      .agg(collect_set(col("__graft_file")).as("files"),
+        count(lit(1)).as("n")).head()
+    val matches = found.getLong(1)
+    if (matches == 0L) return 0L
+    val touchedPaths0 = found.getSeq[String](0).map(stripScheme).toSet
+    val touched = live.filter(f => touchedPaths0.contains(f.path))
+    require(touched.size == touchedPaths0.size, // a path with no live meta
+      s"cow discovery returned unknown files: ${touchedPaths0.diff(touched.map(_.path).toSet).take(3)}")
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     rewrite(readFiles(touched)).write.mode("overwrite").parquet(staging)
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
@@ -1742,26 +1747,39 @@ class StreamTable(
     * view run as ordinary distributed plan nodes. Stats come straight from
     * the manifests (zero file opens); legacy inline snapshots keep the
     * driver-meta path with a distributed footer fallback. */
+  /** The distributed `$files` scan's driver payload: one task per manifest
+    * in the head's list — (manifest path, suppression set: paths whose add
+    * entry in THAT manifest is not the surviving one). Size is bounded by
+    * the post-rebase window's delta entries, never the live set or total
+    * history (each suppression is caused by a later add/remove WITHIN the
+    * current list, which the 16-commit rebase truncates) — a spec pins the
+    * bound so a regression cannot silently ship O(history) payloads.
+    * Exposed for that spec; [[filesView]] is the consumer. */
+  private[graft] def filesScanTasks: Seq[(String, Seq[String])] = {
+    val head = snapshotHeaders.lastOption
+    if (!head.exists(_.manifestList.nonEmpty)) return Seq.empty
+    val list = head.get.manifestList.toVector
+    // fold decisions on PATH STRINGS only: a file row emits from the
+    // manifest of its LAST add, unless a later manifest removed it
+    val lastAdd = scala.collection.mutable.HashMap.empty[String, Int]
+    val lastRm = scala.collection.mutable.HashMap.empty[String, Int]
+    list.zipWithIndex.foreach { case (n, i) =>
+      val d = manifestDelta(n)
+      d.removed.foreach(p => lastRm(p) = i)
+      d.added.foreach(f => lastAdd(f.path) = i)
+    }
+    list.zipWithIndex.map { case (n, i) =>
+      val sup = manifestDelta(n).added.iterator.map(_.path)
+        .filter(p => lastAdd(p) != i || lastRm.getOrElse(p, -1) > i).toSeq
+      (s"$manifestDir/$n", sup)
+    }
+  }
+
   def filesView: DataFrame = {
     import spark.implicits._
     val head = snapshotHeaders.lastOption
     if (head.exists(_.manifestList.nonEmpty)) {
-      val s = head.get
-      val list = s.manifestList.toVector
-      // fold decisions on PATH STRINGS only: a file row emits from the
-      // manifest of its LAST add, unless a later manifest removed it
-      val lastAdd = scala.collection.mutable.HashMap.empty[String, Int]
-      val lastRm = scala.collection.mutable.HashMap.empty[String, Int]
-      list.zipWithIndex.foreach { case (n, i) =>
-        val d = manifestDelta(n)
-        d.removed.foreach(p => lastRm(p) = i)
-        d.added.foreach(f => lastAdd(f.path) = i)
-      }
-      val tasks = list.zipWithIndex.map { case (n, i) =>
-        val sup = manifestDelta(n).added.iterator.map(_.path)
-          .filter(p => lastAdd(p) != i || lastRm.getOrElse(p, -1) > i).toSeq
-        (s"$manifestDir/$n", sup)
-      }
+      val tasks = filesScanTasks
       val metas = spark.createDataset(tasks)
         .repartition(math.max(1, math.min(tasks.size, 32)))
         .flatMap { case (mpath, sup) =>
@@ -2066,15 +2084,17 @@ class StreamTable(
     val (keptRefs, newerRefs) = liveUnions(snaps, _.id <= snapshotId)
     val orphaned = newerRefs -- keptRefs
     // delete manifests NEWEST-FIRST so a concurrent reader's max-id scan can
-    // never select a manifest whose successor was already removed
+    // never select a manifest whose successor was already removed — this
+    // ORDERED walk stays serial by design (the id chain is the protocol);
+    // the unordered data-file reclaim below distributes at scale
     newer.sortBy(-_.id).foreach { s0 =>
       Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json"))
     }
-    orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deletePaths(orphaned.toSeq)
     // delta manifests only the rolled-back snapshots referenced
     val keptManifests = kept.iterator.flatMap(linkedManifests).toSet
-    (newer.iterator.flatMap(linkedManifests).toSet -- keptManifests)
-      .foreach(n => Files.deleteIfExists(Paths.get(manifestDir, n)))
+    deletePaths((newer.iterator.flatMap(linkedManifests).toSet -- keptManifests)
+      .toSeq.map(n => s"$manifestDir/$n"))
     consumers.filter(_._2 > snapshotId + 1)
       .foreach { case (id, _) => writeConsumerFile(id, snapshotId + 1) }
     hydrated(target)
@@ -2367,33 +2387,53 @@ class StreamTable(
     (kept.toSet, other.toSet)
   }
 
+  /** Delete a maintenance batch of absolute `paths`, returning how many
+    * actually went. Small batches delete serially; at
+    * [[StreamTable.distributedDeleteMin]] and above the I/O runs as a
+    * DISTRIBUTED pass — executors delete partitioned path lists and the
+    * driver keeps only the count (at 100 TB an expiry can reclaim millions
+    * of files; a serial driver unlink loop would be the maintenance
+    * bottleneck). `mtimeBelow` restricts deletion to entries older than the
+    * instant (the orphan-sweep grace check, executed next to the delete so
+    * the stat I/O distributes too); already-vanished paths count as not
+    * deleted. */
+  private[graft] def deletePaths(paths: Seq[String],
+      mtimeBelow: Long = Long.MaxValue): Long = {
+    if (paths.size < StreamTable.distributedDeleteMin) {
+      StreamTable.driverMaintenanceDeletes.addAndGet(paths.size.toLong)
+      StreamTable.reapPaths(paths.iterator, mtimeBelow)
+    } else {
+      import spark.implicits._
+      val cutoff = mtimeBelow
+      spark.createDataset(paths)
+        .repartition(math.max(1, math.min(32, paths.size / 16)))
+        .mapPartitions(it => Iterator.single(StreamTable.reapPaths(it, cutoff)))
+        .reduce(_ + _)
+    }
+  }
+
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val snaps = snapshotHeaders
     val referenced = snaps.iterator.flatMap(refPaths).toSet
-    var n = 0
-    Seq(dataAppend, dataCompact, dataChangelog).foreach { d =>
-      listDir(Paths.get(d)).foreach { p =>
-        if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff) {
-          if (Files.deleteIfExists(p)) n += 1
-        }
-      }
+    // the driver only LISTS and name-filters (no per-file stat); the grace
+    // mtime check rides next to the delete in the (distributed at scale)
+    // reclaim pass
+    val candidates = Seq(dataAppend, dataCompact, dataChangelog).flatMap { d =>
+      listDir(Paths.get(d)).map(_.toString).filterNot(referenced.contains)
     }
+    var n = deletePaths(candidates, mtimeBelow = cutoff).toInt
     // delta manifests no snapshot links (a commit retry's loser, a crashed
     // committer): same grace period — an in-flight commit's freshly-written
     // manifest is not yet referenced but about to be. Counted SEPARATELY:
     // manifest JSONs are metadata, not orphan data files.
-    var manifests = 0
     val linked = snaps.iterator.flatMap(linkedManifests).toSet
-    listDir(Paths.get(manifestDir)).foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("mf-") && !linked.contains(name) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff) {
-        if (Files.deleteIfExists(p)) manifests += 1
-      }
+    val mfCandidates = listDir(Paths.get(manifestDir)).collect {
+      case p if p.getFileName.toString.startsWith("mf-") &&
+          !linked.contains(p.getFileName.toString) => p.toString
     }
-    lastOrphanManifestsRemoved = manifests
+    lastOrphanManifestsRemoved =
+      deletePaths(mfCandidates, mtimeBelow = cutoff).toInt
     listDir(Paths.get(root))
       .filter(_.getFileName.toString.startsWith(".staging-"))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
@@ -2432,12 +2472,15 @@ class StreamTable(
     val keepIds = keep.map(_.id).toSet
     val (liveRefs, expiredRefs) = liveUnions(snaps, s0 => keepIds.contains(s0.id))
     val deletable = expiredRefs -- liveRefs
-    deletable.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    expired.foreach(s0 => Files.deleteIfExists(Paths.get(snapDir, s"snap-${s0.id}.json")))
+    // data files + expired snapshot JSONs + orphaned delta manifests all
+    // reclaim through the (distributed at scale) delete pass — the driver
+    // never serially unlinks a large expiry's file list
+    deletePaths(deletable.toSeq)
+    deletePaths(expired.map(s0 => s"$snapDir/snap-${s0.id}.json"))
     // delta manifests referenced only by expired snapshots go with them
     val keptManifests = keep.iterator.flatMap(linkedManifests).toSet
-    (expired.iterator.flatMap(linkedManifests).toSet -- keptManifests)
-      .foreach(n => Files.deleteIfExists(Paths.get(manifestDir, n)))
+    deletePaths((expired.iterator.flatMap(linkedManifests).toSet -- keptManifests)
+      .toSeq.map(n => s"$manifestDir/$n"))
     expired.size
   }
 }
@@ -2650,6 +2693,35 @@ object StreamTable {
     * stats-pruned plan over a current-format manifest performs ZERO footer
     * I/O on the driver. */
   val planFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Paths deleted BY THE DRIVER during maintenance (expiry / rollback /
+    * orphan sweep) — large batches run as a distributed pass instead
+    * ([[StreamTable.deletePaths]]), so specs can assert a many-file reclaim
+    * performs ~zero serial driver deletes. */
+  val driverMaintenanceDeletes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Batch size at which maintenance deletion goes distributed. Override
+    * for tests/small executors: -Dgraft.maintenance.distributed-delete-min. */
+  def distributedDeleteMin: Int =
+    Integer.getInteger("graft.maintenance.distributed-delete-min", 64)
+
+  /** Unlink one partition's worth of maintenance paths (driver or executor
+    * side): entries failing the `mtimeBelow` grace check, already vanished,
+    * or non-empty directories are skipped, never errors — a reclaim pass
+    * racing other maintenance must not fail the job. */
+  private[table] def reapPaths(it: Iterator[String], mtimeBelow: Long): Long = {
+    var n = 0L
+    it.foreach { s =>
+      val p = java.nio.file.Paths.get(s)
+      val eligible = mtimeBelow == Long.MaxValue ||
+        (try java.nio.file.Files.getLastModifiedTime(p).toMillis < mtimeBelow
+         catch { case _: java.io.IOException => false })
+      if (eligible &&
+          (try java.nio.file.Files.deleteIfExists(p)
+           catch { case _: java.io.IOException => false })) n += 1
+    }
+    n
+  }
 
   /** Manifest-list FOLDS (full live-set materializations; cache hits don't
     * count) — the observability change-surface specs assert on: a CDC

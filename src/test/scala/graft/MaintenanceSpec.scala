@@ -383,6 +383,64 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(noop.getLong(0) == -1L && !noop.getBoolean(1), noop.toString)
   }
 
+  test("$files suppression payload stays window-bounded over a long history") {
+    val root = tmp()
+    val t = new StreamTable(root, spark)
+    def supTotal() = t.filesScanTasks.map(_._2.size).sum
+    // 80 commits with periodic full compaction: every compact removes the
+    // whole live set, so without the 16-commit rebase truncating the list
+    // the suppression sets would accumulate one entry per HISTORICAL file
+    var mid = -1
+    (0 until 80).foreach { b =>
+      t.appendBatch(Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1),
+        b.toLong)
+      if (b % 4 == 3) t.compact(targetFileCount = 1)
+      if (b == 39) mid = supTotal()
+    }
+    val end = supTotal()
+    // bounded by the post-rebase window's delta entries (≤ 16 deltas of ≤ a
+    // handful of adds/removes each), NOT by the ~100 historical files
+    assert(mid >= 0 && mid <= 48, s"suppression payload at 40 commits: $mid")
+    assert(end <= 48, s"suppression payload at 80 commits: $end")
+    // and the doubled history added no payload beyond window jitter
+    assert(end <= mid + 16, s"payload grew with history: $mid -> $end")
+    // the view the payload serves stays exact
+    assert(t.filesView.count() ==
+      t.latestSnapshot.get.files.size.toLong)
+  }
+
+  test("many-file expiry reclaims through the distributed pass: zero driver unlinks") {
+    val prop = "graft.maintenance.distributed-delete-min"
+    val prev = Option(System.getProperty(prop))
+    System.setProperty(prop, "8")
+    try {
+      val root = tmp()
+      val t = new StreamTable(root, spark)
+      (0 until 12).foreach { b =>
+        t.appendBatch(Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1),
+          b.toLong)
+      }
+      t.compact(targetFileCount = 2) // snapshot 12: the 12 append files die
+      val appendDir = java.nio.file.Paths.get(root, "data", "append")
+      assert(StreamTable.listDir(appendDir)
+        .count(_.toString.endsWith(".parquet")) == 12)
+      StreamTable.driverMaintenanceDeletes.set(0L)
+      val expired = t.expireSnapshots(1, 1, 0L)
+      assert(expired == 12, s"all pre-compaction snapshots expire: $expired")
+      // both large reclaim batches (12 data files, 12 snapshot JSONs) ran
+      // distributed — the driver performed zero serial unlinks
+      assert(StreamTable.driverMaintenanceDeletes.get() == 0L,
+        s"driver unlinks: ${StreamTable.driverMaintenanceDeletes.get()} (want 0)")
+      assert(StreamTable.listDir(appendDir)
+        .count(_.toString.endsWith(".parquet")) == 0,
+        "expiry must physically reclaim the dead append files")
+      assert(t.read.count() == 12L, "the live view survives the reclaim")
+    } finally prev match {
+      case Some(v) => System.setProperty(prop, v)
+      case None => System.clearProperty(prop)
+    }
+  }
+
   test("CALL sys.remove_orphan_files deletes crash leftovers, keeps live data") {
     import java.nio.file.{Files, Paths}
     val wh = Files.createTempDirectory("orph_wh_").toString
