@@ -278,7 +278,7 @@ object GraftV2Table {
 
 class GraftV2Table(tableName: String, val table: StreamTable,
     spark: SparkSession, declaredSchema: Option[StructType] = None,
-    atSnapshot: Option[Long] = None,
+    private[v2] val atSnapshot: Option[Long] = None,
     /** Declared column name → FILE-level column name for columns renamed by
       * metadata-only schema evolution (`ALTER TABLE … RENAME COLUMN`): data
       * files keep serving the old name; the scan translates at plan time. */

@@ -142,6 +142,12 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
   }
 
   // ---- driver-side pruning (metadata-only, like partition pruning) -------
+  // auto-heal first: buckets a PREVIOUS scan flagged as hash-degraded at
+  // refinement size sort-compact now (once), so this and every later scan
+  // plans the k-way merge — then resolve the live set AFTER the heal
+  if (PkMerge.autoHeal && table.atSnapshot.isEmpty &&
+      t.pendingDegradedBuckets.nonEmpty)
+    t.healDegradedBuckets()
   private val allFiles = table.liveFiles
   private val kept: Seq[DataFileMeta] = {
     // bucket point lookup: an equality on the bucket key pins the single
@@ -281,8 +287,17 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
       // merge with O(files) memory; any unsorted file (legacy manifest,
       // sink-fed epoch) degrades the group to the hash merge until the next
       // compaction re-sorts it
+      val sorted = fs.forall(_.sortedBy.contains(pk))
+      // a hash-degraded bucket big enough that the merge would engage
+      // grace-hash refinement (row count is the conservative upper bound on
+      // its distinct keys) flags itself for the auto-heal sort-compaction —
+      // the NEXT scan consumes the flag, so the refinement price is paid at
+      // most once per bucket, not per query
+      if (!sorted && PkMerge.autoHeal &&
+          fs.iterator.map(_.rowCount).sum > PkMerge.HashMergeMaxKeys.get())
+        t.noteDegradedBucket(b)
       GraftPkInputPartition(fs.map(f => (f.path, f.minSeq)), b,
-        sorted = fs.forall(_.sortedBy.contains(pk))): InputPartition
+        sorted = sorted): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -579,6 +594,13 @@ private[graft] object PkMerge {
   /** Refinement passes performed (observability — specs assert the bounded
     * path engaged without changing answers). */
   val refinePasses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Auto-heal switch: a PK scan that plans a hash-degraded bucket at
+    * refinement size flags it, and the next scan sort-compacts the flagged
+    * buckets before planning (see StreamTable.healDegradedBuckets).
+    * Disable with -Dgraft.pk.auto-heal=false (e.g. read-only deployments). */
+  def autoHeal: Boolean =
+    !"false".equalsIgnoreCase(System.getProperty("graft.pk.auto-heal", "true"))
 
   private[v2] final class HashMergeOverflow extends RuntimeException {
     // control flow only — never collect a stack

@@ -445,33 +445,26 @@ class StreamTable(
         writer = writer.map(_._1), writerEpoch = writer.map(_._2),
         changelog = changelog, clogProduced = produced, kind = kind,
         manifestList = list, deltaManifest = deltaName)
-      val tmp = Paths.get(snapDir, s".tmp-${UUID.randomUUID()}.json")
       // the snapshot JSON persists files = [] — the live set is the
-      // manifest-list fold, so commit metadata stays O(this commit's delta)
-      Files.write(tmp, mapper.writeValueAsBytes(next.copy(files = Seq.empty)))
-      try {
-        // Publish via hard LINK, not rename: POSIX rename() silently
-        // REPLACES an existing target (ATOMIC_MOVE gives no fail-if-exists
-        // guarantee), so a rename-based publish would let a concurrent
-        // committer's snapshot be overwritten and its commit silently
-        // lost. createLink is atomic AND fails with EEXIST when the loser
-        // arrives second — exactly the optimistic-concurrency primitive
-        // this retry loop needs. Readers still only ever see a fully
-        // written file (the link appears after the tmp content is
-        // complete).
-        Files.createLink(Paths.get(snapDir, s"snap-${next.id}.json"), tmp)
-        Files.deleteIfExists(tmp)
+      // manifest-list fold, so commit metadata stays O(this commit's delta).
+      // The publish itself is the pluggable CAS primitive (POSIX link by
+      // default, conditional-put on an object store — see
+      // [[SnapshotCommitter]]); a lost race re-reads state and retries
+      // under a fresh id.
+      if (committer.publish(Paths.get(snapDir, s"snap-${next.id}.json"),
+          mapper.writeValueAsBytes(next.copy(files = Seq.empty))))
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > 100) throw new IllegalStateException(
-            s"commit contention on $snapDir: gave up after $attempt attempts")
-      }
+      attempt += 1
+      if (attempt > 100) throw new IllegalStateException(
+        s"commit contention on $snapDir: gave up after $attempt attempts")
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The snapshot-publish CAS this table commits through — swappable for
+    * object-store deployments and race-injection tests; the POSIX link
+    * default is correct for any fail-if-exists filesystem. */
+  @volatile private[graft] var committer: SnapshotCommitter = PosixLinkCommitter
 
   /** List-length cap before a commit rebases the fold into one full
     * manifest: deltas stay O(change) per commit; the O(live files) rewrite
@@ -2195,13 +2188,17 @@ class StreamTable(
     * when no group qualifies — the probe is manifest metadata only, zero
     * file I/O. */
   def compactSmallFiles(smallBytes: Long = 32L << 20,
-      trigger: Int = 4): Option[Snapshot] = {
+      trigger: Int = 4, onlyBuckets: Option[Set[Int]] = None): Option[Snapshot] = {
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (live.isEmpty) return None
     val clustered = bucketKey.isDefined && live.forall(_.bucket.isDefined)
-    val groups: Seq[Seq[DataFileMeta]] =
-      if (clustered) live.groupBy(_.bucket.get).values.toSeq
-      else Seq(live)
+    val groups: Seq[Seq[DataFileMeta]] = (onlyBuckets, clustered) match {
+      case (Some(bs), true) =>
+        live.groupBy(_.bucket.get).filter(kv => bs(kv._1)).values.toSeq
+      case (_, true) => live.groupBy(_.bucket.get).values.toSeq
+      // unbucketed layout: the single legacy group IS the whole table
+      case (_, false) => Seq(live)
+    }
     val targets = groups.map(_.filter(_.fileSizeInBytes < smallBytes))
       .filter(_.size >= trigger)
     if (targets.isEmpty) return None
@@ -2246,6 +2243,41 @@ class StreamTable(
       CommitChange(metas, compactedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }, produced = changelogProducer, kind = "compact"))
+  }
+
+  /** Buckets whose last PK-scan planning degraded to the HASH merge at a
+    * size the grace-hash refinement would engage on (unsorted files + rows
+    * beyond the resident-key cap) — queued by the V2 planner, consumed by
+    * [[healDegradedBuckets]] so the refinement's 8× re-read price is paid
+    * once, not per query. DRIVER-global by table root (planning always runs
+    * on the driver; catalog resolution mints a fresh handle per query, so a
+    * handle-local flag would never survive to the next scan). */
+  private def degradedBuckets: java.util.Set[Integer] =
+    StreamTable.degradedByRoot.computeIfAbsent(root,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
+  private[graft] def noteDegradedBucket(b: Int): Unit =
+    degradedBuckets.add(Integer.valueOf(b))
+  private[graft] def pendingDegradedBuckets: Set[Int] =
+    degradedBuckets.asScala.map(_.intValue()).toSet
+
+  /** Sort-compact exactly the hash-degraded buckets a previous PK scan
+    * flagged: a TARGETED minor compaction (rows concatenate raw, strict
+    * conservation) whose key-sorted output re-establishes the sorted-run
+    * invariant, so the next scan of those buckets plans the O(open files)
+    * k-way merge instead of hash-merging (and possibly grace-refining)
+    * every query. The next PK scan's construction calls this automatically
+    * (disable: -Dgraft.pk.auto-heal=false); a heal lost to concurrent
+    * maintenance simply re-flags on the following scan. Returns the number
+    * of buckets consumed. */
+  def healDegradedBuckets(): Int = {
+    if (primaryKey.isEmpty) return 0
+    val buckets = degradedBuckets.asScala.map(_.intValue()).toSet
+    if (buckets.isEmpty) return 0
+    buckets.foreach(b => degradedBuckets.remove(Integer.valueOf(b)))
+    // -1 = the legacy unbucketed group: the whole table is the bucket
+    val only = if (buckets.contains(-1)) None else Some(buckets)
+    compactSmallFiles(Long.MaxValue, trigger = 1, onlyBuckets = only)
+    buckets.size
   }
 
   private def rewriteLive(layout: DataFrame => DataFrame,
@@ -2704,6 +2736,13 @@ object StreamTable {
     * for tests/small executors: -Dgraft.maintenance.distributed-delete-min. */
   def distributedDeleteMin: Int =
     Integer.getInteger("graft.maintenance.distributed-delete-min", 64)
+
+  /** Hash-degraded bucket flags by table root (see the instance-side
+    * `noteDegradedBucket`/`healDegradedBuckets`): driver-JVM-global so the
+    * flag a scan's planning raises survives to the NEXT scan's fresh
+    * catalog-resolved handle. */
+  private val degradedByRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Integer]]()
 
   /** Unlink one partition's worth of maintenance paths (driver or executor
     * side): entries failing the `mtimeBelow` grace check, already vanished,

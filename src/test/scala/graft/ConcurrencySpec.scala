@@ -190,6 +190,79 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("committer shim: lost races and duplicate publishes converge, no lost or doubled rows") {
+    import graft.table.{PosixLinkCommitter, SnapshotCommitter}
+    val root = Files.createTempDirectory("graft_cas_").toString
+    val t = new StreamTable(root, spark)
+
+    // Injection shim over the POSIX CAS:
+    //  - `loseRaces` remaining > 0: before delegating, publish a COMPETING
+    //    committer's snapshot at the same target (the lost-race shape) —
+    //    the delegate then correctly returns false and the retry loop must
+    //    re-read the competitor's state and commit ABOVE it;
+    //  - `dropAcks` remaining > 0: delegate (the publish genuinely lands)
+    //    but report false — the retried-conditional-put-with-lost-response
+    //    shape; the retry recomputes against our own now-visible snapshot
+    //    and must not duplicate rows.
+    val shim = new SnapshotCommitter {
+      @volatile var loseRaces = 1
+      @volatile var dropAcks = 1
+      var competitorContent: Array[Byte] = null
+      override def publish(target: java.nio.file.Path,
+          content: Array[Byte]): Boolean = {
+        if (loseRaces > 0) {
+          loseRaces -= 1
+          require(PosixLinkCommitter.publish(target, competitorContent),
+            "injector: competitor publish must land first")
+        }
+        val landed = PosixLinkCommitter.publish(target, content)
+        if (landed && dropAcks > 0) { dropAcks -= 1; false } // lost response
+        else landed
+      }
+    }
+
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), 0L)
+    val snap0 = t.latestSnapshot.get
+    // competitor state: what a concurrent writer racing us WOULD publish —
+    // a commit based on snapshot 0 adding its own file (produced on a twin
+    // table, its delta manifest spliced into our manifest dir)
+    val twinRoot = Files.createTempDirectory("graft_cas_twin_").toString
+    val twin = new StreamTable(twinRoot, spark)
+    twin.appendBatch(Seq((100L, "x")).toDF("id", "v").coalesce(1), 0L)
+    val mfName = twin.latestSnapshot.get.manifestList.head
+    Files.copy(java.nio.file.Paths.get(twinRoot, "_manifests", mfName),
+      java.nio.file.Paths.get(root, "_manifests", mfName))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    shim.competitorContent = mapper.writeValueAsBytes(snap0.copy(
+      id = 1L, batchId = 1L, files = Seq.empty,
+      manifestList = snap0.manifestList :+ mfName,
+      deltaManifest = Some(mfName), kind = "append"))
+
+    t.committer = shim
+    try {
+      // one appendBatch rides through BOTH injections: first attempt loses
+      // the race to the competitor (id 1), the retry's publish at id 2
+      // lands but the ack drops, the third attempt sees its own snapshot
+      // and must converge without re-appending
+      t.appendBatch(Seq((3L, "c")).toDF("id", "v").coalesce(1), 2L)
+    } finally t.committer = PosixLinkCommitter
+    assert(shim.loseRaces == 0 && shim.dropAcks == 0, "both injections fired")
+
+    val reread = new StreamTable(root, spark)
+    // every commit survived: ours (1,2), the competitor's (100), the
+    // post-race append (3) — exactly once each
+    assert(reread.read.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (100L, "x")),
+      "lost-race retry must commit above the competitor, duplicate publish must not double rows")
+    // the duplicate-publish retry's snapshot exists and is a pure
+    // replacement (no new level-0 evidence → nothing re-delivered)
+    val head = reread.latestSnapshot.get
+    assert(reread.addedBetween(head.id - 1, head.id).isEmpty,
+      "the post-ack-loss commit must classify as an in-place replacement")
+  }
+
   test("commitReplace: concurrent appends survive; concurrent maintenance fails loudly") {
     import spark.implicits._
     import graft.table.StreamTable

@@ -1455,6 +1455,56 @@ class V2ConnectorSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("auto-heal: a refinement-sized hash bucket sort-compacts; the next scan plans the k-way merge") {
+    import scala.jdk.CollectionConverters._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "heal",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "1"))
+    val n = 2000L
+    tbl.appendBatch(spark.range(n)
+      .selectExpr("id", "1L AS ver", "id * 2 AS x"), 0L)
+    tbl.appendBatch(spark.range(0, n, 2)
+      .selectExpr("id", "2L AS ver", "id * 3 AS x"), 1L)
+    // strip the sorted-run flags — a pre-sorted-run (legacy) table whose
+    // single bucket must hash-merge
+    java.nio.file.Files.list(
+      java.nio.file.Paths.get(tbl.root, "_manifests")).iterator().asScala
+      .foreach { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p))
+        java.nio.file.Files.write(p,
+          s.replace("\"sortedBy\":[\"id\"]", "\"sortedBy\":null").getBytes)
+      }
+    val expected = (0L until n).map(i => if (i % 2 == 0) i * 3 else i * 2).sum
+    def pkParts(df: org.apache.spark.sql.DataFrame) =
+      pkScanOf(df).planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.v2.GraftPkInputPartition])
+    val oldCap = graft.sources.v2.PkMerge.HashMergeMaxKeys.get()
+    graft.sources.v2.PkMerge.HashMergeMaxKeys.set(500)
+    try {
+      // FIRST read: plans the hash merge (unsorted bucket over the cap) and
+      // flags the bucket for healing
+      val q1 = spark.sql(s"SELECT id, x FROM $cat.db.heal")
+      val parts1 = pkParts(q1)
+      assert(parts1.length == 1 && !parts1.head.sorted,
+        "the stripped bucket must plan the hash merge")
+      assert(q1.collect().map(_.getLong(1)).sum == expected)
+      assert(gc.getTable("db", "heal").pendingDegradedBuckets.nonEmpty,
+        "a refinement-sized hash bucket must flag itself for healing")
+      // SECOND read: scan construction consumes the flag — the bucket
+      // sort-compacts once, and THIS plan is already the k-way merge
+      val q2 = spark.sql(s"SELECT id, x FROM $cat.db.heal")
+      val passesBefore = graft.sources.v2.PkMerge.refinePasses.get()
+      val parts2 = pkParts(q2)
+      assert(parts2.length == 1 && parts2.head.sorted,
+        "the healed bucket must plan the sorted-run k-way merge")
+      assert(q2.collect().map(_.getLong(1)).sum == expected,
+        "healing must not change answers")
+      assert(graft.sources.v2.PkMerge.refinePasses.get() == passesBefore,
+        "the healed read must never refine again")
+      assert(gc.getTable("db", "heal").pendingDegradedBuckets.isEmpty)
+    } finally graft.sources.v2.PkMerge.HashMergeMaxKeys.set(oldCap)
+  }
+
   test("t$files is a distributed scan: manifest partitions, no driver rows") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
