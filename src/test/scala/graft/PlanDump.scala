@@ -58,7 +58,7 @@ object PlanDump {
       "q_ext_global_shuffle" -> "Global training shuffle: the corpus-sized rank window hash-partitions by the hash byte (256 shards); the 256-row offsets relation broadcasts back; the only corpus-wide exchange is the final range sort — the permutation itself.",
       "q_ext_dup_spans_robust" -> "Alignment-robust span dedup: every-position 40-gram digests drop to the 1/8 mod sample INSIDE the scan stage (map-side filter before the digest exchange); the cross-doc test is a partial-combined two-level aggregate.",
       "q_ext_dedup_rewrite" -> "Span-cut rewrite: doc-keyed island collect (window-count-bounded arrays), then ONE codegen'd aggregate-HOF fold of each island array over its doc's string — digest- and doc-keyed joins only, no pair space, no per-char explosion.",
-      "q_source_v2_pushdown" -> "DataSourceV2 connector: the GraftScan leaf shows files=kept/total (footer-stats skipping) and PushedFilters; the key-range + quantity predicates re-apply at parquet row-group level in each surviving file; only the 4 projected columns are read.",
+      "q_source_v2_pushdown" -> "DataSourceV2 connector: the GraftScan leaf shows files=kept/total (footer-stats skipping) and PushedFilters; the surviving files decode through the VECTORIZED columnar path (ColumnarToRow above the scan) with the pushed predicates pruning parquet row groups/pages — filters stay residual, so Spark's Filter re-applies exact truth above the 4-column batch decode.",
       "q_sql_recursive_cte" -> "Native WITH RECURSIVE: the engine drives the fixpoint — each recursion step is one shuffle join of the SHRINKING frontier against the id relation, the union accumulates lazily, and the final groupBy partial-combines map-side.",
       "q_agg_approx_top_k" -> "approx_top_k: constant-size sketch state partial-combines map-side (one ObjectHashAggregate row crosses the shuffle, never the key space); exact in this regime because capacity exceeds the distinct count.",
       "q_ext_dedup_e2e" -> "End-to-end dedup: banded candidates (self-joins, never all-pairs) feed the CC fixpoint — the shown plan is the FINAL flat round (lineage-truncated) + the label roll-up; per round one edge-label shuffle + min-groupBy + pointer-jump self-join.",
