@@ -657,8 +657,86 @@ object V2Queries {
       val catName = rollbackTable(s, d)
       s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
                |FROM $catName.v2db.rb_nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // A TAG as a SQL version: the first commit tagged, the table then grown
+    // — `VERSION AS OF 'baseline'` must reproduce exactly the state the tag
+    // pinned, while the head serves the grown table (stager-asserted). The
+    // reference's tag surface (retention roots + named time travel) oracled
+    // through plain SQL.
+    QDef(
+      "q_source_v2_tag_read",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) {
+      (s, d) =>
+        val catName = tagReadTable(s, d)
+        s.sql(s"""SELECT r_regionkey, r_name
+                 |FROM $catName.v2db.tag_region VERSION AS OF 'baseline'
+                 |ORDER BY r_regionkey""".stripMargin)
+    },
+
+    // The `$snapshots` system table oracled on its commit-history
+    // invariants: per retained snapshot the id, kind, and EXACT running row
+    // total (file counts depend on write parallelism and stay spec-only).
+    // The oracle replays the staged history in closed form over the source
+    // table — guide.md:180-184's snapshot model as a queryable surface.
+    QDef(
+      "q_source_v2_snapshots",
+      """WITH c AS (SELECT
+        |  CAST(sum(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN p_partkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM part)
+        |SELECT CAST(0 AS BIGINT) AS snapshot_id, 'append' AS commit_kind,
+        |       c0 AS total_rows FROM c
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'append', c0 + c1 FROM c
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'compact', c0 + c1 FROM c
+        |ORDER BY snapshot_id""".stripMargin) { (s, d) =>
+      val catName = snapshotsTable(s, d)
+      s.sql(s"""SELECT snapshot_id, commit_kind,
+               |       total_record_count AS total_rows
+               |FROM $catName.v2db.`sp_part$$snapshots`
+               |ORDER BY snapshot_id""".stripMargin)
     }
   )
+
+  /** region tagged at its first commit, then grown by offset replicas, once
+    * per sf dir (the tag keeps serving the pinned state). */
+  private val stagedTagRead = new ConcurrentHashMap[String, String]()
+  private def tagReadTable(s: SparkSession, d: String): String =
+    stagedTagRead.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "tag_region", Map.empty)
+      val region = Tables.region(s, d).select("r_regionkey", "r_name")
+      tbl.appendBatch(region, 0L)
+      s.sql(s"CALL $catName.sys.create_tag(" +
+        "`table` => 'v2db.tag_region', tag => 'baseline')")
+      tbl.appendBatch(region.withColumn("r_regionkey",
+        (col("r_regionkey") + lit(500))
+          .cast(region.schema("r_regionkey").dataType)), 1L)
+      // the head serves the grown table; only the tag serves the pinned state
+      val headRows = s.sql(
+        s"SELECT count(*) FROM $catName.v2db.tag_region").head().getLong(0)
+      val tagRows = s.sql(s"SELECT count(*) FROM $catName.v2db.tag_region " +
+        "VERSION AS OF 'baseline'").head().getLong(0)
+      require(headRows == 2 * tagRows && tagRows > 0,
+        s"tag must pin the first commit: head=$headRows tag=$tagRows")
+      catName
+    })
+
+  /** part staged as two deterministic append slices plus a compaction, once
+    * per sf dir — the 3-snapshot history the `$snapshots` oracle replays. */
+  private val stagedSnapshots = new ConcurrentHashMap[String, String]()
+  private def snapshotsTable(s: SparkSession, d: String): String =
+    stagedSnapshots.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "sp_part", Map.empty)
+      val part = Tables.part(s, d).select("p_partkey", "p_name")
+      tbl.appendBatch(part.where(col("p_partkey") % 3 === 0), 0L)
+      tbl.appendBatch(part.where(col("p_partkey") % 3 === 1), 1L)
+      tbl.compact(targetFileCount = 2) // snapshot 2, kind=compact, conserved
+      catName
+    })
 
   /** supplier as a 2-bucket PK catalog table, rescaled to 4 via the CALL
     * procedure once per sf dir. */

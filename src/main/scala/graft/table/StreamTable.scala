@@ -2419,6 +2419,49 @@ class StreamTable(
     (kept.toSet, other.toSet)
   }
 
+  /** Fully distributed orphan sweep of the data directories (see
+    * [[removeOrphanFiles]]): executors list the candidate names, parse the
+    * retained manifests into the referenced-path set, anti-join the two,
+    * and unlink the orphans behind the grace check — the driver ships dir
+    * paths plus O(retained × window) manifest names and receives one count.
+    * A manifest vanishing under the sweep (concurrent expiry) contributes
+    * no references — safe, because expiry already deleted exactly the files
+    * only that manifest's snapshots referenced. */
+  private def distributedOrphanSweep(snaps: Seq[Snapshot], cutoff: Long): Long = {
+    import spark.implicits._
+    val candidates = spark.createDataset(
+      Seq(dataAppend, dataCompact, dataChangelog))
+      .repartition(3)
+      .flatMap { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (!java.nio.file.Files.isDirectory(p)) Iterator.empty
+        else {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.map(_.toString).toVector.iterator
+          finally s.close()
+        }
+      }
+    val manifestPaths = snaps.iterator.flatMap(_.manifestList.iterator)
+      .toSeq.distinct.map(nm => s"$manifestDir/$nm")
+    val fromManifests = spark.createDataset(manifestPaths)
+      .repartition(math.max(1, math.min(32, manifestPaths.size / 4)))
+      .flatMap { mp =>
+        try StreamTable.parseManifest(mp).added.iterator.map(_.path).toVector
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+              _: java.io.FileNotFoundException => Vector.empty[String]
+        }
+      }
+    // legacy inline live sets and per-commit changelog files are already in
+    // the parsed headers — small, and the only driver-held path lists
+    val inline = spark.createDataset(snaps.flatMap(s =>
+      (if (s.manifestList.isEmpty) s.files.map(_.path) else Seq.empty) ++
+        s.changelog.map(_.path)))
+    candidates.except(fromManifests.union(inline))
+      .mapPartitions(it => Iterator.single(StreamTable.reapPaths(it, cutoff)))
+      .reduce(_ + _)
+  }
+
   /** Delete a maintenance batch of absolute `paths`, returning how many
     * actually went. Small batches delete serially; at
     * [[StreamTable.distributedDeleteMin]] and above the I/O runs as a
@@ -2447,14 +2490,27 @@ class StreamTable(
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val snaps = snapshotHeaders
-    val referenced = snaps.iterator.flatMap(refPaths).toSet
-    // the driver only LISTS and name-filters (no per-file stat); the grace
-    // mtime check rides next to the delete in the (distributed at scale)
-    // reclaim pass
-    val candidates = Seq(dataAppend, dataCompact, dataChangelog).flatMap { d =>
-      listDir(Paths.get(d)).map(_.toString).filterNot(referenced.contains)
-    }
-    var n = deletePaths(candidates, mtimeBelow = cutoff).toInt
+    // Below the threshold the sweep is a driver loop (tiny tables, tests);
+    // above it EVERYTHING per-file distributes — executors list the data
+    // dirs, parse the manifests into the referenced set, anti-join, and
+    // reap — the driver holds only dir/manifest NAMES and counts, never a
+    // path-per-file structure (at 100 TB the referenced set alone would be
+    // millions of strings).
+    val headLive = snaps.lastOption.map(s =>
+      if (s.manifestList.isEmpty) s.files.size else hydrated(s).files.size)
+      .getOrElse(0)
+    var n =
+      if (headLive >= StreamTable.distributedOrphanMin)
+        distributedOrphanSweep(snaps, cutoff).toInt
+      else {
+        val referenced = snaps.iterator.flatMap(refPaths).toSet
+        // the driver only LISTS and name-filters (no per-file stat); the
+        // grace mtime check rides next to the delete in the reclaim pass
+        val candidates = Seq(dataAppend, dataCompact, dataChangelog).flatMap { d =>
+          listDir(Paths.get(d)).map(_.toString).filterNot(referenced.contains)
+        }
+        deletePaths(candidates, mtimeBelow = cutoff).toInt
+      }
     // delta manifests no snapshot links (a commit retry's loser, a crashed
     // committer): same grace period — an in-flight commit's freshly-written
     // manifest is not yet referenced but about to be. Counted SEPARATELY:
@@ -2736,6 +2792,12 @@ object StreamTable {
     * for tests/small executors: -Dgraft.maintenance.distributed-delete-min. */
   def distributedDeleteMin: Int =
     Integer.getInteger("graft.maintenance.distributed-delete-min", 64)
+
+  /** Head live-file count at which the orphan sweep distributes its whole
+    * per-file pipeline (listing, referenced-set, anti-join, reap). Override
+    * for tests: -Dgraft.maintenance.distributed-orphan-min. */
+  def distributedOrphanMin: Int =
+    Integer.getInteger("graft.maintenance.distributed-orphan-min", 100000)
 
   /** Hash-degraded bucket flags by table root (see the instance-side
     * `noteDegradedBucket`/`healDegradedBuckets`): driver-JVM-global so the

@@ -471,4 +471,45 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(staging))
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.ot").head().getLong(0) == 2)
   }
+
+  test("distributed orphan sweep: listing, referenced set and reap all off-driver, same answers") {
+    import java.nio.file.{Files, Paths}
+    val prop = "graft.maintenance.distributed-orphan-min"
+    val prev = Option(System.getProperty(prop))
+    System.setProperty(prop, "1") // any live file triggers the distributed path
+    try {
+      val root = tmp()
+      val t = new StreamTable(root, spark)
+      (0 until 3).foreach { b =>
+        t.appendBatch(Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1),
+          b.toLong)
+      }
+      t.compact(targetFileCount = 1) // dead append files are still MANIFEST-
+      // referenced (retention-managed, not orphans) — the sweep must keep them
+      val deadAppends = StreamTable.listDir(Paths.get(root, "data", "append"))
+        .count(_.toString.endsWith(".parquet"))
+      assert(deadAppends == 3)
+      // plant true crash leftovers beside them
+      Files.write(Paths.get(s"$root/data/append/b9-orphan.parquet"),
+        Array[Byte](1, 2, 3))
+      Files.write(Paths.get(s"$root/data/compact/u9-orphan.parquet"),
+        Array[Byte](4, 5))
+      StreamTable.driverMaintenanceDeletes.set(0L)
+      // fresh grace protects everything
+      assert(t.removeOrphanFiles() == 0)
+      // grace 0: exactly the 2 leftovers go — manifest-referenced dead files
+      // and live files both survive
+      assert(t.removeOrphanFiles(olderThanMs = 0L) == 2)
+      assert(StreamTable.driverMaintenanceDeletes.get() == 0L,
+        "the distributed sweep must not route deletes through the driver")
+      assert(!Files.exists(Paths.get(s"$root/data/append/b9-orphan.parquet")))
+      assert(StreamTable.listDir(Paths.get(root, "data", "append"))
+        .count(_.toString.endsWith(".parquet")) == 3,
+        "manifest-referenced files are retention-managed, never orphans")
+      assert(t.read.count() == 3L)
+    } finally prev match {
+      case Some(v) => System.setProperty(prop, v)
+      case None => System.clearProperty(prop)
+    }
+  }
 }
