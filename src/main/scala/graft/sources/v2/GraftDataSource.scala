@@ -549,10 +549,16 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   private var limit: Option[Int] = None
 
   /** Filters usable for stats skipping / parquet row-group pruning:
-    * comparisons and equality on top-level numeric or string columns. */
+    * comparisons and equality on top-level numeric, string, date, or
+    * timestamp_ntz columns (time-range predicates are THE dominant scan
+    * shape on a commit-ordered 100 TB table — date/ntz stats render as ISO
+    * strings in the manifest and convert exactly, see [[TemporalPush]]).
+    * Zoned timestamps stay residual-only: Spark's default parquet output
+    * for them is INT96, stats-less and filter-incompatible. */
   private def pushable(f: Filter): Boolean = {
     def ok(attr: String) = fullSchema.find(_.name == attr).exists(_.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case DateType | TimestampNTZType => true
       case _ => false
     })
     f match {
@@ -1214,6 +1220,43 @@ class GraftVectorReader(path: String, required: StructType,
   override def close(): Unit = reader.close()
 }
 
+/** Temporal filter-value/stat conversions for pushdown and stats skipping.
+  * DATE footer stats render as ISO dates ("2020-01-15") and TIMESTAMP_NTZ
+  * (INT64 micros, not UTC-adjusted — what our writer produces) as ISO
+  * datetimes ("2021-03-04T05:06:07.123456") via parquet's typed
+  * stringifier; Spark pushes the matching filter values as
+  * java.sql.Date / java.time.LocalDate and java.time.LocalDateTime. Both
+  * sides convert to epoch days / micros for exact comparison — any parse
+  * or shape surprise yields None and the caller stays conservative.
+  * Zoned TimestampType is deliberately NOT handled: Spark's default
+  * parquet output for it is INT96, whose stats are unusable and whose
+  * physical type would reject an INT64 filter column. */
+private[v2] object TemporalPush {
+  def days(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+  def micros(v: Any): Option[Long] = v match {
+    case t: java.time.LocalDateTime =>
+      Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+  def statDays(s: String): Option[Long] =
+    try Some(java.time.LocalDate.parse(s).toEpochDay)
+    catch { case _: java.time.format.DateTimeParseException => None }
+  def statMicros(s: String): Option[Long] =
+    try {
+      val t = java.time.LocalDateTime.parse(s)
+      Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** Filter value → epoch long, paired with the matching stat parser. */
+  def valueAndParser(v: Any): Option[(Long, String => Option[Long])] =
+    days(v).map(d => (d, statDays _))
+      .orElse(micros(v).map(us => (us, statMicros _)))
+}
+
 /** Conservative file-level stats overlap: `keep` is false ONLY when the
   * footer [min,max] prove no row of the file can match the filter. Shared
   * by the append scan and the PK merge-on-read scan (where it may only be
@@ -1240,7 +1283,19 @@ private[v2] object FileSkip {
               case (Some(a), Some(b)) => !noOverlap(a, b, n.doubleValue())
               case _ => true
             }
-          case _ => true
+          case other =>
+            // date / timestamp_ntz: both sides to epoch days / micros
+            // (exact longs, reused through the Double comparators — epoch
+            // days/micros stay far inside Double's 2^53 exact-integer
+            // range); a stat that doesn't parse keeps the file
+            TemporalPush.valueAndParser(other) match {
+              case Some((x, parse)) => (parse(mn), parse(mx)) match {
+                case (Some(a), Some(b)) =>
+                  !noOverlap(a.toDouble, b.toDouble, x.toDouble)
+                case _ => true
+              }
+              case None => true
+            }
         }
         case None => true
       }
@@ -1425,6 +1480,12 @@ object GraftVector {
           Some(build(FilterApi.floatColumn(attr), java.lang.Float.valueOf(n.floatValue())))
         case (Some(StringType), s: String) =>
           Some(build(FilterApi.binaryColumn(attr), Binary.fromString(s)))
+        case (Some(DateType), v) if TemporalPush.days(v).isDefined =>
+          Some(build(FilterApi.intColumn(attr),
+            java.lang.Integer.valueOf(TemporalPush.days(v).get.toInt)))
+        case (Some(TimestampNTZType), v) if TemporalPush.micros(v).isDefined =>
+          Some(build(FilterApi.longColumn(attr),
+            java.lang.Long.valueOf(TemporalPush.micros(v).get)))
         case _ => None
       }
     }
@@ -1523,6 +1584,28 @@ class GraftPartitionReader(path: String, required: StructType,
           })
         case (PrimitiveTypeName.BINARY, s: String) =>
           val c = FilterApi.binaryColumn(attr); val x = Binary.fromString(s)
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        // DATE is INT32 epoch days; TIMESTAMP_NTZ is INT64 epoch micros —
+        // the same numbers TemporalPush derives from the filter value
+        case (PrimitiveTypeName.INT32, v) if TemporalPush.days(v).isDefined =>
+          val c = FilterApi.intColumn(attr)
+          val x = java.lang.Integer.valueOf(TemporalPush.days(v).get.toInt)
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        case (PrimitiveTypeName.INT64, v) if TemporalPush.micros(v).isDefined =>
+          val c = FilterApi.longColumn(attr)
+          val x = java.lang.Long.valueOf(TemporalPush.micros(v).get)
           Some(op match {
             case "eq" => FilterApi.eq(c, x)
             case "gt" => FilterApi.gt(c, x)

@@ -659,6 +659,27 @@ object V2Queries {
                |FROM $catName.v2db.rb_nation ORDER BY n_nationkey""".stripMargin)
     },
 
+    // TIME-RANGE pushdown: orders committed as year-ranged batches, read
+    // back through a timestamp_ntz predicate — the dominant 100 TB scan
+    // shape (a commit-ordered table filtered to a recent window). The
+    // manifest's ISO-rendered ntz stats prune whole files at plan time
+    // (V2ConnectorSpec asserts files=kept/total), the surviving files prune
+    // row groups through the pushed parquet predicate, and the decode rides
+    // the vectorized path; the oracle pins the exact window.
+    QDef(
+      "q_source_v2_date_pushdown",
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = timeBatchedOrders(s, d)
+      s.read.format("graft").load(root)
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // A TAG as a SQL version: the first commit tagged, the table then grown
     // — `VERSION AS OF 'baseline'` must reproduce exactly the state the tag
     // pinned, while the head serves the grown table (stager-asserted). The
@@ -697,6 +718,26 @@ object V2Queries {
                |ORDER BY snapshot_id""".stripMargin)
     }
   )
+
+  /** orders written as one batch per order YEAR (1995-2001) — per-file
+    * o_orderdate stats are disjoint, so a time-range filter genuinely skips
+    * files, mirroring how a commit-ordered 100 TB table serves "last month"
+    * queries. */
+  private val stagedTimeOrders = new ConcurrentHashMap[String, String]()
+  private def timeBatchedOrders(s: SparkSession, d: String): String =
+    stagedTimeOrders.computeIfAbsent(d, { _ =>
+      val root = Files.createTempDirectory("graft_v2_time_").toString
+      val tbl = new StreamTable(root, s)
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      (1995 to 2001).zipWithIndex.foreach { case (y, b) =>
+        tbl.appendBatch(ord.where(
+          col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp_ntz"))
+          .repartition(1), b.toLong)
+      }
+      root
+    })
 
   /** region tagged at its first commit, then grown by offset replicas, once
     * per sf dir (the tag keeps serving the pinned state). */

@@ -702,6 +702,37 @@ class V2ConnectorSpec extends AnyFunSuite {
       viaRow.collect().toSeq)
   }
 
+  test("timestamp_ntz range filter: pushed, file-skipped via ISO stats, columnar, exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = SparkEntry.queries("q_source_v2_date_pushdown")(spark, sf)
+    val scan = scanOf(df)
+    val desc = scan.description()
+    assert(desc.contains("o_orderdate"), desc) // the ntz predicate reached the scan
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt == 7, desc) // one batch per order year
+    assert(kept.toInt <= 2, s"the 1999 window must prune the other years: $desc")
+    // the surviving file decodes columnar with the temporal predicate
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "temporal pushed filters should stay on the columnar path")
+    // exact answers vs the in-memory ground truth
+    val want = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("2000-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(df.collect().toSeq == want)
+    // boundary semantics: an equality on the exact min timestamp keeps its
+    // file; a predicate OUTSIDE every file's range prunes everything
+    val none = spark.read.format("graft")
+      .load(scanOf(df).tableRoot)
+      .where(col("o_orderdate") >= lit("2005-01-01").cast("timestamp_ntz"))
+    val Files(k2, _) = scanOf(none).description()
+    assert(k2.toInt == 0, s"out-of-range window must prune every file")
+    assert(none.count() == 0L)
+  }
+
   test("filtered columnar scan: row-group pruning engages, results exact") {
     import org.apache.spark.sql.functions.col
     val pred = col("l_orderkey") > 1000 && col("l_orderkey") <= 2500
