@@ -567,6 +567,11 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
       case GreaterThanOrEqual(a, _) => ok(a)
       case LessThan(a, _) => ok(a)
       case LessThanOrEqual(a, _) => ok(a)
+      // a static IN list skips any file whose [min,max] overlaps NO value
+      // (the point-lookup-by-keys shape; bounded so a pathological
+      // million-value list never turns planning into O(files × values))
+      case In(a, vs) => vs != null && vs.length > 0 && vs.length <= 64 &&
+        vs.forall(_ != null) && ok(a)
       case _ => false
     }
   }
@@ -1044,13 +1049,14 @@ class GraftScan(table: GraftV2Table, required: StructType,
 
 object GraftScan {
   /** Rename attribute references declared → file-level in a pushed filter.
-    * Only the five pushable comparison shapes can reach the scan. */
+    * Only the pushable shapes (five comparisons + IN) can reach the scan. */
   private[v2] def translate(f: Filter, m: Map[String, String]): Filter = f match {
     case EqualTo(a, v) => EqualTo(m.getOrElse(a, a), v)
     case GreaterThan(a, v) => GreaterThan(m.getOrElse(a, a), v)
     case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(m.getOrElse(a, a), v)
     case LessThan(a, v) => LessThan(m.getOrElse(a, a), v)
     case LessThanOrEqual(a, v) => LessThanOrEqual(m.getOrElse(a, a), v)
+    case In(a, vs) => In(m.getOrElse(a, a), vs)
     case other => other
   }
 }
@@ -1310,6 +1316,8 @@ private[v2] object FileSkip {
         cmp(a, v)((mn, _, x) => mn >= x)((mn, _, s) => mn >= s)
       case LessThanOrEqual(a, v) =>
         cmp(a, v)((mn, _, x) => mn > x)((mn, _, s) => mn > s)
+      case In(a, vs) => // keep if ANY listed value could be in the file
+        vs == null || vs.isEmpty || vs.exists(v => keep(EqualTo(a, v), mins, maxs))
       case _ => true
     }
   }
@@ -1495,6 +1503,13 @@ object GraftVector {
       case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
       case LessThan(a, v) => leaf(a, v, "lt")
       case LessThanOrEqual(a, v) => leaf(a, v, "le")
+      // IN = OR of equalities; EVERY value must convert — a partially
+      // converted OR would be narrower than the filter and wrongly prune
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(v => leaf(a, v, "eq"))
+        if (ls.nonEmpty && ls.forall(_.isDefined))
+          ls.flatten.reduceOption(FilterApi.or)
+        else None
       case _ => None
     }.reduceOption(FilterApi.and)
   }
@@ -1622,6 +1637,13 @@ class GraftPartitionReader(path: String, required: StructType,
       case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
       case LessThan(a, v) => leaf(a, v, "lt")
       case LessThanOrEqual(a, v) => leaf(a, v, "le")
+      // IN = OR of equalities; EVERY value must convert — dropping one
+      // would NARROW the predicate and wrongly filter its rows out
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(v => leaf(a, v, "eq"))
+        if (ls.nonEmpty && ls.forall(_.isDefined))
+          ls.flatten.reduceOption(FilterApi.or)
+        else None
       case _ => None
     }
     preds.reduceOption(FilterApi.and)

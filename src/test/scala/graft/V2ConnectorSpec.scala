@@ -702,6 +702,37 @@ class V2ConnectorSpec extends AnyFunSuite {
       viaRow.collect().toSeq)
   }
 
+  test("static IN list: pushed, file-skipped per value, OR-of-eq row groups, exact") {
+    import org.apache.spark.sql.functions.col
+    val root = stagedLineitemRoot
+    val keys = {
+      // one key from the lowest range batch, one from the highest — the IN
+      // must keep exactly those two of the 8 range files
+      val mm = spark.read.format("graft").load(root)
+        .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey")).head()
+      Seq(mm.getLong(0), mm.getLong(1))
+    }
+    val df = spark.read.format("graft").load(root)
+      .where(col("l_orderkey").isin(keys: _*))
+      .select("l_orderkey", "l_quantity")
+    val scan = scanOf(df)
+    val desc = scan.description()
+    assert(desc.contains("In(l_orderkey"), desc)
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt >= 8 && kept.toInt <= 2,
+      s"IN over two extreme keys must keep at most their two files: $desc")
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "a pushed IN should stay on the columnar path")
+    val want = Tables.lineitem(spark, sf)
+      .where(col("l_orderkey").isin(keys: _*))
+      .select("l_orderkey", "l_quantity")
+      .orderBy("l_orderkey", "l_quantity").collect().toSeq
+    assert(df.orderBy("l_orderkey", "l_quantity").collect().toSeq == want)
+  }
+
   test("timestamp_ntz range filter: pushed, file-skipped via ISO stats, columnar, exact") {
     import org.apache.spark.sql.functions.{col, lit}
     val df = SparkEntry.queries("q_source_v2_date_pushdown")(spark, sf)
