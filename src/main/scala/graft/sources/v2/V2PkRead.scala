@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 
 import graft.table.{DataFileMeta, StreamTable}
@@ -73,6 +73,12 @@ class GraftPkScanBuilder(table: GraftV2Table, fullSchema: StructType,
       case GreaterThanOrEqual(a, _) => ok(a)
       case LessThan(a, _) => ok(a)
       case LessThanOrEqual(a, _) => ok(a)
+      // multi-point lookup: pre-merge filtering on a key IN list is safe —
+      // every version of a key shares the key value, so dropping non-listed
+      // keys (rows AND whole files via stats) cannot change a survivor's
+      // last-writer-wins resolution; bounded like the append-scan rule
+      case In(a, vs) => vs != null && vs.length > 0 && vs.length <= 64 &&
+        vs.forall(_ != null) && ok(a)
       case _ => false
     }
   }
@@ -153,8 +159,8 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
     // bucket point lookup: an equality on the bucket key pins the single
     // bucket that can hold the key — 1/numBuckets of the table cut before
     // any I/O (Paimon's PK point read)
-    val bucketPruned = bucketPointLookup match {
-      case Some(b) => allFiles.filter(_.bucket.forall(_ == b))
+    val bucketPruned = bucketLookup match {
+      case Some(bs) => allFiles.filter(_.bucket.forall(bs.contains))
       case None => allFiles
     }
     if (pushed.isEmpty) bucketPruned
@@ -167,18 +173,25 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
     }
   }
 
-  private def bucketPointLookup: Option[Int] =
+  /** Equality or IN on the bucket key pins the bucket SET that can hold the
+    * listed keys — |values|/numBuckets of the table cut before any I/O
+    * (Paimon's PK point read, multi-point through IN). */
+  private def bucketLookup: Option[Set[Int]] =
     for {
       k <- t.bucketKey
       dt <- fullSchema.find(_.name == k).map(_.dataType)
       if dt == LongType || dt == IntegerType
-      v <- pushed.collectFirst { case EqualTo(a, v: Number) if a == k => v }
-    } yield {
+      vals <- pushed.collectFirst {
+        case EqualTo(a, v: Number) if a == k => Seq(v)
+        case In(a, vs) if a == k && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Number]) => vs.toSeq.map(_.asInstanceOf[Number])
+      }
+    } yield vals.map { v =>
       val in = new GenericInternalRow(Array[Any](t.numBuckets,
         if (dt == LongType) v.longValue() else v.intValue()))
       (if (dt == LongType) GraftBucketLong else GraftBucketInt)
         .produceResult(in).intValue()
-    }
+    }.toSet
 
   /** One merge group per recorded bucket; a manifest with any unbucketed
     * file degrades to a single group (correct, serial — the documented

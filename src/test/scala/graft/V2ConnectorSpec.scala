@@ -1008,6 +1008,16 @@ class V2ConnectorSpec extends AnyFunSuite {
       s"point lookup must prune buckets: $ptKept/$ptTotal vs $allKept/$allTotal")
     val row = spark.sql(s"SELECT id, x FROM $cat.db.pts WHERE id = 7").collect()
     assert(row.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 700L)))
+    // multi-point: an IN over the key prunes to the listed keys' bucket SET
+    val multi = pkScanOf(
+      spark.sql(s"SELECT id, x FROM $cat.db.pts WHERE id IN (7, 8)"))
+    val Files(inKept, inTotal) = multi.description()
+    assert(inTotal == allTotal)
+    assert(inKept.toInt <= allKept.toInt * 2 / 3,
+      s"IN lookup must prune to the keys' buckets: $inKept/$inTotal vs $allKept")
+    val rows2 = spark.sql(s"SELECT id, x FROM $cat.db.pts WHERE id IN (7, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows2 == Seq((7L, 700L), (8L, 8000L)))
   }
 
   test("PK first-row engine keeps the earliest version through V2") {
