@@ -572,6 +572,10 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
       // million-value list never turns planning into O(files × values))
       case In(a, vs) => vs != null && vs.length > 0 && vs.length <= 64 &&
         vs.forall(_ != null) && ok(a)
+      // prefix skipping on string stats (ids/paths clustered by prefix);
+      // stats-only — the readers drop the conjunct (weaker AND is safe)
+      case StringStartsWith(a, p) => p != null && p.nonEmpty &&
+        fullSchema.find(_.name == a).exists(_.dataType == StringType)
       case _ => false
     }
   }
@@ -1318,6 +1322,20 @@ private[v2] object FileSkip {
         cmp(a, v)((mn, _, x) => mn > x)((mn, _, s) => mn > s)
       case In(a, vs) => // keep if ANY listed value could be in the file
         vs == null || vs.isEmpty || vs.exists(v => keep(EqualTo(a, v), mins, maxs))
+      case StringStartsWith(a, p) =>
+        // a p-prefixed string lies in [p, succ(p)) where succ bumps the last
+        // char — skip iff the file's whole range misses that interval;
+        // ASCII-guarded like every string comparison here, and a prefix
+        // ending in 0x7F simply never prunes (no in-alphabet successor)
+        (for (mn <- mins.get(a); mx <- maxs.get(a)) yield {
+          def ascii(s: String) = s.forall(_ < 128)
+          if (p == null || p.isEmpty || !ascii(mn) || !ascii(mx) || !ascii(p)) true
+          else if (p.last >= 127) !(mx < p)
+          else {
+            val succ = p.substring(0, p.length - 1) + (p.last + 1).toChar
+            !(mx < p || mn >= succ)
+          }
+        }).getOrElse(true)
       case _ => true
     }
   }

@@ -2520,8 +2520,16 @@ class StreamTable(
       case p if p.getFileName.toString.startsWith("mf-") &&
           !linked.contains(p.getFileName.toString) => p.toString
     }
+    // a committer that died between writing its tmp snapshot JSON and the
+    // CAS link leaves `.tmp-*.json` in the snapshot dir forever (both CAS
+    // branches clean up, a crash in between cannot) — metadata leftovers,
+    // counted with the manifests, same grace period
+    val tmpSnaps = listDir(Paths.get(snapDir)).collect {
+      case p if p.getFileName.toString.startsWith(".tmp-") &&
+          p.getFileName.toString.endsWith(".json") => p.toString
+    }
     lastOrphanManifestsRemoved =
-      deletePaths(mfCandidates, mtimeBelow = cutoff).toInt
+      deletePaths(mfCandidates ++ tmpSnaps, mtimeBelow = cutoff).toInt
     listDir(Paths.get(root))
       .filter(_.getFileName.toString.startsWith(".staging-"))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)

@@ -458,17 +458,23 @@ class MaintenanceSpec extends AnyFunSuite {
     val staging = Paths.get(s"$root/.staging-dead")
     Files.createDirectories(staging)
     Files.write(staging.resolve("part-0.parquet"), Array[Byte](4, 5, 6))
+    // plus a committer that died between its tmp write and the CAS link
+    Files.write(Paths.get(s"$root/_snapshots/.tmp-dead.json"), Array[Byte](123))
 
     // a fresh grace period protects them (in-flight writers look identical)
     val kept = spark.sql(s"CALL $cat.sys.remove_orphan_files('db.ot')")
       .collect().head.getInt(0)
     assert(kept == 0, s"grace period must protect young files, removed $kept")
-    // grace 0: both leftovers go, live data survives
-    val removed = spark.sql(s"CALL $cat.sys.remove_orphan_files(" +
-      "`table` => 'db.ot', older_than_ms => 0L)").collect().head.getInt(0)
-    assert(removed == 2, s"expected 2 orphans removed, got $removed")
+    // grace 0: both data leftovers go, the tmp snapshot counts as metadata,
+    // live data survives
+    val res = spark.sql(s"CALL $cat.sys.remove_orphan_files(" +
+      "`table` => 'db.ot', older_than_ms => 0L)").collect().head
+    assert(res.getInt(0) == 2, s"expected 2 orphans removed, got ${res.getInt(0)}")
+    assert(res.getInt(1) == 1,
+      s"the dead committer's tmp snapshot counts as metadata: ${res.getInt(1)}")
     assert(!Files.exists(Paths.get(s"$root/data/append/b9-deadbeef-0.parquet")))
     assert(!Files.exists(staging))
+    assert(!Files.exists(Paths.get(s"$root/_snapshots/.tmp-dead.json")))
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.ot").head().getLong(0) == 2)
   }
 

@@ -733,6 +733,41 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(df.orderBy("l_orderkey", "l_quantity").collect().toSeq == want)
   }
 
+  test("StringStartsWith: prefix-ranged files skip; boundary prefixes stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("v2_prefix_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq("alpha", "apple", "azure").map(s => (s, 1L))
+      .toDF("name", "n").coalesce(1), 0L)
+    tbl.appendBatch(Seq("bravo", "bolt").map(s => (s, 2L))
+      .toDF("name", "n").coalesce(1), 1L)
+    tbl.appendBatch(Seq("delta", "drone").map(s => (s, 3L))
+      .toDF("name", "n").coalesce(1), 2L)
+    def scanDesc(prefix: String) = {
+      val df = spark.read.format("graft").load(root)
+        .where(col("name").startsWith(prefix))
+      (scanOf(df).description(), df)
+    }
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val (d1, q1) = scanDesc("b")
+    val Files(k1, t1) = d1
+    assert(t1.toInt == 3 && k1.toInt == 1, s"prefix 'b' keeps only its file: $d1")
+    assert(q1.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("bolt", "bravo"))
+    // a prefix between two files' ranges prunes everything
+    val (d2, q2) = scanDesc("c")
+    val Files(k2, _) = d2
+    assert(k2.toInt == 0, s"prefix 'c' overlaps no file: $d2")
+    assert(q2.count() == 0L)
+    // boundary: prefix equal to a file's max still keeps it
+    val (d3, q3) = scanDesc("azure")
+    val Files(k3, _) = d3
+    assert(k3.toInt == 1, d3)
+    assert(q3.count() == 1L)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("timestamp_ntz range filter: pushed, file-skipped via ISO stats, columnar, exact") {
     import org.apache.spark.sql.functions.{col, lit}
     val df = SparkEntry.queries("q_source_v2_date_pushdown")(spark, sf)
