@@ -618,7 +618,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   //  - no GROUP BY, no pushed filters (Spark only attempts the push when all
   //    filters were fully consumed; ours are always residual, so any WHERE
   //    disables the push) — and we re-check both here anyway;
-  //  - COUNT(*) without DISTINCT; MIN/MAX only on INT/LONG columns whose
+  //  - COUNT(*) without DISTINCT; MIN/MAX only on INT/LONG/DATE/
+  //    TIMESTAMP_NTZ columns (all exactly long-representable) whose
   //    stats are present in every file that physically contains the column
   //    (a file that predates the column contributes only nulls and is
   //    skipped; an all-null file has hasNonNullValue=false and is skipped;
@@ -661,29 +662,40 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     lazy val totalRows = files.map(_.rowCount).sum
     // typed per-file [min,max] of an integral column, merged; None = refuse
     lazy val statsCache = scala.collection.mutable.Map[String, Option[Option[(Long, Long)]]]()
-    def minMax(name: String): Option[Option[(Long, Long)]] =
-      statsCache.getOrElseUpdate(name, {
-        val integral = fullSchema.find(_.name == name).exists(f =>
-          f.dataType == LongType || f.dataType == IntegerType)
-        if (!integral) None
-        else {
-          val conf = new Configuration()
-          val fileName = nameMap.getOrElse(name, name) // renamed: files keep the old name
-          val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
-            GraftScanBuilder.metaLongMinMax(f, fileName, conf)
-          }
-          if (perFile.contains(None)) None // stats missing somewhere: refuse
-          else {
-            val present = perFile.flatten.flatten
-            if (present.isEmpty) Some(None) // column is all-null table-wide
-            else Some(Some((present.map(_._1).min, present.map(_._2).max)))
-          }
-        }
-      })
     def sparkType(name: String): DataType =
       fullSchema.find(_.name == name).map(_.dataType).getOrElse(LongType)
-    def toValue(name: String, v: Long): Any =
-      if (sparkType(name) == IntegerType) v.toInt else v
+    def minMax(name: String): Option[Option[(Long, Long)]] =
+      statsCache.getOrElseUpdate(name, {
+        // long-representable columns: integrals plus DATE (epoch days) and
+        // TIMESTAMP_NTZ (epoch micros) — the manifest's ISO-rendered stats
+        // convert exactly, so "max(event_time)" (the 100 TB freshness
+        // check) answers from metadata alone
+        val parse: Option[String => Option[Long]] = sparkType(name) match {
+          case LongType | IntegerType => Some((s: String) => s.toLongOption)
+          case DateType => Some(TemporalPush.statDays _)
+          case TimestampNTZType => Some(TemporalPush.statMicros _)
+          case _ => None
+        }
+        parse match {
+          case None => None
+          case Some(p) =>
+            val conf = new Configuration()
+            val fileName = nameMap.getOrElse(name, name) // renamed: files keep the old name
+            val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
+              GraftScanBuilder.metaLongMinMax(f, fileName, conf, p)
+            }
+            if (perFile.contains(None)) None // stats missing somewhere: refuse
+            else {
+              val present = perFile.flatten.flatten
+              if (present.isEmpty) Some(None) // column is all-null table-wide
+              else Some(Some((present.map(_._1).min, present.map(_._2).max)))
+            }
+        }
+      })
+    def toValue(name: String, v: Long): Any = sparkType(name) match {
+      case IntegerType | DateType => v.toInt // DATE is internal epoch-day Int
+      case _ => v
+    }
 
     val resolved = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
@@ -719,7 +731,8 @@ object GraftScanBuilder {
     *  - `Some(Some(p))` → merged min/max
     * Manifest-served stats make the metadata-only MIN/MAX answer with zero
     * file I/O; only a legacy manifest entry opens the footer (counted). */
-  private[v2] def metaLongMinMax(f: DataFileMeta, col: String, conf: Configuration)
+  private[v2] def metaLongMinMax(f: DataFileMeta, col: String, conf: Configuration,
+      parse: String => Option[Long] = _.toLongOption)
       : Option[Option[(Long, Long)]] =
     (f.minStats, f.maxStats, f.fileCols) match {
       case (Some(mins), Some(maxs), Some(cols)) =>
@@ -727,9 +740,9 @@ object GraftScanBuilder {
         else if (f.badStats.exists(_.contains(col))) None // untrustworthy: refuse
         else (mins.get(col), maxs.get(col)) match {
           case (Some(mn), Some(mx)) =>
-            (mn.toLongOption, mx.toLongOption) match {
+            (parse(mn), parse(mx)) match {
               case (Some(a), Some(b)) => Some(Some((a, b)))
-              case _ => None // non-integral rendering: refuse the push
+              case _ => None // unexpected rendering: refuse the push
             }
           case _ => Some(None) // present + trusted + no entry ⇒ all-null here
         }

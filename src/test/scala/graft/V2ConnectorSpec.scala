@@ -323,6 +323,27 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(got.getLong(2) == expect.getLong(2), "max")
   }
 
+  test("aggregate pushdown: MAX of a timestamp_ntz answers from manifest ISO stats") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    // the year-batched orders table: the freshness check answers metadata-only
+    val root = scanOf(SparkEntry.queries("q_source_v2_date_pushdown")(spark, sf))
+      .tableRoot
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"),
+        min("o_orderdate").as("first"), max("o_orderdate").as("last"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"temporal min/max was not pushed:\n$plan")
+    val expect = Tables.orders(spark, sf)
+      .agg(count(lit(1)), min("o_orderdate"), max("o_orderdate")).head()
+    val got = df.head()
+    assert(got.getLong(0) == expect.getLong(0))
+    assert(got.getAs[java.time.LocalDateTime](1) ==
+      expect.getAs[java.time.LocalDateTime](1), "min(ntz)")
+    assert(got.getAs[java.time.LocalDateTime](2) ==
+      expect.getAs[java.time.LocalDateTime](2), "max(ntz)")
+  }
+
   test("aggregate pushdown refuses when a WHERE filter is present") {
     val df = spark.read.format("graft")
       .load(stagedLineitemRoot)
