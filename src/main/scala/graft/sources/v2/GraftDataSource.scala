@@ -576,6 +576,12 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
       // stats-only — the readers drop the conjunct (weaker AND is safe)
       case StringStartsWith(a, p) => p != null && p.nonEmpty &&
         fullSchema.find(_.name == a).exists(_.dataType == StringType)
+      // compound shapes recurse: Spark pre-splits top-level ANDs, so these
+      // arrive as OR trees (multi-tenant range unions) possibly holding
+      // ANDs — monotone formulas (no NOT), so every skipping/pruning rule
+      // below stays conservative under them
+      case Or(l, r) => pushable(l) && pushable(r)
+      case And(l, r) => pushable(l) && pushable(r)
       case _ => false
     }
   }
@@ -1074,6 +1080,9 @@ object GraftScan {
     case LessThan(a, v) => LessThan(m.getOrElse(a, a), v)
     case LessThanOrEqual(a, v) => LessThanOrEqual(m.getOrElse(a, a), v)
     case In(a, vs) => In(m.getOrElse(a, a), vs)
+    case StringStartsWith(a, p) => StringStartsWith(m.getOrElse(a, a), p)
+    case Or(l, r) => Or(translate(l, m), translate(r, m))
+    case And(l, r) => And(translate(l, m), translate(r, m))
     case other => other
   }
 }
@@ -1349,6 +1358,9 @@ private[v2] object FileSkip {
             !(mx < p || mn >= succ)
           }
         }).getOrElse(true)
+      // a file can match an OR if either branch could, an AND only if both
+      case Or(l, r) => keep(l, mins, maxs) || keep(r, mins, maxs)
+      case And(l, r) => keep(l, mins, maxs) && keep(r, mins, maxs)
       case _ => true
     }
   }
@@ -1528,7 +1540,7 @@ object GraftVector {
         case _ => None
       }
     }
-    pushed.flatMap {
+    def convert(f: Filter): Option[FilterPredicate] = f match {
       case EqualTo(a, v) => leaf(a, v, "eq")
       case GreaterThan(a, v) => leaf(a, v, "gt")
       case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
@@ -1541,8 +1553,17 @@ object GraftVector {
         if (ls.nonEmpty && ls.forall(_.isDefined))
           ls.flatten.reduceOption(FilterApi.or)
         else None
+      // monotone connectives (see the row reader's convert): AND weakens to
+      // a converted side, OR is whole-or-nothing
+      case And(l, r) => (convert(l), convert(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        for (a <- convert(l); b <- convert(r)) yield FilterApi.or(a, b)
       case _ => None
-    }.reduceOption(FilterApi.and)
+    }
+    pushed.flatMap(convert(_)).reduceOption(FilterApi.and)
   }
 }
 
@@ -1662,7 +1683,7 @@ class GraftPartitionReader(path: String, required: StructType,
         case _ => None
       }
     }
-    val preds = fs.flatMap {
+    def convert(f: Filter): Option[FilterPredicate] = f match {
       case EqualTo(a, v) => leaf(a, v, "eq")
       case GreaterThan(a, v) => leaf(a, v, "gt")
       case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
@@ -1675,9 +1696,17 @@ class GraftPartitionReader(path: String, required: StructType,
         if (ls.nonEmpty && ls.forall(_.isDefined))
           ls.flatten.reduceOption(FilterApi.or)
         else None
+      // monotone connectives: an AND may weaken to whichever side converts
+      // (never wrong, prunes less); an OR must convert whole or not at all
+      case And(l, r) => (convert(l), convert(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        for (a <- convert(l); b <- convert(r)) yield FilterApi.or(a, b)
       case _ => None
     }
-    preds.reduceOption(FilterApi.and)
+    fs.flatMap(convert(_)).reduceOption(FilterApi.and)
   }
 
   private var current: Group = _

@@ -754,6 +754,33 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(df.orderBy("l_orderkey", "l_quantity").collect().toSeq == want)
   }
 
+  test("OR of range predicates: pushed as a tree, skips per branch, exact") {
+    import org.apache.spark.sql.functions.col
+    val mm = spark.read.format("graft").load(stagedLineitemRoot)
+      .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+        org.apache.spark.sql.functions.max("l_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // two disjoint windows at the extremes — a multi-tenant range union:
+    // each branch keeps its own file(s), everything between skips
+    val pred = (col("l_orderkey") <= lo) ||
+      (col("l_orderkey") >= hi && col("l_quantity") > 0)
+    val df = spark.read.format("graft").load(stagedLineitemRoot)
+      .where(pred).select("l_orderkey", "l_quantity")
+    val scan = scanOf(df)
+    val desc = scan.description()
+    assert(desc.contains("Or("), s"the OR tree must reach the scan: $desc")
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt >= 8 && kept.toInt <= 2,
+      s"two extreme windows must keep at most two of the range files: $desc")
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads))
+    val want = Tables.lineitem(spark, sf).where(pred)
+      .select("l_orderkey", "l_quantity")
+      .orderBy("l_orderkey", "l_quantity").collect().toSeq
+    assert(df.orderBy("l_orderkey", "l_quantity").collect().toSeq == want)
+  }
+
   test("StringStartsWith: prefix-ranged files skip; boundary prefixes stay exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
