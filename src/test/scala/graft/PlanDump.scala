@@ -62,7 +62,8 @@ object PlanDump {
       "q_sql_recursive_cte" -> "Native WITH RECURSIVE: the engine drives the fixpoint — each recursion step is one shuffle join of the SHRINKING frontier against the id relation, the union accumulates lazily, and the final groupBy partial-combines map-side.",
       "q_agg_approx_top_k" -> "approx_top_k: constant-size sketch state partial-combines map-side (one ObjectHashAggregate row crosses the shuffle, never the key space); exact in this regime because capacity exceeds the distinct count.",
       "q_ext_dedup_e2e" -> "End-to-end dedup: banded candidates (self-joins, never all-pairs) feed the CC fixpoint — the shown plan is the FINAL flat round (lineage-truncated) + the label roll-up; per round one edge-label shuffle + min-groupBy + pointer-jump self-join.",
-      "q_source_v2_agg_pushdown" -> "V2 aggregate pushdown: COUNT/MIN/MAX collapsed into GraftAggregateScan (PushedAggregates) — the answer is one precomputed row from manifest rowCounts + typed footer stats; NO aggregate exec, zero data bytes read.",
+      "q_source_v2_agg_pushdown" -> "V2 aggregate pushdown: COUNT/MIN/MAX collapsed into GraftAggregateScan (PushedAggregates) — the answer is one precomputed row from manifest rowCounts + typed footer stats; NO aggregate exec, zero data bytes read (temporal MIN/MAX — the freshness check — answers the same way from ISO-rendered stats).",
+      "q_source_v2_date_pushdown" -> "Temporal pushdown: a timestamp_ntz range over year-batched commits — the scan leaf's files=kept/total shows the ISO-stat file skip (1-2 of 7 kept), the pushed predicate prunes row groups inside the survivors, and the decode is columnar (ColumnarToRow above the scan). The dominant 100 TB shape: 'last month' over a commit-ordered table.",
       "q_join_spj" -> "Storage-partitioned join: both bucketed scans report KeyGroupedPartitioning(bucket(8, key)) and the MERGE hint pins the SMJ — ZERO hash exchanges in the whole plan: the join consumes the bucket layout and the per-key aggregation above reuses it (group key = join key); the only exchange is the final ORDER BY's range partition.",
       "q_source_v2_pk_partial" -> "partial-update merge-on-read: the same per-bucket BatchScan shape as q_source_v2_pk_read, with per-FIELD last-non-null folds inside the readers (persisted fseq provenance structs) — the merge engine changes the reader, never the plan.",
       "q_source_v2_incremental" -> "Batch incremental read: the (a,b] interval as a per-bucket BatchScan — here the state-diff fallback (no producer on this table); with changelog-producer the same plan reads ONLY the interval's persisted changelog files. Column pruning reaches the readers (projected cols + never-emitted key region).",

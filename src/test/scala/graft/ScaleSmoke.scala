@@ -122,7 +122,9 @@ object ScaleSmoke {
       "q_source_v2_incremental", // interval state-diff per bucket, batch
       "q_source_v2_change_history", // pass-through of persisted changelog files
       // round-14 addition: catch-up CDC plan (per-bucket live resolve, +I)
-      "q_source_v2_audit_log")
+      "q_source_v2_audit_log",
+      // round-15 addition: temporal file skip + columnar filtered decode
+      "q_source_v2_date_pushdown")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
