@@ -688,7 +688,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
             val conf = new Configuration()
             val fileName = nameMap.getOrElse(name, name) // renamed: files keep the old name
             val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
-              GraftScanBuilder.metaLongMinMax(f, fileName, conf, p)
+              GraftScanBuilder.metaLongMinMax(f, fileName, conf, p,
+                declared = Some(sparkType(name)))
             }
             if (perFile.contains(None)) None // stats missing somewhere: refuse
             else {
@@ -738,7 +739,8 @@ object GraftScanBuilder {
     * Manifest-served stats make the metadata-only MIN/MAX answer with zero
     * file I/O; only a legacy manifest entry opens the footer (counted). */
   private[v2] def metaLongMinMax(f: DataFileMeta, col: String, conf: Configuration,
-      parse: String => Option[Long] = _.toLongOption)
+      parse: String => Option[Long] = _.toLongOption,
+      declared: Option[DataType] = None)
       : Option[Option[(Long, Long)]] =
     (f.minStats, f.maxStats, f.fileCols) match {
       case (Some(mins), Some(maxs), Some(cols)) =>
@@ -752,12 +754,17 @@ object GraftScanBuilder {
             }
           case _ => Some(None) // present + trusted + no entry ⇒ all-null here
         }
-      case _ => fileLongMinMax(f.path, col, conf)
+      case _ => fileLongMinMax(f.path, col, conf, declared)
     }
 
   /** Footer fallback of [[metaLongMinMax]] for legacy manifests (same
-    * three-state contract, from the row-group chunk stats). */
-  private[v2] def fileLongMinMax(path: String, col: String, conf: Configuration)
+    * three-state contract, from the row-group chunk stats). When `declared`
+    * is given, the column's PHYSICAL layout must decode exactly as that
+    * Spark type ([[GraftVector.matches]]) or the whole push refuses — a raw
+    * INT64 MILLIS/NANOS timestamp merged as micros would poison the answer
+    * by 10³/10⁶ with no error. */
+  private[v2] def fileLongMinMax(path: String, col: String, conf: Configuration,
+      declared: Option[DataType] = None)
       : Option[Option[(Long, Long)]] = {
     StreamTable.planFooterReads.incrementAndGet()
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
@@ -765,6 +772,11 @@ object GraftScanBuilder {
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       if (!schema.containsField(col)) return Some(None) // predates the column
+      declared.foreach { dt =>
+        val fld = schema.getType(schema.getFieldIndex(col))
+        if (!fld.isPrimitive ||
+            !GraftVector.unitMatches(dt, fld.asPrimitiveType())) return None
+      }
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var any = false
@@ -1440,7 +1452,12 @@ object GraftVector {
 
   /** Does this parquet primitive decode EXACTLY as the declared Spark type
     * under the vectorized reader's own schema conversion? Strict by design:
-    * any unknown shape falls back to the row reader. */
+    * any unknown shape falls back to the row reader. Also the physical-unit
+    * proof the metadata MIN/MAX footer fallback requires
+    * ([[GraftScanBuilder.fileLongMinMax]]). */
+  private[v2] def unitMatches(dt: DataType, p: PrimitiveType): Boolean =
+    matches(dt, p)
+
   private def matches(dt: DataType, p: PrimitiveType): Boolean = {
     val ann = p.getLogicalTypeAnnotation
     def intAnn(bits: Int) = ann match {
@@ -1659,8 +1676,15 @@ class GraftPartitionReader(path: String, required: StructType,
             case "le" => FilterApi.ltEq(c, x)
           })
         // DATE is INT32 epoch days; TIMESTAMP_NTZ is INT64 epoch micros —
-        // the same numbers TemporalPush derives from the filter value
-        case (PrimitiveTypeName.INT32, v) if TemporalPush.days(v).isDefined =>
+        // the same numbers TemporalPush derives from the filter value.
+        // THIS reader record-filters, so the file's logical annotation must
+        // prove the unit: an INT64 MILLIS/NANOS (or UTC-adjusted) column
+        // compared against micros would silently drop matching rows the
+        // residual Filter could never resurrect. (The columnar path needs
+        // no such check here — eligible() already proved its layout.)
+        case (PrimitiveTypeName.INT32, v) if TemporalPush.days(v).isDefined &&
+            prim.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
           val c = FilterApi.intColumn(attr)
           val x = java.lang.Integer.valueOf(TemporalPush.days(v).get.toInt)
           Some(op match {
@@ -1670,7 +1694,13 @@ class GraftPartitionReader(path: String, required: StructType,
             case "lt" => FilterApi.lt(c, x)
             case "le" => FilterApi.ltEq(c, x)
           })
-        case (PrimitiveTypeName.INT64, v) if TemporalPush.micros(v).isDefined =>
+        case (PrimitiveTypeName.INT64, v) if TemporalPush.micros(v).isDefined &&
+            (prim.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS &&
+                  !t.isAdjustedToUTC
+              case _ => false
+            }) =>
           val c = FilterApi.longColumn(attr)
           val x = java.lang.Long.valueOf(TemporalPush.micros(v).get)
           Some(op match {

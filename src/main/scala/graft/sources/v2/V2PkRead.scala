@@ -150,10 +150,20 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
   // ---- driver-side pruning (metadata-only, like partition pruning) -------
   // auto-heal first: buckets a PREVIOUS scan flagged as hash-degraded at
   // refinement size sort-compact now (once), so this and every later scan
-  // plans the k-way merge — then resolve the live set AFTER the heal
+  // plans the k-way merge — then resolve the live set AFTER the heal.
+  // BEST-EFFORT by construction: the heal is an optimization riding a
+  // read-only query's planning, so losing its commit race (concurrent
+  // maintenance) must never abort the SELECT — the flags were consumed, a
+  // later degraded plan simply re-raises them
   if (PkMerge.autoHeal && table.atSnapshot.isEmpty &&
       t.pendingDegradedBuckets.nonEmpty)
-    t.healDegradedBuckets()
+    try t.healDegradedBuckets()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(classOf[GraftPkScan]).warn(
+          s"auto-heal of ${table.name()} lost to concurrent maintenance " +
+            s"(reads are unaffected): ${e.getMessage}")
+    }
   private val allFiles = table.liveFiles
   private val kept: Seq[DataFileMeta] = {
     // bucket point lookup: an equality on the bucket key pins the single
@@ -305,8 +315,11 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
       // grace-hash refinement (row count is the conservative upper bound on
       // its distinct keys) flags itself for the auto-heal sort-compaction —
       // the NEXT scan consumes the flag, so the refinement price is paid at
-      // most once per bucket, not per query
-      if (!sorted && PkMerge.autoHeal &&
+      // most once per bucket, not per query. Only HEAD scans flag: a
+      // time-travel read of old unsorted history says nothing about the
+      // current layout and must never trigger a rewrite of a bucket that
+      // compaction already sorted
+      if (!sorted && PkMerge.autoHeal && table.atSnapshot.isEmpty &&
           fs.iterator.map(_.rowCount).sum > PkMerge.HashMergeMaxKeys.get())
         t.noteDegradedBucket(b)
       GraftPkInputPartition(fs.map(f => (f.path, f.minSeq)), b,

@@ -2195,9 +2195,13 @@ class StreamTable(
     val groups: Seq[Seq[DataFileMeta]] = (onlyBuckets, clustered) match {
       case (Some(bs), true) =>
         live.groupBy(_.bucket.get).filter(kv => bs(kv._1)).values.toSeq
-      case (_, true) => live.groupBy(_.bucket.get).values.toSeq
+      // a TARGETED request on a non-fully-bucketed layout refuses rather
+      // than silently widening to a whole-table coalesce(1) rewrite that
+      // would also strip the surviving bucket ids
+      case (Some(_), false) => Seq.empty
+      case (None, true) => live.groupBy(_.bucket.get).values.toSeq
       // unbucketed layout: the single legacy group IS the whole table
-      case (_, false) => Seq(live)
+      case (None, false) => Seq(live)
     }
     val targets = groups.map(_.filter(_.fileSizeInBytes < smallBytes))
       .filter(_.size >= trigger)
@@ -2274,9 +2278,18 @@ class StreamTable(
     val buckets = degradedBuckets.asScala.map(_.intValue()).toSet
     if (buckets.isEmpty) return 0
     buckets.foreach(b => degradedBuckets.remove(Integer.valueOf(b)))
-    // -1 = the legacy unbucketed group: the whole table is the bucket
-    val only = if (buckets.contains(-1)) None else Some(buckets)
-    compactSmallFiles(Long.MaxValue, trigger = 1, onlyBuckets = only)
+    // Only a FULLY bucketed layout heals targeted: on a mixed/legacy layout
+    // (any file without a bucket id, or the scan's -1 whole-table group)
+    // compactSmallFiles would widen to a whole-table single-partition
+    // rewrite that also strips the surviving bucket ids — a rewrite of that
+    // magnitude is an explicit maintenance decision (sys.compact
+    // re-clusters properly), never a side effect of planning a read. The
+    // flags stay consumed either way (the heal is an optimization).
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val clustered = bucketKey.isDefined && live.nonEmpty &&
+      live.forall(_.bucket.isDefined)
+    if (buckets.contains(-1) || !clustered) return 0
+    compactSmallFiles(Long.MaxValue, trigger = 1, onlyBuckets = Some(buckets))
     buckets.size
   }
 
@@ -2495,10 +2508,17 @@ class StreamTable(
     // dirs, parse the manifests into the referenced set, anti-join, and
     // reap — the driver holds only dir/manifest NAMES and counts, never a
     // path-per-file structure (at 100 TB the referenced set alone would be
-    // millions of strings).
-    val headLive = snaps.lastOption.map(s =>
-      if (s.manifestList.isEmpty) s.files.size else hydrated(s).files.size)
-      .getOrElse(0)
+    // millions of strings). The GATE itself must honor that: estimate the
+    // live-file count from the manifest JSONs' byte sizes (one stat per
+    // manifest, ≤ rebase-window many), never a hydration that materializes
+    // O(live) metas on the driver just to decide.
+    val headLive = snaps.lastOption.map { s =>
+      if (s.manifestList.isEmpty) s.files.size.toLong
+      else s.manifestList.iterator.map { n =>
+        try Files.size(Paths.get(manifestDir, n))
+        catch { case _: java.io.IOException => 0L }
+      }.sum / StreamTable.ManifestBytesPerEntry
+    }.getOrElse(0L)
     var n =
       if (headLive >= StreamTable.distributedOrphanMin)
         distributedOrphanSweep(snaps, cutoff).toInt
@@ -2807,6 +2827,13 @@ object StreamTable {
   def distributedOrphanMin: Int =
     Integer.getInteger("graft.maintenance.distributed-orphan-min", 100000)
 
+  /** Rough bytes-per-entry of a delta-manifest JSON, used ONLY to estimate
+    * live-file counts from manifest file sizes for threshold gates (a real
+    * count would hydrate O(live) metas on the driver — the very thing the
+    * gated path avoids). Deliberately LOW so the estimate errs toward
+    * distributing: per-entry JSON runs ~300-600 bytes with stats. */
+  val ManifestBytesPerEntry = 256L
+
   /** Hash-degraded bucket flags by table root (see the instance-side
     * `noteDegradedBucket`/`healDegradedBuckets`): driver-JVM-global so the
     * flag a scan's planning raises survives to the NEXT scan's fresh
@@ -2816,15 +2843,18 @@ object StreamTable {
 
   /** Unlink one partition's worth of maintenance paths (driver or executor
     * side): entries failing the `mtimeBelow` grace check, already vanished,
-    * or non-empty directories are skipped, never errors — a reclaim pass
-    * racing other maintenance must not fail the job. */
+    * or not regular files are skipped, never errors — a reclaim pass races
+    * other maintenance without failing the job, and never deletes a
+    * directory (an in-flight writer's staging dir listed as a candidate
+    * must survive; every legitimate target here is a file). */
   private[table] def reapPaths(it: Iterator[String], mtimeBelow: Long): Long = {
     var n = 0L
     it.foreach { s =>
       val p = java.nio.file.Paths.get(s)
-      val eligible = mtimeBelow == Long.MaxValue ||
-        (try java.nio.file.Files.getLastModifiedTime(p).toMillis < mtimeBelow
-         catch { case _: java.io.IOException => false })
+      val eligible = java.nio.file.Files.isRegularFile(p) &&
+        (mtimeBelow == Long.MaxValue ||
+          (try java.nio.file.Files.getLastModifiedTime(p).toMillis < mtimeBelow
+           catch { case _: java.io.IOException => false }))
       if (eligible &&
           (try java.nio.file.Files.deleteIfExists(p)
            catch { case _: java.io.IOException => false })) n += 1
