@@ -1660,6 +1660,37 @@ class V2ConnectorSpec extends AnyFunSuite {
     } finally graft.sources.v2.PkMerge.HashMergeMaxKeys.set(oldCap)
   }
 
+  test("auto-heal refuses mixed layouts: no read-triggered whole-table rewrite") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "healmix",
+      Map("primary-key" -> "id", "bucket" -> "2"))
+    tbl.appendBatch((1L to 20L).map(i => (i, i * 2)).toDF("id", "x"), 0L)
+    tbl.appendBatch((1L to 20L by 2).map(i => (i, i * 3)).toDF("id", "x"), 1L)
+    // strip ONE file's bucket id — a legacy/externally-registered file
+    java.nio.file.Files.list(
+      java.nio.file.Paths.get(tbl.root, "_manifests")).iterator().asScala
+      .take(1).foreach { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p))
+        java.nio.file.Files.write(p,
+          s.replaceFirst("\"bucket\":\\d+", "\"bucket\":null").getBytes)
+      }
+    val fresh = gc.getTable("db", "healmix") // past the edited manifest cache
+    require(!fresh.latestSnapshot.get.files.forall(_.bucket.isDefined))
+    val before = fresh.latestSnapshot.get.id
+    fresh.noteDegradedBucket(0)
+    // the heal consumes the flag but must NOT rewrite: a targeted heal on a
+    // mixed layout would widen to a whole-table coalesce(1) that strips the
+    // surviving bucket ids — that is sys.compact's explicit decision
+    assert(fresh.healDegradedBuckets() == 0)
+    assert(fresh.pendingDegradedBuckets.isEmpty, "flags consumed either way")
+    assert(fresh.latestSnapshot.get.id == before,
+      "no commit may ride a refused heal")
+    // and the reads still resolve correctly over the mixed layout
+    assert(fresh.read.count() == 20L)
+  }
+
   test("t$files is a distributed scan: manifest partitions, no driver rows") {
     import spark.implicits._
     val (cat, gc) = freshCatalog()
