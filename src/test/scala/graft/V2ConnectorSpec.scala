@@ -1660,6 +1660,35 @@ class V2ConnectorSpec extends AnyFunSuite {
     } finally graft.sources.v2.PkMerge.HashMergeMaxKeys.set(oldCap)
   }
 
+  test("time-travel reads never flag buckets for healing") {
+    import scala.jdk.CollectionConverters._
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "healtt",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "1"))
+    tbl.appendBatch(spark.range(1200L)
+      .selectExpr("id", "1L AS ver", "id * 2 AS x"), 0L)
+    tbl.appendBatch(spark.range(0, 1200L, 2)
+      .selectExpr("id", "2L AS ver", "id * 3 AS x"), 1L)
+    java.nio.file.Files.list(
+      java.nio.file.Paths.get(tbl.root, "_manifests")).iterator().asScala
+      .foreach { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p))
+        java.nio.file.Files.write(p,
+          s.replace("\"sortedBy\":[\"id\"]", "\"sortedBy\":null").getBytes)
+      }
+    val oldCap = graft.sources.v2.PkMerge.HashMergeMaxKeys.get()
+    graft.sources.v2.PkMerge.HashMergeMaxKeys.set(500)
+    try {
+      // a pinned read of unsorted HISTORY says nothing about the head
+      // layout — planning it must not enqueue a rewrite
+      val pinned = spark.sql(
+        s"SELECT id, x FROM $cat.db.healtt VERSION AS OF 0")
+      pkScanOf(pinned).planInputPartitions()
+      assert(gc.getTable("db", "healtt").pendingDegradedBuckets.isEmpty,
+        "time-travel planning must never flag buckets")
+    } finally graft.sources.v2.PkMerge.HashMergeMaxKeys.set(oldCap)
+  }
+
   test("auto-heal refuses mixed layouts: no read-triggered whole-table rewrite") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
