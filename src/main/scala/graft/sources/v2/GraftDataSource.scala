@@ -550,15 +550,18 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
 
   /** Filters usable for stats skipping / parquet row-group pruning:
     * comparisons and equality on top-level numeric, string, date, or
-    * timestamp_ntz columns (time-range predicates are THE dominant scan
-    * shape on a commit-ordered 100 TB table — date/ntz stats render as ISO
-    * strings in the manifest and convert exactly, see [[TemporalPush]]).
-    * Zoned timestamps stay residual-only: Spark's default parquet output
-    * for them is INT96, stats-less and filter-incompatible. */
+    * timestamp columns — zoned AND ntz (time-range predicates are THE
+    * dominant scan shape on a commit-ordered 100 TB table — temporal stats
+    * render as ISO strings in the manifest and convert exactly, see
+    * [[TemporalPush]]). Zoned columns prune because every graft write site
+    * emits INT64 TIMESTAMP_MICROS; LEGACY INT96 files simply carry no
+    * parseable stats (conservative keep) and refuse the columnar/record
+    * predicates through the per-file physical proofs — residual-only, never
+    * wrong. */
   private def pushable(f: Filter): Boolean = {
     def ok(attr: String) = fullSchema.find(_.name == attr).exists(_.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | StringType => true
-      case DateType | TimestampNTZType => true
+      case DateType | TimestampNTZType | TimestampType => true
       case _ => false
     })
     f match {
@@ -624,7 +627,7 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   //  - no GROUP BY, no pushed filters (Spark only attempts the push when all
   //    filters were fully consumed; ours are always residual, so any WHERE
   //    disables the push) — and we re-check both here anyway;
-  //  - COUNT(*) without DISTINCT; MIN/MAX only on INT/LONG/DATE/
+  //  - COUNT(*) without DISTINCT; MIN/MAX only on INT/LONG/DATE/TIMESTAMP/
   //    TIMESTAMP_NTZ columns (all exactly long-representable) whose
   //    stats are present in every file that physically contains the column
   //    (a file that predates the column contributes only nulls and is
@@ -673,13 +676,17 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     def minMax(name: String): Option[Option[(Long, Long)]] =
       statsCache.getOrElseUpdate(name, {
         // long-representable columns: integrals plus DATE (epoch days) and
-        // TIMESTAMP_NTZ (epoch micros) — the manifest's ISO-rendered stats
-        // convert exactly, so "max(event_time)" (the 100 TB freshness
-        // check) answers from metadata alone
+        // both timestamp flavors (epoch micros) — the manifest's
+        // ISO-rendered stats convert exactly, so "max(event_time)" (the
+        // 100 TB freshness check) answers from metadata alone. Zoned stats
+        // carry the "+0000" offset; a legacy INT96 entry never parses and
+        // refuses the push (the footer fallback's unitMatches proof
+        // refuses INT96 the same way).
         val parse: Option[String => Option[Long]] = sparkType(name) match {
           case LongType | IntegerType => Some((s: String) => s.toLongOption)
           case DateType => Some(TemporalPush.statDays _)
           case TimestampNTZType => Some(TemporalPush.statMicros _)
+          case TimestampType => Some(TemporalPush.statMicrosZoned _)
           case _ => None
         }
         parse match {
@@ -1265,17 +1272,22 @@ class GraftVectorReader(path: String, required: StructType,
 }
 
 /** Temporal filter-value/stat conversions for pushdown and stats skipping.
-  * DATE footer stats render as ISO dates ("2020-01-15") and TIMESTAMP_NTZ
-  * (INT64 micros, not UTC-adjusted — what our writer produces) as ISO
-  * datetimes ("2021-03-04T05:06:07.123456") via parquet's typed
-  * stringifier; Spark pushes the matching filter values as
-  * java.sql.Date / java.time.LocalDate and java.time.LocalDateTime. Both
-  * sides convert to epoch days / micros for exact comparison — any parse
-  * or shape surprise yields None and the caller stays conservative.
-  * Zoned TimestampType is deliberately NOT handled: Spark's default
-  * parquet output for it is INT96, whose stats are unusable and whose
-  * physical type would reject an INT64 filter column. */
-private[v2] object TemporalPush {
+  * DATE footer stats render as ISO dates ("2020-01-15"), TIMESTAMP_NTZ
+  * (INT64 micros, not UTC-adjusted) as ISO datetimes
+  * ("2021-03-04T05:06:07.123456"), and zoned TIMESTAMP (INT64 micros,
+  * UTC-adjusted — what every graft write site emits since the
+  * TIMESTAMP_MICROS output switch) as offset datetimes
+  * ("2021-03-04T05:06:07.123456+0000") via parquet's typed stringifier.
+  * Spark pushes the matching filter values as java.sql.Date /
+  * java.time.LocalDate (DATE), java.time.LocalDateTime (NTZ), and
+  * java.sql.Timestamp / java.time.Instant (zoned — both carry the UTC
+  * instant, matching the UTC-adjusted storage exactly, so no session-TZ
+  * arithmetic enters the comparison). Both sides convert to epoch days /
+  * micros for exact comparison — any parse or shape surprise yields None
+  * and the caller stays conservative. LEGACY zoned files written as INT96
+  * carry no usable stats (their entries never parse as offset datetimes)
+  * and therefore never prune — residual-only, exactly as before. */
+private[graft] object TemporalPush {
   def days(v: Any): Option[Long] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
@@ -1284,6 +1296,16 @@ private[v2] object TemporalPush {
   def micros(v: Any): Option[Long] = v match {
     case t: java.time.LocalDateTime =>
       Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+  /** Zoned-timestamp filter value → epoch micros (the UTC instant — the
+    * same number the UTC-adjusted INT64 column stores). */
+  def zonedMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      // getTime floors to millis; getNanos carries the full sub-second part
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
   }
   def statDays(s: String): Option[Long] =
@@ -1295,10 +1317,25 @@ private[v2] object TemporalPush {
       Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
     } catch { case _: java.time.format.DateTimeParseException => None }
 
-  /** Filter value → epoch long, paired with the matching stat parser. */
+  /** parquet's TIMESTAMP_MICROS_UTC stringifier format (empirically pinned
+    * in V2ConnectorSpec): fixed 6-digit fraction + "+0000" offset. */
+  private val ZonedStatFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ")
+  def statMicrosZoned(s: String): Option[Long] =
+    try {
+      val t = java.time.OffsetDateTime.parse(s, ZonedStatFmt).toInstant
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** Filter value → epoch long, paired with the matching stat parser.
+    * The value's Java class picks the parser: Spark hands LocalDateTime
+    * only for NTZ columns (bare-ISO stats) and Timestamp/Instant only for
+    * zoned columns (offset-suffixed stats), so value and stat format can
+    * never cross. */
   def valueAndParser(v: Any): Option[(Long, String => Option[Long])] =
     days(v).map(d => (d, statDays _))
       .orElse(micros(v).map(us => (us, statMicros _)))
+      .orElse(zonedMicros(v).map(us => (us, statMicrosZoned _)))
 }
 
 /** Conservative file-level stats overlap: `keep` is false ONLY when the
@@ -1554,6 +1591,11 @@ object GraftVector {
         case (Some(TimestampNTZType), v) if TemporalPush.micros(v).isDefined =>
           Some(build(FilterApi.longColumn(attr),
             java.lang.Long.valueOf(TemporalPush.micros(v).get)))
+        // zoned: eligible() proved every planned file is INT64 micros
+        // UTC-adjusted, so the epoch-micros instant compares exactly
+        case (Some(TimestampType), v) if TemporalPush.zonedMicros(v).isDefined =>
+          Some(build(FilterApi.longColumn(attr),
+            java.lang.Long.valueOf(TemporalPush.zonedMicros(v).get)))
         case _ => None
       }
     }
@@ -1703,6 +1745,26 @@ class GraftPartitionReader(path: String, required: StructType,
             }) =>
           val c = FilterApi.longColumn(attr)
           val x = java.lang.Long.valueOf(TemporalPush.micros(v).get)
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case "le" => FilterApi.ltEq(c, x)
+          })
+        // zoned timestamp (java.sql.Timestamp / Instant value): only an
+        // INT64 MICROS column ADJUSTED to UTC stores the comparable epoch
+        // instant — a legacy INT96 file fails this proof and keeps reading
+        // unfiltered (the residual Filter above decides truth)
+        case (PrimitiveTypeName.INT64, v) if TemporalPush.zonedMicros(v).isDefined &&
+            (prim.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS &&
+                  t.isAdjustedToUTC
+              case _ => false
+            }) =>
+          val c = FilterApi.longColumn(attr)
+          val x = java.lang.Long.valueOf(TemporalPush.zonedMicros(v).get)
           Some(op match {
             case "eq" => FilterApi.eq(c, x)
             case "gt" => FilterApi.gt(c, x)

@@ -680,6 +680,27 @@ object V2Queries {
         .orderBy("o_orderkey")
     },
 
+    // ZONED-timestamp pushdown end to end: events committed as week-ranged
+    // batches with `ts` as TimestampType — the reference's own TIMESTAMP(3)
+    // columns (Readme.md:137) re-expressed. Every graft write emits INT64
+    // TIMESTAMP_MICROS (never INT96), so the manifest's "+0000"-rendered
+    // stats prune whole files, the pushed predicate prunes row groups, and
+    // the decode rides the vectorized path (all pinned in V2ConnectorSpec);
+    // the oracle pins the exact UTC window.
+    QDef(
+      "q_source_v2_ts_pushdown",
+      """SELECT event_id, ts, user_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = timeBatchedEvents(s, d)
+      s.read.format("graft").load(root)
+        .where(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id")
+        .orderBy("event_id")
+    },
+
     // A TAG as a SQL version: the first commit tagged, the table then grown
     // — `VERSION AS OF 'baseline'` must reproduce exactly the state the tag
     // pinned, while the head serves the grown table (stager-asserted). The
@@ -735,6 +756,47 @@ object V2Queries {
           col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp_ntz") &&
             col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp_ntz"))
           .repartition(1), b.toLong)
+      }
+      root
+    })
+
+  /** events written as one batch per January-2024 week with `ts` cast to
+    * ZONED TimestampType — per-file ts stats are disjoint UTC instants, so a
+    * time-range filter genuinely skips files. The staging asserts the
+    * physical contract this round establishes: every committed file stores
+    * ts as INT64 TIMESTAMP_MICROS (UTC-adjusted), never INT96. */
+  private val stagedTimeEvents = new ConcurrentHashMap[String, String]()
+  private def timeBatchedEvents(s: SparkSession, d: String): String =
+    stagedTimeEvents.computeIfAbsent(d, { _ =>
+      val root = Files.createTempDirectory("graft_v2_tsz_").toString
+      val tbl = new StreamTable(root, s)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+      val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
+        "2024-01-29", "2024-02-05")
+      weeks.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
+        tbl.appendBatch(ev.where(
+          col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp")).repartition(1), b.toLong)
+      }
+      // pin the writer contract: INT64 micros adjusted-to-UTC in every file
+      tbl.latestSnapshot.get.files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path), new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val sch = r.getFooter.getFileMetaData.getSchema
+          val fld = sch.getType(sch.getFieldIndex("ts")).asPrimitiveType()
+          require(fld.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+            (fld.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.isAdjustedToUTC && t.getUnit ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => false
+            }), s"graft writes must emit INT64 TIMESTAMP_MICROS, got $fld in ${f.path}")
+        } finally r.close()
       }
       root
     })

@@ -666,14 +666,16 @@ class StreamTable(
           .repartition(numBuckets, col(k))
         val ordered = laid.sortWithinPartitions(
           (BucketColName +: sortKey.getOrElse(Seq.empty)).map(col): _*)
-        ordered.write.mode("overwrite").partitionBy(BucketColName).parquet(staging)
+        StreamTable.withMicrosTimestamps(spark)(
+          ordered.write.mode("overwrite").partitionBy(BucketColName).parquet(staging))
         moveStagedBuckets(staging, destDir, prefix)
       case None =>
         val ordered = sortKey match {
           case Some(pk) => stamped.sortWithinPartitions(pk.map(col): _*)
           case None     => stamped
         }
-        ordered.write.mode("overwrite").parquet(staging)
+        StreamTable.withMicrosTimestamps(spark)(
+          ordered.write.mode("overwrite").parquet(staging))
         moveStagedParts(staging, destDir, prefix)
     }
 
@@ -996,7 +998,8 @@ class StreamTable(
     require(touched.size == touchedPaths0.size, // a path with no live meta
       s"cow discovery returned unknown files: ${touchedPaths0.diff(touched.map(_.path).toSet).take(3)}")
     val staging = s"$root/.staging-${UUID.randomUUID()}"
-    rewrite(readFiles(touched)).write.mode("overwrite").parquet(staging)
+    StreamTable.withMicrosTimestamps(spark)(
+      rewrite(readFiles(touched)).write.mode("overwrite").parquet(staging))
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
     val parts = listDir(Paths.get(staging)).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -2222,7 +2225,8 @@ class StreamTable(
           case Some(pk) => raw.coalesce(1).sortWithinPartitions(pk.map(col): _*)
           case None     => raw.coalesce(1)
         }
-        laid.write.mode("overwrite").parquet(staging)
+        StreamTable.withMicrosTimestamps(spark)(
+          laid.write.mode("overwrite").parquet(staging))
         moveStagedParts(staging, dataCompact, s"m$snapId")
           .map { case (p, _) => (p, None) }
       }
@@ -2321,7 +2325,8 @@ class StreamTable(
           case Some(pk) => laid.sortWithinPartitions(pk.map(col): _*)
           case None     => laid
         }
-        rewritten.write.mode("overwrite").parquet(staging)
+        StreamTable.withMicrosTimestamps(spark)(
+          rewritten.write.mode("overwrite").parquet(staging))
         moveStagedParts(staging, dataCompact, s"c$snapId")
       }
     val maxSeq = before.map(_.maxSeq).max
@@ -2602,6 +2607,31 @@ class StreamTable(
 }
 
 object StreamTable {
+  /** Run a staging parquet write with zoned timestamps emitted as INT64
+    * TIMESTAMP_MICROS (UTC-adjusted) instead of Spark's INT96 default, then
+    * restore the session setting. INT96 is stats-less and
+    * filter-incompatible — with MICROS the whole stats-skipping /
+    * row-group-pruning / columnar machinery applies to `TIMESTAMP(3)`
+    * columns (the reference's own event_time/updated_at type,
+    * Readme.md:137, guide.md:26), THE dominant predicate at 100 TB.
+    * Matches the V2 streaming sink's schema (V2StreamingSink.scala:
+    * timestampType(true, MICROS)), so every graft write site agrees on one
+    * physical layout; legacy INT96 files keep reading correctly and stay
+    * residual-only via the per-file proofs. Set/restore on the shared
+    * session conf: a concurrent non-graft write momentarily observing
+    * MICROS gets the STANDARD parquet type (strictly better stats), never
+    * a corruption. */
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Changed-key evidence for a changelog interval, walked COMMIT-BY-COMMIT
     * over `(from, to]` — THE rule shared by the library door
     * ([[StreamTable.changelogWithRetractions]]) and the V2 planner

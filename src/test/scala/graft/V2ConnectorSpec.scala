@@ -847,6 +847,139 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("zoned timestamp range filter: pushed, file-skipped via +0000 stats, columnar, exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = SparkEntry.queries("q_source_v2_ts_pushdown")(spark, sf)
+    val scan = scanOf(df)
+    val desc = scan.description()
+    assert(desc.contains("ts"), desc) // the zoned predicate reached the scan
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt == 5, desc) // one batch per January week
+    assert(kept.toInt <= 2, s"the week-2 window must prune the other weeks: $desc")
+    // the surviving file decodes columnar with the zoned predicate
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "zoned pushed filters should stay on the columnar path")
+    // exact answers vs the in-memory ground truth
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
+      .where(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .orderBy("event_id").collect().toSeq
+    assert(df.collect().toSeq == want)
+    // a window outside every file's range prunes everything
+    val none = spark.read.format("graft").load(scanOf(df).tableRoot)
+      .where(col("ts") >= lit("2026-01-01 00:00:00").cast("timestamp"))
+    val Files(k2, _) = scanOf(none).description()
+    assert(k2.toInt == 0, "out-of-range zoned window must prune every file")
+    assert(none.count() == 0L)
+    // the manifest's rendered stats carry the pinned stringifier format —
+    // the "+0000"-suffixed offset datetime statMicrosZoned round-trips
+    val withStats = new StreamTable(scanOf(df).tableRoot, spark)
+      .latestSnapshot.get.files
+    assert(withStats.nonEmpty)
+    withStats.foreach { m =>
+      val mn = m.minStats.getOrElse(Map.empty[String, String])("ts")
+      assert(mn.endsWith("+0000"), s"zoned stat rendering changed: $mn")
+      assert(graft.sources.v2.TemporalPush.statMicrosZoned(mn).isDefined,
+        s"statMicrosZoned must parse the stringifier's own output: $mn")
+    }
+  }
+
+  test("aggregate pushdown: MAX of a zoned timestamp answers from manifest stats") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val root = scanOf(SparkEntry.queries("q_source_v2_ts_pushdown")(spark, sf))
+      .tableRoot
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), min("ts").as("first"), max("ts").as("last"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"zoned min/max was not pushed:\n$plan")
+    val expect = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp").as("ts"))
+      .agg(count(lit(1)), min("ts"), max("ts")).head()
+    val got = df.head()
+    assert(got.getLong(0) == expect.getLong(0))
+    assert(got.getTimestamp(1) == expect.getTimestamp(1), "min(zoned)")
+    assert(got.getTimestamp(2) == expect.getTimestamp(2), "max(zoned)")
+  }
+
+  test("legacy INT96 zoned file: never prunes, row reader decodes, residual stays exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import spark.implicits._
+    // stage a 1-file zoned-ts table, then REPLACE the committed file with an
+    // INT96 twin (identical logical rows) — the pre-round-16 layout a
+    // long-lived deployment still carries
+    val root = java.nio.file.Files.createTempDirectory("v2_int96_").toString
+    val tbl = new StreamTable(root, spark)
+    val instants = Seq("2024-01-02T01:00:00Z", "2024-01-10T02:00:00Z",
+      "2024-01-20T03:00:00Z").map(java.time.Instant.parse)
+    tbl.appendBatch(instants.zipWithIndex
+      .map { case (t, i) => (i.toLong, java.sql.Timestamp.from(t)) }
+      .toDF("id", "ts").coalesce(1), 0L)
+    val meta = tbl.latestSnapshot.get.files.head
+    val mt = new MessageType("spark_schema",
+      Types.optional(PrimitiveTypeName.INT64).named("id"),
+      Types.optional(PrimitiveTypeName.INT96).named("ts"),
+      Types.optional(PrimitiveTypeName.INT64).named(StreamTable.SeqColName))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(mt, conf)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(meta.path))
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(meta.path), conf))
+      .withConf(conf).build()
+    val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mt)
+    instants.zipWithIndex.foreach { case (t, i) =>
+      val g = fac.newGroup()
+      g.add("id", i.toLong)
+      val julian = (t.getEpochSecond / 86400L + 2440588L).toInt
+      val nanosOfDay = Math.floorMod(t.getEpochSecond, 86400L) * 1000000000L + t.getNano
+      val buf = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putLong(nanosOfDay).putInt(julian)
+      g.add("ts", org.apache.parquet.io.api.Binary.fromConstantByteArray(buf.array()))
+      g.add(StreamTable.SeqColName, 0L)
+      w.write(g)
+    }
+    w.close()
+    // strip the (now-stale, MICROS-rendered) manifest stats so skipping sees
+    // the INT96 footer — whose ts stats are unusable and must never prune
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Seq("_snapshots", "_manifests").foreach { d =>
+      StreamTable.listDir(java.nio.file.Paths.get(root, d))
+        .filter(_.toString.endsWith(".json")).foreach { p =>
+          val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          Seq("files", "changelog", "added").foreach { arr =>
+            val a = node.get(arr)
+            if (a != null && a.isArray) a.forEach { f =>
+              f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .remove(java.util.Arrays.asList(
+                  "minStats", "maxStats", "fileCols", "badStats"))
+            }
+          }
+          java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
+        }
+    }
+    val df = spark.read.format("graft").load(root)
+      .where(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"))
+    val scan = scanOf(df)
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = scan.description()
+    assert(total.toInt == 1 && kept.toInt == 1,
+      s"INT96 stats must conservatively keep the file: ${scan.description()}")
+    // eligibility proof refuses INT96 — the ROW reader serves this file
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(p => !f.supportColumnarReads(p)),
+      "an INT96 file must fall off the columnar path")
+    // and the residual filter decides truth: exactly the two in-window rows
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("filtered columnar scan: row-group pruning engages, results exact") {
     import org.apache.spark.sql.functions.col
     val pred = col("l_orderkey") > 1000 && col("l_orderkey") <= 2500
