@@ -1195,58 +1195,74 @@ class GraftChainedVectorReader(paths: Seq[String], required: StructType,
   * scan — ~10× the row-by-row Group assembly for bulk reads (the initial
   * streaming catch-up, full-table batch scans) and ~3× for the filtered
   * read, the most common 100 TB scan shape. Engaged only when
-  * [[GraftVector.eligible]] proved every planned file physically matches
-  * the projection (so the decode can never surprise an executor); metadata
-  * columns and evolved/missing columns still take the row-based reader,
-  * where those features live.
+  * [[GraftVector.eligible]] proved every column every planned file CARRIES
+  * physically matches the projection (so the decode can never surprise an
+  * executor) — columns a file PREDATES null-fill through Spark's own
+  * missing-column vectors, so evolved tables stay vectorized; metadata
+  * columns still take the row-based reader, where that feature lives.
   *
-  * With pushed filters the reader initializes through Spark's own
-  * split-based path so parquet's row-group + column-index (page) pruning
-  * engages (`readNextFilteredRowGroup`), consistent with
-  * `getFilteredRecordCount`; record-level truth stays with the residual
-  * Filter node Spark keeps above this scan (pushFilters never claims
-  * filters handled). A pushed per-partition limit trims the final batch via
-  * `setNumRows` — Spark applies the global limit above. */
+  * The reader always initializes through Spark's own split-based path: the
+  * requested schema rides ParquetReadSupport clipping (conf-keyed), so a
+  * required column ABSENT from this file comes back as Spark's own
+  * constant-null missing-column vector — schema evolution (ADD/RENAME)
+  * stays vectorized. Pushed filters ride ParquetInputFormat so parquet's
+  * row-group + column-index (page) pruning engages
+  * (`readNextFilteredRowGroup`), consistent with `getFilteredRecordCount`;
+  * record-level truth stays with the residual Filter node Spark keeps
+  * above this scan (pushFilters never claims filters handled). A pushed
+  * per-partition limit trims the final batch via `setNumRows` — Spark
+  * applies the global limit above. */
 class GraftVectorReader(path: String, required: StructType,
     pushed: Array[Filter] = Array.empty, limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       /* useOffHeap = */ false, /* capacity = */ 4096)
-  GraftVector.toRowGroupPredicate(pushed, required) match {
-    case None =>
-      reader.initialize(path, required.fieldNames.toList.asJava)
-    case Some(pred) =>
-      // Spark's split initialize: requested schema via ParquetReadSupport
-      // clipping (conf-keyed), filter via ParquetInputFormat — the reader
-      // then opens the footer with row-group filtering and serves filtered
-      // (page-pruned) row groups.
-      val conf = new Configuration()
-      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-      conf.set(
-        org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
-        required.json)
-      // the split-based initialize builds ParquetToSparkSchemaConverter from
-      // this conf and reads these five keys with no default — set them to
-      // the SQLConf defaults Spark's own ParquetFileFormat propagates
-      // (eligible() already refused any file whose physical layout these
-      // flags could reinterpret: INT96, non-annotated binary, nanos)
-      locally {
-        import org.apache.spark.sql.internal.SQLConf
-        conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
-        conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
-        conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
-        conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
-        conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
-      }
-      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
-      val split = new org.apache.hadoop.mapred.FileSplit(hPath, 0L, len, Array.empty[String])
-      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
-        new org.apache.hadoop.mapreduce.TaskAttemptID())
-      reader.initialize(split, ctx)
+  locally {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    conf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      required.json)
+    // The split-based initialize builds ParquetToSparkSchemaConverter from
+    // this conf and reads these five keys with no default — pinned to the
+    // SQLConf defaults Spark's own ParquetFileFormat propagates. PINNED, not
+    // session-copied, deliberately: eligible() refused every file whose
+    // physical layout any of the flags could reinterpret (INT96,
+    // non-annotated binary, NANOS units, case-twin names are all
+    // layout-proof failures), so for every file that reaches this reader
+    // all five values are semantically inert — while session-copying would
+    // let an unrelated session mutation (Tables.events sets nanosAsLong for
+    // the TESTDATA loader, a user may toggle caseSensitive) change decode
+    // behavior mid-table. The row reader is equally conf-independent
+    // (declared-type-driven conversions), so the two paths can never
+    // diverge. Like every graft reader (footerStats, the Group reader),
+    // the fresh Configuration assumes default-filesystem access — an
+    // object-store deployment supplies credentials via core-site, not
+    // session conf.
+    locally {
+      import org.apache.spark.sql.internal.SQLConf
+      conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+      conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+      conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    }
+    // row-group/page pruning only for conjuncts whose columns THIS file
+    // physically carries (an absent column's values are all null — the
+    // conjunct is dropped, weaker AND pruning is always conservative)
+    val present = GraftVector.layout(path)
+    GraftVector.toRowGroupPredicate(
+      pushed.filter(_.references.forall(r => present.get(r).exists(_.isDefined))),
+      required)
+      .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(hPath, 0L, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+      new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
   }
   reader.enableReturningBatches()
   reader.resultBatch() // force initBatch before the first nextBatch()
@@ -1464,13 +1480,16 @@ object GraftVector {
   import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 
   private val fieldCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, PrimitiveType]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Option[PrimitiveType]]]()
 
-  /** Per-file primitive layout (name → primitive type), footer-cached.
-    * Bounded: compaction/overwrite keep minting new immutable paths, so a
-    * long-lived driver would otherwise accumulate entries for dead files —
-    * dropping the whole cache is only a re-read, never a correctness risk. */
-  private def layout(path: String): Map[String, PrimitiveType] = {
+  /** Per-file layout (name → Some(primitive) | None for group/repeated
+    * fields — present but not columnar-provable), footer-cached. A name
+    * ABSENT from the map is genuinely absent from the file (schema
+    * evolution: the reader null-fills it). Bounded: compaction/overwrite
+    * keep minting new immutable paths, so a long-lived driver would
+    * otherwise accumulate entries for dead files — dropping the whole cache
+    * is only a re-read, never a correctness risk. */
+  private[v2] def layout(path: String): Map[String, Option[PrimitiveType]] = {
     if (fieldCache.size() > 8192) fieldCache.clear()
     fieldCache.computeIfAbsent(path, { p =>
       val in = HadoopInputFile.fromPath(
@@ -1478,10 +1497,11 @@ object GraftVector {
       val r = ParquetFileReader.open(in)
       try {
         val s = r.getFooter.getFileMetaData.getSchema
-        s.getFields.asScala.collect {
-          case f if f.isPrimitive && f.getRepetition !=
-              org.apache.parquet.schema.Type.Repetition.REPEATED =>
-            f.getName -> f.asPrimitiveType()
+        s.getFields.asScala.map { f =>
+          if (f.isPrimitive && f.getRepetition !=
+              org.apache.parquet.schema.Type.Repetition.REPEATED)
+            f.getName -> Some(f.asPrimitiveType())
+          else f.getName -> None
         }.toMap
       } finally r.close()
     })
@@ -1540,7 +1560,18 @@ object GraftVector {
     * already covers them. Limit stays per-partition-partial under columnar
     * (batches are trimmed with setNumRows); Spark's plan shape guarantees a
     * pushed limit never coexists with residual filters, but we refuse the
-    * combination anyway rather than reason about row counts under pruning. */
+    * combination anyway rather than reason about row counts under pruning:
+    * the columnar reader's page pruning is inexact, so "n decoded rows" is
+    * not "n post-filter rows" — only the row reader's record-level filter
+    * can count deliveries exactly.
+    *
+    * Schema evolution keeps the fast path: a required column ABSENT from a
+    * file null-fills through Spark's own missing-column machinery (the
+    * requested-schema split initialize), so an ALTER TABLE ADD/RENAME no
+    * longer demotes every pre-evolution file to the ~3× row decode — at
+    * 100 TB every long-lived table is evolved, so this IS the common scan.
+    * A column PRESENT in a file must still prove its physical layout; a
+    * present-but-group field (nested shadow) refuses. */
   def eligible(required: StructType, pushed: Array[Filter],
       limit: Option[Int], paths: Seq[String]): Boolean =
     !(pushed.nonEmpty && limit.nonEmpty) && paths.nonEmpty &&
@@ -1549,7 +1580,11 @@ object GraftVector {
       paths.forall { p =>
         try {
           val l = layout(p)
-          required.fields.forall(f => l.get(f.name).exists(matches(f.dataType, _)))
+          required.fields.forall(f => l.get(f.name) match {
+            case None => true // absent from this file: reader null-fills
+            case Some(Some(prim)) => matches(f.dataType, prim)
+            case Some(None) => false // present as a group/repeated field
+          })
         } catch { case _: Exception => false }
       }
 

@@ -1346,6 +1346,74 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key column"), e.getMessage)
   }
 
+  test("evolved table scans stay COLUMNAR: ADD/RENAME null-fill through vector reads") {
+    import org.apache.spark.sql.functions.col
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.evocol (id BIGINT, a STRING)")
+    spark.sql(s"INSERT INTO $cat.db.evocol VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"ALTER TABLE $cat.db.evocol ADD COLUMNS (score DOUBLE)")
+    spark.sql(s"ALTER TABLE $cat.db.evocol RENAME COLUMN a TO label")
+    spark.sql(s"INSERT INTO $cat.db.evocol VALUES (3, 'z', 9.5)")
+    // pre-evolution files DON'T carry score; every live file must still
+    // decode through the vectorized path (null-filled missing columns)
+    val df = spark.sql(s"SELECT id, label, score FROM $cat.db.evocol ORDER BY id")
+    val scan = scanOf(df)
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "an evolved table must not fall off the columnar path")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+      Seq((1L, "x", null), (2L, "y", null), (3L, "z", 9.5)))
+    // after execution AQE has finalized: the decode ran columnar
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"expected a columnar scan:\n${df.queryExecution.executedPlan}")
+    // a pushed filter over the ADDed column: the pre-evolution file has no
+    // such column (all-null there — its conjunct is dropped per file),
+    // results stay exact and columnar
+    val filtered = spark.sql(
+      s"SELECT id, score FROM $cat.db.evocol WHERE score > 1.0")
+    val fs = scanOf(filtered)
+    assert(fs.planInputPartitions().forall(
+      fs.createReaderFactory().supportColumnarReads),
+      "pushed filter over an evolved column must stay columnar")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // and over the RENAMED column (declared name translates to file-level)
+    val renamed = spark.sql(
+      s"SELECT id, label FROM $cat.db.evocol WHERE label = 'y'")
+    assert(renamed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "y")))
+  }
+
+  test("graft reads are parquet-conversion-conf independent (pinned flags, proven layouts)") {
+    // eligible() refuses every layout the five conversion flags could
+    // reinterpret, so the pinned reader conf and a mutated session must
+    // produce IDENTICAL plans and answers — a session toggle (the testdata
+    // loader sets nanosAsLong; users toggle caseSensitive) must not change
+    // decode behavior mid-table in either direction
+    val root = java.nio.file.Files.createTempDirectory("v2_conf_").toString
+    val tbl = new StreamTable(root, spark)
+    import spark.implicits._
+    tbl.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), 0L)
+    def run() = {
+      val df = spark.read.format("graft").load(root).orderBy("id")
+      val scan = scanOf(df)
+      (scan.planInputPartitions().forall(
+        scan.createReaderFactory().supportColumnarReads),
+        df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    }
+    val before = run()
+    assert(before._1, "expected the columnar path")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try assert(run() == before,
+      "session conversion-conf toggles must not change the graft read")
+    finally {
+      spark.conf.unset("spark.sql.caseSensitive")
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("streaming changelog read emits +I/-U/+U/-D matching the batch changelog") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
