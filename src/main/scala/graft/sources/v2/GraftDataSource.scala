@@ -545,7 +545,7 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, InternalRow, String)] = None
+  private var pushedAgg: Option[(StructType, Seq[InternalRow], String)] = None
   private var limit: Option[Int] = None
 
   /** Filters usable for stats skipping / parquet row-group pruning:
@@ -639,8 +639,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
 
   // Spark probes supportCompletePushDown then pushAggregation with the same
   // Aggregation — memoize so the footer pass runs once, not twice
-  private var lastAnswer: Option[(Aggregation, Option[(StructType, InternalRow, String)])] = None
-  private def answerCached(agg: Aggregation): Option[(StructType, InternalRow, String)] =
+  private var lastAnswer: Option[(Aggregation, Option[(StructType, Seq[InternalRow], String)])] = None
+  private def answerCached(agg: Aggregation): Option[(StructType, Seq[InternalRow], String)] =
     lastAnswer match {
       case Some((a, ans)) if a eq agg => ans
       case _ =>
@@ -665,16 +665,23 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   }
 
   private def answerFor(agg: Aggregation)
-      : Option[(StructType, InternalRow, String)] = {
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+      : Option[(StructType, Seq[InternalRow], String)] = {
+    if (pushed.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return groupedAnswer(agg)
     val files = table.liveFiles
-    lazy val totalRows = files.map(_.rowCount).sum
+    // COUNT(*) stays exact under deletion vectors (live = physical - dv);
+    // MIN/MAX does NOT (a deleted row may hold the extreme and the stats
+    // can't know) — minMax refuses below when any file carries a vector
+    lazy val anyDv = files.exists(_.dvCount.exists(_ > 0))
+    lazy val totalRows = files.map(_.liveRowCount).sum
     // typed per-file [min,max] of an integral column, merged; None = refuse
     lazy val statsCache = scala.collection.mutable.Map[String, Option[Option[(Long, Long)]]]()
     def sparkType(name: String): DataType =
       fullSchema.find(_.name == name).map(_.dataType).getOrElse(LongType)
     def minMax(name: String): Option[Option[(Long, Long)]] =
-      statsCache.getOrElseUpdate(name, {
+      statsCache.getOrElseUpdate(name,
+      if (anyDv) None // stats include deleted rows: refuse min/max
+      else {
         // long-representable columns: integrals plus DATE (epoch days) and
         // both timestamp flavors (epoch micros) — the manifest's
         // ISO-rendered stats convert exactly, so "max(event_time)" (the
@@ -726,13 +733,142 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
       val schema = StructType(cols.map { case (n, dt, v) =>
         StructField(n, dt, nullable = v == null) })
       val row = new GenericInternalRow(cols.map(_._3).toArray)
-      Some((schema, row, cols.map(_._1).mkString(", ")))
+      Some((schema, Seq(row), cols.map(_._1).mkString(", ")))
     }
   }
 
+  // ---- GROUPED aggregate pushdown (per-file-constant group columns) ------
+  //
+  // GROUP BY g, COUNT(*)/MIN/MAX answers from the manifest alone when EVERY
+  // live file is provably SINGLE-VALUED in every group column: either
+  // nulls = rowCount (the whole file groups under NULL — including files
+  // that predate the column), or nulls = 0 ∧ min = max (the value). That is
+  // exactly the layout a slice-per-commit ingest leaves behind (one tenant /
+  // day / event type per batch — the commonest 100 TB partitioning), so the
+  // per-partition census reads ZERO data bytes. Any file that can't prove
+  // single-valuedness (mixed nulls, multi-valued, legacy manifest, missing
+  // null counts, a deletion vector) refuses the whole push — the
+  // distributed aggregate is the fallback, never an approximation.
+  private def groupedAnswer(agg: Aggregation)
+      : Option[(StructType, Seq[InternalRow], String)] = {
+    val files = table.liveFiles
+    if (files.exists(_.dvCount.exists(_ > 0))) return None
+    def sparkType(name: String): Option[DataType] =
+      fullSchema.find(_.name == name).map(_.dataType)
+    // parse a rendered stat to the column's INTERNAL value
+    def internal(dt: DataType, s: String): Option[Any] = dt match {
+      case LongType => s.toLongOption
+      case IntegerType => s.toLongOption.map(_.toInt)
+      case StringType => Some(UTF8String.fromString(s))
+      case DateType => TemporalPush.statDays(s).map(_.toInt)
+      case TimestampNTZType => TemporalPush.statMicros(s)
+      case TimestampType => TemporalPush.statMicrosZoned(s)
+      case _ => None
+    }
+    val groupCols: Seq[(String, DataType)] = {
+      val named = agg.groupByExpressions.toSeq.map(colName)
+      if (named.exists(_.isEmpty)) return None
+      val names = named.flatten
+      if (names.distinct.size != names.size) return None
+      val typed = names.map(n => sparkType(n).map(n -> _))
+      if (typed.exists(_.isEmpty)) return None
+      typed.flatten
+    }
+    if (groupCols.isEmpty) return None
+    // the single group value of column g in file f, or None = unprovable.
+    // Some(null) = the file's rows all group under NULL for g.
+    def groupValue(f: DataFileMeta, g: String, dt: DataType): Option[Any] = {
+      val fileN = nameMap.getOrElse(g, g)
+      (f.fileCols, f.nullStats) match {
+        case (Some(cols), _) if !cols.contains(fileN) =>
+          Some(null) // file predates the column: all rows null
+        case (Some(_), Some(nulls)) =>
+          if (f.badStats.exists(_.contains(fileN))) None
+          else nulls.get(fileN).flatMap(_.toLongOption) match {
+            case Some(n) if n == f.rowCount => Some(null)
+            case Some(0L) =>
+              (f.minStats.flatMap(_.get(fileN)), f.maxStats.flatMap(_.get(fileN))) match {
+                case (Some(mn), Some(mx)) if mn == mx => internal(dt, mn)
+                case _ => None // multi-valued or missing: refuse
+              }
+            case _ => None // mixed null/non-null (two groups in one file)
+          }
+        case _ => None // legacy manifest: no provable layout
+      }
+    }
+    // group key per file (every file must prove every column)
+    val keyed: Seq[Option[(Seq[Any], DataFileMeta)]] = files.map { f =>
+      val key = groupCols.map { case (g, dt) => groupValue(f, g, dt) }
+      if (key.exists(_.isEmpty)) None else Some((key.map(_.get), f))
+    }
+    if (keyed.exists(_.isEmpty)) return None
+    val byKey = keyed.flatten.groupBy(_._1)
+    // aggregate columns over each group's files (manifest stats only)
+    val conf = new Configuration()
+    def minMaxIn(group: Seq[DataFileMeta], name: String)
+        : Option[Option[(Long, Long)]] = {
+      val parse: Option[String => Option[Long]] = sparkType(name) match {
+        case Some(LongType | IntegerType) => Some((s: String) => s.toLongOption)
+        case Some(DateType) => Some(TemporalPush.statDays _)
+        case Some(TimestampNTZType) => Some(TemporalPush.statMicros _)
+        case Some(TimestampType) => Some(TemporalPush.statMicrosZoned _)
+        case _ => None
+      }
+      parse.flatMap { p =>
+        val fileN = nameMap.getOrElse(name, name)
+        val perFile = group.map(f => GraftScanBuilder.metaLongMinMax(
+          f, fileN, conf, p, declared = sparkType(name)))
+        if (perFile.contains(None)) None
+        else {
+          val present = perFile.flatten.flatten
+          if (present.isEmpty) Some(None)
+          else Some(Some((present.map(_._1).min, present.map(_._2).max)))
+        }
+      }
+    }
+    def toValue(name: String, v: Long): Any = sparkType(name) match {
+      case Some(IntegerType | DateType) => v.toInt
+      case _ => v
+    }
+    val aggCols: Seq[(String, DataType, Seq[DataFileMeta] => Option[Any])] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count(*)", LongType: DataType,
+          (g: Seq[DataFileMeta]) => Some(g.map(_.rowCount).sum): Option[Any]))
+        case m: Min => colName(m.column).flatMap(n => sparkType(n).map(dt =>
+          (s"min($n)", dt,
+            (g: Seq[DataFileMeta]) => minMaxIn(g, n)
+              .map(_.map(p => toValue(n, p._1)).orNull))))
+        case m: Max => colName(m.column).flatMap(n => sparkType(n).map(dt =>
+          (s"max($n)", dt,
+            (g: Seq[DataFileMeta]) => minMaxIn(g, n)
+              .map(_.map(p => toValue(n, p._2)).orNull))))
+        case _ => None
+      } match {
+        case rs if rs.contains(None) || rs.isEmpty => return None
+        case rs => rs.flatten
+      }
+    // deterministic row order (rendered key) — the plan above is free to
+    // reorder, but stable output makes the scan reproducible run to run
+    val rows = byKey.toSeq.sortBy(_._1.map(v =>
+      if (v == null) "" else v.toString).mkString(" ")).map { case (key, fs) =>
+      val group = fs.map(_._2)
+      val aggVals = aggCols.map(_._3(group))
+      if (aggVals.exists(_.isEmpty)) return None // unprovable agg: refuse all
+      new GenericInternalRow((key ++ aggVals.map(_.get)).toArray): InternalRow
+    }
+    // complete-pushdown output: GROUP columns first, then aggregates (the
+    // order V2ScanRelationPushDown binds the scan output with)
+    val schema = StructType(
+      groupCols.map { case (g, dt) => StructField(g, dt, nullable = true) } ++
+        aggCols.map { case (n, dt, _) => StructField(n, dt, nullable = true) })
+    Some((schema, rows,
+      s"group by ${groupCols.map(_._1).mkString(", ")}: " +
+        aggCols.map(_._1).mkString(", ")))
+  }
+
   override def build(): Scan = pushedAgg match {
-    case Some((schema, row, desc)) =>
-      new GraftAggregateScan(table.name(), schema, row, desc)
+    case Some((schema, rows, desc)) =>
+      new GraftAggregateScan(table.name(), schema, rows, desc)
     case None =>
       new GraftScan(table, required, pushed, limit, consumerId, nameMap, scanStart)
   }
@@ -808,10 +944,12 @@ object GraftScanBuilder {
   }
 }
 
-/** Result of a complete aggregate pushdown: one precomputed row, answered
-  * from manifest + footers — the scan reads zero data bytes. */
+/** Result of a complete aggregate pushdown: precomputed row(s) — one for a
+  * global aggregate, one per group for the provably-partitioned grouped
+  * push — answered from manifest + footers; the scan reads zero data
+  * bytes. */
 class GraftAggregateScan(tableName: String, schema: StructType,
-    row: InternalRow, pushedDesc: String) extends Scan with Batch {
+    rows: Seq[InternalRow], pushedDesc: String) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"GraftAggregateScan $tableName PushedAggregates: [$pushedDesc]"
@@ -819,17 +957,22 @@ class GraftAggregateScan(tableName: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftInputPartition("<metadata-aggregate>"))
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftAggregateReaderFactory(row)
+    GraftAggregateReaderFactory(rows)
 }
 
-/** Ships ONLY the precomputed row to the one executor task. */
-case class GraftAggregateReaderFactory(row: InternalRow)
+/** Ships ONLY the precomputed rows to the one executor task. */
+case class GraftAggregateReaderFactory(rows: Seq[InternalRow])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = row
+      private val it = rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        val has = it.hasNext
+        if (has) cur = it.next()
+        has
+      }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
 }
@@ -937,7 +1080,7 @@ class GraftScan(table: GraftV2Table, required: StructType,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, kept.map(_.fileSizeInBytes).sum))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(kept.map(_.rowCount).sum)
+      java.util.OptionalLong.of(kept.map(_.liveRowCount).sum)
   }
 
   // ---- storage-partitioned join (SPJ) ------------------------------------
@@ -965,7 +1108,11 @@ class GraftScan(table: GraftV2Table, required: StructType,
       SparkSession.active.conf.get("spark.sql.sources.v2.bucketing.enabled") == "true"
     } catch { case _: Exception => false }
     t.bucketKey match {
+      // deletion-vector'd files fall back from SPJ until compaction purges
+      // the vectors (the bucket readers are DV-unaware by design — a DV'd
+      // append table is mid-maintenance state, not a join-layout citizen)
       case Some(k) if confOn && kept.nonEmpty && kept.forall(_.bucket.isDefined) &&
+          !kept.exists(_.dvCount.exists(_ > 0)) &&
           required.fieldNames.contains(k) &&
           table.schema().find(_.name == k).exists(f =>
             f.dataType == LongType || f.dataType == IntegerType) =>
@@ -1081,15 +1228,24 @@ class GraftScan(table: GraftV2Table, required: StructType,
           files.map(f => (f.path, f.minSeq)), bucketId): InputPartition
       }.toArray
     case None =>
-      kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
+      kept.map(f => GraftInputPartition(f.path, f.minSeq,
+        GraftScan.dvOf(f)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(fileRequired, filePushed, limit,
-      columnar = GraftVector.eligible(fileRequired, filePushed, limit, kept.map(_.path)))
+      columnar = !kept.exists(_.dvCount.exists(_ > 0)) &&
+        GraftVector.eligible(fileRequired, filePushed, limit, kept.map(_.path)))
 }
 
 object GraftScan {
+  /** A meta's deletion-vector positions, loaded at plan time (None → empty).
+    * Cap-bounded per delete (StreamTable.dvMaxMatches) and purged by
+    * compaction, so the driver-side load is a tiny read per dv'd file. */
+  private[v2] def dvOf(f: DataFileMeta): Array[Long] =
+    if (f.dvCount.exists(_ > 0)) StreamTable.readDv(f.dvPath.get)
+    else Array.empty
+
   /** Rename attribute references declared → file-level in a pushed filter.
     * Only the pushable shapes (five comparisons + IN) can reach the scan. */
   private[v2] def translate(f: Filter, m: Map[String, String]): Filter = f match {
@@ -1106,7 +1262,12 @@ object GraftScan {
   }
 }
 
-case class GraftInputPartition(path: String, minSeq: Long = -1L)
+case class GraftInputPartition(path: String, minSeq: Long = -1L,
+    /** Deletion-vector positions of this file (sorted; loaded from the
+      * manifest-referenced sidecar at plan time — cap-bounded, so shipping
+      * them inline beats a per-task sidecar read). Non-empty routes the
+      * partition to the row reader, which suppresses exactly these rows. */
+    dv: Array[Long] = Array.empty)
     extends InputPartition
 
 /** One hash bucket of a bucket-keyed table: all its live files, keyed by the
@@ -1124,11 +1285,17 @@ case class GraftReaderFactory(required: StructType, pushed: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftInputPartition =>
-        new GraftPartitionReader(p.path, required, pushed, limit, p.minSeq)
+        new GraftPartitionReader(p.path, required, pushed, limit, p.minSeq,
+          dv = p.dv)
       case b: GraftBucketInputPartition =>
         new GraftChainedReader(b.files, required, pushed, limit)
     }
 
+  // NOTE: Spark requires every partition of one scan to agree on columnar
+  // ("Cannot mix row-based and columnar input partitions"), so deletion
+  // vectors demote at SCAN granularity: the factory is constructed with
+  // columnar=false when any planned file carries a vector (and the row
+  // reader suppresses the positions). Compaction restores the fast path.
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
@@ -1667,7 +1834,12 @@ object GraftVector {
   * Group assembly is the API-pure route (the vectorized reader is Spark
   * internal); the per-file work is embarrassingly parallel either way. */
 class GraftPartitionReader(path: String, required: StructType,
-    pushed: Array[Filter], limit: Option[Int] = None, fileSeq: Long = -1L)
+    pushed: Array[Filter], limit: Option[Int] = None, fileSeq: Long = -1L,
+    /** Deletion-vector positions to suppress (sorted). Non-empty DISABLES
+      * the parquet-level predicate below: row-group/record filtering would
+      * skip rows and desynchronize the position counter — the residual
+      * Filter above the scan keeps record truth either way. */
+    dv: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -1695,8 +1867,10 @@ class GraftPartitionReader(path: String, required: StructType,
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
     val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
     // row-group + record-level re-check of the pushed filters; only when
-    // every referenced column exists in this file
-    toPredicate(pushed.filter(filterCols(_).forall(inFile)))
+    // every referenced column exists in this file — and never under a
+    // deletion vector (position fidelity, see the class doc)
+    (if (dv.nonEmpty) None
+     else toPredicate(pushed.filter(filterCols(_).forall(inFile))))
       .fold(b)(p => b.withFilter(FilterCompat.get(p)))
       .build()
   }
@@ -1858,14 +2032,26 @@ class GraftPartitionReader(path: String, required: StructType,
   }
 
   private var delivered = 0L
+  private var pos = -1L // raw position of `current` within the file
+  private var dvIdx = 0
 
   override def next(): Boolean = {
     // partial LIMIT pushdown: this partition stops after `limit` rows
     // (Spark applies the final global limit across partitions)
     if (limit.exists(delivered >= _)) return false
-    current = reader.read()
-    if (current != null) delivered += 1
-    current != null
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      pos += 1
+      // deletion-vector suppression: dv is sorted, pos strictly increases —
+      // one forward pointer pass over the vector for the whole file
+      if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1
+      else {
+        delivered += 1
+        return true
+      }
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {

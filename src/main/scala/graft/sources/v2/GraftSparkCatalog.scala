@@ -36,7 +36,7 @@ import graft.table.GraftCatalog
   * atomic manifest commit — the same protocol the streaming writer uses.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog with StagingTableCatalog {
   import GraftSparkCatalog.SchemaOption
 
   private var catalogName: String = _
@@ -354,6 +354,53 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     existed
   }
 
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ---------------------------
+  //
+  // `CREATE TABLE … AS SELECT` without staging is create-then-insert: a
+  // crash mid-query strands an empty registered table. Staging writes the
+  // WHOLE table (options file + data + manifest, via the normal appendBatch
+  // commit protocol) into a hidden warehouse directory that no identifier
+  // resolves, then publishes it with ONE directory rename — the same
+  // write-then-atomic-publish shape every graft commit uses, at table
+  // granularity. Abort (query failure) deletes the staging tree; a crash
+  // between the two leaves only an unreferenced `.staging-ctas` dir for the
+  // orphan sweep. REPLACE swaps via a trash rename (old out, new in) — the
+  // non-atomic window is two renames wide and never exposes a half-table.
+
+  private def stagedFor(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean): StagedTable = {
+    require(partitions.isEmpty, "graft tables declare bucketing via options")
+    val dbName = db(ident.namespace())
+    backing.createDatabase(dbName)
+    val staging = s"$warehouse/.staging-ctas/${java.util.UUID.randomUUID()}"
+    val opts = properties.asScala.toMap -
+      TableCatalog.PROP_OWNER - "provider" + (SchemaOption -> schema.toDDL)
+    GraftCatalog.writeTableOptions(staging, opts)
+    val tbl = GraftCatalog.tableFromOptions(SparkSession.active, staging, opts)
+    val target = s"$warehouse/$dbName.db/${ident.name()}"
+    new GraftStagedTable(
+      s"$catalogName.$dbName.${ident.name()}", ident, tbl, SparkSession.active,
+      Some(schema), staging, target, replace,
+      exists = () => tableExists(ident))
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stagedFor(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedFor(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stagedFor(ident, schema, partitions, properties, replace = true)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE")
 
@@ -387,6 +434,57 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"unknown procedure $ident (have: ${V2Procedures.names.mkString(", ")})"))
   }
+}
+
+/** One staged CTAS/RTAS target: a fully functional [[GraftV2Table]] rooted
+  * in the hidden staging directory (the AS-SELECT write flows through the
+  * normal `newWriteBuilder` → appendBatch manifest commit), plus the
+  * publish/abort pair Spark's atomic exec calls. */
+private[v2] class GraftStagedTable(name: String, ident: Identifier,
+    table: graft.table.StreamTable,
+    spark: SparkSession, declared: Option[StructType],
+    stagingRoot: String, targetPath: String, replace: Boolean,
+    exists: () => Boolean)
+    extends GraftV2Table(name, table, spark, declared) with StagedTable {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  /** Manifests/snapshots reference data files by ABSOLUTE path (still under
+    * the staging root at write time) — retarget them to the publish path
+    * BEFORE the rename, while the directory is still invisible. The staging
+    * root carries a UUID, so the prefix replace cannot touch user data. */
+  private def retarget(): Unit =
+    Seq("_snapshots", "_manifests").foreach { d =>
+      val dir = Paths.get(stagingRoot, d)
+      if (Files.isDirectory(dir))
+        graft.table.StreamTable.listDir(dir)
+          .filter(_.toString.endsWith(".json")).foreach { p =>
+            val s = new String(Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            Files.write(p, s.replace(stagingRoot, targetPath)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    retarget()
+    val target = Paths.get(targetPath)
+    if (exists()) {
+      if (!replace) throw new TableAlreadyExistsException(ident)
+      // RTAS swap: old table out to a trash name, new one in, trash deleted
+      // — two renames, never a visible half-table
+      val trash = Paths.get(s"$targetPath.trash-${java.util.UUID.randomUUID()}")
+      Files.move(target, trash, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(Paths.get(stagingRoot), target, StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: Throwable => // restore the old table, then fail
+        Files.move(trash, target, StandardCopyOption.ATOMIC_MOVE); throw e
+      }
+      graft.table.StreamTable.deleteTree(trash)
+    } else
+      Files.move(Paths.get(stagingRoot), target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def abortStagedChanges(): Unit =
+    graft.table.StreamTable.deleteTree(Paths.get(stagingRoot))
 }
 
 /** The bucketed-write layout function, `bucket(numBuckets, key) =

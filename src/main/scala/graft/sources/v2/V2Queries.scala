@@ -716,6 +716,40 @@ object V2Queries {
                  |ORDER BY r_regionkey""".stripMargin)
     },
 
+    // GROUPED aggregate pushdown: events committed one event_type per batch
+    // (the slice-per-commit ingest every partitioned 100 TB pipeline runs),
+    // so every file is provably single-valued in the group column
+    // (manifest null counts + min=max) and GROUP BY event_type answers
+    // COUNT/MIN/MAX from the manifest alone — zero data bytes
+    // (V2ConnectorSpec pins no aggregate exec survives). Oracle pins the
+    // per-type census.
+    QDef(
+      "q_source_v2_group_agg",
+      """SELECT event_type, count(*) AS cnt,
+        |       min(user_id) AS min_uid, max(user_id) AS max_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val root = typeBatchedEvents(s, d)
+      s.read.format("graft").load(root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), min("user_id").as("min_uid"),
+          max("user_id").as("max_uid"))
+        .orderBy("event_type")
+    },
+
+    // ATOMIC CTAS through the staging catalog: `CREATE TABLE … AS SELECT`
+    // stages the whole table (options + data + manifest) in a hidden
+    // warehouse dir and publishes it with ONE rename — a crash can never
+    // strand an empty registered table (V2ConnectorSpec pins the abort
+    // path and the atomic exec). The oracle pins CTAS ≡ the source slice.
+    QDef(
+      "q_source_v2_ctas",
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val catName = ctasTable(s, d)
+      s.sql(s"""SELECT s_suppkey, s_name, s_acctbal
+               |FROM $catName.v2db.ctas_supplier ORDER BY s_suppkey""".stripMargin)
+    },
+
     // The `$snapshots` system table oracled on its commit-history
     // invariants: per retained snapshot the id, kind, and EXACT running row
     // total (file counts depend on write parallelism and stay spec-only).
@@ -799,6 +833,40 @@ object V2Queries {
         } finally r.close()
       }
       root
+    })
+
+  /** events written one batch PER EVENT TYPE once per sf dir — every file is
+    * single-valued in `event_type` (the grouped-pushdown layout). */
+  private val stagedTypeEvents = new ConcurrentHashMap[String, String]()
+  private def typeBatchedEvents(s: SparkSession, d: String): String =
+    stagedTypeEvents.computeIfAbsent(d, { _ =>
+      val root = Files.createTempDirectory("graft_v2_gte_").toString
+      val tbl = new StreamTable(root, s)
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id")
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted // handful of slice labels
+      types.zipWithIndex.foreach { case (t, b) =>
+        tbl.appendBatch(ev.where(col("event_type") === t).repartition(1), b.toLong)
+      }
+      root
+    })
+
+  /** supplier's positive-balance slice created via CTAS once per sf dir —
+    * the staging-catalog publish (no create-then-insert window). */
+  private val stagedCtas = new ConcurrentHashMap[String, String]()
+  private def ctasTable(s: SparkSession, d: String): String =
+    stagedCtas.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      Tables.supplier(s, d).createOrReplaceTempView("graft_v2_ctas_supplier")
+      s.sql(s"""CREATE TABLE $catName.v2db.ctas_supplier AS
+               |SELECT s_suppkey, s_name, s_acctbal
+               |FROM graft_v2_ctas_supplier WHERE s_acctbal > 0""".stripMargin)
+      // the staging dir must be fully consumed by the publish rename
+      val staging = java.nio.file.Paths.get(wh, ".staging-ctas")
+      require(!java.nio.file.Files.exists(staging) ||
+        StreamTable.listDir(staging).isEmpty,
+        "CTAS publish must leave no staging leftovers")
+      catName
     })
 
   /** region tagged at its first commit, then grown by offset replicas, once

@@ -105,19 +105,29 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     lastPlanned = newFiles.map(_.path)
     // thread each file's commit sequence through: a streaming read that
     // projects the _graft_seq metadata column must see the same values a
-    // batch scan returns (the partition default of -1 would lie)
-    newFiles.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
+    // batch scan returns (the partition default of -1 would lie). The
+    // initial catch-up also carries each live file's deletion vector —
+    // rows deleted before the stream started must not be delivered
+    // (incremental batches only ever carry fresh appends, which cannot be
+    // dv'd yet: a DV commit re-adds existing paths, which the re-add rule
+    // excludes from added evidence).
+    lastPlannedDv = newFiles.exists(_.dvCount.exists(_ > 0))
+    newFiles.map(f => GraftInputPartition(f.path, f.minSeq,
+      GraftScan.dvOf(f)): InputPartition).toArray
   }
 
   // files of the most recent planInputPartitions call — the exec node calls
   // planInputPartitions then createReaderFactory per micro-batch (driver,
   // sequential), so the factory can prove columnar eligibility for exactly
-  // the files this batch will read
+  // the files this batch will read. A deletion-vector'd catch-up file
+  // demotes the batch to the row reader (Spark refuses mixed partitions).
   @volatile private var lastPlanned: Seq[String] = Nil
+  @volatile private var lastPlannedDv: Boolean = false
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(schema, pushed,
-      columnar = GraftVector.eligible(schema, pushed, None, lastPlanned))
+      columnar = !lastPlannedDv &&
+        GraftVector.eligible(schema, pushed, None, lastPlanned))
 
   override def commit(end: Offset): Unit =
     // a committed trigger moves the consumer forward: the next undelivered

@@ -241,6 +241,15 @@ object GraftCatalog {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Persist an option map beside an arbitrary table root — the same
+    * `_table_options.json` CREATE TABLE writes, exposed for the atomic-CTAS
+    * stager: the STAGED directory must be a complete catalog table before
+    * the one-rename publish moves it into the warehouse. */
+  def writeTableOptions(root: String, o: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    writeOptions(Paths.get(root, "_table_options.json"), o)
+  }
+
   /** Parse Flink-style durations: "20 s", "30 min", "1 h" (guide.md:3, :181). */
   def parseDurationMs(s: String): Long = {
     val m = "(\\d+)\\s*(ms|s|sec|min|m|h|d)".r.findFirstMatchIn(s.trim.toLowerCase)

@@ -57,7 +57,34 @@ case class DataFileMeta(
       * rendered value over the manifest size cap): consumers must refuse
       * stats shortcuts for these — skipping keeps the file, the aggregate
       * push refuses the column. Empty in practice for our writers. */
-    badStats: Option[Seq[String]] = None)
+    badStats: Option[Seq[String]] = None,
+    /** Per-column NULL counts (rendered as decimal strings, like the value
+      * stats), captured from the footer at commit time. A column appears
+      * iff every row group proved its null count — absence means unknown.
+      * What they buy: "file is single-valued in column g" becomes provable
+      * (nulls=0 ∧ min=max, or nulls=rowCount), which is what the grouped
+      * metadata-only aggregate pushdown stands on. None on legacy
+      * manifests. */
+    nullStats: Option[Map[String, String]] = None,
+    /** DELETION-VECTOR sidecar (the Iceberg/Delta position-delete idea):
+      * absolute path of a small binary file listing the row POSITIONS of
+      * this data file that are deleted (sorted unsigned big-endian longs).
+      * Every reader suppresses these positions; the data file itself is
+      * untouched, so a 1-row compliance delete on a 1 GB file costs one
+      * tiny sidecar write instead of a 1 GB rewrite. Compaction and COW
+      * rewrites materialize the deletions and drop the vector. None =
+      * no deletions (all legacy manifests). Append tables only — PK
+      * deletes are merge-on-read tombstones. */
+    dvPath: Option[String] = None,
+    /** Cardinality of [[dvPath]] — lets counts/stats net deletions without
+      * opening the sidecar. Physical [[rowCount]] stays untouched:
+      * live rows = rowCount - dvCount. */
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    dvCount: Option[Long] = None) {
+
+  /** Rows a reader actually serves from this file (physical minus deleted). */
+  def liveRowCount: Long = rowCount - dvCount.getOrElse(0L)
+}
 
 /** One committed table version: the full list of live files after the commit
   * (snapshot semantics, tutorial/guide.md:180-184). `batchId` makes streaming
@@ -238,9 +265,10 @@ class StreamTable(
   private val dataAppend = s"$root/data/append"
   private val dataCompact = s"$root/data/compact"
   private val dataChangelog = s"$root/data/changelog"
+  private val dataDv = s"$root/data/dv"
   private val snapDir = s"$root/_snapshots"
   private val manifestDir = s"$root/_manifests"
-  Seq(dataAppend, dataCompact, dataChangelog, snapDir, manifestDir)
+  Seq(dataAppend, dataCompact, dataChangelog, dataDv, snapDir, manifestDir)
     .foreach(p => Files.createDirectories(Paths.get(p)))
 
   // ---- snapshot manifest -------------------------------------------------
@@ -793,7 +821,8 @@ class StreamTable(
         bucket = sf.bucket,
         sortedBy = if (sf.sorted && primaryKey.isDefined) primaryKey else None,
         minStats = Some(sf.stats.mins), maxStats = Some(sf.stats.maxs),
-        fileCols = Some(sf.stats.cols), badStats = Some(sf.stats.bad))
+        fileCols = Some(sf.stats.cols), badStats = Some(sf.stats.bad),
+        nullStats = Some(sf.stats.nulls.map { case (k, v) => k -> v.toString }))
     }
     // a stamped (PK) sink epoch under the changelog producer persists its
     // netted change rows like any appendBatch commit — sink-fed CDC readers
@@ -924,9 +953,76 @@ class StreamTable(
         latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L))
       n
     case None =>
-      cowRewrite(cond,
-        df => df.filter(!coalesce(cond, lit(false))),
-        conserves = false)
+      dvDelete(cond).getOrElse(
+        cowRewrite(cond,
+          df => df.filter(!coalesce(cond, lit(false))),
+          conserves = false))
+  }
+
+  /** Deletion-vector fast path for small append-table deletes (the GDPR
+    * single-row case): instead of rewriting every touched file (COW, cost ∝
+    * touched BYTES), record the matching row POSITIONS in a tiny sidecar per
+    * file and swap the manifest entries in one commit — cost ∝ MATCHES.
+    * Readers suppress the positions ([[readFiles]], the V2 scan's
+    * partition-level vectors); compaction/COW materialize and purge them.
+    * Returns None when the DV trade is wrong (matches above
+    * [[StreamTable.dvMaxMatches]]) — the caller falls back to COW. Same
+    * non-streaming posture as COW append-table DML (level-1 replacement:
+    * re-added manifest entries are change-evidence-excluded by the re-add
+    * rule, exactly like a rewritten file's surviving rows). */
+  private def dvDelete(cond: org.apache.spark.sql.Column): Option[Long] = {
+    val cap = StreamTable.dvMaxMatches
+    if (cap <= 0) return None
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (live.isEmpty) return Some(0L)
+    // positions must be raw file offsets: read WITHOUT the DV suppression
+    // join (readFiles would hide _metadata behind it), suppress already-
+    // deleted positions explicitly, then apply the predicate
+    import spark.implicits._
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(_.path): _*)
+      .withColumn("__graft_dv_name", col("_metadata.file_name"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val existing: Map[String, Array[Long]] = live.collect {
+      case f if f.dvCount.exists(_ > 0) =>
+        Paths.get(f.path).getFileName.toString -> StreamTable.readDv(f.dvPath.get)
+    }.toMap
+    val current =
+      if (existing.isEmpty) raw
+      else raw.join(broadcast(existing.toSeq.flatMap { case (n, ps) =>
+        ps.map((n, _)) }.toDF("__graft_dv_name", "__graft_dv_pos")),
+        Seq("__graft_dv_name", "__graft_dv_pos"), "left_anti")
+    val hits = current.filter(cond)
+      .select(col("__graft_dv_name"), col("__graft_dv_pos"))
+      .limit(cap + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.length > cap) return None // big delete: COW rewrites instead
+    if (hits.isEmpty) return Some(0L)
+    val byName = hits.groupBy(_._1)
+    val nameToMeta = live.map(f =>
+      Paths.get(f.path).getFileName.toString -> f).toMap
+    require(nameToMeta.size == live.size,
+      "duplicate data-file names across dirs (dv delete would mislabel)")
+    val newMetas = byName.toSeq.sortBy(_._1).map { case (name, rows) =>
+      val meta = nameToMeta.getOrElse(name, throw new IllegalStateException(
+        s"dv delete matched unknown file $name"))
+      val merged = (existing.getOrElse(name, Array.empty[Long]) ++
+        rows.map(_._2)).distinct.sorted
+      require(merged.length <= meta.rowCount,
+        s"dv positions exceed rows of ${meta.path}")
+      val dvFile = s"$dataDv/dv-${UUID.randomUUID()}.bin"
+      StreamTable.writeDv(dvFile, merged)
+      meta.copy(dvPath = Some(dvFile), dvCount = Some(merged.length.toLong))
+    }
+    val touchedPaths = newMetas.map(_.path).toSet
+    commit { liveNow =>
+      val gone = touchedPaths -- liveNow.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) out from under this delete (e.g. ${gone.take(2).mkString(", ")})")
+      CommitChange(newMetas, touchedPaths,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }
+    Some(hits.length.toLong)
   }
 
   /** Row-level `UPDATE … SET … WHERE cond`. Returns the number of rows
@@ -1015,7 +1111,10 @@ class StreamTable(
     val metas = fileMetas(spark, moved, level = 1,
       minSeq = touched.map(_.minSeq).min, maxSeq = touched.map(_.maxSeq).max)
       .filter(_.rowCount > 0) // an all-deleted file leaves no output
-    val (inRows, outRows) = (touched.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    // conservation against LIVE rows: readFiles suppressed each touched
+    // file's deletion vector, so dv'd rows never entered the rewrite
+    val (inRows, outRows) =
+      (touched.map(_.liveRowCount).sum, metas.map(_.rowCount).sum)
     val expected = if (conserves) inRows else inRows - matches
     require(outRows == expected,
       s"row-level rewrite row mismatch: $inRows in, $outRows out, expected $expected")
@@ -1081,7 +1180,10 @@ class StreamTable(
     val metasAll = fileMetas(spark, moved, level = 1, minSeq, maxSeq)
     val (metas, empties) = metasAll.partition(_.rowCount > 0)
     empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
-    val (inRows, outRows) = (removedMetas.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    // LIVE rows: the V2 row-level scan suppressed deletion vectors, so a
+    // dv'd row was never delivered to the rewrite
+    val (inRows, outRows) =
+      (removedMetas.map(_.liveRowCount).sum, metas.map(_.rowCount).sum)
     mode.toUpperCase match {
       case "UPDATE" => require(outRows == inRows,
         s"UPDATE must conserve scanned rows: $inRows in, $outRows out")
@@ -1250,9 +1352,37 @@ class StreamTable(
 
   // ---- reads -------------------------------------------------------------
 
-  private def readFiles(files: Seq[DataFileMeta]): DataFrame =
+  private def readFiles(files: Seq[DataFileMeta]): DataFrame = {
     // mergeSchema: delete-tombstone files carry only (pk, marker) columns
-    spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+    def raw(fs: Seq[DataFileMeta]) =
+      spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*)
+    val (dv, plain) = files.partition(_.dvCount.exists(_ > 0))
+    if (dv.isEmpty) return raw(files)
+    // deletion-vector suppression: files with a DV read WITH their row
+    // positions and anti-join the (file, position) delete set — broadcast
+    // (per-delete cap + compaction purge keep vectors tiny). File identity
+    // joins on the NAME (UUID-unique within a table); an accidental clash
+    // would over-delete, so it is asserted at plan time.
+    val names = dv.map(f => Paths.get(f.path).getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"duplicate data-file names across dirs: ${names.diff(names.distinct).take(3)}")
+    val deleted = dv.flatMap(f =>
+      StreamTable.readDv(f.dvPath.get).map(p => (
+        Paths.get(f.path).getFileName.toString, p)))
+    import spark.implicits._
+    val delDf = deleted.toDF("__graft_dv_name", "__graft_dv_pos")
+    val dvRead = raw(dv)
+      .withColumn("__graft_dv_name", col("_metadata.file_name"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(delDf), Seq("__graft_dv_name", "__graft_dv_pos"), "left_anti")
+      .drop("__graft_dv_name", "__graft_dv_pos")
+    // canonical column order = the single merged read's (schema-only probe)
+    val order = raw(files).schema.fieldNames
+    val unioned =
+      if (plain.isEmpty) dvRead
+      else raw(plain).unionByName(dvRead, allowMissingColumns = true)
+    unioned.select(order.map(col).toSeq: _*)
+  }
 
   /** Last-writer-wins resolution incl. delete tombstones, under the Paimon
     * `sequence.field` contract: when a sequence column is configured, the row
@@ -1855,9 +1985,11 @@ class StreamTable(
     var bytes = 0L
     var prev: Option[Snapshot] = None
     def put(f: DataFileMeta): Unit = {
-      val old = live.put(f.path, (f.rowCount, f.fileSizeInBytes))
+      // LIVE rows: a deletion-vector commit replaces the meta in place and
+      // the running total must net the suppressed positions
+      val old = live.put(f.path, (f.liveRowCount, f.fileSizeInBytes))
       if (old != null) { rows -= old._1; bytes -= old._2 }
-      rows += f.rowCount; bytes += f.fileSizeInBytes
+      rows += f.liveRowCount; bytes += f.fileSizeInBytes
     }
     def drop(p: String): Unit = {
       val old = live.remove(p)
@@ -2238,8 +2370,11 @@ class StreamTable(
       }
     val (metas, empties) = metasAll.partition(_.rowCount > 0)
     empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
-    // strict conservation: a minor compaction concatenates, never resolves
-    val (inRows, outRows) = (before.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    // strict conservation of LIVE rows: a minor compaction concatenates,
+    // never resolves (deletion-vector suppression is materialization of an
+    // already-committed delete, not resolution — the vectors purge here)
+    val (inRows, outRows) =
+      (before.map(_.liveRowCount).sum, metas.map(_.rowCount).sum)
     require(outRows == inRows,
       s"minor compaction must conserve rows: $inRows -> $outRows")
     val compactedPaths = before.map(_.path).toSet
@@ -2340,7 +2475,9 @@ class StreamTable(
     // (footer row counts), never a re-read of the live table — a concurrent
     // writer committing mid-compaction must not fail the check. PK tables
     // may legitimately shrink (last-writer-wins resolution + tombstones).
-    val (inRows, outRows) = (before.map(_.rowCount).sum, metas.map(_.rowCount).sum)
+    // Append tables conserve LIVE rows (deletion vectors materialize away).
+    val (inRows, outRows) =
+      (before.map(_.liveRowCount).sum, metas.map(_.rowCount).sum)
     if (primaryKey.isEmpty) require(outRows == inRows,
       s"compaction must conserve rows: $inRows -> $outRows")
     else require(outRows <= inRows,
@@ -2390,11 +2527,14 @@ class StreamTable(
     * hydration, and safely over-approximate (a manifest-referenced file is
     * retention-managed, not a crash leftover; expiry reclaims it when its
     * referencing snapshots go). */
-  private def refPaths(s: Snapshot): Iterator[String] =
-    (if (s.manifestList.isEmpty) s.files.iterator.map(_.path)
+  private def refPaths(s: Snapshot): Iterator[String] = {
+    // a meta references its data file AND its deletion-vector sidecar
+    def both(f: DataFileMeta) = Iterator(f.path) ++ f.dvPath.iterator
+    (if (s.manifestList.isEmpty) s.files.iterator.flatMap(both)
      else s.manifestList.iterator
-       .flatMap(n => manifestDelta(n).added.iterator.map(_.path))) ++
+       .flatMap(n => manifestDelta(n).added.iterator.flatMap(both))) ++
       s.changelog.iterator.map(_.path)
+  }
 
   /** All manifest files a snapshot links (the fold list + its own delta). */
   private def linkedManifests(s: Snapshot): Iterator[String] =
@@ -2418,16 +2558,32 @@ class StreamTable(
     // O(live) re-seed happens only at kept↔other boundaries and fold
     // fallbacks (legacy snapshots, retention gaps).
     var prevTarget: scala.collection.mutable.HashSet[String] = null
+    // deletion-vector sidecars ride with their meta: the fold's remove
+    // callback names only the data path, so the data→dv association is
+    // tracked here and the sidecar leaves `live` exactly when its meta is
+    // removed/replaced — a replaced vector is reclaimed as soon as its
+    // last referencing snapshot expires
+    val dvOf = scala.collection.mutable.HashMap.empty[String, String]
+    def addMeta(f: DataFileMeta, target: scala.collection.mutable.HashSet[String],
+        sameRun: Boolean): Unit = {
+      live.add(f.path)
+      f.dvPath.foreach { d => live.add(d); dvOf(f.path) = d }
+      if (sameRun) { target += f.path; f.dvPath.foreach(target += _) }
+    }
+    def dropMeta(p: String): Unit = {
+      live.remove(p)
+      dvOf.remove(p).foreach(live.remove(_))
+    }
     snaps.foreach { s =>
       val target = if (inKept(s)) kept else other
       val sameRun = target eq prevTarget
-      val folded = foldCommit(prev, s)(live.remove(_), f => {
-        live.add(f.path)
-        if (sameRun) target += f.path
-      })
+      val folded = foldCommit(prev, s)(dropMeta, addMeta(_, target, sameRun))
       if (!folded) {
-        live.clear()
-        hydrated(s).files.foreach(f => live.add(f.path))
+        live.clear(); dvOf.clear()
+        hydrated(s).files.foreach { f =>
+          live.add(f.path)
+          f.dvPath.foreach { d => live.add(d); dvOf(f.path) = d }
+        }
       }
       if (!folded || !sameRun) live.forEach(p => target += p)
       s.changelog.foreach(f => target += f.path)
@@ -2448,8 +2604,8 @@ class StreamTable(
   private def distributedOrphanSweep(snaps: Seq[Snapshot], cutoff: Long): Long = {
     import spark.implicits._
     val candidates = spark.createDataset(
-      Seq(dataAppend, dataCompact, dataChangelog))
-      .repartition(3)
+      Seq(dataAppend, dataCompact, dataChangelog, dataDv))
+      .repartition(4)
       .flatMap { d =>
         val p = java.nio.file.Paths.get(d)
         if (!java.nio.file.Files.isDirectory(p)) Iterator.empty
@@ -2464,7 +2620,8 @@ class StreamTable(
     val fromManifests = spark.createDataset(manifestPaths)
       .repartition(math.max(1, math.min(32, manifestPaths.size / 4)))
       .flatMap { mp =>
-        try StreamTable.parseManifest(mp).added.iterator.map(_.path).toVector
+        try StreamTable.parseManifest(mp).added.iterator
+          .flatMap(f => Iterator(f.path) ++ f.dvPath.iterator).toVector
         catch {
           case _: java.nio.file.NoSuchFileException |
               _: java.io.FileNotFoundException => Vector.empty[String]
@@ -2473,7 +2630,8 @@ class StreamTable(
     // legacy inline live sets and per-commit changelog files are already in
     // the parsed headers — small, and the only driver-held path lists
     val inline = spark.createDataset(snaps.flatMap(s =>
-      (if (s.manifestList.isEmpty) s.files.map(_.path) else Seq.empty) ++
+      (if (s.manifestList.isEmpty)
+        s.files.flatMap(f => f.path +: f.dvPath.toSeq) else Seq.empty) ++
         s.changelog.map(_.path)))
     candidates.except(fromManifests.union(inline))
       .mapPartitions(it => Iterator.single(StreamTable.reapPaths(it, cutoff)))
@@ -2531,9 +2689,10 @@ class StreamTable(
         val referenced = snaps.iterator.flatMap(refPaths).toSet
         // the driver only LISTS and name-filters (no per-file stat); the
         // grace mtime check rides next to the delete in the reclaim pass
-        val candidates = Seq(dataAppend, dataCompact, dataChangelog).flatMap { d =>
-          listDir(Paths.get(d)).map(_.toString).filterNot(referenced.contains)
-        }
+        val candidates = Seq(dataAppend, dataCompact, dataChangelog, dataDv)
+          .flatMap { d =>
+            listDir(Paths.get(d)).map(_.toString).filterNot(referenced.contains)
+          }
         deletePaths(candidates, mtimeBelow = cutoff).toInt
       }
     // delta manifests no snapshot links (a commit retry's loser, a crashed
@@ -2621,6 +2780,32 @@ object StreamTable {
     * session conf: a concurrent non-graft write momentarily observing
     * MICROS gets the STANDARD parquet type (strictly better stats), never
     * a corruption. */
+  /** Deletion-vector sidecar codec: sorted row positions as big-endian
+    * longs. Written once (write-then-commit like data files — a sidecar is
+    * immutable after the manifest references it); read by every reader that
+    * serves its data file. Deliberately trivial — a per-delete cap
+    * ([[dvMaxMatches]]) bounds cardinality, compaction purges, so a
+    * roaring-bitmap encoding would optimize bytes nobody accumulates. */
+  private[graft] def writeDv(path: String, positions: Array[Long]): Unit = {
+    val buf = java.nio.ByteBuffer.allocate(positions.length * 8)
+    positions.foreach(buf.putLong)
+    Files.write(Paths.get(path), buf.array(),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  private[graft] def readDv(path: String): Array[Long] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
+  }
+
+  /** Per-DELETE cap on deletion-vector matches (`graft.dv.max-matches`,
+    * 0 disables the DV route): above it the copy-on-write rewrite is the
+    * better trade — the sidecars would approach the data in size and every
+    * reader pays the suppression join. */
+  private[graft] def dvMaxMatches: Int =
+    sys.props.get("graft.dv.max-matches").flatMap(_.toIntOption).getOrElse(10000)
+
   private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
@@ -2829,7 +3014,8 @@ object StreamTable {
     captured.map { case (p, st, size) =>
       DataFileMeta(p, st.rows, size, minSeq, maxSeq, level, now,
         minStats = Some(st.mins), maxStats = Some(st.maxs),
-        fileCols = Some(st.cols), badStats = Some(st.bad))
+        fileCols = Some(st.cols), badStats = Some(st.bad),
+        nullStats = Some(st.nulls.map { case (k, v) => k -> v.toString }))
     }
   }
 
@@ -2925,7 +3111,8 @@ object StreamTable {
     * WRITER TASKS can capture it executor-side and ship it to the driver
     * commit in their commit messages. */
   case class CapturedStats(rows: Long, mins: Map[String, String],
-      maxs: Map[String, String], cols: Seq[String], bad: Seq[String])
+      maxs: Map[String, String], cols: Seq[String], bad: Seq[String],
+      nulls: Map[String, Long] = Map.empty)
 
   /** One externally-staged sink file: path + layout labels + the stats its
     * writer task captured at write time — the driver commit builds the
@@ -2963,11 +3150,18 @@ object StreamTable {
       val acc = scala.collection.mutable.LinkedHashMap[String, AnyStats]()
       val bad = scala.collection.mutable.LinkedHashSet[String]()
       val cols = scala.collection.mutable.LinkedHashSet[String]()
+      val nullsAcc = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val nullsUnknown = scala.collection.mutable.HashSet[String]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         if (name != SeqColName && name != TombstoneColName) {
           cols += name
           val st = c.getStatistics
+          // null counts accumulate independently of value stats: every
+          // chunk must prove its count or the column's entry is dropped
+          if (st != null && st.isNumNullsSet)
+            nullsAcc(name) = nullsAcc.getOrElse(name, 0L) + st.getNumNulls
+          else nullsUnknown += name
           if (st != null && st.hasNonNullValue) acc.get(name) match {
             case Some(prev) => merge(prev, st)
             case None       => acc(name) = st.copy()
@@ -2989,7 +3183,8 @@ object StreamTable {
           else { mins(k) = mn; maxs(k) = mx }
         }
       }
-      CapturedStats(rows, mins.toMap, maxs.toMap, cols.toSeq, bad.toSeq)
+      CapturedStats(rows, mins.toMap, maxs.toMap, cols.toSeq, bad.toSeq,
+        nulls = (nullsAcc -- nullsUnknown -- bad).toMap)
     } finally reader.close()
   }
 

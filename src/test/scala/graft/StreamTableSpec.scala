@@ -627,6 +627,11 @@ class StreamTableSpec extends AnyFunSuite {
   }
 
   test("deleteWhere on an append table: pruned copy-on-write rewrite") {
+    // pin the COPY-ON-WRITE contract (the over-cap route): small deletes
+    // take the deletion-vector fast path by default (V2ConnectorSpec), so
+    // disable it here to exercise the rewrite machinery directly
+    System.setProperty("graft.dv.max-matches", "0")
+    try {
     val t = new StreamTable(tmp(), spark)
     // 4 files with disjoint id ranges → footer stats make the predicate's
     // touched set provably a strict subset
@@ -659,6 +664,7 @@ class StreamTableSpec extends AnyFunSuite {
     val n2 = t.deleteWhere(col("id") >= 300)
     assert(n2 == 100 && t.read.count() == 270)
     assert(t.latestSnapshot.get.files.forall(_.rowCount > 0))
+    } finally System.clearProperty("graft.dv.max-matches")
   }
 
   test("updateWhere on an append table: assignments hit only matching rows") {

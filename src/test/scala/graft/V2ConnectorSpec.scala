@@ -344,6 +344,63 @@ class V2ConnectorSpec extends AnyFunSuite {
       expect.getAs[java.time.LocalDateTime](2), "max(ntz)")
   }
 
+  test("grouped aggregate pushdown: per-file-constant group column answers from metadata") {
+    import org.apache.spark.sql.functions.{count, lit, max, min, col}
+    val df = SparkEntry.queries("q_source_v2_group_agg")(spark, sf)
+    // the whole GROUP BY collapsed into the scan: no aggregate exec survives
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"grouped aggregate was not pushed:\n$plan")
+    val scanDesc = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.get
+    assert(scanDesc.contains("group by"), scanDesc)
+    // answers equal the distributed aggregate over the raw table
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), min("user_id").as("min_uid"),
+        max("user_id").as("max_uid"))
+      .orderBy("event_type").collect().toSeq
+    assert(df.collect().toSeq == want)
+
+    // NULL group + all-null files: a file that PREDATES the column and a
+    // file with every value null both land in the NULL group exactly
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_gagg_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a"), (2L, "a")).toDF("id", "g").coalesce(1), 0L)
+    tbl.appendBatch(Seq((3L, "b")).toDF("id", "g").coalesce(1), 1L)
+    tbl.appendBatch(Seq((4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("id", "g").coalesce(1), 2L)
+    val g = spark.read.format("graft").load(root)
+      .groupBy("g").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(!g.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(g.orderBy("g").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((null, 2L, 5L), ("a", 2L, 2L), ("b", 1L, 3L)))
+    // a MULTI-VALUED file refuses the push; the real aggregate still answers
+    tbl.appendBatch(Seq((6L, "a"), (7L, "c")).toDF("id", "g").coalesce(1), 3L)
+    val g2 = spark.read.format("graft").load(root)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(g2.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "a multi-valued file must refuse the grouped push")
+    assert(g2.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq((null, 2L), ("a", 3L), ("b", 1L), ("c", 1L)))
+    // a MIXED null/value file refuses too (two groups in one file)
+    val root2 = java.nio.file.Files.createTempDirectory("v2_gagg2_").toString
+    val tbl2 = new StreamTable(root2, spark)
+    tbl2.appendBatch(Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "g").coalesce(1), 0L)
+    val g3 = spark.read.format("graft").load(root2)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(g3.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(g3.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq((null, 1L), ("a", 1L)))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root2))
+  }
+
   test("aggregate pushdown refuses when a WHERE filter is present") {
     val df = spark.read.format("graft")
       .load(stagedLineitemRoot)
@@ -1303,6 +1360,171 @@ class V2ConnectorSpec extends AnyFunSuite {
     // no data file of the PK table was rewritten (tombstones appended)
     assert(gc.getTable("db", "pdel").latestSnapshot.get.files
       .forall(_.path.contains("/data/append/")), "PK delete must not rewrite")
+  }
+
+  test("atomic CTAS: staged publish, a failing query strands nothing") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    // the plan goes through the ATOMIC exec (StagingTableCatalog engaged)
+    val plan = spark.sql(
+      s"EXPLAIN CREATE TABLE $cat.db.ct AS SELECT * FROM ctas_src")
+      .head().getString(0)
+    assert(plan.contains("AtomicCreateTableAsSelect"),
+      s"CTAS must plan atomically:\n$plan")
+    spark.sql(s"CREATE TABLE $cat.db.ct AS SELECT * FROM ctas_src")
+    assert(spark.sql(s"SELECT k, v FROM $cat.db.ct ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a CTAS whose SELECT fails mid-write must strand NOTHING: no table,
+    // no empty registration, no staging leftovers
+    val failing = Seq(1L, 2L, 0L).toDF("d")
+      .selectExpr("10 / d AS x") // ANSI division by zero throws in a task
+    failing.createOrReplaceTempView("ctas_boom")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.ct_fail AS SELECT * FROM ctas_boom")
+    }
+    assert(!spark.catalog.tableExists(s"$cat.db.ct_fail"))
+    assert(gc.listTables("db").forall(_ != "ct_fail"),
+      "a failed CTAS must not register a table")
+    val staging = java.nio.file.Paths.get(gc.warehouse, ".staging-ctas")
+    assert(!java.nio.file.Files.exists(staging) ||
+      StreamTable.listDir(staging).isEmpty,
+      "a failed CTAS must abort its staging dir")
+    // REPLACE TABLE AS SELECT swaps without a visible half-table
+    spark.sql(s"REPLACE TABLE $cat.db.ct AS SELECT k + 10 AS k, v FROM ctas_src")
+    assert(spark.sql(s"SELECT k FROM $cat.db.ct ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L))
+    StreamTable.deleteTree(java.nio.file.Paths.get(gc.warehouse))
+  }
+
+  test("deletion vectors: a small append-table DELETE rewrites zero data bytes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dv_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 100L).map(i => (i, s"r$i", i * 1.5))
+      .toDF("id", "s", "x").coalesce(1), 0L)
+    tbl.appendBatch((100L until 200L).map(i => (i, s"r$i", i * 1.5))
+      .toDF("id", "s", "x").coalesce(1), 1L)
+    val before = tbl.latestSnapshot.get.files
+      .map(f => (f.path, f.fileSizeInBytes,
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1)
+
+    // the GDPR single-row case: one matching row, far under the DV cap
+    assert(tbl.deleteWhere(col("id") === 42L) == 1L)
+
+    // ZERO data bytes rewritten: every data file survives verbatim
+    val after = tbl.latestSnapshot.get.files
+    assert(after.map(f => (f.path, f.fileSizeInBytes,
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1) == before, "a DV delete must not touch data files")
+    val dvd = after.filter(_.dvCount.exists(_ > 0))
+    assert(dvd.size == 1 && dvd.head.dvCount.contains(1L), after.toString)
+    assert(StreamTable.readDv(dvd.head.dvPath.get).toSeq == Seq(42L))
+
+    // every read door nets the vector
+    assert(tbl.read.count() == 199L)
+    assert(tbl.read.where(col("id") === 42L).count() == 0L)
+    val v2 = spark.read.format("graft").load(root)
+    assert(v2.count() == 199L) // metadata COUNT(*) path
+    assert(v2.where(col("id") === 42L).count() == 0L)
+    assert(v2.where(col("id").between(40L, 44L)).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(40L, 41L, 43L, 44L))
+    // a dv'd file demotes the scan to the row reader (Spark refuses mixed
+    // row/columnar partitions within one scan); compaction restores it
+    val scan = scanOf(v2.select("id", "s", "x"))
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(p => !f.supportColumnarReads(p)),
+      "a dv'd scan must be uniformly row-based")
+    // metadata-only MIN/MAX refuses under a DV (stats can't exclude the
+    // deleted row) — the distributed aggregate still answers correctly
+    val mm = v2.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id"))
+    assert(mm.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "min/max under a DV must not answer from stats")
+    assert(mm.head() == org.apache.spark.sql.Row(0L, 199L))
+
+    // time travel to the pre-delete snapshot still serves the row
+    assert(tbl.readAt(1L).where(col("id") === 42L).count() == 1L)
+
+    // a second delete on the same file MERGES vectors
+    assert(tbl.deleteWhere(col("id") === 43L) == 1L)
+    val merged = tbl.latestSnapshot.get.files.find(_.dvCount.exists(_ > 0)).get
+    assert(StreamTable.readDv(merged.dvPath.get).toSeq == Seq(42L, 43L))
+    assert(tbl.read.count() == 198L)
+
+    // compaction MATERIALIZES the deletions and purges the vectors
+    tbl.compact(targetFileCount = 1)
+    val compacted = tbl.latestSnapshot.get.files
+    assert(compacted.forall(_.dvCount.forall(_ == 0L)),
+      "compaction must purge deletion vectors")
+    assert(tbl.read.count() == 198L)
+    assert(tbl.read.where(col("id").isin(42L, 43L)).count() == 0L)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("deletion vectors: above the cap the delete falls back to copy-on-write") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dvcap_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 100L).map(i => (i, i * 1.5)).toDF("id", "x")
+      .coalesce(1), 0L)
+    System.setProperty("graft.dv.max-matches", "3")
+    try {
+      // 5 matches > cap 3: COW route — the touched file is REWRITTEN
+      val before = tbl.latestSnapshot.get.files.map(_.path).toSet
+      assert(tbl.deleteWhere(col("id") < 5L) == 5L)
+      val after = tbl.latestSnapshot.get.files
+      assert(after.map(_.path).toSet.intersect(before).isEmpty,
+        "an over-cap delete must rewrite, not vector")
+      assert(after.forall(_.dvCount.isEmpty))
+      assert(tbl.read.count() == 95L)
+      // and a DV'd file hit by an over-cap delete ALSO rewrites away its
+      // vector (readFiles applied it before the rewrite)
+      System.setProperty("graft.dv.max-matches", "10000")
+      assert(tbl.deleteWhere(col("id") === 50L) == 1L)
+      assert(tbl.latestSnapshot.get.files.exists(_.dvCount.contains(1L)))
+      System.setProperty("graft.dv.max-matches", "3")
+      assert(tbl.deleteWhere(col("id") >= 90L) == 10L)
+      val fin = tbl.latestSnapshot.get.files
+      assert(fin.forall(_.dvCount.isEmpty), "COW must materialize the prior DV")
+      assert(tbl.read.count() == 84L)
+      assert(tbl.read.where(col("id") === 50L).count() == 0L)
+    } finally System.clearProperty("graft.dv.max-matches")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("deletion vectors: retention reclaims replaced sidecars, orphan sweep spares live ones") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dvret_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 50L).map(i => (i, i * 2.0)).toDF("id", "x")
+      .coalesce(1), 0L)
+    assert(tbl.deleteWhere(col("id") === 1L) == 1L) // dv1
+    assert(tbl.deleteWhere(col("id") === 2L) == 1L) // dv2 replaces dv1
+    val dvDir = java.nio.file.Paths.get(root, "data", "dv")
+    def dvFiles() = StreamTable.listDir(dvDir).map(_.toString).sorted
+    assert(dvFiles().size == 2)
+    val liveDv = tbl.latestSnapshot.get.files
+      .flatMap(_.dvPath).head
+    // a grace-0 orphan sweep must spare BOTH: dv1 is still
+    // manifest-referenced (retention-managed, not a crash leftover)
+    tbl.removeOrphanFiles(olderThanMs = 0L)
+    assert(dvFiles().size == 2, "sweep must not reap manifest-referenced dvs")
+    // expiring the pre-delete history reclaims the replaced dv1
+    assert(tbl.expireSnapshots(1, 1, 0L) > 0)
+    assert(dvFiles() == Seq(liveDv), s"expiry must reclaim the replaced dv: ${dvFiles()}")
+    assert(tbl.read.count() == 48L)
+    // an UNREFERENCED dv file (crashed delete) is a sweepable orphan
+    java.nio.file.Files.write(dvDir.resolve("dv-orphan.bin"), Array[Byte](0, 0))
+    assert(tbl.removeOrphanFiles(olderThanMs = 0L) >= 1)
+    assert(dvFiles() == Seq(liveDv))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
   test("ALTER TABLE column evolution: ADD/RENAME/DROP are metadata-only") {
