@@ -1911,16 +1911,22 @@ class StreamTable(
         .flatMap { case (mpath, sup) =>
           val supSet = sup.toSet
           val conf = new org.apache.hadoop.conf.Configuration()
-          // a manifest vanishing between planning and execution (concurrent
-          // expireSnapshots/rollbackTo unlinking it) skips rather than
-          // failing the whole query — mirroring snapshotHeaders' tolerance
-          // of vanished entries; its surviving adds were rebased into the
-          // retained head's list, which a re-read observes
+          // a manifest vanishing between planning and execution means
+          // concurrent expiry/rollback retired the PLANNED head — its
+          // surviving adds were rebased into manifests this plan doesn't
+          // hold, so skipping would silently UNDER-REPORT live files. Fail
+          // loudly with the remedy instead: a re-run plans from the new
+          // head (snapshot isolation at query granularity — the same
+          // posture as a time-travel read of an expired version).
           val delta =
             try StreamTable.parseManifest(mpath)
             catch {
-              case _: java.nio.file.NoSuchFileException |
-                  _: java.io.FileNotFoundException => ManifestDelta()
+              case e @ (_: java.nio.file.NoSuchFileException |
+                  _: java.io.FileNotFoundException) =>
+                throw new IllegalStateException(
+                  s"$$files scan lost manifest $mpath to concurrent " +
+                    "snapshot maintenance (expiry/rollback); re-run the " +
+                    "query to plan from the current head", e)
             }
           delta.added
             .filterNot(f => supSet(f.path))
@@ -2427,7 +2433,18 @@ class StreamTable(
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     val clustered = bucketKey.isDefined && live.nonEmpty &&
       live.forall(_.bucket.isDefined)
-    if (buckets.contains(-1) || !clustered) return 0
+    if (buckets.contains(-1) || !clustered) {
+      // permanently unhealable here: without the warn, every
+      // refinement-sized scan silently re-pays the grace-hash price with no
+      // operator-visible signal (once per table root per JVM)
+      if (StreamTable.healRefusalWarned.add(root))
+        log.warn(s"PK scan flagged hash-degraded bucket(s) ${buckets.mkString(",")} " +
+          s"at $root, but the layout is mixed/legacy (files without bucket ids) " +
+          "— auto-heal refuses a whole-table rewrite as a read side effect. " +
+          "Run CALL sys.compact to re-cluster, or set -Dgraft.pk.auto-heal=false " +
+          "to silence the per-scan flagging.")
+      return 0
+    }
     compactSmallFiles(Long.MaxValue, trigger = 1, onlyBuckets = Some(buckets))
     buckets.size
   }
@@ -2648,9 +2665,24 @@ class StreamTable(
     * instant (the orphan-sweep grace check, executed next to the delete so
     * the stat I/O distributes too); already-vanished paths count as not
     * deleted. */
+  /** Can executor tasks touch the table's files directly? True on a
+    * single-JVM deployment (local[*]) and on shared/object-store schemes;
+    * FALSE for plain file:// paths on a multi-node cluster, where each
+    * executor would list/delete its OWN local disk — a silent no-op that
+    * reads as "no orphans". The distributed maintenance branches fall back
+    * to the driver loop then (correct, just serial); a deployment with a
+    * genuinely shared mount opts back in via
+    * `-Dgraft.maintenance.assume-shared-fs=true`. */
+  private def executorsShareFs: Boolean = {
+    val scheme = Option(
+      new org.apache.hadoop.fs.Path(root).toUri.getScheme).getOrElse("file")
+    spark.sparkContext.isLocal || scheme != "file" ||
+      sys.props.get("graft.maintenance.assume-shared-fs").exists(_.toBoolean)
+  }
+
   private[graft] def deletePaths(paths: Seq[String],
       mtimeBelow: Long = Long.MaxValue): Long = {
-    if (paths.size < StreamTable.distributedDeleteMin) {
+    if (paths.size < StreamTable.distributedDeleteMin || !executorsShareFs) {
       StreamTable.driverMaintenanceDeletes.addAndGet(paths.size.toLong)
       StreamTable.reapPaths(paths.iterator, mtimeBelow)
     } else {
@@ -2683,7 +2715,7 @@ class StreamTable(
       }.sum / StreamTable.ManifestBytesPerEntry
     }.getOrElse(0L)
     var n =
-      if (headLive >= StreamTable.distributedOrphanMin)
+      if (headLive >= StreamTable.distributedOrphanMin && executorsShareFs)
         distributedOrphanSweep(snaps, cutoff).toInt
       else {
         val referenced = snaps.iterator.flatMap(refPaths).toSet
@@ -3056,6 +3088,12 @@ object StreamTable {
     * catalog-resolved handle. */
   private val degradedByRoot =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Integer]]()
+
+  /** Table roots whose mixed-layout auto-heal refusal has been logged
+    * (once per root per JVM — the recurring grace-hash cost must be
+    * diagnosable without flooding the log). */
+  private val healRefusalWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Unlink one partition's worth of maintenance paths (driver or executor
     * side): entries failing the `mtimeBelow` grace check, already vanished,

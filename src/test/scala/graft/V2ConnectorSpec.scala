@@ -1037,6 +1037,26 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("columnar eligibility refuses only the filter+limit combination") {
+    // filters are residual and page pruning is inexact, so "n decoded rows"
+    // is not "n post-filter rows" — only the row reader's record-level
+    // filter counts deliveries exactly. Spark's plan shape never pushes a
+    // limit past residual filters today; this pin keeps the refusal honest
+    // if that ever changes.
+    import org.apache.spark.sql.sources.GreaterThan
+    val paths = new StreamTable(stagedLineitemRoot, spark)
+      .latestSnapshot.get.files.map(_.path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey",
+        org.apache.spark.sql.types.LongType)))
+    val pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThan("l_orderkey", 1000L))
+    assert(graft.sources.v2.GraftVector.eligible(schema, pushed, None, paths), "filter alone: columnar")
+    assert(graft.sources.v2.GraftVector.eligible(schema, Array.empty, Some(5), paths), "limit alone: columnar")
+    assert(!graft.sources.v2.GraftVector.eligible(schema, pushed, Some(5), paths),
+      "filter+limit must take the row reader (exact delivery counting)")
+  }
+
   test("filtered columnar scan: row-group pruning engages, results exact") {
     import org.apache.spark.sql.functions.col
     val pred = col("l_orderkey") > 1000 && col("l_orderkey") <= 2500
