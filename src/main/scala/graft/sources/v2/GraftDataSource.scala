@@ -579,6 +579,12 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
       // stats-only — the readers drop the conjunct (weaker AND is safe)
       case StringStartsWith(a, p) => p != null && p.nonEmpty &&
         fullSchema.find(_.name == a).exists(_.dataType == StringType)
+      // null-presence predicates: the manifest's per-column null counts
+      // prove "all null" / "no nulls" per file, so IS [NOT] NULL on a
+      // sparse column skips whole files (and prunes row groups via
+      // parquet's own null statistics)
+      case IsNull(a) => ok(a)
+      case IsNotNull(a) => ok(a)
       // compound shapes recurse: Spark pre-splits top-level ANDs, so these
       // arrive as OR trees (multi-tenant range unions) possibly holding
       // ANDs — monotone formulas (no NOT), so every skipping/pruning rule
@@ -1013,7 +1019,7 @@ class GraftScan(table: GraftV2Table, required: StructType,
       val conf = new Configuration()
       bucketPruned.filter { f =>
         val (mins, maxs) = statsOf(f, conf)
-        filePushed.forall(keepFile(_, mins, maxs))
+        filePushed.forall(keepFile(_, mins, maxs, f))
       }
     }
   }
@@ -1049,7 +1055,8 @@ class GraftScan(table: GraftV2Table, required: StructType,
   }
 
   private def keepFile(f: Filter, mins: Map[String, String],
-      maxs: Map[String, String]): Boolean = FileSkip.keep(f, mins, maxs)
+      maxs: Map[String, String], meta: DataFileMeta): Boolean =
+    FileSkip.keep(f, mins, maxs, Some(meta))
 
   override def readSchema(): StructType = required
 
@@ -1201,7 +1208,7 @@ class GraftScan(table: GraftV2Table, required: StructType,
         kept = kept.filter { f =>
           val (mins, maxs) = stats(f)
           // keep the file if ANY key could be in it (conservative overlap)
-          values.exists(v => keepFile(EqualTo(fileN, v), mins, maxs))
+          values.exists(v => keepFile(EqualTo(fileN, v), mins, maxs, f))
         }
       case _ => ()
       }
@@ -1256,6 +1263,8 @@ object GraftScan {
     case LessThanOrEqual(a, v) => LessThanOrEqual(m.getOrElse(a, a), v)
     case In(a, vs) => In(m.getOrElse(a, a), vs)
     case StringStartsWith(a, p) => StringStartsWith(m.getOrElse(a, a), p)
+    case IsNull(a) => IsNull(m.getOrElse(a, a))
+    case IsNotNull(a) => IsNotNull(m.getOrElse(a, a))
     case Or(l, r) => Or(translate(l, m), translate(r, m))
     case And(l, r) => And(translate(l, m), translate(r, m))
     case other => other
@@ -1527,7 +1536,15 @@ private[graft] object TemporalPush {
   * fed filters over primary-key columns — see GraftPkScanBuilder). */
 private[v2] object FileSkip {
   def keep(f: Filter, mins: Map[String, String],
-      maxs: Map[String, String]): Boolean = {
+      maxs: Map[String, String],
+      /** The file's manifest meta, when available: null counts + physical
+        * column presence serve the IS [NOT] NULL decisions — legacy
+        * manifests (None) conservatively keep. */
+      meta: Option[DataFileMeta] = None): Boolean = {
+    def nullCount(a: String): Option[Long] =
+      meta.flatMap(_.nullStats).flatMap(_.get(a)).flatMap(_.toLongOption)
+    def present(a: String): Option[Boolean] =
+      meta.flatMap(_.fileCols).map(_.contains(a))
     def stats(a: String): Option[(String, String)] =
       for (mn <- mins.get(a); mx <- maxs.get(a)) yield (mn, mx)
     def num(s: String): Option[Double] =
@@ -1590,9 +1607,20 @@ private[v2] object FileSkip {
             !(mx < p || mn >= succ)
           }
         }).getOrElse(true)
+      // IS NOT NULL: skip only when provably every row is null — the column
+      // physically absent (file predates it) or nulls == rowCount
+      case IsNotNull(a) =>
+        val allNull = (nullCount(a), meta.map(_.rowCount)) match {
+          case (Some(n), Some(r)) => n == r
+          case _ => false
+        }
+        !(present(a).contains(false) || allNull)
+      // IS NULL: skip only when the column is present with ZERO nulls
+      case IsNull(a) =>
+        !(present(a).contains(true) && nullCount(a).contains(0L))
       // a file can match an OR if either branch could, an AND only if both
-      case Or(l, r) => keep(l, mins, maxs) || keep(r, mins, maxs)
-      case And(l, r) => keep(l, mins, maxs) && keep(r, mins, maxs)
+      case Or(l, r) => keep(l, mins, maxs, meta) || keep(r, mins, maxs, meta)
+      case And(l, r) => keep(l, mins, maxs, meta) && keep(r, mins, maxs, meta)
       case _ => true
     }
   }
@@ -1801,7 +1829,39 @@ object GraftVector {
         case _ => None
       }
     }
+    // IS [NOT] NULL: parquet's eq(col, null)/notEq(col, null) — row groups
+    // prune on the chunk null counts
+    def nullLeaf(attr: String, isNull: Boolean): Option[FilterPredicate] =
+      schema.find(_.name == attr).map(_.dataType).flatMap {
+        case LongType | TimestampNTZType | TimestampType =>
+          val c = FilterApi.longColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Long])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Long]))
+        case IntegerType | DateType =>
+          val c = FilterApi.intColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Integer])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Integer]))
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Double])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Double]))
+        case FloatType =>
+          val c = FilterApi.floatColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Float])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Float]))
+        case StringType =>
+          val c = FilterApi.binaryColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[Binary])
+          else FilterApi.notEq(c, null.asInstanceOf[Binary]))
+        case BooleanType =>
+          val c = FilterApi.booleanColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Boolean])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Boolean]))
+        case _ => None
+      }
     def convert(f: Filter): Option[FilterPredicate] = f match {
+      case IsNull(a) => nullLeaf(a, isNull = true)
+      case IsNotNull(a) => nullLeaf(a, isNull = false)
       case EqualTo(a, v) => leaf(a, v, "eq")
       case GreaterThan(a, v) => leaf(a, v, "gt")
       case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")
@@ -1984,7 +2044,41 @@ class GraftPartitionReader(path: String, required: StructType,
         case _ => None
       }
     }
+    // IS [NOT] NULL against this file's PHYSICAL column (any primitive
+    // type works — the test never reads values, only definition levels)
+    def nullLeaf(attr: String, isNull: Boolean): Option[FilterPredicate] = {
+      val prim = fieldType(attr).asPrimitiveType()
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 =>
+          val c = FilterApi.longColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Long])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Long]))
+        case PrimitiveTypeName.INT32 =>
+          val c = FilterApi.intColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Integer])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Integer]))
+        case PrimitiveTypeName.DOUBLE =>
+          val c = FilterApi.doubleColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Double])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Double]))
+        case PrimitiveTypeName.FLOAT =>
+          val c = FilterApi.floatColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Float])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Float]))
+        case PrimitiveTypeName.BINARY =>
+          val c = FilterApi.binaryColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[Binary])
+          else FilterApi.notEq(c, null.asInstanceOf[Binary]))
+        case PrimitiveTypeName.BOOLEAN =>
+          val c = FilterApi.booleanColumn(attr)
+          Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Boolean])
+          else FilterApi.notEq(c, null.asInstanceOf[java.lang.Boolean]))
+        case _ => None // INT96 / FLBA: residual-only
+      }
+    }
     def convert(f: Filter): Option[FilterPredicate] = f match {
+      case IsNull(a) => nullLeaf(a, isNull = true)
+      case IsNotNull(a) => nullLeaf(a, isNull = false)
       case EqualTo(a, v) => leaf(a, v, "eq")
       case GreaterThan(a, v) => leaf(a, v, "gt")
       case GreaterThanOrEqual(a, v) => leaf(a, v, "ge")

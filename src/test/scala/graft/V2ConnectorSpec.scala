@@ -1037,6 +1037,34 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("IS [NOT] NULL pushdown: manifest null counts skip whole files, exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_null_").toString
+    val tbl = new StreamTable(root, spark)
+    // three provable layouts: no-nulls, all-null, mixed — plus a file that
+    // PREDATES the column entirely (schema evolution: all rows null there)
+    tbl.appendBatch(Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1), 0L)
+    tbl.appendBatch(Seq((3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("id", "v").coalesce(1), 1L)
+    tbl.appendBatch(Seq((5L, "z"), (6L, null.asInstanceOf[String]))
+      .toDF("id", "v").coalesce(1), 2L)
+    tbl.appendBatch(Seq(Tuple1(7L)).toDF("id").coalesce(1), 3L)
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    def run(cond: org.apache.spark.sql.Column) = {
+      val df = spark.read.format("graft").load(root).where(cond).select("id")
+      val Files(k, t) = scanOf(df).description()
+      (k.toInt, t.toInt, df.collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    // IS NOT NULL: the all-null file AND the predating file skip
+    assert(run(col("v").isNotNull) == (2, 4, Seq(1L, 2L, 5L)))
+    // IS NULL: the zero-null file skips; predating + all-null + mixed stay
+    assert(run(col("v").isNull) == (3, 4, Seq(3L, 4L, 6L, 7L)))
+    // compound: AND with a range keeps the intersection's files only
+    assert(run(col("v").isNotNull && col("id") >= 5L) == (1, 4, Seq(5L)))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("columnar eligibility refuses only the filter+limit combination") {
     // filters are residual and page pruning is inexact, so "n decoded rows"
     // is not "n post-filter rows" — only the row reader's record-level
