@@ -68,7 +68,10 @@ object PlanDump {
       "q_source_v2_pk_partial" -> "partial-update merge-on-read: the same per-bucket BatchScan shape as q_source_v2_pk_read, with per-FIELD last-non-null folds inside the readers (persisted fseq provenance structs) — the merge engine changes the reader, never the plan.",
       "q_source_v2_incremental" -> "Batch incremental read: the (a,b] interval as a per-bucket BatchScan — here the state-diff fallback (no producer on this table); with changelog-producer the same plan reads ONLY the interval's persisted changelog files. Column pruning reaches the readers (projected cols + never-emitted key region).",
       "q_source_v2_audit_log" -> "The $audit_log system table: the current resolved state as +I through the CDC catch-up plan — per-bucket engine readers, zero exchanges below the presentation sort, identical shape to the PK merge-on-read scan.",
-      "q_source_v2_change_history" -> "The $changelog system table: the retained change history — snapshot 0 resolves per bucket, every later produced commit is a PASS-THROUGH partition over its persisted changelog files (one partition per file, no resolve, no netting).")
+      "q_source_v2_change_history" -> "The $changelog system table: the retained change history — snapshot 0 resolves per bucket, every later produced commit is a PASS-THROUGH partition over its persisted changelog files (one partition per file, no resolve, no netting).",
+      "q_source_v2_ts_pushdown" -> "ZONED-timestamp pushdown: a TIMESTAMP range over week-batched commits — graft writes INT64 TIMESTAMP_MICROS (never INT96), so the '+0000'-rendered manifest stats skip files (1-2 of 5 kept), the pushed predicate prunes row groups, the decode is columnar. The reference's own TIMESTAMP(3) event_time, served like any other stat.",
+      "q_source_v2_group_agg" -> "GROUPED aggregate pushdown: GROUP BY event_type collapsed into GraftAggregateScan — every file is provably single-valued in the group column (manifest null counts + min=max), so the per-type census is precomputed rows from metadata; NO aggregate exec, zero data bytes read.",
+      "q_source_v2_ctas" -> "Atomic CTAS result read: the published table scans exactly like any catalog table (manifest-planned files, columnar decode) — the CTAS itself staged in a hidden dir and published with one rename, so no plan ever observed a half-table.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

@@ -124,7 +124,10 @@ object ScaleSmoke {
       // round-14 addition: catch-up CDC plan (per-bucket live resolve, +I)
       "q_source_v2_audit_log",
       // round-15 addition: temporal file skip + columnar filtered decode
-      "q_source_v2_date_pushdown")
+      "q_source_v2_date_pushdown",
+      // round-16 additions: zoned-ts skip + grouped metadata census
+      "q_source_v2_ts_pushdown",
+      "q_source_v2_group_agg")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
