@@ -1514,6 +1514,70 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("deletion vectors: streaming catch-up suppresses deleted rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dvstream_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 50L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), 0L)
+    tbl.appendBatch((50L until 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), 1L)
+    assert(tbl.deleteWhere(col("id").isin(7L, 77L)) == 2L)
+    val chk = java.nio.file.Files.createTempDirectory("v2_dvstream_chk_").toString
+    val out = java.nio.file.Files.createTempDirectory("v2_dvstream_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", chk).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // initial catch-up: the live set MINUS the vectored positions
+    drain()
+    val got = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.length == 98 && !got.contains(7L) && !got.contains(77L),
+      s"catch-up must suppress deletion vectors: ${got.take(10)}")
+    // incremental: fresh appends deliver normally after the DV commit
+    tbl.appendBatch(Seq((100L, "x")).toDF("id", "s"), 2L)
+    drain()
+    assert(spark.read.parquet(out).count() == 99)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("deletion vectors: the commit guard refuses when maintenance rewrote the file") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dvrace_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .coalesce(1), 0L)
+    tbl.appendBatch((100L until 200L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .coalesce(1), 1L)
+    // a DV delete and a concurrent compaction both target the same files;
+    // whichever commits second must either retry cleanly or refuse loudly —
+    // never publish positions against a file the other rewrote. Injection:
+    // compact between the DV delete's discovery scan and its commit, via a
+    // committer shim that fires once on the DV table handle.
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val other = new StreamTable(root, spark)
+    tbl.committer = new graft.table.SnapshotCommitter {
+      override def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+        if (raced.compareAndSet(false, true)) other.compact(targetFileCount = 1)
+        graft.table.PosixLinkCommitter.publish(target, bytes)
+      }
+    }
+    val e = intercept[Exception](tbl.deleteWhere(col("id") === 42L))
+    assert(e.getMessage.contains("concurrent maintenance"), e.getMessage)
+    // the table is untouched by the refused delete; the compaction stands
+    val reread = new StreamTable(root, spark)
+    assert(reread.read.count() == 200L)
+    assert(reread.latestSnapshot.get.files.forall(_.dvCount.isEmpty))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("deletion vectors: above the cap the delete falls back to copy-on-write") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
