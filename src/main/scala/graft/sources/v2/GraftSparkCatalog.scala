@@ -373,6 +373,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty, "graft tables declare bucketing via options")
     val dbName = db(ident.namespace())
     backing.createDatabase(dbName)
+    // opportunistic sweep of CRASHED stagings (a driver that died between
+    // write and publish leaves a whole staged table): anything in the
+    // staging area older than a day is unpublishable by construction —
+    // its committer is gone — so each new CTAS reclaims the leftovers
+    locally {
+      val area = java.nio.file.Paths.get(s"$warehouse/.staging-ctas")
+      if (java.nio.file.Files.isDirectory(area)) {
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        graft.table.StreamTable.listDir(area).foreach { d =>
+          try {
+            if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff)
+              graft.table.StreamTable.deleteTree(d)
+          } catch { case _: java.io.IOException => () } // racing committer wins
+        }
+      }
+    }
     val staging = s"$warehouse/.staging-ctas/${java.util.UUID.randomUUID()}"
     val opts = properties.asScala.toMap -
       TableCatalog.PROP_OWNER - "provider" + (SchemaOption -> schema.toDDL)

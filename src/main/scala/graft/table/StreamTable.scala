@@ -1942,10 +1942,11 @@ class StreamTable(
           f.minStats.getOrElse(Map.empty[String, String]),
           f.maxStats.getOrElse(Map.empty[String, String]),
           f.level, f.bucket, f.fileSizeInBytes, f.minSeq, f.maxSeq,
-          f.creationTimeMs))
+          f.creationTimeMs, f.dvCount.getOrElse(0L)))
         .toDF("file_path", "record_count", "min_value_stats",
           "max_value_stats", "level", "bucket", "file_size_in_bytes",
-          "min_sequence_number", "max_sequence_number", "creation_time_ms")
+          "min_sequence_number", "max_sequence_number", "creation_time_ms",
+          "delete_row_count")
         .withColumn("creation_time", timestamp_millis(col("creation_time_ms")))
         .drop("creation_time_ms")
         .orderBy("min_sequence_number", "file_path")
@@ -1965,9 +1966,10 @@ class StreamTable(
       }.toDF("file_path", "record_count", "min_value_stats", "max_value_stats")
     val metaDf = spark.createDataset(files.map(f =>
       (f.path, f.level, f.bucket, f.fileSizeInBytes, f.minSeq, f.maxSeq,
-        f.creationTimeMs)))
+        f.creationTimeMs, f.dvCount.getOrElse(0L))))
       .toDF("file_path", "level", "bucket", "file_size_in_bytes",
-        "min_sequence_number", "max_sequence_number", "creation_time_ms")
+        "min_sequence_number", "max_sequence_number", "creation_time_ms",
+        "delete_row_count")
     statsDf.join(metaDf, "file_path")
       .withColumn("creation_time", timestamp_millis(col("creation_time_ms")))
       .drop("creation_time_ms")
