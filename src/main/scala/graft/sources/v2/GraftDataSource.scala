@@ -1149,10 +1149,14 @@ class GraftScan(table: GraftV2Table, required: StructType,
     * partition pruning for a table whose "partitions" are key-range files. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // must be a subset of the scan's (column-pruned) output — the DPP rule
-    // resolves these against readSchema, not the table schema
+    // resolves these against readSchema, not the table schema. Temporal
+    // types included: "fact JOIN date_dim WHERE dim slice" — the classic
+    // star-schema shape — hands the surviving date keys to this scan and
+    // prunes the fact's time-ranged files at runtime.
     required.fields.collect {
       case f if !GraftV2Table.MetaCols.contains(f.name) &&
-          Set[DataType](LongType, IntegerType, DoubleType, FloatType, StringType)
+          Set[DataType](LongType, IntegerType, DoubleType, FloatType,
+            StringType, DateType, TimestampType, TimestampNTZType)
           .contains(f.dataType) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
@@ -1161,9 +1165,27 @@ class GraftScan(table: GraftV2Table, required: StructType,
     def litValue(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
       e match {
         case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          Some(l.value() match {
-            case u: UTF8String => u.toString
-            case v => v
+          // temporal literals arrive in INTERNAL form (epoch days/micros);
+          // convert to the external classes TemporalPush/FileSkip compare —
+          // the same values a pushed V1 filter would carry
+          Some(l.dataType() match {
+            case DateType =>
+              java.time.LocalDate.ofEpochDay(
+                l.value().asInstanceOf[Number].longValue())
+            case TimestampNTZType =>
+              val us = l.value().asInstanceOf[Number].longValue()
+              java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                java.time.ZoneOffset.UTC)
+            case TimestampType =>
+              val us = l.value().asInstanceOf[Number].longValue()
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+            case _ => l.value() match {
+              case u: UTF8String => u.toString
+              case v => v
+            }
           })
         case _ => None
       }

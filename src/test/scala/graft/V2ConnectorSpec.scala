@@ -461,6 +461,33 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after >= 1)
   }
 
+  test("runtime V2 filtering prunes time-ranged files by a temporal join key") {
+    // the star-schema DPP shape: surviving date-dim keys hand to the fact
+    // scan as internal epoch micros; the scan converts and prunes against
+    // the ISO-rendered manifest stats — week files outside the key set drop
+    val root = scanOf(
+      SparkEntry.queries("q_source_v2_ts_pushdown")(spark, sf)).tableRoot
+    val df = spark.read.format("graft").load(root)
+    val scan = scanOf(df)
+    val total = scan.planInputPartitions().length
+    assert(total == 5, s"expected the 5 week batches, got $total")
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val us = java.time.Instant.parse("2024-01-10T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val tsLit = new org.apache.spark.sql.connector.expressions.Literal[java.lang.Long] {
+      override def value(): java.lang.Long = java.lang.Long.valueOf(us)
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.TimestampType
+    }
+    val eq = new Predicate("=",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("ts"), tsLit))
+    scan.filter(Array(eq))
+    val after = scan.planInputPartitions().length
+    assert(after == 1, s"a single instant must keep only its week file: $after/$total")
+  }
+
   test("a data column named like a metadata column shadows it (stored data wins)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("v2_shadow_").toString
