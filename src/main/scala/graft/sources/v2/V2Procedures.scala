@@ -34,7 +34,8 @@ object V2Procedures {
 
   def names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback_to", "create_tag",
-      "delete_tag", "rescale", "remove_orphan_files", "compact_small_files")
+      "delete_tag", "rescale", "remove_orphan_files", "compact_small_files",
+      "materialize_deletes")
 
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
     def p = catalog // materialize lazily per call
@@ -62,6 +63,18 @@ object V2Procedures {
             math.max(2, args(2).asInstanceOf[Int])) match {
           case Some(snap) => Array[Any](snap.id, true)
           case None => Array[Any](-1L, false)
+        }, p))
+      // rewrite ONLY the files carrying deletion vectors (applying the
+      // suppression): restores the vectorized scan path at cost ∝ dv'd
+      // bytes — the surgical follow-up to small DELETEs, far cheaper than
+      // sys.compact. snapshot_id = -1 when no vectors exist (zero-I/O probe).
+      case "materialize_deletes" => Some(proc("materialize_deletes",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("files_materialized", IntegerType),
+          StructField("snapshot_id", LongType))),
+        (t, _) => {
+          val (n, sid) = t.materializeDeletionVectors()
+          Array[Any](n, sid)
         }, p))
       case "expire_snapshots" => Some(proc("expire_snapshots",
         Seq(in("table", StringType),

@@ -2309,6 +2309,55 @@ class StreamTable(
     }
   }
 
+  /** Materialize deletion vectors ONLY: rewrite exactly the files carrying
+    * a vector (the read applies the suppression) and swap their manifest
+    * entries — the surgical dual of [[compact]]: cost ∝ dv'd file BYTES,
+    * every clean file survives byte-identical, and the scan's vectorized
+    * path (plus SPJ on bucketed layouts) comes back without waiting for a
+    * full compaction. Bucketed layouts rewrite through the clustered
+    * writer so bucket labels survive. Returns (files materialized,
+    * committed snapshot id); (0, -1) = no vectors — the probe is manifest
+    * metadata only, zero file I/O. */
+  def materializeDeletionVectors(): (Int, Long) = {
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val dvd = live.filter(_.dvCount.exists(_ > 0))
+    if (dvd.isEmpty) return (0, -1L)
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    val snapId = latestSnapshot.map(_.id).getOrElse(0L)
+    val raw = readFiles(dvd) // deletion-vector suppression applied here
+    val clustered = bucketKey.isDefined && dvd.forall(_.bucket.isDefined)
+    val moved: Seq[(String, Option[Int])] =
+      if (clustered)
+        writeClustered(raw, primaryKey, staging, dataCompact, s"dvm$snapId")
+          .map { case (p, k) => (p, Some(k)) }
+      else {
+        StreamTable.withMicrosTimestamps(spark)(
+          raw.write.mode("overwrite").parquet(staging))
+        moveStagedParts(staging, dataCompact, s"dvm$snapId")
+          .map { case (p, _) => (p, None) }
+      }
+    val metasAll = fileMetas(spark, moved.map(_._1), level = 1,
+      minSeq = dvd.map(_.minSeq).min, maxSeq = dvd.map(_.maxSeq).max)
+      .zip(moved).map { case (m, (_, bkt)) => m.copy(bucket = bkt) }
+    val (metas, empties) = metasAll.partition(_.rowCount > 0)
+    empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+    val (inRows, outRows) =
+      (dvd.map(_.liveRowCount).sum, metas.map(_.rowCount).sum)
+    require(outRows == inRows,
+      s"dv materialization must conserve live rows: $inRows -> $outRows")
+    val touched = dvd.map(_.path).toSet
+    // maintenance kind: the DELETE's change surface was the DV commit —
+    // this rewrite is absorbed layout work, never re-emitted change
+    val snap = commit({ liveNow =>
+      val gone = touched -- liveNow.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) under dv materialization (e.g. ${gone.take(2).mkString(", ")})")
+      CommitChange(metas, touched,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }, kind = "compact")
+    (dvd.size, snap.id)
+  }
+
   /** Shared rewrite machinery: read the live set, resolve merge semantics,
     * rewrite through `layout`, atomically swap the manifest. Conservation is
     * validated against the rewrite's own inputs/outputs (footer row counts),

@@ -1605,6 +1605,46 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("CALL sys.materialize_deletes: surgical rewrite restores the columnar path") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.dvm (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.dvm SELECT id, concat('r', id) " +
+      "FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.dvm SELECT id, concat('r', id) " +
+      "FROM range(100, 200)")
+    spark.sql(s"DELETE FROM $cat.db.dvm WHERE id = 42")
+    val tbl = gc.getTable("db", "dvm")
+    val clean = tbl.latestSnapshot.get.files
+      .filter(_.dvCount.forall(_ == 0L)).map(_.path).toSet
+    assert(clean.nonEmpty && clean.size < tbl.latestSnapshot.get.files.size)
+    // dv'd table: the scan is row-based
+    def scanCols(): Boolean = {
+      val df = spark.sql(s"SELECT id, s FROM $cat.db.dvm")
+      val scan = scanOf(df)
+      scan.planInputPartitions().forall(scan.createReaderFactory().supportColumnarReads)
+    }
+    assert(!scanCols(), "a dv'd table must scan row-based")
+    val res = spark.sql(
+      s"CALL $cat.sys.materialize_deletes(`table` => 'db.dvm')").head()
+    assert(res.getInt(0) == 1, res.toString) // exactly the one dv'd file
+    // clean files survived byte-identical; the dv'd one was replaced
+    val reread = gc.getTable("db", "dvm").latestSnapshot.get.files
+    assert(clean.subsetOf(reread.map(_.path).toSet),
+      "clean files must survive the materialization verbatim")
+    assert(reread.forall(_.dvCount.forall(_ == 0L)), "vectors must be gone")
+    // columnar is back, answers exact
+    assert(scanCols(), "materialization must restore the columnar path")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dvm").head().getLong(0) == 199L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dvm WHERE id = 42")
+      .head().getLong(0) == 0L)
+    // idempotent probe: no vectors left, zero I/O, snapshot unchanged
+    val res2 = spark.sql(
+      s"CALL $cat.sys.materialize_deletes(`table` => 'db.dvm')").head()
+    assert(res2.getInt(0) == 0 && res2.getLong(1) == -1L, res2.toString)
+  }
+
   test("deletion vectors: above the cap the delete falls back to copy-on-write") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
