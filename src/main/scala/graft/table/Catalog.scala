@@ -165,6 +165,14 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     val deltaCommits = o.get("full-compaction.delta-commits").map(_.toInt)
     val due = nFiles > maxFiles ||
       deltaCommits.exists(n => t.latestSnapshot.exists(s => (s.id + 1) % n == 0))
+    // deletion vectors pending? materialize them surgically FIRST (cost ∝
+    // dv'd bytes) — restores the vectorized scan path without waiting for
+    // the file-count trigger; runs instead of a full compaction when that
+    // isn't otherwise due (a manifest-metadata probe, zero I/O when clean)
+    if (!due && t.latestSnapshot.exists(_.files.exists(_.dvCount.exists(_ > 0)))) {
+      t.materializeDeletionVectors()
+      return true
+    }
     if (due) {
       val target = math.max(1, t.numBuckets)
       o.get("sort-compact.columns").map(_.split(",").map(_.trim)) match {

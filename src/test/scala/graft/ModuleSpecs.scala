@@ -273,6 +273,26 @@ class ModuleSpecs extends AnyFunSuite {
     assert(cat.getTable("default", "m2").read.count() == 5)
   }
 
+  test("catalog: auto-maintenance materializes pending deletion vectors") {
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    val t = cat.createTable("default", "mdv", Map(
+      "compaction.max.file-num" -> "10")) // file-count trigger NOT due
+    t.appendBatch((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), 0L)
+    t.appendBatch((50L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), 1L)
+    assert(t.deleteWhere(col("id") === 7L) == 1L) // deletion vector
+    // the policy runs the SURGICAL materialization instead of a compaction
+    assert(cat.maybeCompact("default", "mdv"), "dv materialization is due")
+    val after = cat.getTable("default", "mdv")
+    assert(after.latestSnapshot.get.files.forall(_.dvCount.forall(_ == 0L)))
+    assert(after.latestSnapshot.get.files.size == 2, "no full compaction ran")
+    assert(after.read.count() == 99)
+    // clean table: nothing due
+    assert(!cat.maybeCompact("default", "mdv"))
+  }
+
   test("catalog: sort-compact.columns option z-orders the auto-compaction") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
     val t = cat.createTable("default", "m4", Map(
