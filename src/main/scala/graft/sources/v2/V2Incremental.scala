@@ -201,8 +201,10 @@ class GraftAuditLogV2Table(base: GraftV2Table) extends Table with SupportsRead {
                 onlyBucket)
             else last.files
               .filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
-              .map(f =>
-                GraftConstOpPartition(f.path, "+I"): InputPartition).toArray
+              // CURRENT STATE semantics: a deletion-vector'd row is not in
+              // the state — ship the positions for the reader to suppress
+              .map(f => GraftConstOpPartition(f.path, "+I",
+                GraftScan.dvOf(f)): InputPartition).toArray
         }
       }
 
@@ -302,8 +304,12 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
 }
 
 /** A data file whose every row is one change of a known kind (append-table
-  * deltas: always `+I`). */
-case class GraftConstOpPartition(path: String, op: String) extends InputPartition
+  * deltas: always `+I`). `dv` = deletion-vector positions to suppress —
+  * non-empty only for CURRENT-STATE surfaces (`$audit_log`); interval
+  * surfaces deliver each commit's rows as appended, matching the
+  * append-table DML posture (COW and DV deletes are not streamed). */
+case class GraftConstOpPartition(path: String, op: String,
+    dv: Array[Long] = Array.empty) extends InputPartition
 
 /** A persisted changelog file: rows already carry their op — pass through. */
 case class GraftPassthroughOpPartition(path: String) extends InputPartition
@@ -316,8 +322,8 @@ case class GraftPassthroughOpReaderFactory(fileBase: StructType)
         new GraftPartitionReader(path,
           StructType(fileBase.fields :+ StructField("op", StringType)),
           Array.empty)
-      case GraftConstOpPartition(path, op) =>
-        new GraftConstOpReader(path, fileBase, op)
+      case GraftConstOpPartition(path, op, dv) =>
+        new GraftConstOpReader(path, fileBase, op, dv)
     }
 }
 
@@ -334,10 +340,13 @@ case class GraftAuditReaderFactory(fileBase: StructType,
     }
 }
 
-/** Reads a data file's base columns and appends a constant op. */
-class GraftConstOpReader(path: String, fileBase: StructType, op: String)
+/** Reads a data file's base columns and appends a constant op (suppressing
+  * the deletion-vector positions when the partition carries them). */
+class GraftConstOpReader(path: String, fileBase: StructType, op: String,
+    dv: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
-  private val inner = new GraftPartitionReader(path, fileBase, Array.empty)
+  private val inner = new GraftPartitionReader(path, fileBase, Array.empty,
+    dv = dv)
   private val opVal = UTF8String.fromString(op)
   private val dts = fileBase.fields.map(_.dataType)
 

@@ -1605,6 +1605,25 @@ class V2ConnectorSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("deletion vectors: \\$audit_log current-state semantics net the deletions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.dval (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.dval SELECT id, concat('v', id) " +
+      "FROM range(0, 60)")
+    spark.sql(s"DELETE FROM $cat.db.dval WHERE id IN (5, 25)")
+    assert(gc.getTable("db", "dval").latestSnapshot.get.files
+      .exists(_.dvCount.exists(_ > 0)), "the delete must take the DV route")
+    // $audit_log = current state as +I: the deleted rows are NOT state
+    val rows = spark.sql(
+      s"SELECT rowkind, id FROM $cat.db.`dval$$audit_log` ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 58 && rows.forall(_._1 == "+I"))
+    assert(!rows.exists(r => r._2 == 5L || r._2 == 25L),
+      "audit_log must suppress deletion-vectored rows")
+  }
+
   test("CALL sys.materialize_deletes: surgical rewrite restores the columnar path") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
