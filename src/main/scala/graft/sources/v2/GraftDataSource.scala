@@ -160,7 +160,15 @@ object GraftV2Table {
   /** Metadata (system) column names. */
   val FileCol = "_graft_file"
   val SeqMetaCol = "_graft_seq"
-  val MetaCols: Set[String] = Set(FileCol, SeqMetaCol)
+  /** Raw row position within [[FileCol]] — the deletion-vector coordinate.
+    * (FileCol, PosCol) is a stable per-row id: the delta-based row-level
+    * operations ([[GraftDeltaOperation]]) use it as their `rowId`, and a
+    * user can SELECT it for row provenance. Positions are RAW file offsets
+    * (deletion-vector-suppressed rows still advance the counter), so the
+    * reader disables parquet record-level filtering whenever this column is
+    * requested — the residual Filter above the scan keeps record truth. */
+  val PosCol = "_graft_pos"
+  val MetaCols: Set[String] = Set(FileCol, SeqMetaCol, PosCol)
 
   /** Paimon's streaming start modes, as the stream's initial offset:
     * `scan.snapshot-id = N` starts delivery AT snapshot N (offset N-1);
@@ -289,18 +297,33 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** Native UPDATE / MERGE INTO / non-pushable DELETE: group-based
-    * copy-on-write at file granularity (see [[GraftRowLevelOperation]]).
+  /** Native UPDATE / MERGE INTO / non-pushable DELETE. Two physical
+    * strategies, picked by the `rowlevel.mode` table option:
+    *
+    *  - `cow` (default): group-based copy-on-write at file granularity
+    *    ([[GraftRowLevelOperation]]) — cost ∝ bytes of files containing
+    *    matches; zero read amplification afterwards.
+    *  - `dv` (merge-on-read): delta-based ([[GraftDeltaOperation]],
+    *    SupportsDelta) — matched rows become deletion-vector positions and
+    *    changed/inserted rows append as new files, cost ∝ MATCHES; readers
+    *    pay the suppression until auto-maintenance materializes the
+    *    vectors. The 100 TB compliance-delete / trickle-update posture.
+    *
     * Built unconditionally — Spark's OptimizeMetadataOnlyDeleteFromTable
     * converts pushable DELETEs back to [[deleteWhere]] BEFORE any scan is
-    * created, so PK tombstone deletes and touched-file COW keep their fast
-    * paths; the operation itself refuses PK tables at scan build. */
+    * created, so PK tombstone deletes keep their fast path; both operations
+    * refuse PK tables at scan build (PK DML is merge-on-read already). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
       s"${info.command()} targets the current table version")
-    () => new GraftRowLevelOperation(this, info.command())
+    val mode = graft.table.GraftCatalog.pathOptions(table.root)
+      .getOrElse("rowlevel.mode", "cow")
+    require(mode == "cow" || mode == "dv",
+      s"$tableName: unknown rowlevel.mode '$mode' (supported: cow, dv)")
+    if (mode == "dv") { () => new GraftDeltaOperation(this, info.command()) }
+    else { () => new GraftRowLevelOperation(this, info.command()) }
   }
 
   /** Rename mappings, exposed for the changelog wrapper. */
@@ -359,6 +382,13 @@ class GraftV2Table(tableName: String, val table: StreamTable,
         override def dataType(): DataType = LongType
         override def isNullable: Boolean = false
         override def comment(): String = "commit sequence (batch id) of the row's file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftV2Table.PosCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "raw row position within _graft_file (deletion-vector coordinate)"
       })
 
   /** Snapshot-pinned copy (`VERSION AS OF` / `TIMESTAMP AS OF`). */
@@ -1262,8 +1292,11 @@ class GraftScan(table: GraftV2Table, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // deletion vectors do NOT demote the scan: a dv'd partition decodes
+    // through GraftDvVectorReader (batch-level suppression, clean batches
+    // zero-copy), clean files through the plain vectorized reader
     GraftReaderFactory(fileRequired, filePushed, limit,
-      columnar = !kept.exists(_.dvCount.exists(_ > 0)) &&
+      columnar =
         GraftVector.eligible(fileRequired, filePushed, limit, kept.map(_.path)))
 }
 
@@ -1323,15 +1356,17 @@ case class GraftReaderFactory(required: StructType, pushed: Array[Filter],
     }
 
   // NOTE: Spark requires every partition of one scan to agree on columnar
-  // ("Cannot mix row-based and columnar input partitions"), so deletion
-  // vectors demote at SCAN granularity: the factory is constructed with
-  // columnar=false when any planned file carries a vector (and the row
-  // reader suppresses the positions). Compaction restores the fast path.
+  // ("Cannot mix row-based and columnar input partitions"), so the flag is
+  // scan-wide — but a deletion-vectored partition still reads columnar
+  // through GraftDvVectorReader (batch-level position suppression), so one
+  // dv'd file never demotes the scan's clean files off the fast path.
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
+      case p: GraftInputPartition if p.dv.nonEmpty =>
+        new GraftDvVectorReader(p.path, required, p.dv, limit)
       case p: GraftInputPartition =>
         new GraftVectorReader(p.path, required, pushed, limit)
       case b: GraftBucketInputPartition =>
@@ -1483,6 +1518,114 @@ class GraftVectorReader(path: String, required: StructType,
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.resultBatch()
   override def close(): Unit = reader.close()
+}
+
+/** Columnar decode of a deletion-vectored file: wraps [[GraftVectorReader]]
+  * and SUPPRESSES the vector's positions batch-by-batch, so one deleted row
+  * no longer demotes an entire scan to the ~3× row reader — clean files in
+  * the same scan stay zero-copy columnar, and a dv'd file pays only here.
+  *
+  *  - batches containing NO deleted position pass through zero-copy (the
+  *    overwhelming case: a vector is cap-bounded while the file has
+  *    millions of rows);
+  *  - a batch that does contain deletions compacts its SURVIVORS into
+  *    fresh on-heap vectors — one typed copy pass, still far cheaper than
+  *    per-row Group assembly, and bounded by 4k rows;
+  *  - the inner reader runs with NO parquet filter predicate and no pushed
+  *    limit (record/row-group skipping would desynchronize the raw-offset
+  *    position counter — the same rule as the row reader under a vector);
+  *    the pushed LIMIT trims here, AFTER suppression, and pushed filters
+  *    stay residual above the scan as always.
+  *
+  * Types are exactly [[GraftVector.eligible]]'s proof alphabet, so the
+  * typed copy can never surprise. */
+class GraftDvVectorReader(path: String, required: StructType,
+    dv: Array[Long], limit: Option[Int] = None)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val inner = new GraftVectorReader(path, required,
+    pushed = Array.empty, limit = None)
+  private var rowsSeen = 0L // raw offset of the NEXT batch's first row
+  private var dvIdx = 0
+  private var delivered = 0L
+  private var out: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (limit.exists(delivered >= _)) return false
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val start = rowsSeen
+      rowsSeen += n
+      // deleted positions falling inside this batch (dv is sorted; dvIdx
+      // advances monotonically — one forward pass for the whole file)
+      val dvFrom = dvIdx
+      while (dvIdx < dv.length && dv(dvIdx) < start + n) dvIdx += 1
+      val batch =
+        if (dvIdx == dvFrom) b // untouched batch: zero-copy pass-through
+        else compact(b, start, dvFrom, dvIdx)
+      if (batch.numRows() > 0) {
+        limit.foreach { lim =>
+          val remaining = lim - delivered
+          if (batch.numRows() > remaining) batch.setNumRows(remaining.toInt)
+        }
+        delivered += batch.numRows()
+        out = batch
+        return true
+      }
+    }
+    false
+  }
+
+  /** Copy the batch's surviving rows into fresh on-heap vectors. */
+  private def compact(b: org.apache.spark.sql.vectorized.ColumnarBatch,
+      start: Long, dvFrom: Int, dvTo: Int)
+      : org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val n = b.numRows()
+    val keep = new Array[Int](n - (dvTo - dvFrom))
+    var r = 0; var k = 0; var d = dvFrom
+    while (r < n) {
+      if (d < dvTo && dv(d) == start + r) d += 1
+      else { keep(k) = r; k += 1 }
+      r += 1
+    }
+    val cols = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      .allocateColumns(keep.length, required)
+    var c = 0
+    while (c < required.length) {
+      val src = b.column(c)
+      val dst = cols(c)
+      val dt = required(c).dataType
+      var i = 0
+      while (i < keep.length) {
+        val row = keep(i)
+        if (src.isNullAt(row)) dst.putNull(i)
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType =>
+            dst.putLong(i, src.getLong(row))
+          case IntegerType | DateType => dst.putInt(i, src.getInt(row))
+          case DoubleType => dst.putDouble(i, src.getDouble(row))
+          case FloatType => dst.putFloat(i, src.getFloat(row))
+          case BooleanType => dst.putBoolean(i, src.getBoolean(row))
+          case StringType =>
+            val s = src.getUTF8String(row).getBytes
+            dst.putByteArray(i, s, 0, s.length)
+          case BinaryType =>
+            val s = src.getBinary(row)
+            dst.putByteArray(i, s, 0, s.length)
+          case other => throw new IllegalStateException(
+            s"unreachable: eligible() admitted unsupported type $other")
+        }
+        i += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.vectorized.ColumnarBatch(
+      cols.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+      keep.length)
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
+  override def close(): Unit = inner.close()
 }
 
 /** Temporal filter-value/stat conversions for pushdown and stats skipping.
@@ -1950,8 +2093,10 @@ class GraftPartitionReader(path: String, required: StructType,
     val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
     // row-group + record-level re-check of the pushed filters; only when
     // every referenced column exists in this file — and never under a
-    // deletion vector (position fidelity, see the class doc)
-    (if (dv.nonEmpty) None
+    // deletion vector or a requested _graft_pos (position fidelity: skipped
+    // records would desynchronize the raw-offset counter, see the class doc)
+    (if (dv.nonEmpty ||
+         required.fieldNames.contains(GraftV2Table.PosCol)) None
      else toPredicate(pushed.filter(filterCols(_).forall(inFile))))
       .fold(b)(p => b.withFilter(FilterCompat.get(p)))
       .build()
@@ -2139,6 +2284,7 @@ class GraftPartitionReader(path: String, required: StructType,
     required.fields.map { f =>
       if (f.name == GraftV2Table.FileCol && !inFile(f.name)) (-2, f.dataType, null)
       else if (f.name == GraftV2Table.SeqMetaCol && !inFile(f.name)) (-3, f.dataType, null)
+      else if (f.name == GraftV2Table.PosCol && !inFile(f.name)) (-4, f.dataType, null)
       else if (!inFile(f.name)) (-1, f.dataType, null)
       else {
         projIdx += 1
@@ -2177,6 +2323,7 @@ class GraftPartitionReader(path: String, required: StructType,
       val (i, dt, typ) = fieldPlan(out)
       if (i == -2) row.update(out, filePathUtf8)
       else if (i == -3) row.update(out, fileSeq)
+      else if (i == -4) row.update(out, pos)
       else if (i < 0 || current.getFieldRepetitionCount(i) == 0) row.update(out, null)
       else row.update(out, convertAny(current, i, dt, typ))
       out += 1

@@ -513,6 +513,39 @@ object V2Queries {
                |FROM $catName.v2db.mrg_customers ORDER BY c_custkey""".stripMargin)
     },
 
+    // Native UPDATE under `rowlevel.mode=dv` (merge-on-read): Spark's
+    // delta-based row-level operation (SupportsDelta, V2RowLevel.scala) —
+    // matched rows become deletion-vector positions keyed by the
+    // (_graft_file, _graft_pos) row id, updated images append as level-1
+    // files, NO data file is rewritten (DeltaDmlSpec pins the zero-rewrite
+    // property). Cost ∝ matches — the 100 TB trickle-update posture.
+    QDef(
+      "q_source_v2_dv_update",
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal - 50 ELSE c_acctbal END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = dvUpdateTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.dvu_customers ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Native MERGE INTO under `rowlevel.mode=dv`: matched DELETE and
+    // matched UPDATE commit as deletion vectors, not-matched INSERT appends
+    // — the GDPR-delete + CDC-trickle shape in one statement, cost ∝
+    // matches instead of touched file bytes.
+    QDef(
+      "q_source_v2_dv_merge",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 <> 0 AND c_custkey % 3 = 0 THEN c_acctbal * 3 ELSE c_acctbal END AS acctbal
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 20000000, c_acctbal FROM customer WHERE c_custkey % 4 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = dvMergeTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.dvm_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // PK upsert through the NATIVE V2 streaming sink: a graft→graft pipe
     // whose target is a primary-key table — the sink stamps each epoch's
     // rows with its writer-offset commit sequence, so the second drain's
@@ -1268,6 +1301,58 @@ object V2Queries {
       s.sql(s"""UPDATE $catName.v2db.upd_customers
                |SET c_acctbal = c_acctbal + 100
                |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      catName
+    })
+
+  /** customer staged as a `rowlevel.mode=dv` table then SQL-`UPDATE`-d
+    * (AUTOMOBILE segment -50) — the update lands as deletion vectors +
+    * appended images, never a file rewrite. */
+  private val stagedDvUpd = new ConcurrentHashMap[String, String]()
+  private def dvUpdateTable(s: SparkSession, d: String): String =
+    stagedDvUpd.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2dvu_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.dvu_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+               |TBLPROPERTIES ('rowlevel.mode'='dv')""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.dvu_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2dvu_customer""".stripMargin)
+      s.sql(s"""UPDATE $catName.v2db.dvu_customers
+               |SET c_acctbal = c_acctbal - 50
+               |WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin)
+      catName
+    })
+
+  /** customer staged as a `rowlevel.mode=dv` table then SQL-`MERGE INTO`-d:
+    * every 7th key deleted, every remaining 3rd key's balance tripled (both
+    * as deletion vectors + images), every 4th key re-inserted under
+    * key+20M — matched DELETE/UPDATE and not-matched INSERT through the
+    * delta door. */
+  private val stagedDvMrg = new ConcurrentHashMap[String, String]()
+  private def dvMergeTable(s: SparkSession, d: String): String =
+    stagedDvMrg.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2dvm_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.dvm_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)
+               |TBLPROPERTIES ('rowlevel.mode'='dv')""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.dvm_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2dvm_customer""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $catName.v2db.dvm_customers t
+           |USING (SELECT c_custkey, c_acctbal FROM graft_v2dvm_customer
+           |       WHERE c_custkey % 7 = 0 OR c_custkey % 3 = 0) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.c_custkey % 7 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal * 3
+           |""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $catName.v2db.dvm_customers t
+           |USING (SELECT c_custkey + 20000000 AS k, c_acctbal
+           |       FROM graft_v2dvm_customer WHERE c_custkey % 4 = 0) s
+           |ON t.c_custkey = s.k
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.k, s.c_acctbal)
+           |""".stripMargin)
       catName
     })
 

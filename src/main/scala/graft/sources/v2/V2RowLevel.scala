@@ -50,13 +50,19 @@ import graft.table.{DataFileMeta, StreamTable}
   * rows, no rewrite), which group-based COW cannot express without
   * stamping commit sequences; the error message points there.
   */
-class GraftRowLevelOperation(table: GraftV2Table,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
-
-  /** The main (ReplaceData) scan — set by the FIRST scan build: Spark plans
-    * the replace-data read before the runtime-filter subquery's matching
-    * scan, and only the first instance is runtime-filtered and executed. */
+/** Shared between the COW and delta row-level operations: the FIRST scan
+  * built is the main one — Spark plans the replace-data / write-delta read
+  * before the runtime-filter subquery's matching scan, and only the first
+  * instance is runtime-filtered and executed. The write consults it at
+  * commit (the COW swap needs the scanned file set; the delta commit only
+  * needs it for the PK refusal, which the scan build enforces). */
+trait GraftRowLevelScanHolder {
   @volatile private[v2] var scanned: Option[GraftCowScan] = None
+}
+
+class GraftRowLevelOperation(table: GraftV2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with GraftRowLevelScanHolder {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -86,7 +92,7 @@ class GraftRowLevelOperation(table: GraftV2Table,
     }
 }
 
-class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftV2Table)
+class GraftCowScanBuilder(op: GraftRowLevelScanHolder, table: GraftV2Table)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -237,7 +243,12 @@ class GraftCowScan(table: GraftV2Table, required: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => GraftInputPartition(f.path, f.minSeq): InputPartition).toArray
+    // pending deletion vectors ride along: a dv'd row must not reach the
+    // rewrite (it would resurrect in the replacement file) — the reader
+    // suppresses the positions, and commitReplace's conservation check
+    // counts LIVE rows on exactly that assumption
+    kept.map(f => GraftInputPartition(f.path, f.minSeq,
+      GraftScan.dvOf(f)): InputPartition).toArray
 
   // NO pushed predicates reach the readers: every row of a scanned file
   // must appear in the replacement data (see the class note)
@@ -286,4 +297,240 @@ case class GraftCowWriterFactory(tableRoot: String, schema: StructType,
     // writer-side footer open would be thrown away
     new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L, partitionId,
       bucketPlan = None, numBuckets = 0, stamp = None, captureStats = false)
+}
+
+// ---------------------------------------------------------------------------
+// Delta-based (merge-on-read) row-level operations — `rowlevel.mode = dv`
+// ---------------------------------------------------------------------------
+
+/** Native `UPDATE` / `MERGE INTO` / non-pushable `DELETE` on append tables
+  * as DELTAS instead of file rewrites — Spark's delta-based row-level
+  * operations (SupportsDelta) backed by deletion vectors:
+  *
+  *  1. the scan is the same [[GraftCowScan]] (file-level pruning only, raw
+  *     positions stay exact), additionally serving the `(_graft_file,
+  *     _graft_pos)` row id — a stable per-row coordinate because readers
+  *     count RAW file offsets (already-deleted positions still advance the
+  *     counter, parquet record skipping is disabled under the scan);
+  *  2. Spark computes per-row actions: matched rows arrive as
+  *     `delete(id)` / `update(id, newRow)`, new rows as `insert(row)` —
+  *     executor-parallel, only MATCHING rows flow (non-matching rows of
+  *     touched files are never read into the write, unlike COW);
+  *  3. each writer task buffers its deleted positions per file and spills
+  *     them as ONE fragment sidecar (never through the task-result RPC),
+  *     inserts go through the shared executor parquet writers;
+  *  4. [[StreamTable.commitDeltaDml]] merges the fragments into per-file
+  *     deletion vectors and publishes vectors + insert files in ONE atomic
+  *     manifest commit. Cost ∝ matches; readers pay the suppression join
+  *     until auto-maintenance materializes the vectors
+  *     ([[StreamTable.materializeDeletionVectors]]).
+  *
+  * The COW/DV trade is the user's `rowlevel.mode` declaration (Paimon's
+  * `deletion-vectors.enabled`, Iceberg's `write.update.mode =
+  * merge-on-read`): COW optimizes steady-state reads (no suppression),
+  * DV optimizes the write (GDPR single-row deletes, trickle updates — the
+  * dominant 100 TB compliance shape, where COW rewrites 1 GB files to
+  * remove one row). PK tables refuse: their DML is already merge-on-read
+  * through LWW tombstones/re-appends. */
+class GraftDeltaOperation(table: GraftV2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta
+    with GraftRowLevelScanHolder {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftDeltaOperation[$cmd]"
+
+  override def rowId(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftV2Table.FileCol),
+    org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftV2Table.PosCol))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftV2Table.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = table.table
+    if (t.primaryKey.isDefined)
+      throw new UnsupportedOperationException(
+        s"${table.name()} is a primary-key table: rowlevel.mode=dv records " +
+          "positional deletion vectors, which the per-bucket LWW merge " +
+          "readers do not consult — PK DML is already merge-on-read (use " +
+          "StreamTable.updateWhere / mergeInto, or plain UPSERTs)")
+    new GraftCowScanBuilder(this, table)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(GraftDeltaOperation.this, table,
+              info.schema(),
+              info.rowIdSchema().orElse(null))
+        }
+    }
+}
+
+/** Per-task commit message: staged insert files (stats captured writer-side
+  * is off — the commit derives metas itself, like COW) plus the task's
+  * deleted-position fragment sidecar. Positions travel by FILE, never
+  * through the task-result RPC: a large delta delete ships one path. */
+case class GraftDeltaCommitMessage(files: Seq[StreamTable.StagedSinkFile],
+    fragment: Option[String], deleteCount: Long) extends WriterCommitMessage
+
+/** Codec for a task's deleted-position fragment: `[nFiles][per file:
+  * pathUTF, count, count longs]`. Deliberately trivial — fragments live
+  * only between task commit and the driver's manifest commit. */
+object GraftDeltaFragment {
+  def write(path: String, deletes: Map[String, Array[Long]]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(p,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)))
+    try {
+      out.writeInt(deletes.size)
+      deletes.toSeq.sortBy(_._1).foreach { case (file, positions) =>
+        out.writeUTF(file)
+        out.writeInt(positions.length)
+        positions.foreach(out.writeLong)
+      }
+    } finally out.close()
+  }
+
+  def read(path: String): Map[String, Array[Long]] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))))
+    try {
+      (0 until in.readInt()).map { _ =>
+        val file = in.readUTF()
+        file -> Array.fill(in.readInt())(in.readLong())
+      }.toMap
+    } finally in.close()
+  }
+}
+
+class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftV2Table,
+    rowSchema0: StructType, rowIdSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  // renamed columns persist under their FILE-level names (the shared rule)
+  private val rowSchema = StructType(rowSchema0.map(f =>
+    f.copy(name = table.renames.getOrElse(f.name, f.name))))
+  private val writerId = "dml" + UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    GraftDeltaWriterFactory(table.table.root, rowSchema, rowIdSchema, writerId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+    val (empty, data) = msgs.flatMap(_.files).partition(_.stats.rows == 0L)
+    empty.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+    val fragments = msgs.flatMap(_.fragment)
+    // merge per-task fragments per file; tasks never share a row (each row
+    // is delivered to exactly one committed task), so plain concatenation
+    // is exact and duplicates are a loud failure inside commitDeltaDml
+    val deletes: Map[String, Array[Long]] = fragments
+      .flatMap(GraftDeltaFragment.read(_).toSeq)
+      .groupBy(_._1)
+      .map { case (file, parts) => file -> parts.flatMap(_._2).toArray }
+    try table.table.commitDeltaDml(deletes, data.map(_.path).toSeq,
+      op.command().toString)
+    finally {
+      fragments.foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftDeltaCommitMessage => m }.foreach { m =>
+      m.files.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+      m.fragment.foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    }
+}
+
+case class GraftDeltaWriterFactory(tableRoot: String, rowSchema: StructType,
+    rowIdSchema: StructType, writerId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(tableRoot, rowSchema, rowIdSchema, writerId,
+      partitionId, taskId)
+}
+
+/** One task's delta writer: inserts ride the shared executor parquet
+  * writer; deletes buffer per file (8 bytes per match) and spill as one
+  * fragment sidecar at commit. `update` is delete-old + insert-new — the
+  * positional-DV representation of an in-place change. */
+class GraftDeltaWriter(tableRoot: String, rowSchema: StructType,
+    rowIdSchema: StructType, writerId: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  // row-id projection indices resolved by NAME against the id schema Spark
+  // declared — never by assumed position
+  private val (fileIdx, posIdx) = {
+    require(rowIdSchema != null,
+      "delta write without a rowId schema (Spark should always pass one)")
+    (rowIdSchema.fieldIndex(GraftV2Table.FileCol),
+      rowIdSchema.fieldIndex(GraftV2Table.PosCol))
+  }
+
+  private val deletes =
+    scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private var inserter: GraftStreamingDataWriter = _
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(fileIdx).toString
+    deletes.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+      id.getLong(posIdx)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (inserter == null)
+      inserter = new GraftStreamingDataWriter(tableRoot, rowSchema, writerId,
+        0L, partitionId, bucketPlan = None, numBuckets = 0, stamp = None,
+        captureStats = false)
+    inserter.write(row)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    val files = if (inserter == null) Seq.empty else
+      inserter.commit() match {
+        case m: GraftSinkCommitMessage => m.files
+        case other => throw new IllegalStateException(
+          s"unexpected inserter commit message: $other")
+      }
+    val nDeletes = deletes.valuesIterator.map(_.length.toLong).sum
+    val fragment =
+      if (deletes.isEmpty) None
+      else {
+        val p = s"$tableRoot/.staging-dvfrag-$writerId/" +
+          s"frag-p$partitionId-t$taskId.bin"
+        GraftDeltaFragment.write(p,
+          deletes.view.mapValues(_.toArray).toMap)
+        Some(p)
+      }
+    GraftDeltaCommitMessage(files, fragment, nDeletes)
+  }
+
+  override def abort(): Unit = if (inserter != null) inserter.abort()
+
+  override def close(): Unit = if (inserter != null) inserter.close()
 }

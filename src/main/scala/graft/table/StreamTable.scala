@@ -1206,6 +1206,108 @@ class StreamTable(
     outRows
   }
 
+  /** Commit a DELTA-based row-level operation (the V2 `rowlevel.mode=dv`
+    * door, [[graft.sources.v2.GraftDeltaOperation]]): deleted positions
+    * merge into per-file deletion vectors, changed/inserted rows arrive as
+    * externally-staged files — ONE atomic manifest commit, cost ∝ matches.
+    *
+    *  - `deletes` keys are the scanned files' PATHS (the `_graft_file`
+    *    metadata value), values RAW positions — offsets the readers counted
+    *    with already-deleted rows still advancing, so merging with an
+    *    existing vector is position-exact and any overlap means concurrent
+    *    DML hit the same row: fail loudly, like the duplicate-position case.
+    *  - a file whose merged vector covers EVERY row drops out of the new
+    *    snapshot entirely (no empty husk with a full vector); the bytes
+    *    stay reachable through older snapshots until retention.
+    *  - staged insert files commit at level 1 with the same
+    *    changelog posture as [[commitReplace]]: append-table row-level DML
+    *    is not observable through streaming surfaces — use a PK table for
+    *    streamable DML (warned per commit).
+    *  - conservation by command: UPDATE deletes exactly as many positions
+    *    as it inserts rows; DELETE stages no inserts; MERGE is unchecked
+    *    (inserts grow, matched deletes shrink).
+    *
+    * Returns the number of deleted positions (the op's matched-row count
+    * for UPDATE/DELETE). */
+  private[graft] def commitDeltaDml(deletes: Map[String, Array[Long]],
+      staged: Seq[String], mode: String): Long = {
+    if (deletes.isEmpty && staged.isEmpty) return 0L
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val byPath = live.map(f => f.path -> f).toMap
+    // merge new positions into each touched file's vector; None = the file
+    // is now fully deleted and simply leaves the live set
+    val dvMetas: Seq[(String, Option[DataFileMeta])] =
+      deletes.toSeq.sortBy(_._1).map { case (path, posRaw) =>
+        val meta = byPath.getOrElse(stripScheme(path),
+          throw new IllegalStateException(
+            s"delta $mode deleted from a file that is no longer live " +
+              s"(concurrent maintenance?): $path"))
+        val fresh = posRaw.distinct
+        require(fresh.length == posRaw.length,
+          s"delta $mode deleted the same position twice in $path " +
+            "(non-deterministic MERGE source?)")
+        val existing =
+          if (meta.dvCount.exists(_ > 0)) StreamTable.readDv(meta.dvPath.get)
+          else Array.empty[Long]
+        val merged = (existing ++ fresh).sorted
+        require(merged.distinct.length == merged.length,
+          s"delta $mode deleted already-deleted positions of $path " +
+            "(concurrent DML?)")
+        require(merged.length <= meta.rowCount,
+          s"dv positions exceed rows of ${meta.path}")
+        require(fresh.forall(p => p >= 0 && p < meta.rowCount),
+          s"delta $mode produced out-of-range positions for ${meta.path}")
+        if (merged.length == meta.rowCount) meta.path -> None
+        else {
+          val dvFile = s"$dataDv/dv-${UUID.randomUUID()}.bin"
+          StreamTable.writeDv(dvFile, merged)
+          meta.path -> Some(meta.copy(dvPath = Some(dvFile),
+            dvCount = Some(merged.length.toLong)))
+        }
+      }
+    val touchedMetas = dvMetas.map(e => byPath(e._1))
+    // staged inserts move into place like commitReplace's replacements
+    val snapId = latestSnapshot.map(_.id).getOrElse(0L)
+    val moved = staged.sorted.zipWithIndex.map { case (p, k) =>
+      val dest = Paths.get(dataCompact,
+        s"d$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
+    }
+    val (minSeq, maxSeq) =
+      if (touchedMetas.nonEmpty)
+        (touchedMetas.map(_.minSeq).min, touchedMetas.map(_.maxSeq).max)
+      else (math.max(latestSnapshot.map(_.batchId).getOrElse(0L), 0L),
+        math.max(latestSnapshot.map(_.batchId).getOrElse(0L), 0L))
+    val insertMetas = fileMetas(spark, moved, level = 1, minSeq, maxSeq)
+      .filter(_.rowCount > 0)
+    val nDeleted = deletes.valuesIterator.map(_.length.toLong).sum
+    val nInserted = insertMetas.map(_.rowCount).sum
+    mode.toUpperCase match {
+      case "UPDATE" => require(nInserted == nDeleted,
+        s"delta UPDATE must reinsert every deleted row: " +
+          s"$nDeleted deleted, $nInserted inserted")
+      case "DELETE" => require(nInserted == 0L,
+        s"delta DELETE cannot insert rows: $nInserted staged")
+      case _ => () // MERGE: inserts grow, matched deletes shrink
+    }
+    if (mode.toUpperCase != "DELETE")
+      log.warn(s"$mode on append table $root committed as deletion vectors " +
+        "+ level-1 files: its changed/inserted rows will NOT appear on the " +
+        "streaming/changelog surfaces — use a primary-key table for " +
+        "streamable row-level DML")
+    val touchedPaths = dvMetas.map(_._1).toSet
+    commit({ liveNow =>
+      val gone = touchedPaths -- liveNow.map(_.path).toSet
+      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
+        s"file(s) out from under this delta $mode " +
+        s"(e.g. ${gone.take(2).mkString(", ")})")
+      CommitChange(dvMetas.flatMap(_._2) ++ insertMetas, touchedPaths,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }, kind = "replace")
+    nDeleted
+  }
+
   /** `MERGE INTO target USING source ON cond WHEN …` (Paimon's merge-into
     * action, PK tables only — same restriction as the reference). Spark-first
     * single-commit design: one join of the resolved target view against the

@@ -1,0 +1,254 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.StreamTable
+
+/** Delta-based (merge-on-read) row-level DML — `rowlevel.mode = dv`
+  * (sources/v2/V2RowLevel.scala, GraftDeltaOperation): UPDATE/MERGE/DELETE
+  * commit deletion vectors + appended images instead of rewriting files,
+  * cost ∝ matches. Pins the no-rewrite property, the raw `_graft_pos`
+  * row-id coordinate, the full-file-delete edge, and the COW scan's
+  * suppression of PRE-EXISTING vectors (a dv'd row must never resurrect
+  * through a later copy-on-write UPDATE). */
+class DeltaDmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def freshCatalog(tag: String): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"v2_${tag}_wh_").toString
+    val catName = s"graft_${tag}_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    (catName, wh)
+  }
+
+  private def fileState(root: String): Seq[(String, Long, Any)] = {
+    val t = graft.table.GraftCatalog.openPath(spark, root)
+    t.latestSnapshot.get.files.map(f => (f.path, f.fileSizeInBytes,
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1)
+  }
+
+  test("dv-mode UPDATE commits vectors + images, rewrites zero data bytes") {
+    val (cat, wh) = freshCatalog("dvu")
+    spark.sql(s"CREATE TABLE $cat.d.t (id BIGINT, v STRING, x DOUBLE) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.t " +
+      "SELECT id, concat('r', id), id * 1.5 FROM range(0, 1000)")
+    val root = s"$wh/d.db/t"
+    val before = fileState(root)
+
+    spark.sql(s"UPDATE $cat.d.t SET x = -1.0, v = 'upd' WHERE id % 100 = 7")
+
+    // every pre-update data file survives verbatim; matches became vectors
+    val t = graft.table.GraftCatalog.openPath(spark, root)
+    val after = t.latestSnapshot.get.files
+    val beforePaths = before.map(_._1).toSet
+    assert(after.filter(f => beforePaths(f.path))
+      .map(f => (f.path, f.fileSizeInBytes,
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1) == before, "dv-mode UPDATE must not rewrite data files")
+    assert(after.map(_.dvCount.getOrElse(0L)).sum == 10L, after.toString)
+    val inserted = after.filterNot(f => beforePaths(f.path))
+    assert(inserted.nonEmpty && inserted.map(_.rowCount).sum == 10L,
+      inserted.toString)
+    assert(inserted.forall(_.level == 1),
+      "updated images are maintenance output, not streamed inserts")
+
+    // result correctness through SQL
+    val got = spark.sql(s"SELECT id, v, x FROM $cat.d.t ORDER BY id").collect()
+    assert(got.length == 1000)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 100 == 7) assert(r.getString(1) == "upd" && r.getDouble(2) == -1.0, r.toString)
+      else assert(r.getString(1) == s"r$id" && r.getDouble(2) == id * 1.5, r.toString)
+    }
+    // pre-update version intact (snapshot 0 = the INSERT)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.t VERSION AS OF 0 " +
+      "WHERE v = 'upd'").head().getLong(0) == 0L)
+    // a second UPDATE merges into existing vectors
+    spark.sql(s"UPDATE $cat.d.t SET v = 'upd2' WHERE id % 100 = 13")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.t WHERE v = 'upd2'")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.t").head().getLong(0) == 1000L)
+  }
+
+  test("dv-mode MERGE: matched DELETE + matched UPDATE + not-matched INSERT") {
+    val (cat, wh) = freshCatalog("dvm")
+    spark.sql(s"CREATE TABLE $cat.d.m (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.m SELECT id, id * 10.0 FROM range(0, 500)")
+    val root = s"$wh/d.db/m"
+    val before = fileState(root)
+    spark.sql(
+      s"""MERGE INTO $cat.d.m t
+         |USING (SELECT id * 5 AS k FROM range(0, 120)) s
+         |ON t.id = s.k
+         |WHEN MATCHED AND t.id % 10 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal = 0.0
+         |WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.k, -1.0)
+         |""".stripMargin)
+    // ids 0..495 step 5 matched (100): the 50 with %10==0 deleted, the
+    // other 50 zeroed; ids 500..595 step 5 (20) inserted at -1.0
+    val got = spark.sql(s"SELECT id, bal FROM $cat.d.m ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 500 - 50 + 20, got.length.toString)
+    assert(!got.exists(e => e._1 % 10 == 0 && e._1 < 500),
+      "matched DELETE rows must be gone")
+    assert(got.filter(e => e._1 % 5 == 0 && e._1 < 500).forall(_._2 == 0.0))
+    assert(got.filter(_._1 >= 500).map(_._1).toSeq ==
+      (500L until 600L by 5).toSeq)
+    assert(got.filter(_._1 >= 500).forall(_._2 == -1.0))
+    assert(got.filter(e => e._1 % 5 != 0).forall(e => e._2 == e._1 * 10.0))
+    // no pre-merge data file was rewritten
+    val t = graft.table.GraftCatalog.openPath(spark, root)
+    val beforePaths = before.map(_._1).toSet
+    assert(t.latestSnapshot.get.files.filter(f => beforePaths(f.path))
+      .map(f => (f.path, f.fileSizeInBytes,
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1) == before, "dv-mode MERGE must not rewrite data files")
+  }
+
+  test("dv-mode full-file delete drops the file from the live set") {
+    val (cat, wh) = freshCatalog("dvf")
+    spark.sql(s"CREATE TABLE $cat.d.f (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    // two single-file commits with disjoint key ranges
+    spark.sql(s"INSERT INTO $cat.d.f " +
+      "SELECT id, 'a' FROM range(0, 50) ORDER BY id LIMIT 50")
+    spark.sql(s"INSERT INTO $cat.d.f " +
+      "SELECT id, 'b' FROM range(50, 100) ORDER BY id LIMIT 50")
+    val root = s"$wh/d.db/f"
+    val t0 = graft.table.GraftCatalog.openPath(spark, root)
+    val liveBefore = t0.latestSnapshot.get.files.map(_.path).toSet
+    // MERGE-DELETE every row of the second commit's file(s) — routed
+    // through the delta op (MERGE is never metadata-pushable)
+    spark.sql(
+      s"""MERGE INTO $cat.d.f t USING (SELECT id AS k FROM range(50, 100)) s
+         |ON t.id = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val t1 = graft.table.GraftCatalog.openPath(spark, root)
+    val after = t1.latestSnapshot.get.files
+    assert(after.map(_.path).toSet.subsetOf(liveBefore))
+    assert(after.map(_.rowCount).sum == 50L)
+    assert(after.forall(_.dvCount.forall(_ == 0L)),
+      "a fully-deleted file must DROP, not carry a full vector")
+    assert(spark.sql(s"SELECT count(*), max(id) FROM $cat.d.f").head()
+      == org.apache.spark.sql.Row(50L, 49L))
+    // the dropped file's rows remain time-travelable (snapshot 1 = the
+    // second INSERT, the last pre-merge version)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.f VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+  }
+
+  test("COW row-level scan suppresses pending deletion vectors") {
+    import org.apache.spark.sql.functions.col
+    val (cat, wh) = freshCatalog("dvc")
+    // default rowlevel.mode = cow
+    spark.sql(s"CREATE TABLE $cat.d.c (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.d.c SELECT id, 'x' FROM range(0, 100)")
+    val root = s"$wh/d.db/c"
+    val t = graft.table.GraftCatalog.openPath(spark, root)
+    // a DV delete leaves a pending vector on the file
+    assert(t.deleteWhere(col("id") === 42L) == 1L)
+    assert(t.latestSnapshot.get.files.exists(_.dvCount.contains(1L)))
+    // the copy-on-write UPDATE must NOT resurrect id=42: its scan reads the
+    // touched file WITHOUT the dv'd row, and the conservation check holds
+    spark.sql(s"UPDATE $cat.d.c SET v = 'y' WHERE id >= 40 AND id <= 44")
+    val got = spark.sql(s"SELECT id FROM $cat.d.c WHERE id BETWEEN 40 AND 44 " +
+      "ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(40L, 41L, 43L, 44L), got.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.c WHERE v = 'y'")
+      .head().getLong(0) == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.c").head().getLong(0) == 99L)
+    // the rewrite materialized the touched file's vector
+    val t2 = graft.table.GraftCatalog.openPath(spark, root)
+    assert(t2.latestSnapshot.get.files.forall(_.dvCount.forall(_ == 0L)),
+      "COW over a dv'd file must materialize its vector")
+  }
+
+  test("_graft_pos is the raw offset: stable under filters and vectors") {
+    import org.apache.spark.sql.functions.col
+    val (cat, wh) = freshCatalog("dvp")
+    spark.sql(s"CREATE TABLE $cat.d.p (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.p SELECT id, 'x' FROM range(0, 100)")
+    // positions under a pushed filter match positions from a full scan
+    // (parquet record skipping is disabled when _graft_pos is requested)
+    val full = spark.sql(s"SELECT id, _graft_file, _graft_pos FROM $cat.d.p")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val filtered = spark.sql(s"SELECT id, _graft_file, _graft_pos " +
+      s"FROM $cat.d.p WHERE id >= 90").collect()
+    assert(filtered.length == 10)
+    filtered.foreach(r =>
+      assert(full(r.getLong(0)) == (r.getString(1), r.getLong(2)), r.toString))
+    // after a delta DELETE, surviving rows keep their RAW positions
+    spark.sql(
+      s"""MERGE INTO $cat.d.p t USING (SELECT 95 AS k) s ON t.id = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val after = spark.sql(s"SELECT id, _graft_file, _graft_pos " +
+      s"FROM $cat.d.p WHERE id >= 90").collect()
+    assert(after.length == 9)
+    after.foreach(r =>
+      assert(full(r.getLong(0)) == (r.getString(1), r.getLong(2)), r.toString))
+    val root = s"$wh/d.db/p"
+    assert(graft.table.GraftCatalog.openPath(spark, root)
+      .latestSnapshot.get.files.map(_.dvCount.getOrElse(0L)).sum == 1L)
+  }
+
+  test("dv'd files decode COLUMNAR with batch-level suppression") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dvcol_").toString
+    val tbl = new StreamTable(root, spark)
+    // one 10k-row file: deletions at batch edges (4096-row batches), plus a
+    // clean second file that must stay on the zero-copy reader
+    tbl.appendBatch(spark.range(0, 10000).toDF("id")
+      .withColumn("s", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("r"), col("id")))
+      .coalesce(1).sortWithinPartitions("id"), 0L)
+    tbl.appendBatch(spark.range(10000, 12000).toDF("id")
+      .withColumn("s", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("r"), col("id")))
+      .coalesce(1).sortWithinPartitions("id"), 1L)
+    val gone = Seq(0L, 4095L, 4096L, 5000L, 9999L)
+    assert(tbl.deleteWhere(col("id").isin(gone: _*)) == gone.length.toLong)
+
+    val v2 = spark.read.format("graft").load(root)
+    // the scan plans COLUMNAR despite the vector
+    val scan = v2.select("id", "s").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.v2.GraftScan]
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "dv'd files must not demote the scan off the columnar path")
+    // exact suppression across batch boundaries
+    assert(v2.count() == 12000L - gone.length)
+    assert(v2.where(col("id").isin(gone: _*)).count() == 0L)
+    val edge = v2.where(col("id").between(4090L, 4100L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(edge == (4090L to 4100L).filterNot(Set(4095L, 4096L)).toSeq, edge)
+    // string column survives the survivor compaction
+    assert(v2.where(col("id") === 5001L).select("s").head().getString(0) == "r5001")
+    // pushed LIMIT trims AFTER suppression
+    assert(v2.limit(11996).count() == 11995L ||
+      v2.limit(11995).count() == 11995L)
+    assert(v2.limit(100).where(col("id").isin(gone: _*)).count() == 0L)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("dv mode refuses primary-key tables at scan build") {
+    val (cat, _) = freshCatalog("dvr")
+    spark.sql(s"CREATE TABLE $cat.d.r (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='id', 'rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.r VALUES (1, 'a'), (2, 'b')")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.d.r SET v = 'z' WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("merge-on-read")), e.toString)
+  }
+}

@@ -127,7 +127,10 @@ object ScaleSmoke {
       "q_source_v2_date_pushdown",
       // round-16 additions: zoned-ts skip + grouped metadata census
       "q_source_v2_ts_pushdown",
-      "q_source_v2_group_agg")
+      "q_source_v2_group_agg",
+      // round-17 addition: merge-on-read DML read-back (DV suppression +
+      // level-1 images; the write cost ∝ matches is pinned in DeltaDmlSpec)
+      "q_source_v2_dv_update")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

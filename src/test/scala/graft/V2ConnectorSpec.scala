@@ -1508,12 +1508,14 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(v2.where(col("id") === 42L).count() == 0L)
     assert(v2.where(col("id").between(40L, 44L)).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(40L, 41L, 43L, 44L))
-    // a dv'd file demotes the scan to the row reader (Spark refuses mixed
-    // row/columnar partitions within one scan); compaction restores it
+    // a dv'd file STAYS columnar: its partition decodes through the
+    // batch-suppressing GraftDvVectorReader while clean files keep the
+    // plain zero-copy vectorized reader — one deleted row must not demote
+    // a scan off the fast path
     val scan = scanOf(v2.select("id", "s", "x"))
     val f = scan.createReaderFactory()
-    assert(scan.planInputPartitions().forall(p => !f.supportColumnarReads(p)),
-      "a dv'd scan must be uniformly row-based")
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "a dv'd scan must stay columnar (suppression happens batch-level)")
     // metadata-only MIN/MAX refuses under a DV (stats can't exclude the
     // deleted row) — the distributed aggregate still answers correctly
     val mm = v2.agg(org.apache.spark.sql.functions.min("id"),
@@ -1638,13 +1640,15 @@ class V2ConnectorSpec extends AnyFunSuite {
     val clean = tbl.latestSnapshot.get.files
       .filter(_.dvCount.forall(_ == 0L)).map(_.path).toSet
     assert(clean.nonEmpty && clean.size < tbl.latestSnapshot.get.files.size)
-    // dv'd table: the scan is row-based
+    // dv'd table: the scan STAYS columnar (batch-level suppression); what
+    // materialization buys back is the sidecar read + per-batch bookkeeping
+    // and stats-served MIN/MAX, not the decode path itself
     def scanCols(): Boolean = {
       val df = spark.sql(s"SELECT id, s FROM $cat.db.dvm")
       val scan = scanOf(df)
       scan.planInputPartitions().forall(scan.createReaderFactory().supportColumnarReads)
     }
-    assert(!scanCols(), "a dv'd table must scan row-based")
+    assert(scanCols(), "a dv'd table must stay columnar")
     val res = spark.sql(
       s"CALL $cat.sys.materialize_deletes(`table` => 'db.dvm')").head()
     assert(res.getInt(0) == 1, res.toString) // exactly the one dv'd file
