@@ -146,7 +146,11 @@ class GraftDataSource extends TableProvider
     // INTRINSIC schema — the user-supplied one must not mask the check.
     if (schema != null && t.table.latestSnapshot.isDefined) {
       val intrinsic = GraftV2Table.fromPath(p).schema()
-      if (schema != intrinsic)
+      // nullability-insensitive: the intrinsic schema marks PK columns NOT
+      // NULL while a writer's dataframe schema is typically nullable — a
+      // names+types match is the same table, not a projection
+      if (!org.apache.spark.sql.types.DataType
+          .equalsIgnoreNullability(schema, intrinsic))
         throw new IllegalArgumentException(
           s"graft does not support a user-specified read schema on a " +
             s"committed table (got ${schema.catalogString}, " +
@@ -285,7 +289,8 @@ object GraftV2Table {
 }
 
 class GraftV2Table(tableName: String, val table: StreamTable,
-    spark: SparkSession, declaredSchema: Option[StructType] = None,
+    private[v2] val spark: SparkSession,
+    declaredSchema: Option[StructType] = None,
     private[v2] val atSnapshot: Option[Long] = None,
     /** Declared column name → FILE-level column name for columns renamed by
       * metadata-only schema evolution (`ALTER TABLE … RENAME COLUMN`): data
@@ -318,6 +323,11 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
       s"${info.command()} targets the current table version")
+    // PK tables ALWAYS go merge-on-read in their own alphabet (upsert
+    // images + tombstones through one appendBatch — GraftPkDeltaOperation);
+    // rowlevel.mode only arbitrates the append-table COW-vs-DV trade
+    if (table.primaryKey.isDefined)
+      return () => new GraftPkDeltaOperation(this, info.command())
     val mode = graft.table.GraftCatalog.pathOptions(table.root)
       .getOrElse("rowlevel.mode", "cow")
     require(mode == "cow" || mode == "dv",
@@ -442,10 +452,20 @@ class GraftV2Table(tableName: String, val table: StreamTable,
             case (Some("sum" | "count"), FloatType) => f.copy(dataType = DoubleType)
             case _ => f
           }
-        }))
-      case _ => base
+        }).map(pkNotNull))
+      case _ => StructType(base.map(pkNotNull))
     }
   }
+
+  /** Primary-key columns surface NOT NULL (the Paimon contract — a PK row
+    * must carry its key; the bucket router and the merge readers key on
+    * it), which is also what lets them serve as the delta row id
+    * ([[GraftPkDeltaOperation.rowId]] — Spark refuses nullable row IDs). */
+  private def pkNotNull(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructField =
+    if (table.primaryKey.exists(_.contains(renameMap.getOrElse(f.name, f.name))))
+      f.copy(nullable = false)
+    else f
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -588,42 +608,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     * parseable stats (conservative keep) and refuse the columnar/record
     * predicates through the per-file physical proofs — residual-only, never
     * wrong. */
-  private def pushable(f: Filter): Boolean = {
-    def ok(attr: String) = fullSchema.find(_.name == attr).exists(_.dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | StringType => true
-      case DateType | TimestampNTZType | TimestampType => true
-      case _ => false
-    })
-    f match {
-      case EqualTo(a, v) => v != null && ok(a)
-      case GreaterThan(a, _) => ok(a)
-      case GreaterThanOrEqual(a, _) => ok(a)
-      case LessThan(a, _) => ok(a)
-      case LessThanOrEqual(a, _) => ok(a)
-      // a static IN list skips any file whose [min,max] overlaps NO value
-      // (the point-lookup-by-keys shape; bounded so a pathological
-      // million-value list never turns planning into O(files × values))
-      case In(a, vs) => vs != null && vs.length > 0 && vs.length <= 64 &&
-        vs.forall(_ != null) && ok(a)
-      // prefix skipping on string stats (ids/paths clustered by prefix);
-      // stats-only — the readers drop the conjunct (weaker AND is safe)
-      case StringStartsWith(a, p) => p != null && p.nonEmpty &&
-        fullSchema.find(_.name == a).exists(_.dataType == StringType)
-      // null-presence predicates: the manifest's per-column null counts
-      // prove "all null" / "no nulls" per file, so IS [NOT] NULL on a
-      // sparse column skips whole files (and prunes row groups via
-      // parquet's own null statistics)
-      case IsNull(a) => ok(a)
-      case IsNotNull(a) => ok(a)
-      // compound shapes recurse: Spark pre-splits top-level ANDs, so these
-      // arrive as OR trees (multi-tenant range unions) possibly holding
-      // ANDs — monotone formulas (no NOT), so every skipping/pruning rule
-      // below stays conservative under them
-      case Or(l, r) => pushable(l) && pushable(r)
-      case And(l, r) => pushable(l) && pushable(r)
-      case _ => false
-    }
-  }
+  private def pushable(f: Filter): Boolean =
+    GraftScan.pushable(fullSchema)(f)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(pushable)
@@ -1301,6 +1287,50 @@ class GraftScan(table: GraftV2Table, required: StructType,
 }
 
 object GraftScan {
+  /** The pushable-filter alphabet, SHARED by the plain scan and the
+    * row-level (COW/delta) scans so they can never drift: the five
+    * comparisons, bounded static IN lists, string-prefix, IS [NOT] NULL,
+    * and monotone OR/AND trees — every shape [[FileSkip.keep]] can evaluate
+    * conservatively from manifest stats. Pushdown is never load-bearing:
+    * the plain scan keeps filters residual (row-group pruning only), the
+    * row-level scans use them for FILE skipping only. */
+  private[v2] def pushable(fullSchema: StructType)(f: Filter): Boolean = {
+    def ok(attr: String) = fullSchema.find(_.name == attr).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case DateType | TimestampNTZType | TimestampType => true
+      case _ => false
+    })
+    f match {
+      case EqualTo(a, v) => v != null && ok(a)
+      case GreaterThan(a, _) => ok(a)
+      case GreaterThanOrEqual(a, _) => ok(a)
+      case LessThan(a, _) => ok(a)
+      case LessThanOrEqual(a, _) => ok(a)
+      // a static IN list skips any file whose [min,max] overlaps NO value
+      // (the point-lookup-by-keys shape; bounded so a pathological
+      // million-value list never turns planning into O(files × values))
+      case In(a, vs) => vs != null && vs.length > 0 && vs.length <= 64 &&
+        vs.forall(_ != null) && ok(a)
+      // prefix skipping on string stats (ids/paths clustered by prefix);
+      // stats-only — the readers drop the conjunct (weaker AND is safe)
+      case StringStartsWith(a, p) => p != null && p.nonEmpty &&
+        fullSchema.find(_.name == a).exists(_.dataType == StringType)
+      // null-presence predicates: the manifest's per-column null counts
+      // prove "all null" / "no nulls" per file, so IS [NOT] NULL on a
+      // sparse column skips whole files (and prunes row groups via
+      // parquet's own null statistics)
+      case IsNull(a) => ok(a)
+      case IsNotNull(a) => ok(a)
+      // compound shapes recurse: Spark pre-splits top-level ANDs, so these
+      // arrive as OR trees (multi-tenant range unions) possibly holding
+      // ANDs — monotone formulas (no NOT), so every skipping/pruning rule
+      // below stays conservative under them
+      case Or(l, r) => pushable(fullSchema)(l) && pushable(fullSchema)(r)
+      case And(l, r) => pushable(fullSchema)(l) && pushable(fullSchema)(r)
+      case _ => false
+    }
+  }
+
   /** A meta's deletion-vector positions, loaded at plan time (None → empty).
     * Cap-bounded per delete (StreamTable.dvMaxMatches) and purged by
     * compaction, so the driver-side load is a tiny read per dv'd file. */

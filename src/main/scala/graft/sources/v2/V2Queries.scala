@@ -546,6 +546,39 @@ object V2Queries {
                |FROM $catName.v2db.dvm_customers ORDER BY c_custkey""".stripMargin)
     },
 
+    // Native UPDATE on a PRIMARY-KEY table: Spark's delta-based row-level
+    // operation in the PK table's own merge-on-read alphabet
+    // (GraftPkDeltaOperation) — updated images re-append through ONE
+    // appendBatch and LWW supersedes the old versions; no deletion vectors,
+    // no rewrites, and the DML is fully changelog-visible (level-0), unlike
+    // append-table DML. Cost ∝ matches.
+    QDef(
+      "q_source_v2_pk_update",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 9 = 2 THEN c_acctbal + 777 ELSE c_acctbal END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = pkUpdateTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.pkupd_customers ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Native MERGE INTO on a PRIMARY-KEY table: matched DELETE → tombstone
+    // rows (carrying the live sequence), matched UPDATE → re-appended
+    // images, not-matched INSERT → plain appends — all in one level-0
+    // commit through the same appendBatch path as the library mergeInto.
+    QDef(
+      "q_source_v2_pk_merge",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 11 <> 0 AND c_custkey % 5 = 0 THEN 0.0 ELSE c_acctbal END AS acctbal
+        |FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 30000000, c_acctbal FROM customer WHERE c_custkey % 6 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = pkMergeTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.pkmrg_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // PK upsert through the NATIVE V2 streaming sink: a graft→graft pipe
     // whose target is a primary-key table — the sink stamps each epoch's
     // rows with its writer-offset commit sequence, so the second drain's
@@ -1301,6 +1334,55 @@ object V2Queries {
       s.sql(s"""UPDATE $catName.v2db.upd_customers
                |SET c_acctbal = c_acctbal + 100
                |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      catName
+    })
+
+  /** customer staged as a PRIMARY-KEY table then SQL-`UPDATE`-d (every 9th
+    * key +777) — the update re-appends images, LWW resolves. */
+  private val stagedPkUpd = new ConcurrentHashMap[String, String]()
+  private def pkUpdateTable(s: SparkSession, d: String): String =
+    stagedPkUpd.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2pku_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.pkupd_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)
+               |TBLPROPERTIES ('primary-key'='c_custkey', 'bucket'='4')""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.pkupd_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2pku_customer""".stripMargin)
+      s.sql(s"""UPDATE $catName.v2db.pkupd_customers
+               |SET c_acctbal = c_acctbal + 777
+               |WHERE c_custkey % 9 = 2""".stripMargin)
+      catName
+    })
+
+  /** customer staged as a PRIMARY-KEY table then SQL-`MERGE INTO`-d: every
+    * 11th key deleted (tombstones), every remaining 5th key zeroed
+    * (re-appended images), every 6th key re-inserted under key+30M. */
+  private val stagedPkMrg = new ConcurrentHashMap[String, String]()
+  private def pkMergeTable(s: SparkSession, d: String): String =
+    stagedPkMrg.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2pkm_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.pkmrg_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)
+               |TBLPROPERTIES ('primary-key'='c_custkey', 'bucket'='4')""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.pkmrg_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2pkm_customer""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $catName.v2db.pkmrg_customers t
+           |USING (SELECT c_custkey, c_acctbal FROM graft_v2pkm_customer
+           |       WHERE c_custkey % 11 = 0 OR c_custkey % 5 = 0) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.c_custkey % 11 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = 0.0
+           |""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $catName.v2db.pkmrg_customers t
+           |USING (SELECT c_custkey + 30000000 AS k, c_acctbal
+           |       FROM graft_v2pkm_customer WHERE c_custkey % 6 = 0) s
+           |ON t.c_custkey = s.k
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.k, s.c_acctbal)
+           |""".stripMargin)
       catName
     })
 

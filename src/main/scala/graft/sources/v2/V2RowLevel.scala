@@ -44,11 +44,10 @@ import graft.table.{DataFileMeta, StreamTable}
   *
   * Pushable DELETEs never get here (Spark's OptimizeMetadataOnlyDeleteFromTable
   * converts them back to [[GraftV2Table.deleteWhere]] — tombstones on PK
-  * tables, touched-file COW on append tables). PK tables refuse at scan
-  * build: their update/merge is merge-on-read
-  * ([[StreamTable.updateWhere]]/[[StreamTable.mergeInto]] — cost ∝ matched
-  * rows, no rewrite), which group-based COW cannot express without
-  * stamping commit sequences; the error message points there.
+  * tables, touched-file COW on append tables). PK tables never get here
+  * either: the op builder routes them to [[GraftPkDeltaOperation]]
+  * (merge-on-read upserts/tombstones); the scan-build refusal below is a
+  * defense should one arrive anyway.
   */
 /** Shared between the COW and delta row-level operations: the FIRST scan
   * built is the main one — Spark plans the replace-data / write-delta read
@@ -100,26 +99,15 @@ class GraftCowScanBuilder(op: GraftRowLevelScanHolder, table: GraftV2Table)
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
-  // same pushable alphabet as the plain scan — but the scan will use these
-  // for FILE skipping only (see the class note on replacement completeness)
+  // the SAME pushable alphabet as the plain scan (GraftScan.pushable — one
+  // shared definition, so the two can never drift again); the scan uses
+  // these for FILE skipping only (see the class note on replacement
+  // completeness), so a temporal/IN/prefix/null-presence predicate now
+  // narrows an UPDATE/DELETE/MERGE's read-and-rewrite set too
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo(a, v) => v != null && statsType(a)
-      case org.apache.spark.sql.sources.GreaterThan(a, _) => statsType(a)
-      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, _) => statsType(a)
-      case org.apache.spark.sql.sources.LessThan(a, _) => statsType(a)
-      case org.apache.spark.sql.sources.LessThanOrEqual(a, _) => statsType(a)
-      case _ => false
-    }
+    pushed = filters.filter(GraftScan.pushable(fullSchema))
     filters
   }
-  private def statsType(attr: String): Boolean =
-    fullSchema.find(_.name == attr).exists(_.dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.StringType => true
-      case _ => false
-    })
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -533,4 +521,255 @@ class GraftDeltaWriter(tableRoot: String, rowSchema: StructType,
   override def abort(): Unit = if (inserter != null) inserter.abort()
 
   override def close(): Unit = if (inserter != null) inserter.close()
+}
+
+// ---------------------------------------------------------------------------
+// PK-table row-level operations — merge-on-read upserts/tombstones
+// ---------------------------------------------------------------------------
+
+/** Native `UPDATE` / `MERGE INTO` / non-pushable `DELETE` on PRIMARY-KEY
+  * tables: Spark's delta-based row-level operations expressed in the PK
+  * table's own merge-on-read alphabet — no deletion vectors, no rewrites:
+  *
+  *  - the scan is the table's ordinary resolved view (per-bucket LWW merge
+  *    inside the readers), and the row id is the PRIMARY KEY itself
+  *    (+ the sequence field when declared, so a delete carries the live
+  *    row's sequence — [[StreamTable.deleteBatch]]'s delete-current rule);
+  *  - matched DELETEs become tombstone rows (key + sequence +
+  *    `__graft_tomb`), matched UPDATEs re-append the updated image (it
+  *    keeps its sequence value; the later commit batch breaks the tie —
+  *    exactly [[StreamTable.mergeInto]]'s contract), not-matched INSERTs
+  *    append plain images. A key-reassigning UPDATE splits into tombstone
+  *    + image, so the old key never survives;
+  *  - writer tasks stage the unified (fields + tombstone marker) rows as
+  *    plain parquet, and the driver commits them through ONE
+  *    [[StreamTable.appendBatch]] — the same single-commit shape as
+  *    `mergeInto`, so bucketing, sequence stamping, LWW resolution AND
+  *    changelog production all ride the proven path. PK DML is therefore
+  *    fully observable on the streaming/CDC surfaces (level-0 commits),
+  *    unlike append-table DML.
+  *
+  * Cost ∝ matched + inserted rows, never table size. Restricted to
+  * `merge-engine = deduplicate` (aggregation/partial-update/first-row
+  * engines cannot express an UPDATE as a re-appended image — the same
+  * refusal as the library door). A target row matched by multiple MERGE
+  * source rows commits all its images into one batch and resolves by
+  * (sequence, commit) like any same-batch collision — use the library
+  * [[StreamTable.mergeInto]] for the strict ANSI duplicate-match error. */
+class GraftPkDeltaOperation(table: GraftV2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  private val t = table.table
+  // stored (file-level) → declared names: rowId/metadata references resolve
+  // against the relation output, which speaks DECLARED names
+  private val declaredOf: Map[String, String] =
+    table.renames.map(_.swap)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftPkDeltaOperation[$cmd]"
+
+  // the PRIMARY KEY is the row id (surfaced NOT NULL by the schema — the
+  // Paimon contract); the sequence field rides as a required metadata
+  // attribute instead, because it is legitimately nullable and a DELETE
+  // needs the live row's sequence for the delete-current tombstone rule
+  override def rowId(): Array[NamedReference] =
+    t.primaryKey.get.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(declaredOf.getOrElse(c, c))).toArray
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    t.seqCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(declaredOf.getOrElse(c, c))).toArray
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(t.mergeEngine == "deduplicate" && t.aggSpec.isEmpty,
+      s"merge-engine=${if (t.aggSpec.isDefined) "aggregation" else t.mergeEngine} " +
+        s"cannot express $cmd as re-appended images (no retract support) — " +
+        "append upserts instead")
+    table.newScanBuilder(options) // the resolved merge-on-read view
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftPkDeltaBatchWrite(table, info.schema(),
+              info.rowIdSchema().orElse(null),
+              info.metadataSchema().orElse(null))
+        }
+    }
+}
+
+class GraftPkDeltaBatchWrite(table: GraftV2Table, rowSchema0: StructType,
+    rowIdSchema: StructType, metaSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val t = table.table
+  // staged rows persist under FILE-level names (the shared rename rule),
+  // plus the tombstone marker appendBatch already understands
+  private val stagedSchema = StructType(
+    rowSchema0.map(f => f.copy(name = table.renames.getOrElse(f.name, f.name))) :+
+      org.apache.spark.sql.types.StructField(StreamTable.TombstoneColName,
+        org.apache.spark.sql.types.BooleanType, nullable = false))
+  // position of each rowId (pk) field within the ROW schema (declared
+  // names on both sides; positions survive the file-level rename)
+  private val idPos: Array[Int] =
+    if (rowIdSchema == null) Array.empty
+    else rowIdSchema.fieldNames.map(rowSchema0.fieldIndex)
+  // the sequence field: its slot in the ROW schema and in the metadata
+  // projection (a DELETE's tombstone carries the live row's sequence)
+  private val declaredSeq: Option[String] = {
+    val declaredOf = table.renames.map(_.swap)
+    t.seqCol.map(c => declaredOf.getOrElse(c, c))
+  }
+  private val seqRowPos: Int =
+    declaredSeq.map(rowSchema0.fieldIndex).getOrElse(-1)
+  private val seqMetaPos: Int =
+    declaredSeq.filter(_ => metaSchema != null)
+      .map(metaSchema.fieldIndex).getOrElse(-1)
+  private val writerId = "pkdml" + UUID.randomUUID().toString.take(8)
+  private val stagingDir = s"${t.root}/.staging-pkdml-$writerId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    GraftPkDeltaWriterFactory(stagingDir, stagedSchema,
+      if (rowIdSchema == null) StructType(Nil) else rowIdSchema, idPos,
+      if (metaSchema == null) StructType(Nil) else metaSchema,
+      seqRowPos, seqMetaPos, writerId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files)
+    val (empty, data) = files.partition(_.stats.rows == 0L)
+    empty.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+    try {
+      if (data.nonEmpty) {
+        val spark = table.spark // the table's own session, not the active one
+        // the shared writer names files ".sink-*", which Spark's reader
+        // treats as hidden — surface them before the read-back
+        val visible = data.map(_.path).toSeq.map { p =>
+          val src = java.nio.file.Paths.get(p)
+          val dst = src.resolveSibling(src.getFileName.toString.stripPrefix("."))
+          java.nio.file.Files.move(src, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          dst.toString
+        }
+        // ONE appendBatch: upsert images + tombstones land in a single
+        // level-0 commit — LWW supersedes old versions, changelog streams.
+        // The (nextBatch, appendBatch) pair serializes per table root
+        // WITHIN this JVM: two concurrent DML statements would otherwise
+        // compute the same batch id and appendBatch's replay guard would
+        // silently drop the loser. Cross-driver concurrency keeps the
+        // library doors' single-logical-writer contract.
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(visible: _*)
+        GraftPkDeltaBatchWrite.dmlLock
+          .computeIfAbsent(t.root, _ => new Object).synchronized {
+            t.appendBatch(df,
+              t.latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L))
+          }
+      }
+    } finally StreamTable.deleteTree(java.nio.file.Paths.get(stagingDir))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files.map(_.path))
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    StreamTable.deleteTree(java.nio.file.Paths.get(stagingDir))
+  }
+}
+
+object GraftPkDeltaBatchWrite {
+  /** Per-root commit serialization for same-JVM concurrent DML. */
+  private[v2] val dmlLock =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
+case class GraftPkDeltaWriterFactory(stagingDir: String,
+    stagedSchema: StructType, rowIdSchema: StructType, idPos: Array[Int],
+    metaSchema: StructType, seqRowPos: Int, seqMetaPos: Int, writerId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftPkDeltaWriter(stagingDir, stagedSchema, rowIdSchema, idPos,
+      metaSchema, seqRowPos, seqMetaPos, writerId, partitionId)
+}
+
+/** One task's PK delta writer: every action becomes a staged unified row —
+  * image (tomb=false) or tombstone (key + live sequence, tomb=true) —
+  * through the shared executor parquet writer pointed at the staging dir. */
+class GraftPkDeltaWriter(stagingDir: String, stagedSchema: StructType,
+    rowIdSchema: StructType, idPos: Array[Int], metaSchema: StructType,
+    seqRowPos: Int, seqMetaPos: Int, writerId: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val w = new GraftStreamingDataWriter(stagingDir, stagedSchema,
+    writerId, 0L, partitionId, bucketPlan = None, numBuckets = 0,
+    stamp = None, captureStats = false)
+  private val n = stagedSchema.length
+  private val tombIdx = n - 1
+
+  private def unified(row: InternalRow, tomb: Boolean): InternalRow = {
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < tombIdx) {
+      vals(i) =
+        if (row.isNullAt(i)) null else row.get(i, stagedSchema(i).dataType)
+      i += 1
+    }
+    vals(tombIdx) = tomb
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  override def insert(row: InternalRow): Unit = w.write(unified(row, tomb = false))
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val vals = new Array[Any](n) // non-key payload stays null on a tombstone
+    var j = 0
+    while (j < idPos.length) {
+      vals(idPos(j)) =
+        if (id.isNullAt(j)) null else id.get(j, rowIdSchema(j).dataType)
+      j += 1
+    }
+    // delete-current: the tombstone carries the LIVE row's sequence (from
+    // the metadata projection), so it beats the current version but loses
+    // to any future row with a larger sequence — deleteBatch's rule
+    if (seqRowPos >= 0 && seqMetaPos >= 0 && !meta.isNullAt(seqMetaPos))
+      vals(seqRowPos) = meta.get(seqMetaPos, metaSchema(seqMetaPos).dataType)
+    vals(tombIdx) = true
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // a key-reassigning UPDATE must kill the OLD key, not just append the
+    // new image — compare the id's key fields to the image's
+    var changed = false
+    var j = 0
+    while (j < idPos.length && !changed) {
+      val p = idPos(j)
+      val dt = rowIdSchema(j).dataType
+      val a = if (id.isNullAt(j)) null else id.get(j, dt)
+      val b = if (row.isNullAt(p)) null else row.get(p, dt)
+      changed = if (a == null) b != null else a != b
+      j += 1
+    }
+    if (changed) delete(meta, id)
+    insert(row)
+  }
+
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = w.commit()
+
+  override def abort(): Unit = w.abort()
+
+  override def close(): Unit = w.close()
 }

@@ -1058,16 +1058,82 @@ class StreamTable(
           latestSnapshot.map(s => math.max(s.batchId, -1L) + 1).getOrElse(0L))
         n
       case None =>
-        cowRewrite(cond, { df =>
-          val schema = df.schema
-          df.select(schema.fieldNames.map { c =>
-            assignments.collectFirst { case (`c`, e) =>
-              when(coalesce(cond, lit(false)), e.cast(schema(c).dataType))
-                .otherwise(col(c)).as(c)
-            }.getOrElse(col(c))
-          }: _*)
-        }, conserves = true)
+        dvUpdate(cond, assignments).getOrElse(
+          cowRewrite(cond, { df =>
+            val schema = df.schema
+            df.select(schema.fieldNames.map { c =>
+              assignments.collectFirst { case (`c`, e) =>
+                when(coalesce(cond, lit(false)), e.cast(schema(c).dataType))
+                  .otherwise(col(c)).as(c)
+              }.getOrElse(col(c))
+            }: _*)
+          }, conserves = true))
     }
+  }
+
+  /** Deletion-vector fast path for small append-table UPDATEs — the library
+    * door's analog of the V2 `rowlevel.mode=dv` delta operation, gated on
+    * the same smallness cap as [[dvDelete]]: matched rows become vector
+    * positions and their updated images append as level-1 files through
+    * [[commitDeltaDml]], so NO data file is rewritten (cost ∝ matches, not
+    * touched bytes — a 1-row fix no longer rewrites a 1 GB file, and the
+    * table's file-level clustering survives). Two passes over the matching
+    * slice (positions, then images); the commit's UPDATE conservation check
+    * catches a non-deterministic condition drifting between them. Returns
+    * None above the cap — the caller falls back to copy-on-write. */
+  private def dvUpdate(cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Option[Long] = {
+    val cap = StreamTable.dvMaxMatches
+    if (cap <= 0) return None
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (live.isEmpty) return Some(0L)
+    import spark.implicits._
+    // raw file offsets: read WITHOUT the DV-suppression join, then drop
+    // already-deleted positions explicitly (exactly dvDelete's discipline)
+    def raw() = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(_.path): _*)
+      .withColumn("__graft_dv_name", col("_metadata.file_name"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val existing: Map[String, Array[Long]] = live.collect {
+      case f if f.dvCount.exists(_ > 0) =>
+        Paths.get(f.path).getFileName.toString -> StreamTable.readDv(f.dvPath.get)
+    }.toMap
+    def current(df: DataFrame) =
+      if (existing.isEmpty) df
+      else df.join(broadcast(existing.toSeq.flatMap { case (n, ps) =>
+        ps.map((n, _)) }.toDF("__graft_dv_name", "__graft_dv_pos")),
+        Seq("__graft_dv_name", "__graft_dv_pos"), "left_anti")
+    val hits = current(raw()).filter(cond)
+      .select(col("__graft_dv_name"), col("__graft_dv_pos"))
+      .limit(cap + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.length > cap) return None // big update: COW rewrites instead
+    if (hits.isEmpty) return Some(0L)
+    // images: the matched rows with assignments applied, in table column
+    // order, staged by executor writers (never materialized on the driver)
+    val schema = read.schema
+    val images = current(raw()).filter(cond).select(schema.fieldNames.map { c =>
+      assignments.collectFirst { case (`c`, e) => e.cast(schema(c).dataType).as(c) }
+        .getOrElse(col(c))
+    }: _*)
+    val staging = s"$root/.staging-${UUID.randomUUID()}"
+    StreamTable.withMicrosTimestamps(spark)(
+      images.write.mode("overwrite").parquet(staging))
+    val parts = listDir(Paths.get(staging)).iterator
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString)
+      .toSeq.sorted
+    // commitDeltaDml keys deletes by PATH; translate the file NAMES the
+    // metadata column yielded (unique across dirs — required like dvDelete)
+    val nameToPath = live.map(f =>
+      Paths.get(f.path).getFileName.toString -> f.path).toMap
+    require(nameToPath.size == live.size,
+      "duplicate data-file names across dirs (dv update would mislabel)")
+    val deletes = hits.groupBy(_._1).map { case (name, rows) =>
+      nameToPath.getOrElse(name, throw new IllegalStateException(
+        s"dv update matched unknown file $name")) -> rows.map(_._2)
+    }
+    try Some(commitDeltaDml(deletes, parts, "UPDATE"))
+    finally deleteRecursively(Paths.get(staging))
   }
 
   /** Shared copy-on-write machinery for append-table row-level ops: one

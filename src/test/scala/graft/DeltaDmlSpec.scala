@@ -239,16 +239,131 @@ class DeltaDmlSpec extends AnyFunSuite {
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 
-  test("dv mode refuses primary-key tables at scan build") {
-    val (cat, _) = freshCatalog("dvr")
-    spark.sql(s"CREATE TABLE $cat.d.r (id BIGINT, v STRING) " +
-      "TBLPROPERTIES ('primary-key'='id', 'rowlevel.mode'='dv')")
-    spark.sql(s"INSERT INTO $cat.d.r VALUES (1, 'a'), (2, 'b')")
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.d.r SET v = 'z' WHERE id = 1")
+  test("non-pushable DELETE routes through the delta door as vectors") {
+    val (cat, wh) = freshCatalog("dvd")
+    spark.sql(s"CREATE TABLE $cat.d.d (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.d SELECT id, concat('r', id) FROM range(0, 300)")
+    val root = s"$wh/d.db/d"
+    val before = fileState(root)
+    // id % 97 = 3 is not a translatable source filter, so the DELETE cannot
+    // take the metadata push (deleteWhere) — it plans as a row-level op,
+    // which in dv mode commits vectors with ZERO staged inserts
+    spark.sql(s"DELETE FROM $cat.d.d WHERE id % 97 = 3")
+    val t = graft.table.GraftCatalog.openPath(spark, root)
+    val after = t.latestSnapshot.get.files
+    assert(after.map(f => (f.path, f.fileSizeInBytes,
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1) == before, "a delta DELETE must not rewrite data files")
+    assert(after.map(_.dvCount.getOrElse(0L)).sum == 4L) // 3,100,197,294
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.d").head().getLong(0) == 296L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.d WHERE id % 97 = 3")
+      .head().getLong(0) == 0L)
+  }
+
+  test("commitDeltaDml refuses when the touched file is no longer live") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_dvg_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 50L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1), 0L)
+    val stale = tbl.latestSnapshot.get.files.head.path
+    tbl.compact(targetFileCount = 1) // rewrites: the old path leaves the live set
+    val e = intercept[IllegalStateException] {
+      tbl.commitDeltaDml(Map(stale -> Array(0L)), Seq.empty, "DELETE")
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("merge-on-read")), e.toString)
+    assert(e.getMessage.contains("no longer live"), e.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("PK table SQL UPDATE: merge-on-read image append, no file rewritten") {
+    val (cat, wh) = freshCatalog("pku")
+    spark.sql(s"CREATE TABLE $cat.d.u (id BIGINT, v STRING, bal DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='4')")
+    spark.sql(s"INSERT INTO $cat.d.u " +
+      "SELECT id, concat('r', id), id * 1.0 FROM range(0, 200)")
+    val root = s"$wh/d.db/u"
+    val before = fileState(root)
+    spark.sql(s"UPDATE $cat.d.u SET bal = bal + 1000 WHERE id % 10 = 3")
+    // every pre-update file survives verbatim (images re-appended, LWW wins)
+    val t = graft.table.GraftCatalog.openPath(spark, root)
+    val after = t.latestSnapshot.get.files
+    val beforePaths = before.map(_._1).toSet
+    assert(after.filter(f => beforePaths(f.path))
+      .map(f => (f.path, f.fileSizeInBytes,
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+      .sortBy(_._1) == before, "PK UPDATE must not rewrite data files")
+    val got = spark.sql(s"SELECT id, v, bal FROM $cat.d.u ORDER BY id").collect()
+    assert(got.length == 200)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"r$id")
+      assert(r.getDouble(2) == (if (id % 10 == 3) id + 1000.0 else id * 1.0), r.toString)
+    }
+    // a key-reassigning UPDATE tombstones the old key
+    spark.sql(s"UPDATE $cat.d.u SET id = id + 500 WHERE id = 7")
+    val moved = spark.sql(s"SELECT id, v FROM $cat.d.u WHERE id IN (7, 507)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(moved == Seq((507L, "r7")), moved.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.u").head().getLong(0) == 200L)
+  }
+
+  test("PK table SQL MERGE: matched UPDATE/DELETE + not-matched INSERT") {
+    val (cat, wh) = freshCatalog("pkm")
+    spark.sql(s"CREATE TABLE $cat.d.m (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='4')")
+    spark.sql(s"INSERT INTO $cat.d.m SELECT id, id * 10.0 FROM range(0, 100)")
+    spark.sql(
+      s"""MERGE INTO $cat.d.m t
+         |USING (SELECT id * 2 AS k FROM range(0, 70)) s
+         |ON t.id = s.k
+         |WHEN MATCHED AND t.id % 10 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal = -t.bal
+         |WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.k, 0.5)
+         |""".stripMargin)
+    // evens 0..98 matched: 0,10,...,90 deleted (10), other 40 negated;
+    // 100..138 step 2 (20) inserted at 0.5; odds untouched (50)
+    val got = spark.sql(s"SELECT id, bal FROM $cat.d.m ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 100 - 10 + 20, got.length.toString)
+    assert(!got.exists(e => e._1 % 10 == 0 && e._1 < 100), "deletes must land")
+    assert(got.filter(e => e._1 % 2 == 0 && e._1 < 100).forall(e => e._2 == -(e._1 * 10.0)))
+    assert(got.filter(_._1 >= 100).map(_._1).toSeq == (100L until 140L by 2).toSeq)
+    assert(got.filter(_._1 % 2 == 1).forall(e => e._2 == e._1 * 10.0))
+    // no data file was rewritten: PK DML is pure append
+    val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/m")
+    assert(t.latestSnapshot.get.files.forall(_.rowCount > 0))
+  }
+
+  test("PK table SQL DML streams: the changelog observes -U/+U and -D") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, wh) = freshCatalog("pkc")
+    spark.sql(s"CREATE TABLE $cat.d.c (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='2', " +
+      "'changelog-producer'='input')")
+    spark.sql(s"INSERT INTO $cat.d.c SELECT id, id * 1.0 FROM range(0, 20)")
+    spark.sql(s"UPDATE $cat.d.c SET bal = -1.0 WHERE id = 5")
+    spark.sql(s"DELETE FROM $cat.d.c WHERE id = 7")
+    val root = s"$wh/d.db/c"
+    val chk = java.nio.file.Files.createTempDirectory("pkc_chk_").toString
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val q = spark.readStream.format("graft").option("read-changelog", "true")
+      .load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val ops = buf.asScala.map(r =>
+      (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("op")))).toSeq
+    // catch-up emits the resolved state as +I: updated 5, no 7
+    assert(ops.count(_._2 == "+I") == 19, ops.toString)
+    assert(!ops.contains((7L, "+I")))
+    assert(buf.asScala.exists(r => r.getLong(r.fieldIndex("id")) == 5L &&
+      r.getDouble(r.fieldIndex("bal")) == -1.0))
   }
 }

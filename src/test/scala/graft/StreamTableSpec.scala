@@ -681,13 +681,28 @@ class StreamTableSpec extends AnyFunSuite {
     val got = t.read.orderBy("id").collect()
     assert(got.take(5).forall(r => r.getLong(1) == -1L && r.getString(2) == "scrubbed"))
     assert(got.drop(5).forall(r => r.getLong(1) == r.getLong(0) * 2 && r.getString(2) == "keep"))
-    // only file b0 rewritten; the assignment's int literal was cast back to
-    // the column's long type (schema is stable under UPDATE)
-    assert(before.count(f => t.latestSnapshot.get.files.exists(_.path == f.path)) == 2)
+    // below the DV cap the update is merge-on-read: EVERY original file
+    // survives verbatim (b0 carries a 5-position vector; the 5 updated
+    // images appended as a level-1 file); the assignment's int literal was
+    // cast back to the column's long type (schema is stable under UPDATE)
+    val after = t.latestSnapshot.get.files
+    assert(before.forall(f => after.exists(_.path == f.path)))
+    assert(after.map(_.dvCount.getOrElse(0L)).sum == 5L)
+    assert(after.filterNot(f => before.exists(_.path == f.path))
+      .map(_.rowCount).sum == 5L)
     assert(t.read.schema("v").dataType == org.apache.spark.sql.types.LongType)
     intercept[IllegalArgumentException] {
       t.updateWhere(col("id") < 5, Seq("nope" -> lit(1)))
     }
+    // above the cap the same update falls back to copy-on-write: the file
+    // now holding the matches (the image file) rewrites; results stay exact
+    System.setProperty("graft.dv.max-matches", "3")
+    try {
+      val n2 = t.updateWhere(col("id") < 5, Seq("v" -> lit(-2)))
+      assert(n2 == 5)
+      assert(t.read.where(col("id") < 5).collect().forall(_.getLong(1) == -2L))
+      assert(t.read.count() == 30)
+    } finally System.clearProperty("graft.dv.max-matches")
   }
 
   test("deleteWhere/updateWhere on a PK table: merge-on-read, no file rewritten") {

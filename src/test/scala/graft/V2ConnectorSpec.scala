@@ -1925,17 +1925,14 @@ class V2ConnectorSpec extends AnyFunSuite {
       "WHEN MATCHED THEN DELETE")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.upd").head().getLong(0) == 4)
 
-    // PK tables refuse with a pointer at the merge-on-read path
+    // PK tables run natively too — merge-on-read image appends
+    // (GraftPkDeltaOperation; DeltaDmlSpec pins the full semantics)
     import spark.implicits._
     val pt = gc.createTable("db", "updpk", Map("primary-key" -> "id"))
     pt.appendBatch(Seq((1L, "x")).toDF("id", "v"), 0L)
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.db.updpk SET v = 'y' WHERE id = 1")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("merge-on-read")), e.toString)
+    spark.sql(s"UPDATE $cat.db.updpk SET v = 'y' WHERE id = 1")
+    assert(spark.sql(s"SELECT v FROM $cat.db.updpk WHERE id = 1")
+      .head().getString(0) == "y")
   }
 
   test("changelog stream: compaction between drains is not a logical change") {
