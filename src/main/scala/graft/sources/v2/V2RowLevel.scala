@@ -611,25 +611,43 @@ class GraftPkDeltaBatchWrite(table: GraftV2Table, rowSchema0: StructType,
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val t = table.table
-  // staged rows persist under FILE-level names (the shared rename rule),
-  // plus the tombstone marker appendBatch already understands
+  // The staged layout: the command's data columns (empty for a pure
+  // DELETE), then any rowId/metadata fields not already among them — a
+  // DELETE's tombstones need key + sequence columns even though Spark's
+  // write schema carries no data columns. Persisted under FILE-level names
+  // (the shared rename rule) plus the tombstone marker appendBatch already
+  // understands.
+  private val baseFields: Seq[org.apache.spark.sql.types.StructField] = {
+    val fromRow = rowSchema0.fields.toSeq
+    val n1 = fromRow.map(_.name).toSet
+    val fromId =
+      if (rowIdSchema == null) Seq.empty
+      else rowIdSchema.fields.toSeq.filterNot(f => n1(f.name))
+    val n2 = n1 ++ fromId.map(_.name)
+    val fromMeta =
+      if (metaSchema == null) Seq.empty
+      else metaSchema.fields.toSeq.filterNot(f => n2(f.name))
+    fromRow ++ fromId ++ fromMeta
+  }
   private val stagedSchema = StructType(
-    rowSchema0.map(f => f.copy(name = table.renames.getOrElse(f.name, f.name))) :+
+    baseFields.map(f => f.copy(name = table.renames.getOrElse(f.name, f.name),
+      nullable = true)) :+
       org.apache.spark.sql.types.StructField(StreamTable.TombstoneColName,
         org.apache.spark.sql.types.BooleanType, nullable = false))
-  // position of each rowId (pk) field within the ROW schema (declared
-  // names on both sides; positions survive the file-level rename)
+  // positions within the STAGED layout (its leading fields are exactly the
+  // row schema, so image writes copy positionally)
+  private def stagedPos(declared: String): Int =
+    baseFields.indexWhere(_.name == declared)
   private val idPos: Array[Int] =
     if (rowIdSchema == null) Array.empty
-    else rowIdSchema.fieldNames.map(rowSchema0.fieldIndex)
-  // the sequence field: its slot in the ROW schema and in the metadata
+    else rowIdSchema.fieldNames.map(stagedPos)
+  // the sequence field: its slot in the staged layout and in the metadata
   // projection (a DELETE's tombstone carries the live row's sequence)
   private val declaredSeq: Option[String] = {
     val declaredOf = table.renames.map(_.swap)
     t.seqCol.map(c => declaredOf.getOrElse(c, c))
   }
-  private val seqRowPos: Int =
-    declaredSeq.map(rowSchema0.fieldIndex).getOrElse(-1)
+  private val seqRowPos: Int = declaredSeq.map(stagedPos).getOrElse(-1)
   private val seqMetaPos: Int =
     declaredSeq.filter(_ => metaSchema != null)
       .map(metaSchema.fieldIndex).getOrElse(-1)
@@ -641,7 +659,7 @@ class GraftPkDeltaBatchWrite(table: GraftV2Table, rowSchema0: StructType,
     GraftPkDeltaWriterFactory(stagingDir, stagedSchema,
       if (rowIdSchema == null) StructType(Nil) else rowIdSchema, idPos,
       if (metaSchema == null) StructType(Nil) else metaSchema,
-      seqRowPos, seqMetaPos, writerId)
+      seqRowPos, seqMetaPos, rowSchema0.length, writerId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftSinkCommitMessage => m }
@@ -695,12 +713,13 @@ object GraftPkDeltaBatchWrite {
 
 case class GraftPkDeltaWriterFactory(stagingDir: String,
     stagedSchema: StructType, rowIdSchema: StructType, idPos: Array[Int],
-    metaSchema: StructType, seqRowPos: Int, seqMetaPos: Int, writerId: String)
+    metaSchema: StructType, seqRowPos: Int, seqMetaPos: Int, imageLen: Int,
+    writerId: String)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftPkDeltaWriter(stagingDir, stagedSchema, rowIdSchema, idPos,
-      metaSchema, seqRowPos, seqMetaPos, writerId, partitionId)
+      metaSchema, seqRowPos, seqMetaPos, imageLen, writerId, partitionId)
 }
 
 /** One task's PK delta writer: every action becomes a staged unified row —
@@ -708,7 +727,8 @@ case class GraftPkDeltaWriterFactory(stagingDir: String,
   * through the shared executor parquet writer pointed at the staging dir. */
 class GraftPkDeltaWriter(stagingDir: String, stagedSchema: StructType,
     rowIdSchema: StructType, idPos: Array[Int], metaSchema: StructType,
-    seqRowPos: Int, seqMetaPos: Int, writerId: String, partitionId: Int)
+    seqRowPos: Int, seqMetaPos: Int, imageLen: Int, writerId: String,
+    partitionId: Int)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val w = new GraftStreamingDataWriter(stagingDir, stagedSchema,
@@ -719,8 +739,9 @@ class GraftPkDeltaWriter(stagingDir: String, stagedSchema: StructType,
 
   private def unified(row: InternalRow, tomb: Boolean): InternalRow = {
     val vals = new Array[Any](n)
+    // the staged layout's leading imageLen fields ARE the row schema
     var i = 0
-    while (i < tombIdx) {
+    while (i < imageLen) {
       vals(i) =
         if (row.isNullAt(i)) null else row.get(i, stagedSchema(i).dataType)
       i += 1

@@ -335,6 +335,31 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(t.latestSnapshot.get.files.forall(_.rowCount > 0))
   }
 
+  test("PK table with sequence.field: DML tombstones carry the live sequence") {
+    val (cat, wh) = freshCatalog("pks")
+    spark.sql(s"CREATE TABLE $cat.d.s (id BIGINT, ver BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='2', " +
+      "'sequence.field'='ver')")
+    // two versions of each key: ver=2 wins the LWW view
+    spark.sql(s"INSERT INTO $cat.d.s SELECT id, 1, concat('a', id) FROM range(0, 30)")
+    spark.sql(s"INSERT INTO $cat.d.s SELECT id, 2, concat('b', id) FROM range(0, 30)")
+    assert(spark.sql(s"SELECT v FROM $cat.d.s WHERE id = 3").head().getString(0) == "b3")
+    // non-pushable DELETE routes through the PK delta op; its tombstone must
+    // carry ver=2 (the LIVE sequence) to actually kill the resolved row
+    spark.sql(s"DELETE FROM $cat.d.s WHERE id % 10 = 3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.s").head().getLong(0) == 27L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.s WHERE id % 10 = 3")
+      .head().getLong(0) == 0L)
+    // a LATER higher-sequence arrival still beats the tombstone (the
+    // delete-current contract: delete what is there now, not the future)
+    spark.sql(s"INSERT INTO $cat.d.s VALUES (3, 9, 'c3')")
+    assert(spark.sql(s"SELECT v FROM $cat.d.s WHERE id = 3").head().getString(0) == "c3")
+    // UPDATE keeps the image's sequence; the later batch breaks the tie
+    spark.sql(s"UPDATE $cat.d.s SET v = 'upd' WHERE id = 4")
+    assert(spark.sql(s"SELECT v, ver FROM $cat.d.s WHERE id = 4").head()
+      == org.apache.spark.sql.Row("upd", 2L))
+  }
+
   test("PK table SQL DML streams: the changelog observes -U/+U and -D") {
     import org.apache.spark.sql.streaming.Trigger
     val (cat, wh) = freshCatalog("pkc")
