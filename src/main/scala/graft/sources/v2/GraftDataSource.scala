@@ -470,7 +470,22 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
+
+  /** `PARTITIONED BY` surfaces as identity transforms (declared names) —
+    * what lets `INSERT OVERWRITE … PARTITION (p = v)` resolve. Bucketing is
+    * deliberately NOT reported here: it rides the scan's
+    * KeyGroupedPartitioning (SPJ), not the write path. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    table.partitionKeys match {
+      case Some(pks) =>
+        val declaredOf = renameMap.map(_.swap)
+        pks.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(declaredOf.getOrElse(c, c))).toArray
+      case None => Array.empty
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     table.primaryKey match {
@@ -503,13 +518,40 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
       "writes go to the current table version")
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // INSERT OVERWRITE: Spark asks for truncate-then-append; we commit
       // both as ONE atomic manifest swap (overwriteBatch) — readers never
       // see an empty or half-written table
       private var replace = false
+      // static PARTITION overwrite: (file-level key, value) equalities
+      private var partitionConds: Option[Seq[(String, Any)]] = None
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         replace = true; this
+      }
+      /** `INSERT OVERWRITE … PARTITION (p = v, …)` (partitionOverwriteMode
+        * STATIC, the default): replace EXACTLY the named partition's files.
+        * Exactness is provable because partitioned writes leave every file
+        * SINGLE-VALUED in every partition key — a file either entirely
+        * matches or entirely misses; anything unprovable refuses loudly. */
+      override def overwrite(filters: Array[Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          return truncate()
+        val pks = table.partitionKeys.getOrElse(throw new UnsupportedOperationException(
+          s"$tableName: a filtered INSERT OVERWRITE needs a PARTITIONED BY " +
+            "table (file-level replacement has no exact meaning otherwise)"))
+        val conds = filters.toSeq.map {
+          case EqualTo(a, v) if v != null => renameMap.getOrElse(a, a) -> v
+          case org.apache.spark.sql.sources.EqualNullSafe(a, v) if v != null =>
+            renameMap.getOrElse(a, a) -> v
+          case f => throw new UnsupportedOperationException(
+            s"$tableName: PARTITION overwrite supports only non-null " +
+              s"equality on partition keys, got $f")
+        }
+        conds.foreach { case (c, _) => require(pks.contains(c),
+          s"'$c' is not a partition key of $tableName (${pks.mkString(", ")})") }
+        partitionConds = Some(conds)
+        this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write
@@ -565,8 +607,46 @@ class GraftV2Table(tableName: String, val table: StreamTable,
               }
               val next = math.max(
                 table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
-              if (replace || overwrite) table.overwriteBatch(stored, next)
-              else table.appendBatch(stored, next)
+              partitionConds match {
+                case Some(conds) =>
+                  val conf = new Configuration()
+                  // a file is ENTIRELY in the partition iff its stats can't
+                  // rule the equality out AND prove single-valuedness; a
+                  // ruled-out file is entirely outside; anything else
+                  // (missing stats, multi-valued legacy file) refuses
+                  def entirely(f: DataFileMeta): Boolean = {
+                    val (mins, maxs) = StreamTable.skipStats(f, conf)
+                    def allNull(c: String): Boolean =
+                      f.nullStats.flatMap(_.get(c)).flatMap(_.toLongOption)
+                        .contains(f.rowCount)
+                    conds.forall { case (c, v) =>
+                      // an all-null partition column can never equal v: the
+                      // file is entirely OUTSIDE (the null partition), not
+                      // unprovable
+                      if (allNull(c)) false
+                      else if (!FileSkip.keep(EqualTo(c, v), mins, maxs, Some(f)))
+                        false
+                      else {
+                        require(mins.get(c).exists(maxs.get(c).contains),
+                          s"$tableName: ${f.path} is not provably " +
+                            s"single-valued in partition key '$c' — " +
+                            "PARTITION overwrite needs partition-clustered " +
+                            "files (run CALL sys.compact first)")
+                        true
+                      }
+                    }
+                  }
+                  table.commitPartitionOverwrite(stored,
+                    removedOf = _.filter(entirely),
+                    validateStaged = ms => ms.foreach(m => require(entirely(m),
+                      s"$tableName: INSERT OVERWRITE PARTITION received " +
+                        s"rows outside the named partition (staged file " +
+                        s"${m.path} violates ${conds.map(c => s"${c._1}=${c._2}").mkString(", ")})")),
+                    next)
+                case None =>
+                  if (replace || overwrite) table.overwriteBatch(stored, next)
+                  else table.appendBatch(stored, next)
+              }
             }
 
           // `df.writeStream.format("graft")` / `.toTable(...)`: the native
@@ -575,6 +655,11 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!replace, "streaming writes are append-only")
+            require(table.partitionKeys.isEmpty,
+              s"$tableName is PARTITIONED BY: the native streaming sink " +
+                "does not partition-cluster its files (exact pruning/" +
+                "overwrite would degrade) — stream via " +
+                "StreamTable.writeStream (appendBatch clusters) instead")
             // same file-level-name rule as the batch write above
             val stored = StructType(info.schema().map(f =>
               f.copy(name = renameMap.getOrElse(f.name, f.name))))

@@ -179,12 +179,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "graft tables declare bucketing via options")
     // the option map IS the Paimon-style WITH(...) clause; the declared
     // schema rides along so the empty table is INSERT-resolvable
     backing.createTable(db(ident.namespace()), ident.name(),
       properties.asScala.toMap - TableCatalog.PROP_OWNER - "provider" +
-        (SchemaOption -> schema.toDDL))
+        (SchemaOption -> schema.toDDL) ++
+        GraftSparkCatalog.partitionOption(partitions, schema))
     loadTable(ident)
   }
 
@@ -222,8 +222,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       s"unsupported ALTER TABLE change(s) ${unsupported.mkString(", ")} " +
         "(supported: properties, ADD/DROP/RENAME COLUMN)")
     require(!(sets.map(_._1) ++ removes).exists(
-        Set("primary-key", "bucket-key", "bucket", SchemaOption)),
-      "primary-key/bucketing/declared-schema are immutable table structure " +
+        Set("primary-key", "bucket-key", "bucket", "partition-keys",
+          SchemaOption)),
+      "primary-key/bucketing/partitioning/declared-schema are immutable " +
+        "table structure " +
         "(rewriting the layout is a compaction job, not a property flip)")
     if (removes.nonEmpty) {
       // GraftCatalog's alterTable merges on write; removal rewrites the map
@@ -370,7 +372,6 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private def stagedFor(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean): StagedTable = {
-    require(partitions.isEmpty, "graft tables declare bucketing via options")
     val dbName = db(ident.namespace())
     backing.createDatabase(dbName)
     // opportunistic sweep of CRASHED stagings (a driver that died between
@@ -391,7 +392,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
     val staging = s"$warehouse/.staging-ctas/${java.util.UUID.randomUUID()}"
     val opts = properties.asScala.toMap -
-      TableCatalog.PROP_OWNER - "provider" + (SchemaOption -> schema.toDDL)
+      TableCatalog.PROP_OWNER - "provider" + (SchemaOption -> schema.toDDL) ++
+      GraftSparkCatalog.partitionOption(partitions, schema)
     GraftCatalog.writeTableOptions(staging, opts)
     val tbl = GraftCatalog.tableFromOptions(SparkSession.active, staging, opts)
     val target = s"$warehouse/$dbName.db/${ident.name()}"
@@ -561,4 +563,26 @@ object GraftSparkCatalog {
   /** Option key carrying the declared schema (DDL string) of a table that
     * has no committed snapshot yet. */
   val SchemaOption = "graft.declared-schema"
+
+  /** `PARTITIONED BY (…)` → the `partition-keys` table option. IDENTITY
+    * transforms only (Paimon's model — partition values are plain columns);
+    * bucketing stays a declared option, never a transform. */
+  private[v2] def partitionOption(partitions: Array[Transform],
+      schema: StructType): Map[String, String] =
+    if (partitions.isEmpty) Map.empty
+    else {
+      val cols = partitions.map {
+        case t if t.name == "identity" && t.references.length == 1 &&
+            t.references.head.fieldNames.length == 1 =>
+          val c = t.references.head.fieldNames.head
+          require(schema.fieldNames.contains(c),
+            s"PARTITIONED BY column '$c' is not in the table schema")
+          c
+        case other => throw new UnsupportedOperationException(
+          s"graft supports PARTITIONED BY identity columns only " +
+            s"(got $other); bucketing is declared via the 'bucket'/" +
+            "'bucket-key' options")
+      }
+      Map("partition-keys" -> cols.mkString(","))
+    }
 }

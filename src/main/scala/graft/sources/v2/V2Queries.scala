@@ -546,6 +546,40 @@ object V2Queries {
                |FROM $catName.v2db.dvm_customers ORDER BY c_custkey""".stripMargin)
     },
 
+    // PARTITIONED BY through the native catalog: identity partitions make
+    // every batch-written file SINGLE-VALUED in the key (the directory
+    // split rides on dropped copies; values stay in the payload), so a
+    // partition predicate prunes EXACTLY via the existing manifest-stats
+    // skip — no directory parsing, no new read path (PartitionSpec pins
+    // files=k/N exactness).
+    QDef(
+      "q_source_v2_partitioned",
+      """SELECT c_custkey, c_acctbal AS acctbal FROM customer
+        |WHERE c_mktsegment = 'MACHINERY' ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = partTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.part_customers
+               |WHERE c_mktsegment = 'MACHINERY' ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Static INSERT OVERWRITE ... PARTITION (the Paimon/Hive partition-load
+    // idiom): exactly the named partition's files swap for the staged rows
+    // in one atomic commit — single-valued files make the replacement set
+    // provably exact, untouched partitions survive byte-identical
+    // (PartitionSpec), and rows outside the named partition refuse loudly.
+    QDef(
+      "q_source_v2_part_overwrite",
+      """SELECT c_custkey, c_acctbal AS acctbal FROM customer
+        |WHERE c_mktsegment <> 'FURNITURE'
+        |UNION ALL
+        |SELECT c_custkey, 0.0 FROM customer
+        |WHERE c_mktsegment = 'FURNITURE' AND c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = partOverwriteTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.pow_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // Native UPDATE on a PRIMARY-KEY table: Spark's delta-based row-level
     // operation in the PK table's own merge-on-read alphabet
     // (GraftPkDeltaOperation) — updated images re-append through ONE
@@ -1334,6 +1368,39 @@ object V2Queries {
       s.sql(s"""UPDATE $catName.v2db.upd_customers
                |SET c_acctbal = c_acctbal + 100
                |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      catName
+    })
+
+  /** customer as a PARTITIONED BY (c_mktsegment) table. */
+  private val stagedPart = new ConcurrentHashMap[String, String]()
+  private def partTable(s: SparkSession, d: String): String =
+    stagedPart.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2part_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.part_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+               |PARTITIONED BY (c_mktsegment)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.part_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2part_customer""".stripMargin)
+      catName
+    })
+
+  /** Partitioned customer with the FURNITURE partition statically
+    * overwritten (even keys only, balances zeroed). */
+  private val stagedPartOw = new ConcurrentHashMap[String, String]()
+  private def partOverwriteTable(s: SparkSession, d: String): String =
+    stagedPartOw.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2pow_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.pow_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+               |PARTITIONED BY (c_mktsegment)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.pow_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2pow_customer""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE $catName.v2db.pow_customers
+               |PARTITION (c_mktsegment = 'FURNITURE')
+               |SELECT c_custkey, 0.0 FROM graft_v2pow_customer
+               |WHERE c_mktsegment = 'FURNITURE' AND c_custkey % 2 = 0""".stripMargin)
       catName
     })
 

@@ -217,7 +217,11 @@ object GraftCatalog {
       // setting) and 'lookup' both persist per-commit changelog files —
       // 'none' (Paimon's default) leaves the CDC reader on the state diff
       changelogProducer = o.get("changelog-producer")
-        .exists(v => v == "input" || v == "lookup"))
+        .exists(v => v == "input" || v == "lookup"),
+      // PARTITIONED BY (identity): batch writes directory-split so every
+      // file is single-valued in the keys — exact pruning/overwrite
+      partitionKeys = o.get("partition-keys")
+        .map(_.split(",").map(_.trim).toSeq).filter(_.nonEmpty))
   }
 
   /** Open a table directly from its root dir, honoring the structural

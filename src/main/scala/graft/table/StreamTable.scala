@@ -231,7 +231,16 @@ class StreamTable(
       * watermark's contract) — a concurrent COMPACTOR is fine, because
       * compaction never changes the resolved state the diff is computed
       * against. */
-    val changelogProducer: Boolean = false) {
+    val changelogProducer: Boolean = false,
+    /** Paimon-style PARTITIONED BY (identity transforms only): every batch
+      * write directory-splits on these columns, so each data file is
+      * SINGLE-VALUED in every partition key — partition pruning and static
+      * partition overwrite are then EXACT from manifest stats alone (the
+      * existing file-skipping machinery, no new read path). The values stay
+      * IN the files (the split rides on dropped COPIES of the columns), so
+      * readers never reconstruct them from directory names. Compaction
+      * rewrites keep the clustering. */
+    val partitionKeys: Option[Seq[String]] = None) {
 
   import StreamTable._
 
@@ -635,6 +644,32 @@ class StreamTable(
       kind = "overwrite")
   }
 
+  /** Static PARTITION overwrite (`INSERT OVERWRITE … PARTITION (p = v)`):
+    * stage the new rows, let the caller's callbacks decide EXACTLY which
+    * live files the named partition covers (and that every staged row
+    * belongs to it — both decisions ride manifest stats, owned by the V2
+    * layer's FileSkip), then swap removed-for-staged in ONE atomic
+    * "overwrite" commit. Untouched partitions survive byte-identical; the
+    * pre-overwrite snapshot stays time-travelable. */
+  private[graft] def commitPartitionOverwrite(df: DataFrame,
+      removedOf: Seq[DataFileMeta] => Seq[DataFileMeta],
+      validateStaged: Seq[DataFileMeta] => Unit,
+      batchId: Long): Unit = {
+    require(partitionKeys.isDefined,
+      s"$root is not a partitioned table (PARTITIONED BY) — " +
+        "a filtered INSERT OVERWRITE has no exact file-level meaning")
+    if (replaySkip("commitPartitionOverwrite", batchId)) return
+    val metas = stageBatchFiles(df, batchId)
+    try validateStaged(metas)
+    catch { case e: Throwable =>
+      metas.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+      throw e
+    }
+    commit({ live =>
+      CommitChange(metas, removedOf(live).map(_.path).toSet, batchId)
+    }, kind = "overwrite")
+  }
+
   private def replaySkip(op: String, batchId: Long): Boolean = {
     val skip = latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)
     if (skip) {
@@ -686,17 +721,35 @@ class StreamTable(
     * Returns (path, bucketId) per file; bucketId is the staging part index
     * for unbucketed tables (callers ignore it there). */
   private def writeClustered(stamped: DataFrame, sortKey: Option[Seq[String]],
-      staging: String, destDir: String, prefix: String): Seq[(String, Int)] =
+      staging: String, destDir: String, prefix: String): Seq[(String, Int)] = {
+    // PARTITIONED BY: directory-split on COPIES of the partition columns —
+    // partitionBy drops the copies from the files (the originals stay IN
+    // the payload), and every written file comes out SINGLE-VALUED in every
+    // partition key, the property exact pruning/overwrite stands on
+    val pcols = partitionKeys.getOrElse(Seq.empty)
+    val pdirs = pcols.map(c => s"$PdirColPrefix$c")
+    def withPdirs(df: DataFrame): DataFrame =
+      pcols.zip(pdirs).foldLeft(df) { case (d, (c, p)) => d.withColumn(p, col(c)) }
     bucketKey match {
       case Some(k) =>
-        val laid = stamped
+        val laid = withPdirs(stamped)
           .withColumn(BucketColName, pmod(hash(col(k)), lit(numBuckets)))
           .repartition(numBuckets, col(k))
         val ordered = laid.sortWithinPartitions(
           (BucketColName +: sortKey.getOrElse(Seq.empty)).map(col): _*)
         StreamTable.withMicrosTimestamps(spark)(
-          ordered.write.mode("overwrite").partitionBy(BucketColName).parquet(staging))
-        moveStagedBuckets(staging, destDir, prefix)
+          ordered.write.mode("overwrite")
+            .partitionBy(pdirs :+ BucketColName: _*).parquet(staging))
+        if (pdirs.isEmpty) moveStagedBuckets(staging, destDir, prefix)
+        else moveStagedTree(staging, destDir, prefix)
+      case None if pdirs.nonEmpty =>
+        val ordered = sortKey match {
+          case Some(pk) => withPdirs(stamped).sortWithinPartitions(pk.map(col): _*)
+          case None     => withPdirs(stamped)
+        }
+        StreamTable.withMicrosTimestamps(spark)(
+          ordered.write.mode("overwrite").partitionBy(pdirs: _*).parquet(staging))
+        moveStagedTree(staging, destDir, prefix)
       case None =>
         val ordered = sortKey match {
           case Some(pk) => stamped.sortWithinPartitions(pk.map(col): _*)
@@ -706,6 +759,33 @@ class StreamTable(
           ordered.write.mode("overwrite").parquet(staging))
         moveStagedParts(staging, destDir, prefix)
     }
+  }
+
+  /** Move a NESTED `partitionBy(…)` staging layout (partition-value dirs,
+    * optionally with a bucket level) into `destDir`; the bucket id, when
+    * present, comes from its directory-name component. */
+  private def moveStagedTree(staging: String, destDir: String,
+      prefix: String): Seq[(String, Int)] = {
+    val all = {
+      val s = Files.walk(Paths.get(staging))
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.toString)
+      finally s.close()
+    }
+    val moved = all.zipWithIndex.map { case (p, i) =>
+      val bucket = (0 until p.getNameCount).iterator.map(p.getName(_).toString)
+        .collectFirst { case n if n.startsWith(s"$BucketColName=") =>
+          n.stripPrefix(s"$BucketColName=").toInt }
+      val dest = Paths.get(destDir,
+        s"$prefix-${UUID.randomUUID().toString.take(8)}-$i.parquet")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      (dest.toString, bucket.getOrElse(i))
+    }
+    deleteRecursively(Paths.get(staging))
+    moved
+  }
 
   /** Move a `partitionBy(bucket)` staging layout into `destDir`; the bucket
     * id comes from the partition DIRECTORY name (authoritative — written
@@ -2690,7 +2770,10 @@ class StreamTable(
     val sortKey = if (sortByKey) primaryKey else None
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
     val moved =
-      if (clustered) writeClustered(laid, sortKey, staging, dataCompact, s"c$snapId")
+      // a partitioned table's maintenance rewrites MUST keep the
+      // single-valued-file clustering, whatever the layout callback did
+      if (clustered || partitionKeys.isDefined)
+        writeClustered(laid, sortKey, staging, dataCompact, s"c$snapId")
       else {
         val rewritten = sortKey match {
           case Some(pk) => laid.sortWithinPartitions(pk.map(col): _*)
@@ -3176,6 +3259,11 @@ object StreamTable {
 
   /** Internal delete-tombstone marker column (the `-D` changelog op). */
   val TombstoneColName = "__graft_tomb"
+
+  /** Prefix of the throwaway partition-directory COPY columns: partitionBy
+    * rides on these (and drops them from the files) so the original
+    * partition columns stay in the payload. */
+  val PdirColPrefix = "__graft_pdir_"
 
   /** Synthetic staging-only column carrying each row's computed bucket id
     * (`pmod(murmur3(key), numBuckets)`, the [[graft.sources.v2.GraftBucketFunction]]

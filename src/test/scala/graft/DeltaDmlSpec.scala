@@ -360,6 +360,82 @@ class DeltaDmlSpec extends AnyFunSuite {
       == org.apache.spark.sql.Row("upd", 2L))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE works through both delta doors") {
+    // PK table: unmatched-by-source rows update/delete as images/tombstones
+    val (cat, _) = freshCatalog("nms")
+    spark.sql(s"CREATE TABLE $cat.d.n (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='2')")
+    spark.sql(s"INSERT INTO $cat.d.n SELECT id, id * 1.0 FROM range(0, 40)")
+    spark.sql(
+      s"""MERGE INTO $cat.d.n t USING (SELECT id * 4 AS k FROM range(0, 10)) s
+         |ON t.id = s.k
+         |WHEN MATCHED THEN UPDATE SET bal = 100.0
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 38 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -9.0
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT id, bal FROM $cat.d.n ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 38, got.length.toString) // 38,39 deleted
+    assert(got.filter(_._1 % 4 == 0).forall(_._2 == 100.0))
+    assert(got.filter(e => e._1 % 4 != 0).forall(_._2 == -9.0))
+    // append table in dv mode: the same statement via vectors
+    spark.sql(s"CREATE TABLE $cat.d.na (id BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.na SELECT id, id * 1.0 FROM range(0, 40)")
+    spark.sql(
+      s"""MERGE INTO $cat.d.na t USING (SELECT id * 4 AS k FROM range(0, 10)) s
+         |ON t.id = s.k
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 38 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -9.0
+         |""".stripMargin)
+    val ga = spark.sql(s"SELECT id, bal FROM $cat.d.na ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ga.length == 38)
+    assert(ga.filter(_._1 % 4 == 0).forall(e => e._2 == e._1 * 1.0))
+    assert(ga.filter(e => e._1 % 4 != 0).forall(_._2 == -9.0))
+  }
+
+  test("DML through renamed columns: declared names in, file names persisted") {
+    val (cat, _) = freshCatalog("dvrn")
+    spark.sql(s"CREATE TABLE $cat.d.rn (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.rn SELECT id, concat('r', id) FROM range(0, 50)")
+    spark.sql(s"ALTER TABLE $cat.d.rn RENAME COLUMN v TO label")
+    spark.sql(s"UPDATE $cat.d.rn SET label = 'x' WHERE id = 7")
+    assert(spark.sql(s"SELECT label FROM $cat.d.rn WHERE id = 7")
+      .head().getString(0) == "x")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.rn").head().getLong(0) == 50L)
+    // PK table: rename then UPDATE + DELETE through the delta door
+    spark.sql(s"CREATE TABLE $cat.d.rp (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='2')")
+    spark.sql(s"INSERT INTO $cat.d.rp SELECT id, concat('r', id) FROM range(0, 50)")
+    spark.sql(s"ALTER TABLE $cat.d.rp RENAME COLUMN v TO label")
+    spark.sql(s"UPDATE $cat.d.rp SET label = 'y' WHERE id = 9")
+    spark.sql(s"DELETE FROM $cat.d.rp WHERE id % 25 = 3")
+    assert(spark.sql(s"SELECT label FROM $cat.d.rp WHERE id = 9")
+      .head().getString(0) == "y")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.rp").head().getLong(0) == 48L)
+  }
+
+  test("auto-maintenance materializes dv-mode DML vectors") {
+    val (cat, wh) = freshCatalog("dvam")
+    spark.sql(s"CREATE TABLE $cat.d.am (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.am SELECT id, concat('r', id) FROM range(0, 100)")
+    spark.sql(s"UPDATE $cat.d.am SET v = 'upd' WHERE id % 20 = 1")
+    val gc = new graft.table.GraftCatalog(spark, wh)
+    assert(gc.getTable("d", "am").latestSnapshot.get.files
+      .exists(_.dvCount.exists(_ > 0)), "the update must land as vectors")
+    // the maintenance policy hook sees pending vectors and materializes
+    // them surgically (no full compaction needed)
+    assert(gc.maybeCompact("d", "am"))
+    val after = gc.getTable("d", "am").latestSnapshot.get.files
+    assert(after.forall(_.dvCount.forall(_ == 0L)), "vectors must be gone")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.am WHERE v = 'upd'")
+      .head().getLong(0) == 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.am").head().getLong(0) == 100L)
+  }
+
   test("PK table SQL DML streams: the changelog observes -U/+U and -D") {
     import org.apache.spark.sql.streaming.Trigger
     val (cat, wh) = freshCatalog("pkc")

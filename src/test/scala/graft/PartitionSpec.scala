@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.StreamTable
+
+/** PARTITIONED BY (identity) tables — table/StreamTable.scala writeClustered
+  * + sources/v2 partitioning()/SupportsOverwrite: every batch-written file
+  * is SINGLE-VALUED in each partition key (the split rides on dropped
+  * copies, values stay in the payload), so partition pruning and static
+  * `INSERT OVERWRITE … PARTITION (p = v)` are exact from manifest stats —
+  * no new read path, no directory parsing. */
+class PartitionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def freshCatalog(tag: String): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"v2_${tag}_wh_").toString
+    val catName = s"graft_${tag}_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    (catName, wh)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get.asInstanceOf[graft.sources.v2.GraftScan]
+
+  test("partitioned writes are single-valued per file; pruning is exact") {
+    val (cat, wh) = freshCatalog("part")
+    spark.sql(s"CREATE TABLE $cat.d.p (id BIGINT, seg STRING, x DOUBLE) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.d.p " +
+      "SELECT id, concat('s', id % 5), id * 1.5 FROM range(0, 1000)")
+    val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/p")
+    assert(t.partitionKeys.contains(Seq("seg")))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = t.latestSnapshot.get.files
+    assert(files.size >= 5, files.size.toString)
+    files.foreach { f =>
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      assert(mins.get("seg").exists(maxs.get("seg").contains),
+        s"file not single-valued in seg: ${f.path}")
+    }
+    // exact pruning: one partition's files and no others
+    val one = spark.sql(s"SELECT id, x FROM $cat.d.p WHERE seg = 's3'")
+    val desc = scanOf(one).description()
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    val s3Files = files.count { f =>
+      val (mins, _) = StreamTable.skipStats(f, conf)
+      mins.get("seg").contains("s3")
+    }
+    assert(kept.toInt == s3Files && kept.toInt < total.toInt, desc)
+    assert(one.count() == 200)
+    // the partition columns live IN the files (never path-reconstructed):
+    // a plain parquet read of one data file still carries seg
+    assert(spark.read.parquet(files.head.path).columns.contains("seg"))
+    // DESCRIBE surfaces the partitioning
+    assert(spark.sql(s"DESCRIBE TABLE $cat.d.p").collect()
+      .exists(_.getString(0).contains("Partitioning")) ||
+      spark.table(s"$cat.d.p").schema.fieldNames.contains("seg"))
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces exactly the named partition") {
+    val (cat, wh) = freshCatalog("pow")
+    spark.sql(s"CREATE TABLE $cat.d.o (id BIGINT, seg STRING, x DOUBLE) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.d.o " +
+      "SELECT id, concat('s', id % 4), 1.0 FROM range(0, 400)")
+    val t0 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/o")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def segOf(f: graft.table.DataFileMeta): String =
+      StreamTable.skipStats(f, conf)._1("seg")
+    val before = t0.latestSnapshot.get.files
+      .map(f => (f.path, segOf(f),
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+    // replace s2 with 10 rows at x = -1
+    spark.sql(s"INSERT OVERWRITE $cat.d.o PARTITION (seg = 's2') " +
+      "SELECT id + 5000, -1.0 FROM range(0, 10)")
+    val t1 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/o")
+    val after = t1.latestSnapshot.get.files
+    // every OTHER partition's file survived byte-identical
+    val survivors = before.filterNot(_._2 == "s2")
+    assert(survivors.forall { case (p, _, mtime) =>
+      after.exists(_.path == p) &&
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(p)) == mtime
+    }, "untouched partitions must survive verbatim")
+    // s2's old files are gone from the live set
+    assert(!after.map(_.path).exists(before.filter(_._2 == "s2").map(_._1).toSet))
+    val got = spark.sql(s"SELECT seg, count(*) AS n, min(x) AS mn " +
+      s"FROM $cat.d.o GROUP BY seg ORDER BY seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("s0", 100L, 1.0), ("s1", 100L, 1.0),
+      ("s2", 10L, -1.0), ("s3", 100L, 1.0)), got.mkString(", "))
+    // pre-overwrite snapshot intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.o VERSION AS OF 0 " +
+      "WHERE seg = 's2'").head().getLong(0) == 100L)
+    // rows outside the named partition refuse loudly (the DataFrame door
+    // can smuggle them; the SQL PARTITION clause injects the constant)
+    val bad = intercept[Exception] {
+      spark.range(5).selectExpr("id", "'s9' AS seg", "0.0 AS x")
+        .writeTo(s"$cat.d.o").overwrite(
+          org.apache.spark.sql.functions.col("seg") === "s1")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(bad).exists(_.contains("outside the named partition")), bad.toString)
+    // a non-partition-key overwrite filter refuses
+    val bad2 = intercept[Exception] {
+      spark.range(5).selectExpr("id", "'s1' AS seg", "0.0 AS x")
+        .writeTo(s"$cat.d.o").overwrite(
+          org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(msgs(bad2).exists(_.contains("not a partition key")), bad2.toString)
+  }
+
+  test("partitioned + bucketed tables compose; compaction keeps clustering") {
+    val (cat, wh) = freshCatalog("pbk")
+    spark.sql(s"CREATE TABLE $cat.d.b (id BIGINT, seg STRING, x DOUBLE) " +
+      "PARTITIONED BY (seg) " +
+      "TBLPROPERTIES ('bucket-key'='id', 'bucket'='2')")
+    spark.sql(s"INSERT INTO $cat.d.b " +
+      "SELECT id, concat('s', id % 3), id * 1.0 FROM range(0, 300)")
+    val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/b")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = t.latestSnapshot.get.files
+    assert(files.forall(_.bucket.isDefined), "bucket labels must survive")
+    files.foreach { f =>
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      assert(mins.get("seg").exists(maxs.get("seg").contains), f.path)
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.b WHERE seg = 's1'")
+      .head().getLong(0) == 100L)
+    // a compaction rewrite keeps the partition clustering (and with it the
+    // exact-overwrite capability)
+    t.compact(targetFileCount = 2)
+    val t2 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/b")
+    t2.latestSnapshot.get.files.foreach { f =>
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      assert(mins.get("seg").exists(maxs.get("seg").contains),
+        s"compaction must keep partition clustering: ${f.path}")
+    }
+    spark.sql(s"INSERT OVERWRITE $cat.d.b PARTITION (seg = 's0') " +
+      "SELECT 1, 9.9")
+    assert(spark.sql(s"SELECT count(*), sum(x) FROM $cat.d.b WHERE seg = 's0'")
+      .head() == org.apache.spark.sql.Row(1L, 9.9))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.b").head().getLong(0) == 201L)
+  }
+
+  test("the null partition survives an overwrite of a value partition") {
+    val (cat, wh) = freshCatalog("pnul")
+    spark.sql(s"CREATE TABLE $cat.d.n (id BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.d.n " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE NULL END FROM range(0, 100)")
+    spark.sql(s"INSERT OVERWRITE $cat.d.n PARTITION (seg = 'a') SELECT 999")
+    val got = spark.sql(s"SELECT count(*), count(seg) FROM $cat.d.n").head()
+    // 50 null-partition rows survived; the 'a' partition is now one row
+    assert(got == org.apache.spark.sql.Row(51L, 1L), got.toString)
+    assert(spark.sql(s"SELECT id FROM $cat.d.n WHERE seg = 'a'")
+      .head().getLong(0) == 999L)
+  }
+
+  test("CTAS with PARTITIONED BY stages partition-clustered") {
+    val (cat, wh) = freshCatalog("pct")
+    spark.sql(s"CREATE TABLE $cat.d.c PARTITIONED BY (seg) AS " +
+      "SELECT id, concat('s', id % 3) AS seg FROM range(0, 90)")
+    val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/c")
+    assert(t.partitionKeys.contains(Seq("seg")))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    t.latestSnapshot.get.files.foreach { f =>
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      assert(mins.get("seg").exists(maxs.get("seg").contains), f.path)
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.c WHERE seg = 's2'")
+      .head().getLong(0) == 30L)
+  }
+}

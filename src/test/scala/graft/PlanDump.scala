@@ -74,6 +74,7 @@ object PlanDump {
       "q_source_v2_dv_update" -> "Delta-based (merge-on-read) UPDATE read-back: the scan STAYS columnar — dv'd partitions decode through GraftDvVectorReader (batch-level position suppression, untouched batches zero-copy), clean files and the appended level-1 images keep the plain vectorized reader. The write itself cost ∝ matches, zero rewrites.",
       "q_source_v2_dv_merge" -> "Delta-based MERGE read-back: same shape — deletion-vectored files decode columnar with batch-level suppression, appended insert/update images scan normally; nothing in the plan or the decode is proportional to the table's untouched bytes.",
       "q_source_v2_pk_update" -> "PK-table SQL UPDATE read-back: the same per-bucket merge-on-read BatchScan as q_source_v2_pk_read — the update re-appended images into the LWW stream, so the read plan is unchanged; no vectors, no rewrites, and the DML streamed as level-0 changes.",
+      "q_source_v2_partitioned" -> "PARTITIONED BY pruning: a partition-key equality prunes EXACTLY (files=k/N in the scan leaf) because every batch-written file is single-valued in the key — manifest-stats skipping, no directory parsing; the surviving files decode columnar.",
       "q_source_v2_ctas" -> "Atomic CTAS result read: the published table scans exactly like any catalog table (manifest-planned files, columnar decode) — the CTAS itself staged in a hidden dir and published with one rename, so no plan ever observed a half-table.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")

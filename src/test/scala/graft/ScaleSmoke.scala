@@ -128,9 +128,11 @@ object ScaleSmoke {
       // round-16 additions: zoned-ts skip + grouped metadata census
       "q_source_v2_ts_pushdown",
       "q_source_v2_group_agg",
-      // round-17 addition: merge-on-read DML read-back (DV suppression +
+      // round-17 additions: merge-on-read DML read-back (DV suppression +
       // level-1 images; the write cost ∝ matches is pinned in DeltaDmlSpec)
-      "q_source_v2_dv_update")
+      // and exact partition pruning over a PARTITIONED BY table
+      "q_source_v2_dv_update",
+      "q_source_v2_partitioned")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
