@@ -355,6 +355,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(atSnapshot.isEmpty,
       s"$tableName is a time-travel read; DELETE targets the current version")
+    if (dropPartitions(filters)) return
     // declared → file-level attribute translation FIRST: StreamTable's
     // deleteWhere/cowRewrite resolve against the stored column names, so a
     // DELETE on a renamed column must arrive pre-translated
@@ -365,6 +366,50 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     table.deleteWhere(cond)
+  }
+
+  /** Partition-aligned DELETE is METADATA-ONLY (Paimon's drop-partition):
+    * `DELETE FROM t WHERE p = v [AND q = w]` on a partitioned append table
+    * removes exactly the named partition's files from the manifest — zero
+    * data bytes read or written, at any table size. Possible because every
+    * partition-clustered file is SINGLE-VALUED in each key: a file either
+    * provably matches entirely (stats equality + single-valued proof) or
+    * provably misses. Any unprovable file — or any condition that is not a
+    * pure conjunction of non-null partition-key equalities — falls back to
+    * the ordinary row-level delete, which stays exact. PK tables never take
+    * this path (their delete is tombstones; file drop would resurrect
+    * older versions). Returns true when the drop committed. */
+  private def dropPartitions(filters: Array[Filter]): Boolean = {
+    val pks = table.partitionKeys.getOrElse(return false)
+    if (table.primaryKey.isDefined || filters.isEmpty) return false
+    val conds: Seq[(String, Any)] = filters.toSeq.map {
+      case EqualTo(a, v) if v != null => renameMap.getOrElse(a, a) -> v
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) if v != null =>
+        renameMap.getOrElse(a, a) -> v
+      case _ => return false
+    }
+    if (!conds.forall(c => pks.contains(c._1))) return false
+    val conf = new Configuration()
+    val live = table.latestSnapshot.map(_.files).getOrElse(return false)
+    // every file must be provably entirely-in or entirely-out — one
+    // ambiguous file and the whole drop falls back to the exact row path
+    val decided = live.map { f =>
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      def allNull(c: String) = f.nullStats.flatMap(_.get(c))
+        .flatMap(_.toLongOption).contains(f.rowCount)
+      val verdicts = conds.map { case (c, v) =>
+        if (allNull(c)) Some(false)
+        else if (!FileSkip.keep(EqualTo(c, v), mins, maxs, Some(f))) Some(false)
+        else if (mins.get(c).exists(maxs.get(c).contains)) Some(true)
+        else None // unprovable: not single-valued / no stats
+      }
+      if (verdicts.contains(None)) None
+      else Some(f -> verdicts.forall(_.contains(true)))
+    }
+    if (decided.contains(None)) return false
+    val removed = decided.flatten.collect { case (f, true) => f.path }.toSet
+    table.dropFiles(removed)
+    true
   }
 
   /** System columns (Paimon's `__paimon_file_path` / sequence surface,

@@ -670,6 +670,25 @@ class StreamTable(
     }, kind = "overwrite")
   }
 
+  /** Metadata-only file drop (the partition-aligned DELETE / Paimon
+    * drop-partition): remove exactly `paths` from the live set in ONE
+    * commit — zero data bytes read or written at any table size. The
+    * CALLER owns the proof that whole files are the right granularity
+    * (the V2 door proves it from single-valued partition stats); the
+    * dropped files stay time-travelable until retention reclaims them.
+    * Same "overwrite" changelog posture as a partition overwrite: a CDC
+    * interval covering it counts the removed files as -D evidence. */
+  private[graft] def dropFiles(paths: Set[String]): Unit = {
+    if (paths.isEmpty) return
+    commit({ live =>
+      val gone = paths -- live.iterator.map(_.path).toSet
+      require(gone.isEmpty, s"dropFiles: ${gone.size} file(s) are not live " +
+        s"(concurrent maintenance? e.g. ${gone.take(2).mkString(", ")})")
+      CommitChange(Seq.empty, paths,
+        latestSnapshot.map(_.batchId).getOrElse(-1L))
+    }, kind = "overwrite")
+  }
+
   private def replaySkip(op: String, batchId: Long): Boolean = {
     val skip = latestSnapshot.exists(s => s.batchId >= batchId && batchId >= 0)
     if (skip) {

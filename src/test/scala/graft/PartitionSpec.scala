@@ -164,6 +164,39 @@ class PartitionSpec extends AnyFunSuite {
       .head().getLong(0) == 999L)
   }
 
+  test("partition-aligned DELETE is a metadata-only file drop") {
+    val (cat, wh) = freshCatalog("pdel")
+    spark.sql(s"CREATE TABLE $cat.d.del (id BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.d.del " +
+      "SELECT id, concat('s', id % 4) FROM range(0, 400)")
+    val t0 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/del")
+    val before = t0.latestSnapshot.get.files.map(f => (f.path,
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+    // drop a whole partition: no data file is read or written — every
+    // surviving file is byte-identical and no new file appears
+    spark.sql(s"DELETE FROM $cat.d.del WHERE seg = 's1'")
+    val t1 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/del")
+    val after = t1.latestSnapshot.get.files
+    assert(after.map(_.path).toSet.subsetOf(before.map(_._1).toSet),
+      "a partition drop must add no files")
+    assert(after.forall { f =>
+      before.find(_._1 == f.path).exists(_._2 ==
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path)))
+    }, "survivors must be byte-identical")
+    assert(after.forall(_.dvCount.forall(_ == 0L)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.del").head().getLong(0) == 300L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.del WHERE seg = 's1'")
+      .head().getLong(0) == 0L)
+    // the dropped partition stays time-travelable
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.del VERSION AS OF 0 " +
+      "WHERE seg = 's1'").head().getLong(0) == 100L)
+    // a NON-partition-aligned delete still works (falls back to the exact
+    // row-level path — here the DV route)
+    spark.sql(s"DELETE FROM $cat.d.del WHERE id = 2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.del").head().getLong(0) == 299L)
+  }
+
   test("CTAS with PARTITIONED BY stages partition-clustered") {
     val (cat, wh) = freshCatalog("pct")
     spark.sql(s"CREATE TABLE $cat.d.c PARTITIONED BY (seg) AS " +
