@@ -301,4 +301,40 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("conserve"), e2.getMessage)
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
+
+  test("partition overwrite: a racing append survives; stale drops refuse") {
+    import spark.implicits._
+    import graft.table.StreamTable
+    val root = java.nio.file.Files.createTempDirectory("graft_powc_").toString
+    val t = new StreamTable(root, spark, partitionKeys = Some(Seq("seg")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "seg"), 0L)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def segOf(f: graft.table.DataFileMeta): Option[String] =
+      StreamTable.skipStats(f, conf)._1.get("seg")
+    // a concurrent append lands BETWEEN the overwrite's staging and its
+    // commit: the CAS retry re-evaluates removedOf against the fresh live
+    // set, so the racer's rows (another partition) survive the swap
+    var injected = false
+    t.commitPartitionOverwrite(
+      Seq((10L, "a"), (11L, "a")).toDF("id", "seg"),
+      removedOf = { live =>
+        if (!injected) {
+          injected = true
+          t.appendBatch(Seq((3L, "b")).toDF("id", "seg"), 1L)
+        }
+        live.filter(f => segOf(f).contains("a"))
+      },
+      validateStaged = _ => (),
+      batchId = 2L)
+    assert(t.read.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((2L, "b"), (3L, "b"), (10L, "a"), (11L, "a")))
+    // a metadata-only drop of files another job already rewrote refuses
+    val old = t.latestSnapshot.get.files.map(_.path)
+    t.compact(targetFileCount = 1)
+    val e3 = intercept[IllegalArgumentException] {
+      t.dropFiles(old.toSet)
+    }
+    assert(e3.getMessage.contains("not live"), e3.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
 }
