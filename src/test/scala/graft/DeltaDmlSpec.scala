@@ -417,6 +417,40 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.d.rp").head().getLong(0) == 48L)
   }
 
+  test("DML after ADD COLUMN: images carry the new column, old files null-fill") {
+    val (cat, _) = freshCatalog("dvev")
+    // append table in dv mode
+    spark.sql(s"CREATE TABLE $cat.d.e (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.e SELECT id, concat('r', id) FROM range(0, 60)")
+    spark.sql(s"ALTER TABLE $cat.d.e ADD COLUMNS (score DOUBLE)")
+    // the UPDATE's images are written post-evolution and carry score;
+    // untouched rows come from pre-evolution files and null-fill
+    spark.sql(s"UPDATE $cat.d.e SET score = 1.5, v = 'up' WHERE id % 30 = 7")
+    val got = spark.sql(s"SELECT id, v, score FROM $cat.d.e ORDER BY id").collect()
+    assert(got.length == 60)
+    got.foreach { r =>
+      if (r.getLong(0) % 30 == 7)
+        assert(r.getString(1) == "up" && r.getDouble(2) == 1.5, r.toString)
+      else assert(r.getString(1) == s"r${r.getLong(0)}" && r.isNullAt(2), r.toString)
+    }
+    // PK table: same evolution then UPDATE + MERGE-delete through the
+    // merge-on-read door (images mix post-evolution width with
+    // pre-evolution files inside one bucket's LWW resolve)
+    spark.sql(s"CREATE TABLE $cat.d.pe (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='2')")
+    spark.sql(s"INSERT INTO $cat.d.pe SELECT id, concat('r', id) FROM range(0, 60)")
+    spark.sql(s"ALTER TABLE $cat.d.pe ADD COLUMNS (score DOUBLE)")
+    spark.sql(s"UPDATE $cat.d.pe SET score = 2.5 WHERE id = 11")
+    spark.sql(
+      s"""MERGE INTO $cat.d.pe t USING (SELECT 12 AS k) s ON t.id = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql(s"SELECT v, score FROM $cat.d.pe WHERE id = 11").head()
+      == org.apache.spark.sql.Row("r11", 2.5))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.pe").head().getLong(0) == 59L)
+    assert(spark.sql(s"SELECT count(score) FROM $cat.d.pe").head().getLong(0) == 1L)
+  }
+
   test("auto-maintenance materializes dv-mode DML vectors") {
     val (cat, wh) = freshCatalog("dvam")
     spark.sql(s"CREATE TABLE $cat.d.am (id BIGINT, v STRING) " +
