@@ -395,13 +395,19 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     // ambiguous file and the whole drop falls back to the exact row path
     val decided = live.map { f =>
       val (mins, maxs) = StreamTable.skipStats(f, conf)
-      def allNull(c: String) = f.nullStats.flatMap(_.get(c))
-        .flatMap(_.toLongOption).contains(f.rowCount)
+      def nullCount(c: String) = f.nullStats.flatMap(_.get(c))
+        .flatMap(_.toLongOption)
+      def allNull(c: String) = nullCount(c).contains(f.rowCount)
       val verdicts = conds.map { case (c, v) =>
         if (allNull(c)) Some(false)
         else if (!FileSkip.keep(EqualTo(c, v), mins, maxs, Some(f))) Some(false)
-        else if (mins.get(c).exists(maxs.get(c).contains)) Some(true)
-        else None // unprovable: not single-valued / no stats
+        // entirely-in needs min==max==v AND a PROVEN zero null count:
+        // parquet min/max stats ignore nulls, so a row-level-DML output
+        // file mixing p=v rows with p=NULL rows still shows min==max==v —
+        // dropping it would silently delete the NULL partition's rows
+        else if (mins.get(c).exists(maxs.get(c).contains) &&
+          nullCount(c).contains(0L)) Some(true)
+        else None // unprovable: not single-valued / nulls present / no stats
       }
       if (verdicts.contains(None)) None
       else Some(f -> verdicts.forall(_.contains(true)))
@@ -661,22 +667,29 @@ class GraftV2Table(tableName: String, val table: StreamTable,
                   // (missing stats, multi-valued legacy file) refuses
                   def entirely(f: DataFileMeta): Boolean = {
                     val (mins, maxs) = StreamTable.skipStats(f, conf)
-                    def allNull(c: String): Boolean =
+                    def nullCount(c: String): Option[Long] =
                       f.nullStats.flatMap(_.get(c)).flatMap(_.toLongOption)
-                        .contains(f.rowCount)
                     conds.forall { case (c, v) =>
                       // an all-null partition column can never equal v: the
                       // file is entirely OUTSIDE (the null partition), not
                       // unprovable
-                      if (allNull(c)) false
+                      if (nullCount(c).contains(f.rowCount)) false
                       else if (!FileSkip.keep(EqualTo(c, v), mins, maxs, Some(f)))
                         false
                       else {
-                        require(mins.get(c).exists(maxs.get(c).contains),
+                        // min==max alone is NOT an entirely-in proof: parquet
+                        // stats ignore nulls, so a file mixing p=v with
+                        // p=NULL rows (row-level-DML output is not
+                        // partition-clustered) still shows min==max==v —
+                        // require a proven zero null count too, else the
+                        // overwrite would silently drop the NULL partition
+                        require(mins.get(c).exists(maxs.get(c).contains) &&
+                            nullCount(c).contains(0L),
                           s"$tableName: ${f.path} is not provably " +
-                            s"single-valued in partition key '$c' — " +
-                            "PARTITION overwrite needs partition-clustered " +
-                            "files (run CALL sys.compact first)")
+                            s"single-valued and null-free in partition key " +
+                            s"'$c' — PARTITION overwrite needs " +
+                            "partition-clustered files (run CALL sys.compact " +
+                            "first)")
                         true
                       }
                     }

@@ -412,6 +412,9 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftV2Table,
   private val rowSchema = StructType(rowSchema0.map(f =>
     f.copy(name = table.renames.getOrElse(f.name, f.name))))
   private val writerId = "dml" + UUID.randomUUID().toString.take(8)
+  // task fragments live under ONE statement-scoped dir (GraftDeltaWriter's
+  // sidecar path) so commit/abort can reclaim orphans with one deleteTree
+  private val fragmentDir = s"${table.table.root}/.staging-dvfrag-$writerId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -433,18 +436,21 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftV2Table,
     try table.table.commitDeltaDml(deletes, data.map(_.path).toSeq,
       op.command().toString)
     finally {
-      fragments.foreach(p =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+      // drop the WHOLE fragment staging dir, not just the referenced
+      // fragments: a task whose commit message never reached the driver
+      // (speculative duplicate, executor loss after fragment write) left a
+      // file no message points at — per-path deletes would leak it forever
+      StreamTable.deleteTree(java.nio.file.Paths.get(fragmentDir))
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: GraftDeltaCommitMessage => m }.foreach { m =>
       m.files.foreach(f =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
-      m.fragment.foreach(p =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     }
+    StreamTable.deleteTree(java.nio.file.Paths.get(fragmentDir))
+  }
 }
 
 case class GraftDeltaWriterFactory(tableRoot: String, rowSchema: StructType,

@@ -1400,10 +1400,18 @@ class StreamTable(
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     val byPath = live.map(f => f.path -> f).toMap
     // merge new positions into each touched file's vector; None = the file
-    // is now fully deleted and simply leaves the live set
-    val dvMetas: Seq[(String, Option[DataFileMeta])] =
+    // is now fully deleted and simply leaves the live set. Computed as a
+    // FUNCTION OF THE LIVE SET and re-run inside the commit's CAS retry
+    // closure: a concurrent delta DML that updated the same file's vector
+    // keeps the path live (only dvPath changes), so a pre-computed merge
+    // would silently drop the winner's positions — recomputing from
+    // `liveNow` makes disjoint concurrent DMLs both land, and genuinely
+    // overlapping ones still fail loudly on the merged-duplicate check.
+    def mergeDvs(liveSet: Map[String, DataFileMeta],
+        sink: scala.collection.mutable.ArrayBuffer[String])
+        : Seq[(String, Option[DataFileMeta])] =
       deletes.toSeq.sortBy(_._1).map { case (path, posRaw) =>
-        val meta = byPath.getOrElse(stripScheme(path),
+        val meta = liveSet.getOrElse(stripScheme(path),
           throw new IllegalStateException(
             s"delta $mode deleted from a file that is no longer live " +
               s"(concurrent maintenance?): $path"))
@@ -1426,11 +1434,16 @@ class StreamTable(
         else {
           val dvFile = s"$dataDv/dv-${UUID.randomUUID()}.bin"
           StreamTable.writeDv(dvFile, merged)
+          sink += dvFile
           meta.path -> Some(meta.copy(dvPath = Some(dvFile),
             dvCount = Some(merged.length.toLong)))
         }
       }
-    val touchedMetas = dvMetas.map(e => byPath(e._1))
+    val touchedMetas = deletes.keysIterator.map { path =>
+      byPath.getOrElse(stripScheme(path), throw new IllegalStateException(
+        s"delta $mode deleted from a file that is no longer live " +
+          s"(concurrent maintenance?): $path"))
+    }.toSeq
     // staged inserts move into place like commitReplace's replacements
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
     val moved = staged.sorted.zipWithIndex.map { case (p, k) =>
@@ -1461,12 +1474,15 @@ class StreamTable(
         "+ level-1 files: its changed/inserted rows will NOT appear on the " +
         "streaming/changelog surfaces — use a primary-key table for " +
         "streamable row-level DML")
-    val touchedPaths = dvMetas.map(_._1).toSet
+    val touchedPaths = deletes.keysIterator.map(stripScheme).toSet
+    val attemptDvs = scala.collection.mutable.ArrayBuffer.empty[String]
     commit({ liveNow =>
-      val gone = touchedPaths -- liveNow.map(_.path).toSet
-      require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
-        s"file(s) out from under this delta $mode " +
-        s"(e.g. ${gone.take(2).mkString(", ")})")
+      // a lost CAS race lands back here with the WINNER's live set: drop
+      // the previous attempt's vectors (merged against a stale base) and
+      // re-merge against the vectors that actually won
+      attemptDvs.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      attemptDvs.clear()
+      val dvMetas = mergeDvs(liveNow.map(f => f.path -> f).toMap, attemptDvs)
       CommitChange(dvMetas.flatMap(_._2) ++ insertMetas, touchedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }, kind = "replace")

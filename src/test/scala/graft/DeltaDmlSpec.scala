@@ -501,4 +501,72 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(buf.asScala.exists(r => r.getLong(r.fieldIndex("id")) == 5L &&
       r.getDouble(r.fieldIndex("bal")) == -1.0))
   }
+
+  test("concurrent delta DMLs on one file: the CAS loser re-merges, no resurrect") {
+    import spark.implicits._
+    import graft.table.{PosixLinkCommitter, SnapshotCommitter}
+    val root = java.nio.file.Files.createTempDirectory("v2_dvrace_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1), 0L)
+    val path = tbl.latestSnapshot.get.files.head.path
+    tbl.commitDeltaDml(Map(path -> Array(0L, 1L)), Seq.empty, "DELETE")
+    // DML B (positions 2,3) merges its vector, then a concurrent DML C
+    // (positions 4,5) commits FIRST and B loses the CAS: B's retry must
+    // re-merge against C's vector — a stale pre-computed merge would
+    // silently resurrect C's deletes (same file path stays live, only its
+    // dvPath changed, so a liveness-only check cannot catch this)
+    var injected = false
+    tbl.committer = new SnapshotCommitter {
+      override def publish(t: java.nio.file.Path, c: Array[Byte]): Boolean = {
+        if (!injected) {
+          injected = true
+          tbl.commitDeltaDml(Map(path -> Array(4L, 5L)), Seq.empty, "DELETE")
+          false // B's first attempt loses to C
+        } else PosixLinkCommitter.publish(t, c)
+      }
+    }
+    try tbl.commitDeltaDml(Map(path -> Array(2L, 3L)), Seq.empty, "DELETE")
+    finally tbl.committer = PosixLinkCommitter
+    assert(tbl.read.select("id").as[Long].collect().sorted.toSeq ==
+      (6L until 10L), "both concurrent DMLs' deletes must land")
+    val meta = tbl.latestSnapshot.get.files.head
+    assert(meta.dvCount.contains(6L), meta.toString)
+    // genuinely overlapping concurrent DML still fails loudly on retry
+    var injected2 = false
+    tbl.committer = new SnapshotCommitter {
+      override def publish(t: java.nio.file.Path, c: Array[Byte]): Boolean = {
+        if (!injected2) {
+          injected2 = true
+          tbl.commitDeltaDml(Map(path -> Array(7L)), Seq.empty, "DELETE")
+          false
+        } else PosixLinkCommitter.publish(t, c)
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      try tbl.commitDeltaDml(Map(path -> Array(7L)), Seq.empty, "DELETE")
+      finally tbl.committer = PosixLinkCommitter
+    }
+    assert(e.getMessage.contains("already-deleted"), e.getMessage)
+    assert(tbl.read.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(6L, 8L, 9L))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("delta DML statements leave no fragment staging dirs under the root") {
+    val (cat, wh) = freshCatalog("dvfrag")
+    spark.sql(s"CREATE TABLE $cat.d.f (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('rowlevel.mode'='dv')")
+    spark.sql(s"INSERT INTO $cat.d.f SELECT id, concat('r', id) " +
+      "FROM range(0, 200)")
+    spark.sql(s"DELETE FROM $cat.d.f WHERE id % 10 = 3") // non-pushable: delta door
+    spark.sql(s"UPDATE $cat.d.f SET v = 'u' WHERE id % 10 = 4")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.f").head().getLong(0) == 180L)
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(s"$wh/d.db/f"))
+      .iterator()
+    val dirs = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftover.hasNext) dirs += leftover.next().getFileName.toString
+    assert(!dirs.exists(_.startsWith(".staging-dvfrag")),
+      s"fragment staging dirs must be reclaimed: $dirs")
+  }
 }

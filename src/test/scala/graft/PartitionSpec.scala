@@ -197,6 +197,61 @@ class PartitionSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.d.del").head().getLong(0) == 299L)
   }
 
+  test("DML output mixing a partition value with NULLs never licenses " +
+      "a metadata-only drop or overwrite") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("pnul")
+    spark.sql(s"CREATE TABLE $cat.d.n (id BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.d.n VALUES (1, 's1'), (2, 's2'), (3, NULL)")
+    val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/n")
+    // simulate row-level-DML output (COW replacements / delta insert files
+    // bypass writeClustered): ONE live file mixing seg='s1' rows with
+    // seg=NULL rows — parquet min/max ignore nulls, so its stats read
+    // min==max=='s1'
+    val staging = java.nio.file.Files.createTempDirectory("pnul_stage_")
+    Seq((10L, "s1"), (11L, null.asInstanceOf[String])).toDF("id", "seg")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).iterator()
+    var staged: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) staged = p
+    }
+    t.commitDeltaDml(Map.empty, Seq(staged.toString), "MERGE")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val mixed = t.latestSnapshot.get.files.filter(_.rowCount == 2L)
+    assert(mixed.size == 1 && StreamTable.skipStats(mixed.head, conf)
+      ._1.get("seg").contains("s1"), "fixture must be a mixed stats=s1 file")
+    // partition-aligned DELETE must NOT drop the mixed file metadata-only:
+    // the exact row path runs and the NULL-partition row survives
+    spark.sql(s"DELETE FROM $cat.d.n WHERE seg = 's1'")
+    val ids = spark.sql(s"SELECT id FROM $cat.d.n ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 3L, 11L),
+      s"NULL-partition rows must survive a seg='s1' delete: $ids")
+    // INSERT OVERWRITE PARTITION over a mixed file refuses loudly instead
+    // of silently removing the NULL rows
+    spark.sql(s"INSERT INTO $cat.d.n VALUES (20, 's1')")
+    val staging2 = java.nio.file.Files.createTempDirectory("pnul_stage2_")
+    Seq((21L, "s1"), (22L, null.asInstanceOf[String])).toDF("id", "seg")
+      .coalesce(1).write.mode("overwrite").parquet(staging2.toString)
+    val it2 = java.nio.file.Files.list(staging2).iterator()
+    var staged2: java.nio.file.Path = null
+    while (it2.hasNext) {
+      val p = it2.next()
+      if (p.getFileName.toString.endsWith(".parquet")) staged2 = p
+    }
+    t.commitDeltaDml(Map.empty, Seq(staged2.toString), "MERGE")
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    val bad = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.d.n PARTITION (seg = 's1') " +
+        "SELECT id + 100 FROM range(3)")
+    }
+    assert(msgs(bad).exists(_.contains("null-free")), bad.toString)
+  }
+
   test("CTAS with PARTITIONED BY stages partition-clustered") {
     val (cat, wh) = freshCatalog("pct")
     spark.sql(s"CREATE TABLE $cat.d.c PARTITIONED BY (seg) AS " +
