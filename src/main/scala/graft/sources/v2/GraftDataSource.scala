@@ -522,6 +522,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
 
   /** `PARTITIONED BY` surfaces as identity transforms (declared names) —
@@ -569,15 +570,29 @@ class GraftV2Table(tableName: String, val table: StreamTable,
     require(atSnapshot.isEmpty, s"$tableName is a time-travel read; " +
       "writes go to the current table version")
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       // INSERT OVERWRITE: Spark asks for truncate-then-append; we commit
       // both as ONE atomic manifest swap (overwriteBatch) — readers never
       // see an empty or half-written table
       private var replace = false
       // static PARTITION overwrite: (file-level key, value) equalities
       private var partitionConds: Option[Seq[(String, Any)]] = None
+      // DYNAMIC partition overwrite: the staged rows define the replaced set
+      private var dynamic = false
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         replace = true; this
+      }
+      /** `INSERT OVERWRITE` under partitionOverwriteMode=dynamic /
+        * `df.writeTo(t).overwritePartitions()` (Paimon's default overwrite
+        * semantics): replace EXACTLY the partitions the staged rows land in,
+        * leaving every untouched partition byte-identical. On an
+        * unpartitioned table the staged rows are "the whole table" — plain
+        * atomic truncate-overwrite, Paimon's posture. */
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (table.partitionKeys.isEmpty) replace = true else dynamic = true
+        this
       }
       /** `INSERT OVERWRITE … PARTITION (p = v, …)` (partitionOverwriteMode
         * STATIC, the default): replace EXACTLY the named partition's files.
@@ -607,26 +622,33 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-          // best-effort clustering by the bucket key (micro-batches shuffle
-          // into one task per bucket → one sink file per bucket per epoch);
-          // NOT strictly required — the sink's per-row bucket split keeps
-          // labels correct whatever shape the plan takes, and the batch
-          // path's appendBatch clusters for itself
+          // best-effort clustering by the partition keys + bucket key
+          // (micro-batches shuffle into one task per (partition, bucket) →
+          // one sink file each per epoch); NOT strictly required — the
+          // sink's per-row (partition, bucket) split keeps labels correct
+          // whatever shape the plan takes, and the batch path's appendBatch
+          // clusters for itself
           override def requiredDistribution
-              : org.apache.spark.sql.connector.distributions.Distribution =
-            table.bucketKey match {
-              case Some(k) if info.schema().fieldNames.contains(k) =>
-                org.apache.spark.sql.connector.distributions.Distributions
-                  .clustered(Array(
-                    org.apache.spark.sql.connector.expressions.Expressions.column(k)))
-              case _ =>
-                org.apache.spark.sql.connector.distributions.Distributions
-                  .unspecified()
-            }
+              : org.apache.spark.sql.connector.distributions.Distribution = {
+            val declaredOf = renameMap.map(_.swap)
+            val cluster =
+              (table.partitionKeys.getOrElse(Seq.empty) ++ table.bucketKey)
+                .map(c => declaredOf.getOrElse(c, c))
+                .filter(info.schema().fieldNames.contains)
+            if (cluster.nonEmpty)
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(cluster.map(c =>
+                  org.apache.spark.sql.connector.expressions.Expressions.column(c)
+                    : org.apache.spark.sql.connector.expressions.Expression).toArray)
+            else
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+          }
           override def requiredNumPartitions: Int =
-            if (table.bucketKey.exists(info.schema().fieldNames.contains))
+            if (table.partitionKeys.isEmpty &&
+                table.bucketKey.exists(info.schema().fieldNames.contains))
               table.numBuckets
-            else 0
+            else 0 // partitioned: |partitions| is data-dependent, Spark picks
           // PK targets also request per-task ordering by the primary key:
           // Spark plans ONE spillable SortExec before the writers, so sink
           // epochs come out as key-sorted runs (the streaming writer
@@ -701,11 +723,30 @@ class GraftV2Table(tableName: String, val table: StreamTable,
                         s"rows outside the named partition (staged file " +
                         s"${m.path} violates ${conds.map(c => s"${c._1}=${c._2}").mkString(", ")})")),
                     next)
+                // (dynamic overwrite never reaches here: Spark's
+                // OverwritePartitionsDynamicExec has no V1 fallback — it
+                // drives the real distributed BatchWrite via toBatch below)
                 case None =>
                   if (replace || overwrite) table.overwriteBatch(stored, next)
                   else table.appendBatch(stored, next)
               }
             }
+
+          // DYNAMIC partition overwrite (`overwritePartitions()` / INSERT
+          // OVERWRITE under partitionOverwriteMode=dynamic): the one write
+          // shape with NO V1 fallback in Spark, served by a real distributed
+          // BatchWrite — executor writers split files per (partition,
+          // bucket) with task-captured stats, the driver commit derives the
+          // replaced partitions from the staged rows and swaps exactly those
+          // partitions' live files in one atomic commit.
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite = {
+            require(dynamic, s"$tableName: only dynamic partition overwrite " +
+              "builds a native BatchWrite (append/overwrite ride the V1 bridge)")
+            val stored = StructType(info.schema().map(f =>
+              f.copy(name = renameMap.getOrElse(f.name, f.name))))
+            new GraftDynOverwriteBatchWrite(table, stored, tableName)
+          }
 
           // `df.writeStream.format("graft")` / `.toTable(...)`: the native
           // streaming sink (executor parquet writers + one snapshot per
@@ -713,11 +754,10 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!replace, "streaming writes are append-only")
-            require(table.partitionKeys.isEmpty,
-              s"$tableName is PARTITIONED BY: the native streaming sink " +
-                "does not partition-cluster its files (exact pruning/" +
-                "overwrite would degrade) — stream via " +
-                "StreamTable.writeStream (appendBatch clusters) instead")
+            // PARTITIONED BY targets stream natively: the sink's task
+            // writers split files per (partition tuple, bucket) — every
+            // committed file stays single-valued in every partition key, so
+            // exact pruning/overwrite proofs hold on sink-fed tables
             // same file-level-name rule as the batch write above
             val stored = StructType(info.schema().map(f =>
               f.copy(name = renameMap.getOrElse(f.name, f.name))))
@@ -738,8 +778,21 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Seq[InternalRow], String)] = None
+  private var pushedAgg: Option[AggPush] = None
   private var limit: Option[Int] = None
+
+  /** A committed aggregate pushdown. [[CompleteAgg]] answers from metadata
+    * alone (Spark trusts the rows verbatim); [[PartialAgg]] mixes
+    * stats-served per-file partial rows with width-reduced reads of the
+    * files stats can't prove — Spark's final aggregate merges both. */
+  private sealed trait AggPush
+  private case class CompleteAgg(schema: StructType, rows: Seq[InternalRow],
+      desc: String) extends AggPush
+  private case class PartialAgg(schema: StructType, rows: Seq[InternalRow],
+      readFiles: Seq[DataFileMeta],
+      groupFileCols: Seq[(String, DataType)],
+      aggSpecs: Seq[(String, String, DataType)], // (kind, fileCol, dt)
+      desc: String) extends AggPush
 
   /** Filters usable for stats skipping / parquet row-group pruning:
     * comparisons and equality on top-level numeric, string, date, or
@@ -804,18 +857,20 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
 
   // Spark probes supportCompletePushDown then pushAggregation with the same
   // Aggregation — memoize so the footer pass runs once, not twice
-  private var lastAnswer: Option[(Aggregation, Option[(StructType, Seq[InternalRow], String)])] = None
-  private def answerCached(agg: Aggregation): Option[(StructType, Seq[InternalRow], String)] =
+  private var lastAnswer: Option[(Aggregation, Option[AggPush])] = None
+  private def answerCached(agg: Aggregation): Option[AggPush] =
     lastAnswer match {
       case Some((a, ans)) if a eq agg => ans
       case _ =>
-        val ans = answerFor(agg)
+        val ans = answerFor(agg).map(c =>
+            CompleteAgg(c._1, c._2, c._3): AggPush)
+          .orElse(partialGroupedAnswer(agg))
         lastAnswer = Some((agg, ans))
         ans
     }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerCached(agg).isDefined
+    answerCached(agg).exists(_.isInstanceOf[CompleteAgg])
 
   override def pushAggregation(agg: Aggregation): Boolean =
     answerCached(agg) match {
@@ -859,6 +914,11 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
           case DateType => Some(TemporalPush.statDays _)
           case TimestampNTZType => Some(TemporalPush.statMicros _)
           case TimestampType => Some(TemporalPush.statMicrosZoned _)
+          // decimals merge as UNSCALED longs (scaled-stat parse is exact);
+          // the footer fallback's unitMatches proof yields the same raw
+          // unscaled values, so manifest and footer paths can never drift
+          case d: DecimalType if d.precision <= 18 =>
+            Some((s: String) => DecimalPush.statUnscaled(s, d.scale))
           case _ => None
         }
         parse match {
@@ -880,6 +940,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
       })
     def toValue(name: String, v: Long): Any = sparkType(name) match {
       case IntegerType | DateType => v.toInt // DATE is internal epoch-day Int
+      case d: DecimalType => // v is the merged unscaled long
+        org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
       case _ => v
     }
 
@@ -914,56 +976,88 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   // single-valuedness (mixed nulls, multi-valued, legacy manifest, missing
   // null counts, a deletion vector) refuses the whole push — the
   // distributed aggregate is the fallback, never an approximation.
+  // ---- shared grouped-pushdown helpers (complete AND partial paths) ------
+
+  private def sparkTypeOf(name: String): Option[DataType] =
+    fullSchema.find(_.name == name).map(_.dataType)
+
+  /** Parse a rendered stat to the column's INTERNAL value. */
+  private def internalStat(dt: DataType, s: String): Option[Any] = dt match {
+    case LongType => s.toLongOption
+    case IntegerType => s.toLongOption.map(_.toInt)
+    case StringType => Some(UTF8String.fromString(s))
+    case DateType => TemporalPush.statDays(s).map(_.toInt)
+    case TimestampNTZType => TemporalPush.statMicros(s)
+    case TimestampType => TemporalPush.statMicrosZoned(s)
+    case d: DecimalType if d.precision <= 18 =>
+      DecimalPush.statUnscaled(s, d.scale)
+        .map(u => org.apache.spark.sql.types.Decimal(u, d.precision, d.scale))
+    case _ => None
+  }
+
+  /** Rendered-stat → long parser for the long-representable alphabet. */
+  private def statParser(dt: DataType): Option[String => Option[Long]] = dt match {
+    case LongType | IntegerType => Some((s: String) => s.toLongOption)
+    case DateType => Some(TemporalPush.statDays _)
+    case TimestampNTZType => Some(TemporalPush.statMicros _)
+    case TimestampType => Some(TemporalPush.statMicrosZoned _)
+    case d: DecimalType if d.precision <= 18 =>
+      Some((s: String) => DecimalPush.statUnscaled(s, d.scale))
+    case _ => None
+  }
+
+  /** Merged unscaled long → the column's internal value. */
+  private def internalOfLong(dt: DataType, v: Long): Any = dt match {
+    case IntegerType | DateType => v.toInt
+    case d: DecimalType => org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
+    case _ => v
+  }
+
+  /** The GROUP BY columns when every one is a named, unique, typed
+    * top-level column — the shape the manifest proofs can serve. */
+  private def groupColsOf(agg: Aggregation): Option[Seq[(String, DataType)]] = {
+    val named = agg.groupByExpressions.toSeq.map(colName)
+    if (named.exists(_.isEmpty)) return None
+    val names = named.flatten
+    if (names.distinct.size != names.size) return None
+    val typed = names.map(n => sparkTypeOf(n).map(n -> _))
+    if (typed.exists(_.isEmpty)) None else Some(typed.flatten)
+  }
+
+  /** The single group value of declared column g in file f, or None =
+    * unprovable. Some(null) = the file's rows all group under NULL for g
+    * (including files that predate the column). */
+  private def fileGroupValue(f: DataFileMeta, g: String, dt: DataType): Option[Any] = {
+    val fileN = nameMap.getOrElse(g, g)
+    (f.fileCols, f.nullStats) match {
+      case (Some(cols), _) if !cols.contains(fileN) =>
+        Some(null) // file predates the column: all rows null
+      case (Some(_), Some(nulls)) =>
+        if (f.badStats.exists(_.contains(fileN))) None
+        else nulls.get(fileN).flatMap(_.toLongOption) match {
+          case Some(n) if n == f.rowCount => Some(null)
+          case Some(0L) =>
+            (f.minStats.flatMap(_.get(fileN)), f.maxStats.flatMap(_.get(fileN))) match {
+              case (Some(mn), Some(mx)) if mn == mx => internalStat(dt, mn)
+              case _ => None // multi-valued or missing: refuse
+            }
+          case _ => None // mixed null/non-null (two groups in one file)
+        }
+      case _ => None // legacy manifest: no provable layout
+    }
+  }
+
   private def groupedAnswer(agg: Aggregation)
       : Option[(StructType, Seq[InternalRow], String)] = {
     val files = table.liveFiles
     if (files.exists(_.dvCount.exists(_ > 0))) return None
-    def sparkType(name: String): Option[DataType] =
-      fullSchema.find(_.name == name).map(_.dataType)
-    // parse a rendered stat to the column's INTERNAL value
-    def internal(dt: DataType, s: String): Option[Any] = dt match {
-      case LongType => s.toLongOption
-      case IntegerType => s.toLongOption.map(_.toInt)
-      case StringType => Some(UTF8String.fromString(s))
-      case DateType => TemporalPush.statDays(s).map(_.toInt)
-      case TimestampNTZType => TemporalPush.statMicros(s)
-      case TimestampType => TemporalPush.statMicrosZoned(s)
-      case _ => None
-    }
-    val groupCols: Seq[(String, DataType)] = {
-      val named = agg.groupByExpressions.toSeq.map(colName)
-      if (named.exists(_.isEmpty)) return None
-      val names = named.flatten
-      if (names.distinct.size != names.size) return None
-      val typed = names.map(n => sparkType(n).map(n -> _))
-      if (typed.exists(_.isEmpty)) return None
-      typed.flatten
-    }
+    def sparkType(name: String): Option[DataType] = sparkTypeOf(name)
+    val groupCols: Seq[(String, DataType)] =
+      groupColsOf(agg).getOrElse(return None)
     if (groupCols.isEmpty) return None
-    // the single group value of column g in file f, or None = unprovable.
-    // Some(null) = the file's rows all group under NULL for g.
-    def groupValue(f: DataFileMeta, g: String, dt: DataType): Option[Any] = {
-      val fileN = nameMap.getOrElse(g, g)
-      (f.fileCols, f.nullStats) match {
-        case (Some(cols), _) if !cols.contains(fileN) =>
-          Some(null) // file predates the column: all rows null
-        case (Some(_), Some(nulls)) =>
-          if (f.badStats.exists(_.contains(fileN))) None
-          else nulls.get(fileN).flatMap(_.toLongOption) match {
-            case Some(n) if n == f.rowCount => Some(null)
-            case Some(0L) =>
-              (f.minStats.flatMap(_.get(fileN)), f.maxStats.flatMap(_.get(fileN))) match {
-                case (Some(mn), Some(mx)) if mn == mx => internal(dt, mn)
-                case _ => None // multi-valued or missing: refuse
-              }
-            case _ => None // mixed null/non-null (two groups in one file)
-          }
-        case _ => None // legacy manifest: no provable layout
-      }
-    }
     // group key per file (every file must prove every column)
     val keyed: Seq[Option[(Seq[Any], DataFileMeta)]] = files.map { f =>
-      val key = groupCols.map { case (g, dt) => groupValue(f, g, dt) }
+      val key = groupCols.map { case (g, dt) => fileGroupValue(f, g, dt) }
       if (key.exists(_.isEmpty)) None else Some((key.map(_.get), f))
     }
     if (keyed.exists(_.isEmpty)) return None
@@ -971,15 +1065,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     // aggregate columns over each group's files (manifest stats only)
     val conf = new Configuration()
     def minMaxIn(group: Seq[DataFileMeta], name: String)
-        : Option[Option[(Long, Long)]] = {
-      val parse: Option[String => Option[Long]] = sparkType(name) match {
-        case Some(LongType | IntegerType) => Some((s: String) => s.toLongOption)
-        case Some(DateType) => Some(TemporalPush.statDays _)
-        case Some(TimestampNTZType) => Some(TemporalPush.statMicros _)
-        case Some(TimestampType) => Some(TemporalPush.statMicrosZoned _)
-        case _ => None
-      }
-      parse.flatMap { p =>
+        : Option[Option[(Long, Long)]] =
+      sparkType(name).flatMap(statParser).flatMap { p =>
         val fileN = nameMap.getOrElse(name, name)
         val perFile = group.map(f => GraftScanBuilder.metaLongMinMax(
           f, fileN, conf, p, declared = sparkType(name)))
@@ -990,11 +1077,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
           else Some(Some((present.map(_._1).min, present.map(_._2).max)))
         }
       }
-    }
-    def toValue(name: String, v: Long): Any = sparkType(name) match {
-      case Some(IntegerType | DateType) => v.toInt
-      case _ => v
-    }
+    def toValue(name: String, v: Long): Any =
+      sparkType(name).map(internalOfLong(_, v)).getOrElse(v)
     val aggCols: Seq[(String, DataType, Seq[DataFileMeta] => Option[Any])] =
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(("count(*)", LongType: DataType,
@@ -1031,9 +1115,95 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
         aggCols.map(_._1).mkString(", ")))
   }
 
+  // ---- PARTIAL grouped-aggregate pushdown (mixed layouts) ----------------
+  //
+  // The supportCompletePushDown=false path: GROUP BY still pushes when only
+  // SOME files prove single-valuedness — each provable file contributes a
+  // per-file partial row (group value, rowCount, min, max) from the manifest
+  // alone, and ONLY the unprovable files (mixed layouts, deletion vectors,
+  // legacy manifests, missing agg stats) are read, width-reduced to the same
+  // partial shape (count=1, min=max=value per row; Spark's own map-side
+  // partial aggregate collapses them before the shuffle). Spark's final
+  // aggregate merges both streams exactly. This removes the all-files cliff
+  // of [[groupedAnswer]]: one mixed file costs one file's bytes, never a
+  // full-table scan.
+  private def partialGroupedAnswer(agg: Aggregation): Option[AggPush] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.isEmpty) return None
+    val files = table.liveFiles
+    if (files.isEmpty) return None
+    val groupCols: Seq[(String, DataType)] =
+      groupColsOf(agg).getOrElse(return None)
+    if (groupCols.isEmpty) return None
+    // aggregates: COUNT(*) plus MIN/MAX over stat-parseable columns
+    val aggSpecs: Seq[(String, String, DataType)] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count", "", LongType: DataType))
+        case m: Min => colName(m.column).flatMap(n =>
+          sparkTypeOf(n).filter(statParser(_).isDefined).map(("min", n, _)))
+        case m: Max => colName(m.column).flatMap(n =>
+          sparkTypeOf(n).filter(statParser(_).isDefined).map(("max", n, _)))
+        case _ => None
+      } match {
+        case rs if rs.contains(None) || rs.isEmpty => return None
+        case rs => rs.flatten
+      }
+    val conf = new Configuration()
+    val proved = Seq.newBuilder[InternalRow]
+    val toRead = Seq.newBuilder[DataFileMeta]
+    var nProved = 0
+    files.foreach { f =>
+      // a deletion vector poisons both the count and min/max stats: read it
+      // (the reader suppresses the deleted positions exactly)
+      val key: Option[Seq[Any]] =
+        if (f.dvCount.exists(_ > 0)) None
+        else {
+          val k = groupCols.map { case (g, dt) => fileGroupValue(f, g, dt) }
+          if (k.exists(_.isEmpty)) None else Some(k.map(_.get))
+        }
+      val aggVals: Option[Seq[Any]] = key.flatMap { _ =>
+        val vs: Seq[Option[Any]] = aggSpecs.map {
+          case ("count", _, _) => Some(f.rowCount: Any)
+          case (kind, n, dt) =>
+            GraftScanBuilder.metaLongMinMax(f, nameMap.getOrElse(n, n), conf,
+              statParser(dt).get, declared = Some(dt)) match {
+              case Some(Some((lo, hi))) =>
+                Some(internalOfLong(dt, if (kind == "min") lo else hi))
+              case Some(None) => Some(null: Any) // column all-null here
+              case None => None // stats unusable: read the file instead
+            }
+        }
+        if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+      }
+      (key, aggVals) match {
+        case (Some(k), Some(a)) =>
+          proved += new GenericInternalRow((k ++ a).toArray); nProved += 1
+        case _ => toRead += f
+      }
+    }
+    // nothing provable → the normal distributed aggregate is the same plan
+    if (nProved == 0) return None
+    val schema = StructType(
+      groupCols.map { case (g, dt) => StructField(g, dt, nullable = true) } ++
+        aggSpecs.map {
+          case ("count", _, _) => StructField("count(*)", LongType, nullable = false)
+          case (k, n, dt) => StructField(s"$k($n)", dt, nullable = true)
+        })
+    val read = toRead.result()
+    Some(PartialAgg(schema, proved.result(), read,
+      groupCols.map { case (g, dt) => (nameMap.getOrElse(g, g), dt) },
+      aggSpecs.map { case (k, n, dt) =>
+        (k, if (n.isEmpty) "" else nameMap.getOrElse(n, n), dt) },
+      s"partial group by ${groupCols.map(_._1).mkString(", ")} " +
+        s"[stats-served files=$nProved, scanned files=${read.size}]"))
+  }
+
   override def build(): Scan = pushedAgg match {
-    case Some((schema, rows, desc)) =>
+    case Some(CompleteAgg(schema, rows, desc)) =>
       new GraftAggregateScan(table.name(), schema, rows, desc)
+    case Some(p: PartialAgg) =>
+      new GraftPartialAggScan(table.name(), p.schema, p.rows,
+        p.readFiles.map(f => (f.path, GraftScan.dvOf(f), f.minSeq)),
+        p.groupFileCols, p.aggSpecs, p.desc)
     case None =>
       new GraftScan(table, required, pushed, limit, consumerId, nameMap, scanStart)
   }
@@ -1139,6 +1309,88 @@ case class GraftAggregateReaderFactory(rows: Seq[InternalRow])
       }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
+    }
+}
+
+/** Result of a PARTIAL grouped-aggregate pushdown: the manifest-provable
+  * files' partial rows ship precomputed (one synthetic partition, zero data
+  * bytes), and EXACTLY the unprovable files are scanned width-reduced —
+  * Spark's final aggregate above merges both. At 100 TB this is the
+  * difference between "one mixed file re-reads the table" and "one mixed
+  * file costs one file". */
+class GraftPartialAggScan(tableName: String, schema: StructType,
+    staticRows: Seq[InternalRow], readFiles: Seq[(String, Array[Long], Long)],
+    groupFileCols: Seq[(String, DataType)],
+    aggSpecs: Seq[(String, String, DataType)], pushedDesc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftPartialAggScan $tableName [$pushedDesc] files=${readFiles.size}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ((if (staticRows.nonEmpty)
+        Seq(GraftInputPartition(GraftPartialAggScan.StatsPartition))
+      else Seq.empty) ++
+      readFiles.map { case (p, dv, seq) =>
+        GraftInputPartition(p, seq, dv) }).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPartialAggReaderFactory(staticRows, schema, groupFileCols, aggSpecs)
+}
+
+object GraftPartialAggScan {
+  private[v2] val StatsPartition = "<metadata-partial-aggregate>"
+}
+
+/** Readers for the partial-aggregate scan: the synthetic stats partition
+  * replays the precomputed rows; each file partition wraps the plain row
+  * reader and folds every data row to the finest-grain partial shape
+  * (count=1, min=max=value) — Spark's map-side partial aggregate collapses
+  * them before the shuffle, so the exchange stays group-sized. */
+case class GraftPartialAggReaderFactory(rows: Seq[InternalRow],
+    schema: StructType, groupFileCols: Seq[(String, DataType)],
+    aggSpecs: Seq[(String, String, DataType)]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftInputPartition(GraftPartialAggScan.StatsPartition, _, _) =>
+        new PartitionReader[InternalRow] {
+          private val it = rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            val has = it.hasNext
+            if (has) cur = it.next()
+            has
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      case gp: GraftInputPartition =>
+        val argCols = aggSpecs.collect { case (_, n, dt) if n.nonEmpty => (n, dt) }
+          .distinct.filterNot { case (n, _) => groupFileCols.exists(_._1 == n) }
+        val readSchema = StructType((groupFileCols ++ argCols)
+          .map { case (n, dt) => StructField(n, dt, nullable = true) })
+        val inner = new GraftPartitionReader(gp.path, readSchema,
+          Array.empty, None, gp.minSeq, dv = gp.dv)
+        val idxOf: Map[String, Int] = readSchema.fieldNames.zipWithIndex.toMap
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = {
+            val r = inner.get()
+            val out = new Array[Any](schema.length)
+            var i = 0
+            groupFileCols.foreach { case (n, dt) =>
+              out(i) = if (r.isNullAt(idxOf(n))) null else r.get(idxOf(n), dt)
+              i += 1
+            }
+            aggSpecs.foreach {
+              case ("count", _, _) => out(i) = 1L; i += 1
+              case (_, n, dt) =>
+                out(i) = if (r.isNullAt(idxOf(n))) null else r.get(idxOf(n), dt)
+                i += 1
+            }
+            new GenericInternalRow(out)
+          }
+          override def close(): Unit = inner.close()
+        }
     }
 }
 
@@ -1441,6 +1693,10 @@ object GraftScan {
     def ok(attr: String) = fullSchema.find(_.name == attr).exists(_.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | StringType => true
       case DateType | TimestampNTZType | TimestampType => true
+      // money columns: precision ≤ 18 decimals live as INT32/INT64 unscaled
+      // values with exactly-parseable scaled stats ([[DecimalPush]]); wider
+      // precisions are FIXED_LEN_BYTE_ARRAY — no long-comparable stats
+      case d: DecimalType => d.precision <= 18
       case _ => false
     })
     f match {
@@ -1868,6 +2124,39 @@ private[graft] object TemporalPush {
       .orElse(zonedMicros(v).map(us => (us, statMicrosZoned _)))
 }
 
+/** DECIMAL pushdown conversions. Parquet stores precision ≤ 18 decimals as
+  * INT32/INT64 UNSCALED values (the layout every graft write site emits —
+  * Spark's non-legacy writer), footer stats stringify them SCALED
+  * ("45.6" for unscaled 456 at scale 1, V2ConnectorSpec-pinned), and Spark
+  * hands pushed decimal filter values as java.math.BigDecimal. Every
+  * conversion here is exact-or-refuse: a value that can't be represented at
+  * the column's scale returns None and the conjunct drops (pushdown is never
+  * load-bearing — the residual Filter keeps record truth). Precision > 18
+  * (FIXED_LEN_BYTE_ARRAY layout) refuses everywhere: big-endian byte-array
+  * stats don't merge as longs and the columnar proof rejects them too. */
+private[graft] object DecimalPush {
+  /** Pushed filter value → unscaled long at `scale` (exact or None). */
+  def unscaled(v: Any, scale: Int): Option[Long] = {
+    val bd = v match {
+      case b: java.math.BigDecimal => b
+      case b: scala.math.BigDecimal => b.bigDecimal
+      case _ => return None
+    }
+    try Some(bd.setScale(scale).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
+  }
+  /** Rendered manifest/footer stat ("45.6") → unscaled long at `scale`. */
+  def statUnscaled(s: String, scale: Int): Option[Long] =
+    try Some(new java.math.BigDecimal(s).setScale(scale)
+      .unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None
+            case _: NumberFormatException => None }
+  /** Rendered stat → exact BigDecimal (FileSkip's typed comparison). */
+  def stat(s: String): Option[java.math.BigDecimal] =
+    try Some(new java.math.BigDecimal(s))
+    catch { case _: NumberFormatException => None }
+}
+
 /** Conservative file-level stats overlap: `keep` is false ONLY when the
   * footer [min,max] prove no row of the file can match the filter. Shared
   * by the append scan and the PK merge-on-read scan (where it may only be
@@ -1897,6 +2186,17 @@ private[v2] object FileSkip {
         case Some((mn, mx)) => v match {
           case s: String =>
             if (ascii(mn) && ascii(mx) && ascii(s)) !strNoOverlap(mn, mx, s) else true
+          // decimal BEFORE the generic Number case (BigDecimal IS a Number):
+          // compare exactly via compareTo signum — every comparator below
+          // only relates mn/mx to x (never mn to mx), so feeding it
+          // (sgn(mn cmp x), sgn(mx cmp x), 0) preserves each decision with
+          // zero double-rounding (doubles can misorder near-equal decimals)
+          case bd: java.math.BigDecimal =>
+            (DecimalPush.stat(mn), DecimalPush.stat(mx)) match {
+              case (Some(a), Some(b)) =>
+                !noOverlap(a.compareTo(bd).toDouble, b.compareTo(bd).toDouble, 0.0)
+              case _ => true
+            }
           case n: Number =>
             (num(mn), num(mx)) match {
               case (Some(a), Some(b)) => !noOverlap(a, b, n.doubleValue())
@@ -2077,6 +2377,21 @@ object GraftVector {
           t.getUnit == TimeUnit.MICROS && t.isAdjustedToUTC
         case _ => false
       }
+      // decimals: the canonical non-legacy layout ONLY (p ≤ 9 → INT32,
+      // 10..18 → INT64) with the EXACT declared precision+scale annotation —
+      // Spark's vectorized updaters decode these natively; any other shape
+      // (FLBA, binary, legacy-rewritten precision) takes the row reader
+      case (d: DecimalType, PrimitiveTypeName.INT32) => ann match {
+        case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          d.precision <= 9 && a.getPrecision == d.precision && a.getScale == d.scale
+        case _ => false
+      }
+      case (d: DecimalType, PrimitiveTypeName.INT64) => ann match {
+        case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          d.precision >= 10 && d.precision <= 18 &&
+            a.getPrecision == d.precision && a.getScale == d.scale
+        case _ => false
+      }
       case _ => false
     }
   }
@@ -2164,6 +2479,18 @@ object GraftVector {
         case (Some(TimestampType), v) if TemporalPush.zonedMicros(v).isDefined =>
           Some(build(FilterApi.longColumn(attr),
             java.lang.Long.valueOf(TemporalPush.zonedMicros(v).get)))
+        // decimal: eligible() proved every planned file stores the declared
+        // precision+scale as INT32 (p ≤ 9) / INT64 — unscaled longs compare
+        // in column order; a value not representable at the scale drops the
+        // conjunct (weaker pruning, residual Filter decides truth)
+        case (Some(d: DecimalType), v) if d.precision <= 18 &&
+            DecimalPush.unscaled(v, d.scale).isDefined =>
+          val u = DecimalPush.unscaled(v, d.scale).get
+          if (d.precision <= 9)
+            (if (u == u.toInt.toLong)
+              Some(build(FilterApi.intColumn(attr), java.lang.Integer.valueOf(u.toInt)))
+            else None) // filter value overflows the column's INT32 domain
+          else Some(build(FilterApi.longColumn(attr), java.lang.Long.valueOf(u)))
         case _ => None
       }
     }
@@ -2195,6 +2522,18 @@ object GraftVector {
           val c = FilterApi.booleanColumn(attr)
           Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Boolean])
           else FilterApi.notEq(c, null.asInstanceOf[java.lang.Boolean]))
+        case d: DecimalType if d.precision <= 18 =>
+          // null tests never read values — only the physical column matters,
+          // and eligible() proved INT32 (p ≤ 9) / INT64 per declared precision
+          if (d.precision <= 9) {
+            val c = FilterApi.intColumn(attr)
+            Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Integer])
+            else FilterApi.notEq(c, null.asInstanceOf[java.lang.Integer]))
+          } else {
+            val c = FilterApi.longColumn(attr)
+            Some(if (isNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Long])
+            else FilterApi.notEq(c, null.asInstanceOf[java.lang.Long]))
+          }
         case _ => None
       }
     def convert(f: Filter): Option[FilterPredicate] = f match {
@@ -2281,6 +2620,44 @@ class GraftPartitionReader(path: String, required: StructType,
     def leaf(attr: String, v: Any, op: String): Option[FilterPredicate] = {
       val prim = fieldType(attr).asPrimitiveType()
       (prim.getPrimitiveTypeName, v) match {
+        // decimal (BigDecimal value) FIRST — BigDecimal IS a Number, and the
+        // generic integral cases below would truncate the value (45.6 → 45)
+        // and compare it against stored UNSCALED ints (456). THIS file's
+        // DECIMAL annotation supplies the scale; conversion is exact-or-drop,
+        // so the load-bearing record filter can never lose a matching row
+        // (unscaled order ≡ value order at a fixed scale).
+        case (PrimitiveTypeName.INT32, bd: java.math.BigDecimal) =>
+          (prim.getLogicalTypeAnnotation match {
+            case a: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              DecimalPush.unscaled(bd, a.getScale).filter(u => u == u.toInt.toLong)
+            case _ => None
+          }).map { u =>
+            val c = FilterApi.intColumn(attr)
+            val x = java.lang.Integer.valueOf(u.toInt)
+            op match {
+              case "eq" => FilterApi.eq(c, x)
+              case "gt" => FilterApi.gt(c, x)
+              case "ge" => FilterApi.gtEq(c, x)
+              case "lt" => FilterApi.lt(c, x)
+              case "le" => FilterApi.ltEq(c, x)
+            }
+          }
+        case (PrimitiveTypeName.INT64, bd: java.math.BigDecimal) =>
+          (prim.getLogicalTypeAnnotation match {
+            case a: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              DecimalPush.unscaled(bd, a.getScale)
+            case _ => None
+          }).map { u =>
+            val c = FilterApi.longColumn(attr)
+            val x = java.lang.Long.valueOf(u)
+            op match {
+              case "eq" => FilterApi.eq(c, x)
+              case "gt" => FilterApi.gt(c, x)
+              case "ge" => FilterApi.gtEq(c, x)
+              case "lt" => FilterApi.lt(c, x)
+              case "le" => FilterApi.ltEq(c, x)
+            }
+          }
         case (PrimitiveTypeName.INT64, n: Number) =>
           val c = FilterApi.longColumn(attr); val x = java.lang.Long.valueOf(n.longValue())
           Some(op match {

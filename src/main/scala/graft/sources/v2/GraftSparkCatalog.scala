@@ -115,10 +115,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           else new GraftChangeHistoryV2Table(v2)
         }
         val view = sys match {
-          case "files"     => () => t.filesView
-          case "snapshots" => () => t.snapshotsView
-          case "tags"      => () => t.tagsView
-          case "consumers" => () => t.consumersView
+          case "files"      => () => t.filesView
+          case "snapshots"  => () => t.snapshotsView
+          case "tags"       => () => t.tagsView
+          case "consumers"  => () => t.consumersView
+          case "partitions" => () => t.partitionsView
           case "options" => () => {
             // the persisted table properties (Paimon `t$options`): what
             // CREATE declared plus every ALTER TABLE SET since

@@ -40,13 +40,46 @@ object V2Procedures {
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
     def p = catalog // materialize lazily per call
     name match {
-      case "compact" => Some(proc("compact",
+      // `order_by` turns the rewrite into a SORT-COMPACT (Paimon's
+      // sort-compact action): 'sort' range-clusters on the listed columns
+      // (leading-column file ranges come out disjoint), 'zorder' interleaves
+      // two numeric columns' bits so BOTH dimensions' footer stats stay
+      // selective — the file-skipping-quality lever after long unsorted
+      // ingest. The chosen clustering is recorded in the table options
+      // (`compact.order-by` / `compact.order-strategy`) so operators and
+      // follow-up maintenance can see the layout policy.
+      case "compact" => Some(procRaw("compact",
         Seq(in("table", StringType),
-          in("target_file_count", IntegerType, Some("2"))),
+          in("target_file_count", IntegerType, Some("2")),
+          in("order_by", StringType, Some("''")),
+          in("strategy", StringType, Some("'sort'"))),
         StructType(Seq(StructField("snapshot_id", LongType),
           StructField("num_files", IntegerType))),
-        (t, args) => {
-          val snap = t.compact(math.max(1, args(1).asInstanceOf[Int]))
+        (c, db, name, args) => {
+          val n = math.max(1, args(1).asInstanceOf[Int])
+          val order = Option(args(2)).map(_.asInstanceOf[UTF8String].toString)
+            .getOrElse("").trim
+          val t = c.getTable(db, name)
+          val snap =
+            if (order.isEmpty) t.compact(n)
+            else {
+              val cols = order.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              val strat = Option(args(3)).map(_.asInstanceOf[UTF8String].toString)
+                .getOrElse("sort").trim
+              val s2 = strat match {
+                case "zorder" =>
+                  require(cols.size == 2,
+                    s"zorder interleaves exactly 2 columns, got $cols")
+                  t.sortCompact(cols.head, cols(1), n)
+                case "sort" => t.sortCompactOrder(cols, n)
+                case other => throw new IllegalArgumentException(
+                  s"unknown sort-compact strategy '$other' (sort | zorder)")
+              }
+              c.alterTable(db, name, Map(
+                "compact.order-by" -> cols.mkString(","),
+                "compact.order-strategy" -> strat))
+              s2
+            }
           Array[Any](snap.id, snap.files.size)
         }, p))
       // targeted maintenance: rewrite only groups whose small-file backlog

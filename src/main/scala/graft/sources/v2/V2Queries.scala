@@ -562,6 +562,22 @@ object V2Queries {
                |WHERE c_mktsegment = 'MACHINERY' ORDER BY c_custkey""".stripMargin)
     },
 
+    // The `$partitions` system table: the operator-visible per-partition
+    // census (Paimon parity), folded from manifest stats alone — zero data
+    // bytes at any size (single-valued files make the fold exact; unprovable
+    // files fail loudly). Row counts oracle against the source group-by;
+    // file counts/sizes stay spec-only (write-parallelism-dependent).
+    QDef(
+      "q_source_v2_partitions_meta",
+      """SELECT concat('{', c_mktsegment, '}') AS partition,
+        |       CAST(count(*) AS BIGINT) AS record_count
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val catName = partTable(s, d)
+      s.sql(s"""SELECT partition, record_count
+               |FROM $catName.v2db.`part_customers$$partitions`
+               |ORDER BY partition""".stripMargin)
+    },
+
     // Static INSERT OVERWRITE ... PARTITION (the Paimon/Hive partition-load
     // idiom): exactly the named partition's files swap for the staged rows
     // in one atomic commit — single-valued files make the replacement set
@@ -578,6 +594,41 @@ object V2Queries {
       val catName = partOverwriteTable(s, d)
       s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
                |FROM $catName.v2db.pow_customers ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Native streaming sink into a PARTITIONED BY table: the continuous
+    // date-partitioned ingest every 100 TB pipeline runs — sink task writers
+    // split files per partition value (content-derived, like the bucket
+    // split), so the streamed table serves partition predicates with EXACT
+    // file pruning and stays overwrite-provable (PartitionSpec pins both).
+    QDef(
+      "q_stream_v2_part_sink",
+      """SELECT c_custkey, c_acctbal AS acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val dst = partSinkTable(s, d)
+      s.read.format("graft").load(dst)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // DYNAMIC partition overwrite (Paimon's default batch-overwrite
+    // semantics, the multi-day backfill idiom): `overwritePartitions()`
+    // replaces exactly the partitions the staged rows land in — two
+    // partitions rewritten in ONE atomic commit, untouched partitions
+    // byte-identical (PartitionSpec pins file identity + the
+    // non-clustered-file refusal).
+    QDef(
+      "q_source_v2_part_overwrite_dyn",
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment NOT IN ('FURNITURE', 'AUTOMOBILE')
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 0.0 FROM customer
+        |WHERE c_mktsegment IN ('FURNITURE', 'AUTOMOBILE') AND c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = partDynTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_mktsegment, c_acctbal
+               |FROM $catName.v2db.powd_customers ORDER BY c_custkey""".stripMargin)
     },
 
     // Native UPDATE on a PRIMARY-KEY table: Spark's delta-based row-level
@@ -801,6 +852,35 @@ object V2Queries {
         .orderBy("event_id")
     },
 
+    // DECIMAL pushdown end to end: orders with an exact DECIMAL(5,1) money
+    // column (the reference's own measurement type, Readme.md:91), committed
+    // as price-banded batches — per-file scaled stats ("249.9") prune whole
+    // files via exact unscaled-long comparison, the pushed predicate prunes
+    // row groups as unscaled INT32s, and the decode rides the vectorized
+    // path (all pinned in V2ConnectorSpec; FLBA/precision>18 layouts refuse).
+    // The decimal is built from integers through strings — bit-exact in both
+    // engines, no float-rounding skew — and the output rides the registry's
+    // cast-to-DOUBLE convention (exact for scale-1 values ≤ 2^53).
+    QDef(
+      "q_source_v2_dec_pushdown",
+      """SELECT o_orderkey,
+        |       CAST(CAST(CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+        |            CAST(o_custkey % 10 AS VARCHAR) AS DECIMAL(5,1)) AS DOUBLE)
+        |         AS price_d
+        |FROM orders
+        |WHERE CAST(CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+        |           CAST(o_custkey % 10 AS VARCHAR) AS DECIMAL(5,1)) >= 250.0
+        |  AND CAST(CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+        |           CAST(o_custkey % 10 AS VARCHAR) AS DECIMAL(5,1)) < 500.0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = decBatchedOrders(s, d)
+      s.read.format("graft").load(root)
+        .where(col("o_price") >= lit("250.0").cast("decimal(5,1)") &&
+          col("o_price") < lit("500.0").cast("decimal(5,1)"))
+        .select(col("o_orderkey"), col("o_price").cast("double").as("price_d"))
+        .orderBy("o_orderkey")
+    },
+
     // A TAG as a SQL version: the first commit tagged, the table then grown
     // — `VERSION AS OF 'baseline'` must reproduce exactly the state the tag
     // pinned, while the head serves the grown table (stager-asserted). The
@@ -930,6 +1010,46 @@ object V2Queries {
                   org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
               case _ => false
             }), s"graft writes must emit INT64 TIMESTAMP_MICROS, got $fld in ${f.path}")
+        } finally r.close()
+      }
+      root
+    })
+
+  /** orders with an exact DECIMAL(5,1) `o_price`, written as 4 price-band
+    * batches — per-file decimal stats are disjoint, so a money-range filter
+    * genuinely skips files. The staging pins the physical contract: every
+    * committed file stores o_price as INT32 DECIMAL(5,1) unscaled (never
+    * FLBA/binary), the layout [[DecimalPush]]'s proofs require. */
+  private val stagedDecOrders = new ConcurrentHashMap[String, String]()
+  private def decBatchedOrders(s: SparkSession, d: String): String =
+    stagedDecOrders.computeIfAbsent(d, { _ =>
+      val root = Files.createTempDirectory("graft_v2_dec_").toString
+      val tbl = new StreamTable(root, s)
+      val ord = Tables.orders(s, d).selectExpr("o_orderkey",
+        """CAST(CONCAT(CAST(o_orderkey % 1000 AS STRING), '.',
+          |            CAST(o_custkey % 10 AS STRING)) AS DECIMAL(5,1))
+          |  AS o_price""".stripMargin)
+      Seq(0, 250, 500, 750).zipWithIndex.foreach { case (lo, b) =>
+        tbl.appendBatch(ord.where(
+          col("o_price") >= lit(s"$lo.0").cast("decimal(5,1)") &&
+            col("o_price") < lit(s"${lo + 250}.0").cast("decimal(5,1)"))
+          .repartition(1), b.toLong)
+      }
+      // pin the writer contract: INT32 unscaled with the declared annotation
+      tbl.latestSnapshot.get.files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path), new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val sch = r.getFooter.getFileMetaData.getSchema
+          val fld = sch.getType(sch.getFieldIndex("o_price")).asPrimitiveType()
+          require(fld.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 &&
+            (fld.getLogicalTypeAnnotation match {
+              case a: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                a.getPrecision == 5 && a.getScale == 1
+              case _ => false
+            }), s"graft writes must emit INT32 DECIMAL(5,1) unscaled, got $fld in ${f.path}")
         } finally r.close()
       }
       root
@@ -1401,6 +1521,56 @@ object V2Queries {
                |PARTITION (c_mktsegment = 'FURNITURE')
                |SELECT c_custkey, 0.0 FROM graft_v2pow_customer
                |WHERE c_mktsegment = 'FURNITURE' AND c_custkey % 2 = 0""".stripMargin)
+      catName
+    })
+
+  /** customer STREAMED into a PARTITIONED BY (c_mktsegment) catalog table
+    * through the native V2 sink — the sink's task writers split files per
+    * partition value (one single-valued file per partition per task), so the
+    * sink-fed table prunes partition predicates file-exactly and partition
+    * overwrites stay provable (PartitionSpec pins both). */
+  private val stagedPartSink = new ConcurrentHashMap[String, String]()
+  private def partSinkTable(s: SparkSession, d: String): String =
+    stagedPartSink.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.streaming.Trigger
+      val (_, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      cat.createTable("v2db", "psink_customers",
+        Map("partition-keys" -> "c_mktsegment"))
+      val dst = s"$wh/v2db.db/psink_customers"
+      val srcRoot = Files.createTempDirectory("graft_v2_psk_src_").toString
+      val src = new StreamTable(srcRoot, s)
+      src.appendBatch(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"), 0L)
+      val chk = s"$dst/_pipe_checkpoint"
+      val q = s.readStream.format("graft").load(srcRoot)
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dst
+    })
+
+  /** Partitioned customer DYNAMICALLY overwritten (`writeTo(t)
+    * .overwritePartitions()`): one statement rewrites the FURNITURE and
+    * AUTOMOBILE partitions (even keys, balances zeroed) — the staged rows
+    * define the replaced set, untouched partitions survive byte-identical
+    * (PartitionSpec). */
+  private val stagedPartDyn = new ConcurrentHashMap[String, String]()
+  private def partDynTable(s: SparkSession, d: String): String =
+    stagedPartDyn.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2powd_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.powd_customers
+               |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+               |PARTITIONED BY (c_mktsegment)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.powd_customers
+               |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2powd_customer""".stripMargin)
+      s.table("graft_v2powd_customer")
+        .where(col("c_mktsegment").isin("FURNITURE", "AUTOMOBILE") &&
+          col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"), lit(0.0).as("c_acctbal"))
+        .writeTo(s"$catName.v2db.powd_customers").overwritePartitions()
       catName
     })
 

@@ -112,6 +112,23 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
       }
     }
 
+  /** PARTITIONED BY: the partition keys' column indices. Each task writer
+    * splits its rows into one file PER PARTITION VALUE it sees (the same
+    * content-derived labeling `writeClustered` gives batch writes), so every
+    * sink-fed file stays SINGLE-VALUED in every partition key — exact
+    * pruning and PARTITION overwrite proofs hold on streamed tables too.
+    * Mandatory (unlike the best-effort bucket split): a mixed file would
+    * poison the partition proofs, so a missing key column refuses at plan
+    * time. */
+  private val partPlan: Array[Int] = table.partitionKeys match {
+    case Some(pks) =>
+      require(pks.forall(schema.fieldNames.contains),
+        s"PARTITIONED BY sink target needs every partition column in the " +
+          s"stream schema: $pks")
+      pks.map(c => schema.fieldNames.indexOf(c)).toArray
+    case None => Array.empty
+  }
+
   /** PK column indices for the writer's sorted-run verification — defined
     * iff every key column's type carries the merge comparator's ordering
     * ([[PkMerge.cmpAny]]); binary keys (not `Comparable`) never verify. */
@@ -128,7 +145,7 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     GraftStreamingWriterFactory(table.root, schema, writerId,
-      bucketPlan, table.numBuckets, stampOffset, pkVerify)
+      bucketPlan, table.numBuckets, stampOffset, pkVerify, partPlan)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftSinkCommitMessage => m }
@@ -222,15 +239,128 @@ object GraftStreamingWrite {
 case class GraftSinkCommitMessage(files: Seq[StreamTable.StagedSinkFile])
     extends WriterCommitMessage
 
+/** DYNAMIC partition overwrite as a native distributed [[BatchWrite]] (the
+  * one V2 write shape Spark gives no V1 fallback): executor-side
+  * [[GraftStreamingDataWriter]]s write the staged rows split per (partition
+  * tuple, bucket) — every staged file single-valued in every partition key,
+  * stats captured task-side — then ONE driver commit derives the replaced
+  * partitions from the staged files' stats and atomically swaps exactly
+  * those partitions' live files
+  * ([[StreamTable.commitExternalPartitionOverwrite]]). Untouched partitions
+  * survive byte-identical; rows stamp the fresh batch sequence like every
+  * batch write (the stamped-history invariant holds).
+  *
+  * Tuple equality across files is EXACT: one stringifier renders every graft
+  * write's stats, so "the staged rows' partitions" and "a live file's
+  * partition" meet on identical rendered strings. A live file that cannot
+  * prove its tuple (row-level-DML output is not partition-clustered)
+  * refuses loudly — compact first; an approximate replacement set would
+  * silently drop or keep foreign rows. */
+class GraftDynOverwriteBatchWrite(table: StreamTable, schema: StructType,
+    tableName: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val pks: Seq[String] = table.partitionKeys.getOrElse(
+    throw new UnsupportedOperationException(
+      s"$tableName: dynamic overwrite needs a PARTITIONED BY table"))
+  require(pks.forall(schema.fieldNames.contains),
+    s"$tableName: dynamic overwrite needs every partition column in the " +
+      s"written schema: $pks")
+
+  private val writerId = "dynow" + UUID.randomUUID().toString.take(8)
+  /** The overwrite's batch sequence, claimed at plan time (same posture as
+    * the V1 bridge's `next`): rows are stamped with it so the table's
+    * stamped-history invariant and `_graft_seq` provenance hold. */
+  private val next: Long =
+    math.max(table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
+
+  private val partPlan: Array[Int] =
+    pks.map(c => schema.fieldNames.indexOf(c)).toArray
+  private val bucketPlan: Option[(Int, Boolean)] =
+    table.bucketKey.flatMap { k =>
+      val i = schema.fieldNames.indexOf(k)
+      if (i < 0) None
+      else schema(i).dataType match {
+        case LongType => Some((i, true))
+        case IntegerType => Some((i, false))
+        case _ => None
+      }
+    }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    GraftDynOverwriteWriterFactory(table.root, schema, writerId,
+      bucketPlan, table.numBuckets, next, partPlan)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files)
+    val (empty, data) = files.partition(_.stats.rows == 0L)
+    empty.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+    val conf = new Configuration()
+    // a file's partition tuple, per key: Some(None) = the NULL partition,
+    // Some(Some(v)) = rendered value v, None = unprovable
+    def tupleOf(f: graft.table.DataFileMeta): Option[Seq[Option[String]]] = {
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      def nullCount(c: String): Option[Long] =
+        f.nullStats.flatMap(_.get(c)).flatMap(_.toLongOption)
+      val comps = pks.map { c =>
+        if (f.fileCols.exists(!_.contains(c))) Some(None)
+        else if (nullCount(c).contains(f.rowCount)) Some(None)
+        else if (nullCount(c).contains(0L) &&
+            !f.badStats.exists(_.contains(c)) &&
+            mins.get(c).exists(maxs.get(c).contains))
+          Some(Some(mins(c)))
+        else None
+      }
+      if (comps.exists(_.isEmpty)) None else Some(comps.map(_.get))
+    }
+    @volatile var stagedTuples: Set[Seq[Option[String]]] = Set.empty
+    table.commitExternalPartitionOverwrite(data.toSeq,
+      removedOf = live => live.filter { f =>
+        tupleOf(f) match {
+          case Some(t) => stagedTuples.contains(t)
+          case None => throw new IllegalStateException(
+            s"$tableName: ${f.path} is not provably single-valued in every " +
+              "partition key — dynamic overwrite needs partition-clustered " +
+              "files (run CALL sys.compact first)")
+        }
+      },
+      validateStaged = ms => stagedTuples = ms.map(m =>
+        tupleOf(m).getOrElse(throw new IllegalStateException(
+          s"$tableName: staged file ${m.path} is not single-valued in every " +
+            "partition key — cannot define the dynamic replacement set"))).toSet,
+      batchId = next)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftSinkCommitMessage => m }
+      .flatMap(_.files)
+      .foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+}
+
+case class GraftDynOverwriteWriterFactory(tableRoot: String,
+    schema: StructType, writerId: String, bucketPlan: Option[(Int, Boolean)],
+    numBuckets: Int, stamp: Long, partPlan: Array[Int])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L,
+      partitionId, bucketPlan, numBuckets, Some(stamp), partPlan = partPlan)
+}
+
 case class GraftStreamingWriterFactory(tableRoot: String, schema: StructType,
     writerId: String, bucketPlan: Option[(Int, Boolean)], numBuckets: Int,
-    stampOffset: Option[Long], pkVerify: Option[Array[Int]])
+    stampOffset: Option[Long], pkVerify: Option[Array[Int]],
+    partPlan: Array[Int] = Array.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftStreamingDataWriter(tableRoot, schema, writerId, epochId,
       partitionId, bucketPlan, numBuckets, stampOffset.map(_ + epochId),
-      pkVerify)
+      pkVerify, partPlan = partPlan)
 }
 
 /** Executor-side parquet writer for one (epoch, partition) slice — one FILE
@@ -246,7 +376,11 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
     /** False for consumers that re-derive metas themselves (the COW
       * row-level commit goes through commitReplace's own capture) — the
       * footer is then not opened here just to be thrown away. */
-    captureStats: Boolean = true)
+    captureStats: Boolean = true,
+    /** Partition-key column indices (PARTITIONED BY targets): rows split
+      * into one file per (bucket, partition tuple) this task sees, keeping
+      * every committed file single-valued in every partition key. */
+    partPlan: Array[Int] = Array.empty)
     extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
@@ -269,9 +403,29 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
     var lastKey: Array[Any] = _
   }
 
-  // bucket id → open file (at most numBuckets entries; a clustered epoch
-  // opens exactly one)
-  private val sinks = scala.collection.mutable.Map.empty[Int, Sink]
+  // (bucket id, partition tuple) → open file: at most numBuckets ×
+  // |partition values seen| entries; a clustered epoch opens exactly one
+  // per (bucket, partition) this task was routed
+  private val sinks = scala.collection.mutable.Map.empty[(Int, String), Sink]
+
+  /** The row's partition tuple as an injective map key ('\\u0001'-delimited,
+    * '\\u0000' = SQL NULL — neither occurs in a rendered primitive). The
+    * rendering only routes rows to files; the files carry the real columns,
+    * so manifest stats (not this string) remain the pruning authority. */
+  private def partKeyOf(row: InternalRow): String =
+    if (partPlan.isEmpty) ""
+    else {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < partPlan.length) {
+        val i = partPlan(j)
+        if (j > 0) sb.append('\u0001')
+        if (row.isNullAt(i)) sb.append('\u0000')
+        else sb.append(row.get(i, schema(i).dataType).toString)
+        j += 1
+      }
+      sb.toString
+    }
 
   private def bucketOf(row: InternalRow): Int = bucketPlan match {
     case Some((i, isLong)) =>
@@ -322,7 +476,7 @@ class GraftStreamingDataWriter(tableRoot: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val b = bucketOf(row)
-    val sink = sinks.getOrElseUpdate(b,
+    val sink = sinks.getOrElseUpdate((b, partKeyOf(row)),
       new Sink(if (bucketPlan.isDefined) Some(b) else None))
     if (sink.sortedOk) pkVerify.foreach { idxs =>
       val k = keyOf(row, idxs)

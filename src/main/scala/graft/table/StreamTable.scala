@@ -670,6 +670,53 @@ class StreamTable(
     }, kind = "overwrite")
   }
 
+  /** DYNAMIC partition overwrite over EXTERNALLY-staged files (the V2
+    * distributed BatchWrite: executor writers already wrote the staged
+    * parquet with task-captured stats): move them into the append dir,
+    * assemble manifest entries with ZERO driver footer opens, let the
+    * caller's callbacks derive the replaced partitions (validateStaged sees
+    * the staged metas first; removedOf runs INSIDE the commit's CAS retry
+    * closure against the then-live set), and swap removed-for-staged in one
+    * atomic "overwrite" commit. Same batch-id idempotency as appendBatch —
+    * the staged rows already carry `batchId` stamps. */
+  private[graft] def commitExternalPartitionOverwrite(
+      staged: Seq[StreamTable.StagedSinkFile],
+      removedOf: Seq[DataFileMeta] => Seq[DataFileMeta],
+      validateStaged: Seq[DataFileMeta] => Unit,
+      batchId: Long): Unit = {
+    require(partitionKeys.isDefined,
+      s"$root is not a partitioned table (PARTITIONED BY) — " +
+        "a dynamic overwrite has no exact file-level meaning")
+    if (replaySkip("commitExternalPartitionOverwrite", batchId)) {
+      staged.foreach(sf => Files.deleteIfExists(Paths.get(sf.path)))
+      return
+    }
+    val now = System.currentTimeMillis()
+    val moved = staged.zipWithIndex.map { case (sf, k) =>
+      val dest = Paths.get(dataAppend,
+        s"dynow$batchId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
+      Files.move(Paths.get(sf.path), dest, StandardCopyOption.ATOMIC_MOVE)
+      (dest.toString, sf)
+    }
+    val metas = moved.map { case (p, sf) =>
+      DataFileMeta(p, sf.stats.rows, Files.size(Paths.get(p)),
+        minSeq = batchId, maxSeq = batchId, level = 0, creationTimeMs = now,
+        bucket = sf.bucket,
+        sortedBy = if (sf.sorted && primaryKey.isDefined) primaryKey else None,
+        minStats = Some(sf.stats.mins), maxStats = Some(sf.stats.maxs),
+        fileCols = Some(sf.stats.cols), badStats = Some(sf.stats.bad),
+        nullStats = Some(sf.stats.nulls.map { case (k, v) => k -> v.toString }))
+    }
+    try validateStaged(metas)
+    catch { case e: Throwable =>
+      metas.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+      throw e
+    }
+    commit({ live =>
+      CommitChange(metas, removedOf(live).map(_.path).toSet, batchId)
+    }, kind = "overwrite")
+  }
+
   /** Metadata-only file drop (the partition-aligned DELETE / Paimon
     * drop-partition): remove exactly `paths` from the live set in ONE
     * commit — zero data bytes read or written at any table size. The
@@ -2304,6 +2351,52 @@ class StreamTable(
       .orderBy("snapshot_id")
   }
 
+  /** The `$partitions` system table (Paimon's sibling): the per-partition
+    * census of a PARTITIONED BY table, MANIFEST-ONLY — partition value(s),
+    * file count, live row count (net of deletion vectors), physical rows,
+    * bytes, and the newest commit touching the partition. Zero data bytes
+    * read at any table size: partitioned writes leave every file
+    * single-valued in every key, so the fold rides the same rendered-stat
+    * proofs exact pruning uses. A file that cannot prove its partition
+    * (row-level-DML output is not partition-clustered) fails loudly with
+    * the remedy — an approximate census would silently misattribute rows. */
+  def partitionsView: DataFrame = {
+    import spark.implicits._
+    val pks = partitionKeys.getOrElse(throw new UnsupportedOperationException(
+      s"$root is not a partitioned table — `$$partitions` needs PARTITIONED BY"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def tupleOf(f: DataFileMeta): Seq[Option[String]] = {
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      def nullCount(c: String): Option[Long] =
+        f.nullStats.flatMap(_.get(c)).flatMap(_.toLongOption)
+      pks.map { c =>
+        if (f.fileCols.exists(!_.contains(c))) None // predates the key: NULL
+        else if (nullCount(c).contains(f.rowCount)) None
+        else if (nullCount(c).contains(0L) &&
+            !f.badStats.exists(_.contains(c)) &&
+            mins.get(c).exists(maxs.get(c).contains))
+          Some(mins(c))
+        else throw new IllegalStateException(
+          s"$root: ${f.path} is not provably single-valued in partition " +
+            s"key '$c' — `$$partitions` needs partition-clustered files " +
+            "(run CALL sys.compact first)")
+      }
+    }
+    val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    val out = files.groupBy(tupleOf).toSeq.map { case (t, fs) =>
+      val rendered = t.map(_.getOrElse("null")).mkString("{", ", ", "}")
+      (rendered, fs.size.toLong, fs.map(_.liveRowCount).sum,
+        fs.map(_.rowCount).sum, fs.map(_.dvCount.getOrElse(0L)).sum,
+        fs.map(_.fileSizeInBytes).sum, fs.map(_.creationTimeMs).max)
+    }.sortBy(_._1)
+    spark.createDataset(out)
+      .toDF("partition", "file_count", "record_count", "physical_record_count",
+        "delete_row_count", "file_size_in_bytes", "last_update_ms")
+      .withColumn("last_update_time", timestamp_millis(col("last_update_ms")))
+      .drop("last_update_ms")
+      .orderBy("partition")
+  }
+
   /** The `$tags` system table: tag name, pinned snapshot, and that
     * snapshot's commit time (Paimon's `$tags` shape). */
   def tagsView: DataFrame = {
@@ -2590,6 +2683,25 @@ class StreamTable(
         .sortWithinPartitions("__graft_z")
         .drop("__graft_z")
     }
+  }
+
+  /** Linear sort-compaction (Paimon's `sort-compact` with
+    * `'sort-order'='order'`): rewrite the live set range-partitioned and
+    * sorted on `cols` — the LEADING column's per-file [min, max] come out
+    * DISJOINT, so its predicates skip file-exactly after arbitrarily long
+    * unsorted ingest; trailing columns tighten within ties. The 1-D sibling
+    * of [[sortCompact]]: use this when one column dominates the scan
+    * predicates, the z-curve when two do. Same one-range-shuffle cost as a
+    * plain compaction. */
+  def sortCompactOrder(cols: Seq[String], targetFileCount: Int): Snapshot = {
+    require(cols.nonEmpty, "sortCompactOrder needs at least one column")
+    require(bucketKey.isEmpty,
+      "sortCompactOrder replaces the clustering policy; a bucket-keyed " +
+        "table's co-location contract would be silently lost — unset " +
+        "bucket-key first")
+    rewriteLive(resolved => resolved
+      .repartitionByRange(targetFileCount, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*))
   }
 
   /** Materialize deletion vectors ONLY: rewrite exactly the files carrying

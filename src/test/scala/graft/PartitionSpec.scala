@@ -266,4 +266,119 @@ class PartitionSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.d.c WHERE seg = 's2'")
       .head().getLong(0) == 30L)
   }
+
+  test("dynamic overwrite replaces exactly the staged partitions; NULL partition exact") {
+    val (cat, wh) = freshCatalog("dyn")
+    spark.sql(s"CREATE TABLE $cat.d.y (id BIGINT, seg STRING, x DOUBLE) " +
+      "PARTITIONED BY (seg)")
+    // 4 value partitions + the NULL partition
+    spark.sql(s"INSERT INTO $cat.d.y SELECT id, " +
+      "CASE WHEN id % 5 = 4 THEN NULL ELSE concat('s', id % 5) END, 1.0 " +
+      "FROM range(0, 500)")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def segOf(f: graft.table.DataFileMeta): Option[String] = {
+      val nulls = f.nullStats.flatMap(_.get("seg")).flatMap(_.toLongOption)
+      if (nulls.contains(f.rowCount)) None
+      else StreamTable.skipStats(f, conf)._1.get("seg")
+    }
+    val t0 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/y")
+    val before = t0.latestSnapshot.get.files.map(f => (f.path, segOf(f),
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f.path))))
+    assert(before.exists(_._2.isEmpty), "the NULL partition must have a file")
+    // ONE statement rewrites s1 and s3 (rows define the replaced set)
+    spark.range(20).selectExpr("id + 9000 AS id",
+      "concat('s', 1 + 2 * (id % 2)) AS seg", "-1.0 AS x")
+      .writeTo(s"$cat.d.y").overwritePartitions()
+    val t1 = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/y")
+    val after = t1.latestSnapshot.get.files
+    // untouched partitions (s0, s2, NULL) survive byte-identical
+    val untouched = before.filterNot(b => b._2.contains("s1") || b._2.contains("s3"))
+    assert(untouched.nonEmpty)
+    assert(untouched.forall { case (p, _, mtime) =>
+      after.exists(_.path == p) &&
+        java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(p)) == mtime
+    }, "untouched partitions must survive verbatim")
+    // replaced partitions' old files left the live set
+    val replaced = before.filter(b => b._2.contains("s1") || b._2.contains("s3"))
+      .map(_._1).toSet
+    assert(replaced.nonEmpty && !after.map(_.path).exists(replaced))
+    val got = spark.sql(s"SELECT coalesce(seg, '<null>') AS seg, " +
+      s"count(*) AS n, min(x) AS mn FROM $cat.d.y GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("<null>", 100L, 1.0), ("s0", 100L, 1.0),
+      ("s1", 10L, -1.0), ("s2", 100L, 1.0), ("s3", 10L, -1.0)),
+      got.mkString(", "))
+    // the NULL partition is itself dynamically replaceable: staged NULL rows
+    // swap exactly the NULL partition's files
+    spark.range(7).selectExpr("id + 9900 AS id",
+      "CAST(NULL AS STRING) AS seg", "-2.0 AS x")
+      .writeTo(s"$cat.d.y").overwritePartitions()
+    val counts = spark.sql(s"SELECT coalesce(seg, '<null>') AS seg, " +
+      s"count(*) AS n FROM $cat.d.y GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(counts.toSeq == Seq(("<null>", 7L), ("s0", 100L), ("s1", 10L),
+      ("s2", 100L), ("s3", 10L)), counts.mkString(", "))
+    // both dynamic snapshots are "overwrite" commits; time travel intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.y VERSION AS OF 0")
+      .head().getLong(0) == 500L)
+  }
+
+  test("streamed partitioned sink: single-valued files, exact pruning, overwrite works") {
+    import org.apache.spark.sql.streaming.Trigger
+    // fresh partitioned table + its own stream (never the shared registry
+    // staging — this test OVERWRITES a partition at the end)
+    val (cat, wh) = freshCatalog("psk")
+    spark.sql(s"CREATE TABLE $cat.d.sk (id BIGINT, seg STRING, x DOUBLE) " +
+      "PARTITIONED BY (seg)")
+    val dst = s"$wh/d.db/sk"
+    val srcRoot = java.nio.file.Files.createTempDirectory("psk_src_").toString
+    val src = new StreamTable(srcRoot, spark)
+    src.appendBatch(spark.range(0, 500)
+      .selectExpr("id", "concat('s', id % 5) AS seg", "CAST(id AS DOUBLE) AS x"), 0L)
+    val q = spark.readStream.format("graft").load(srcRoot)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", s"$dst/_chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t = graft.table.GraftCatalog.openPath(spark, dst)
+    assert(t.partitionKeys.contains(Seq("seg")))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = t.latestSnapshot.get.files
+    assert(files.size >= 5, s"expected ≥1 file per segment, got ${files.size}")
+    files.foreach { f =>
+      val (mins, maxs) = StreamTable.skipStats(f, conf)
+      assert(mins.get("seg").exists(maxs.get("seg").contains),
+        s"sink file not single-valued in the partition key: ${f.path}")
+      val nulls = f.nullStats.flatMap(_.get("seg")).flatMap(_.toLongOption)
+      assert(nulls.contains(0L), s"sink file lost the null-count proof: ${f.path}")
+    }
+    // partition predicate prunes file-exactly on the SINK-FED table
+    val one = spark.read.format("graft").load(dst)
+      .where(org.apache.spark.sql.functions.col("seg") === "s3")
+    val desc = scanOf(one).description()
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    val s3Files = files.count(f =>
+      StreamTable.skipStats(f, conf)._1.get("seg").contains("s3"))
+    assert(kept.toInt == s3Files && kept.toInt < total.toInt, desc)
+    assert(one.count() == 100L)
+    // a partition overwrite works on the sink-fed table (the proofs held):
+    // dynamically replace s3, every other sink file byte-identical
+    val beforeOther = files.filterNot(f =>
+      StreamTable.skipStats(f, conf)._1.get("seg").contains("s3"))
+      .map(_.path).toSet
+    spark.range(3).selectExpr("id + 8000 AS id", "'s3' AS seg", "0.0 AS x")
+      .writeTo(s"$cat.d.sk").overwritePartitions()
+    val t2 = graft.table.GraftCatalog.openPath(spark, dst)
+    val after = t2.latestSnapshot.get.files.map(_.path).toSet
+    assert(beforeOther.subsetOf(after), "non-s3 sink files must survive")
+    assert(spark.read.format("graft").load(dst)
+      .where(org.apache.spark.sql.functions.col("seg") === "s3")
+      .count() == 3L)
+    // static PARTITION overwrite also lands on the sink-fed layout
+    spark.sql(s"INSERT OVERWRITE $cat.d.sk PARTITION (seg = 's1') " +
+      "SELECT id + 8100, -1.0 FROM range(0, 4)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d.sk WHERE seg = 's1'")
+      .head().getLong(0) == 4L)
+  }
 }

@@ -971,6 +971,105 @@ class V2ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal range filter: pushed, file-skipped via scaled stats, columnar, exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = SparkEntry.queries("q_source_v2_dec_pushdown")(spark, sf)
+    val scan = scanOf(df)
+    val desc = scan.description()
+    assert(desc.contains("o_price"), desc) // the decimal predicate reached the scan
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = desc
+    assert(total.toInt == 4, desc) // one batch per price band
+    assert(kept.toInt <= 1, s"the [250,500) band must prune the other bands: $desc")
+    // the surviving file decodes columnar with the decimal predicate
+    val f = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(f.supportColumnarReads),
+      "pushed decimal filters should stay on the columnar path")
+    // exact answers vs the in-memory ground truth
+    val want = Tables.orders(spark, sf).selectExpr("o_orderkey",
+      """CAST(CONCAT(CAST(o_orderkey % 1000 AS STRING), '.',
+        |            CAST(o_custkey % 10 AS STRING)) AS DECIMAL(5,1)) AS o_price"""
+        .stripMargin)
+      .where(col("o_price") >= lit("250.0").cast("decimal(5,1)") &&
+        col("o_price") < lit("500.0").cast("decimal(5,1)"))
+      .selectExpr("o_orderkey", "CAST(o_price AS DOUBLE) AS price_d")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(df.collect().toSeq == want)
+    // a window outside every file's range prunes everything
+    val none = spark.read.format("graft").load(scanOf(df).tableRoot)
+      .where(col("o_price") >= lit("4000.0").cast("decimal(5,1)"))
+    val Files(k2, _) = scanOf(none).description()
+    assert(k2.toInt == 0, "out-of-range decimal window must prune every file")
+    assert(none.count() == 0L)
+    // the manifest's rendered stats carry parquet's SCALED stringification
+    // ("249.9"), and statUnscaled round-trips it to the exact unscaled long
+    val withStats = new StreamTable(scanOf(df).tableRoot, spark)
+      .latestSnapshot.get.files
+    assert(withStats.nonEmpty)
+    withStats.foreach { m =>
+      val mn = m.minStats.getOrElse(Map.empty[String, String])("o_price")
+      assert(mn.contains("."), s"decimal stat rendering changed: $mn")
+      assert(graft.sources.v2.DecimalPush.statUnscaled(mn, 1).isDefined,
+        s"statUnscaled must parse the stringifier's own output: $mn")
+    }
+  }
+
+  test("aggregate pushdown: MIN/MAX of a decimal answers from manifest stats") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val root = scanOf(SparkEntry.queries("q_source_v2_dec_pushdown")(spark, sf))
+      .tableRoot
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), min("o_price").as("lo"), max("o_price").as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"decimal min/max was not pushed:\n$plan")
+    val expect = Tables.orders(spark, sf).selectExpr(
+      """CAST(CONCAT(CAST(o_orderkey % 1000 AS STRING), '.',
+        |            CAST(o_custkey % 10 AS STRING)) AS DECIMAL(5,1)) AS o_price"""
+        .stripMargin)
+      .agg(count(lit(1)), min("o_price"), max("o_price")).head()
+    val got = df.head()
+    assert(got.getLong(0) == expect.getLong(0))
+    assert(got.getDecimal(1) == expect.getDecimal(1), "min(decimal)")
+    assert(got.getDecimal(2) == expect.getDecimal(2), "max(decimal)")
+  }
+
+  test("precision>18 decimal (FLBA layout): never prunes, row reader decodes, exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // DECIMAL(22,2) forces parquet's FIXED_LEN_BYTE_ARRAY layout — byte-array
+    // stats don't merge as longs, so every pushdown proof must refuse and
+    // the residual Filter alone decides truth
+    val root = java.nio.file.Files.createTempDirectory("v2_flba_").toString
+    val tbl = new StreamTable(root, spark)
+    val df = Seq("1.25", "2500000000000000000.50", "-3.75")
+      .toDF("m").selectExpr("monotonically_increasing_id() AS id",
+        "CAST(m AS DECIMAL(22,2)) AS m")
+    tbl.appendBatch(df.repartition(1), 0L)
+    tbl.appendBatch(df.selectExpr("id + 10 AS id",
+      "m + CAST(100 AS DECIMAL(22,2)) AS m").repartition(1), 1L)
+    val read = spark.read.format("graft").load(root)
+      .where(col("m") > lit("2.0").cast("decimal(22,2)"))
+    val scan = scanOf(read)
+    // unsupported decimal width: the filter must NOT be pushed at all
+    assert(!scan.description().contains("PushedFilters: [G"),
+      s"precision>18 must refuse the push: ${scan.description()}")
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = scan.description()
+    assert(total.toInt == 2 && kept.toInt == 2,
+      s"FLBA stats must never prune files: ${scan.description()}")
+    // FLBA decode is row-reader territory (columnar proof refuses)
+    val f = scan.createReaderFactory()
+    assert(!scan.planInputPartitions().forall(f.supportColumnarReads),
+      "FLBA decimals must refuse the columnar path")
+    // the residual filter still answers exactly
+    val got = read.select("m").collect().map(_.getDecimal(0).toPlainString).sorted.toSeq
+    assert(got == Seq("101.25", "2500000000000000000.50",
+      "2500000000000000100.50", "96.25").sorted,
+      s"unexpected FLBA residual answer: $got")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("aggregate pushdown: MAX of a zoned timestamp answers from manifest stats") {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val root = scanOf(SparkEntry.queries("q_source_v2_ts_pushdown")(spark, sf))
@@ -3220,5 +3319,134 @@ class V2ConnectorSpec extends AnyFunSuite {
     clTbl.appendBatch(Seq((1L, 2L, null, 7.0)).toDF("id", "ver", "name", "bal")
       .select(col("id"), col("ver"), col("name").cast("string"), col("bal")), 1L)
     assert(drain() == Seq((1L, "a", "-U"), (1L, "a", "+U")).sorted)
+  }
+
+  test("$partitions: manifest-only census, net of deletion vectors, refusal on mixed files") {
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.pc (id BIGINT, seg STRING, x DOUBLE) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.db.pc SELECT id, " +
+      "CASE WHEN id % 4 = 3 THEN NULL ELSE concat('s', id % 4) END, " +
+      "CAST(id AS DOUBLE) FROM range(0, 400)")
+    val reads0 = StreamTable.planFooterReads.get()
+    val rows = spark.sql(s"SELECT partition, file_count, record_count, " +
+      s"physical_record_count, delete_row_count, file_size_in_bytes " +
+      s"FROM $cat.db.`pc$$partitions` ORDER BY partition").collect()
+    assert(StreamTable.planFooterReads.get() == reads0,
+      "$partitions must fold from the manifest alone (zero footer opens)")
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("{null}", 100L), ("{s0}", 100L), ("{s1}", 100L), ("{s2}", 100L)),
+      rows.mkString(", "))
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(5) > 0))
+    // a small DELETE routes to a deletion vector: the census nets it while
+    // physical rows and the dv count stay visible
+    spark.sql(s"DELETE FROM $cat.db.pc WHERE id IN (4, 8, 12)") // all in s0
+    val after = spark.sql(s"SELECT partition, record_count, " +
+      s"physical_record_count, delete_row_count FROM $cat.db.`pc$$partitions` " +
+      s"WHERE partition = '{s0}'").head()
+    assert(after.getLong(1) == 97L, after.toString)
+    assert(after.getLong(2) == 100L, after.toString)
+    assert(after.getLong(3) == 3L, after.toString)
+    // an unpartitioned table refuses the door
+    spark.sql(s"CREATE TABLE $cat.db.nop (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.nop SELECT id FROM range(5)")
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.`nop$$partitions`").collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(bad).exists(_.contains("PARTITIONED BY")), bad.toString)
+  }
+
+  test("partial grouped-aggregate pushdown: one mixed file costs one file, not the table") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_pagg_").toString
+    val tbl = new StreamTable(root, spark)
+    // 4 single-valued slices (the provable layout) + ONE mixed batch
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (t, b) =>
+      tbl.appendBatch(spark.range(0, 1000)
+        .selectExpr(s"'$t' AS k", s"id + ${b * 10000} AS v").repartition(1), b.toLong)
+    }
+    tbl.appendBatch(Seq(("a", 999999L), ("e", -5L)).toDF("k", "v")
+      .repartition(1), 4L) // two groups in one file: unprovable
+    val df = spark.read.format("graft").load(root).groupBy("k")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    assert(scan.isInstanceOf[graft.sources.v2.GraftPartialAggScan],
+      s"mixed layout must take the PARTIAL push, got ${scan.getClass}")
+    val desc = scan.description()
+    assert(desc.contains("stats-served files=4") && desc.contains("scanned files=1"),
+      desc)
+    // exactly 1 static partition + 1 file partition — the 4 provable files
+    // contribute zero data bytes
+    assert(scan.toBatch.planInputPartitions().length == 2, desc)
+    // Spark's final aggregate merges the two streams exactly
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 1001L, 0L, 999999L), ("b", 1000L, 10000L, 10999L),
+      ("c", 1000L, 20000L, 20999L), ("d", 1000L, 30000L, 30999L),
+      ("e", 1L, -5L, -5L)), got.mkString(", "))
+    // a deletion vector demotes ITS file to the read set, not the push
+    tbl.deleteWhere(
+      org.apache.spark.sql.functions.col("v") === 10000L) // one dv'd row in slice b
+    val df2 = spark.read.format("graft").load(root).groupBy("k")
+      .agg(count(lit(1)).as("n")).orderBy("k")
+    val scan2 = df2.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    assert(scan2.description().contains("scanned files=2"), scan2.description())
+    val got2 = df2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == Seq(("a", 1001L), ("b", 999L), ("c", 1000L), ("d", 1000L),
+      ("e", 1L)), got2.mkString(", "))
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("CALL sys.compact(order_by): sort and zorder re-cluster file skipping") {
+    val (cat, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "zc", Map.empty)
+    // 4 interleaved batches: pre-compact every file spans the whole (x, y)
+    // space, so any box predicate keeps every file
+    for (b <- 0 until 4)
+      tbl.appendBatch(spark.range(0, 4096).selectExpr("id",
+        s"CAST((id * 37 + $b) % 64 AS DOUBLE) AS x",
+        s"CAST((id * 53 + $b * 7) % 64 AS DOUBLE) AS y").repartition(1), b.toLong)
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    def kept(cond: String): (Int, Int) = {
+      val df = spark.sql(s"SELECT id FROM $cat.db.zc WHERE $cond")
+      val Files(k, t) = scanOf(df).description()
+      (k.toInt, t.toInt)
+    }
+    val (preX, preT) = kept("x >= 0 AND x < 8")
+    assert(preX == preT, s"unsorted ingest cannot skip: $preX/$preT")
+    // zorder re-cluster through the native CALL
+    val res = spark.sql(s"CALL $cat.sys.compact(`table` => 'db.zc', " +
+      "target_file_count => 16, order_by => 'x,y', strategy => 'zorder')")
+      .head()
+    assert(res.getInt(1) >= 8 && res.getInt(1) <= 16, res.toString)
+    val (zx, zt) = kept("x >= 0 AND x < 8")
+    val (zy, _) = kept("y >= 0 AND y < 8")
+    assert(zt == res.getInt(1))
+    assert(zx * 2 < zt, s"zorder must skip on x: $zx/$zt")
+    assert(zy * 2 < zt, s"zorder must skip on y: $zy/$zt")
+    // conservation + the recorded clustering policy
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.zc").head().getLong(0)
+      == 4L * 4096L)
+    val opts = gc.tableOptions("db", "zc")
+    assert(opts.get("compact.order-by").contains("x,y") &&
+      opts.get("compact.order-strategy").contains("zorder"), opts.toString)
+    // LINEAR sort-compact: the leading column's file ranges come out
+    // disjoint — an equality keeps exactly one file's worth
+    spark.sql(s"CALL $cat.sys.compact(`table` => 'db.zc', " +
+      "target_file_count => 8, order_by => 'x')")
+    val (lx, lt) = kept("x = 13")
+    assert(lt == 8 && lx <= 2, s"linear sort must skip on x: $lx/$lt")
+    assert(gc.tableOptions("db", "zc").get("compact.order-strategy")
+      .contains("sort"))
   }
 }
