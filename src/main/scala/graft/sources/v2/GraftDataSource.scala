@@ -1732,10 +1732,26 @@ object GraftScan {
 
   /** A meta's deletion-vector positions, loaded at plan time (None → empty).
     * Cap-bounded per delete (StreamTable.dvMaxMatches) and purged by
-    * compaction, so the driver-side load is a tiny read per dv'd file. */
-  private[v2] def dvOf(f: DataFileMeta): Array[Long] =
-    if (f.dvCount.exists(_ > 0)) StreamTable.readDv(f.dvPath.get)
-    else Array.empty
+    * compaction, so the driver-side load is a tiny read per dv'd file.
+    * Backlog guard: each DELETE is capped, but NOTHING bounds how many
+    * capped deletes accumulate before maintenance — once the planned scan
+    * carries >1M suppressed positions the driver map (and every task's
+    * serialized partition) is no longer "tiny", so warn once per breach
+    * with the remedy rather than degrade silently. */
+  private[v2] def dvOf(f: DataFileMeta): Array[Long] = {
+    if (f.dvCount.exists(_ > 0)) {
+      val positions = StreamTable.readDv(f.dvPath.get)
+      val total = dvLoaded.addAndGet(positions.length.toLong)
+      if (total > DvBacklogWarn && (total - positions.length) <= DvBacklogWarn)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"deletion-vector backlog: >$DvBacklogWarn suppressed positions " +
+            "loaded at plan time this session — run CALL sys.materialize_deletes " +
+            "(or wait for auto-maintenance) to fold the vectors back into data")
+      positions
+    } else Array.empty
+  }
+  private val DvBacklogWarn = 1000000L
+  private val dvLoaded = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Rename attribute references declared → file-level in a pushed filter.
     * Only the pushable shapes (five comparisons + IN) can reach the scan. */
@@ -1912,12 +1928,18 @@ class GraftVectorReader(path: String, required: StructType,
       conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
     }
     // row-group/page pruning only for conjuncts whose columns THIS file
-    // physically carries (an absent column's values are all null — the
-    // conjunct is dropped, weaker AND pruning is always conservative)
+    // physically carries IN THE DECLARED CANONICAL LAYOUT (an absent
+    // column's values are all null — the conjunct is dropped; a WIDENED
+    // file stores the narrower physical type, so a declared-typed parquet
+    // predicate would be type-mismatched against its columns and throw —
+    // the conjunct is dropped there too; weaker AND pruning is always
+    // conservative, the residual Filter decides truth)
     val present = GraftVector.layout(path)
+    def canonical(r: String): Boolean =
+      present.get(r).flatten.exists(prim => required.find(_.name == r)
+        .exists(f => GraftVector.canonicalMatches(f.dataType, prim)))
     GraftVector.toRowGroupPredicate(
-      pushed.filter(_.references.forall(r => present.get(r).exists(_.isDefined))),
-      required)
+      pushed.filter(_.references.forall(canonical)), required)
       .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
     val hPath = new org.apache.hadoop.fs.Path(path)
     val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
@@ -2197,6 +2219,47 @@ private[v2] object FileSkip {
                 !noOverlap(a.compareTo(bd).toDouble, b.compareTo(bd).toDouble, 0.0)
               case _ => true
             }
+          // integral values compare as EXACT longs (the same signum trick):
+          // beyond 2^53 a double collapses adjacent longs, and a skip
+          // decision at the boundary would wrongly drop a file
+          case l: java.lang.Long =>
+            (mn.toLongOption, mx.toLongOption) match {
+              case (Some(a), Some(b)) => !noOverlap(
+                java.lang.Long.compare(a, l).toDouble,
+                java.lang.Long.compare(b, l).toDouble, 0.0)
+              case _ => true
+            }
+          case i: java.lang.Integer =>
+            (mn.toLongOption, mx.toLongOption) match {
+              case (Some(a), Some(b)) => !noOverlap(
+                java.lang.Long.compare(a, i.longValue()).toDouble,
+                java.lang.Long.compare(b, i.longValue()).toDouble, 0.0)
+              case _ => true
+            }
+          // float stats stringify shortest-roundtrip ("1.1" for the float
+          // 1.100000023…), and parsing that as a DOUBLE reconstructs a
+          // DIFFERENT number — near the boundary that mis-skips a file
+          // whose true max satisfies the predicate. toFloat reconstructs
+          // the exact stat; float→double widening is exact, so the compare
+          // is exact end to end.
+          case f: java.lang.Float =>
+            (mn.toFloatOption, mx.toFloatOption) match {
+              case (Some(a), Some(b)) =>
+                !noOverlap(a.toDouble, b.toDouble, f.doubleValue())
+              case _ => true
+            }
+          // a DOUBLE value may face stats rendered from either a DOUBLE
+          // file or a (type-widened) FLOAT file, and the two renderings
+          // parse differently — widen each stat to the conservative hull of
+          // both readings, so the skip stays sound whichever wrote the file
+          case d: java.lang.Double =>
+            (num(mn), num(mx)) match {
+              case (Some(a), Some(b)) =>
+                val aLo = mn.toFloatOption.map(_.toDouble).fold(a)(math.min(a, _))
+                val bHi = mx.toFloatOption.map(_.toDouble).fold(b)(math.max(b, _))
+                !noOverlap(aLo, bHi, d.doubleValue())
+              case _ => true
+            }
           case n: Number =>
             (num(mn), num(mx)) match {
               case (Some(a), Some(b)) => !noOverlap(a, b, n.doubleValue())
@@ -2344,11 +2407,48 @@ object GraftVector {
     * under the vectorized reader's own schema conversion? Strict by design:
     * any unknown shape falls back to the row reader. Also the physical-unit
     * proof the metadata MIN/MAX footer fallback requires
-    * ([[GraftScanBuilder.fileLongMinMax]]). */
+    * ([[GraftScanBuilder.fileLongMinMax]]) — widened layouts are accepted
+    * there too: an INT32 file merges exactly as a declared BIGINT's longs,
+    * and a narrower same-scale decimal's unscaled values mean the same
+    * number. */
   private[v2] def unitMatches(dt: DataType, p: PrimitiveType): Boolean =
     matches(dt, p)
 
-  private def matches(dt: DataType, p: PrimitiveType): Boolean = {
+  /** Decode proof: the canonical layout OR a safe type-widening
+    * (INT32→BIGINT, FLOAT→DOUBLE, same-scale decimal precision growth) —
+    * Spark 4's vectorized updaters decode all of these natively, so evolved
+    * tables stay columnar across a widening. */
+  private[v2] def matches(dt: DataType, p: PrimitiveType): Boolean =
+    canonicalMatches(dt, p) || widenedMatches(dt, p)
+
+  /** A file physically storing the WIDENED form of the declared type:
+    * decode is exact, but pushed parquet predicates built from the declared
+    * type would be type-mismatched against this file's columns — predicate
+    * construction must use [[canonicalMatches]], never this. */
+  private def widenedMatches(dt: DataType, p: PrimitiveType): Boolean = {
+    val ann = p.getLogicalTypeAnnotation
+    def intAnn(bits: Int) = ann match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        i.getBitWidth == bits && i.isSigned
+      case _ => false
+    }
+    (dt, p.getPrimitiveTypeName) match {
+      case (LongType, PrimitiveTypeName.INT32) => intAnn(32)
+      case (DoubleType, PrimitiveTypeName.FLOAT) => true
+      case (d: DecimalType, PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64) =>
+        ann match {
+          case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            a.getScale == d.scale && a.getPrecision < d.precision &&
+              a.getPrecision <= 18
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** The exact canonical layout of the declared type (no widening). */
+  private[v2] def canonicalMatches(dt: DataType, p: PrimitiveType): Boolean = {
     val ann = p.getLogicalTypeAnnotation
     def intAnn(bits: Int) = ann match {
       case null => true
@@ -2667,7 +2767,11 @@ class GraftPartitionReader(path: String, required: StructType,
             case "lt" => FilterApi.lt(c, x)
             case "le" => FilterApi.ltEq(c, x)
           })
-        case (PrimitiveTypeName.INT32, n: Number) =>
+        // a LONG value against a type-widened INT32 file: converts only when
+        // the value fits — intValue() would WRAP a beyond-range value and
+        // the (load-bearing) record filter would drop matching rows
+        case (PrimitiveTypeName.INT32, n: Number)
+            if n.longValue() == n.intValue().toLong =>
           val c = FilterApi.intColumn(attr); val x = java.lang.Integer.valueOf(n.intValue())
           Some(op match {
             case "eq" => FilterApi.eq(c, x)
@@ -2685,7 +2789,11 @@ class GraftPartitionReader(path: String, required: StructType,
             case "lt" => FilterApi.lt(c, x)
             case "le" => FilterApi.ltEq(c, x)
           })
-        case (PrimitiveTypeName.FLOAT, n: Number) =>
+        // a DOUBLE value against a type-widened FLOAT file: converts only
+        // when exactly float-representable — floatValue() rounds, and a
+        // rounded comparand flips strict comparisons at the boundary
+        case (PrimitiveTypeName.FLOAT, n: Number)
+            if n.floatValue().toDouble == n.doubleValue() =>
           val c = FilterApi.floatColumn(attr); val x = java.lang.Float.valueOf(n.floatValue())
           Some(op match {
             case "eq" => FilterApi.eq(c, x)

@@ -214,6 +214,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.AddColumn => c: TableChange
       case c: TableChange.DeleteColumn => c: TableChange
       case c: TableChange.RenameColumn => c: TableChange
+      case c: TableChange.UpdateColumnType => c: TableChange
     }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
@@ -221,7 +222,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         structural.contains(c))
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s) ${unsupported.mkString(", ")} " +
-        "(supported: properties, ADD/DROP/RENAME COLUMN)")
+        "(supported: properties, ADD/DROP/RENAME COLUMN, " +
+        "ALTER COLUMN TYPE widening)")
     require(!(sets.map(_._1) ++ removes).exists(
         Set("primary-key", "bucket-key", "bucket", "partition-keys",
           SchemaOption)),
@@ -341,6 +343,40 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         setOpts(s"ddl.rename.$from") = "" // retired mapping (empty = removed)
         if (fileN != to) setOpts(s"ddl.rename.$to") = fileN
         renames = renames - from ++ (if (fileN != to) Map(to -> fileN) else Map.empty)
+      case u: TableChange.UpdateColumnType =>
+        // TYPE WIDENING as pure metadata (Paimon/Iceberg's evolution):
+        // persist the widened declared type; the scan casts each file's
+        // PHYSICAL type to it per file (row reader converts, the vectorized
+        // proof accepts widened layouts natively) — no rewrite at any
+        // table size. Only provably-safe widenings: every old value maps to
+        // the same logical value, pushdown stays exact-or-conservative
+        // through the per-file physical proofs.
+        require(u.fieldNames.length == 1, "nested ALTER COLUMN is unsupported")
+        val n = u.fieldNames.head
+        require(decl.fieldNames.contains(n), s"no column '$n'")
+        require(!keyCols.contains(n),
+          s"cannot widen key column '$n' (primary/bucket/sequence key — " +
+            "layout hashing and merge ordering are pinned to the stored type)")
+        require(!opts.get("partition-keys").toSeq
+            .flatMap(_.split(",").map(_.trim))
+            .contains(renames.getOrElse(n, n)),
+          s"cannot widen partition key '$n' (partition proofs compare " +
+            "rendered stats, which must stay layout-uniform)")
+        val from = decl(decl.fieldIndex(n)).dataType
+        val to = u.newDataType()
+        import org.apache.spark.sql.types._
+        val safe = (from, to) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (f: DecimalType, t: DecimalType) =>
+            t.scale == f.scale && t.precision > f.precision
+          case _ => false
+        }
+        require(safe, s"unsafe type change $from → $to for '$n' " +
+          "(supported widenings: INT→BIGINT, FLOAT→DOUBLE, " +
+          "DECIMAL(p,s)→DECIMAL(p+k,s))")
+        decl = StructType(decl.map(f =>
+          if (f.name == n) f.copy(dataType = to) else f))
       case other => throw new IllegalArgumentException(s"unreachable: $other")
     }
     setOpts(SchemaOption) = decl.toDDL

@@ -765,6 +765,37 @@ object V2Queries {
                |ORDER BY r_regionkey, r_name""".stripMargin)
     },
 
+    // Sort-compact through the native CALL: interleaved unsorted ingest
+    // re-clustered on the 2-D z-curve — the read-side stats-skipping
+    // contract (q_source_zorder_skipping) now reachable on native tables as
+    // maintenance; the oracle pins the one thing re-clustering must never
+    // change: the view. V2ConnectorSpec pins the skip counts per dimension.
+    QDef(
+      "q_source_v2_sort_compact",
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = sortCompactTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal, c_mktsegment
+               |FROM $catName.v2db.sc_customers ORDER BY c_custkey""".stripMargin)
+    },
+
+    // TYPE WIDENING (ALTER COLUMN … TYPE): an INT id column outgrows its
+    // domain — the widening is pure metadata (no rewrite at any size), old
+    // INT32 files and new INT64 files read back as ONE BIGINT column
+    // (mixed generations stay vectorized, V2ConnectorSpec pins), and the
+    // oracle pins the merged view across the 2^31 boundary.
+    QDef(
+      "q_source_v2_widen",
+      """SELECT CAST(c_custkey AS BIGINT) AS c_key, c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 4000000000, c_acctbal FROM customer
+        |WHERE c_custkey % 5 = 0
+        |ORDER BY c_key""".stripMargin) { (s, d) =>
+      val catName = widenTable(s, d)
+      s.sql(s"""SELECT c_key, c_acctbal
+               |FROM $catName.v2db.wid_customers ORDER BY c_key""".stripMargin)
+    },
+
     // CALL sys.remove_orphan_files end to end: crash leftovers (an
     // uncommitted data file from a lost commit race, an abandoned staging
     // tree) planted beside live data, swept at grace 0 — LIVE rows must
@@ -1199,6 +1230,55 @@ object V2Queries {
       val after = cat.getTable("v2db", "mcf_region").latestSnapshot.get.files
       require(after.map(_.rowCount).sum == inRows,
         s"minor compaction conserves rows exactly: $after")
+      catName
+    })
+
+  /** customer re-clustered through `CALL sys.compact(order_by => …,
+    * strategy => 'zorder')` once per sf dir — the staging asserts the
+    * physical effects (every file's (c_custkey, c_acctbal) bounding box
+    * shrinks below the pre-compact full-range boxes; the policy lands in
+    * the table options), the oracle pins view preservation. */
+  private val stagedSortCompact = new ConcurrentHashMap[String, String]()
+  private def sortCompactTable(s: SparkSession, d: String): String =
+    stagedSortCompact.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "sc_customers", Map.empty)
+      val c = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
+      // 4 interleaved batches: every pre-compact file spans the full key and
+      // balance ranges, so neither dimension can skip
+      for (b <- 0 until 4)
+        tbl.appendBatch(c.where(col("c_custkey") % 4 === b).repartition(1), b.toLong)
+      val inRows = tbl.latestSnapshot.get.files.map(_.rowCount).sum
+      s.sql(s"CALL $catName.sys.compact(`table` => 'v2db.sc_customers', " +
+        "target_file_count => 8, order_by => 'c_custkey,c_acctbal', " +
+        "strategy => 'zorder')").collect()
+      val after = cat.getTable("v2db", "sc_customers")
+      require(after.latestSnapshot.get.files.map(_.rowCount).sum == inRows,
+        "sort-compact conserves rows exactly")
+      require(cat.tableOptions("v2db", "sc_customers")
+        .get("compact.order-strategy").contains("zorder"),
+        "the clustering policy must land in the table options")
+      catName
+    })
+
+  /** customer staged with an INT custkey then WIDENED to BIGINT and grown
+    * past the INT domain — metadata-only evolution, mixed-generation
+    * read-back. */
+  private val stagedWiden = new ConcurrentHashMap[String, String]()
+  private def widenTable(s: SparkSession, d: String): String =
+    stagedWiden.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2w_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.wid_customers
+               |(c_key INT, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.wid_customers
+               |SELECT CAST(c_custkey AS INT), c_acctbal
+               |FROM graft_v2w_customer""".stripMargin)
+      s.sql(s"ALTER TABLE $catName.v2db.wid_customers ALTER COLUMN c_key TYPE BIGINT")
+      s.sql(s"""INSERT INTO $catName.v2db.wid_customers
+               |SELECT c_custkey + 4000000000, c_acctbal
+               |FROM graft_v2w_customer WHERE c_custkey % 5 = 0""".stripMargin)
       catName
     })
 

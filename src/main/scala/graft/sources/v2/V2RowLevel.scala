@@ -255,7 +255,12 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, table: GraftV2Table,
   private val writerId = "rlo" + UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftCowWriterFactory(table.table.root, schema, writerId)
+    // PARTITIONED BY targets split replacement files per partition value
+    // (same content-derived labeling as every staged write), so COW DML
+    // output keeps the single-valued-file proofs alive
+    GraftCowWriterFactory(table.table.root, schema, writerId,
+      partPlan = table.table.partitionKeys.getOrElse(Seq.empty)
+        .map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0).toArray)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftSinkCommitMessage => m }
@@ -276,7 +281,8 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, table: GraftV2Table,
 }
 
 case class GraftCowWriterFactory(tableRoot: String, schema: StructType,
-    writerId: String) extends DataWriterFactory {
+    writerId: String, partPlan: Array[Int] = Array.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // the shared executor parquet writer (epoch 0 — batch has no epochs;
     // append-table COW output is unbucketed/unstamped maintenance data);
@@ -284,7 +290,8 @@ case class GraftCowWriterFactory(tableRoot: String, schema: StructType,
     // captureStats off: commitReplace derives the metas itself, so a
     // writer-side footer open would be thrown away
     new GraftStreamingDataWriter(tableRoot, schema, writerId, 0L, partitionId,
-      bucketPlan = None, numBuckets = 0, stamp = None, captureStats = false)
+      bucketPlan = None, numBuckets = 0, stamp = None, captureStats = false,
+      partPlan = partPlan)
 }
 
 // ---------------------------------------------------------------------------
@@ -418,7 +425,9 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftV2Table,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    GraftDeltaWriterFactory(table.table.root, rowSchema, rowIdSchema, writerId)
+    GraftDeltaWriterFactory(table.table.root, rowSchema, rowIdSchema, writerId,
+      partPlan = table.table.partitionKeys.getOrElse(Seq.empty)
+        .map(c => rowSchema.fieldNames.indexOf(c)).filter(_ >= 0).toArray)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
@@ -454,12 +463,13 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftV2Table,
 }
 
 case class GraftDeltaWriterFactory(tableRoot: String, rowSchema: StructType,
-    rowIdSchema: StructType, writerId: String)
+    rowIdSchema: StructType, writerId: String,
+    partPlan: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(tableRoot, rowSchema, rowIdSchema, writerId,
-      partitionId, taskId)
+      partitionId, taskId, partPlan)
 }
 
 /** One task's delta writer: inserts ride the shared executor parquet
@@ -467,7 +477,8 @@ case class GraftDeltaWriterFactory(tableRoot: String, rowSchema: StructType,
   * fragment sidecar at commit. `update` is delete-old + insert-new — the
   * positional-DV representation of an in-place change. */
 class GraftDeltaWriter(tableRoot: String, rowSchema: StructType,
-    rowIdSchema: StructType, writerId: String, partitionId: Int, taskId: Long)
+    rowIdSchema: StructType, writerId: String, partitionId: Int, taskId: Long,
+    partPlan: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   // row-id projection indices resolved by NAME against the id schema Spark
@@ -491,9 +502,11 @@ class GraftDeltaWriter(tableRoot: String, rowSchema: StructType,
 
   override def insert(row: InternalRow): Unit = {
     if (inserter == null)
+      // insert images split per partition value like every staged write,
+      // so delta-DML insert files keep the partition proofs alive
       inserter = new GraftStreamingDataWriter(tableRoot, rowSchema, writerId,
         0L, partitionId, bucketPlan = None, numBuckets = 0, stamp = None,
-        captureStats = false)
+        captureStats = false, partPlan = partPlan)
     inserter.write(row)
   }
 

@@ -1263,11 +1263,7 @@ class StreamTable(
         .getOrElse(col(c))
     }: _*)
     val staging = s"$root/.staging-${UUID.randomUUID()}"
-    StreamTable.withMicrosTimestamps(spark)(
-      images.write.mode("overwrite").parquet(staging))
-    val parts = listDir(Paths.get(staging)).iterator
-      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString)
-      .toSeq.sorted
+    val parts = stageDmlOutput(images, staging)
     // commitDeltaDml keys deletes by PATH; translate the file NAMES the
     // metadata column yielded (unique across dirs — required like dvDelete)
     val nameToPath = live.map(f =>
@@ -1280,6 +1276,29 @@ class StreamTable(
     }
     try Some(commitDeltaDml(deletes, parts, "UPDATE"))
     finally deleteRecursively(Paths.get(staging))
+  }
+
+  /** Stage row-level-DML output into `staging`, PARTITION-CLUSTERED when
+    * the table is PARTITIONED BY (directory-split on dropped copies, the
+    * original columns stay in the payload — exactly [[writeClustered]]'s
+    * layout rule): DML replacement/image files then stay single-valued in
+    * every partition key, so the partition proofs (exact pruning, metadata
+    * DELETE, static/dynamic overwrite, `$partitions`) survive UPDATE/MERGE/
+    * DELETE instead of refusing until the next compaction. Returns the
+    * staged parquet files (nested when partitioned). */
+  private def stageDmlOutput(df: DataFrame, staging: String): Seq[String] = {
+    val pcols = partitionKeys.getOrElse(Seq.empty).filter(df.columns.contains)
+    val pdirs = pcols.map(c => s"$PdirColPrefix$c")
+    val laid = pcols.zip(pdirs).foldLeft(df) { case (d, (c, p)) =>
+      d.withColumn(p, col(c)) }
+    StreamTable.withMicrosTimestamps(spark)(
+      (if (pdirs.isEmpty) laid.write else laid.write.partitionBy(pdirs: _*))
+        .mode("overwrite").parquet(staging))
+    val s = Files.walk(Paths.get(staging))
+    try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).map(_.toString)
+      .toVector.sorted
+    finally s.close()
   }
 
   /** Shared copy-on-write machinery for append-table row-level ops: one
@@ -1306,15 +1325,12 @@ class StreamTable(
     require(touched.size == touchedPaths0.size, // a path with no live meta
       s"cow discovery returned unknown files: ${touchedPaths0.diff(touched.map(_.path).toSet).take(3)}")
     val staging = s"$root/.staging-${UUID.randomUUID()}"
-    StreamTable.withMicrosTimestamps(spark)(
-      rewrite(readFiles(touched)).write.mode("overwrite").parquet(staging))
+    val parts = stageDmlOutput(rewrite(readFiles(touched)), staging)
     val snapId = latestSnapshot.map(_.id).getOrElse(0L)
-    val parts = listDir(Paths.get(staging)).iterator
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, k) =>
       val dest = Paths.get(dataCompact,
         s"u$snapId-${UUID.randomUUID().toString.take(8)}-$k.parquet")
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(p), dest, StandardCopyOption.ATOMIC_MOVE)
       dest.toString
     }
     deleteRecursively(Paths.get(staging))

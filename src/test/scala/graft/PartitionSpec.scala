@@ -252,6 +252,54 @@ class PartitionSpec extends AnyFunSuite {
     assert(msgs(bad).exists(_.contains("null-free")), bad.toString)
   }
 
+  test("row-level DML output is partition-clustered: proofs survive UPDATE") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def singleValued(t: graft.table.StreamTable): Unit =
+      t.latestSnapshot.get.files.foreach { f =>
+        val (mins, maxs) = StreamTable.skipStats(f, conf)
+        val nulls = f.nullStats.flatMap(_.get("seg")).flatMap(_.toLongOption)
+        assert(nulls.contains(0L) && mins.get("seg").exists(maxs.get("seg").contains) ||
+          nulls.contains(f.rowCount),
+          s"DML output must stay single-valued+null-proven in seg: ${f.path}")
+      }
+    for (mode <- Seq("cow", "dv")) {
+      val (cat, wh) = freshCatalog(s"pdml$mode")
+      spark.sql(s"CREATE TABLE $cat.d.m (id BIGINT, seg STRING, x DOUBLE) " +
+        "PARTITIONED BY (seg) " +
+        s"TBLPROPERTIES ('rowlevel.mode' = '$mode')")
+      // 3 value partitions + the NULL partition
+      spark.sql(s"INSERT INTO $cat.d.m SELECT id, " +
+        "CASE WHEN id % 4 = 3 THEN NULL ELSE concat('s', id % 4) END, 1.0 " +
+        "FROM range(0, 400)")
+      // an UPDATE touching EVERY partition (incl. NULL) — pre-round the
+      // replacement/image files mixed partitions and poisoned the proofs
+      spark.sql(s"UPDATE $cat.d.m SET x = -1.0 WHERE id % 7 = 0")
+      val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/m")
+      singleValued(t)
+      // every partition proof still works on the DML'd table:
+      // the $partitions census folds (no refusal)...
+      val census = spark.sql(s"SELECT partition, record_count FROM " +
+        s"$cat.d.`m$$partitions` ORDER BY partition").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(census == Seq(("{null}", 100L), ("{s0}", 100L), ("{s1}", 100L),
+        ("{s2}", 100L)), s"[$mode] $census")
+      // ...the dynamic overwrite still proves its replaced set...
+      spark.range(5).selectExpr("id + 900 AS id", "'s1' AS seg", "9.0 AS x")
+        .writeTo(s"$cat.d.m").overwritePartitions()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.d.m WHERE seg = 's1'")
+        .head().getLong(0) == 5L, s"[$mode]")
+      // ...and the partition-aligned DELETE stays metadata-only-eligible
+      // (it must not silently touch the NULL partition either way)
+      spark.sql(s"DELETE FROM $cat.d.m WHERE seg = 's2'")
+      val left = spark.sql(s"SELECT coalesce(seg, '<null>') AS s, count(*) " +
+        s"FROM $cat.d.m GROUP BY 1 ORDER BY 1").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(left == Seq(("<null>", 100L), ("s0", 100L), ("s1", 5L)),
+        s"[$mode] $left")
+      singleValued(graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/m"))
+    }
+  }
+
   test("CTAS with PARTITIONED BY stages partition-clustered") {
     val (cat, wh) = freshCatalog("pct")
     spark.sql(s"CREATE TABLE $cat.d.c PARTITIONED BY (seg) AS " +

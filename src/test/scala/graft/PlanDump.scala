@@ -75,7 +75,11 @@ object PlanDump {
       "q_source_v2_dv_merge" -> "Delta-based MERGE read-back: same shape — deletion-vectored files decode columnar with batch-level suppression, appended insert/update images scan normally; nothing in the plan or the decode is proportional to the table's untouched bytes.",
       "q_source_v2_pk_update" -> "PK-table SQL UPDATE read-back: the same per-bucket merge-on-read BatchScan as q_source_v2_pk_read — the update re-appended images into the LWW stream, so the read plan is unchanged; no vectors, no rewrites, and the DML streamed as level-0 changes.",
       "q_source_v2_partitioned" -> "PARTITIONED BY pruning: a partition-key equality prunes EXACTLY (files=k/N in the scan leaf) because every batch-written file is single-valued in the key — manifest-stats skipping, no directory parsing; the surviving files decode columnar.",
-      "q_source_v2_ctas" -> "Atomic CTAS result read: the published table scans exactly like any catalog table (manifest-planned files, columnar decode) — the CTAS itself staged in a hidden dir and published with one rename, so no plan ever observed a half-table.")
+      "q_source_v2_ctas" -> "Atomic CTAS result read: the published table scans exactly like any catalog table (manifest-planned files, columnar decode) — the CTAS itself staged in a hidden dir and published with one rename, so no plan ever observed a half-table.",
+      "q_source_v2_dec_pushdown" -> "DECIMAL pushdown: a money-range predicate over price-banded commits — scaled manifest stats ('249.9') skip files via exact unscaled-long comparison (1 of 4 kept), the pushed predicate prunes row groups as unscaled INT32s, the decode is columnar. The reference's own DECIMAL(5,1) measurement column, served like any other stat.",
+      "q_stream_v2_part_sink" -> "Partitioned streaming sink read-back: the sink's task writers split files per partition value, so the streamed table's partition predicate prunes file-exactly (files=k/N in the scan leaf) and decodes columnar — the continuous date-partitioned ingest path with zero post-hoc clustering debt.",
+      "q_source_v2_part_overwrite_dyn" -> "Dynamic partition overwrite read-back: the staged rows defined the replaced partitions (native distributed BatchWrite, one atomic commit), untouched partitions' files survived byte-identical — the read plans exactly like any partitioned scan; nothing in the plan betrays the two-partition backfill that produced it.",
+      "q_source_v2_partitions_meta" -> "The $partitions system table: the per-partition census folded from manifest stats alone (driver-local metadata scan, zero data bytes at any table size) — partition row counts net of deletion vectors, riding the same single-valued-file proofs exact pruning uses.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

@@ -132,7 +132,10 @@ object ScaleSmoke {
       // level-1 images; the write cost ∝ matches is pinned in DeltaDmlSpec)
       // and exact partition pruning over a PARTITIONED BY table
       "q_source_v2_dv_update",
-      "q_source_v2_partitioned")
+      "q_source_v2_partitioned",
+      // round-18 addition: money-column range scan (decimal stats skip +
+      // unscaled-int row-group pruning + vectorized decode)
+      "q_source_v2_dec_pushdown")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

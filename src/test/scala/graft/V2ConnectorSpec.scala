@@ -3358,6 +3358,106 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(msgs(bad).exists(_.contains("PARTITIONED BY")), bad.toString)
   }
 
+  test("stats skipping stays exact at float and beyond-2^53 long boundaries") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // FLOAT: the stat string is the float's shortest roundtrip ("1.1"), and
+    // parsing it as a DOUBLE reconstructs a DIFFERENT number just below the
+    // true float — a double-based compare would wrongly skip the file for
+    // `f >= 1.1f` even though its max row matches exactly
+    val froot = java.nio.file.Files.createTempDirectory("v2_fskip_").toString
+    val ft = new StreamTable(froot, spark)
+    ft.appendBatch(Seq(0.5f, 1.1f).toDF("f").repartition(1), 0L)
+    val fHit = spark.read.format("graft").load(froot)
+      .where(col("f") >= 1.1f)
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(fk, _) = scanOf(fHit).description()
+    assert(fk.toInt == 1, "the max row satisfies the predicate: must keep")
+    assert(fHit.count() == 1L)
+    // LONG: beyond 2^53 doubles collapse adjacent longs — `x > 2^53` must
+    // keep a file whose max is 2^53 + 1 (double compare sees them equal)
+    val lroot = java.nio.file.Files.createTempDirectory("v2_lskip_").toString
+    val lt = new StreamTable(lroot, spark)
+    lt.appendBatch(Seq(9007199254740993L).toDF("x").repartition(1), 0L)
+    val lHit = spark.read.format("graft").load(lroot)
+      .where(col("x") > 9007199254740992L)
+    val Files(lk, _) = scanOf(lHit).description()
+    assert(lk.toInt == 1, "2^53+1 > 2^53: must keep the file")
+    assert(lHit.collect().map(_.getLong(0)).toSeq == Seq(9007199254740993L))
+    // and the symmetric skips still fire (exactness, not blanket keeping)
+    assert(spark.read.format("graft").load(lroot)
+      .where(col("x") > 9007199254740993L).count() == 0L)
+    StreamTable.deleteTree(java.nio.file.Paths.get(froot))
+    StreamTable.deleteTree(java.nio.file.Paths.get(lroot))
+  }
+
+  test("type widening: metadata-only, mixed generations stay columnar, pushdown exact") {
+    import org.apache.spark.sql.types._
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.w (id BIGINT, i INT, f FLOAT, d DECIMAL(5,1))")
+    spark.sql(s"INSERT INTO $cat.db.w SELECT id, CAST(id AS INT), " +
+      "CAST(id AS FLOAT) / 2, CAST(id AS DECIMAL(5,1)) FROM range(0, 100)")
+    val filesBefore = gc.getTable("db", "w").latestSnapshot.get.files.map(_.path)
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN i TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN d TYPE DECIMAL(12,1)")
+    // the widening is PURE metadata: no file was rewritten
+    assert(gc.getTable("db", "w").latestSnapshot.get.files.map(_.path)
+      == filesBefore, "widening must not rewrite data")
+    val sch = spark.table(s"$cat.db.w").schema
+    assert(sch("i").dataType == LongType && sch("f").dataType == DoubleType &&
+      sch("d").dataType == DecimalType(12, 1), sch.simpleString)
+    // new rows BEYOND the old domains land in the widened physical layout
+    spark.sql(s"INSERT INTO $cat.db.w SELECT 1000, CAST(2147483657 AS BIGINT), " +
+      "CAST(1.5 AS DOUBLE), CAST('99999999999.5' AS DECIMAL(12,1))")
+    // mixed old/new generations still decode COLUMNAR (widened-layout proof)
+    val df = spark.sql(s"SELECT id, i, f, d FROM $cat.db.w")
+    val scan = scanOf(df)
+    val fac = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(fac.supportColumnarReads),
+      "widened tables must stay vectorized")
+    // exact values across generations
+    assert(df.count() == 101L)
+    val wide = spark.sql(s"SELECT i, f, d FROM $cat.db.w WHERE i > 2147483647")
+      .collect()
+    assert(wide.length == 1 && wide.head.getLong(0) == 2147483657L &&
+      wide.head.getDouble(1) == 1.5 &&
+      wide.head.getDecimal(2).toPlainString == "99999999999.5", wide.mkString)
+    // a beyond-int predicate SKIPS every old file exactly (long-exact stats
+    // compare — doubles would collapse near-2^63 boundaries)
+    val Files = "files=(\\d+)/(\\d+)".r.unanchored
+    val Files(kept, total) = scanOf(
+      spark.sql(s"SELECT i FROM $cat.db.w WHERE i > 2147483647")).description()
+    assert(total.toInt >= 2 && kept.toInt == 1,
+      s"old-generation files must skip a beyond-int window: $kept/$total")
+    // widened decimal range predicate stays exact across generations
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.w WHERE d >= 50.0")
+      .head().getLong(0) == 51L) // 50..99 + the wide row
+    // metadata MIN/MAX over the widened column answers from stats alone
+    val mm = spark.sql(s"SELECT min(i) AS lo, max(i) AS hi FROM $cat.db.w")
+    assert(!mm.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "widened min/max must stay a metadata answer")
+    assert(mm.head().getLong(0) == 0L && mm.head().getLong(1) == 2147483657L)
+    // narrowing and key columns refuse
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    val bad = intercept[Exception] { // narrowing: Spark's analyzer refuses
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN i TYPE INT")
+    }
+    assert(msgs(bad).exists(_.contains("NOT_SUPPORTED_CHANGE_COLUMN")), bad.toString)
+    val badScale = intercept[Exception] { // up-castable but scale-changing:
+      // the catalog's own proof refuses (unscaled compares would shift)
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN d TYPE DECIMAL(14,2)")
+    }
+    assert(msgs(badScale).exists(_.contains("unsafe type change")), badScale.toString)
+    spark.sql(s"CREATE TABLE $cat.db.wpk (k INT, v DOUBLE) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
+    val badPk = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.wpk ALTER COLUMN k TYPE BIGINT")
+    }
+    assert(msgs(badPk).exists(_.contains("key column")), badPk.toString)
+  }
+
   test("partial grouped-aggregate pushdown: one mixed file costs one file, not the table") {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     import spark.implicits._
