@@ -102,7 +102,22 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
         table.addedBetween(s, e)
           .filter(_.path.contains("/data/append/"))
       }
-    lastPlanned = newFiles.map(_.path)
+    // FILE skipping per micro-batch: the pushed predicate prunes delivered
+    // files through the same manifest-stats proof batch scans use — a
+    // filtered stream (one partition/tenant/time window of a 100 TB table)
+    // then pays per trigger for the files that can match, not the commit.
+    // Sound because pushdown is residual here too (Spark re-applies the
+    // exact predicate above the stream); missing stats conservatively keep.
+    val kept =
+      if (pushed.isEmpty) newFiles
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        newFiles.filter { f =>
+          val (mins, maxs) = StreamTable.skipStats(f, conf)
+          pushed.forall(FileSkip.keep(_, mins, maxs, Some(f)))
+        }
+      }
+    lastPlanned = kept.map(_.path)
     // thread each file's commit sequence through: a streaming read that
     // projects the _graft_seq metadata column must see the same values a
     // batch scan returns (the partition default of -1 would lie). The
@@ -111,8 +126,8 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
     // (incremental batches only ever carry fresh appends, which cannot be
     // dv'd yet: a DV commit re-adds existing paths, which the re-add rule
     // excludes from added evidence).
-    lastPlannedDv = newFiles.exists(_.dvCount.exists(_ > 0))
-    newFiles.map(f => GraftInputPartition(f.path, f.minSeq,
+    lastPlannedDv = kept.exists(_.dvCount.exists(_ > 0))
+    kept.map(f => GraftInputPartition(f.path, f.minSeq,
       GraftScan.dvOf(f)): InputPartition).toArray
   }
 

@@ -120,14 +120,7 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
     * Mandatory (unlike the best-effort bucket split): a mixed file would
     * poison the partition proofs, so a missing key column refuses at plan
     * time. */
-  private val partPlan: Array[Int] = table.partitionKeys match {
-    case Some(pks) =>
-      require(pks.forall(schema.fieldNames.contains),
-        s"PARTITIONED BY sink target needs every partition column in the " +
-          s"stream schema: $pks")
-      pks.map(c => schema.fieldNames.indexOf(c)).toArray
-    case None => Array.empty
-  }
+  private val partPlan: Array[Int] = GraftStreamingWrite.partPlanOf(table, schema)
 
   /** PK column indices for the writer's sorted-run verification — defined
     * iff every key column's type carries the merge comparator's ordering
@@ -200,6 +193,27 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
 }
 
 object GraftStreamingWrite {
+  /** Partition-key column indices for a task-side per-partition file split.
+    * Mandatory for PARTITIONED BY targets (a mixed file would poison the
+    * partition proofs), so a missing key column refuses at plan time —
+    * as does a BINARY partition key: its routing rendering is
+    * identity-based, which would mint one file per ROW (value-rendered
+    * types split per value; batch writes refuse binary partition columns
+    * through Spark's own partitionBy validation). */
+  private[v2] def partPlanOf(table: StreamTable, schema: StructType): Array[Int] =
+    table.partitionKeys match {
+      case Some(pks) =>
+        require(pks.forall(schema.fieldNames.contains),
+          s"PARTITIONED BY target needs every partition column in the " +
+            s"written schema: $pks")
+        val idxs = pks.map(c => schema.fieldNames.indexOf(c)).toArray
+        idxs.foreach(i => require(schema(i).dataType != BinaryType,
+          s"binary partition key '${schema(i).name}' is unsupported " +
+            "(no value-based file routing)"))
+        idxs
+      case None => Array.empty
+    }
+
   /** StructType → parquet MessageType (the safe primitive set — the same
     * alphabet the source's type bridge reads back); `stamp` appends the
     * engine's commit-sequence column (PK sink targets). */
@@ -263,9 +277,6 @@ class GraftDynOverwriteBatchWrite(table: StreamTable, schema: StructType,
   private val pks: Seq[String] = table.partitionKeys.getOrElse(
     throw new UnsupportedOperationException(
       s"$tableName: dynamic overwrite needs a PARTITIONED BY table"))
-  require(pks.forall(schema.fieldNames.contains),
-    s"$tableName: dynamic overwrite needs every partition column in the " +
-      s"written schema: $pks")
 
   private val writerId = "dynow" + UUID.randomUUID().toString.take(8)
   /** The overwrite's batch sequence, claimed at plan time (same posture as
@@ -275,7 +286,7 @@ class GraftDynOverwriteBatchWrite(table: StreamTable, schema: StructType,
     math.max(table.latestSnapshot.map(_.batchId + 1).getOrElse(0L), 0L)
 
   private val partPlan: Array[Int] =
-    pks.map(c => schema.fieldNames.indexOf(c)).toArray
+    GraftStreamingWrite.partPlanOf(table, schema)
   private val bucketPlan: Option[(Int, Boolean)] =
     table.bucketKey.flatMap { k =>
       val i = schema.fieldNames.indexOf(k)

@@ -3321,6 +3321,57 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(drain() == Seq((1L, "a", "-U"), (1L, "a", "+U")).sorted)
   }
 
+  test("streaming source file-skips on the pushed predicate per micro-batch") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("v2_sskip_").toString
+    val tbl = new StreamTable(root, spark)
+    // 4 single-valued slices (one commit each) — a filtered stream should
+    // deliver ONLY the matching slice's files, catch-up and increments alike
+    Seq("s0", "s1", "s2", "s3").zipWithIndex.foreach { case (t, b) =>
+      tbl.appendBatch(spark.range(0, 100)
+        .selectExpr("id", s"'$t' AS seg").repartition(1), b.toLong)
+    }
+    val stream = new graft.sources.v2.GraftMicroBatchStream(tbl,
+      StructType(Seq(StructField("id", LongType), StructField("seg", StringType))),
+      pushed = Array(org.apache.spark.sql.sources.EqualTo("seg", "s1")))
+    val end = tbl.latestSnapshotId.get
+    // initial catch-up: 4 live files → 1 delivered
+    val catchUp = stream.planInputPartitions(
+      graft.sources.v2.GraftOffset(-1L), graft.sources.v2.GraftOffset(end))
+    assert(catchUp.length == 1,
+      s"catch-up must skip non-matching files: got ${catchUp.length} of 4")
+    // incremental: two new commits, one matching → 1 delivered
+    tbl.appendBatch(spark.range(100, 120)
+      .selectExpr("id", "'s1' AS seg").repartition(1), 4L)
+    tbl.appendBatch(spark.range(100, 120)
+      .selectExpr("id", "'s2' AS seg").repartition(1), 5L)
+    val inc = stream.planInputPartitions(
+      graft.sources.v2.GraftOffset(end),
+      graft.sources.v2.GraftOffset(tbl.latestSnapshotId.get))
+    assert(inc.length == 1,
+      s"increments must skip non-matching commits: got ${inc.length} of 2")
+    // end to end: the drained filtered stream equals the batch answer
+    import org.apache.spark.sql.streaming.Trigger
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = spark.readStream.format("graft").load(root)
+      .where(org.apache.spark.sql.functions.col("seg") === "s1")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect()
+          .foreach(r => buf.add(java.lang.Long.valueOf(r.getLong(0)))); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2_sskip_chk_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(buf.asScala.toSeq.map(_.longValue()).sorted ==
+      ((0L until 100L) ++ (100L until 120L)).sorted,
+      s"filtered stream must deliver exactly the s1 rows, got ${buf.size}")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("$partitions: manifest-only census, net of deletion vectors, refusal on mixed files") {
     val (cat, gc) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.pc (id BIGINT, seg STRING, x DOUBLE) " +
