@@ -337,4 +337,57 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(e3.getMessage.contains("not live"), e3.getMessage)
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
+
+  test("dynamic overwrite CAS retry: untouched-partition racer survives, " +
+      "touched-partition racer is replaced (overwrite wins its partitions)") {
+    import spark.implicits._
+    import graft.table.StreamTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dynrc_").toString
+    val t = new StreamTable(root, spark, partitionKeys = Some(Seq("seg")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "seg"), 0L)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def segOf(f: graft.table.DataFileMeta): Option[String] =
+      StreamTable.skipStats(f, conf)._1.get("seg")
+    // an externally-staged replacement for partition 'a' (the dynamic
+    // BatchWrite's shape: parquet + task-captured stats, stamped rows)
+    def stageFile(rows: Seq[(Long, String)], seq: Long): StreamTable.StagedSinkFile = {
+      val dir = java.nio.file.Files.createTempDirectory("dynrc_stage_")
+      rows.toDF("id", "seg")
+        .withColumn(StreamTable.SeqColName, org.apache.spark.sql.functions.lit(seq))
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val part = java.nio.file.Files.list(dir).iterator()
+      var p: java.nio.file.Path = null
+      while (part.hasNext) {
+        val c = part.next()
+        if (c.getFileName.toString.endsWith(".parquet")) p = c
+      }
+      val target = java.nio.file.Paths.get(root,
+        s".sink-dynrc-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+      java.nio.file.Files.move(p, target)
+      StreamTable.StagedSinkFile(target.toString, None, sorted = false,
+        StreamTable.footerColumnStats(target.toString, conf))
+    }
+    // two racers land between planning and commit: one into partition 'b'
+    // (untouched — must survive the swap verbatim) and one into 'a' (the
+    // partition being replaced — the overwrite declares "a := staged rows",
+    // so last-committer-wins removes it, exactly the static-overwrite and
+    // overwriteBatch posture)
+    var injected = false
+    t.commitExternalPartitionOverwrite(
+      Seq(stageFile(Seq((10L, "a"), (11L, "a")), seq = 3L)),
+      removedOf = { live =>
+        if (!injected) {
+          injected = true
+          t.appendBatch(Seq((3L, "b")).toDF("id", "seg"), 1L)
+          t.appendBatch(Seq((4L, "a")).toDF("id", "seg"), 2L)
+        }
+        live.filter(f => segOf(f).contains("a"))
+      },
+      validateStaged = _ => (),
+      batchId = 3L)
+    assert(t.read.select("id", "seg").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((2L, "b"), (3L, "b"), (10L, "a"), (11L, "a")),
+      "untouched-partition racer must survive; touched-partition racer is replaced")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
 }
