@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked main's stdout through VERBATIM (no "[info]" prefix, no
+// stderr merge): graft.Bench's contract is ONE parseable JSON line as the
+// last stdout line, and sbt's default logger-routed output breaks that
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

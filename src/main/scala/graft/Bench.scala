@@ -132,9 +132,13 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes)
     catch { case _: Throwable => () }
 
+    // stop Spark BEFORE printing: its shutdown logging must not trail the
+    // JSON — the driver's parser reads the LAST stdout line, so the summary
+    // line is printed last, unprefixed, and flushed
+    spark.stop()
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"errors":$errJson,$env,""" +
       s""""families":${dict(families)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -588,10 +588,14 @@ class GraftV2Table(tableName: String, val table: StreamTable,
         * semantics): replace EXACTLY the partitions the staged rows land in,
         * leaving every untouched partition byte-identical. On an
         * unpartitioned table the staged rows are "the whole table" — plain
-        * atomic truncate-overwrite, Paimon's posture. */
+        * atomic truncate-overwrite, Paimon's posture (dynTruncate: Spark's
+        * OverwritePartitionsDynamicExec has no V1 fallback, so this case
+        * must ALSO build a real BatchWrite — toBatch serves it a
+        * truncate-overwrite instead of the partition-proof machinery). */
+      private var dynTruncate = false
       override def overwriteDynamicPartitions()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
-        if (table.partitionKeys.isEmpty) replace = true else dynamic = true
+        if (table.partitionKeys.isEmpty) dynTruncate = true else dynamic = true
         this
       }
       /** `INSERT OVERWRITE … PARTITION (p = v, …)` (partitionOverwriteMode
@@ -741,11 +745,13 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           // partitions' live files in one atomic commit.
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite = {
-            require(dynamic, s"$tableName: only dynamic partition overwrite " +
+            require(dynamic || dynTruncate,
+              s"$tableName: only dynamic partition overwrite " +
               "builds a native BatchWrite (append/overwrite ride the V1 bridge)")
             val stored = StructType(info.schema().map(f =>
               f.copy(name = renameMap.getOrElse(f.name, f.name))))
-            new GraftDynOverwriteBatchWrite(table, stored, tableName)
+            new GraftDynOverwriteBatchWrite(table, stored, tableName,
+              truncateAll = dynTruncate)
           }
 
           // `df.writeStream.format("graft")` / `.toTable(...)`: the native

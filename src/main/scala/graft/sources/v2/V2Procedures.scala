@@ -33,9 +33,9 @@ object V2Procedures {
   val Namespace: Array[String] = Array("sys")
 
   def names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback_to", "create_tag",
-      "delete_tag", "rescale", "remove_orphan_files", "compact_small_files",
-      "materialize_deletes")
+    Seq("compact", "expire_snapshots", "expire_partitions", "rollback_to",
+      "create_tag", "delete_tag", "rescale", "remove_orphan_files",
+      "compact_small_files", "materialize_deletes")
 
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
     def p = catalog // materialize lazily per call
@@ -108,6 +108,31 @@ object V2Procedures {
         (t, _) => {
           val (n, sid) = t.materializeDeletionVectors()
           Array[Any](n, sid)
+        }, p))
+      // age out WHOLE partitions as one metadata-only commit (Paimon's
+      // expire_partitions): `older_than` overrides the table's
+      // `partition.expiration-time`; strategy/formatter default to the
+      // `partition.expiration-strategy` / `partition.timestamp-formatter`
+      // options (update-time | values-time; see StreamTable.expirePartitions)
+      case "expire_partitions" => Some(procRaw("expire_partitions",
+        Seq(in("table", StringType),
+          in("older_than", StringType, Some("''")),
+          in("strategy", StringType, Some("''"))),
+        StructType(Seq(StructField("expired_partitions", IntegerType))),
+        (c, db, name, args) => {
+          val o = c.tableOptions(db, name)
+          def str(i: Int): String = Option(args(i))
+            .map(_.asInstanceOf[UTF8String].toString.trim).getOrElse("")
+          val horizon = Some(str(1)).filter(_.nonEmpty)
+            .orElse(o.get("partition.expiration-time"))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$name: pass older_than or set 'partition.expiration-time'"))
+          val strategy = Some(str(2)).filter(_.nonEmpty)
+            .orElse(o.get("partition.expiration-strategy"))
+            .getOrElse("update-time")
+          val fmt = o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
+          Array[Any](c.getTable(db, name).expirePartitions(
+            graft.table.GraftCatalog.parseDurationMs(horizon), strategy, fmt))
         }, p))
       case "expire_snapshots" => Some(proc("expire_snapshots",
         Seq(in("table", StringType),

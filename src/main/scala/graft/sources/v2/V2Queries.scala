@@ -578,6 +578,23 @@ object V2Queries {
                |ORDER BY partition""".stripMargin)
     },
 
+    // Partition EXPIRY (Paimon's partition.expiration-time /
+    // CALL sys.expire_partitions): whole partitions age out as ONE
+    // metadata-only commit riding the null-guarded single-valued proofs —
+    // the retention story at partition granularity, without which a
+    // date-partitioned 100 TB ingest accumulates partitions forever. The
+    // oracle pins the surviving view ≡ the in-window slice; the stager
+    // asserts the drop commit, the census, physical reclaim via snapshot
+    // retention, and the time-travel refusal past expiry.
+    QDef(
+      "q_source_v2_part_expire",
+      """SELECT c_custkey, c_acctbal AS acctbal FROM customer
+        |WHERE c_custkey % 3 = 2 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = partExpireTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal AS acctbal
+               |FROM $catName.v2db.pex_customers ORDER BY c_custkey""".stripMargin)
+    },
+
     // Static INSERT OVERWRITE ... PARTITION (the Paimon/Hive partition-load
     // idiom): exactly the named partition's files swap for the staged rows
     // in one atomic commit — single-valued files make the replacement set
@@ -1582,6 +1599,60 @@ object V2Queries {
                |PARTITIONED BY (c_mktsegment)""".stripMargin)
       s.sql(s"""INSERT INTO $catName.v2db.part_customers
                |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_v2part_customer""".stripMargin)
+      catName
+    })
+
+  /** Date-partitioned customer aged out through CALL sys.expire_partitions
+    * (values-time strategy): the two dead-past partitions drop as ONE
+    * metadata-only commit, the future partition survives verbatim; snapshot
+    * retention then physically reclaims the dropped partitions' files and
+    * time travel past the expiry refuses. The stager asserts each step. */
+  private val stagedPartExpire = new ConcurrentHashMap[String, String]()
+  private def partExpireTable(s: SparkSession, d: String): String =
+    stagedPartExpire.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2pex_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.pex_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE, dt STRING)
+               |PARTITIONED BY (dt)
+               |TBLPROPERTIES ('partition.expiration-strategy' = 'values-time',
+               |  'partition.expiration-time' = '3650 d')""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.pex_customers
+               |SELECT c_custkey, c_acctbal,
+               |  CASE WHEN c_custkey % 3 = 0 THEN '2000-01-01'
+               |       WHEN c_custkey % 3 = 1 THEN '2001-06-15'
+               |       ELSE '2099-12-31' END
+               |FROM graft_v2pex_customer""".stripMargin)
+      val cat = new GraftCatalog(s, wh)
+      val t = cat.getTable("v2db", "pex_customers")
+      val preExpiry = t.latestSnapshot.get.id
+      val n = s.sql(s"CALL $catName.sys.expire_partitions(" +
+        "`table` => 'v2db.pex_customers')").collect().head.getInt(0)
+      require(n == 2, s"expected the 2 dead-past partitions to expire, got $n")
+      // metadata-only: exactly ONE drop commit, the surviving partition's
+      // files untouched, and the census now shows only the survivor
+      require(t.latestSnapshot.get.id == preExpiry + 1,
+        "partition expiry must land as one commit")
+      val census = t.partitionsView.select("partition").collect()
+        .map(_.getString(0)).toSeq
+      require(census == Seq("{2099-12-31}"),
+        s"only the future partition survives, got $census")
+      // the pre-expiry version stays time-travelable UNTIL retention...
+      require(t.readAt(preExpiry).count() > t.read.count(),
+        "pre-expiry snapshot must still serve the dropped partitions")
+      // ...then snapshot expiry reclaims the dropped partitions' files
+      s.sql(s"CALL $catName.sys.expire_snapshots(" +
+        "`table` => 'v2db.pex_customers', retain_min => 1, retain_max => 1, " +
+        "older_than_ms => 0L)").collect()
+      val live = t.latestSnapshot.get.files.map(_.path).toSet
+      val onDisk = StreamTable.listDir(
+        java.nio.file.Paths.get(t.root, "data", "append"))
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+      require(onDisk == live,
+        s"retention must reclaim exactly the dropped partitions' files " +
+          s"(${onDisk.size} on disk vs ${live.size} live)")
+      require(scala.util.Try(t.readAt(preExpiry).collect()).isFailure,
+        "time travel past the expiry horizon must refuse")
       catName
     })
 

@@ -271,12 +271,14 @@ case class GraftSinkCommitMessage(files: Seq[StreamTable.StagedSinkFile])
   * refuses loudly — compact first; an approximate replacement set would
   * silently drop or keep foreign rows. */
 class GraftDynOverwriteBatchWrite(table: StreamTable, schema: StructType,
-    tableName: String)
+    tableName: String, truncateAll: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
-  private val pks: Seq[String] = table.partitionKeys.getOrElse(
-    throw new UnsupportedOperationException(
-      s"$tableName: dynamic overwrite needs a PARTITIONED BY table"))
+  private val pks: Seq[String] =
+    if (truncateAll) Seq.empty
+    else table.partitionKeys.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$tableName: dynamic overwrite needs a PARTITIONED BY table"))
 
   private val writerId = "dynow" + UUID.randomUUID().toString.take(8)
   /** The overwrite's batch sequence, claimed at plan time (same posture as
@@ -309,6 +311,15 @@ class GraftDynOverwriteBatchWrite(table: StreamTable, schema: StructType,
     val (empty, data) = files.partition(_.stats.rows == 0L)
     empty.foreach(f =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+    if (truncateAll) {
+      // overwritePartitions() on an UNPARTITIONED table: the staged rows
+      // are "the whole table" (Paimon's posture) — one atomic
+      // truncate-overwrite, no partition proofs involved
+      table.commitExternalPartitionOverwrite(data.toSeq,
+        removedOf = identity, validateStaged = _ => (), batchId = next,
+        truncateAll = true)
+      return
+    }
     val conf = new Configuration()
     // a file's partition tuple, per key: Some(None) = the NULL partition,
     // Some(Some(v)) = rendered value v, None = unprovable

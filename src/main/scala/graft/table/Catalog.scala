@@ -128,6 +128,17 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     * guide.md:180-184): returns number of snapshots expired. */
   def applyRetention(db: String, name: String): Int = {
     val o = tableOptions(db, name)
+    // partition expiry runs FIRST (a drop commit), so the snapshot expiry
+    // below can already start aging the pre-drop versions toward reclaim —
+    // expiry retires partitions from the current view, retention reclaims
+    // the bytes (StreamTable.expirePartitions)
+    o.get("partition.expiration-time").foreach { horizon =>
+      getTable(db, name).expirePartitions(
+        parseDurationMs(horizon),
+        strategy = o.getOrElse("partition.expiration-strategy", "update-time"),
+        timestampFormatter =
+          o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"))
+    }
     getTable(db, name).expireSnapshots(
       numRetainedMin = o.getOrElse("snapshot.num-retained.min", "1").toInt,
       numRetainedMax = o.getOrElse("snapshot.num-retained.max", "5").toInt,

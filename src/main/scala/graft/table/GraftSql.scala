@@ -357,6 +357,22 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         val n = table.expireSnapshots(args(1).toInt, args(2).toInt,
           GraftCatalog.parseDurationMs(args(3)))
         ok(s"expired $n snapshots of $t")
+      case "expire_partitions" =>
+        require(args.length <= 3,
+          "expire_partitions(table[, olderThanDuration[, strategy]])")
+        val o = catalog.tableOptions(currentDb, t)
+        val horizon = args.lift(1).filter(_.nonEmpty)
+          .orElse(o.get("partition.expiration-time"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$t: pass older_than or set 'partition.expiration-time'"))
+        val n = table.expirePartitions(
+          GraftCatalog.parseDurationMs(horizon),
+          strategy = args.lift(2).filter(_.nonEmpty)
+            .orElse(o.get("partition.expiration-strategy"))
+            .getOrElse("update-time"),
+          timestampFormatter =
+            o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"))
+        ok(s"expired $n partition(s) of $t")
       case "compact" =>
         require(args.length <= 2, "compact(table[, targetFileCount])")
         val snap = table.compact(args.lift(1).map(_.toInt).getOrElse(2))

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -677,20 +677,34 @@ class StreamTable(
     * caller's callbacks derive the replaced partitions (validateStaged sees
     * the staged metas first; removedOf runs INSIDE the commit's CAS retry
     * closure against the then-live set), and swap removed-for-staged in one
-    * atomic "overwrite" commit. Same batch-id idempotency as appendBatch —
-    * the staged rows already carry `batchId` stamps. */
+    * atomic "overwrite" commit.
+    *
+    * `truncateAll` serves `overwritePartitions()` on an UNPARTITIONED table
+    * (Paimon's posture: the staged rows are "the whole table"): a plain
+    * atomic truncate-overwrite — removedOf must then return the entire live
+    * set and no partition proof is required.
+    *
+    * Concurrency: this is a BATCH write, never a checkpoint-replayed
+    * streaming epoch — its batchId was claimed at PLAN time and the whole
+    * distributed write job runs before this commit, so a concurrent commit
+    * claiming the same (or a later) batch sequence is a genuine conflict,
+    * not a replay. Silently skipping (the streaming replaySkip posture)
+    * would report success to Spark while dropping the overwrite — data
+    * loss. The conflict check runs INSIDE the CAS retry closure, so it is
+    * re-evaluated against the freshest committed state on every retry and
+    * fails loudly; the staged files are cleaned up and the caller reruns
+    * the job under a fresh sequence. A concurrent COMPACTION never bumps
+    * the batch watermark, so maintenance racing the overwrite still rides
+    * the normal CAS retry. */
   private[graft] def commitExternalPartitionOverwrite(
       staged: Seq[StreamTable.StagedSinkFile],
       removedOf: Seq[DataFileMeta] => Seq[DataFileMeta],
       validateStaged: Seq[DataFileMeta] => Unit,
-      batchId: Long): Unit = {
-    require(partitionKeys.isDefined,
+      batchId: Long,
+      truncateAll: Boolean = false): Unit = {
+    require(truncateAll || partitionKeys.isDefined,
       s"$root is not a partitioned table (PARTITIONED BY) — " +
         "a dynamic overwrite has no exact file-level meaning")
-    if (replaySkip("commitExternalPartitionOverwrite", batchId)) {
-      staged.foreach(sf => Files.deleteIfExists(Paths.get(sf.path)))
-      return
-    }
     val now = System.currentTimeMillis()
     val moved = staged.zipWithIndex.map { case (sf, k) =>
       val dest = Paths.get(dataAppend,
@@ -707,14 +721,22 @@ class StreamTable(
         fileCols = Some(sf.stats.cols), badStats = Some(sf.stats.bad),
         nullStats = Some(sf.stats.nulls.map { case (k, v) => k -> v.toString }))
     }
-    try validateStaged(metas)
-    catch { case e: Throwable =>
+    try {
+      validateStaged(metas)
+      commit({ live =>
+        val latest = latestSnapshot.map(_.batchId).getOrElse(-1L)
+        if (latest >= batchId && batchId >= 0)
+          throw new java.util.ConcurrentModificationException(
+            s"dynamic overwrite of $root lost its batch sequence: a " +
+              s"concurrent writer committed batchId=$latest >= the " +
+              s"overwrite's claimed $batchId during the write job — " +
+              "rerun the overwrite (it will claim a fresh sequence)")
+        CommitChange(metas, removedOf(live).map(_.path).toSet, batchId)
+      }, kind = "overwrite")
+    } catch { case e: Throwable =>
       metas.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
       throw e
     }
-    commit({ live =>
-      CommitChange(metas, removedOf(live).map(_.path).toSet, batchId)
-    }, kind = "overwrite")
   }
 
   /** Metadata-only file drop (the partition-aligned DELETE / Paimon
@@ -1105,6 +1127,26 @@ class StreamTable(
           conserves = false))
   }
 
+  /** DV-backlog guard for the delta DML fast paths: both [[dvDelete]] and
+    * [[dvUpdate]] load EVERY live file's existing deletion-vector positions
+    * into a driver map and broadcast it — bounded per statement by
+    * [[StreamTable.dvMaxMatches]], but N small DMLs with auto-maintenance
+    * off make the NEXT statement's driver load O(N·cap). Above the bound
+    * the right trade flips anyway (readers pay the suppression join on
+    * everything): fall back to COW for this statement and point operators
+    * at the surgical remedy. */
+  private def dvBacklogExceeded(live: Seq[DataFileMeta]): Boolean = {
+    val backlog = live.iterator.map(_.dvCount.getOrElse(0L)).sum
+    val bound = StreamTable.dvMaxBacklog
+    val exceeded = backlog > bound
+    if (exceeded) log.warn(
+      s"$root carries $backlog accumulated deletion-vector positions " +
+        s"(> $bound): this DML falls back to copy-on-write — run " +
+        "CALL sys.materialize_deletes to purge the backlog and restore " +
+        "the DV fast path")
+    exceeded
+  }
+
   /** Deletion-vector fast path for small append-table deletes (the GDPR
     * single-row case): instead of rewriting every touched file (COW, cost ∝
     * touched BYTES), record the matching row POSITIONS in a tiny sidecar per
@@ -1121,6 +1163,7 @@ class StreamTable(
     if (cap <= 0) return None
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (live.isEmpty) return Some(0L)
+    if (dvBacklogExceeded(live)) return None
     // positions must be raw file offsets: read WITHOUT the DV suppression
     // join (readFiles would hide _metadata behind it), suppress already-
     // deleted positions explicitly, then apply the predicate
@@ -1233,6 +1276,7 @@ class StreamTable(
     if (cap <= 0) return None
     val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (live.isEmpty) return Some(0L)
+    if (dvBacklogExceeded(live)) return None
     import spark.implicits._
     // raw file offsets: read WITHOUT the DV-suppression join, then drop
     // already-deleted positions explicitly (exactly dvDelete's discipline)
@@ -2380,34 +2424,61 @@ class StreamTable(
     import spark.implicits._
     val pks = partitionKeys.getOrElse(throw new UnsupportedOperationException(
       s"$root is not a partitioned table — `$$partitions` needs PARTITIONED BY"))
-    val conf = new org.apache.hadoop.conf.Configuration()
-    def tupleOf(f: DataFileMeta): Seq[Option[String]] = {
-      val (mins, maxs) = StreamTable.skipStats(f, conf)
-      def nullCount(c: String): Option[Long] =
-        f.nullStats.flatMap(_.get(c)).flatMap(_.toLongOption)
-      pks.map { c =>
-        if (f.fileCols.exists(!_.contains(c))) None // predates the key: NULL
-        else if (nullCount(c).contains(f.rowCount)) None
-        else if (nullCount(c).contains(0L) &&
-            !f.badStats.exists(_.contains(c)) &&
-            mins.get(c).exists(maxs.get(c).contains))
-          Some(mins(c))
-        else throw new IllegalStateException(
-          s"$root: ${f.path} is not provably single-valued in partition " +
-            s"key '$c' — `$$partitions` needs partition-clustered files " +
-            "(run CALL sys.compact first)")
+    val rootStr = root
+    val head = snapshotHeaders.lastOption
+    val perFile: Dataset[(String, Long, Long, Long, Long, Long)] =
+      if (head.exists(_.manifestList.nonEmpty)) {
+        // distributed census: executors fold their manifest slices into
+        // per-file census rows (the same manifest-partition scan `$files`
+        // rides — at a million files the driver never materializes the
+        // per-file list), then ONE map-side-combined aggregation returns
+        // |partitions| rows to the driver
+        val tasks = filesScanTasks
+        spark.createDataset(tasks)
+          .repartition(math.max(1, math.min(tasks.size, 32)))
+          .flatMap { case (mpath, sup) =>
+            val supSet = sup.toSet
+            val conf = new org.apache.hadoop.conf.Configuration()
+            // same loud-failure posture as the $files scan: a manifest lost
+            // to concurrent expiry/rollback means the planned head retired
+            val delta =
+              try StreamTable.parseManifest(mpath)
+              catch {
+                case e @ (_: java.nio.file.NoSuchFileException |
+                    _: java.io.FileNotFoundException) =>
+                  throw new IllegalStateException(
+                    s"$$partitions scan lost manifest $mpath to concurrent " +
+                      "snapshot maintenance (expiry/rollback); re-run the " +
+                      "query to plan from the current head", e)
+              }
+            delta.added.filterNot(f => supSet(f.path)).map { f =>
+              (StreamTable.renderPartitionLabel(
+                  StreamTable.partitionTupleOf(f, pks, conf, rootStr)),
+                f.liveRowCount, f.rowCount, f.dvCount.getOrElse(0L),
+                f.fileSizeInBytes, f.creationTimeMs)
+            }
+          }
+      } else {
+        // legacy inline snapshot: its file list already lives in the
+        // snapshot JSON (bounded), so a driver map is the right cost
+        val conf = new org.apache.hadoop.conf.Configuration()
+        spark.createDataset(
+          head.map(hydrated(_).files).getOrElse(Seq.empty).map { f =>
+            (StreamTable.renderPartitionLabel(
+                StreamTable.partitionTupleOf(f, pks, conf, rootStr)),
+              f.liveRowCount, f.rowCount, f.dvCount.getOrElse(0L),
+              f.fileSizeInBytes, f.creationTimeMs)
+          })
       }
-    }
-    val files = latestSnapshot.map(_.files).getOrElse(Seq.empty)
-    val out = files.groupBy(tupleOf).toSeq.map { case (t, fs) =>
-      val rendered = t.map(_.getOrElse("null")).mkString("{", ", ", "}")
-      (rendered, fs.size.toLong, fs.map(_.liveRowCount).sum,
-        fs.map(_.rowCount).sum, fs.map(_.dvCount.getOrElse(0L)).sum,
-        fs.map(_.fileSizeInBytes).sum, fs.map(_.creationTimeMs).max)
-    }.sortBy(_._1)
-    spark.createDataset(out)
-      .toDF("partition", "file_count", "record_count", "physical_record_count",
-        "delete_row_count", "file_size_in_bytes", "last_update_ms")
+    perFile
+      .toDF("partition", "live_rows", "phys_rows", "dv_rows", "bytes", "created")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("file_count"),
+        sum("live_rows").as("record_count"),
+        sum("phys_rows").as("physical_record_count"),
+        sum("dv_rows").as("delete_row_count"),
+        sum("bytes").as("file_size_in_bytes"),
+        max("created").as("last_update_ms"))
       .withColumn("last_update_time", timestamp_millis(col("last_update_ms")))
       .drop("last_update_ms")
       .orderBy("partition")
@@ -2599,6 +2670,64 @@ class StreamTable(
     * increments no longer exist). Like Paimon, the caller is responsible for
     * stopping concurrent writers first: a writer mid-commit could re-observe
     * a rolled-back id. */
+  /** Partition expiry (Paimon's `partition.expiration-time` /
+    * `CALL sys.expire_partitions`): age out WHOLE partitions as ONE
+    * metadata-only commit — a date-partitioned continuous ingest otherwise
+    * accumulates partitions forever. Zero data bytes read or written at any
+    * table size: partition membership rides the same single-valued
+    * manifest-stat proofs exact pruning and partition overwrite stand on
+    * (null-count-guarded — a file mixing values with NULLs refuses loudly),
+    * and the drop is [[dropFiles]]. The dropped partitions stay
+    * time-travelable until SNAPSHOT retention reclaims their files — expiry
+    * retires them from the CURRENT view, retention reclaims bytes (the
+    * Paimon split).
+    *
+    * Strategies (Paimon's `partition.expiration-strategy`):
+    *  - `update-time`: a partition expires when its NEWEST file is older
+    *    than the horizon — right for slowly-refreshed value partitions.
+    *  - `values-time`: the FIRST partition key's value parses as a
+    *    date/datetime (`partition.timestamp-formatter`) and expires on
+    *    event time — right for date-partitioned ingest, deterministic
+    *    under replays/backfills (a late write into an old partition does
+    *    not resurrect it). Unparseable values and the NULL partition never
+    *    value-expire (Paimon's skip posture — deleting data because a
+    *    label failed to parse would be silent loss).
+    *
+    * Returns the number of partitions dropped. */
+  def expirePartitions(expireAfterMs: Long,
+      strategy: String = "update-time",
+      timestampFormatter: String = "yyyy-MM-dd"): Int = {
+    val pks = partitionKeys.getOrElse(throw new UnsupportedOperationException(
+      s"$root is not a partitioned table — partition expiry needs PARTITIONED BY"))
+    require(expireAfterMs > 0,
+      s"partition expiry needs a positive horizon, got $expireAfterMs ms")
+    require(Set("update-time", "values-time").contains(strategy),
+      s"unknown partition-expiration strategy '$strategy' " +
+        "(update-time | values-time)")
+    val live = latestSnapshot.map(_.files).getOrElse(Seq.empty)
+    if (live.isEmpty) return 0
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val byPart = live.groupBy(f =>
+      StreamTable.partitionTupleOf(f, pks, conf, root))
+    val cutoff = System.currentTimeMillis() - expireAfterMs
+    val expired = strategy match {
+      case "update-time" =>
+        byPart.filter { case (_, fs) => fs.iterator.map(_.creationTimeMs).max < cutoff }
+      case _ => // values-time (validated above)
+        byPart.filter { case (t, _) =>
+          t.head.exists(v =>
+            StreamTable.parsePartitionTimeMs(v, timestampFormatter)
+              .exists(_ < cutoff))
+        }
+    }
+    if (expired.isEmpty) return 0
+    log.info(s"expiring ${expired.size} partition(s) of $root: " +
+      expired.keys.map(StreamTable.renderPartitionLabel).toSeq.sorted
+        .take(10).mkString(", "))
+    dropFiles(expired.valuesIterator.flatten.map(_.path).toSet)
+    expired.size
+  }
+
   def rollbackTo(snapshotId: Long): Snapshot = {
     val snaps = snapshotHeaders
     val target = snaps.find(_.id == snapshotId).getOrElse(
@@ -3303,6 +3432,15 @@ object StreamTable {
   private[graft] def dvMaxMatches: Int =
     sys.props.get("graft.dv.max-matches").flatMap(_.toIntOption).getOrElse(10000)
 
+  /** Table-wide cap on ACCUMULATED deletion-vector positions before delta
+    * DML falls back to copy-on-write (`graft.dv.max-backlog`, default 64×
+    * [[dvMaxMatches]]): both the per-statement driver load and every
+    * reader's suppression join grow with the backlog, so past the bound the
+    * COW trade wins and `sys.materialize_deletes` is the remedy. */
+  private[graft] def dvMaxBacklog: Long =
+    sys.props.get("graft.dv.max-backlog").flatMap(_.toLongOption)
+      .getOrElse(64L * dvMaxMatches)
+
   private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
@@ -3607,6 +3745,68 @@ object StreamTable {
         val (_, mn, mx) = footerStats(f.path, conf)
         (mn, mx)
     }
+
+  /** The rendered label of the all-NULL partition component (Paimon's
+    * `__DEFAULT_PARTITION__` convention, under a graft-owned name): NULL
+    * renders DISTINCTLY from the literal string "null", so the `$partitions`
+    * label stays injective. */
+  private[graft] val NullPartitionLabel = "__GRAFT_NULL__"
+
+  /** A file's partition tuple, per key: None = the NULL partition (or the
+    * key post-dates the file), Some(v) = the single rendered value v.
+    * Throws when the file cannot PROVE single-valuedness (row-level-DML
+    * output that was never compacted) — an approximate census/expiry would
+    * silently misattribute rows. Executor-safe: everything rides the
+    * manifest's captured stats (footer fallback only for legacy entries). */
+  private[graft] def partitionTupleOf(f: DataFileMeta, pks: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration, root: String)
+      : Seq[Option[String]] = {
+    val (mins, maxs) = skipStats(f, conf)
+    def nullCount(c: String): Option[Long] =
+      f.nullStats.flatMap(_.get(c)).flatMap(_.toLongOption)
+    pks.map { c =>
+      if (f.fileCols.exists(!_.contains(c))) None // predates the key: NULL
+      else if (nullCount(c).contains(f.rowCount)) None
+      else if (nullCount(c).contains(0L) &&
+          !f.badStats.exists(_.contains(c)) &&
+          mins.get(c).exists(maxs.get(c).contains))
+        Some(mins(c))
+      else throw new IllegalStateException(
+        s"$root: ${f.path} is not provably single-valued in partition " +
+          s"key '$c' — `$$partitions` needs partition-clustered files " +
+          "(run CALL sys.compact first)")
+    }
+  }
+
+  /** INJECTIVE rendering of a partition tuple: NULL gets its own token
+    * ([[NullPartitionLabel]]) and rendered values backslash-escape the
+    * structural characters (and a literal value equal to the NULL token
+    * escapes its first character), so two distinct tuples can never share a
+    * label — a census/expiry filtering on the label must never match the
+    * wrong partition. */
+  private[graft] def renderPartitionLabel(t: Seq[Option[String]]): String =
+    t.map {
+      case None => NullPartitionLabel
+      case Some(v) =>
+        val esc = v.replace("\\", "\\\\").replace(",", "\\,")
+          .replace("{", "\\{").replace("}", "\\}")
+        if (esc == NullPartitionLabel) "\\" + esc else esc
+    }.mkString("{", ", ", "}")
+
+  /** Parse a rendered partition value as an event time for values-time
+    * expiry: the formatter may carry time fields (datetime) or not (date,
+    * taken at start-of-day UTC). None when the value doesn't parse —
+    * callers must treat that as "never expires", not an error. */
+  private[graft] def parsePartitionTimeMs(v: String, pattern: String)
+      : Option[Long] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
+    def dt = java.time.LocalDateTime.parse(v, fmt)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def d = java.time.LocalDate.parse(v, fmt)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    try Some(dt) catch { case _: Exception =>
+      try Some(d) catch { case _: Exception => None } }
+  }
 
   /** Rendered stats cap: a column whose min/max render longer than this
     * (huge binary/text values) is dropped from the manifest maps and marked

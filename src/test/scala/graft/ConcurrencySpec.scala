@@ -388,6 +388,44 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read.select("id", "seg").as[(Long, String)].collect().sorted.toSeq ==
       Seq((2L, "b"), (3L, "b"), (10L, "a"), (11L, "a")),
       "untouched-partition racer must survive; touched-partition racer is replaced")
+
+    // a racer that claims the overwrite's batch sequence (or a later one)
+    // during the write job is a genuine CONFLICT, not a streaming replay:
+    // the overwrite must FAIL LOUDLY (silently skipping would report
+    // success to Spark while dropping the staged rows — data loss) and
+    // clean up its staged files
+    val filesBefore = t.latestSnapshot.get.files.map(_.path).toSet
+    var injected2 = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.commitExternalPartitionOverwrite(
+        Seq(stageFile(Seq((20L, "a")), seq = 4L)),
+        removedOf = { live =>
+          if (!injected2) {
+            injected2 = true
+            // the racer claims batchId 9 >= the overwrite's 4
+            t.appendBatch(Seq((5L, "b")).toDF("id", "seg"), 9L)
+          }
+          live.filter(f => segOf(f).contains("a"))
+        },
+        validateStaged = _ => (),
+        batchId = 4L)
+    }
+    assert(e.getMessage.contains("rerun the overwrite"), e.getMessage)
+    val filesAfter = t.latestSnapshot.get.files.map(_.path).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "the conflicting overwrite must not have removed anything")
+    // the failed overwrite's rows are NOT in the table; the racer's are
+    assert(t.read.select("id", "seg").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((2L, "b"), (3L, "b"), (5L, "b"), (10L, "a"), (11L, "a")))
+    // staged files were cleaned up (no orphan dynow files beyond the live set)
+    val orphanDyn = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "data", "append")).iterator()
+    var leaked = List.empty[String]
+    while (orphanDyn.hasNext) {
+      val p = orphanDyn.next().toString
+      if (p.contains("dynow4-") && !filesAfter.contains(p)) leaked ::= p
+    }
+    assert(leaked.isEmpty, s"failed overwrite leaked staged files: $leaked")
     StreamTable.deleteTree(java.nio.file.Paths.get(root))
   }
 }

@@ -261,6 +261,39 @@ class DeltaDmlSpec extends AnyFunSuite {
       .head().getLong(0) == 0L)
   }
 
+  test("DV backlog guard: past graft.dv.max-backlog the next DML falls back to COW") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("v2_dvbk_").toString
+    val t = new StreamTable(root, spark)
+    t.appendBatch((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1), 0L)
+    sys.props("graft.dv.max-backlog") = "5"
+    try {
+      // plant a 6-position backlog through the DV fast path (under the
+      // bound at statement time: 0 then 3 accumulated positions)
+      assert(t.deleteWhere(col("id").isin(1L, 2L, 3L)) == 3L)
+      assert(t.deleteWhere(col("id").isin(4L, 5L, 6L)) == 3L)
+      val planted = t.latestSnapshot.get.files
+      assert(planted.map(_.dvCount.getOrElse(0L)).sum == 6L,
+        "the planted statements must have taken the DV route")
+      val pathsBefore = planted.map(_.path).toSet
+      // backlog (6) > bound (5): the guard fires and this DML lands as a
+      // copy-on-write rewrite — the touched file is REPLACED (vectors
+      // materialized away), not given a seventh vector position
+      assert(t.deleteWhere(col("id") === 7L) == 1L)
+      val after = t.latestSnapshot.get.files
+      assert(after.map(_.dvCount.getOrElse(0L)).sum == 0L,
+        s"COW fallback must not grow the vector backlog: $after")
+      assert(after.map(_.path).toSet.intersect(pathsBefore).isEmpty,
+        "the COW rewrite replaces the backlogged file")
+      assert(t.read.count() == 93L)
+      assert(t.read.filter(col("id") <= 7L).count() == 1L,
+        "only id=0 survives in [0,7] — prior DV deletes must not resurrect")
+    } finally sys.props.remove("graft.dv.max-backlog")
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("commitDeltaDml refuses when the touched file is no longer live") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("v2_dvg_").toString

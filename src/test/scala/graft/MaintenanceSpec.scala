@@ -278,6 +278,60 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { sh.sql("CALL sys.frobnicate('m_t')") }
   }
 
+  test("partition expiry: values-time vs update-time, NULL/unparseable protected, " +
+      "shell CALL + retention-policy doors") {
+    import graft.table.GraftCatalog
+    // direct API — values-time: only the parseable dead-past partition
+    // expires; the NULL partition and an unparseable label never
+    // value-expire (deleting data over a bad label would be silent loss)
+    val root = tmp()
+    val t = new StreamTable(root, spark, partitionKeys = Some(Seq("dt")))
+    t.appendBatch(Seq((1L, "2000-01-01"), (2L, "2099-12-31"),
+      (3L, null.asInstanceOf[String]), (4L, "not-a-date"))
+      .toDF("id", "dt"), 0L)
+    // update-time first: everything was written just now — nothing expires
+    assert(t.expirePartitions(GraftCatalog.parseDurationMs("1 h"),
+      "update-time") == 0)
+    assert(t.expirePartitions(GraftCatalog.parseDurationMs("3650 d"),
+      "values-time") == 1)
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L), "2099 / NULL / unparseable partitions survive")
+    // update-time ages by WRITE time, value-independent: with a 1 ms
+    // horizon the three survivors (incl. NULL) all age out
+    Thread.sleep(5)
+    assert(t.expirePartitions(1L, "update-time") == 3)
+    assert(t.read.count() == 0L)
+    intercept[IllegalArgumentException] { t.expirePartitions(1L, "bogus") }
+    intercept[IllegalArgumentException] { t.expirePartitions(0L) }
+    intercept[UnsupportedOperationException] {
+      new StreamTable(tmp(), spark).expirePartitions(1L)
+    }
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+
+    // shell CALL door + ALTER-able policy, and applyRetention runs the
+    // option-driven expiry as part of the table's retention policy
+    val sh = new GraftSql(spark, Files.createTempDirectory("graft_sql_pe_").toString)
+    sh.sql("CREATE TABLE pe (id BIGINT, dt STRING) WITH (" +
+      "'partition-keys' = 'dt', " +
+      "'partition.expiration-strategy' = 'values-time', " +
+      "'partition.expiration-time' = '3650 d')")
+    Seq((1L, "2000-01-01"), (2L, "2099-12-31")).toDF("id", "dt")
+      .createOrReplaceTempView("pe_src")
+    sh.sql("INSERT INTO pe SELECT id, dt FROM pe_src")
+    val msg = sh.sql("CALL sys.expire_partitions('pe')")
+      .collect().head.getString(0)
+    assert(msg.contains("expired 1 partition"), msg)
+    assert(sh.sql("SELECT id FROM pe").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    // re-insert a dead partition; the retention POLICY (applyRetention)
+    // expires it without any explicit CALL
+    sh.sql("INSERT INTO pe SELECT id, '2001-06-15' FROM pe_src")
+    assert(sh.sql("SELECT count(*) AS n FROM pe").collect().head.getLong(0) == 3L)
+    sh.catalog.applyRetention("default", "pe")
+    assert(sh.sql("SELECT id, dt FROM pe").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "2099-12-31")))
+  }
+
   test("native CALL procedures through the V2 catalog (Spark 4 ProcedureCatalog)") {
     val wh = tmp()
     val cat = s"gproc_${Integer.toHexString(wh.hashCode).take(6)}"

@@ -281,8 +281,8 @@ class PartitionSpec extends AnyFunSuite {
       val census = spark.sql(s"SELECT partition, record_count FROM " +
         s"$cat.d.`m$$partitions` ORDER BY partition").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-      assert(census == Seq(("{null}", 100L), ("{s0}", 100L), ("{s1}", 100L),
-        ("{s2}", 100L)), s"[$mode] $census")
+      assert(census == Seq(("{__GRAFT_NULL__}", 100L), ("{s0}", 100L),
+        ("{s1}", 100L), ("{s2}", 100L)), s"[$mode] $census")
       // ...the dynamic overwrite still proves its replaced set...
       spark.range(5).selectExpr("id + 900 AS id", "'s1' AS seg", "9.0 AS x")
         .writeTo(s"$cat.d.m").overwritePartitions()
@@ -428,5 +428,22 @@ class PartitionSpec extends AnyFunSuite {
       "SELECT id + 8100, -1.0 FROM range(0, 4)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.d.sk WHERE seg = 's1'")
       .head().getLong(0) == 4L)
+  }
+
+  test("overwritePartitions() on an UNPARTITIONED table = atomic truncate-overwrite " +
+      "(Paimon's posture; Spark's dynamic-overwrite exec has no V1 fallback)") {
+    val (cat, wh) = freshCatalog("pdyn0")
+    spark.sql(s"CREATE TABLE $cat.d.u (id BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.d.u SELECT id, 1.0 FROM range(0, 100)")
+    val t = graft.table.GraftCatalog.openPath(spark, s"$wh/d.db/u")
+    val snapBefore = t.latestSnapshot.get.id
+    // the staged rows are "the whole table": one atomic swap
+    spark.range(5).selectExpr("id + 500 AS id", "2.0 AS x")
+      .writeTo(s"$cat.d.u").overwritePartitions()
+    assert(spark.sql(s"SELECT count(*), min(id), max(id) FROM $cat.d.u")
+      .head().toSeq == Seq(5L, 500L, 504L))
+    // exactly one commit; the pre-overwrite snapshot stays time-travelable
+    assert(t.latestSnapshot.get.id == snapBefore + 1)
+    assert(t.readAt(snapBefore).count() == 100L)
   }
 }

@@ -3386,7 +3386,8 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(StreamTable.planFooterReads.get() == reads0,
       "$partitions must fold from the manifest alone (zero footer opens)")
     assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq ==
-      Seq(("{null}", 100L), ("{s0}", 100L), ("{s1}", 100L), ("{s2}", 100L)),
+      Seq(("{__GRAFT_NULL__}", 100L), ("{s0}", 100L), ("{s1}", 100L),
+        ("{s2}", 100L)),
       rows.mkString(", "))
     assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(5) > 0))
     // a small DELETE routes to a deletion vector: the census nets it while
@@ -3398,6 +3399,15 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(after.getLong(1) == 97L, after.toString)
     assert(after.getLong(2) == 100L, after.toString)
     assert(after.getLong(3) == 3L, after.toString)
+    // the label is INJECTIVE: the NULL partition and the literal string
+    // values "null" / "__GRAFT_NULL__" all render distinctly, and a value
+    // containing the tuple separator cannot collide with a two-key tuple
+    assert(StreamTable.renderPartitionLabel(Seq(None)) == "{__GRAFT_NULL__}")
+    assert(StreamTable.renderPartitionLabel(Seq(Some("null"))) == "{null}")
+    assert(StreamTable.renderPartitionLabel(Seq(Some("__GRAFT_NULL__"))) ==
+      "{\\__GRAFT_NULL__}")
+    assert(StreamTable.renderPartitionLabel(Seq(Some("a, b"))) !=
+      StreamTable.renderPartitionLabel(Seq(Some("a"), Some("b"))))
     // an unpartitioned table refuses the door
     spark.sql(s"CREATE TABLE $cat.db.nop (id BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.nop SELECT id FROM range(5)")
