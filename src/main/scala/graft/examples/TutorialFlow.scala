@@ -74,14 +74,31 @@ object TutorialFlow {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     println(s"changelog ops batch 2 = $ops (expect -D -> 101)")
 
-    // 4. enrichment lookup join as a streaming pipe into a third table
+    // 4. enrichment lookup join — the reference's statement VERBATIM
+    //    through the SQL shell (guide.md:119-140): FOR SYSTEM_TIME AS OF
+    //    maps to the same stream-static broadcast join, hints tolerated
     val enriched = cat.createTable("default", "measurements_enriched", Map.empty)
-    val mStream = measurements.readStream(measurements.read.schema)
-    val dim = sensorInfo.read
-    val q = enriched.writeStream(
-      mStream.join(broadcast(dim), Seq("sensor_id"), "inner"),
-      Trigger.AvailableNow())
-    q.awaitTermination()
+    val sh = new graft.table.GraftSql(spark, wh)
+    sh.sql("""INSERT INTO measurements_enriched
+             |SELECT /*+ LOOKUP(
+             |         'table'='s',
+             |         'retry-predicate'='lookup_miss',
+             |         'output-mode'='allow_unordered',
+             |         'retry-strategy'='fixed_delay',
+             |         'fixed-delay'='1s',
+             |         'max-attempts'='50'
+             |         ) */
+             |    m.sensor_id,
+             |    m.reading,
+             |    m.event_time,
+             |    s.latitude,
+             |    s.longitude,
+             |    s.generation,
+             |    s.updated_at
+             |FROM measurements AS m
+             |         JOIN sensor_info /*+ OPTIONS('lookup.async'='true', 'lookup.async-thread-number'='16') */
+             |    FOR SYSTEM_TIME AS OF m.event_time AS s
+             |              ON m.sensor_id = s.sensor_id""".stripMargin)
     // 4495, not 5000: sensor_id=0 rows never had a dimension row, and the
     // 101 decommissioned sensors (step 3b) no longer match — lookup joins see
     // the dimension AS OF processing time (guide.md:119-140); the reference's

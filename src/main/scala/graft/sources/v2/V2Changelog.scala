@@ -222,16 +222,33 @@ private[graft] object ChangelogPlanning {
       val interval = (s + 1) to e
       interval.foreach(snapAt)
 
-      // fast path (`changelog-producer`): every covered commit persisted its
-      // netted change rows at write time — the trigger reads ONLY the
-      // interval's changelog files, O(delta) instead of two full resolves
-      if (interval.forall(id => snapAt(id).clogProduced)) {
+      // fast path (`changelog-producer`): the interval (s, e] is EXACTLY
+      // covered by a chain of changelog-carrying snapshots — a write-time
+      // producer ('input') covers (id-1, id], a DEFERRED producer
+      // ('lookup'/'full-compaction') covers (clogFromId, id] with the span
+      // netted at compaction time. The trigger then reads ONLY the chain's
+      // changelog files, O(delta) instead of two full resolves. A chain
+      // that overshoots s (a deferred span reaching below the reader's
+      // progress — its files can't be sliced) falls back to the state diff,
+      // so a consumer that advanced mid-span never double-reads.
+      val chain = scala.collection.mutable.ListBuffer.empty[Long]
+      var cursor = e
+      var chainOk = true
+      while (chainOk && cursor > s) {
+        val snap = snapAt(cursor)
+        if (!snap.clogProduced) chainOk = false
+        else {
+          chain.prepend(cursor)
+          cursor = snap.clogFromId.getOrElse(cursor - 1)
+        }
+      }
+      if (chainOk && cursor == s) {
         // files ordered and commit-grouped by SNAPSHOT id — the table's
         // commit order. minSeq (the writer's batch/stamp sequence) is
         // neither monotone with snapshot order nor unique once independent
         // writers interleave (a stamped sink epoch's sequence can sort
         // before an earlier appendBatch commit, or collide with one).
-        val clog = interval.flatMap(id => snapAt(id).changelog.map(f => (f, id)))
+        val clog = chain.toSeq.flatMap(id => snapAt(id).changelog.map(f => (f, id)))
         if (clog.isEmpty) return Array.empty
         val groups: Seq[Seq[(graft.table.DataFileMeta, Long)]] =
           if (clog.forall(_._1.bucket.isDefined))
@@ -351,6 +368,10 @@ private[graft] object ChangelogPlanning {
           val fileN = nameMap.getOrElse(f, f)
           if (!prunedFile.fieldNames.contains(fileN)) None
           else {
+            require(fn != "last_non_null_value",
+              s"last_non_null_value($f) is sequence-ordered — the native " +
+                "CDC fold is order-blind; read the library changelog " +
+                "(StreamTable.changesBetween) instead")
             if (fn == "sum" || fn == "count")
               require(internal(internal.fieldIndex(fileN)).dataType == LongType ||
                   internal(internal.fieldIndex(fileN)).dataType == DoubleType,

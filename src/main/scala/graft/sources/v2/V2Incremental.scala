@@ -247,6 +247,12 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
       override def planInputPartitions(): Array[InputPartition] = {
         val snaps = t.snapshotHeaders
         val byId = snaps.map(s => s.id -> s).toMap
+        // ids whose changes ride in a LATER snapshot's DEFERRED span
+        // (mirrors StreamTable.changeHistoryView row-for-row)
+        val coveredByDeferred: Set[Long] = snaps.iterator
+          .filter(s => s.clogProduced && s.clogFromId.isDefined)
+          .flatMap(s => (s.clogFromId.get + 1) until s.id)
+          .toSet
         snaps.flatMap { s =>
           val pred = byId.get(s.id - 1)
           if (s.id == 0 && t.primaryKey.isDefined)
@@ -260,6 +266,8 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
             // expiring the predecessor must not drop history we still hold
             s.changelog.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
               .map(f => GraftPassthroughOpPartition(f.path): InputPartition)
+          else if (coveredByDeferred.contains(s.id))
+            Seq.empty // emitted at the covering deferred-producer snapshot
           else if (s.id > 0 && pred.isEmpty)
             Seq.empty // expired predecessor: non-produced delta unrecoverable
           else if (s.kind == "overwrite" && t.primaryKey.isDefined)
@@ -279,12 +287,19 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
             else if (t.primaryKey.isEmpty)
               added.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
                 .map(f => GraftConstOpPartition(f.path, "+I"): InputPartition)
+            else if (t.clogMode == "lookup" || t.clogMode == "full-compaction")
+              // the uncompacted TAIL of a deferred-producer table: serve
+              // these commits via their own single-commit interval diff
+              // (the overwrite rule) — the deferred trade's read-side price
+              ChangelogPlanning.planInterval(t, snaps, s.id - 1, s.id,
+                onlyBucket).toSeq
             else throw new UnsupportedOperationException(
               s"${outer.name()}: snapshot ${s.id} has no persisted " +
-                "changelog — change history on a primary-key table " +
-                "needs changelog-producer='input' at write time (or read " +
+                "changelog — change history on a primary-key table needs " +
+                "a changelog-producer ('input' at write time, " +
+                "'lookup'/'full-compaction' at compaction), or read " +
                 "the CDC stream, whose interval diff reconstructs state " +
-                "once per trigger instead of once per historical commit)")
+                "once per trigger instead of once per historical commit")
           }
         }.toArray
       }

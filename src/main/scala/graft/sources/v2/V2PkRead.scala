@@ -136,6 +136,13 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
       s"${table.name()}: metadata columns are undefined on an aggregation " +
         "merge view (the merged row has no single source file)")
     t.aggSpec.get.foreach { case (f, fn) =>
+      // the ORDERED function needs per-field sequence provenance the
+      // native order-blind fold cannot track — the library view
+      // (StreamTable.read) serves it; same posture as decimal sums
+      require(fn != "last_non_null_value" || !required.fieldNames.contains(f),
+        s"${table.name()}: last_non_null_value($f) is sequence-ordered and " +
+          "keeps the library view (StreamTable.read) — the native V2 fold " +
+          "is order-blind")
       if ((fn == "sum" || fn == "count") && required.fieldNames.contains(f))
         // INT/FLOAT fields already widened in the declared schema (the
         // reader folds in the accumulator type); only exotic additive
@@ -919,6 +926,12 @@ private[graft] object PkMerge {
       }
       case "min" => if (cmpAny(a, b) <= 0) a else b
       case "max" => if (cmpAny(a, b) >= 0) a else b
+      case "bool_and" => java.lang.Boolean.valueOf(
+        a.asInstanceOf[java.lang.Boolean].booleanValue() &&
+          b.asInstanceOf[java.lang.Boolean].booleanValue())
+      case "bool_or" => java.lang.Boolean.valueOf(
+        a.asInstanceOf[java.lang.Boolean].booleanValue() ||
+          b.asInstanceOf[java.lang.Boolean].booleanValue())
     }
 
   /** Per-key field-wise fold for merge-engine=aggregation: every version of

@@ -381,10 +381,12 @@ object V2Queries {
       "q_source_v2_pk_agg",
       """SELECT l_orderkey,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
-        |  max(l_extendedprice) AS max_price
+        |  max(l_extendedprice) AS max_price,
+        |  bool_and(l_quantity < 30) AS all_small,
+        |  bool_or(l_returnflag = 'R') AS any_return
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
       val catName = pkAggTable(s, d)
-      s.sql(s"""SELECT l_orderkey, qty_cents, max_price
+      s.sql(s"""SELECT l_orderkey, qty_cents, max_price, all_small, any_return
                |FROM $catName.v2db.agg_li ORDER BY l_orderkey""".stripMargin)
     },
 
@@ -1561,10 +1563,14 @@ object V2Queries {
       val tbl = cat.createTable("v2db", "agg_li",
         Map("primary-key" -> "l_orderkey", "bucket" -> "4",
           "fields.qty_cents.aggregate-function" -> "sum",
-          "fields.max_price.aggregate-function" -> "max"))
+          "fields.max_price.aggregate-function" -> "max",
+          "fields.all_small.aggregate-function" -> "bool_and",
+          "fields.any_return.aggregate-function" -> "bool_or"))
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"),
-        col("l_extendedprice").as("max_price"), col("l_partkey"))
+        col("l_extendedprice").as("max_price"),
+        (col("l_quantity") < 30).as("all_small"),
+        (col("l_returnflag") === "R").as("any_return"), col("l_partkey"))
       tbl.appendBatch(li.where(col("l_partkey") % 2 === 0)
         .drop("l_partkey"), 0L)
       tbl.appendBatch(li.where(col("l_partkey") % 2 === 1)

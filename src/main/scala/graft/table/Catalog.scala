@@ -225,10 +225,11 @@ object GraftCatalog {
       mergeEngine = o.get("merge-engine")
         .filterNot(_ == "aggregation").getOrElse("deduplicate"),
       // the reference's literal option (guide.md:69-73): 'input' (their
-      // setting) and 'lookup' both persist per-commit changelog files —
+      // setting) persists per-commit changelog files at WRITE time;
+      // 'lookup'/'full-compaction' DEFER production to compaction (cheap
+      // ingest, readers between compactions fall back to the state diff);
       // 'none' (Paimon's default) leaves the CDC reader on the state diff
-      changelogProducer = o.get("changelog-producer")
-        .exists(v => v == "input" || v == "lookup"),
+      changelogMode = o.get("changelog-producer").filter(_ != "none"),
       // PARTITIONED BY (identity): batch writes directory-split so every
       // file is single-valued in the keys — exact pruning/overwrite
       partitionKeys = o.get("partition-keys")

@@ -217,42 +217,47 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         val t = name.split("\\.").last
         registerViews()
         val table = catalog.getTable(currentDb, t)
-        var df = spark.sql(select)
-        val proct = catalog.tableOptions(currentDb, t).get("computed.proctime")
-        val decl = declaredCols(t)
-        if (decl.nonEmpty) {
-          // SQL INSERT maps by POSITION against the declared schema and
-          // casts to the declared types; a shorter row (a pre-ADD COLUMN
-          // writer, or one omitting the computed PROCTIME column) pads the
-          // evolution-added tail with typed nulls
-          val target = if (df.columns.length == decl.length) decl
-                       else decl.filterNot { case (n, _) => proct.contains(n) }
-          require(df.columns.length <= target.length,
-            s"INSERT provides ${df.columns.length} columns, $t declares ${decl.length}")
-          df = df.toDF(target.take(df.columns.length).map(_._1): _*)
-          val have = df.columns.toSet
-          df = df.select(target.map { case (n, ty) =>
-            val c = if (have.contains(n)) col(n) else lit(null)
-            sparkType(ty).map(c.cast).getOrElse(c).as(n)
-          }: _*)
+        val cleaned0 = HintRe.replaceAllIn(select, " ")
+        if (SystemTimeJoinRe.findFirstMatchIn(cleaned0).isDefined) {
+          // the reference's lookup-join enrichment statement VERBATIM
+          // (guide.md:119-140): `JOIN dim FOR SYSTEM_TIME AS OF m.event_time
+          // AS s` runs as the stream-static join the library door runs —
+          // the fact side streams (AvailableNow drains what exists), the
+          // dimension joins AS OF processing time (its current snapshot,
+          // Flink/Paimon lookup-join semantics), and the dimension side is
+          // broadcast (a lookup join IS a broadcast join — the dim never
+          // shuffles the stream). The LOOKUP retry / OPTIONS async hints
+          // are tolerated and dropped: retry-on-miss requeue semantics live
+          // in graft.streaming.LookupRetry for pipelines that need them.
+          val cleaned = cleaned0
+          val jm = SystemTimeJoinRe.findFirstMatchIn(cleaned).get
+          val (dim, dimAlias) = (jm.group(1), Option(jm.group(2)).getOrElse(jm.group(1)))
+          val fm = FromTableRe.findFirstMatchIn(cleaned).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot locate the fact table of a SYSTEM_TIME join in: $select"))
+          val (fact, factAlias) = (fm.group(1), Option(fm.group(2)).getOrElse(fm.group(1)))
+          val factT = catalog.getTable(currentDb, fact)
+          val streamView = s"${fact}__stream"
+          factT.readStream(factT.read.schema).createOrReplaceTempView(streamView)
+          val rewritten = FromTableRe.replaceFirstIn(
+            SystemTimeJoinRe.replaceFirstIn(cleaned,
+              scala.util.matching.Regex.quoteReplacement(s"JOIN $dim AS $dimAlias")),
+            scala.util.matching.Regex.quoteReplacement(s"FROM $streamView AS $factAlias"))
+            .replaceFirst("(?i)^\\s*SELECT",
+              scala.util.matching.Regex.quoteReplacement(
+                s"SELECT /*+ BROADCAST($dimAlias) */"))
+          val df = conformToDeclared(t, spark.sql(rewritten))
+          table.writeStream(df,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .awaitTermination()
+          ok(s"enrichment pipe into $t drained " +
+            s"(lookup join: $dim AS OF processing time)")
+        } else {
+          val df = conformToDeclared(t, spark.sql(select))
+          val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
+          table.appendBatch(df, nextBatch)
+          ok(s"inserted into $t (batch $nextBatch)")
         }
-        // computed PROCTIME column (guide.md:26): stamped at ingest
-        proct.foreach { c =>
-          if (!df.columns.contains(c)) df = df.withColumn(c, current_timestamp())
-        }
-        // renamed columns persist under their FILE-level name so every data
-        // file (pre- and post-rename) carries one uniform column; the read
-        // view maps it back to the declared name (Paimon's stable-field-id
-        // model)
-        catalog.tableOptions(currentDb, t).foreach { case (k, v) =>
-          if (k.startsWith("ddl.rename.") && v.nonEmpty) {
-            val n = k.stripPrefix("ddl.rename.")
-            if (n != v && df.columns.contains(n)) df = df.withColumnRenamed(n, v)
-          }
-        }
-        val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
-        table.appendBatch(df, nextBatch)
-        ok(s"inserted into $t (batch $nextBatch)")
       case CallRe(proc, rawArgs) =>
         callProcedure(proc.toLowerCase, parseCallArgs(rawArgs))
       case _ if flat.toUpperCase.startsWith("SELECT") ||
@@ -266,6 +271,47 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
+  }
+
+  /** INSERT-side conformance to the table's declared (evolved) schema:
+    * position-map + cast against `ddl.schema`, stamp the computed PROCTIME
+    * column, persist renamed columns under their file-level names. Shared
+    * by the batch INSERT and the SYSTEM_TIME streaming-enrichment doors. */
+  private def conformToDeclared(t: String, in: DataFrame): DataFrame = {
+    var df = in
+    val proct = catalog.tableOptions(currentDb, t).get("computed.proctime")
+    val decl = declaredCols(t)
+    if (decl.nonEmpty) {
+      // SQL INSERT maps by POSITION against the declared schema and
+      // casts to the declared types; a shorter row (a pre-ADD COLUMN
+      // writer, or one omitting the computed PROCTIME column) pads the
+      // evolution-added tail with typed nulls
+      val target = if (df.columns.length == decl.length) decl
+                   else decl.filterNot { case (n, _) => proct.contains(n) }
+      require(df.columns.length <= target.length,
+        s"INSERT provides ${df.columns.length} columns, $t declares ${decl.length}")
+      df = df.toDF(target.take(df.columns.length).map(_._1): _*)
+      val have = df.columns.toSet
+      df = df.select(target.map { case (n, ty) =>
+        val c = if (have.contains(n)) col(n) else lit(null)
+        sparkType(ty).map(c.cast).getOrElse(c).as(n)
+      }: _*)
+    }
+    // computed PROCTIME column (guide.md:26): stamped at ingest
+    proct.foreach { c =>
+      if (!df.columns.contains(c)) df = df.withColumn(c, current_timestamp())
+    }
+    // renamed columns persist under their FILE-level name so every data
+    // file (pre- and post-rename) carries one uniform column; the read
+    // view maps it back to the declared name (Paimon's stable-field-id
+    // model)
+    catalog.tableOptions(currentDb, t).foreach { case (k, v) =>
+      if (k.startsWith("ddl.rename.") && v.nonEmpty) {
+        val n = k.stripPrefix("ddl.rename.")
+        if (n != v && df.columns.contains(n)) df = df.withColumnRenamed(n, v)
+      }
+    }
+    df
   }
 
   /** Current database's tables as `<table>` temp views (plus `<db>_<table>`),
@@ -463,6 +509,14 @@ object GraftSql {
   private val SetConfRe = "(?i)SET '([^']+)' = '([^']+)'".r
   private val CallRe = "(?i)CALL sys\\.(\\w+)\\s*\\((.*)\\)".r
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
+  // the Flink temporal-join clause (guide.md:139): the dimension table,
+  // the AS OF expression (ignored — "AS OF processing time" is the only
+  // temporal coordinate a lookup join serves), and the dim alias
+  private val SystemTimeJoinRe =
+    ("(?i)JOIN\\s+(\\w+)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
+      "[\\w.]+(?:\\s+AS)?\\s+(\\w+)").r
+  private val FromTableRe = "(?i)FROM\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?".r
+  private val HintRe = "(?s)/\\*\\+.*?\\*/".r
   private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
   private val AlterDropColRe = "(?i)ALTER TABLE ([\\w.]+) DROP COLUMNS? (\\w+)".r
   private val AlterRenameColRe =

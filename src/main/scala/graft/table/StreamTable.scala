@@ -119,6 +119,14 @@ case class Snapshot(
       * "not produced" (pre-option history, overwrites): a CDC interval may
       * ride the changelog files only when every covered commit produced. */
     clogProduced: Boolean = false,
+    /** DEFERRED changelog coverage (`changelog-producer` = 'lookup' /
+      * 'full-compaction'): this snapshot's changelog files carry the netted
+      * changes of the whole interval `(clogFromId, id]` — produced at
+      * COMPACTION time instead of write time (cheap ingest, the reader
+      * cost moves to the uncompacted tail). None means the write-time
+      * contract: the changelog covers exactly `(id - 1, id]`. */
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    clogFromId: Option[Long] = None,
     /** The commit KIND (Paimon's snapshot commitKind): "append" |
       * "overwrite" | "compact" | "replace" (COW row-level DML). The
       * changelog interval walk classifies on it — a compaction's removed
@@ -240,11 +248,39 @@ class StreamTable(
       * IN the files (the split rides on dropped COPIES of the columns), so
       * readers never reconstruct them from directory names. Compaction
       * rewrites keep the clustering. */
-    val partitionKeys: Option[Seq[String]] = None) {
+    val partitionKeys: Option[Seq[String]] = None,
+    /** The `changelog-producer` MODE, Paimon's full alphabet. 'input'
+      * (≡ `changelogProducer = true`) persists the netted changelog at
+      * WRITE time — lowest read latency, the writer pays a touched-bucket
+      * resolve per commit. 'lookup' and 'full-compaction' DEFER production
+      * to compaction: writes stay raw appends (highest ingest throughput),
+      * the compaction stages one netted changelog covering every commit
+      * since the last covered snapshot (`Snapshot.clogFromId`), and CDC
+      * readers between compactions fall back to the state diff — the
+      * latency/throughput trade Paimon's producer alphabet exists to
+      * offer. (The two deferred names are accepted as synonyms: with one
+      * maintenance pipeline both produce at the same points; Paimon's
+      * distinction — lookup produces on EVERY commit via point lookups —
+      * is the 'input'-like end of the same dial.) 'none' leaves CDC on
+      * the state diff entirely. */
+    val changelogMode: Option[String] = None) {
 
   import StreamTable._
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[StreamTable])
+
+  /** Effective changelog-producer mode (none | input | lookup |
+    * full-compaction) — `changelogProducer = true` is 'input'. */
+  private[graft] val clogMode: String =
+    changelogMode.getOrElse(if (changelogProducer) "input" else "none")
+  require(Set("none", "input", "lookup", "full-compaction").contains(clogMode),
+    s"unknown changelog-producer '$clogMode' " +
+      "(none | input | lookup | full-compaction)")
+  /** Write-time production ('input'). */
+  private def clogAtWrite: Boolean = clogMode == "input"
+  /** Compaction-time production ('lookup' / 'full-compaction'). */
+  private def clogAtCompact: Boolean =
+    clogMode == "lookup" || clogMode == "full-compaction"
 
   require(Set("deduplicate", "first-row", "partial-update").contains(mergeEngine),
     s"unknown merge-engine '$mergeEngine' " +
@@ -255,13 +291,32 @@ class StreamTable(
     s"merge-engine=$mergeEngine requires a primary key")
   require(aggSpec.isEmpty || primaryKey.nonEmpty,
     "merge-engine=aggregation requires a primary key")
-  require(!changelogProducer || primaryKey.nonEmpty,
+  require(clogMode == "none" || primaryKey.nonEmpty,
     "changelog-producer requires a primary-key table " +
       "(an append table's changelog IS its append stream)")
+  // Paimon's DYNAMIC bucket mode (`bucket = -1`): an auto-scaling key→bucket
+  // index maintained by the writer. Deliberately refused rather than
+  // half-built — a mixed-generation index would split a key's versions
+  // across buckets and silently break the per-bucket merge; the supported
+  // path is a fixed count + offline `CALL sys.rescale` when the layout
+  // outgrows it (the same rewrite dynamic mode would do, made explicit).
+  require(numBuckets > 0,
+    s"bucket = $numBuckets is not supported: dynamic bucket mode " +
+      "(Paimon's bucket = -1) is deliberately not implemented — create " +
+      "with a fixed bucket count and rescale offline via CALL " +
+      "sys.rescale(table, n)")
   aggSpec.foreach(_.foreach { case (f, fn) =>
-    require(Set("sum", "min", "max", "count").contains(fn),
+    require(Set("sum", "min", "max", "count", "bool_and", "bool_or",
+      "last_non_null_value").contains(fn),
       s"unsupported aggregate-function '$fn' for field '$f' " +
-        "(order-insensitive only: sum/min/max/count)")
+        "(order-insensitive: sum/min/max/count/bool_and/bool_or; " +
+        "ordered: last_non_null_value under a sequence.field)")
+    // last_non_null_value is ORDERED: without an explicit sequence group
+    // (Paimon's requirement too), "last" would mean commit order alone and
+    // two same-commit writers would tie arbitrarily — refuse loudly
+    require(fn != "last_non_null_value" || seqCol.isDefined,
+      s"last_non_null_value($f) needs an explicit 'sequence.field' " +
+        "(the sequence group that defines \"last\")")
   })
 
   /** The effective engine: aggSpec implies aggregation. */
@@ -464,6 +519,7 @@ class StreamTable(
       writer: Option[(String, Long)] = None,
       changelog: Seq[DataFileMeta] = Seq.empty,
       produced: Boolean = false,
+      clogFrom: Option[Long] = None,
       kind: String = "append"): Snapshot = {
     var attempt = 0
     while (true) {
@@ -480,8 +536,8 @@ class StreamTable(
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
         System.currentTimeMillis(), ch.batchId, files,
         writer = writer.map(_._1), writerEpoch = writer.map(_._2),
-        changelog = changelog, clogProduced = produced, kind = kind,
-        manifestList = list, deltaManifest = deltaName)
+        changelog = changelog, clogProduced = produced, clogFromId = clogFrom,
+        kind = kind, manifestList = list, deltaManifest = deltaName)
       // the snapshot JSON persists files = [] — the live set is the
       // manifest-list fold, so commit metadata stays O(this commit's delta).
       // The publish itself is the pluggable CAS primitive (POSIX link by
@@ -571,11 +627,11 @@ class StreamTable(
     // the initial catch-up (s = -1) resolves the live state directly) —
     // producing it would be a full-table write nobody ever reads.
     val clog =
-      if (changelogProducer && metas.nonEmpty && latestSnapshot.isDefined)
+      if (clogAtWrite && metas.nonEmpty && latestSnapshot.isDefined)
         stageChangelog(metas, batchId)
       else Seq.empty
     commit(_ => CommitChange(metas, Set.empty, batchId),
-      changelog = clog, produced = changelogProducer)
+      changelog = clog, produced = clogAtWrite)
   }
 
   /** Persist this commit's netted change rows (`changelog-producer`,
@@ -607,9 +663,19 @@ class StreamTable(
         resolveView(readFiles(newMetas), pk, keepSeq = false)
           .withColumn("op", lit("+I"))
       else fusedChangelog(prevKept, newMetas, pk)
+    persistChangelog(ops, batchId, s"cl$batchId")
+  }
+
+  /** Stage a netted-ops frame (`op` column + images) as level-0 changelog
+    * files under `data/changelog/` — co-located with their key's bucket via
+    * [[writeClustered]]'s content-derived labeling so the CDC reader keeps
+    * the per-bucket plan. Shared by the write-time producer
+    * ([[stageChangelog]]) and the deferred (compaction-time) producer. */
+  private def persistChangelog(ops: DataFrame, batchId: Long,
+      prefix: String): Seq[DataFileMeta] = {
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     val moved = writeClustered(ops, sortKey = None, staging, dataChangelog,
-      s"cl$batchId")
+      prefix)
     val (metas, empties) = fileMetas(spark, moved.map(_._1), level = 0,
       minSeq = batchId, maxSeq = batchId)
       .zip(moved).map { case (m, (_, k)) =>
@@ -998,7 +1064,7 @@ class StreamTable(
     // stamped sequences the resolve reads). The table's first snapshot
     // skips, same as appendBatch: its changelog is unreachable.
     val clog =
-      if (changelogProducer && stampedSeq.isDefined && latestSnapshot.isDefined)
+      if (clogAtWrite && stampedSeq.isDefined && latestSnapshot.isDefined)
         stageChangelog(metas0.map(m =>
           m.copy(minSeq = stampedSeq.get, maxSeq = stampedSeq.get)), stampedSeq.get)
       else Seq.empty
@@ -1008,7 +1074,7 @@ class StreamTable(
       val seq = stampedSeq.getOrElse(b)
       CommitChange(metas0.map(_.copy(minSeq = seq, maxSeq = seq)), Set.empty, b)
     }, writer = Some((writerId, epochId)),
-      changelog = clog, produced = changelogProducer && stampedSeq.isDefined)
+      changelog = clog, produced = clogAtWrite && stampedSeq.isDefined)
     // best-effort high-water (replay evidence beyond retention); REPLACE is
     // fine — it is monotonic and secondary to the snapshot evidence
     val dir = Paths.get(root, "_writers")
@@ -1798,17 +1864,41 @@ class StreamTable(
     * the declared per-field function. `count` on a field means "sum the
     * partial counts" (incoming rows carry 1, compacted rows carry their
     * merged count) — that re-merge closure is why only associative+
-    * commutative functions are allowed. */
+    * commutative functions are allowed. `bool_and`/`bool_or` fold like
+    * min/max (idempotent, order-insensitive). `last_non_null_value` is the
+    * one ORDERED function in the alphabet: it races on the declared
+    * sequence field (required at construction) with the same persisted
+    * per-field `__graft_fseq_<f>` provenance as partial-update — a
+    * compacted row's field keeps the sequence that actually set it, so an
+    * out-of-order arrival after compaction still loses to the true winner
+    * (re-merge closure holds). */
   private def aggResolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
     val spec = aggSpec.get
-    val aggs = spec.map { case (f, fn) =>
-      (fn match {
-        case "sum" | "count" => sum(col(f))
-        case "min"           => min(col(f))
-        case "max"           => max(col(f))
-      }).as(f)
+    val baseOrd = struct(
+      seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
+      col(SeqColName).cast("long").as("s2"))
+    def eff(f: String): org.apache.spark.sql.Column = {
+      val persisted =
+        if (raw.columns.contains(FieldSeqPrefix + f)) col(FieldSeqPrefix + f)
+        else lit(null).cast("struct<s1:bigint,s2:bigint>")
+      when(persisted.isNotNull, persisted)
+        .when(col(f).isNotNull, baseOrd)
+    }
+    val aggs = spec.flatMap { case (f, fn) =>
+      fn match {
+        case "sum" | "count" => Seq(sum(col(f)).as(f))
+        case "min"           => Seq(min(col(f)).as(f))
+        case "max"           => Seq(max(col(f)).as(f))
+        case "bool_and"      => Seq(bool_and(col(f)).as(f))
+        case "bool_or"       => Seq(bool_or(col(f)).as(f))
+        case "last_non_null_value" =>
+          val win = max(when(eff(f).isNotNull, struct(eff(f).as("s"), col(f).as("v"))))
+          Seq(win.getField("v").as(f), win.getField("s").as(FieldSeqPrefix + f))
+      }
     } ++ (if (keepSeq) Seq(max(col(SeqColName)).as(SeqColName)) else Nil)
-    raw.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = raw.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (keepSeq) merged
+    else merged.drop(merged.columns.filter(_.startsWith(FieldSeqPrefix)): _*)
   }
 
   /** First-writer-wins (merge-engine=first-row): the mirror image of
@@ -2081,14 +2171,34 @@ class StreamTable(
     val (staged: DataFrame, imgFields: Seq[String]) = engine match {
       case "aggregation" =>
         val spec = aggSpec.get
-        def fold(fn: String, c: org.apache.spark.sql.Column) = fn match {
-          case "sum" | "count" => sum(c)
-          case "min"           => min(c)
-          case "max"           => max(c)
+        val baseOrd = struct(
+          seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
+          col(SeqColName).cast("long").as("s2"))
+        def eff(f: String): org.apache.spark.sql.Column = {
+          val persisted =
+            if (all.columns.contains(FieldSeqPrefix + f)) col(FieldSeqPrefix + f)
+            else lit(null).cast("struct<s1:bigint,s2:bigint>")
+          when(persisted.isNotNull, persisted)
+            .when(col(f).isNotNull, baseOrd)
+        }
+        def fold(fn: String, f: String, gate: org.apache.spark.sql.Column) = {
+          val c = when(gate, col(f))
+          fn match {
+            case "sum" | "count" => sum(c)
+            case "min"           => min(c)
+            case "max"           => max(c)
+            case "bool_and"      => bool_and(c)
+            case "bool_or"       => bool_or(c)
+            // the ordered function races on its persisted provenance, like
+            // the read-side merge (aggResolve)
+            case "last_non_null_value" =>
+              max(when(gate && eff(f).isNotNull,
+                struct(eff(f).as("s"), col(f).as("v")))).getField("v")
+          }
         }
         val aggs = spec.flatMap { case (f, fn) =>
-          Seq(fold(fn, col(f)).as(s"__nw_$f"),
-            fold(fn, when(!isNew, col(f))).as(s"__ow_$f"))
+          Seq(fold(fn, f, lit(true)).as(s"__nw_$f"),
+            fold(fn, f, !isNew).as(s"__ow_$f"))
         } ++ Seq(count(when(!isNew, lit(1))).as("__nold"), max(isNew).as("__t"))
         (all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .select(pk.map(col) ++ Seq(
@@ -2622,6 +2732,13 @@ class StreamTable(
     val heads = snapshotHeaders
     val byId = heads.map(s => s.id -> s).toMap
     val empty = read.limit(0).withColumn("rowkind", lit(""))
+    // ids whose changes ride in a LATER snapshot's DEFERRED span
+    // ('lookup'/'full-compaction' producers): they emit at the covering
+    // snapshot's position, once, as the span's netted ops
+    val coveredByDeferred: Set[Long] = heads.iterator
+      .filter(s => s.clogProduced && s.clogFromId.isDefined)
+      .flatMap(s => (s.clogFromId.get + 1) until s.id)
+      .toSet
     val parts: Seq[DataFrame] = heads.flatMap { s =>
       val pred = byId.get(s.id - 1)
       if (s.id == 0 && primaryKey.isDefined)
@@ -2633,6 +2750,8 @@ class StreamTable(
         if (s.changelog.isEmpty) None
         else Some(spark.read.parquet(s.changelog.map(_.path): _*)
           .withColumnRenamed("op", "rowkind"))
+      else if (coveredByDeferred.contains(s.id))
+        None // emitted at the covering deferred-producer snapshot
       else if (s.id > 0 && pred.isEmpty)
         None // expired predecessor: non-produced delta unrecoverable
       else if (s.kind == "overwrite" && primaryKey.isDefined)
@@ -2649,10 +2768,18 @@ class StreamTable(
         if (added.isEmpty) None // maintenance-only commit
         else if (primaryKey.isEmpty)
           Some(readFiles(added).drop(SeqColName).withColumn("rowkind", lit("+I")))
+        else if (clogAtCompact)
+          // the uncompacted TAIL of a deferred-producer table: its span
+          // changelog hasn't been produced yet, so serve these commits via
+          // their own single-commit interval diff (the overwrite rule) —
+          // the read-side price the deferred trade defers to
+          Some(changelogWithRetractions(s.id - 1, s.id)
+            .withColumnRenamed("op", "rowkind"))
         else throw new UnsupportedOperationException(
           s"$root$$changelog: snapshot ${s.id} has no persisted changelog — " +
-            "change history on a primary-key table needs " +
-            "changelog-producer='input' at write time (or read the CDC stream)")
+            "change history on a primary-key table needs a " +
+            "changelog-producer ('input' at write time, " +
+            "'lookup'/'full-compaction' at compaction) or the CDC stream")
       }
     }
     val all = parts.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
@@ -2982,7 +3109,7 @@ class StreamTable(
         s"(e.g. ${gone.take(2).mkString(", ")})")
       CommitChange(metas, compactedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
-    }, produced = changelogProducer, kind = "compact"))
+    }, produced = clogAtWrite, kind = "compact"))
   }
 
   /** Buckets whose last PK-scan planning degraded to the HASH merge at a
@@ -3100,15 +3227,50 @@ class StreamTable(
     // its rows on top of that job's would silently duplicate them, so fail
     // loudly instead (the safe contract is one maintenance job at a time;
     // concurrent APPENDS remain fine).
+    // DEFERRED changelog production ('lookup' / 'full-compaction'): this
+    // compaction also stages ONE netted changelog covering every commit
+    // since the last covered snapshot — the write path stayed raw appends,
+    // so the span's retractions are computed here, once, from the two
+    // endpoint states (the deferred price; O(span delta) evidence +
+    // touched-key resolves, not a per-commit walk)
+    val (deferredClog, deferredFrom) =
+      if (clogAtCompact && primaryKey.isDefined) {
+        val heads = snapshotHeaders
+        val headId = heads.last.id
+        val from = heads.reverse.find(_.clogProduced).map(_.id)
+          .getOrElse(heads.head.id)
+        if (from >= headId) (Seq.empty[DataFileMeta], Some(from))
+        else {
+          val ops = changelogWithRetractions(from, headId)
+          (persistChangelog(ops, latestSnapshot.map(_.batchId).getOrElse(0L),
+            s"dcl$headId"), Some(from))
+        }
+      } else (Seq.empty[DataFileMeta], None)
     commit({ live =>
       val gone = compactedPaths -- live.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this compaction (e.g. ${gone.take(2).mkString(", ")})")
+      // the deferred changelog's coverage claim (clogFromId, thisId] is
+      // computed against the pre-compaction head: a WRITE landing during
+      // the compaction would fall inside the claimed span without its
+      // changes in the staged files — refuse (plain compaction tolerates
+      // concurrent appends; a deferred PRODUCER is also the single logical
+      // changelog writer, the same contract stageChangelog documents)
+      if (deferredFrom.isDefined) {
+        val extra = live.iterator.map(_.path).toSet -- compactedPaths
+        if (extra.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"concurrent write during deferred-changelog compaction of $root " +
+            s"(${extra.size} new file(s)) — rerun the compaction")
+      }
       CommitChange(metas, compactedPaths,
         latestSnapshot.map(_.batchId).getOrElse(-1L))
     }, // a layout rewrite changes no logical row — an empty PRODUCED
        // changelog keeps CDC intervals spanning it on the delta fast path
-      produced = changelogProducer, kind = "compact")
+       // ('input'); deferred modes attach the span's netted changelog here
+      changelog = deferredClog,
+      produced = clogAtWrite || deferredFrom.isDefined,
+      clogFrom = deferredFrom,
+      kind = "compact")
   }
 
   /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,

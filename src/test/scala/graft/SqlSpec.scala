@@ -279,4 +279,82 @@ class SqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(left.toSeq == Seq((2L, 25L)))
   }
+
+  test("the enrichment INSERT with FOR SYSTEM_TIME AS OF replays VERBATIM " +
+      "(guide.md:119-140): stream-static lookup join, hints tolerated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val sh = shell()
+    sh.sql("""CREATE TABLE measurements (
+             |    sensor_id BIGINT,
+             |    reading DECIMAL(5, 1),
+             |    event_time AS PROCTIME()
+             |) WITH (
+             |      'bucket' = '1',
+             |      'bucket-key' = 'sensor_id',
+             |      'file.format' = 'parquet'
+             |)""".stripMargin)
+    sh.sql("""CREATE TABLE sensor_info (
+             |    sensor_id BIGINT,
+             |    latitude DOUBLE PRECISION,
+             |    longitude DOUBLE PRECISION,
+             |    generation INT,
+             |    updated_at TIMESTAMP(3),
+             |    PRIMARY KEY (sensor_id) NOT ENFORCED
+             |) WITH (
+             |      'changelog-producer' = 'input'
+             |)""".stripMargin)
+    sh.sql("""CREATE TABLE measurements_enriched (
+             |    sensor_id BIGINT,
+             |    reading DECIMAL(5, 1),
+             |    event_time TIMESTAMP(3),
+             |    latitude DOUBLE PRECISION,
+             |    longitude DOUBLE PRECISION,
+             |    generation INT,
+             |    updated_at TIMESTAMP(3)
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    spark.range(1, 11)
+      .select($"id".as("sensor_id"), ($"id" % 45).cast("decimal(5,1)").as("reading"))
+      .createOrReplaceTempView("st_datagen")
+    sh.sql("INSERT INTO measurements SELECT sensor_id, reading FROM st_datagen")
+    // only sensors 1-8 have a dimension row: the inner lookup join drops 9-10
+    spark.range(1, 9).select($"id".as("sensor_id"),
+        lit(1.5).as("latitude"), lit(2.5).as("longitude"),
+        lit(3).as("generation"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("updated_at"))
+      .createOrReplaceTempView("st_dim")
+    sh.sql("INSERT INTO sensor_info SELECT * FROM st_dim")
+
+    // the reference's statement, byte-for-byte (guide.md:119-140)
+    val r = sh.sql("""SET 'pipeline.name' = 'Data Enrichment with Lookup Join'""")
+    sh.sql("""INSERT INTO measurements_enriched
+             |SELECT /*+ LOOKUP(
+             |         'table'='s',
+             |         'retry-predicate'='lookup_miss',
+             |         'output-mode'='allow_unordered',
+             |         'retry-strategy'='fixed_delay',
+             |         'fixed-delay'='1s',
+             |         'max-attempts'='50'
+             |         ) */
+             |    m.sensor_id,
+             |    m.reading,
+             |    m.event_time,
+             |    s.latitude,
+             |    s.longitude,
+             |    s.generation,
+             |    s.updated_at
+             |FROM measurements AS m
+             |         JOIN sensor_info /*+ OPTIONS('lookup.async'='true', 'lookup.async-thread-number'='16') */
+             |    FOR SYSTEM_TIME AS OF m.event_time AS s
+             |              ON m.sensor_id = s.sensor_id""".stripMargin)
+    val rows = sh.sql("SELECT sensor_id, latitude, generation " +
+      "FROM measurements_enriched ORDER BY sensor_id").collect()
+    assert(rows.length == 8, "sensors 9-10 have no dimension row")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L),
+      rows.map(_.getLong(0)).toSeq.toString)
+    assert(rows.forall(r => r.getDouble(1) == 1.5 && r.getInt(2) == 3))
+    // the enriched row carries the FACT's proctime column, not a re-stamp
+    assert(sh.sql("SELECT event_time FROM measurements_enriched")
+      .collect().forall(!_.isNullAt(0)))
+  }
 }

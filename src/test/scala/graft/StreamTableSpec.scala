@@ -469,6 +469,59 @@ class StreamTableSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation merge-engine: bool_and/bool_or fold and survive re-merge") {
+    val t = new StreamTable(tmp(), spark,
+      primaryKey = Some(Seq("k")),
+      aggSpec = Some(Seq("all_ok" -> "bool_and", "any_hot" -> "bool_or")))
+    t.appendBatch(Seq((1L, true, false), (2L, true, true))
+      .toDF("k", "all_ok", "any_hot"), 0)
+    t.appendBatch(Seq((1L, false, false), (2L, true, false))
+      .toDF("k", "all_ok", "any_hot"), 1)
+    def got() = t.read.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got().toSeq == Seq((1L, false, false), (2L, true, true)))
+    // closure under re-merge: compaction pre-folds, later appends fold on
+    // (bool_and of bool_ands = bool_and — same argument as sum-of-sums)
+    t.compact(targetFileCount = 1)
+    t.appendBatch(Seq((1L, true, true), (2L, false, false))
+      .toDF("k", "all_ok", "any_hot"), 2)
+    assert(got().toSeq == Seq((1L, false, true), (2L, false, true)))
+  }
+
+  test("aggregation merge-engine: last_non_null_value races on its sequence group, " +
+      "out-of-order after compaction included") {
+    val t = new StreamTable(tmp(), spark,
+      primaryKey = Some(Seq("k")), seqCol = Some("seq"),
+      aggSpec = Some(Seq("total" -> "sum", "status" -> "last_non_null_value")))
+    def row(k: Long, seq: Long, total: Long, status: Option[String]) =
+      (k, seq, total, status.orNull)
+    val cols = Seq("k", "seq", "total", "status")
+    t.appendBatch(Seq(row(1, 10, 5, Some("new")), row(2, 10, 1, Some("a")))
+      .toDF(cols: _*), 0)
+    // a NULL status never overwrites (last NON-NULL), the sum still folds
+    t.appendBatch(Seq(row(1, 20, 3, None)).toDF(cols: _*), 1)
+    // the aggregation view carries pk + the declared aggregate fields only
+    def got() = t.read.select("k", "total", "status").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got().toSeq == Seq((1L, 8L, "new"), (2L, 1L, "a")))
+    // the read view must not leak the per-field provenance columns
+    assert(!t.read.columns.exists(_.startsWith(StreamTable.FieldSeqPrefix)))
+    // compaction persists the field's WINNING sequence (10), not the
+    // merged row's inflated one (20): an out-of-order arrival at seq 15
+    // must still overwrite status — the partial-update provenance argument
+    t.compact(targetFileCount = 1)
+    t.appendBatch(Seq(row(1, 15, 2, Some("mid"))).toDF(cols: _*), 2)
+    assert(got().toSeq == Seq((1L, 10L, "mid"), (2L, 1L, "a")))
+    // and a genuinely newer value wins over everything
+    t.appendBatch(Seq(row(1, 30, 0, Some("done"))).toDF(cols: _*), 3)
+    assert(got().toSeq == Seq((1L, 10L, "done"), (2L, 1L, "a")))
+    // the ordered function refuses without an explicit sequence group
+    intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+        aggSpec = Some(Seq("status" -> "last_non_null_value")))
+    }
+  }
+
   test("first-row merge-engine: earliest sequence wins at every merge site") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
       seqCol = Some("seq"), mergeEngine = "first-row")
@@ -514,6 +567,87 @@ class StreamTableSpec extends AnyFunSuite {
     t.appendBatch(Seq(row(1, 30, Some("a30"), None)).toDF(cols: _*), 3)
     assert(got().toSeq == Seq((1L, "a30", 42L), (2L, "x", 7L)))
     intercept[UnsupportedOperationException] { t.deleteBatch(Seq(1L).toDF("id"), 4) }
+  }
+
+  test("changelog-producer 'full-compaction': deferred span production at compaction, " +
+      "interval reads stay correct across mixed-producer history") {
+    val cat = new graft.table.GraftCatalog(spark,
+      Files.createTempDirectory("graft_dclwh_").toString)
+    val t = cat.createTable("default", "dcl", Map(
+      "primary-key" -> "id", "sequence.field" -> "seq",
+      "changelog-producer" -> "full-compaction"))
+    t.appendBatch(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "seq", "v"), 0L)
+    t.appendBatch(Seq((1L, 2L, "a2"), (3L, 2L, "c")).toDF("id", "seq", "v"), 1L)
+    // writes stay RAW under a deferred producer: no changelog staged
+    assert(t.latestSnapshot.get.changelog.isEmpty &&
+      !t.latestSnapshot.get.clogProduced,
+      "deferred producer must not pay the write-time resolve")
+    // a CDC interval between compactions falls back to the state diff —
+    // correct ops, just not the persisted fast path
+    val mid = t.changelogWithRetractions(0, 1).groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mid == Map("-U" -> 1L, "+U" -> 1L, "+I" -> 1L), mid.toString)
+    // compaction PRODUCES: one netted changelog covering (0, compactId]
+    t.compact(targetFileCount = 1)
+    val cs = t.latestSnapshot.get
+    assert(cs.clogProduced && cs.clogFromId.contains(0L), cs.toString)
+    assert(cs.changelog.nonEmpty, "the span's netted ops must be persisted")
+    val span = spark.read.parquet(cs.changelog.map(_.path): _*)
+      .groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(span == Map("-U" -> 1L, "+U" -> 1L, "+I" -> 1L),
+      s"span (0, ${cs.id}] nets exactly the mid-interval ops: $span")
+    // $changelog history: snapshot 0's +I rows, then the deferred span ONCE
+    // (covered write snapshots contribute nothing at their own position)
+    val hist1 = t.changeHistoryView.groupBy("rowkind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist1 == Map("+I" -> 3L, "-U" -> 1L, "+U" -> 1L), hist1.toString)
+    // the uncompacted TAIL serves per-commit diffs (no throw, no gap)
+    t.appendBatch(Seq((2L, 3L, "b2")).toDF("id", "seq", "v"), 2L)
+    val hist2 = t.changeHistoryView.groupBy("rowkind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist2 == Map("+I" -> 3L, "-U" -> 2L, "+U" -> 2L), hist2.toString)
+    // a second compaction's span covers exactly the tail
+    t.compact(targetFileCount = 1)
+    val cs2 = t.latestSnapshot.get
+    assert(cs2.clogProduced && cs2.clogFromId.contains(cs.id), cs2.toString)
+    assert(t.changeHistoryView.groupBy("rowkind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == hist2,
+      "producing the tail's span must not change the history, only its source")
+    // a CDC trigger whose interval lands EXACTLY on the deferred coverage
+    // chain rides the persisted-changelog fast path (delta partitions, no
+    // state resolve); one that starts mid-span falls back to the state diff
+    val onChain = graft.sources.v2.ChangelogPlanning.planInterval(
+      t, t.snapshotHeaders, 0L, cs.id)
+    assert(onChain.nonEmpty && onChain.forall(
+      _.isInstanceOf[graft.sources.v2.GraftChangelogDeltaPartition]),
+      s"chain-aligned interval must ride the changelog files: ${onChain.toSeq}")
+    val midSpan = graft.sources.v2.ChangelogPlanning.planInterval(
+      t, t.snapshotHeaders, 1L, cs.id)
+    assert(midSpan.exists(
+      !_.isInstanceOf[graft.sources.v2.GraftChangelogDeltaPartition]),
+      "a mid-span start cannot slice the deferred files: state diff")
+    // the V2 `$changelog` door mirrors the library view row-for-row
+    // across the mixed-producer history
+    val catName = s"graft_dcl_${Integer.toHexString(cat.warehouse.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", cat.warehouse)
+    val v2 = spark.sql(s"SELECT rowkind, count(*) AS n FROM " +
+      s"$catName.default.`dcl$$changelog` GROUP BY rowkind").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 == hist2, s"V2 door must mirror the library view: $v2 vs $hist2")
+    // unknown producer values refuse loudly
+    intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+        changelogMode = Some("bogus"))
+    }
+    // dynamic bucket mode (Paimon bucket = -1) refuses with the remedy
+    val e = intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+        bucketKey = Some("id"), numBuckets = -1)
+    }
+    assert(e.getMessage.contains("sys.rescale"), e.getMessage)
   }
 
   test("catalog parses merge-engine and fields.*.aggregate-function options") {
