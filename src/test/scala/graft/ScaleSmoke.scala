@@ -135,7 +135,10 @@ object ScaleSmoke {
       "q_source_v2_partitioned",
       // round-18 addition: money-column range scan (decimal stats skip +
       // unscaled-int row-group pruning + vectorized decode)
-      "q_source_v2_dec_pushdown")
+      "q_source_v2_dec_pushdown",
+      // round-19 addition: metadata-only partition expiry (drop commit +
+      // values-time proofs; the read-back scans only the surviving slice)
+      "q_source_v2_part_expire")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of
