@@ -216,12 +216,6 @@ private[graft] object ChangelogPlanning {
       table.hydrated(snapAt(id)).files
 
     if (s >= 0) {
-      // EVERY snapshot of the interval is needed — the per-commit walk is
-      // what keeps an append-then-compact-within-one-trigger from silently
-      // absorbing a commit's changes into a level-1 file
-      val interval = (s + 1) to e
-      interval.foreach(snapAt)
-
       // fast path (`changelog-producer`): the interval (s, e] is EXACTLY
       // covered by a chain of changelog-carrying snapshots — a write-time
       // producer ('input') covers (id-1, id], a DEFERRED producer
@@ -230,16 +224,23 @@ private[graft] object ChangelogPlanning {
       // changelog files, O(delta) instead of two full resolves. A chain
       // that overshoots s (a deferred span reaching below the reader's
       // progress — its files can't be sliced) falls back to the state diff,
-      // so a consumer that advanced mid-span never double-reads.
+      // so a consumer that advanced mid-span never double-reads. The walk
+      // runs BEFORE the every-snapshot existence check: changelog files
+      // are SELF-CONTAINED, so a retained covering snapshot still serves
+      // its span after the covered mid-span write snapshots expire (they
+      // are exactly the ones retention ages out first); a broken chain is
+      // never an error here — the fallback's own existence check below
+      // raises the helpful retention message when the diff truly needs a
+      // missing snapshot.
       val chain = scala.collection.mutable.ListBuffer.empty[Long]
       var cursor = e
       var chainOk = true
       while (chainOk && cursor > s) {
-        val snap = snapAt(cursor)
-        if (!snap.clogProduced) chainOk = false
-        else {
-          chain.prepend(cursor)
-          cursor = snap.clogFromId.getOrElse(cursor - 1)
+        byId.get(cursor) match {
+          case Some(snap) if snap.clogProduced =>
+            chain.prepend(cursor)
+            cursor = snap.clogFromId.getOrElse(cursor - 1)
+          case _ => chainOk = false
         }
       }
       if (chainOk && cursor == s) {

@@ -247,12 +247,15 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
       override def planInputPartitions(): Array[InputPartition] = {
         val snaps = t.snapshotHeaders
         val byId = snaps.map(s => s.id -> s).toMap
-        // ids whose changes ride in a LATER snapshot's DEFERRED span
-        // (mirrors StreamTable.changeHistoryView row-for-row)
-        val coveredByDeferred: Set[Long] = snaps.iterator
-          .filter(s => s.clogProduced && s.clogFromId.isDefined)
-          .flatMap(s => (s.clogFromId.get + 1) until s.id)
-          .toSet
+        // ids whose changes ride in a LATER snapshot's DEFERRED span —
+        // span-containment, never a materialized id set (mirrors
+        // StreamTable.changeHistoryView row-for-row)
+        val deferredSpans: Seq[(Long, Long)] = snaps.collect {
+          case s if s.clogProduced && s.clogFromId.isDefined =>
+            (s.clogFromId.get, s.id)
+        }
+        def coveredByDeferred(id: Long): Boolean =
+          deferredSpans.exists { case (f, t0) => id > f && id < t0 }
         snaps.flatMap { s =>
           val pred = byId.get(s.id - 1)
           if (s.id == 0 && t.primaryKey.isDefined)
@@ -266,7 +269,7 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
             // expiring the predecessor must not drop history we still hold
             s.changelog.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
               .map(f => GraftPassthroughOpPartition(f.path): InputPartition)
-          else if (coveredByDeferred.contains(s.id))
+          else if (coveredByDeferred(s.id))
             Seq.empty // emitted at the covering deferred-producer snapshot
           else if (s.id > 0 && pred.isEmpty)
             Seq.empty // expired predecessor: non-produced delta unrecoverable

@@ -131,13 +131,22 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     // partition expiry runs FIRST (a drop commit), so the snapshot expiry
     // below can already start aging the pre-drop versions toward reclaim —
     // expiry retires partitions from the current view, retention reclaims
-    // the bytes (StreamTable.expirePartitions)
+    // the bytes (StreamTable.expirePartitions). An UNPROVABLE partition
+    // (a file not single-valued in a key — compact to fix) must not take
+    // snapshot retention down with it: log the remedy and keep going.
     o.get("partition.expiration-time").foreach { horizon =>
-      getTable(db, name).expirePartitions(
+      try getTable(db, name).expirePartitions(
         parseDurationMs(horizon),
         strategy = o.getOrElse("partition.expiration-strategy", "update-time"),
         timestampFormatter =
           o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"))
+      catch {
+        case e @ (_: IllegalStateException | _: IllegalArgumentException |
+            _: UnsupportedOperationException) =>
+          org.slf4j.LoggerFactory.getLogger(classOf[GraftCatalog]).warn(
+            s"partition expiry of $db.$name skipped this retention pass: " +
+              e.getMessage)
+      }
     }
     getTable(db, name).expireSnapshots(
       numRetainedMin = o.getOrElse("snapshot.num-retained.min", "1").toInt,

@@ -511,11 +511,17 @@ object GraftSql {
   private val InsertRe = "(?i)INSERT INTO ([\\w.]+) (SELECT .*|WITH .*)".r
   // the Flink temporal-join clause (guide.md:139): the dimension table,
   // the AS OF expression (ignored — "AS OF processing time" is the only
-  // temporal coordinate a lookup join serves), and the dim alias
+  // temporal coordinate a lookup join serves), and the OPTIONAL dim alias
+  // (negative lookahead keeps a bare `ON` from being eaten as the alias)
   private val SystemTimeJoinRe =
     ("(?i)JOIN\\s+(\\w+)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
-      "[\\w.]+(?:\\s+AS)?\\s+(\\w+)").r
-  private val FromTableRe = "(?i)FROM\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?".r
+      "[\\w.]+(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?").r
+  // the fact table + optional alias, AS-less included; the lookahead stops
+  // a JOIN/WHERE/... keyword from being captured as the alias
+  private val FromTableRe =
+    ("(?i)FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?" +
+      "(?!JOIN\\b|WHERE\\b|ON\\b|GROUP\\b|ORDER\\b|HAVING\\b|LIMIT\\b|" +
+      "LEFT\\b|RIGHT\\b|INNER\\b|FULL\\b|CROSS\\b|UNION\\b)(\\w+))?").r
   private val HintRe = "(?s)/\\*\\+.*?\\*/".r
   private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
   private val AlterDropColRe = "(?i)ALTER TABLE ([\\w.]+) DROP COLUMNS? (\\w+)".r

@@ -1874,8 +1874,13 @@ class StreamTable(
     * (re-merge closure holds). */
   private def aggResolve(raw: DataFrame, pk: Seq[String], keepSeq: Boolean): DataFrame = {
     val spec = aggSpec.get
+    // the aggregation view DROPS the sequence column (only pk + spec fields
+    // survive), so a compacted-only read has no seqCol column at all — its
+    // rows carry the persisted per-field provenance instead, and the
+    // baseOrd fallback is only consulted for FRESH rows (which do carry it)
     val baseOrd = struct(
-      seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
+      seqCol.filter(raw.columns.contains).map(col(_).cast("long"))
+        .getOrElse(lit(0L)).as("s1"),
       col(SeqColName).cast("long").as("s2"))
     def eff(f: String): org.apache.spark.sql.Column = {
       val persisted =
@@ -2171,8 +2176,11 @@ class StreamTable(
     val (staged: DataFrame, imgFields: Seq[String]) = engine match {
       case "aggregation" =>
         val spec = aggSpec.get
+        // same compacted-only guard as aggResolve: the merged view drops
+        // the sequence column, provenance rides the persisted fseq structs
         val baseOrd = struct(
-          seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("s1"),
+          seqCol.filter(all.columns.contains).map(col(_).cast("long"))
+            .getOrElse(lit(0L)).as("s1"),
           col(SeqColName).cast("long").as("s2"))
         def eff(f: String): org.apache.spark.sql.Column = {
           val persisted =
@@ -2734,11 +2742,15 @@ class StreamTable(
     val empty = read.limit(0).withColumn("rowkind", lit(""))
     // ids whose changes ride in a LATER snapshot's DEFERRED span
     // ('lookup'/'full-compaction' producers): they emit at the covering
-    // snapshot's position, once, as the span's netted ops
-    val coveredByDeferred: Set[Long] = heads.iterator
-      .filter(s => s.clogProduced && s.clogFromId.isDefined)
-      .flatMap(s => (s.clogFromId.get + 1) until s.id)
-      .toSet
+    // snapshot's position, once, as the span's netted ops. Containment is
+    // checked against the (few) covering snapshots' ranges — a deferred
+    // table's whole point is LONG spans, so materializing every covered id
+    // would be O(commits between compactions) per query
+    val deferredSpans: Seq[(Long, Long)] = heads.collect {
+      case s if s.clogProduced && s.clogFromId.isDefined => (s.clogFromId.get, s.id)
+    }
+    def coveredByDeferred(id: Long): Boolean =
+      deferredSpans.exists { case (f, t0) => id > f && id < t0 }
     val parts: Seq[DataFrame] = heads.flatMap { s =>
       val pred = byId.get(s.id - 1)
       if (s.id == 0 && primaryKey.isDefined)
@@ -2750,7 +2762,7 @@ class StreamTable(
         if (s.changelog.isEmpty) None
         else Some(spark.read.parquet(s.changelog.map(_.path): _*)
           .withColumnRenamed("op", "rowkind"))
-      else if (coveredByDeferred.contains(s.id))
+      else if (coveredByDeferred(s.id))
         None // emitted at the covering deferred-producer snapshot
       else if (s.id > 0 && pred.isEmpty)
         None // expired predecessor: non-produced delta unrecoverable
@@ -3246,7 +3258,7 @@ class StreamTable(
             s"dcl$headId"), Some(from))
         }
       } else (Seq.empty[DataFileMeta], None)
-    commit({ live =>
+    try commit({ live =>
       val gone = compactedPaths -- live.map(_.path).toSet
       require(gone.isEmpty, s"concurrent maintenance rewrote ${gone.size} " +
         s"file(s) out from under this compaction (e.g. ${gone.take(2).mkString(", ")})")
@@ -3271,6 +3283,12 @@ class StreamTable(
       produced = clogAtWrite || deferredFrom.isDefined,
       clogFrom = deferredFrom,
       kind = "compact")
+    catch { case e: Throwable =>
+      // an aborted commit must not leak the staged span changelog (it can
+      // be span-sized) — same cleanup discipline as the dynamic overwrite
+      deferredClog.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+      throw e
+    }
   }
 
   /** Snapshot retention (ALTER TABLE … snapshot.num-retained / time-retained,

@@ -330,6 +330,17 @@ class MaintenanceSpec extends AnyFunSuite {
     sh.catalog.applyRetention("default", "pe")
     assert(sh.sql("SELECT id, dt FROM pe").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "2099-12-31")))
+
+    // a table whose expiry cannot run (misconfigured: the option without
+    // PARTITIONED BY) must not take SNAPSHOT retention down with it
+    sh.sql("CREATE TABLE pe_bad (id BIGINT) WITH (" +
+      "'partition.expiration-time' = '1 d', " +
+      "'snapshot.num-retained.min' = '1', 'snapshot.num-retained.max' = '1', " +
+      "'snapshot.time-retained' = '1 ms')")
+    sh.sql("INSERT INTO pe_bad SELECT id FROM pe_src")
+    sh.sql("INSERT INTO pe_bad SELECT id + 10 FROM pe_src")
+    val expired = sh.catalog.applyRetention("default", "pe_bad")
+    assert(expired == 1, s"snapshot retention must still run, expired=$expired")
   }
 
   test("native CALL procedures through the V2 catalog (Spark 4 ProcedureCatalog)") {

@@ -356,5 +356,18 @@ class SqlSpec extends AnyFunSuite {
     // the enriched row carries the FACT's proctime column, not a re-stamp
     assert(sh.sql("SELECT event_time FROM measurements_enriched")
       .collect().forall(!_.isNullAt(0)))
+
+    // alias-less variants parse too: no dim alias (ON must not be eaten as
+    // one) and an AS-less fact alias
+    sh.sql("""CREATE TABLE enriched2 (
+             |    sensor_id BIGINT, reading DECIMAL(5, 1), latitude DOUBLE
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    sh.sql("""INSERT INTO enriched2
+             |SELECT m.sensor_id, m.reading, sensor_info.latitude
+             |FROM measurements m
+             |    JOIN sensor_info FOR SYSTEM_TIME AS OF m.event_time
+             |        ON m.sensor_id = sensor_info.sensor_id""".stripMargin)
+    assert(sh.sql("SELECT count(*) AS n FROM enriched2")
+      .collect().head.getLong(0) == 8L)
   }
 }

@@ -510,6 +510,11 @@ class StreamTableSpec extends AnyFunSuite {
     // merged row's inflated one (20): an out-of-order arrival at seq 15
     // must still overwrite status — the partial-update provenance argument
     t.compact(targetFileCount = 1)
+    // a COMPACTED-ONLY read works: the merged view dropped the sequence
+    // column, so the resolve must ride the persisted provenance alone
+    // (regression: baseOrd used to reference the absent seq column)
+    assert(got().toSeq == Seq((1L, 8L, "new"), (2L, 1L, "a")))
+    assert(t.changesBetween(0, t.latestSnapshot.get.id).count() >= 0)
     t.appendBatch(Seq(row(1, 15, 2, Some("mid"))).toDF(cols: _*), 2)
     assert(got().toSeq == Seq((1L, 10L, "mid"), (2L, 1L, "a")))
     // and a genuinely newer value wins over everything
@@ -648,6 +653,25 @@ class StreamTableSpec extends AnyFunSuite {
         bucketKey = Some("id"), numBuckets = -1)
     }
     assert(e.getMessage.contains("sys.rescale"), e.getMessage)
+
+    // the chain SURVIVES retention expiring the covered mid-span write
+    // snapshots (they age out first — changelog files are self-contained):
+    // only cs2 retained, a consumer at cs.id still rides the fast path
+    t.expireSnapshots(numRetainedMin = 1, numRetainedMax = 1,
+      timeRetainedMs = 0L)
+    assert(t.snapshotHeaders.map(_.id) == Seq(cs2.id))
+    val afterExpiry = graft.sources.v2.ChangelogPlanning.planInterval(
+      t, t.snapshotHeaders, cs.id, cs2.id)
+    assert(afterExpiry.forall(
+      _.isInstanceOf[graft.sources.v2.GraftChangelogDeltaPartition]),
+      s"retained covering snapshot must still serve its span: ${afterExpiry.toSeq}")
+    // while a consumer below the chain base gets the retention error (the
+    // diff would truly need an expired snapshot)
+    val gone = intercept[IllegalStateException] {
+      graft.sources.v2.ChangelogPlanning.planInterval(
+        t, t.snapshotHeaders, 0L, cs2.id)
+    }
+    assert(gone.getMessage.contains("retention-expired"), gone.getMessage)
   }
 
   test("catalog parses merge-engine and fields.*.aggregate-function options") {
