@@ -295,6 +295,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested ADD COLUMN is unsupported")
+        // refuse DEFAULT loudly rather than silently dropping it: Spark's
+        // EXISTS_DEFAULT contract makes pre-existing rows read the default,
+        // which needs per-file existence substitution in every reader —
+        // until that lands, an ignored DEFAULT would silently serve NULLs
+        // where the user declared a value
+        require(a.defaultValue() == null,
+          s"ADD COLUMN ${a.fieldNames.head} DEFAULT is not supported: " +
+            "evolution null-fills pre-existing rows (Paimon parity) — add " +
+            "the column, then backfill with UPDATE if a value is needed")
         val n = a.fieldNames.head
         require(!decl.fieldNames.contains(n), s"column '$n' already exists")
         // storage names in use or still present in data files; a collision

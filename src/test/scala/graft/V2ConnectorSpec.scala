@@ -1840,6 +1840,16 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT id, score FROM $cat.db.evo ORDER BY id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSeq ==
       Seq((1L, null), (2L, null), (3L, 9.5)))
+    // ADD ... DEFAULT refuses LOUDLY (silently dropping the default would
+    // serve NULLs where the user declared a value — Spark's EXISTS_DEFAULT
+    // contract needs per-file existence substitution we don't implement)
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    val dflt = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.evo ADD COLUMNS (bonus DOUBLE DEFAULT 1.0)")
+    }
+    assert(msgs(dflt).exists(_.contains("DEFAULT is not supported")), dflt.toString)
+    assert(!spark.sql(s"SELECT * FROM $cat.db.evo").columns.contains("bonus"))
 
     // RENAME: files keep the old name; reads AND pushed filters translate
     spark.sql(s"ALTER TABLE $cat.db.evo RENAME COLUMN a TO label")
