@@ -1998,6 +1998,56 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(drain() == Seq((9L, 1L, "new", "+I")))
   }
 
+  test("streaming changelog over a DEFERRED producer: correct ops across " +
+      "mid-stream compaction, whatever mix of chain and state-diff serves them") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (_, gc) = freshCatalog()
+    val tbl = gc.createTable("db", "dcl2",
+      Map("primary-key" -> "id", "sequence.field" -> "ver", "bucket" -> "2",
+        "changelog-producer" -> "lookup"))
+    val root = s"${gc.warehouse}/db.db/dcl2"
+    val chk = java.nio.file.Files.createTempDirectory("v2_dcl2_chk_").toString
+    def drain(): Seq[(Long, Long, String, String)] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      val q = spark.readStream.format("graft").option("read-changelog", "true")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .sorted
+    }
+    tbl.appendBatch(Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("id", "ver", "v"), 0L)
+    assert(drain() == Seq((1L, 10L, "a", "+I"), (2L, 10L, "b", "+I")))
+    // deferred producer: the write stages NO changelog — the consumer's
+    // mid-span triggers ride the state-diff fallback and stay correct
+    tbl.appendBatch(Seq((1L, 20L, "A"), (3L, 20L, "c")).toDF("id", "ver", "v"), 1L)
+    assert(tbl.latestSnapshot.get.changelog.isEmpty)
+    assert(drain() == Seq((1L, 10L, "a", "-U"), (1L, 20L, "A", "+U"),
+      (3L, 20L, "c", "+I")))
+    // compaction produces the span changelog mid-stream; more writes follow
+    tbl.compact(targetFileCount = 1)
+    tbl.appendBatch(Seq((2L, 30L, "B2")).toDF("id", "ver", "v"), 2L)
+    val run3 = drain()
+    // the consumer already saw the span's earlier ops via the diff — the
+    // covering snapshot's files must NOT re-deliver them (the chain would
+    // overshoot the consumer's progress and falls back); only the fresh
+    // update arrives
+    assert(run3 == Seq((2L, 10L, "b", "-U"), (2L, 30L, "B2", "+U")), run3.toString)
+    // a SECOND compaction right after: its span covers exactly the tail the
+    // consumer just saw — the next drain delivers nothing new
+    tbl.compact(targetFileCount = 1)
+    assert(drain().isEmpty)
+  }
+
   test("UPDATE and MERGE INTO through the V2 catalog: group-based COW") {
     val (cat, gc) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.upd (id BIGINT, grp BIGINT, v STRING)")
