@@ -124,7 +124,11 @@ class StreamTableSpec extends AnyFunSuite {
       ("first-row", Map("merge-engine" -> "first-row")),
       ("partial-update", Map("merge-engine" -> "partial-update")),
       ("aggregation", Map("fields.a.aggregate-function" -> "sum",
-        "fields.b.aggregate-function" -> "max")))
+        "fields.b.aggregate-function" -> "max")),
+      // the round-13 alphabet: boolean folds + the ordered function racing
+      // on its persisted per-field provenance (needs the sequence field)
+      ("aggregation_lnn", Map("fields.flag.aggregate-function" -> "bool_or",
+        "fields.status.aggregate-function" -> "last_non_null_value")))
     for ((name, extra) <- engines) {
       val opts = Map("primary-key" -> "id", "bucket" -> "2",
         "changelog-producer" -> "input") ++
@@ -150,6 +154,12 @@ class StreamTableSpec extends AnyFunSuite {
             (0 until n).map(_ => (rnd.nextInt(8).toLong,
               rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
               .toDF("id", "a", "b")
+          else if (name == "aggregation_lnn")
+            (0 until n).map { _ =>
+              val status: String =
+                if (rnd.nextBoolean()) null else s"s${rnd.nextInt(9)}"
+              (rnd.nextInt(8).toLong, freshVer(), rnd.nextBoolean(), status)
+            }.toDF("id", "ver", "flag", "status")
           else
             (0 until n).map { _ =>
               val v: String =
@@ -672,6 +682,51 @@ class StreamTableSpec extends AnyFunSuite {
         t, t.snapshotHeaders, 0L, cs2.id)
     }
     assert(gone.getMessage.contains("retention-expired"), gone.getMessage)
+  }
+
+  test("deferred producer history stays op-balanced per key under randomized " +
+      "write/delete/compaction interleavings") {
+    // the $changelog of a deferred table mixes three sources — snapshot 0's
+    // resolve, compaction-produced spans, and per-commit diffs for the
+    // uncompacted tail. Whatever the interleaving, each key's retained ops
+    // must BALANCE: a live key nets one assertion (+I/+U minus -U/-D = 1),
+    // a dead key nets zero — double emission (a span re-delivering a
+    // covered commit) or a gap (a covered commit skipped without its span)
+    // breaks the balance immediately
+    val rnd = new scala.util.Random(1303)
+    for (trial <- 0 until 3) {
+      val cat = new graft.table.GraftCatalog(spark, tmp())
+      val t = cat.createTable("db", s"bal$trial", Map(
+        "primary-key" -> "id", "sequence.field" -> "ver",
+        "changelog-producer" -> "full-compaction"))
+      var batch = 0L
+      var ver = 0L
+      for (_ <- 0 until 5) {
+        val n = 2 + rnd.nextInt(4)
+        val rows = (0 until n).map { _ =>
+          ver += 1; (rnd.nextInt(6).toLong, ver, s"v$ver")
+        }
+        t.appendBatch(rows.toDF("id", "ver", "v"), batch); batch += 1
+        if (rnd.nextBoolean()) {
+          ver += 1
+          t.deleteBatch(Seq((rnd.nextInt(6).toLong, ver)).toDF("id", "ver"),
+            batch)
+          batch += 1
+        }
+        if (rnd.nextBoolean()) t.compact(2)
+      }
+      val net = t.changeHistoryView.groupBy("id").agg(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(org.apache.spark.sql.functions.col("rowkind")
+            .isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val live = t.read.select("id").collect().map(_.getLong(0)).toSet
+      for ((k, n) <- net)
+        assert(n == (if (live(k)) 1L else 0L),
+          s"trial=$trial key=$k net=$n live=${live(k)}")
+      // every key that ever appeared is accounted for in the history
+      assert(live.subsetOf(net.keySet), s"trial=$trial missing live keys")
+    }
   }
 
   test("catalog parses merge-engine and fields.*.aggregate-function options") {
