@@ -247,9 +247,12 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
               scala.util.matching.Regex.quoteReplacement(
                 s"SELECT /*+ BROADCAST($dimAlias) */"))
           val df = conformToDeclared(t, spark.sql(rewritten))
-          table.writeStream(df,
+          try table.writeStream(df,
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .awaitTermination()
+          // a stale STREAMING temp view would poison later batch statements
+          // that happen to reference it — drop it with the drained pipe
+          finally spark.catalog.dropTempView(streamView)
           ok(s"enrichment pipe into $t drained " +
             s"(lookup join: $dim AS OF processing time)")
         } else {
