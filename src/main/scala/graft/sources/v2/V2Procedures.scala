@@ -132,7 +132,8 @@ object V2Procedures {
             .getOrElse("update-time")
           val fmt = o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
           Array[Any](c.getTable(db, name).expirePartitions(
-            graft.table.GraftCatalog.parseDurationMs(horizon), strategy, fmt))
+            graft.table.GraftCatalog.parseDurationMs(horizon), strategy, fmt,
+            o.get("partition.timestamp-pattern")))
         }, p))
       case "expire_snapshots" => Some(proc("expire_snapshots",
         Seq(in("table", StringType),

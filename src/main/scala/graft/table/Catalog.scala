@@ -139,7 +139,8 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
         parseDurationMs(horizon),
         strategy = o.getOrElse("partition.expiration-strategy", "update-time"),
         timestampFormatter =
-          o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"))
+          o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"),
+        timestampPattern = o.get("partition.timestamp-pattern"))
       catch {
         case e @ (_: IllegalStateException | _: IllegalArgumentException |
             _: UnsupportedOperationException) =>

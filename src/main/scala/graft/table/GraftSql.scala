@@ -420,7 +420,8 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
             .orElse(o.get("partition.expiration-strategy"))
             .getOrElse("update-time"),
           timestampFormatter =
-            o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"))
+            o.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd"),
+          timestampPattern = o.get("partition.timestamp-pattern"))
         ok(s"expired $n partition(s) of $t")
       case "compact" =>
         require(args.length <= 2, "compact(table[, targetFileCount])")

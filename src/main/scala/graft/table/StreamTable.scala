@@ -2824,18 +2824,23 @@ class StreamTable(
     * Strategies (Paimon's `partition.expiration-strategy`):
     *  - `update-time`: a partition expires when its NEWEST file is older
     *    than the horizon — right for slowly-refreshed value partitions.
-    *  - `values-time`: the FIRST partition key's value parses as a
-    *    date/datetime (`partition.timestamp-formatter`) and expires on
-    *    event time — right for date-partitioned ingest, deterministic
-    *    under replays/backfills (a late write into an old partition does
-    *    not resurrect it). Unparseable values and the NULL partition never
-    *    value-expire (Paimon's skip posture — deleting data because a
-    *    label failed to parse would be silent loss).
+    *  - `values-time`: the partition's value(s) parse as a date/datetime
+    *    (`partition.timestamp-formatter`) and expire on event time — right
+    *    for date-partitioned ingest, deterministic under replays/backfills
+    *    (a late write into an old partition does not resurrect it). A
+    *    MULTI-KEY date layout (year/month/day) assembles the parse input
+    *    through `partition.timestamp-pattern` (Paimon's option — e.g.
+    *    `"$year-$month-$day"`, `$<key>` substituted per partition key);
+    *    without a pattern the FIRST key's value parses alone. Unparseable
+    *    values and NULL components never value-expire (Paimon's skip
+    *    posture — deleting data because a label failed to parse would be
+    *    silent loss).
     *
     * Returns the number of partitions dropped. */
   def expirePartitions(expireAfterMs: Long,
       strategy: String = "update-time",
-      timestampFormatter: String = "yyyy-MM-dd"): Int = {
+      timestampFormatter: String = "yyyy-MM-dd",
+      timestampPattern: Option[String] = None): Int = {
     val pks = partitionKeys.getOrElse(throw new UnsupportedOperationException(
       s"$root is not a partitioned table — partition expiry needs PARTITIONED BY"))
     require(expireAfterMs > 0,
@@ -2853,8 +2858,27 @@ class StreamTable(
       case "update-time" =>
         byPart.filter { case (_, fs) => fs.iterator.map(_.creationTimeMs).max < cutoff }
       case _ => // values-time (validated above)
+        // the parse input per partition: the pattern's assembly over the
+        // tuple, or the first key's value — None when any referenced
+        // component is NULL (never value-expires)
+        def parseInput(t: Seq[Option[String]]): Option[String] =
+          timestampPattern match {
+            case None => t.head
+            case Some(pat) =>
+              // longest key name first: "$y" must not eat into "$ym"
+              pks.zip(t).sortBy(-_._1.length)
+                .foldLeft(Option(pat)) { case (acc, (k, v)) =>
+                  acc.flatMap { cur =>
+                    if (!cur.contains(s"$$$k")) Some(cur)
+                    else v.map(cur.replace(s"$$$k", _)) // NULL: never expires
+                  }
+                }
+                // an unresolved placeholder (typo'd key name) parses to
+                // nothing — the partition is skipped, not mis-expired
+                .filterNot(_.contains("$"))
+          }
         byPart.filter { case (t, _) =>
-          t.head.exists(v =>
+          parseInput(t).exists(v =>
             StreamTable.parsePartitionTimeMs(v, timestampFormatter)
               .exists(_ < cutoff))
         }

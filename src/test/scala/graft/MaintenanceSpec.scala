@@ -331,6 +331,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sh.sql("SELECT id, dt FROM pe").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "2099-12-31")))
 
+    // MULTI-KEY date layout (year/month/day) assembles its event time
+    // through partition.timestamp-pattern (Paimon's option): old dates
+    // expire, the future date survives, a NULL component never expires
+    val mr = tmp()
+    val mt = new StreamTable(mr, spark, partitionKeys = Some(Seq("y", "m", "d")))
+    mt.appendBatch(Seq(
+      (1L, "2000", "01", "15"), (2L, "2099", "12", "31"),
+      (3L, "2001", null.asInstanceOf[String], "01"))
+      .toDF("id", "y", "m", "d"), 0L)
+    assert(mt.expirePartitions(GraftCatalog.parseDurationMs("3650 d"),
+      "values-time", "yyyy-MM-dd", Some("$y-$m-$d")) == 1)
+    assert(mt.read.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L),
+      "future date and NULL-component partitions survive")
+    // a typo'd key name in the pattern never mis-expires anything
+    assert(mt.expirePartitions(GraftCatalog.parseDurationMs("3650 d"),
+      "values-time", "yyyy-MM-dd", Some("$year-$m-$d")) == 0)
+    StreamTable.deleteTree(java.nio.file.Paths.get(mr))
+
     // a table whose expiry cannot run (misconfigured: the option without
     // PARTITIONED BY) must not take SNAPSHOT retention down with it
     sh.sql("CREATE TABLE pe_bad (id BIGINT) WITH (" +
