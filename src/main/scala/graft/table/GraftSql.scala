@@ -239,20 +239,22 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
           val factT = catalog.getTable(currentDb, fact)
           val streamView = s"${fact}__stream"
           factT.readStream(factT.read.schema).createOrReplaceTempView(streamView)
-          val rewritten = FromTableRe.replaceFirstIn(
-            SystemTimeJoinRe.replaceFirstIn(cleaned,
-              scala.util.matching.Regex.quoteReplacement(s"JOIN $dim AS $dimAlias")),
-            scala.util.matching.Regex.quoteReplacement(s"FROM $streamView AS $factAlias"))
-            .replaceFirst("(?i)^\\s*SELECT",
-              scala.util.matching.Regex.quoteReplacement(
-                s"SELECT /*+ BROADCAST($dimAlias) */"))
-          val df = conformToDeclared(t, spark.sql(rewritten))
-          try table.writeStream(df,
-            org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .awaitTermination()
           // a stale STREAMING temp view would poison later batch statements
-          // that happen to reference it — drop it with the drained pipe
-          finally spark.catalog.dropTempView(streamView)
+          // that happen to reference it — drop it whatever happens, INCLUDING
+          // an analysis failure of the rewritten SQL itself
+          try {
+            val rewritten = FromTableRe.replaceFirstIn(
+              SystemTimeJoinRe.replaceFirstIn(cleaned,
+                scala.util.matching.Regex.quoteReplacement(s"JOIN $dim AS $dimAlias")),
+              scala.util.matching.Regex.quoteReplacement(s"FROM $streamView AS $factAlias"))
+              .replaceFirst("(?i)^\\s*SELECT",
+                scala.util.matching.Regex.quoteReplacement(
+                  s"SELECT /*+ BROADCAST($dimAlias) */"))
+            val df = conformToDeclared(t, spark.sql(rewritten))
+            table.writeStream(df,
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .awaitTermination()
+          } finally spark.catalog.dropTempView(streamView)
           ok(s"enrichment pipe into $t drained " +
             s"(lookup join: $dim AS OF processing time)")
         } else {
@@ -525,7 +527,9 @@ object GraftSql {
   private val FromTableRe =
     ("(?i)FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?" +
       "(?!JOIN\\b|WHERE\\b|ON\\b|GROUP\\b|ORDER\\b|HAVING\\b|LIMIT\\b|" +
-      "LEFT\\b|RIGHT\\b|INNER\\b|FULL\\b|CROSS\\b|UNION\\b)(\\w+))?").r
+      "LEFT\\b|RIGHT\\b|INNER\\b|FULL\\b|CROSS\\b|UNION\\b|NATURAL\\b|" +
+      "SEMI\\b|ANTI\\b|LATERAL\\b|TABLESAMPLE\\b|PIVOT\\b|UNPIVOT\\b|" +
+      "WINDOW\\b)(\\w+))?").r
   private val HintRe = "(?s)/\\*\\+.*?\\*/".r
   private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
   private val AlterDropColRe = "(?i)ALTER TABLE ([\\w.]+) DROP COLUMNS? (\\w+)".r

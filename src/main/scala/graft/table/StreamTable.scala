@@ -2865,14 +2865,20 @@ class StreamTable(
           timestampPattern match {
             case None => t.head
             case Some(pat) =>
-              // longest key name first: "$y" must not eat into "$ym"
-              pks.zip(t).sortBy(-_._1.length)
-                .foldLeft(Option(pat)) { case (acc, (k, v)) =>
-                  acc.flatMap { cur =>
-                    if (!cur.contains(s"$$$k")) Some(cur)
-                    else v.map(cur.replace(s"$$$k", _)) // NULL: never expires
-                  }
+              // TOKEN-delimited substitution: "$d" must neither eat into a
+              // longer placeholder ("$d1" stays unresolved when the key is
+              // "d") nor be shadowed by one — a bare contains() would let a
+              // typo'd placeholder assemble a PARSEABLE string from a
+              // shorter key's value and mis-expire the partition
+              pks.zip(t).foldLeft(Option(pat)) { case (acc, (k, v)) =>
+                acc.flatMap { cur =>
+                  val token = ("\\$" + java.util.regex.Pattern.quote(k) +
+                    "(?![A-Za-z0-9_])").r
+                  if (token.findFirstIn(cur).isEmpty) Some(cur)
+                  else v.map(value => token.replaceAllIn(cur, // NULL: never expires
+                    scala.util.matching.Regex.quoteReplacement(value)))
                 }
+              }
                 // an unresolved placeholder (typo'd key name) parses to
                 // nothing — the partition is skipped, not mis-expired
                 .filterNot(_.contains("$"))
@@ -3308,9 +3314,14 @@ class StreamTable(
       clogFrom = deferredFrom,
       kind = "compact")
     catch { case e: Throwable =>
-      // an aborted commit must not leak the staged span changelog (it can
-      // be span-sized) — same cleanup discipline as the dynamic overwrite
+      // an aborted commit must not leak its staged output: the span
+      // changelog AND the level-1 rewrite of the live set (a retried-and-
+      // failed deferred compaction would otherwise accumulate a full-table
+      // copy of orphan parquet per attempt) — same cleanup discipline as
+      // the dynamic overwrite; nothing references either until the commit
+      // publishes
       deferredClog.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+      metas.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
       throw e
     }
   }

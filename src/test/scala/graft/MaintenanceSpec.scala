@@ -348,6 +348,16 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(mt.expirePartitions(GraftCatalog.parseDurationMs("3650 d"),
       "values-time", "yyyy-MM-dd", Some("$year-$m-$d")) == 0)
     StreamTable.deleteTree(java.nio.file.Paths.get(mr))
+    // ...including the adversarial corner where a NON-token-delimited
+    // substitution would assemble a PARSEABLE date from a shorter key's
+    // value ("$d1" with d="2024010" would become "20240101") — the
+    // token-delimited match leaves the placeholder unresolved instead
+    val dr = tmp()
+    val dt = new StreamTable(dr, spark, partitionKeys = Some(Seq("d")))
+    dt.appendBatch(Seq((1L, "2024010")).toDF("id", "d"), 0L)
+    assert(dt.expirePartitions(1000L, "values-time", "yyyyMMdd",
+      Some("$d1")) == 0, "a typo'd placeholder must never assemble-and-expire")
+    StreamTable.deleteTree(java.nio.file.Paths.get(dr))
 
     // a table whose expiry cannot run (misconfigured: the option without
     // PARTITIONED BY) must not take SNAPSHOT retention down with it
