@@ -256,6 +256,10 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
         }
         def coveredByDeferred(id: Long): Boolean =
           deferredSpans.exists { case (f, t0) => id > f && id < t0 }
+        // uncompacted deferred tail: netted per consecutive RUN, one
+        // interval diff each (see StreamTable.tailRuns) — mirrors the
+        // library view row-for-row
+        val tailRunEnd = t.tailRuns(snaps, coveredByDeferred)
         snaps.flatMap { s =>
           val pred = byId.get(s.id - 1)
           if (s.id == 0 && t.primaryKey.isDefined)
@@ -291,11 +295,11 @@ class GraftChangeHistoryV2Table(base: GraftV2Table) extends Table with SupportsR
               added.filter(GraftOpScanBuilder.keepBucket(_, onlyBucket))
                 .map(f => GraftConstOpPartition(f.path, "+I"): InputPartition)
             else if (t.clogMode == "lookup" || t.clogMode == "full-compaction")
-              // the uncompacted TAIL of a deferred-producer table: serve
-              // these commits via their own single-commit interval diff
-              // (the overwrite rule) — the deferred trade's read-side price
-              ChangelogPlanning.planInterval(t, snaps, s.id - 1, s.id,
-                onlyBucket).toSeq
+              // the uncompacted TAIL: emit this run's NETTED diff at the
+              // run's first commit; mid-run commits ride in it
+              tailRunEnd.get(s.id).toSeq.flatMap(end =>
+                ChangelogPlanning.planInterval(t, snaps, s.id - 1, end,
+                  onlyBucket))
             else throw new UnsupportedOperationException(
               s"${outer.name()}: snapshot ${s.id} has no persisted " +
                 "changelog — change history on a primary-key table needs " +

@@ -217,6 +217,12 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         val t = name.split("\\.").last
         registerViews()
         val table = catalog.getTable(currentDb, t)
+        // the LOOKUP hint's options must be read BEFORE hints are stripped
+        val lookupHint: Map[String, String] =
+          LookupHintRe.findFirstMatchIn(select)
+            .map(m => HintOptRe.findAllMatchIn(m.group(1))
+              .map(o => o.group(1) -> o.group(2)).toMap)
+            .getOrElse(Map.empty)
         val cleaned0 = HintRe.replaceAllIn(select, " ")
         if (SystemTimeJoinRe.findFirstMatchIn(cleaned0).isDefined) {
           // the reference's lookup-join enrichment statement VERBATIM
@@ -226,37 +232,70 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
           // dimension joins AS OF processing time (its current snapshot,
           // Flink/Paimon lookup-join semantics), and the dimension side is
           // broadcast (a lookup join IS a broadcast join — the dim never
-          // shuffles the stream). The LOOKUP retry / OPTIONS async hints
-          // are tolerated and dropped: retry-on-miss requeue semantics live
-          // in graft.streaming.LookupRetry for pipelines that need them.
+          // shuffles the stream). A LOOKUP hint carrying
+          // `'retry-predicate'='lookup_miss'` (guide.md:122-129) is HONORED:
+          // the pipe routes through the parked-miss requeue below (the
+          // LookupRetry semantics); other hint keys (async options) have no
+          // Spark analog and drop.
           val cleaned = cleaned0
           val jm = SystemTimeJoinRe.findFirstMatchIn(cleaned).get
           val (dim, dimAlias) = (jm.group(1), Option(jm.group(2)).getOrElse(jm.group(1)))
-          val fm = FromTableRe.findFirstMatchIn(cleaned).getOrElse(
+          // The fact table must be the FROM clause that syntactically OWNS
+          // the SYSTEM_TIME join. A CTE body or scalar subquery would put an
+          // earlier FROM in the statement and silently convert the WRONG
+          // table to the streaming side — refuse those shapes loudly
+          // instead of producing wrong enrichment output.
+          if (cleaned.trim.toUpperCase.startsWith("WITH"))
             throw new IllegalArgumentException(
-              s"cannot locate the fact table of a SYSTEM_TIME join in: $select"))
+              "a SYSTEM_TIME enrichment INSERT cannot start with a CTE " +
+                "(WITH …) — the rewrite could not prove which FROM owns " +
+                s"the temporal join: $select")
+          val fms = FromTableRe.findAllMatchIn(cleaned).toList
+            .filter(_.start < jm.start)
+          if (fms.size != 1)
+            throw new IllegalArgumentException(
+              s"a SYSTEM_TIME enrichment INSERT needs exactly ONE FROM " +
+                s"clause before the temporal join (found ${fms.size}) — " +
+                s"subqueries/CTEs are not rewritable: $select")
+          val fm = fms.head
           val (fact, factAlias) = (fm.group(1), Option(fm.group(2)).getOrElse(fm.group(1)))
+          // the rewrite converts the FIRST fact reference only — a second
+          // one (self-join, subquery) would silently keep reading the batch
+          // snapshot while the first streams
+          val factRefs = ("(?i)\\b" + java.util.regex.Pattern.quote(fact) +
+            "\\b").r.findAllMatchIn(cleaned).size
+          if (factRefs != 1)
+            throw new IllegalArgumentException(
+              s"the fact table '$fact' is referenced $factRefs times — a " +
+                "SYSTEM_TIME enrichment INSERT must reference it exactly " +
+                s"once (the rewrite streams only the first): $select")
           val factT = catalog.getTable(currentDb, fact)
-          val streamView = s"${fact}__stream"
-          factT.readStream(factT.read.schema).createOrReplaceTempView(streamView)
-          // a stale STREAMING temp view would poison later batch statements
-          // that happen to reference it — drop it whatever happens, INCLUDING
-          // an analysis failure of the rewritten SQL itself
-          try {
-            val rewritten = FromTableRe.replaceFirstIn(
+          def rewrittenFor(view: String): String =
+            FromTableRe.replaceFirstIn(
               SystemTimeJoinRe.replaceFirstIn(cleaned,
                 scala.util.matching.Regex.quoteReplacement(s"JOIN $dim AS $dimAlias")),
-              scala.util.matching.Regex.quoteReplacement(s"FROM $streamView AS $factAlias"))
+              scala.util.matching.Regex.quoteReplacement(s"FROM $view AS $factAlias"))
               .replaceFirst("(?i)^\\s*SELECT",
                 scala.util.matching.Regex.quoteReplacement(
                   s"SELECT /*+ BROADCAST($dimAlias) */"))
-            val df = conformToDeclared(t, spark.sql(rewritten))
-            table.writeStream(df,
-              org.apache.spark.sql.streaming.Trigger.AvailableNow())
-              .awaitTermination()
-          } finally spark.catalog.dropTempView(streamView)
-          ok(s"enrichment pipe into $t drained " +
-            s"(lookup join: $dim AS OF processing time)")
+          if (lookupHint.get("retry-predicate").contains("lookup_miss")) {
+            runRetryEnrichment(t, table, factT, fact, factAlias, dim,
+              dimAlias, jm, cleaned, lookupHint, rewrittenFor)
+          } else {
+            val streamView = s"${fact}__stream"
+            factT.readStream(factT.read.schema).createOrReplaceTempView(streamView)
+            // a stale STREAMING temp view would poison later batch statements
+            // that happen to reference it — drop it whatever happens, INCLUDING
+            // an analysis failure of the rewritten SQL itself
+            try {
+              val df = conformToDeclared(t, spark.sql(rewrittenFor(streamView)))
+              table.writeStream(df,
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .awaitTermination()
+            } finally spark.catalog.dropTempView(streamView)
+            ok(s"enrichment pipe into $t drained " +
+              s"(lookup join: $dim AS OF processing time)")
+          }
         } else {
           val df = conformToDeclared(t, spark.sql(select))
           val nextBatch = table.latestSnapshot.map(_.batchId + 1).getOrElse(0L)
@@ -276,6 +315,76 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       case other =>
         throw new IllegalArgumentException(s"unsupported statement: $other")
     }
+  }
+
+  /** The reference's retry-on-miss enrichment, HONORED in the SQL door
+    * (guide.md:122-138: `'retry-predicate'='lookup_miss'`, fixed-delay ×
+    * `max-attempts`, `'output-mode'='allow_unordered'`): per micro-batch,
+    * the fresh fact rows PLUS earlier batches' parked misses join the
+    * dimension's current snapshot — matches commit to the target (unordered
+    * across retries, exactly what the hint's output mode allows), misses
+    * park in a batch-id-keyed file with an attempt counter, and rows past
+    * the cap dead-letter under `<target>/lookup-retry/dead/`. The hint's
+    * fixed delay maps to the micro-batch cadence (one AvailableNow drain =
+    * one attempt round; a rerun of the INSERT retries what is parked) —
+    * [[graft.streaming.LookupRetry]] is the library-door twin of this pipe.
+    * Replay-safe: batch ids ride the target's writer-epoch discipline and
+    * every side write is an overwrite of a batch-id-keyed path, so a
+    * replayed batch rewrites exactly its own state. */
+  private def runRetryEnrichment(t: String, table: StreamTable,
+      factT: StreamTable, fact: String, factAlias: String, dim: String,
+      dimAlias: String, jm: scala.util.matching.Regex.Match, cleaned: String,
+      hint: Map[String, String], rewrittenFor: String => String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    hint.get("output-mode").foreach(m => require(m == "allow_unordered",
+      s"retry-on-miss emits matches as they resolve — 'output-mode'='$m' " +
+        "cannot be honored (only 'allow_unordered')"))
+    val maxAttempts = hint.get("max-attempts").map(_.trim.toInt).getOrElse(50)
+    require(maxAttempts > 0, s"'max-attempts' must be positive: $maxAttempts")
+    // the ON condition owning the temporal join — it defines a "miss"
+    val onCond = OnCondRe.findFirstMatchIn(cleaned.substring(jm.end))
+      .map(_.group(1).trim).getOrElse(throw new IllegalArgumentException(
+        s"cannot locate the ON condition of the SYSTEM_TIME join: $cleaned"))
+    val retryDir = Paths.get(table.root, "lookup-retry")
+    Files.createDirectories(retryDir)
+    val factView = s"${fact}__retry_batch"
+    table.writeStream(
+      factT.readStream(factT.read.schema),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      transform = (batch, absId) => {
+        val s = batch.sparkSession
+        val pendingIds = StreamTable.listDir(retryDir).iterator
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("pending-"))
+          .map(_.stripPrefix("pending-").toLong)
+          .filter(_ < absId).toSeq.sorted
+        val pending = pendingIds.lastOption
+          .map(m => s.read.parquet(s"$retryDir/pending-$m"))
+        val fresh = batch.withColumn("__attempts", lit(0))
+        val input = pending.map(fresh.unionByName(_)).getOrElse(fresh)
+        // a miss = a row failing the temporal JOIN itself (the hint's
+        // lookup_miss predicate); the dim stays broadcast — the retry path
+        // must not start shuffling the stream
+        val missed = input.alias(factAlias)
+          .join(broadcast(s.table(dim).alias(dimAlias)), expr(onCond),
+            "left_anti")
+          .withColumn("__attempts", col("__attempts") + lit(1))
+          .cache()
+        try {
+          missed.filter(col("__attempts") < maxAttempts)
+            .write.mode("overwrite").parquet(s"$retryDir/pending-$absId")
+          missed.filter(col("__attempts") >= maxAttempts).drop("__attempts")
+            .write.mode("overwrite").parquet(s"$retryDir/dead/batch-$absId")
+        } finally missed.unpersist()
+        // GC superseded pending files, KEEPING the newest predecessor (a
+        // replayed batch must be able to re-read the state it consumed)
+        pendingIds.dropRight(1).foreach(m =>
+          StreamTable.deleteTree(Paths.get(s"$retryDir/pending-$m")))
+        input.drop("__attempts").createOrReplaceTempView(factView)
+        conformToDeclared(t, s.sql(rewrittenFor(factView)))
+      }).awaitTermination()
+    ok(s"enrichment pipe into $t drained (lookup join: $dim AS OF " +
+      s"processing time; retry-on-miss honored, max-attempts=$maxAttempts)")
   }
 
   /** INSERT-side conformance to the table's declared (evolved) schema:
@@ -531,6 +640,15 @@ object GraftSql {
       "SEMI\\b|ANTI\\b|LATERAL\\b|TABLESAMPLE\\b|PIVOT\\b|UNPIVOT\\b|" +
       "WINDOW\\b)(\\w+))?").r
   private val HintRe = "(?s)/\\*\\+.*?\\*/".r
+  // the LOOKUP hint body (guide.md:122-129) — parsed BEFORE HintRe strips
+  // it, so `'retry-predicate'='lookup_miss'` can route the enrichment
+  // through the parked-miss requeue instead of being dropped
+  private val LookupHintRe = "(?si)/\\*\\+\\s*LOOKUP\\s*\\((.*?)\\)\\s*\\*/".r
+  private val HintOptRe = "'([^']+)'\\s*=\\s*'([^']*)'".r
+  // the ON condition owning the temporal join: the text following the join
+  // clause, up to any trailing batch-clause keyword
+  private val OnCondRe =
+    "(?is)\\bON\\b(.+?)(?=\\bWHERE\\b|\\bGROUP\\b|\\bORDER\\b|\\bLIMIT\\b|$)".r
   private val AlterAddRe = "(?i)ALTER TABLE ([\\w.]+) ADD COLUMNS? (.+)".r
   private val AlterDropColRe = "(?i)ALTER TABLE ([\\w.]+) DROP COLUMNS? (\\w+)".r
   private val AlterRenameColRe =

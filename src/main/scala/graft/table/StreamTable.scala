@@ -1772,7 +1772,13 @@ class StreamTable(
     * id — the hook [[GraftCatalog.writeStreamManaged]] uses to run the
     * table's auto-compaction/retention policies in-line with ingestion. */
   def writeStream(stream: DataFrame, trigger: Trigger,
-      afterCommit: Long => Unit = _ => ()): StreamingQuery = {
+      afterCommit: Long => Unit = _ => (),
+      /** Per-batch hook mapping (micro-batch rows, absolute batch id) to the
+        * rows that commit — identity by default. Runs INSIDE the epoch-id
+        * discipline below, so a replayed batch re-derives the same id and
+        * any side state the transform keys by it (e.g. the lookup-retry
+        * door's parked-miss files) rewrites deterministically. */
+      transform: (DataFrame, Long) => DataFrame = (b, _) => b): StreamingQuery = {
     // Writer-epoch offset: Structured Streaming batch ids restart at 0 for a
     // fresh checkpoint, which would collide with ids already committed by an
     // earlier writer and silently no-op in appendBatch. Pin the table-side
@@ -1799,7 +1805,8 @@ class StreamTable(
       }
     stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(b, offset + id); afterCommit(offset + id)
+        appendBatch(transform(b, offset + id), offset + id)
+        afterCommit(offset + id)
       }
       .option("checkpointLocation", chk)
       .trigger(trigger)
@@ -2736,6 +2743,30 @@ class StreamTable(
     * Snapshots whose predecessor expired contribute nothing (their delta is
     * unrecoverable). Mirrors the V2 door's `` `t$changelog` ``
     * (GraftChangeHistoryV2Table) row-for-row. */
+  /** Maximal CONSECUTIVE runs of "tail" commits — primary-key commits on a
+    * deferred producer whose changes no produced span covers yet — keyed by
+    * run START id, valued by run END id. Shared by [[changeHistoryView]]
+    * and the V2 `$changelog` planner so both net a long uncompacted tail as
+    * ONE endpoint-state interval diff per run (O(runs) resolves, not
+    * O(tail commits)). Any non-tail commit (overwrite, produced span,
+    * covered, maintenance-only, expired predecessor) breaks the run — its
+    * state effects must not leak into a tail diff. */
+  private[graft] def tailRuns(heads: Seq[Snapshot],
+      coveredByDeferred: Long => Boolean): Map[Long, Long] = {
+    if (primaryKey.isEmpty || !clogAtCompact) return Map.empty
+    val byId = heads.map(s => s.id -> s).toMap
+    val tailIds: Set[Long] = heads.iterator.filter { s =>
+      s.id > 0 && !s.clogProduced && !coveredByDeferred(s.id) &&
+        byId.contains(s.id - 1) && s.kind != "overwrite" &&
+        addedEvidenceOf(s, byId.get(s.id - 1)).nonEmpty
+    }.map(_.id).toSet
+    tailIds.toSeq.sorted.filterNot(id => tailIds.contains(id - 1)).map { st =>
+      var e = st
+      while (tailIds.contains(e + 1)) e += 1
+      st -> e
+    }.toMap
+  }
+
   def changeHistoryView: DataFrame = {
     val heads = snapshotHeaders
     val byId = heads.map(s => s.id -> s).toMap
@@ -2751,6 +2782,16 @@ class StreamTable(
     }
     def coveredByDeferred(id: Long): Boolean =
       deferredSpans.exists { case (f, t0) => id > f && id < t0 }
+    // the uncompacted TAIL of a deferred producer nets as maximal
+    // CONSECUTIVE runs — ONE endpoint-state interval diff per run instead of
+    // one full per-bucket resolve per commit (a long tail would otherwise
+    // cost O(tail commits × full resolve) per history query). The netted
+    // rows are exactly what the next covering compaction's span will
+    // persist, so producing the span changes the history's SOURCE, never
+    // its rows. Runs break at any non-tail commit (overwrite, produced,
+    // covered, maintenance-only) — their state effects must not leak into
+    // a tail diff.
+    val tailRunEnd: Map[Long, Long] = tailRuns(heads, coveredByDeferred)
     val parts: Seq[DataFrame] = heads.flatMap { s =>
       val pred = byId.get(s.id - 1)
       if (s.id == 0 && primaryKey.isDefined)
@@ -2781,12 +2822,11 @@ class StreamTable(
         else if (primaryKey.isEmpty)
           Some(readFiles(added).drop(SeqColName).withColumn("rowkind", lit("+I")))
         else if (clogAtCompact)
-          // the uncompacted TAIL of a deferred-producer table: its span
-          // changelog hasn't been produced yet, so serve these commits via
-          // their own single-commit interval diff (the overwrite rule) —
-          // the read-side price the deferred trade defers to
-          Some(changelogWithRetractions(s.id - 1, s.id)
-            .withColumnRenamed("op", "rowkind"))
+          // the uncompacted TAIL: emit this run's NETTED diff at the run's
+          // first commit; mid-run commits ride in it (see tailRuns above)
+          tailRunEnd.get(s.id).map(end =>
+            changelogWithRetractions(s.id - 1, end)
+              .withColumnRenamed("op", "rowkind"))
         else throw new UnsupportedOperationException(
           s"$root$$changelog: snapshot ${s.id} has no persisted changelog — " +
             "change history on a primary-key table needs a " +
@@ -3045,9 +3085,10 @@ class StreamTable(
         moveStagedParts(staging, dataCompact, s"dvm$snapId")
           .map { case (p, _) => (p, None) }
       }
-    val metasAll = fileMetas(spark, moved.map(_._1), level = 1,
-      minSeq = dvd.map(_.minSeq).min, maxSeq = dvd.map(_.maxSeq).max)
-      .zip(moved).map { case (m, (_, bkt)) => m.copy(bucket = bkt) }
+    val metasAll = withPreservedCreation(dvd,
+      fileMetas(spark, moved.map(_._1), level = 1,
+        minSeq = dvd.map(_.minSeq).min, maxSeq = dvd.map(_.maxSeq).max)
+        .zip(moved).map { case (m, (_, bkt)) => m.copy(bucket = bkt) })
     val (metas, empties) = metasAll.partition(_.rowCount > 0)
     empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
     val (inRows, outRows) =
@@ -3128,12 +3169,13 @@ class StreamTable(
         moveStagedParts(staging, dataCompact, s"m$snapId")
           .map { case (p, _) => (p, None) }
       }
-    val metasAll = fileMetas(spark, moved.map(_._1), level = 1,
-      minSeq = before.map(_.minSeq).min, maxSeq = before.map(_.maxSeq).max)
-      .zip(moved).map { case (m, (_, bkt)) =>
-        val b = m.copy(bucket = bkt)
-        if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
-      }
+    val metasAll = withPreservedCreation(before,
+      fileMetas(spark, moved.map(_._1), level = 1,
+        minSeq = before.map(_.minSeq).min, maxSeq = before.map(_.maxSeq).max)
+        .zip(moved).map { case (m, (_, bkt)) =>
+          val b = m.copy(bucket = bkt)
+          if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
+        })
     val (metas, empties) = metasAll.partition(_.rowCount > 0)
     empties.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
     // strict conservation of LIVE rows: a minor compaction concatenates,
@@ -3209,6 +3251,37 @@ class StreamTable(
     buckets.size
   }
 
+  /** Preserve the newest SOURCE `creationTimeMs` (per partition on a
+    * partitioned table) through a pure maintenance rewrite. Update-time
+    * partition expiry ages a partition by the newest LOGICAL data arrival —
+    * if compaction restamped rewritten files with the rewrite time, a table
+    * under periodic maintenance would never expire any partition. Row-level
+    * DML keeps the fresh stamp (it IS a logical update); only layout-neutral
+    * rewrites (compact / rescale / small-file merge / DV materialization)
+    * route through here. A file the tuple probe cannot prove single-valued
+    * falls back to the GLOBAL source max — conservative: a partition can
+    * only look younger (expire later), never older. */
+  private def withPreservedCreation(sources: Seq[DataFileMeta],
+      outputs: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    if (sources.isEmpty || outputs.isEmpty) return outputs
+    val globalMax = sources.iterator.map(_.creationTimeMs).max
+    partitionKeys match {
+      case None => outputs.map(_.copy(creationTimeMs = globalMax))
+      case Some(pks) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        def tupleOf(f: DataFileMeta): Option[Seq[Option[String]]] =
+          scala.util.Try(
+            StreamTable.partitionTupleOf(f, pks, conf, root)).toOption
+        val perPart: Map[Seq[Option[String]], Long] = sources
+          .flatMap(f => tupleOf(f).map(_ -> f.creationTimeMs))
+          .groupMapReduce(_._1)(_._2)(math.max)
+        outputs.map { m =>
+          val kept = tupleOf(m).flatMap(perPart.get).getOrElse(globalMax)
+          m.copy(creationTimeMs = kept)
+        }
+    }
+  }
+
   private def rewriteLive(layout: DataFrame => DataFrame,
       recordBuckets: Boolean = false, sortByKey: Boolean = false,
       clustered: Boolean = false): Snapshot = {
@@ -3245,12 +3318,13 @@ class StreamTable(
         moveStagedParts(staging, dataCompact, s"c$snapId")
       }
     val maxSeq = before.map(_.maxSeq).max
-    val metas = fileMetas(spark, moved.map(_._1), level = 1,
-      minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)
-      .zip(moved).map { case (m, (_, k)) =>
-        val b = if (recordBuckets) m.copy(bucket = Some(k)) else m
-        if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
-      }
+    val metas = withPreservedCreation(before,
+      fileMetas(spark, moved.map(_._1), level = 1,
+        minSeq = before.map(_.minSeq).min, maxSeq = maxSeq)
+        .zip(moved).map { case (m, (_, k)) =>
+          val b = if (recordBuckets) m.copy(bucket = Some(k)) else m
+          if (sortKey.isDefined) b.copy(sortedBy = sortKey) else b
+        })
     // Conservation is validated against the rewrite's own inputs/outputs
     // (footer row counts), never a re-read of the live table — a concurrent
     // writer committing mid-compaction must not fail the check. PK tables

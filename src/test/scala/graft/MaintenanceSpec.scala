@@ -371,6 +371,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(expired == 1, s"snapshot retention must still run, expired=$expired")
   }
 
+  test("update-time partition expiry ages by LOGICAL data arrival: a " +
+      "maintenance rewrite (compaction) must not reset partition ages") {
+    // a table under periodic compaction would otherwise NEVER expire any
+    // partition — the rewrite restamps every file's physical creation time,
+    // so the preserved per-partition max is what expiry must see
+    val r1 = tmp()
+    val t = new StreamTable(r1, spark, partitionKeys = Some(Seq("dt")))
+    t.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "dt"), 0L)
+    t.appendBatch(Seq((3L, "a")).toDF("id", "dt"), 1L)
+    Thread.sleep(1200)
+    t.compact(targetFileCount = 1) // physically restamps every file
+    // horizon 1 s: the logical writes are ≥1.2 s old, the rewrite just ran
+    assert(t.expirePartitions(1000L, "update-time") == 2,
+      "compaction must not make partitions young again")
+    assert(t.read.count() == 0L)
+    StreamTable.deleteTree(java.nio.file.Paths.get(r1))
+    // …while a partition with a genuinely fresh write after the compaction
+    // stays young: only the untouched partition ages out
+    val r2 = tmp()
+    val t2 = new StreamTable(r2, spark, partitionKeys = Some(Seq("dt")))
+    t2.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "dt"), 0L)
+    Thread.sleep(1200)
+    t2.compact(targetFileCount = 1)
+    t2.appendBatch(Seq((3L, "b")).toDF("id", "dt"), 1L) // fresh logical write
+    assert(t2.expirePartitions(1000L, "update-time") == 1,
+      "only the partition without fresh data expires")
+    assert(t2.read.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    StreamTable.deleteTree(java.nio.file.Paths.get(r2))
+  }
+
   test("native CALL procedures through the V2 catalog (Spark 4 ProcedureCatalog)") {
     val wh = tmp()
     val cat = s"gproc_${Integer.toHexString(wh.hashCode).take(6)}"

@@ -281,7 +281,7 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("the enrichment INSERT with FOR SYSTEM_TIME AS OF replays VERBATIM " +
-      "(guide.md:119-140): stream-static lookup join, hints tolerated") {
+      "(guide.md:119-140): stream-static lookup join, retry hint honored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     val sh = shell()
@@ -369,5 +369,130 @@ class SqlSpec extends AnyFunSuite {
              |        ON m.sensor_id = sensor_info.sensor_id""".stripMargin)
     assert(sh.sql("SELECT count(*) AS n FROM enriched2")
       .collect().head.getLong(0) == 8L)
+  }
+
+  test("LOOKUP retry hint HONORED (guide.md:122-129): a planted dim miss " +
+      "parks, resolves on a later drain, and dead-letters past max-attempts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val wh = Files.createTempDirectory("graft_sql_retry_").toString
+    val sh = new GraftSql(spark, wh)
+    sh.sql("""CREATE TABLE meas_r (
+             |    sensor_id BIGINT, reading DECIMAL(5, 1),
+             |    event_time AS PROCTIME()
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    sh.sql("""CREATE TABLE dim_r (
+             |    sensor_id BIGINT, latitude DOUBLE PRECISION,
+             |    PRIMARY KEY (sensor_id) NOT ENFORCED
+             |) WITH ('changelog-producer' = 'input')""".stripMargin)
+    sh.sql("""CREATE TABLE enr_r (
+             |    sensor_id BIGINT, reading DECIMAL(5, 1), latitude DOUBLE
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    def addFacts(ids: Long*): Unit = {
+      ids.toDF("id").select($"id".as("sensor_id"),
+        lit(1.0).cast("decimal(5,1)").as("reading"))
+        .createOrReplaceTempView("retry_facts")
+      sh.sql("INSERT INTO meas_r SELECT sensor_id, reading FROM retry_facts")
+    }
+    def addDim(ids: Long*): Unit = {
+      ids.toDF("id").select($"id".as("sensor_id"), lit(9.5).as("latitude"))
+        .createOrReplaceTempView("retry_dim")
+      sh.sql("INSERT INTO dim_r SELECT * FROM retry_dim")
+    }
+    // max-attempts = 2 so the cap is reachable in three drains
+    val stmt = """INSERT INTO enr_r
+                 |SELECT /*+ LOOKUP('table'='s',
+                 |         'retry-predicate'='lookup_miss',
+                 |         'output-mode'='allow_unordered',
+                 |         'retry-strategy'='fixed_delay',
+                 |         'fixed-delay'='1s', 'max-attempts'='2') */
+                 |    m.sensor_id, m.reading, s.latitude
+                 |FROM meas_r AS m
+                 |    JOIN dim_r FOR SYSTEM_TIME AS OF m.event_time AS s
+                 |        ON m.sensor_id = s.sensor_id""".stripMargin
+    def enriched(): Seq[Long] =
+      sh.sql("SELECT sensor_id FROM enr_r ORDER BY sensor_id")
+        .collect().map(_.getLong(0)).toSeq
+    // drain 1: facts {1,2}, dim {1} — 1 matches, 2 PARKS (attempt 1)
+    addDim(1L); addFacts(1L, 2L)
+    sh.sql(stmt)
+    assert(enriched() == Seq(1L), "the miss must be parked, not emitted")
+    // drain 2: dim gains 2, fresh fact 3 fires the batch — the PARKED row 2
+    // resolves on this LATER batch; 3 parks (attempt 1)
+    addDim(2L); addFacts(3L)
+    sh.sql(stmt)
+    assert(enriched() == Seq(1L, 2L),
+      "a parked miss must resolve once the dimension row lands")
+    // drain 3: fresh fact 4 (dim present) fires the batch; parked 3 misses
+    // again → attempt 2 = cap → DEAD-LETTERS
+    addDim(4L); addFacts(4L)
+    sh.sql(stmt)
+    assert(enriched() == Seq(1L, 2L, 4L))
+    val dead = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$wh/default.db/enr_r/lookup-retry/dead")
+    assert(dead.select("sensor_id").collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "the capped miss must land in the dead-letter dir, exactly once")
+    // and nothing else stays parked past the cap: the newest pending file
+    // carries no rows
+    val pendings = graft.table.StreamTable.listDir(
+      java.nio.file.Paths.get(s"$wh/default.db/enr_r/lookup-retry")).iterator
+      .map(_.getFileName.toString).filter(_.startsWith("pending-")).toSeq
+    assert(pendings.nonEmpty)
+    val newest = pendings.map(_.stripPrefix("pending-").toLong).max
+    assert(spark.read
+      .parquet(s"$wh/default.db/enr_r/lookup-retry/pending-$newest")
+      .count() == 0L, "nothing may stay parked past the attempt cap")
+    // a malformed output mode refuses loudly instead of reordering
+    val e = intercept[IllegalArgumentException] {
+      sh.sql(stmt.replace("allow_unordered", "ordered"))
+    }
+    assert(e.getMessage.contains("allow_unordered"), e.getMessage)
+  }
+
+  test("SYSTEM_TIME rewrite refuses ambiguous fact-table shapes (CTE, " +
+      "subquery FROM, fact referenced twice) instead of streaming the wrong table") {
+    import spark.implicits._
+    val sh = shell()
+    sh.sql("""CREATE TABLE m_amb (
+             |    sensor_id BIGINT, reading DECIMAL(5, 1),
+             |    event_time AS PROCTIME()
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    sh.sql("""CREATE TABLE d_amb (
+             |    sensor_id BIGINT, latitude DOUBLE PRECISION,
+             |    PRIMARY KEY (sensor_id) NOT ENFORCED
+             |) WITH ('changelog-producer' = 'input')""".stripMargin)
+    sh.sql("""CREATE TABLE e_amb (
+             |    sensor_id BIGINT, latitude DOUBLE
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    // a CTE body's FROM must not be captured as the fact table
+    val cte = intercept[IllegalArgumentException] {
+      sh.sql("""INSERT INTO e_amb
+               |WITH base AS (SELECT sensor_id FROM d_amb)
+               |SELECT m.sensor_id, s.latitude
+               |FROM m_amb AS m
+               |    JOIN d_amb FOR SYSTEM_TIME AS OF m.event_time AS s
+               |        ON m.sensor_id = s.sensor_id""".stripMargin)
+    }
+    assert(cte.getMessage.contains("CTE"), cte.getMessage)
+    // a scalar subquery's FROM before the join must refuse, not mis-anchor
+    val sub = intercept[IllegalArgumentException] {
+      sh.sql("""INSERT INTO e_amb
+               |SELECT (SELECT max(sensor_id) FROM d_amb), s.latitude
+               |FROM m_amb AS m
+               |    JOIN d_amb FOR SYSTEM_TIME AS OF m.event_time AS s
+               |        ON m.sensor_id = s.sensor_id""".stripMargin)
+    }
+    assert(sub.getMessage.contains("exactly ONE FROM"), sub.getMessage)
+    // the fact table referenced twice: the rewrite streams only the first —
+    // refuse rather than silently mixing stream and snapshot reads
+    val twice = intercept[IllegalArgumentException] {
+      sh.sql("""INSERT INTO e_amb
+               |SELECT m.sensor_id, s.latitude
+               |FROM m_amb AS m
+               |    JOIN d_amb FOR SYSTEM_TIME AS OF m.event_time AS s
+               |        ON m.sensor_id = s.sensor_id
+               |        AND m.sensor_id IN (SELECT sensor_id FROM m_amb)""".stripMargin)
+    }
+    assert(twice.getMessage.contains("exactly once"), twice.getMessage)
   }
 }

@@ -684,6 +684,43 @@ class StreamTableSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("retention-expired"), gone.getMessage)
   }
 
+  test("a LONG uncompacted deferred tail nets as ONE interval diff per run: " +
+      "history is identical before and after the covering compaction") {
+    val cat = new graft.table.GraftCatalog(spark, tmp())
+    val t = cat.createTable("default", "tnet", Map(
+      "primary-key" -> "id", "sequence.field" -> "seq",
+      "changelog-producer" -> "full-compaction"))
+    t.appendBatch(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "seq", "v"), 0L)
+    // a three-commit tail: key 1 updated TWICE, key 3 added
+    t.appendBatch(Seq((1L, 2L, "a2")).toDF("id", "seq", "v"), 1L)
+    t.appendBatch(Seq((1L, 3L, "a3")).toDF("id", "seq", "v"), 2L)
+    t.appendBatch(Seq((3L, 4L, "c")).toDF("id", "seq", "v"), 3L)
+    val before = t.changeHistoryView.groupBy("rowkind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the tail NETS: key 1's two updates collapse to one -U/+U pair —
+    // exactly the rows the covering compaction's span will persist (and one
+    // endpoint resolve for the whole run, not one per tail commit)
+    assert(before == Map("+I" -> 3L, "-U" -> 1L, "+U" -> 1L), before.toString)
+    // the netted image pair is oldest-to-newest across the run
+    val k1 = t.changeHistoryView.filter("id = 1").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toSet
+    assert(k1 == Set("+I" -> "a", "-U" -> "a", "+U" -> "a3"), k1.toString)
+    t.compact(targetFileCount = 1)
+    val after = t.changeHistoryView.groupBy("rowkind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before,
+      "producing the span must not change the history, only its source")
+    // the V2 door mirrors the netted tail row-for-row
+    val catName = s"graft_tnet_${Integer.toHexString(cat.warehouse.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", cat.warehouse)
+    val v2 = spark.sql(s"SELECT rowkind, count(*) AS n FROM " +
+      s"$catName.default.`tnet$$changelog` GROUP BY rowkind").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 == after, s"V2 door must mirror the library view: $v2 vs $after")
+  }
+
   test("deferred producer history stays op-balanced per key under randomized " +
       "write/delete/compaction interleavings") {
     // the $changelog of a deferred table mixes three sources — snapshot 0's
