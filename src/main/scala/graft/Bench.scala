@@ -14,11 +14,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Contention robustness: the driver machine may be busy, and a single timed
   * pass cannot tell "slow plan" from "stolen CPU". Two defenses:
-  *   - every BATCH query runs twice and reports min-of-2 (an OS scheduler can
-  *     slow a run down but never speed it up, so the min is the better
-  *     estimate of the plan's cost); streaming jobs run once — their cost is
+  *   - every BATCH query runs twice and reports min-of-N (an OS scheduler
+  *     can slow a run down but never speed it up, so the min is the better
+  *     estimate of the plan's cost); when the two reps disagree by >3× the
+  *     slow one was a steal burst, not the plan — a THIRD rep runs (bounded:
+  *     ≤20 extra reps per suite). Streaming jobs run once — their cost is
   *     dominated by fixed state-store setup, and doubling 13 real streaming
   *     jobs would add more wall time than measurement noise it removes;
+  *     their per-query steal delta lands in BENCH_DETAIL (`steal_by_query`)
+  *     so an inflated number adjudicates from the run's own telemetry;
   *   - the JSON carries `load_avg_start`/`load_avg_end` (1-min system load)
   *     and `available_cpus`, so a contended run is self-evident from its own
   *     telemetry instead of needing cross-run adjudication.
@@ -83,12 +87,32 @@ object Bench {
     // SPARK_GRAFT_ONLY=<prefix>: restrict to one query/family for local
     // iteration; the driver never sets it, so the contract run covers all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // steal-burst hardening: when a batch query's two reps disagree by >3×,
+    // the slow rep was almost certainly a hypervisor burst, not the plan —
+    // take a THIRD rep so min-of-3 reports the plan. Bounded (at most 20
+    // extra reps per run) so a uniformly-contended window cannot double the
+    // suite's wall time chasing noise.
+    val extraReps = new java.util.concurrent.atomic.AtomicInteger(20)
+    // per-query steal deltas (streaming jobs run once — their delta is the
+    // only way to adjudicate an inflated number from the run's own telemetry)
+    val stealByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.startsWith) }
       .map { case (name, fn) =>
+      val s0 = stealJiffies
       val r1 = once(name, fn)
-      val rs = if (streaming(name) || !r1._2) Seq(r1)
-               else Seq(r1, once(name, fn))
+      val rs =
+        if (streaming(name) || !r1._2) Seq(r1)
+        else {
+          val r2 = once(name, fn)
+          val two = Seq(r1, r2)
+          val (lo, hi) = (math.min(r1._1, r2._1), math.max(r1._1, r2._1))
+          if (r2._2 && hi > 3.0 * lo && extraReps.getAndDecrement() > 0)
+            two :+ once(name, fn)
+          else two
+        }
+      val s1 = stealJiffies
+      if (s0 >= 0 && s1 >= 0) stealByQuery(name) = s1 - s0
       name -> rs
     }
     // min over SUCCESSFUL runs only — a fast failure on the rerun must not
@@ -124,10 +148,14 @@ object Bench {
     // runs plus the min the totals use
     val runsJson = runs.map { case (n, rs) =>
       s""""$n":[${rs.map(r => fmt(r._1)).mkString(",")}]""" }.mkString("{", ",", "}")
+    val stealJson = stealByQuery.map { case (n, s) => s""""$n":$s""" }
+      .mkString("{", ",", "}")
     val detail = s"""{"total_sec":${fmt(total)},"n_queries":${results.size},""" +
       s""""errors":$errJson,"sf":"$sfDir","cpus":$cpus,$env,""" +
-      s""""protocol":"min-of-2 batch, 1x streaming, noop sink",""" +
-      s""""queries":${dict(results)},"runs":$runsJson}"""
+      s""""protocol":"min-of-2 batch (+3rd rep when reps disagree >3x, """ +
+      s"""max 20/run), 1x streaming, noop sink",""" +
+      s""""queries":${dict(results)},"runs":$runsJson,""" +
+      s""""steal_by_query":$stealJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes)
     catch { case _: Throwable => () }

@@ -284,7 +284,28 @@ object GraftV2Table {
         if (cols.isEmpty || cols.exists(_._2.isEmpty)) None
         else Some(StructType(cols.map { case (n, t) => StructField(n, t.get) }))
       })
-    (declared, renames)
+    // `ddl.default.<declared>` (ADD COLUMN … DEFAULT, frozen at ADD time as
+    // a canonical literal) rides the schema as Spark's own default-column
+    // metadata: EXISTS_DEFAULT makes the vectorized parquet reader fill
+    // MISSING columns with the constant (per file, zero plan changes) and
+    // CURRENT_DEFAULT makes INSERTs that omit the column materialize it.
+    val defaults = opts.collect {
+      case (k, v) if k.startsWith("ddl.default.") && v.nonEmpty =>
+        k.stripPrefix("ddl.default.") -> v
+    }
+    val withDefaults =
+      if (defaults.isEmpty) declared
+      else declared.map(st => StructType(st.map { f =>
+        defaults.get(f.name).fold(f) { sql =>
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .build())
+        }
+      }))
+    (withDefaults, renames)
   }
 }
 
@@ -484,7 +505,8 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           .parquet(files.map(_.path): _*).schema
           .filterNot(f => f.name == StreamTable.SeqColName ||
             f.name == StreamTable.TombstoneColName ||
-            f.name.startsWith(StreamTable.FieldSeqPrefix)))
+            f.name.startsWith(StreamTable.FieldSeqPrefix) ||
+            f.name.startsWith(StreamTable.FieldListPrefix)))
     }
     // an aggregation table's READ view is exactly (primary key, aggregated
     // fields) — the library's aggResolve groups by pk and aggregates the
@@ -651,7 +673,7 @@ class GraftV2Table(tableName: String, val table: StreamTable,
           override def requiredNumPartitions: Int =
             if (table.partitionKeys.isEmpty &&
                 table.bucketKey.exists(info.schema().fieldNames.contains))
-              table.numBuckets
+              table.currentBuckets // dynamic mode: the head's count (advisory)
             else 0 // partitioned: |partitions| is data-dependent, Spark picks
           // PK targets also request per-task ordering by the primary key:
           // Spark plans ONE spillable SortExec before the writers, so sink
@@ -813,6 +835,22 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
   private def pushable(f: Filter): Boolean =
     GraftScan.pushable(fullSchema)(f)
 
+  /** A file that PREDATES a column added with DEFAULT serves the default,
+    * not null — every metadata shortcut that equates "absent from the
+    * file" with "all null" must refuse for such (column, file) pairs and
+    * fall back to the real scan (whose readers substitute correctly).
+    * A legacy meta without the fileCols census refuses too. Compaction
+    * materializes defaults, so the pushes return once generations merge. */
+  private lazy val defaultedDecl: Set[String] = fullSchema.fields.iterator
+    .filter(_.metadata.contains(org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+    .map(_.name).toSet
+  private def predatesDefaulted(f: DataFileMeta, declared: String): Boolean =
+    defaultedDecl.contains(declared) && {
+      val fileN = nameMap.getOrElse(declared, declared)
+      f.fileCols.forall(!_.contains(fileN))
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(pushable)
     filters // every filter stays a residual: pushdown is never load-bearing
@@ -907,6 +945,8 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     def minMax(name: String): Option[Option[(Long, Long)]] =
       statsCache.getOrElseUpdate(name,
       if (anyDv) None // stats include deleted rows: refuse min/max
+      else if (files.exists(predatesDefaulted(_, name)))
+        None // a pre-ADD file reads the DEFAULT, which stats can't see
       else {
         // long-representable columns: integrals plus DATE (epoch days) and
         // both timestamp flavors (epoch micros) — the manifest's
@@ -1037,7 +1077,9 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     val fileN = nameMap.getOrElse(g, g)
     (f.fileCols, f.nullStats) match {
       case (Some(cols), _) if !cols.contains(fileN) =>
-        Some(null) // file predates the column: all rows null
+        // file predates the column: all rows null — UNLESS a default fills
+        // them, which a manifest group key cannot represent: refuse
+        if (defaultedDecl.contains(g)) None else Some(null)
       case (Some(_), Some(nulls)) =>
         if (f.badStats.exists(_.contains(fileN))) None
         else nulls.get(fileN).flatMap(_.toLongOption) match {
@@ -1072,7 +1114,9 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
     val conf = new Configuration()
     def minMaxIn(group: Seq[DataFileMeta], name: String)
         : Option[Option[(Long, Long)]] =
-      sparkType(name).flatMap(statParser).flatMap { p =>
+      sparkType(name).flatMap(statParser)
+        .filterNot(_ => group.exists(predatesDefaulted(_, name)))
+        .flatMap { p =>
         val fileN = nameMap.getOrElse(name, name)
         val perFile = group.map(f => GraftScanBuilder.metaLongMinMax(
           f, fileN, conf, p, declared = sparkType(name)))
@@ -1153,6 +1197,13 @@ class GraftScanBuilder(table: GraftV2Table, fullSchema: StructType,
         case rs if rs.contains(None) || rs.isEmpty => return None
         case rs => rs.flatten
       }
+    // a referenced column with a DEFAULT and any pre-ADD file: the partial
+    // scan's width-reduced readers would null-fill where the real scan
+    // serves the default — refuse the whole push, the normal plan is exact
+    val referenced = groupCols.map(_._1) ++ aggSpecs.collect {
+      case (_, n, _) if n.nonEmpty => n }
+    if (referenced.exists(c => files.exists(predatesDefaulted(_, c))))
+      return None
     val conf = new Configuration()
     val proved = Seq.newBuilder[InternalRow]
     val toRead = Seq.newBuilder[DataFileMeta]
@@ -1458,22 +1509,34 @@ class GraftScan(table: GraftV2Table, required: StructType,
     val t = table.table
     for {
       k <- t.bucketKey
+      // dynamic bucket mode: hash with the SCANNED generation's count
+      n <- t.bucketCountAt(table.atSnapshot)
       dt <- table.schema().find(_.name == k).map(_.dataType)
       if dt == LongType || dt == IntegerType
       v <- pushed.collectFirst { case EqualTo(a, v: Number) if a == k => v }
     } yield {
       // the same function SPJ serves from the catalog — one definition of
       // the layout, used by write, join alignment, and pruning alike
-      val in = new GenericInternalRow(Array[Any](t.numBuckets,
+      val in = new GenericInternalRow(Array[Any](n,
         if (dt == LongType) v.longValue() else v.intValue()))
       (if (dt == LongType) GraftBucketLong else GraftBucketInt)
         .produceResult(in).intValue()
     }
   }
 
+  // FILE-level names of defaulted columns (EXISTS_DEFAULT metadata rides
+  // the required schema): skipping must never treat a pre-ADD file's rows
+  // as null for them — they read the default
+  // lazy: keepFile runs inside `kept`'s initializer, which precedes this
+  // declaration in initialization order
+  private lazy val defaultedFileCols: Set[String] = fileRequired.fields.iterator
+    .filter(_.metadata.contains(org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+    .map(_.name).toSet
+
   private def keepFile(f: Filter, mins: Map[String, String],
       maxs: Map[String, String], meta: DataFileMeta): Boolean =
-    FileSkip.keep(f, mins, maxs, Some(meta))
+    FileSkip.keep(f, mins, maxs, Some(meta), defaultedFileCols)
 
   override def readSchema(): StructType = required
 
@@ -1535,7 +1598,10 @@ class GraftScan(table: GraftV2Table, required: StructType,
       // deletion-vector'd files fall back from SPJ until compaction purges
       // the vectors (the bucket readers are DV-unaware by design — a DV'd
       // append table is mid-maintenance state, not a join-layout citizen)
-      case Some(k) if confOn && kept.nonEmpty && kept.forall(_.bucket.isDefined) &&
+      // fixed-bucket tables only (a dynamic table's count moves between
+      // snapshots — not a stable join layout)
+      case Some(k) if confOn && t.numBuckets > 0 && kept.nonEmpty &&
+          kept.forall(_.bucket.isDefined) &&
           !kept.exists(_.dvCount.exists(_ > 0)) &&
           required.fieldNames.contains(k) &&
           table.schema().find(_.name == k).exists(f =>
@@ -2195,7 +2261,11 @@ private[v2] object FileSkip {
       /** The file's manifest meta, when available: null counts + physical
         * column presence serve the IS [NOT] NULL decisions — legacy
         * manifests (None) conservatively keep. */
-      meta: Option[DataFileMeta] = None): Boolean = {
+      meta: Option[DataFileMeta] = None,
+      /** FILE-level names of columns added with DEFAULT: a file that
+        * predates such a column serves the (non-null) default, so the
+        * "absent ⇒ all null" IS NOT NULL skip must not fire for them. */
+      defaulted: Set[String] = Set.empty): Boolean = {
     def nullCount(a: String): Option[Long] =
       meta.flatMap(_.nullStats).flatMap(_.get(a)).flatMap(_.toLongOption)
     def present(a: String): Option[Boolean] =
@@ -2315,19 +2385,22 @@ private[v2] object FileSkip {
           }
         }).getOrElse(true)
       // IS NOT NULL: skip only when provably every row is null — the column
-      // physically absent (file predates it) or nulls == rowCount
+      // physically absent (file predates it, AND no default fills it) or
+      // nulls == rowCount
       case IsNotNull(a) =>
         val allNull = (nullCount(a), meta.map(_.rowCount)) match {
           case (Some(n), Some(r)) => n == r
           case _ => false
         }
-        !(present(a).contains(false) || allNull)
+        !((present(a).contains(false) && !defaulted(a)) || allNull)
       // IS NULL: skip only when the column is present with ZERO nulls
       case IsNull(a) =>
         !(present(a).contains(true) && nullCount(a).contains(0L))
       // a file can match an OR if either branch could, an AND only if both
-      case Or(l, r) => keep(l, mins, maxs, meta) || keep(r, mins, maxs, meta)
-      case And(l, r) => keep(l, mins, maxs, meta) && keep(r, mins, maxs, meta)
+      case Or(l, r) =>
+        keep(l, mins, maxs, meta, defaulted) || keep(r, mins, maxs, meta, defaulted)
+      case And(l, r) =>
+        keep(l, mins, maxs, meta, defaulted) && keep(r, mins, maxs, meta, defaulted)
       case _ => true
     }
   }
@@ -2957,6 +3030,15 @@ class GraftPartitionReader(path: String, required: StructType,
     }
   }
 
+  // EXISTS_DEFAULT substitution for columns this file PREDATES — the row
+  // reader's twin of the vectorized path's existence-default missing-column
+  // vectors (Spark fills those from the same schema metadata): the folded
+  // internal value per output field, null when no default is declared.
+  // Genuine in-file NULLs are untouched (repetition-count branch below).
+  private val existsDefault: Array[Any] = required.fields.map(f =>
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValue(f))
+
   private var delivered = 0L
   private var pos = -1L // raw position of `current` within the file
   private var dvIdx = 0
@@ -2988,7 +3070,8 @@ class GraftPartitionReader(path: String, required: StructType,
       if (i == -2) row.update(out, filePathUtf8)
       else if (i == -3) row.update(out, fileSeq)
       else if (i == -4) row.update(out, pos)
-      else if (i < 0 || current.getFieldRepetitionCount(i) == 0) row.update(out, null)
+      else if (i < 0) row.update(out, existsDefault(out)) // absent: default-or-null fill
+      else if (current.getFieldRepetitionCount(i) == 0) row.update(out, null)
       else row.update(out, convertAny(current, i, dt, typ))
       out += 1
     }

@@ -102,6 +102,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val baseIdent = Identifier.of(ident.namespace(), base)
         if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
         val t = backing.getTable(db(ident.namespace()), base)
+        if (sys.startsWith("branch_")) {
+          // `t$branch_<name>` (Paimon's branch read): the branch's own
+          // chain as a full V2 table — scans, time travel, even writes
+          // resolve against the branch root (write-audit-publish's audit
+          // surface). Same structural semantics: the branch carries the
+          // parent's options file.
+          val bt = t.branchTable(sys.stripPrefix("branch_"))
+          val (declared, renames) = GraftV2Table.evolutionOf(
+            backing.tableOptions(db(ident.namespace()), base))
+          return new GraftV2Table(
+            s"$catalogName.${db(ident.namespace())}.${ident.name()}",
+            bt, SparkSession.active, declared, renameMap = renames)
+        }
         if (sys == "audit_log" || sys == "changelog") {
           // data-sized — a DISTRIBUTED scan, never a driver-local metadata
           // view: `$audit_log` is the current state as +I (Paimon's batch
@@ -283,28 +296,42 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           .map(_.split("\\.", 2)(0))
           .filterNot(n => n == graft.table.StreamTable.SeqColName ||
             n == graft.table.StreamTable.TombstoneColName ||
-            n.startsWith(graft.table.StreamTable.FieldSeqPrefix))
+            n.startsWith(graft.table.StreamTable.FieldSeqPrefix) ||
+            n.startsWith(graft.table.StreamTable.FieldListPrefix))
           .toSet
       else SparkSession.active.read.option("mergeSchema", "true")
         .parquet(files.map(_.path): _*).schema.fieldNames.toSet
           .filterNot(n => n == graft.table.StreamTable.SeqColName ||
             n == graft.table.StreamTable.TombstoneColName ||
-            n.startsWith(graft.table.StreamTable.FieldSeqPrefix))
+            n.startsWith(graft.table.StreamTable.FieldSeqPrefix) ||
+            n.startsWith(graft.table.StreamTable.FieldListPrefix))
     }
     val setOpts = scala.collection.mutable.Map[String, String]()
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested ADD COLUMN is unsupported")
-        // refuse DEFAULT loudly rather than silently dropping it: Spark's
-        // EXISTS_DEFAULT contract makes pre-existing rows read the default,
-        // which needs per-file existence substitution in every reader —
-        // until that lands, an ignored DEFAULT would silently serve NULLs
-        // where the user declared a value
-        require(a.defaultValue() == null,
-          s"ADD COLUMN ${a.fieldNames.head} DEFAULT is not supported: " +
-            "evolution null-fills pre-existing rows (Paimon parity) — add " +
-            "the column, then backfill with UPDATE if a value is needed")
         val n = a.fieldNames.head
+        // ADD COLUMN … DEFAULT v — Spark's EXISTS_DEFAULT contract as PURE
+        // METADATA on the evolution machinery: the default is constant-
+        // folded HERE (frozen at ADD time, per the contract), persisted as
+        // a canonical literal under `ddl.default.<name>`, and served where
+        // old files would null-fill — the vectorized reader through Spark's
+        // own existence-default missing-column vectors (schema metadata),
+        // the row reader and the library/compaction read through the same
+        // stored literal. New writes materialize the CURRENT default via
+        // the V2 column metadata. No file is rewritten at any table size.
+        Option(a.defaultValue()).foreach { dv =>
+          val folded = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .analyze(n, a.dataType, dv.getSql, "ALTER TABLE ADD COLUMNS")
+          require(folded.foldable,
+            s"DEFAULT for '$n' must be a constant expression: ${dv.getSql}")
+          val v = folded.eval(null)
+          require(v != null || a.isNullable,
+            s"DEFAULT NULL needs a nullable column '$n'")
+          if (v != null) // DEFAULT NULL ≡ the plain null-fill, store nothing
+            setOpts(s"ddl.default.$n") =
+              org.apache.spark.sql.catalyst.expressions.Literal(v, a.dataType).sql
+        }
         require(!decl.fieldNames.contains(n), s"column '$n' already exists")
         // storage names in use or still present in data files; a collision
         // mints `<name>__fid<k>` instead of refusing the ADD
@@ -327,6 +354,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             s"cannot drop key column '$n' (primary/bucket/sequence key)")
           decl = StructType(decl.filterNot(_.name == n))
           if (renames.contains(n)) { setOpts(s"ddl.rename.$n") = ""; renames -= n }
+          if (opts.contains(s"ddl.default.$n")) setOpts(s"ddl.default.$n") = ""
         }
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested RENAME COLUMN is unsupported")
@@ -352,6 +380,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         setOpts(s"ddl.rename.$from") = "" // retired mapping (empty = removed)
         if (fileN != to) setOpts(s"ddl.rename.$to") = fileN
         renames = renames - from ++ (if (fileN != to) Map(to -> fileN) else Map.empty)
+        // a default is keyed by the DECLARED name — it follows the rename
+        opts.get(s"ddl.default.$from").filter(_.nonEmpty).foreach { sql =>
+          setOpts(s"ddl.default.$from") = ""
+          setOpts(s"ddl.default.$to") = sql
+        }
       case u: TableChange.UpdateColumnType =>
         // TYPE WIDENING as pure metadata (Paimon/Iceberg's evolution):
         // persist the widened declared type; the scan casts each file's
@@ -386,9 +419,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           "DECIMAL(p,s)→DECIMAL(p+k,s))")
         decl = StructType(decl.map(f =>
           if (f.name == n) f.copy(dataType = to) else f))
+        // a stored default was folded at the OLD type — re-fold at the new
+        // one so read substitution and new writes agree on the widened type
+        opts.get(s"ddl.default.$n").filter(_.nonEmpty).foreach { sql =>
+          val refolded = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .analyze(n, to, sql, "ALTER TABLE ALTER COLUMN")
+          setOpts(s"ddl.default.$n") = org.apache.spark.sql.catalyst
+            .expressions.Literal(refolded.eval(null), to).sql
+        }
       case other => throw new IllegalArgumentException(s"unreachable: $other")
     }
-    setOpts(SchemaOption) = decl.toDDL
+    // strip default-column metadata before the DDL-text persist: the store
+    // of record for defaults is `ddl.default.<name>` (evolutionOf re-attaches
+    // on load) — a DEFAULT clause in the DDL text would not round-trip
+    // through StructType.fromDDL and the whole declared schema would fall
+    // back to file-derived
+    setOpts(SchemaOption) = StructType(decl.map { f =>
+      import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+        .remove(EXISTS_DEFAULT_COLUMN_METADATA_KEY).build())
+    }).toDDL
     // keep the shell's store in sync when the table carries one, so a table
     // created in the shell and evolved here stays coherent in both doors
     if (opts.contains("ddl.schema"))

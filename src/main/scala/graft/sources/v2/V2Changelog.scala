@@ -178,6 +178,10 @@ private[graft] object ChangelogPlanning {
       pushed: Array[org.apache.spark.sql.sources.Filter]): Option[Int] =
     for {
       k <- t.bucketKey
+      // fixed-bucket only: a change INTERVAL spans snapshots, and a dynamic
+      // table's generations hash under different counts — a single bucket id
+      // cannot pin a key across a split boundary
+      if t.numBuckets > 0
       dt <- schema.find(_.name == k).map(_.dataType)
       if dt == LongType || dt == IntegerType
       v <- pushed.collectFirst {

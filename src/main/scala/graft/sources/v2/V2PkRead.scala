@@ -139,10 +139,12 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
       // the ORDERED function needs per-field sequence provenance the
       // native order-blind fold cannot track — the library view
       // (StreamTable.read) serves it; same posture as decimal sums
-      require(fn != "last_non_null_value" || !required.fieldNames.contains(f),
-        s"${table.name()}: last_non_null_value($f) is sequence-ordered and " +
-          "keeps the library view (StreamTable.read) — the native V2 fold " +
-          "is order-blind")
+      require(!Set("last_non_null_value", "listagg", "collect",
+          "merge_map").contains(fn) ||
+          !required.fieldNames.contains(f),
+        s"${table.name()}: $fn($f) is sequence-ordered and keeps the " +
+          "library view (StreamTable.read) — the native V2 fold is " +
+          "order-blind")
       if ((fn == "sum" || fn == "count") && required.fieldNames.contains(f))
         // INT/FLOAT fields already widened in the declared schema (the
         // reader folds in the accumulator type); only exotic additive
@@ -196,6 +198,10 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
   private def bucketLookup: Option[Set[Int]] =
     for {
       k <- t.bucketKey
+      // dynamic bucket mode: hash with the SCANNED generation's count (it
+      // rides the snapshot) — a head-count hash against a time-traveled
+      // pre-split state would prune the wrong bucket
+      n <- t.bucketCountAt(table.atSnapshot)
       dt <- fullSchema.find(_.name == k).map(_.dataType)
       if dt == LongType || dt == IntegerType
       vals <- pushed.collectFirst {
@@ -204,7 +210,7 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
             vs.forall(_.isInstanceOf[Number]) => vs.toSeq.map(_.asInstanceOf[Number])
       }
     } yield vals.map { v =>
-      val in = new GenericInternalRow(Array[Any](t.numBuckets,
+      val in = new GenericInternalRow(Array[Any](n,
         if (dt == LongType) v.longValue() else v.intValue()))
       (if (dt == LongType) GraftBucketLong else GraftBucketInt)
         .produceResult(in).intValue()
@@ -289,7 +295,11 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
         .get("spark.sql.sources.v2.bucketing.enabled") == "true"
     } catch { case _: Exception => false }
     t.bucketKey match {
-      case Some(k) if confOn && groups.nonEmpty && groups.forall(_._1 >= 0) &&
+      // fixed-bucket tables only: a dynamic table's count moves between
+      // snapshots, so advertising it as a stable join layout would let
+      // Spark align an exchange-free join against a STALE generation
+      case Some(k) if confOn && t.numBuckets > 0 && groups.nonEmpty &&
+          groups.forall(_._1 >= 0) &&
           required.fieldNames.contains(k) &&
           fullSchema.find(_.name == k).exists(f =>
             f.dataType == LongType || f.dataType == IntegerType) =>

@@ -34,7 +34,8 @@ object V2Procedures {
 
   def names: Seq[String] =
     Seq("compact", "expire_snapshots", "expire_partitions", "rollback_to",
-      "create_tag", "delete_tag", "rescale", "remove_orphan_files",
+      "create_tag", "delete_tag", "create_branch", "fast_forward",
+      "delete_branch", "rescale", "remove_orphan_files",
       "compact_small_files", "materialize_deletes")
 
   def load(catalog: => GraftCatalog, name: String): Option[UnboundProcedure] = {
@@ -166,6 +167,32 @@ object V2Procedures {
         StructType(Seq(StructField("deleted", BooleanType))),
         (t, args) => Array[Any](
           t.deleteTag(args(1).asInstanceOf[UTF8String].toString)), p))
+      // write-audit-publish (Paimon branches): create_branch stages an
+      // independent chain seeded from a tag/snapshot (head when omitted);
+      // fast_forward publishes it onto main atomically; delete_branch is
+      // the audit-failed path. Read a branch as `t$branch_<name>`.
+      case "create_branch" => Some(proc("create_branch",
+        Seq(in("table", StringType), in("branch", StringType),
+          in("from", StringType, Some("''"))),
+        StructType(Seq(StructField("seed_snapshot_id", LongType))),
+        (t, args) => {
+          val from = Option(args(2)).map(_.asInstanceOf[UTF8String].toString
+            .trim).filter(_.nonEmpty)
+          Array[Any](t.createBranch(
+            args(1).asInstanceOf[UTF8String].toString, from))
+        }, p))
+      case "fast_forward" => Some(proc("fast_forward",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("head_snapshot_id", LongType))),
+        (t, args) => Array[Any](
+          t.fastForward(args(1).asInstanceOf[UTF8String].toString).id), p))
+      case "delete_branch" => Some(proc("delete_branch",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("deleted", BooleanType))),
+        (t, args) => {
+          t.deleteBranch(args(1).asInstanceOf[UTF8String].toString)
+          Array[Any](true)
+        }, p))
       case "remove_orphan_files" => Some(proc("remove_orphan_files",
         Seq(in("table", StringType),
           in("older_than_ms", LongType, Some((24L * 3600 * 1000).toString))),

@@ -327,6 +327,61 @@ object V2Queries {
         .orderBy("c_custkey", "op")
     },
 
+    // BRANCHES (Paimon create_branch / fast_forward): write-audit-publish —
+    // a risky backfill stages on an independent snapshot chain seeded from
+    // a tag (zero data copy: the seed manifest references the parent's
+    // files), gets audited there (`t$branch_<name>` reads), and publishes
+    // onto main ATOMICALLY through the same CAS every commit uses. The
+    // stager pins the audit invariant (main untouched while staged); the
+    // oracle pins the post-fast-forward view.
+    QDef(
+      "q_source_v2_branch",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_acctbal + 1000 FROM customer
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = wapTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal
+               |FROM $catName.v2db.br_customers ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Incremental read BETWEEN TAGS (Paimon's incremental-between-tags,
+    // the tag-per-day daily-diff workflow): nightly tags pin each day's
+    // head, and "day1,day2" reads exactly day 2's ingested rows — the
+    // endpoints resolve through the same tag map time travel uses, so a
+    // tag and its snapshot id are interchangeable (spec pins equivalence;
+    // the stager pins it here too, plus mixed tag/id endpoints).
+    QDef(
+      "q_source_v2_inc_tags",
+      """SELECT c_custkey, c_acctbal, '+I' AS op FROM customer
+        |WHERE c_custkey % 2 = 1 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val root = incTagsTable(s, d)
+      s.read.format("graft").option("incremental-between", "day1,day2")
+        .load(root).orderBy("c_custkey")
+    },
+
+    // DYNAMIC BUCKET MODE (Paimon's `bucket = -1`), re-derived Spark-first:
+    // the bucket stays PURE CONTENT HASH (pmod over a power-of-two count)
+    // and the COUNT is versioned snapshot state that doubles when a bucket
+    // outgrows dynamic-bucket.target-row-num — extendible hashing instead
+    // of Paimon's writer-maintained key→bucket index, so ingest needs zero
+    // index state and the split is an atomic compaction commit. The stager
+    // forces two growth generations and an UPSERT whose versions straddle a
+    // split boundary (the split relabels everything, so versions co-locate
+    // at every snapshot); the oracle pins the resolved LWW view through the
+    // V2 per-bucket merge readers.
+    QDef(
+      "q_source_v2_dyn_bucket",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = dynBucketTable(s, d)
+      s.sql(s"""SELECT c_custkey, bal
+               |FROM $catName.v2db.dynb_cust ORDER BY c_custkey""".stripMargin)
+    },
+
     // The `t$audit_log` system table: Paimon's literal BATCH semantics —
     // the current resolved state with every live row `+I` (history lives in
     // `t$changelog` below and the CDC stream). Pins the cross-door parity:
@@ -388,6 +443,53 @@ object V2Queries {
       val catName = pkAggTable(s, d)
       s.sql(s"""SELECT l_orderkey, qty_cents, max_price, all_small, any_return
                |FROM $catName.v2db.agg_li ORDER BY l_orderkey""".stripMargin)
+    },
+
+    // ORDERED merge-engine functions (Paimon's listagg / collect) under an
+    // explicit sequence group: contributions fold in (sequence, commit)
+    // order with per-contribution provenance persisted at compaction, so a
+    // compacted partial fold re-merges with OUT-OF-ORDER arrivals to the
+    // same seq-ordered result (the stager compacts between the two halves
+    // to force exactly that). Ordered folds keep the LIBRARY view — the
+    // native V2 fold is order-blind and refuses them loudly.
+    QDef(
+      "q_source_v2_pk_listagg",
+      """SELECT l_orderkey,
+        |  string_agg(l_returnflag, ','
+        |    ORDER BY l_linenumber, l_returnflag) AS flags,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ','
+        |    ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      val root = pkListaggTable(s, d)
+      graft.table.GraftCatalog.openPath(s, root).read
+        .select(col("l_orderkey"), col("flags"),
+          array_join(col("parts"), ",").as("parts"))
+        .orderBy("l_orderkey")
+    },
+
+    // merge_map under a sequence group (the last of Paimon's ordered
+    // aggregation functions): map contributions fold in (sequence, commit)
+    // order with LATER-BY-SEQUENCE entries overwriting earlier PER MAP KEY —
+    // the listagg/collect provenance machinery with a key-aware render. The
+    // stager compacts between the even- and odd-sequence halves, so the
+    // compacted partial map must re-merge with OUT-OF-ORDER arrivals to the
+    // same per-key winners; the oracle pins the exploded map against the
+    // last-by-(sequence, value) row per (pk, map key) — the value tiebreak
+    // matters because the synthetic lineitem carries duplicate
+    // (order, linenumber) rows, and both engines must break ties alike.
+    QDef(
+      "q_source_v2_pk_mergemap",
+      """SELECT l_orderkey, part, flag FROM (
+        |  SELECT l_orderkey, CAST(l_partkey AS VARCHAR) AS part,
+        |    l_returnflag AS flag,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |      ORDER BY l_linenumber DESC, l_returnflag DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey, part""".stripMargin) { (s, d) =>
+      val root = pkMergeMapTable(s, d)
+      graft.table.GraftCatalog.openPath(s, root).read
+        .select(col("l_orderkey"), explode(col("attrs")).as(Seq("part", "flag")))
+        .orderBy("l_orderkey", "part")
     },
 
     // CDC over AGGREGATES: the changelog stream on an aggregation-engine
@@ -813,6 +915,26 @@ object V2Queries {
       val catName = widenTable(s, d)
       s.sql(s"""SELECT c_key, c_acctbal
                |FROM $catName.v2db.wid_customers ORDER BY c_key""".stripMargin)
+    },
+
+    // ADD COLUMN … DEFAULT (Spark's EXISTS_DEFAULT contract) as PURE
+    // METADATA on the evolution machinery: pre-ADD files read the default
+    // (the vectorized reader's existence-default missing-column vectors —
+    // no rewrite at any table size), post-ADD rows keep their explicit
+    // values INCLUDING explicit NULL, and INSERTs omitting the column
+    // materialize the current default. The oracle pins all three
+    // generations in one view; V2ConnectorSpec pins vectorized decode,
+    // skip/push exactness, and materialization through compaction.
+    QDef(
+      "q_source_v2_default",
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'standard'
+        |       WHEN c_mktsegment = 'BUILDING' THEN 'premium'
+        |       ELSE NULL END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val catName = defaultTable(s, d)
+      s.sql(s"""SELECT c_custkey, c_acctbal, tier
+               |FROM $catName.v2db.dfl_customers ORDER BY c_custkey""".stripMargin)
     },
 
     // CALL sys.remove_orphan_files end to end: crash leftovers (an
@@ -1301,6 +1423,139 @@ object V2Queries {
       catName
     })
 
+  /** customer with a branch-staged backfill published via fast_forward:
+    * the write-audit-publish flow end to end, audit invariant required
+    * before the publish. */
+  private val stagedWap = new ConcurrentHashMap[String, String]()
+  private def wapTable(s: SparkSession, d: String): String =
+    stagedWap.computeIfAbsent(d, { _ =>
+      val (catName, _) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2br_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.br_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.br_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2br_customer""".stripMargin)
+      val base = s.sql(s"SELECT count(*) FROM $catName.v2db.br_customers")
+        .head().getLong(0)
+      s.sql(s"CALL $catName.sys.create_tag('v2db.br_customers', 'base')")
+      s.sql(s"CALL $catName.sys.create_branch(" +
+        "'v2db.br_customers', 'backfill', 'base')")
+      s.sql(s"""INSERT INTO $catName.v2db.`br_customers$$branch_backfill`
+               |SELECT c_custkey + 1000000, c_acctbal + 1000
+               |FROM graft_v2br_customer WHERE c_custkey % 10 = 0""".stripMargin)
+      // AUDIT: staged rows visible on the branch, main untouched
+      require(s.sql(s"SELECT count(*) FROM $catName.v2db.br_customers")
+        .head().getLong(0) == base,
+        "main must not see branch-staged rows before the publish")
+      require(s.sql(
+        s"SELECT count(*) FROM $catName.v2db.`br_customers$$branch_backfill`")
+        .head().getLong(0) > base, "the branch must serve the staged rows")
+      // PUBLISH
+      s.sql(s"CALL $catName.sys.fast_forward('v2db.br_customers', 'backfill')")
+      catName
+    })
+
+  /** customer under DYNAMIC bucket mode: a tiny growth target so batch 0
+    * (evens) and batch 1 (odds + every-10th-even updated) each force a
+    * split — the stager pins monotone power-of-two growth, a stamped count
+    * on every snapshot, fully-labeled live files, and that the pre-split
+    * generation stays time-travelable under ITS OWN count. */
+  private val stagedDynBucket = new ConcurrentHashMap[String, String]()
+  private def dynBucketTable(s: SparkSession, d: String): String =
+    stagedDynBucket.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "dynb_cust",
+        Map("primary-key" -> "c_custkey", "bucket" -> "-1",
+          "dynamic-bucket.target-row-num" -> "60",
+          "dynamic-bucket.initial-buckets" -> "1"))
+      require(tbl.isDynamicBucket && tbl.currentBuckets == 1,
+        "a fresh dynamic table starts at its initial count")
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_acctbal").as("bal"))
+      tbl.appendBatch(c.where(col("c_custkey") % 2 === 0), 0L)
+      val t1 = cat.getTable("v2db", "dynb_cust")
+      val n1 = t1.currentBuckets
+      require(n1 > 1 && Integer.bitCount(n1) == 1,
+        s"batch 0 must outgrow the target and split to a power of two, got $n1")
+      val preSplitRows = t1.read.count()
+      tbl.appendBatch(
+        c.where(col("c_custkey") % 2 === 1).unionByName(
+          c.where(col("c_custkey") % 10 === 0)
+            .withColumn("bal", col("bal") + 100)), 1L)
+      val t2 = cat.getTable("v2db", "dynb_cust")
+      val n2 = t2.currentBuckets
+      require(n2 >= n1 && n2 % n1 == 0 && Integer.bitCount(n2) == 1,
+        s"growth is monotone along the doubling chain, got $n1 -> $n2")
+      require(t2.latestSnapshot.exists(s0 =>
+        s0.bucketCount.contains(n2) && s0.files.forall(_.bucket.isDefined)),
+        "every dynamic snapshot stamps its count and labels every file")
+      // the pre-split generation stays readable under its own count
+      require(t2.readAt(0L).count() == preSplitRows,
+        "time travel to the pre-split generation must serve its row count")
+      catName
+    })
+
+  /** customer as a tag-per-day ingest: day-1 commit = evens + tag 'day1',
+    * day-2 commit = odds + tag 'day2'. The stager pins tag-endpoint ≡
+    * id-endpoint equivalence (mixed forms included) before any query runs. */
+  private val stagedIncTags = new ConcurrentHashMap[String, String]()
+  private def incTagsTable(s: SparkSession, d: String): String =
+    stagedIncTags.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2itag_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.itag_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.itag_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2itag_customer
+               |WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(s"CALL $catName.sys.create_tag('v2db.itag_customers', 'day1')")
+      s.sql(s"""INSERT INTO $catName.v2db.itag_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2itag_customer
+               |WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql(s"CALL $catName.sys.create_tag('v2db.itag_customers', 'day2')")
+      val root = s"$wh/v2db.db/itag_customers"
+      def inc(between: String): Long = s.read.format("graft")
+        .option("incremental-between", between).load(root).count()
+      val viaTags = inc("day1,day2")
+      require(viaTags == inc("0,1") && viaTags == inc("day1,1") &&
+        viaTags == inc("0,day2"),
+        "tag endpoints must be interchangeable with their snapshot ids")
+      root
+    })
+
+  /** customer split across a DEFAULT-column evolution: evens written
+    * BEFORE `ADD COLUMN tier STRING DEFAULT 'standard'` (they read the
+    * default from metadata alone), odds after with explicit values
+    * including explicit NULLs. The stager asserts the evolution rewrote
+    * nothing. */
+  private val stagedDefault = new ConcurrentHashMap[String, String]()
+  private def defaultTable(s: SparkSession, d: String): String =
+    stagedDefault.computeIfAbsent(d, { _ =>
+      val (catName, wh) = ordersCatalog(s, d)
+      Tables.customer(s, d).createOrReplaceTempView("graft_v2dfl_customer")
+      s.sql(s"""CREATE TABLE $catName.v2db.dfl_customers
+               |(c_custkey BIGINT, c_acctbal DOUBLE)""".stripMargin)
+      s.sql(s"""INSERT INTO $catName.v2db.dfl_customers
+               |SELECT c_custkey, c_acctbal FROM graft_v2dfl_customer
+               |WHERE c_custkey % 2 = 0""".stripMargin)
+      val cat = new GraftCatalog(s, wh)
+      val before = cat.getTable("v2db", "dfl_customers")
+        .latestSnapshot.get.files.map(_.path).toSet
+      s.sql(s"ALTER TABLE $catName.v2db.dfl_customers " +
+        "ADD COLUMNS (tier STRING DEFAULT 'standard')")
+      s.sql(s"""INSERT INTO $catName.v2db.dfl_customers
+               |SELECT c_custkey, c_acctbal,
+               |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'premium'
+               |       ELSE NULL END
+               |FROM graft_v2dfl_customer WHERE c_custkey % 2 = 1""".stripMargin)
+      val after = cat.getTable("v2db", "dfl_customers")
+        .latestSnapshot.get.files.map(_.path).toSet
+      require(before.subsetOf(after),
+        "ADD COLUMN DEFAULT must be metadata-only (no rewrite)")
+      catName
+    })
+
   /** nation through the catalog with planted crash leftovers, swept by the
     * CALL procedure once per sf dir. */
   private val stagedOrphan = new ConcurrentHashMap[String, String]()
@@ -1576,6 +1831,53 @@ object V2Queries {
       tbl.appendBatch(li.where(col("l_partkey") % 2 === 1)
         .drop("l_partkey"), 1L)
       catName
+    })
+
+  /** lineitem folded by the ORDERED list functions: even-linenumber rows,
+    * a compaction (persisting per-contribution provenance), then the odd
+    * rows as out-of-order arrivals — the final fold must still be
+    * linenumber-ordered. Returns the table ROOT (library-door read). */
+  private val stagedPkListagg = new ConcurrentHashMap[String, String]()
+  private def pkListaggTable(s: SparkSession, d: String): String =
+    stagedPkListagg.computeIfAbsent(d, { _ =>
+      val (_, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "lagg_li",
+        Map("primary-key" -> "l_orderkey", "bucket" -> "4",
+          "sequence.field" -> "seq",
+          "fields.flags.aggregate-function" -> "listagg",
+          "fields.parts.aggregate-function" -> "collect"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("seq"),
+        col("l_returnflag").as("flags"),
+        array(col("l_partkey").cast("string")).as("parts"))
+      tbl.appendBatch(li.where(col("seq") % 2 === 0), 0L)
+      tbl.compact(targetFileCount = 2)
+      tbl.appendBatch(li.where(col("seq") % 2 === 1), 1L)
+      tbl.root
+    })
+
+  /** lineitem folded by merge_map: per-order maps of part→returnflag keyed
+    * by linenumber sequence — even linenumbers, a compaction (persisting the
+    * partial map WITH per-contribution provenance), then the odd rows as
+    * out-of-order arrivals whose entries must still win/lose per map key by
+    * SEQUENCE, not arrival. Returns the table ROOT (library-door read). */
+  private val stagedPkMergeMap = new ConcurrentHashMap[String, String]()
+  private def pkMergeMapTable(s: SparkSession, d: String): String =
+    stagedPkMergeMap.computeIfAbsent(d, { _ =>
+      val (_, wh) = ordersCatalog(s, d)
+      val cat = new GraftCatalog(s, wh)
+      val tbl = cat.createTable("v2db", "mmap_li",
+        Map("primary-key" -> "l_orderkey", "bucket" -> "4",
+          "sequence.field" -> "seq",
+          "fields.attrs.aggregate-function" -> "merge_map"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("seq"),
+        map(col("l_partkey").cast("string"), col("l_returnflag")).as("attrs"))
+      tbl.appendBatch(li.where(col("seq") % 2 === 0), 0L)
+      tbl.compact(targetFileCount = 2)
+      tbl.appendBatch(li.where(col("seq") % 2 === 1), 1L)
+      tbl.root
     })
 
   /** customer staged then SQL-`UPDATE`-d (BUILDING segment +100). */

@@ -99,6 +99,17 @@ class GraftStreamingWrite(table: StreamTable, schema: StructType,
       }
     }
 
+  // dynamic bucket mode: the sink's executor-side writers stamp labels under
+  // a count captured at PLAN time and cannot follow a split commit
+  // mid-stream — the library pipe (StreamTable.writeStream → appendBatch)
+  // re-reads the count every batch and owns the inline split, so it is the
+  // supported streaming door for dynamic tables (the last_non_null_value
+  // posture: refuse loudly, point at the door that serves the semantics)
+  require(!table.isDynamicBucket,
+    s"${table.root} is a dynamic-bucket table (bucket = -1): the native V2 " +
+      "streaming sink cannot follow bucket splits mid-stream — write through " +
+      "StreamTable.writeStream / GraftCatalog.writeStreamManaged")
+
   /** Per-row bucket computation when the layout supports it (bucketed table,
     * key projected, bucketable type): (key column index, key is long). */
   private val bucketPlan: Option[(Int, Boolean)] =

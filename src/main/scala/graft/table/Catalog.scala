@@ -131,10 +131,23 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     // partition expiry runs FIRST (a drop commit), so the snapshot expiry
     // below can already start aging the pre-drop versions toward reclaim —
     // expiry retires partitions from the current view, retention reclaims
-    // the bytes (StreamTable.expirePartitions). An UNPROVABLE partition
-    // (a file not single-valued in a key — compact to fix) must not take
-    // snapshot retention down with it: log the remedy and keep going.
-    o.get("partition.expiration-time").foreach { horizon =>
+    // the bytes (StreamTable.expirePartitions).
+    applyPartitionExpiry(db, name)
+    getTable(db, name).expireSnapshots(
+      numRetainedMin = o.getOrElse("snapshot.num-retained.min", "1").toInt,
+      numRetainedMax = o.getOrElse("snapshot.num-retained.max", "5").toInt,
+      timeRetainedMs = parseDurationMs(o.getOrElse("snapshot.time-retained", "1 h")))
+  }
+
+  /** Enforce the table's `partition.expiration-*` options, when declared:
+    * age out whole partitions as one metadata-only commit
+    * ([[StreamTable.expirePartitions]]). An UNPROVABLE partition (a file
+    * not single-valued in a key — compact to fix) must not take the
+    * caller's maintenance pass down with it: log the remedy, keep going.
+    * Returns partitions dropped (0 when the option is absent). */
+  def applyPartitionExpiry(db: String, name: String): Int = {
+    val o = tableOptions(db, name)
+    o.get("partition.expiration-time").map { horizon =>
       try getTable(db, name).expirePartitions(
         parseDurationMs(horizon),
         strategy = o.getOrElse("partition.expiration-strategy", "update-time"),
@@ -145,30 +158,32 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
         case e @ (_: IllegalStateException | _: IllegalArgumentException |
             _: UnsupportedOperationException) =>
           org.slf4j.LoggerFactory.getLogger(classOf[GraftCatalog]).warn(
-            s"partition expiry of $db.$name skipped this retention pass: " +
+            s"partition expiry of $db.$name skipped this maintenance pass: " +
               e.getMessage)
+          0
       }
-    }
-    getTable(db, name).expireSnapshots(
-      numRetainedMin = o.getOrElse("snapshot.num-retained.min", "1").toInt,
-      numRetainedMax = o.getOrElse("snapshot.num-retained.max", "5").toInt,
-      timeRetainedMs = parseDurationMs(o.getOrElse("snapshot.time-retained", "1 h")))
+    }.getOrElse(0)
   }
 
   /** Continuous ingestion with the table's maintenance policies applied
     * in-line: after every committed micro-batch, [[maybeCompact]] runs the
     * `full-compaction.delta-commits` / `compaction.max.file-num` policy and,
-    * when a compaction fired, [[applyRetention]] expires old snapshots — so
-    * the tutorial's ALTER TABLE knobs (guide.md:265-271) act end-to-end on a
-    * streaming writer without any manual maintenance call. Safe because
-    * compaction commits through the same optimistic snapshot protocol the
-    * writer uses. */
+    * when a compaction fired, [[applyRetention]] expires old snapshots; a
+    * declared `partition.expiration-time` additionally runs at EVERY commit
+    * (Paimon expires partitions at commit time — it is a metadata-only
+    * probe/drop, so a continuously-ingesting date-partitioned table ages
+    * out with zero manual procedure calls). The tutorial's ALTER TABLE
+    * knobs (guide.md:265-271) thereby act end-to-end on a streaming writer.
+    * Safe because every maintenance commit goes through the same optimistic
+    * snapshot protocol the writer uses. */
   def writeStreamManaged(db: String, name: String,
       stream: org.apache.spark.sql.DataFrame,
       trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    getTable(db, name).writeStream(stream, trigger, afterCommit = _ =>
-      if (maybeCompact(db, name)) applyRetention(db, name))
+    getTable(db, name).writeStream(stream, trigger, afterCommit = _ => {
+      if (maybeCompact(db, name)) applyRetention(db, name)
+      else applyPartitionExpiry(db, name)
+    })
 
   /** Auto-compaction policy (guide.md:265-271): compact when the live file
     * count exceeds `compaction.max.file-num`, or unconditionally for a
@@ -195,7 +210,7 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
       return true
     }
     if (due) {
-      val target = math.max(1, t.numBuckets)
+      val target = math.max(1, t.currentBuckets)
       o.get("sort-compact.columns").map(_.split(",").map(_.trim)) match {
         case Some(Array(a, b)) => t.sortCompact(a, b, target)
         case Some(other) => throw new IllegalArgumentException(
@@ -243,7 +258,21 @@ object GraftCatalog {
       // PARTITIONED BY (identity): batch writes directory-split so every
       // file is single-valued in the keys — exact pruning/overwrite
       partitionKeys = o.get("partition-keys")
-        .map(_.split(",").map(_.trim).toSeq).filter(_.nonEmpty))
+        .map(_.split(",").map(_.trim).toSeq).filter(_.nonEmpty),
+      // ADD COLUMN … DEFAULT (EXISTS_DEFAULT): declared-name keys map to
+      // their FILE-level storage names so the read substitution matches
+      // what files physically lack
+      columnDefaults = o.collect {
+        case (k, v) if k.startsWith("ddl.default.") && v.nonEmpty =>
+          val n = k.stripPrefix("ddl.default.")
+          o.get(s"ddl.rename.$n").filter(_.nonEmpty).getOrElse(n) -> v
+      },
+      // dynamic bucket mode (`bucket = -1`): Paimon's growth-target option,
+      // plus the power-of-two count an empty table starts at
+      dynBucketTargetRows = o.get("dynamic-bucket.target-row-num").map(_.toLong)
+        .getOrElse(StreamTable.DynDefaultTargetRows),
+      dynBucketInitial = o.get("dynamic-bucket.initial-buckets").map(_.toInt)
+        .getOrElse(2))
   }
 
   /** Open a table directly from its root dir, honoring the structural

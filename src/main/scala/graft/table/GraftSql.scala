@@ -511,6 +511,19 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
       case "delete_tag" =>
         require(args.length == 2, "delete_tag(table, tag)")
         ok(s"tag ${args(1)} deleted: ${table.deleteTag(args(1))}")
+      case "create_branch" =>
+        require(args.length == 2 || args.length == 3,
+          "create_branch(table, branch[, tagOrSnapshotId])")
+        val seed = table.createBranch(args(1), args.lift(2).filter(_.nonEmpty))
+        ok(s"branch ${args(1)} of $t seeded at snapshot $seed")
+      case "fast_forward" =>
+        require(args.length == 2, "fast_forward(table, branch)")
+        val head = table.fastForward(args(1))
+        ok(s"$t fast-forwarded to branch ${args(1)}: head snapshot ${head.id}")
+      case "delete_branch" =>
+        require(args.length == 2, "delete_branch(table, branch)")
+        table.deleteBranch(args(1))
+        ok(s"branch ${args(1)} of $t deleted")
       case "expire_snapshots" =>
         require(args.length == 4,
           "expire_snapshots(table, retainMin, retainMax, olderThanDuration)")

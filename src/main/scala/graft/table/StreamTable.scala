@@ -95,6 +95,17 @@ case class Snapshot(
     committedAtMs: Long,
     batchId: Long,
     files: Seq[DataFileMeta],
+    /** DYNAMIC bucket mode (`bucket = -1`) only: the power-of-two bucket
+      * count THIS snapshot's live labels were stamped under. The count is
+      * versioned state, not table config — it grows by doubling as data
+      * grows (extendible hashing: `pmod(hash, 2n)` refines `pmod(hash, n)`
+      * by exactly one bit, so a split relabels bucket b's keys into b and
+      * b+n and nothing else) — and riding the snapshot makes every reader,
+      * time travel included, see the count its files were written under.
+      * Commits carry the stamp forward; None on fixed-bucket tables and
+      * legacy manifests. */
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    bucketCount: Option[Int] = None,
     /** Identity + epoch of the external (V2 streaming sink) writer that
       * produced this snapshot: the durable replay evidence that makes an
       * epoch commit idempotent PER WRITER — the global batch-id watermark
@@ -263,7 +274,28 @@ class StreamTable(
       * distinction — lookup produces on EVERY commit via point lookups —
       * is the 'input'-like end of the same dial.) 'none' leaves CDC on
       * the state diff entirely. */
-    val changelogMode: Option[String] = None) {
+    val changelogMode: Option[String] = None,
+    /** FILE-level column name → canonical literal SQL for columns added via
+      * `ALTER TABLE … ADD COLUMN … DEFAULT` (Spark's EXISTS_DEFAULT
+      * contract, frozen at ADD time): a file that provably PREDATES the
+      * column (manifest `fileCols` excludes it) reads the default instead
+      * of null-filling; files carrying the column — including explicit
+      * NULLs written after the ADD — are untouched. Maintenance rewrites
+      * then MATERIALIZE the default (they read through this substitution),
+      * which is exactly the contract: the exists-default is fixed at ADD
+      * time, so storing it changes nothing observable. */
+    val columnDefaults: Map[String, String] = Map.empty,
+    /** Dynamic bucket mode (`bucket = -1`) growth target
+      * (`dynamic-bucket.target-row-num`, Paimon's option): when a bucket's
+      * live rows exceed this, the table DOUBLES its bucket count (possibly
+      * several times) in one split commit. Rows, not bytes — the same dial
+      * Paimon's assigner packs against. */
+    val dynBucketTargetRows: Long = StreamTable.DynDefaultTargetRows,
+    /** Dynamic bucket mode: the count an EMPTY table starts at
+      * (`dynamic-bucket.initial-buckets`). Must be a power of two — the
+      * split-locality invariant (`pmod(hash, 2n)` refines `pmod(hash, n)`)
+      * only holds along the doubling chain. */
+    val dynBucketInitial: Int = 2) {
 
   import StreamTable._
 
@@ -294,29 +326,67 @@ class StreamTable(
   require(clogMode == "none" || primaryKey.nonEmpty,
     "changelog-producer requires a primary-key table " +
       "(an append table's changelog IS its append stream)")
-  // Paimon's DYNAMIC bucket mode (`bucket = -1`): an auto-scaling key→bucket
-  // index maintained by the writer. Deliberately refused rather than
-  // half-built — a mixed-generation index would split a key's versions
-  // across buckets and silently break the per-bucket merge; the supported
-  // path is a fixed count + offline `CALL sys.rescale` when the layout
-  // outgrows it (the same rewrite dynamic mode would do, made explicit).
-  require(numBuckets > 0,
-    s"bucket = $numBuckets is not supported: dynamic bucket mode " +
-      "(Paimon's bucket = -1) is deliberately not implemented — create " +
-      "with a fixed bucket count and rescale offline via CALL " +
-      "sys.rescale(table, n)")
+  // Paimon's DYNAMIC bucket mode (`bucket = -1`), re-derived Spark-first:
+  // instead of Paimon's writer-maintained key→bucket index (an index lookup
+  // join per commit, index memory per writer), the bucket of a key stays
+  // PURE CONTENT HASH — `pmod(murmur3(key), n)` with n a power of two — and
+  // n itself is versioned state that DOUBLES when a bucket outgrows
+  // `dynamic-bucket.target-row-num` (extendible hashing: the 2n-hash refines
+  // the n-hash by one bit, so a split relabels bucket b into exactly b and
+  // b+n). Every read path (per-bucket merge, SPJ alignment, point-lookup
+  // pruning) keeps the one layout function; the split is an atomic
+  // compaction commit that stamps the new count into the snapshot, so a
+  // key's versions are co-located at EVERY snapshot. Write amplification is
+  // the amortized-2× doubling series — the trade against Paimon's per-record
+  // index maintenance, chosen because it keeps ingest shuffle-free and needs
+  // zero writer state at any table size.
+  require(numBuckets > 0 || numBuckets == -1,
+    s"bucket = $numBuckets is invalid: a positive fixed count, or -1 for " +
+      "dynamic bucket mode (auto-doubling via split commits)")
+  require(numBuckets > 0 || bucketKey.isDefined,
+    "bucket = -1 (dynamic) needs a bucket-key to hash on (PK tables opened " +
+      "through the catalog default it to the first key column; an append " +
+      "table scales by file count, not buckets)")
+  require(numBuckets > 0 || Integer.bitCount(dynBucketInitial) == 1,
+    s"dynamic-bucket.initial-buckets must be a power of two (split " +
+      s"locality holds only along the doubling chain), got $dynBucketInitial")
+  require(dynBucketTargetRows > 0,
+    s"dynamic-bucket.target-row-num must be positive, got $dynBucketTargetRows")
+
+  /** True in dynamic bucket mode (`bucket = -1`). */
+  def isDynamicBucket: Boolean = numBuckets == -1
+
+  /** The bucket count writes stamp RIGHT NOW: the fixed count, or — dynamic
+    * mode — the head snapshot's versioned count (the initial count on an
+    * empty table). */
+  def currentBuckets: Int =
+    if (!isDynamicBucket) numBuckets
+    else latestSnapshot.flatMap(_.bucketCount).getOrElse(dynBucketInitial)
+
+  /** The bucket count a SCAN of `snapId` (None = head) must compute the
+    * layout hash under — for point-lookup pruning, which must hash with the
+    * scanned generation's count or prune the wrong bucket. None when no
+    * count is provable (legacy dynamic snapshot): callers skip pruning. */
+  def bucketCountAt(snapId: Option[Long]): Option[Int] =
+    if (!isDynamicBucket) Some(numBuckets).filter(_ > 0)
+    else snapId match {
+      case Some(id) => snapshotAt(id).flatMap(_.bucketCount)
+      case None => latestSnapshot.flatMap(_.bucketCount)
+        .orElse(Some(dynBucketInitial))
+    }
   aggSpec.foreach(_.foreach { case (f, fn) =>
     require(Set("sum", "min", "max", "count", "bool_and", "bool_or",
-      "last_non_null_value").contains(fn),
+      "last_non_null_value", "listagg", "collect", "merge_map").contains(fn),
       s"unsupported aggregate-function '$fn' for field '$f' " +
-        "(order-insensitive: sum/min/max/count/bool_and/bool_or; " +
-        "ordered: last_non_null_value under a sequence.field)")
-    // last_non_null_value is ORDERED: without an explicit sequence group
-    // (Paimon's requirement too), "last" would mean commit order alone and
-    // two same-commit writers would tie arbitrarily — refuse loudly
-    require(fn != "last_non_null_value" || seqCol.isDefined,
-      s"last_non_null_value($f) needs an explicit 'sequence.field' " +
-        "(the sequence group that defines \"last\")")
+        "(order-insensitive: sum/min/max/count/bool_and/bool_or; ordered, " +
+        "under a sequence.field: last_non_null_value/listagg/collect/merge_map)")
+    // the ORDERED functions need an explicit sequence group (Paimon's
+    // requirement too): without one, "order" would mean commit order alone
+    // and two same-commit writers would tie arbitrarily — refuse loudly
+    require(!Set("last_non_null_value", "listagg", "collect",
+        "merge_map").contains(fn) || seqCol.isDefined,
+      s"$fn($f) is order-sensitive and needs an explicit 'sequence.field' " +
+        "(the sequence group that defines the fold order)")
   })
 
   /** The effective engine: aggSpec implies aggregation. */
@@ -520,10 +590,28 @@ class StreamTable(
       changelog: Seq[DataFileMeta] = Seq.empty,
       produced: Boolean = false,
       clogFrom: Option[Long] = None,
-      kind: String = "append"): Snapshot = {
+      kind: String = "append",
+      /** Dynamic bucket mode: the count this commit's staged labels were
+        * stamped under — carried into the snapshot. None = carry the base's
+        * stamp forward unchanged (metadata-only commits, fixed tables). */
+      buckets: Option[Int] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = latestSnapshot
+      // dynamic-bucket conflict guard: labels were stamped under `buckets`;
+      // if the table's count moved since (an external split — the inline
+      // split runs on the writer's own thread and cannot race itself),
+      // committing them would scatter keys across generations of the hash —
+      // refuse loudly. The SPLIT commit itself (kind=compact) is the one
+      // legitimate count change.
+      val baseCount = base.flatMap(_.bucketCount)
+      buckets.filter(_ => isDynamicBucket && kind != "compact").foreach { c =>
+        if (baseCount.getOrElse(dynBucketInitial) != c)
+          throw new java.util.ConcurrentModificationException(
+            s"this commit's files were labeled under bucket count $c but " +
+              s"$root is now at ${baseCount.getOrElse(dynBucketInitial)} " +
+              "(concurrent split) — rerun the write")
+      }
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
       val ch = recompute(baseFiles)
       val basePaths = baseFiles.iterator.map(_.path).toSet
@@ -535,6 +623,9 @@ class StreamTable(
         planManifestList(base, files, ch.added, removedAll, baseFiles, kind)
       val next = Snapshot(base.map(_.id + 1).getOrElse(0L),
         System.currentTimeMillis(), ch.batchId, files,
+        bucketCount =
+          if (isDynamicBucket) buckets.orElse(baseCount).orElse(Some(dynBucketInitial))
+          else None,
         writer = writer.map(_._1), writerEpoch = writer.map(_._2),
         changelog = changelog, clogProduced = produced, clogFromId = clogFrom,
         kind = kind, manifestList = list, deltaManifest = deltaName)
@@ -615,6 +706,7 @@ class StreamTable(
     * Streaming `batchId` + Paimon checkpoint-commit pattern). */
   def appendBatch(df: DataFrame, batchId: Long): Unit = {
     if (replaySkip("appendBatch", batchId)) return
+    val wb = if (isDynamicBucket) Some(currentBuckets) else None
     val metas = stageBatchFiles(df, batchId)
     // the producer's diff is computed against the CURRENT resolved state —
     // correct under the single-logical-writer contract (a concurrent
@@ -631,7 +723,11 @@ class StreamTable(
         stageChangelog(metas, batchId)
       else Seq.empty
     commit(_ => CommitChange(metas, Set.empty, batchId),
-      changelog = clog, produced = clogAtWrite)
+      changelog = clog, produced = clogAtWrite, buckets = wb)
+    // dynamic bucket growth rides the write path (Paimon's assigner packs
+    // at write time too): a metadata-only census probe per commit, a split
+    // only when a bucket actually outgrew the target
+    if (isDynamicBucket) maybeSplitBuckets()
   }
 
   /** Persist this commit's netted change rows (`changelog-producer`,
@@ -700,6 +796,7 @@ class StreamTable(
     * from the table itself. */
   def overwriteBatch(df: DataFrame, batchId: Long): Unit = {
     if (replaySkip("overwriteBatch", batchId)) return
+    val wb = if (isDynamicBucket) Some(currentBuckets) else None
     val metas = stageBatchFiles(df, batchId)
     // an overwrite is a whole-table replacement, not an incremental change —
     // no changelog is produced (clogProduced=false) and a CDC interval
@@ -707,7 +804,8 @@ class StreamTable(
     // files (any level) as changed-key evidence: keys the overwrite dropped
     // emit -D (see StreamTable.intervalEvidence)
     commit(live => CommitChange(metas, live.iterator.map(_.path).toSet, batchId),
-      kind = "overwrite")
+      kind = "overwrite", buckets = wb)
+    if (isDynamicBucket) maybeSplitBuckets()
   }
 
   /** Static PARTITION overwrite (`INSERT OVERWRITE … PARTITION (p = v)`):
@@ -875,7 +973,12 @@ class StreamTable(
     * Returns (path, bucketId) per file; bucketId is the staging part index
     * for unbucketed tables (callers ignore it there). */
   private def writeClustered(stamped: DataFrame, sortKey: Option[Seq[String]],
-      staging: String, destDir: String, prefix: String): Seq[(String, Int)] = {
+      staging: String, destDir: String, prefix: String,
+      /** Dynamic bucket mode: the count to stamp labels under — a SPLIT
+        * rewrite passes its new count; everything else labels under the
+        * head's current count. */
+      bucketsOverride: Option[Int] = None): Seq[(String, Int)] = {
+    val nb = bucketsOverride.getOrElse(currentBuckets)
     // PARTITIONED BY: directory-split on COPIES of the partition columns —
     // partitionBy drops the copies from the files (the originals stay IN
     // the payload), and every written file comes out SINGLE-VALUED in every
@@ -887,8 +990,8 @@ class StreamTable(
     bucketKey match {
       case Some(k) =>
         val laid = withPdirs(stamped)
-          .withColumn(BucketColName, pmod(hash(col(k)), lit(numBuckets)))
-          .repartition(numBuckets, col(k))
+          .withColumn(BucketColName, pmod(hash(col(k)), lit(nb)))
+          .repartition(nb, col(k))
         val ordered = laid.sortWithinPartitions(
           (BucketColName +: sortKey.getOrElse(Seq.empty)).map(col): _*)
         StreamTable.withMicrosTimestamps(spark)(
@@ -1816,6 +1919,29 @@ class StreamTable(
   // ---- reads -------------------------------------------------------------
 
   private def readFiles(files: Seq[DataFileMeta]): DataFrame = {
+    if (columnDefaults.isEmpty || files.isEmpty) return readFilesRaw(files)
+    // EXISTS_DEFAULT substitution (ADD COLUMN … DEFAULT): group files by
+    // the set of defaulted columns each provably lacks (manifest fileCols;
+    // a legacy meta without the census conservatively counts as carrying
+    // everything = plain null-fill), fill each group's absent columns with
+    // the frozen literal, and union back in the canonical column order.
+    // Group count is bounded by the (tiny) number of schema generations.
+    val groups = files.groupBy(f =>
+      columnDefaults.keySet.filter(c => f.fileCols.exists(!_.contains(c))))
+    if (groups.keySet == Set(Set.empty[String])) return readFilesRaw(files)
+    val parts = groups.toSeq.map { case (absent, fs) =>
+      absent.foldLeft(readFilesRaw(fs))((df, c) =>
+        df.withColumn(c, expr(columnDefaults(c))))
+    }
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val baseOrder = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.path): _*).schema.fieldNames.toSeq
+    val order = baseOrder ++
+      columnDefaults.keys.filterNot(baseOrder.contains).toSeq.sorted
+    unioned.select(order.filter(unioned.columns.contains).map(col): _*)
+  }
+
+  private def readFilesRaw(files: Seq[DataFileMeta]): DataFrame = {
     // mergeSchema: delete-tombstone files carry only (pk, marker) columns
     def raw(fs: Seq[DataFileMeta]) =
       spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*)
@@ -1906,11 +2032,25 @@ class StreamTable(
         case "last_non_null_value" =>
           val win = max(when(eff(f).isNotNull, struct(eff(f).as("s"), col(f).as("v"))))
           Seq(win.getField("v").as(f), win.getField("s").as(FieldSeqPrefix + f))
+        case "listagg" | "collect" | "merge_map" =>
+          // ordered LIST folds — the sequence-group mechanism generalized
+          // from one winner to a list: every contribution keeps its
+          // (sequence, commit) provenance in a persisted companion array,
+          // so a compacted partial fold re-merges with out-of-order
+          // arrivals to the same seq-ordered result. listagg renders the
+          // ','-joined text of string contributions; collect concatenates
+          // array contributions in sequence order (the declared field IS
+          // the array type, so fresh and compacted files share one schema).
+          val (pairs, view) =
+            StreamTable.listFold(fn, f, raw.schema, raw.columns, baseOrd,
+              gate = lit(true))
+          Seq(view.as(f), pairs.as(FieldListPrefix + f))
       }
     } ++ (if (keepSeq) Seq(max(col(SeqColName)).as(SeqColName)) else Nil)
     val merged = raw.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
     if (keepSeq) merged
-    else merged.drop(merged.columns.filter(_.startsWith(FieldSeqPrefix)): _*)
+    else merged.drop(merged.columns.filter(c =>
+      c.startsWith(FieldSeqPrefix) || c.startsWith(FieldListPrefix)): _*)
   }
 
   /** First-writer-wins (merge-engine=first-row): the mirror image of
@@ -2170,7 +2310,8 @@ class StreamTable(
     val isNew = col(marker)
     val metaCols = pk.toSet + SeqColName + TombstoneColName + marker
     val fields = all.columns
-      .filterNot(c => metaCols.contains(c) || c.startsWith(FieldSeqPrefix)).toSeq
+      .filterNot(c => metaCols.contains(c) || c.startsWith(FieldSeqPrefix) ||
+        c.startsWith(FieldListPrefix)).toSeq
     val tomb =
       if (all.columns.contains(TombstoneColName))
         coalesce(col(TombstoneColName), lit(false))
@@ -2204,11 +2345,14 @@ class StreamTable(
             case "max"           => max(c)
             case "bool_and"      => bool_and(c)
             case "bool_or"       => bool_or(c)
-            // the ordered function races on its persisted provenance, like
-            // the read-side merge (aggResolve)
+            // the ordered functions race/fold on their persisted
+            // provenance, like the read-side merge (aggResolve)
             case "last_non_null_value" =>
               max(when(gate && eff(f).isNotNull,
                 struct(eff(f).as("s"), col(f).as("v")))).getField("v")
+            case "listagg" | "collect" | "merge_map" =>
+              StreamTable.listFold(fn, f, all.schema, all.columns, baseOrd,
+                gate)._2
           }
         }
         val aggs = spec.flatMap { case (f, fn) =>
@@ -2945,6 +3089,11 @@ class StreamTable(
     require(newerTags.isEmpty,
       s"tags pin snapshots newer than $snapshotId: " +
         newerTags.map(t => s"${t._1}->${t._2}").mkString(", "))
+    val newerBranches = branches.filter(_._2 > snapshotId)
+    require(newerBranches.isEmpty,
+      s"branches are seeded past $snapshotId: " +
+        newerBranches.map(b => s"${b._1}@${b._2}").mkString(", ") +
+        " — delete or fast-forward them first")
     val newer = snaps.filter(_.id > snapshotId)
     val kept = snaps.filter(_.id <= snapshotId)
     val (keptRefs, newerRefs) = liveUnions(snaps, _.id <= snapshotId)
@@ -2972,6 +3121,140 @@ class StreamTable(
     rollbackTo(tags.find(_._1 == name).map(_._2)
       .getOrElse(throw new IllegalArgumentException(s"no tag '$name'")))
 
+  // ---- branches (Paimon create_branch / fast_forward: write-audit-publish)
+
+  /** Branches on this table: (name, seed snapshot id). A branch is an
+    * INDEPENDENT snapshot chain under `root/branch/<name>/`, seeded from a
+    * tag/snapshot with ZERO data copy (its seed manifest references the
+    * parent's files by absolute path — the same trick tags use, at chain
+    * granularity). Seeds are retention roots like tags, so the parent's
+    * snapshot expiry can never reclaim a file a live branch stands on. */
+  def branches: Seq[(String, Long)] = {
+    val dir = Paths.get(root, "branch")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir).iterator.filter(Files.isDirectory(_)).flatMap { p =>
+      val bj = p.resolve("_branch.json")
+      if (!Files.exists(bj)) None
+      else scala.util.Try((p.getFileName.toString,
+        mapper.readTree(Files.readAllBytes(bj)).get("seed").asLong)).toOption
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Create branch `name` from a tag name / snapshot id (head when None):
+    * the write-audit-publish staging area — writes land on the branch,
+    * invisible on main until [[fastForward]] publishes them. Metadata-only
+    * at any table size: one manifest listing the seed state + one snapshot
+    * JSON; no data byte moves. */
+  def createBranch(name: String, from: Option[String] = None): Long = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"bad branch name '$name'")
+    val bRoot = Paths.get(root, "branch", name)
+    require(!Files.exists(bRoot.resolve("_branch.json")),
+      s"branch '$name' already exists on $root")
+    val seedId = from match {
+      case None => latestSnapshot.map(_.id).getOrElse(
+        throw new IllegalArgumentException(s"$root is empty — nothing to branch"))
+      case Some(x) => x.toLongOption.orElse(tags.toMap.get(x)).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$x' is neither a snapshot id nor a tag of $root"))
+    }
+    val seed = snapshotAt(seedId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $seedId at $root"))
+    Files.createDirectories(bRoot.resolve("_snapshots"))
+    Files.createDirectories(bRoot.resolve("_manifests"))
+    // the branch opens with the parent's structural semantics in BOTH
+    // doors: options file for path/catalog opens, constructor params via
+    // [[branchTable]]
+    val opt = Paths.get(root, "_table_options.json")
+    if (Files.exists(opt))
+      Files.copy(opt, bRoot.resolve("_table_options.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val mfName = s"mf-seed-${UUID.randomUUID()}.json"
+    Files.write(bRoot.resolve("_manifests").resolve(mfName),
+      mapper.writeValueAsBytes(ManifestDelta(added = seed.files)))
+    // same id + batch watermark as the seed: the branch's chain CONTINUES
+    // main's numbering, which is what lets fast-forward publish its
+    // snapshots onto main verbatim
+    val snap = Snapshot(seedId, System.currentTimeMillis(), seed.batchId,
+      Seq.empty,
+      // a dynamic-bucket parent's branch continues under the seed's COUNT
+      // (its labels were stamped there) — dropping it would reset the
+      // branch to the initial count and scatter later branch writes
+      bucketCount = seed.bucketCount,
+      kind = "append", manifestList = Seq(mfName),
+      deltaManifest = Some(mfName))
+    Files.write(bRoot.resolve("_snapshots").resolve(s"snap-$seedId.json"),
+      mapper.writeValueAsBytes(snap))
+    Files.write(bRoot.resolve("_branch.json"),
+      mapper.writeValueAsBytes(Map("seed" -> seedId)))
+    seedId
+  }
+
+  /** Open branch `name` as a [[StreamTable]] (same structural semantics as
+    * the parent): read it, write to it, compact it — main never sees any of
+    * it until [[fastForward]]. */
+  def branchTable(name: String): StreamTable = {
+    val bRoot = Paths.get(root, "branch", name)
+    require(Files.exists(bRoot.resolve("_branch.json")),
+      s"no branch '$name' at $root")
+    new StreamTable(bRoot.toString, spark, primaryKey, seqCol, bucketKey,
+      numBuckets, aggSpec, mergeEngine, changelogProducer, partitionKeys,
+      changelogMode, columnDefaults, dynBucketTargetRows, dynBucketInitial)
+  }
+
+  /** Publish branch `name` onto main (Paimon `fast_forward`): every branch
+    * snapshot past the seed lands on main through the SAME CAS publish
+    * every commit uses — ascending ids, each an atomic fail-if-exists
+    * rename, so readers only ever observe valid heads and a concurrent
+    * main writer loses no data (the fast-forward aborts loudly instead).
+    * Requires main's head to still BE the branch point (the write-audit-
+    * publish contract — a diverged main must roll back or re-branch).
+    * The branch is CONSUMED: its chain now lives on main; its data files
+    * stay where they are (absolute paths) and reclaim through main's
+    * snapshot retention like any other file. */
+  def fastForward(name: String): Snapshot = {
+    val bRoot = Paths.get(root, "branch", name)
+    require(Files.exists(bRoot.resolve("_branch.json")), s"no branch '$name'")
+    val seedId = mapper.readTree(
+      Files.readAllBytes(bRoot.resolve("_branch.json"))).get("seed").asLong
+    val mainHead = latestSnapshot.map(_.id).getOrElse(-1L)
+    if (mainHead != seedId) throw new java.util.ConcurrentModificationException(
+      s"main's head ($mainHead) is not the branch point ($seedId) of " +
+        s"'$name' — roll back main or re-create the branch from the head")
+    val b = branchTable(name)
+    val newer = b.snapshotHeaders.filter(_.id > seedId)
+    // manifests first (snapshots reference them by name; mf-<uuid> names
+    // cannot collide), including the seed manifest later lists still fold
+    val needed = newer.iterator
+      .flatMap(s => s.manifestList ++ s.deltaManifest.toSeq).toSet
+    needed.foreach { n =>
+      val src = bRoot.resolve("_manifests").resolve(n)
+      val dst = Paths.get(manifestDir, n)
+      if (Files.exists(src) && !Files.exists(dst)) Files.copy(src, dst)
+    }
+    newer.foreach { s0 =>
+      if (!committer.publish(Paths.get(snapDir, s"snap-${s0.id}.json"),
+          mapper.writeValueAsBytes(s0)))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit during fast-forward of '$name' at snapshot " +
+            s"${s0.id} — rerun the fast-forward after auditing the branch")
+    }
+    // consume the branch: only its METADATA drops (published data files now
+    // belong to main's history)
+    deleteTree(bRoot.resolve("_snapshots"))
+    deleteTree(bRoot.resolve("_manifests"))
+    Files.deleteIfExists(bRoot.resolve("_table_options.json"))
+    Files.deleteIfExists(bRoot.resolve("_branch.json"))
+    latestSnapshot.get
+  }
+
+  /** Drop branch `name` and everything staged on it (Paimon
+    * `delete_branch`) — the audit-failed path of write-audit-publish. */
+  def deleteBranch(name: String): Unit = {
+    val bRoot = Paths.get(root, "branch", name)
+    require(Files.exists(bRoot.resolve("_branch.json")), s"no branch '$name'")
+    deleteTree(bRoot)
+  }
+
   // ---- maintenance (compaction 2A#16, retention 2A#15/18) ----------------
 
   /** Offline compaction (the paimon-flink-action `compact` job,
@@ -2992,6 +3275,44 @@ class StreamTable(
         if (bucketKey.isDefined) resolved else resolved.repartition(targetFileCount),
       recordBuckets = bucketKey.isDefined, sortByKey = primaryKey.isDefined,
       clustered = bucketKey.isDefined)
+
+  /** Dynamic bucket growth (`bucket = -1`): a metadata-only census probe —
+    * live rows per recorded bucket label, folded from the manifest — and,
+    * only when some bucket outgrew `dynamic-bucket.target-row-num`, ONE
+    * split commit that relabels the table under the doubled count (doubled
+    * as many times as the overflow demands, so a huge backfill splits once,
+    * not once per doubling). The split rides [[rewriteLive]], so it is also
+    * a full compaction: LWW resolves, sorted runs re-establish, and the
+    * physical bytes rewritten are exactly the amortized-2× doubling series.
+    * Runs inline on the write path (appendBatch/overwriteBatch) — the
+    * single-logical-writer contract means it never races its own writer;
+    * an EXTERNAL concurrent split is caught by the commit-time count guard.
+    * Returns the split snapshot, None when no bucket overflowed. */
+  def maybeSplitBuckets(): Option[Snapshot] = {
+    if (!isDynamicBucket) return None
+    val snap = latestSnapshot.getOrElse(return None)
+    if (snap.files.isEmpty) return None
+    // a file without a provable label (legacy, row-level DML output) makes
+    // the census unsound — wait for the next compaction to relabel it
+    if (!snap.files.forall(_.bucket.isDefined)) return None
+    val n = snap.bucketCount.getOrElse(dynBucketInitial)
+    // rowCount (not LWW-resolved rows): conservative — duplicate versions
+    // inflate the census and split slightly early, and the split itself is
+    // the compaction that deflates them
+    val maxLoad = snap.files.groupBy(_.bucket.get)
+      .valuesIterator.map(_.map(_.liveRowCount).sum).max
+    if (maxLoad <= dynBucketTargetRows) return None
+    var next = n.toLong
+    var load = maxLoad
+    while (load > dynBucketTargetRows && next < DynMaxBuckets) {
+      next *= 2; load = (load + 1) / 2 // hash-uniform halving per doubling
+    }
+    log.info(s"dynamic bucket split of $root: max bucket load $maxLoad > " +
+      s"$dynBucketTargetRows, rescaling $n -> $next buckets")
+    Some(rewriteLive(identity, recordBuckets = true,
+      sortByKey = primaryKey.isDefined, clustered = true,
+      bucketsOverride = Some(next.toInt)))
+  }
 
   /** Z-order sort-compaction (Paimon's `sort-compact` with
     * `'sort-order'='zorder'`): rewrite the live set CLUSTERED on the
@@ -3284,7 +3605,10 @@ class StreamTable(
 
   private def rewriteLive(layout: DataFrame => DataFrame,
       recordBuckets: Boolean = false, sortByKey: Boolean = false,
-      clustered: Boolean = false): Snapshot = {
+      clustered: Boolean = false,
+      /** Dynamic bucket SPLIT: relabel under this count and stamp it into
+        * the commit (the one legitimate count change). */
+      bucketsOverride: Option[Int] = None): Snapshot = {
     val before = latestSnapshot.map(_.files).getOrElse(Seq.empty)
     if (before.isEmpty) return latestSnapshot.orNull
     val raw = readFiles(before)
@@ -3307,7 +3631,8 @@ class StreamTable(
       // a partitioned table's maintenance rewrites MUST keep the
       // single-valued-file clustering, whatever the layout callback did
       if (clustered || partitionKeys.isDefined)
-        writeClustered(laid, sortKey, staging, dataCompact, s"c$snapId")
+        writeClustered(laid, sortKey, staging, dataCompact, s"c$snapId",
+          bucketsOverride)
       else {
         val rewritten = sortKey match {
           case Some(pk) => laid.sortWithinPartitions(pk.map(col): _*)
@@ -3386,7 +3711,7 @@ class StreamTable(
       changelog = deferredClog,
       produced = clogAtWrite || deferredFrom.isDefined,
       clogFrom = deferredFrom,
-      kind = "compact")
+      kind = "compact", buckets = bucketsOverride)
     catch { case e: Throwable =>
       // an aborted commit must not leak its staged output: the span
       // changelog AND the level-1 rewrite of the live set (a retried-and-
@@ -3650,7 +3975,9 @@ class StreamTable(
     val snaps = snapshotHeaders
     if (snaps.size <= numRetainedMin) return 0
     val now = System.currentTimeMillis()
-    val tagged = tags.map(_._2).toSet // tags are retention roots
+    // tags are retention roots; so are branch SEEDS — a live branch's whole
+    // chain stands on the seed state's files
+    val tagged = tags.map(_._2).toSet ++ branches.map(_._2)
     val consumerFloor: Long = consumers.map(_._2 - 1).reduceOption(_ min _)
       .getOrElse(Long.MaxValue)
     val keep = snaps.zipWithIndex.filter { case (s0, i) =>
@@ -3866,6 +4193,98 @@ object StreamTable {
     * compaction persists (struct of user seq + commit seq); hidden from
     * readers like [[SeqColName]]. */
   val FieldSeqPrefix = "__graft_fseq_"
+
+  /** Prefix of the per-field CONTRIBUTION-LIST columns the ordered list
+    * aggregation functions (`listagg` / `collect`) persist at compaction:
+    * `array<struct<s1,s2,v>>` — every contribution keeps its (sequence,
+    * commit) provenance, so a compacted row re-merges with out-of-order
+    * arrivals to the same seq-ordered fold (the sequence-group closure,
+    * [[FieldSeqPrefix]] generalized from one winner to a list). */
+  val FieldListPrefix = "__graft_flist_"
+
+  /** Dynamic bucket mode defaults: Paimon's `dynamic-bucket.target-row-num`
+    * default (2M rows ≈ a few hundred MB per bucket at typical row widths),
+    * and a count ceiling far above any real layout (2^20 buckets × 2M rows
+    * ≈ 2×10^12 rows) — a runaway-split backstop, not a sizing dial. */
+  val DynDefaultTargetRows: Long = 2000000L
+  val DynMaxBuckets: Long = 1L << 20
+
+  /** The ordered LIST fold shared by the read merge ([[StreamTable.aggResolve]])
+    * and the changelog producer (fusedChangelog): contributions — fresh
+    * scalar/array rows AND compacted companion arrays — flatten into one
+    * (s1, s2, v) pair list, sort by their (sequence, commit) provenance,
+    * and render. Returns (companion pairs, rendered view). */
+  private[table] def listFold(fn: String, f: String,
+      schema: org.apache.spark.sql.types.StructType, columns: Seq[String],
+      baseOrd: org.apache.spark.sql.Column, gate: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.types._
+    val dt = schema(f).dataType
+    fn match {
+      case "listagg" => require(dt == StringType,
+        s"listagg($f) needs a STRING field, got ${dt.simpleString}")
+      case "merge_map" => require(dt.isInstanceOf[MapType],
+        s"merge_map($f) needs a MAP field (later entries overwrite earlier " +
+          s"per map key), got ${dt.simpleString}")
+      case _ => require(dt.isInstanceOf[ArrayType],
+        s"collect($f) needs an ARRAY field (contributions concatenate in " +
+          s"sequence order), got ${dt.simpleString}")
+    }
+    val lp = FieldListPrefix + f
+    val listTpe = ArrayType(StructType(Seq(
+      StructField("s1", LongType), StructField("s2", LongType),
+      StructField("v", dt))))
+    val persisted =
+      if (columns.contains(lp)) col(lp) else lit(null).cast(listTpe)
+    val contrib = when(gate,
+      when(persisted.isNotNull, persisted)
+        .when(col(f).isNotNull, array(struct(
+          baseOrd.getField("s1").cast("long").as("s1"),
+          baseOrd.getField("s2").cast("long").as("s2"),
+          col(f).as("v")))))
+    val flat = flatten(collect_list(contrib))
+    // the natural struct order is (s1, s2, v): provenance first, then the
+    // VALUE as the deterministic tiebreak — real feeds carry duplicate
+    // sequence values (the synthetic lineitem has thousands of duplicate
+    // (order, linenumber) rows), and an arbitrary tie order would make the
+    // fold nondeterministic across runs/engines. MAP values are not
+    // orderable in Spark, so merge_map sorts per-ENTRY below instead.
+    val pairs =
+      if (fn != "merge_map") array_sort(flat)
+      else array_sort(flat, (l, r) =>
+        when(l.getField("s1") < r.getField("s1") ||
+          (l.getField("s1") === r.getField("s1") &&
+            l.getField("s2") < r.getField("s2")), -1)
+          .when(l.getField("s1") === r.getField("s1") &&
+            l.getField("s2") === r.getField("s2"), 0)
+          .otherwise(1))
+    val vs = transform(pairs, x => x.getField("v"))
+    val view = fn match {
+      case "listagg" => when(size(pairs) > 0, array_join(vs, ","))
+      case "collect" => when(size(pairs) > 0, flatten(vs))
+      case "merge_map" =>
+        // later-by-sequence wins per MAP key: flatten every contribution's
+        // entries WITH their provenance, sort by the natural
+        // (s1, s2, key, value) order — sequence first, the entry itself as
+        // the deterministic tiebreak (values must be orderable; a
+        // non-orderable value type refuses at analysis, loudly) — then walk
+        // latest-first keeping each key's first occurrence. Pure
+        // higher-order functions, O(one key's contributions²) per row,
+        // never data-sized.
+        val entries = array_sort(flatten(transform(pairs, x =>
+          transform(map_entries(x.getField("v")), e => struct(
+            x.getField("s1").as("s1"), x.getField("s2").as("s2"),
+            e.getField("key").as("k"), e.getField("value").as("w"))))))
+        val rev = reverse(entries)
+        val dedup = filter(rev, (e, i) =>
+          !exists(slice(rev, lit(1), i),
+            x => x.getField("k") === e.getField("k")))
+        when(size(pairs) > 0, map_from_entries(
+          transform(reverse(dedup), e => struct(
+            e.getField("k").as("key"), e.getField("w").as("value")))))
+    }
+    (pairs, view)
+  }
 
   /** One `WHEN …` arm of a [[StreamTable.mergeInto]] (ANSI MERGE clause
     * shapes; `cond` is the optional `AND` guard, evaluated over the joined

@@ -641,4 +641,79 @@ class MaintenanceSpec extends AnyFunSuite {
       case None => System.clearProperty(prop)
     }
   }
+  test("branches: write-audit-publish end to end - branch writes invisible " +
+      "on main until fast_forward; seeds are retention roots; diverged main refuses") {
+    val wh = tmp()
+    val cat = s"gbr_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.br (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.br VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.db.br VALUES (2, 'b')")
+    spark.sql(s"CALL $cat.sys.create_tag('db.br', 'audit-base')")
+    val seed = spark.sql(
+      s"CALL $cat.sys.create_branch('db.br', 'wap', 'audit-base')")
+      .collect().head.getLong(0)
+    assert(seed == 1L, s"seeded at the tag's snapshot, got $seed")
+    // WRITE: stage rows on the branch through plain SQL
+    spark.sql(s"INSERT INTO $cat.db.`br$$branch_wap` VALUES (3, 'c')")
+    // AUDIT: the branch shows the staged state, main is untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.`br$$branch_wap`")
+      .head().getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.br").head().getLong(0) == 2L)
+    // the library door sees the same branch
+    val gc = new graft.table.GraftCatalog(spark, wh)
+    val t = gc.getTable("db", "br")
+    assert(t.branchTable("wap").read.count() == 3L)
+    assert(t.branches == Seq(("wap", 1L)))
+    // rollback below the seed refuses while the branch lives (the tag guard
+    // fires first here — the branch guard is pinned at the wap2 stage below)
+    val rb = intercept[IllegalArgumentException] { t.rollbackTo(0L) }
+    assert(rb.getMessage.contains("audit-base"), rb.getMessage)
+    // PUBLISH: fast_forward lands the branch chain on main atomically
+    val head = spark.sql(s"CALL $cat.sys.fast_forward('db.br', 'wap')")
+      .collect().head.getLong(0)
+    assert(head == 2L, s"one staged commit past the seed, got head $head")
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.br ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the branch is CONSUMED - its identifier no longer resolves
+    assert(t.branches.isEmpty)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.`br$$branch_wap`").collect()
+    }
+    // time travel across the published chain works (the ff'd snapshot is a
+    // first-class commit)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.br VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+
+    // DIVERGENCE: a branch whose main moved on refuses to fast-forward
+    spark.sql(s"CALL $cat.sys.create_branch('db.br', 'wap2')")
+    spark.sql(s"INSERT INTO $cat.db.br VALUES (4, 'd')") // main diverges
+    val ff = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.fast_forward('db.br', 'wap2')")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(ff).exists(_.contains("not the branch point")), ff.toString)
+    // rollback below a live branch SEED refuses with the branch remedy
+    val rb2 = intercept[IllegalArgumentException] { t.rollbackTo(1L) }
+    assert(rb2.getMessage.contains("branches are seeded past"), rb2.getMessage)
+    // RETENTION: the live seed (snapshot 2) is a retention root...
+    assert(t.expireSnapshots(1, 1, 0L) >= 0)
+    assert(t.snapshotHeaders.map(_.id).contains(2L),
+      "a live branch seed must survive snapshot expiry")
+    assert(scala.util.Try(t.readAt(2L).count()).isSuccess)
+    // ...and delete_branch (the audit-failed path) + delete_tag release it
+    spark.sql(s"CALL $cat.sys.delete_branch('db.br', 'wap2')")
+    spark.sql(s"CALL $cat.sys.delete_tag('db.br', 'audit-base')")
+    assert(t.expireSnapshots(1, 1, 0L) > 0)
+    assert(t.snapshotHeaders.map(_.id) == Seq(3L))
+    // unknown branch refuses loudly
+    val nb = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.fast_forward('db.br', 'nope')")
+    }
+    assert(msgs(nb).exists(_.contains("no branch")), nb.toString)
+  }
 }

@@ -346,6 +346,37 @@ class ModuleSpecs extends AnyFunSuite {
       s"auto-compaction kept the file count bounded: ${t.latestSnapshot.get.files.size}")
   }
 
+  test("writeStreamManaged: a declared partition.expiration-time ages out " +
+      "old partitions at COMMIT time — zero manual procedure calls") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft_wh_").toString)
+    cat.createTable("default", "pexp", Map(
+      "partition-keys" -> "dt",
+      "partition.expiration-strategy" -> "values-time",
+      "partition.expiration-time" -> "3650 d"))
+    val srcDir = Files.createTempDirectory("graft_pexp_src_").toString
+    import spark.implicits._
+    // batch 1: one dead-past and one future partition
+    Seq((1L, "2000-01-01"), (2L, "2099-12-31")).toDF("id", "dt")
+      .write.mode("append").parquet(srcDir)
+    def drain(): Unit = {
+      val q = cat.writeStreamManaged("default", "pexp",
+        spark.readStream.schema("id BIGINT, dt STRING").parquet(srcDir),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    drain()
+    val t = cat.getTable("default", "pexp")
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(2L),
+      "the dead-past partition must age out as part of the commit itself")
+    // batch 2: another dead partition arrives mid-stream — next trigger
+    // expires it too, still without any CALL
+    Seq((3L, "2001-06-15"), (4L, "2098-01-01")).toDF("id", "dt")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L),
+      t.read.collect().mkString(", "))
+  }
+
   test("session catalog introspection (SHOW DATABASES/FUNCTIONS, 2A#13)") {
     assert(spark.sql("SHOW DATABASES").count() >= 1)
     assert(spark.sql("SHOW FUNCTIONS").count() > 300)

@@ -80,7 +80,8 @@ object PlanDump {
       "q_stream_v2_part_sink" -> "Partitioned streaming sink read-back: the sink's task writers split files per partition value, so the streamed table's partition predicate prunes file-exactly (files=k/N in the scan leaf) and decodes columnar — the continuous date-partitioned ingest path with zero post-hoc clustering debt.",
       "q_source_v2_part_overwrite_dyn" -> "Dynamic partition overwrite read-back: the staged rows defined the replaced partitions (native distributed BatchWrite, one atomic commit), untouched partitions' files survived byte-identical — the read plans exactly like any partitioned scan; nothing in the plan betrays the two-partition backfill that produced it.",
       "q_source_v2_partitions_meta" -> "The $partitions system table: the per-partition census folded from manifest stats alone (zero data bytes at any table size), DISTRIBUTED like $files — executors fold their manifest slices into per-file census rows and one map-side-combined aggregation returns |partitions| rows; labels are injective (NULL renders __GRAFT_NULL__).",
-      "q_source_v2_part_expire" -> "Partition expiry read-back: two dead-past partitions aged out as ONE metadata-only dropFiles commit (values-time strategy over the rendered single-valued stats; zero data bytes moved), so the surviving table scans like any partitioned table — the plan shows only the in-window partition's files.")
+      "q_source_v2_part_expire" -> "Partition expiry read-back: two dead-past partitions aged out as ONE metadata-only dropFiles commit (values-time strategy over the rendered single-valued stats; zero data bytes moved), so the surviving table scans like any partitioned table — the plan shows only the in-window partition's files.",
+      "q_source_v2_dyn_bucket" -> "Dynamic bucket mode read-back: the table grew its power-of-two bucket count through split commits (extendible hashing, count versioned in the snapshot — no writer-side key index), and the scan is the SAME per-bucket merge-on-read BatchScan as any fixed PK table, one input partition per grown bucket, zero exchanges below the presentation sort; a key-equality lookup prunes to buckets=1 under the scanned generation's count.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.1, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.PlanDump` (Test scope). Each plan is the EXECUTED plan\n")

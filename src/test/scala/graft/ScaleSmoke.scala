@@ -138,7 +138,10 @@ object ScaleSmoke {
       "q_source_v2_dec_pushdown",
       // round-19 addition: metadata-only partition expiry (drop commit +
       // values-time proofs; the read-back scans only the surviving slice)
-      "q_source_v2_part_expire")
+      "q_source_v2_part_expire",
+      // round-20 addition: dynamic bucket mode — the read scans the GROWN
+      // power-of-two layout (per-bucket merge, count from the snapshot)
+      "q_source_v2_dyn_bucket")
 
     // min-of-2 like Bench: the first execution pays codegen compilation and
     // plan warmup (dominant at 1× scale — an iterative query's ~12 rounds of

@@ -537,6 +537,91 @@ class StreamTableSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation merge-engine: listagg/collect fold in SEQUENCE order under " +
+      "a sequence group — re-merge associative, out-of-order after compaction") {
+    val t = new StreamTable(tmp(), spark,
+      primaryKey = Some(Seq("k")), seqCol = Some("seq"),
+      aggSpec = Some(Seq("log" -> "listagg", "tags" -> "collect")))
+    def row(k: Long, seq: Long, log: Option[String], tags: Option[Seq[String]]) =
+      (k, seq, log.orNull, tags.orNull)
+    val cols = Seq("k", "seq", "log", "tags")
+    t.appendBatch(Seq(row(1, 10, Some("start"), Some(Seq("a"))),
+      row(2, 10, Some("x"), None)).toDF(cols: _*), 0)
+    t.appendBatch(Seq(row(1, 30, Some("stop"), Some(Seq("c")))).toDF(cols: _*), 1)
+    def got() = t.read.orderBy("k").collect().map(r => (r.getLong(0),
+      r.getString(1), Option(r.getSeq[String](2)).map(_.toSeq).orNull))
+    // the VIEW folds by sequence; nulls contribute nothing
+    assert(got().toSeq == Seq((1L, "start,stop", Seq("a", "c")),
+      (2L, "x", null)))
+    // the read view hides the provenance companion columns
+    assert(!t.read.columns.exists(_.startsWith(StreamTable.FieldListPrefix)))
+    // compaction persists per-CONTRIBUTION provenance: an out-of-order
+    // arrival at seq 20 must land BETWEEN the compacted contributions,
+    // not after them — arrival order would append it to the end
+    t.compact(targetFileCount = 1)
+    assert(got().toSeq == Seq((1L, "start,stop", Seq("a", "c")),
+      (2L, "x", null)), "a compacted-only read must reproduce the fold")
+    t.appendBatch(Seq(row(1, 20, Some("mid"), Some(Seq("b")))).toDF(cols: _*), 2)
+    assert(got().toSeq == Seq((1L, "start,mid,stop", Seq("a", "b", "c")),
+      (2L, "x", null)),
+      "sequence order must survive compaction (re-merge closure)")
+    // a second compaction and another arrival: closure holds repeatedly
+    t.compact(targetFileCount = 1)
+    t.appendBatch(Seq(row(1, 5, Some("pre"), None),
+      row(2, 20, Some("y"), Some(Seq("z")))).toDF(cols: _*), 3)
+    assert(got().toSeq == Seq((1L, "pre,start,mid,stop", Seq("a", "b", "c")),
+      (2L, "x,y", Seq("z"))))
+    // the ordered list functions refuse without an explicit sequence group
+    intercept[IllegalArgumentException] {
+      new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+        aggSpec = Some(Seq("log" -> "listagg")))
+    }
+    // ...and refuse wrong types loudly at first merge
+    val bad = new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+      seqCol = Some("seq"), aggSpec = Some(Seq("n" -> "listagg")))
+    bad.appendBatch(Seq((1L, 1L, 5L)).toDF("k", "seq", "n"), 0)
+    val e = intercept[IllegalArgumentException] { bad.read.collect() }
+    assert(e.getMessage.contains("needs a STRING field"), e.getMessage)
+  }
+
+  test("aggregation merge-engine: merge_map — later-by-SEQUENCE entries win " +
+      "per map key, out-of-order after compaction included") {
+    val t = new StreamTable(tmp(), spark,
+      primaryKey = Some(Seq("k")), seqCol = Some("seq"),
+      aggSpec = Some(Seq("attrs" -> "merge_map")))
+    def got(): Map[Long, Map[String, String]] = t.read.collect()
+      .map(r => r.getLong(r.fieldIndex("k")) ->
+        Option(r.getMap[String, String](r.fieldIndex("attrs")))
+          .map(_.toMap).orNull).toMap
+    t.appendBatch(Seq(
+      (1L, 10L, Map("color" -> "red", "size" -> "S")),
+      (2L, 10L, Map("color" -> "blue"))).toDF("k", "seq", "attrs"), 0)
+    t.appendBatch(Seq(
+      (1L, 30L, Map("color" -> "green"))).toDF("k", "seq", "attrs"), 1)
+    // later sequence overwrites per KEY; untouched keys survive
+    assert(got() == Map(1L -> Map("color" -> "green", "size" -> "S"),
+      2L -> Map("color" -> "blue")))
+    // compaction persists provenance: a LATE arrival at seq 20 must lose
+    // 'color' to the compacted seq-30 entry yet win its fresh key
+    t.compact(targetFileCount = 1)
+    assert(got() == Map(1L -> Map("color" -> "green", "size" -> "S"),
+      2L -> Map("color" -> "blue")),
+      "a compacted-only read must reproduce the merged map")
+    t.appendBatch(Seq(
+      (1L, 20L, Map("color" -> "yellow", "trim" -> "gold")))
+      .toDF("k", "seq", "attrs"), 2)
+    assert(got() == Map(
+      1L -> Map("color" -> "green", "size" -> "S", "trim" -> "gold"),
+      2L -> Map("color" -> "blue")),
+      "per-key sequence order must survive compaction (re-merge closure)")
+    // wrong type refuses loudly at first merge
+    val bad = new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+      seqCol = Some("seq"), aggSpec = Some(Seq("n" -> "merge_map")))
+    bad.appendBatch(Seq((1L, 1L, 5L)).toDF("k", "seq", "n"), 0)
+    val e2 = intercept[IllegalArgumentException] { bad.read.collect() }
+    assert(e2.getMessage.contains("needs a MAP field"), e2.getMessage)
+  }
+
   test("first-row merge-engine: earliest sequence wins at every merge site") {
     val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
       seqCol = Some("seq"), mergeEngine = "first-row")
@@ -657,12 +742,16 @@ class StreamTableSpec extends AnyFunSuite {
       new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
         changelogMode = Some("bogus"))
     }
-    // dynamic bucket mode (Paimon bucket = -1) refuses with the remedy
+    // dynamic bucket mode (Paimon bucket = -1) is a REAL mode since round
+    // 14 (see the dedicated dynamic-bucket test); it still refuses loudly
+    // without a bucket key to hash on
+    assert(new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
+      bucketKey = Some("id"), numBuckets = -1).isDynamicBucket)
     val e = intercept[IllegalArgumentException] {
       new StreamTable(tmp(), spark, primaryKey = Some(Seq("id")),
-        bucketKey = Some("id"), numBuckets = -1)
+        numBuckets = -1)
     }
-    assert(e.getMessage.contains("sys.rescale"), e.getMessage)
+    assert(e.getMessage.contains("bucket-key"), e.getMessage)
 
     // the chain SURVIVES retention expiring the covered mid-span write
     // snapshots (they age out first — changelog files are self-contained):
@@ -1316,5 +1405,48 @@ class StreamTableSpec extends AnyFunSuite {
     // missing field → None (never 0 — 0 is a real bucket id), reads intact
     assert(t2.latestSnapshot.get.files.forall(_.bucket.isEmpty))
     assert(t2.read.count() == 2)
+  }
+
+  test("dynamic bucket mode: extendible doubling, LWW across the split") {
+    val t = new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+      bucketKey = Some("k"), numBuckets = -1,
+      dynBucketTargetRows = 10L, dynBucketInitial = 1)
+    assert(t.isDynamicBucket && t.currentBuckets == 1)
+    // 40 keys into a 10-row target: the inline split fires and relabels
+    t.appendBatch((1L to 40L).map(k => (k, k * 10)).toDF("k", "v"), 0L)
+    val n1 = t.currentBuckets
+    assert(n1 > 1 && Integer.bitCount(n1) == 1,
+      s"expected a power-of-two split, got $n1")
+    val head1 = t.latestSnapshot.get
+    assert(head1.bucketCount.contains(n1) &&
+      head1.files.forall(_.bucket.isDefined))
+    // the labels really are the layout hash under the NEW count: every
+    // file's recorded id matches pmod(murmur3(k), n1) of its own rows
+    val byBucket = t.latestSnapshot.get.files.map(_.bucket.get).toSet
+    assert(byBucket.forall(b => b >= 0 && b < n1))
+    // an UPSERT whose old version predates the split resolves LWW — the
+    // split relabeled the old generation, so versions co-locate
+    t.appendBatch((1L to 20L).map(k => (k, k * 10 + 1)).toDF("k", "v"), 1L)
+    val out = t.read.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 40 && out(5L) == 51L && out(30L) == 300L)
+    // growth is monotone along the doubling chain and stamped per snapshot
+    val n2 = t.currentBuckets
+    assert(n2 >= n1 && n2 % n1 == 0)
+    // time travel reads the pre-split generation under its own stamped count
+    assert(t.readAt(0L).count() == 40)
+    assert(t.bucketCountAt(Some(0L)).contains(1))
+    assert(t.bucketCountAt(None).contains(n2))
+    // under-target table never splits: the probe is a no-op
+    val small = new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+      bucketKey = Some("k"), numBuckets = -1,
+      dynBucketTargetRows = 1000L, dynBucketInitial = 2)
+    small.appendBatch((1L to 40L).map(k => (k, k)).toDF("k", "v"), 0L)
+    assert(small.currentBuckets == 2 && small.maybeSplitBuckets().isEmpty)
+    // refusals: -1 without any key; a non-power-of-two initial count
+    intercept[IllegalArgumentException](
+      new StreamTable(tmp(), spark, numBuckets = -1))
+    intercept[IllegalArgumentException](
+      new StreamTable(tmp(), spark, primaryKey = Some(Seq("k")),
+        bucketKey = Some("k"), numBuckets = -1, dynBucketInitial = 3))
   }
 }

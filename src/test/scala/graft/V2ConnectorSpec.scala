@@ -1840,16 +1840,13 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT id, score FROM $cat.db.evo ORDER BY id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSeq ==
       Seq((1L, null), (2L, null), (3L, 9.5)))
-    // ADD ... DEFAULT refuses LOUDLY (silently dropping the default would
-    // serve NULLs where the user declared a value — Spark's EXISTS_DEFAULT
-    // contract needs per-file existence substitution we don't implement)
-    def msgs(e: Throwable): Seq[String] =
-      if (e == null) Seq.empty else Option(e.getMessage).toSeq ++ msgs(e.getCause)
-    val dflt = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.evo ADD COLUMNS (bonus DOUBLE DEFAULT 1.0)")
-    }
-    assert(msgs(dflt).exists(_.contains("DEFAULT is not supported")), dflt.toString)
-    assert(!spark.sql(s"SELECT * FROM $cat.db.evo").columns.contains("bonus"))
+    // ADD ... DEFAULT: pure metadata (EXISTS_DEFAULT) — pre-existing rows
+    // read the default, new writes materialize it (full coverage in the
+    // dedicated default-column test below)
+    spark.sql(s"ALTER TABLE $cat.db.evo ADD COLUMNS (bonus DOUBLE DEFAULT 1.0)")
+    assert(spark.sql(s"SELECT bonus FROM $cat.db.evo").collect()
+      .forall(_.getDouble(0) == 1.0), "pre-ADD rows must read the default")
+    spark.sql(s"ALTER TABLE $cat.db.evo DROP COLUMN bonus")
 
     // RENAME: files keep the old name; reads AND pushed filters translate
     spark.sql(s"ALTER TABLE $cat.db.evo RENAME COLUMN a TO label")
@@ -1877,6 +1874,79 @@ class V2ConnectorSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.db.evo_pk RENAME COLUMN k TO k2")
     }
     assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
+  test("ADD COLUMN DEFAULT (EXISTS_DEFAULT as pure metadata): pre-ADD rows " +
+      "read the default, explicit NULL stays NULL, decode stays vectorized, " +
+      "skipping/push shortcuts stay exact, maintenance materializes") {
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.dflt (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.dflt VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $cat.db.dflt ADD COLUMNS (score BIGINT DEFAULT 7)")
+    def rows() = spark.sql(s"SELECT id, score FROM $cat.db.dflt ORDER BY id")
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    // pre-ADD rows read the default…
+    assert(rows() == Seq((1L, 7L), (2L, 7L)))
+    // …post-ADD rows their values; an EXPLICIT NULL stays NULL; an INSERT
+    // omitting the column materializes the CURRENT default
+    spark.sql(s"INSERT INTO $cat.db.dflt VALUES (3, 'c', 9)")
+    spark.sql(s"INSERT INTO $cat.db.dflt VALUES (4, 'd', NULL)")
+    spark.sql(s"INSERT INTO $cat.db.dflt (id, v) VALUES (5, 'e')")
+    val expect = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, null), (5L, 7L))
+    assert(rows() == expect)
+    // the LIBRARY door (shared table root) serves the same defaults —
+    // which is what makes maintenance rewrites materialize them correctly
+    assert(gc.getTable("db", "dflt").read.selectExpr("id", "score")
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .sortBy(_._1).toSeq == expect)
+    // mixed generations stay VECTORIZED (Spark's own existence-default
+    // missing-column vectors, fed by the schema metadata)
+    val df = spark.sql(s"SELECT id, v, score FROM $cat.db.dflt ORDER BY id")
+    val scan = scanOf(df)
+    val fac = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(fac.supportColumnarReads),
+      "a defaulted table must not fall off the columnar path")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"expected a columnar scan:\n${df.queryExecution.executedPlan}")
+    // filters over the defaulted column: the implicit IsNotNull must not
+    // skip pre-ADD files ("absent" ≠ null — they serve the default)
+    assert(spark.sql(s"SELECT id FROM $cat.db.dflt WHERE score = 7 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    assert(spark.sql(
+      s"SELECT id FROM $cat.db.dflt WHERE score IS NOT NULL ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(spark.sql(s"SELECT id FROM $cat.db.dflt WHERE score IS NULL")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // metadata-only aggregate shortcuts refuse (stats can't see the
+    // default) and the distributed fallback answers exactly
+    assert(spark.sql(
+      s"SELECT min(score) AS mn, max(score) AS mx FROM $cat.db.dflt")
+      .collect().head.toSeq == Seq(7L, 9L))
+    assert(spark.sql(s"SELECT score, count(*) AS n FROM $cat.db.dflt " +
+      "GROUP BY score ORDER BY score NULLS FIRST").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((null, 1L), (7L, 3L), (9L, 1L)))
+    // RENAME carries the default along
+    spark.sql(s"ALTER TABLE $cat.db.dflt RENAME COLUMN score TO pts")
+    assert(spark.sql(s"SELECT pts FROM $cat.db.dflt WHERE id = 1")
+      .collect().head.getLong(0) == 7L)
+    spark.sql(s"ALTER TABLE $cat.db.dflt RENAME COLUMN pts TO score")
+    // type WIDENING re-folds the stored default at the new type
+    spark.sql(s"ALTER TABLE $cat.db.dflt ADD COLUMNS (n INT DEFAULT 3)")
+    spark.sql(s"ALTER TABLE $cat.db.dflt ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql(s"SELECT n FROM $cat.db.dflt WHERE id = 1")
+      .collect().head.getLong(0) == 3L)
+    spark.sql(s"ALTER TABLE $cat.db.dflt DROP COLUMN n")
+    // compaction MATERIALIZES the default (frozen at ADD time — nothing
+    // observable changes), and the values survive the rewrite
+    gc.getTable("db", "dflt").compact(targetFileCount = 1)
+    assert(rows() == expect)
+    // DEFAULT NULL is the plain null-fill (nothing stored, nothing special)
+    spark.sql(s"ALTER TABLE $cat.db.dflt ADD COLUMNS (w STRING DEFAULT NULL)")
+    assert(spark.sql(s"SELECT w FROM $cat.db.dflt").collect().forall(_.isNullAt(0)))
   }
 
   test("evolved table scans stay COLUMNAR: ADD/RENAME null-fill through vector reads") {
@@ -2963,6 +3033,34 @@ class V2ConnectorSpec extends AnyFunSuite {
       == Seq(("a0", "+I"), ("a0", "-U"), ("a1", "+U"), ("b0", "+I")))
   }
 
+  test("incremental-between accepts TAG endpoints, ≡ their snapshot ids " +
+      "(the tag-per-day daily-diff workflow)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v2_inc_tag_").toString
+    val tbl = new StreamTable(root, spark)
+    tbl.appendBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    tbl.createTag("day1")
+    tbl.appendBatch(Seq((2L, "b")).toDF("id", "v"), 1L)
+    tbl.createTag("day2")
+    tbl.appendBatch(Seq((3L, "c")).toDF("id", "v"), 2L)
+    def readInc(between: String) = spark.read.format("graft")
+      .option("incremental-between", between).load(root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    // tag endpoints ≡ their pinned snapshot ids, mixed forms included
+    val expected = Seq((2L, "b", "+I"))
+    assert(readInc("day1,day2") == expected)
+    assert(readInc("day1,day2") == readInc("0,1"))
+    assert(readInc("day1,1") == expected, "mixed tag/id endpoints resolve")
+    assert(readInc("0,day2") == expected)
+    // an unknown tag refuses with the available tags in the message
+    val err = intercept[Exception](spark.read.format("graft")
+      .option("incremental-between", "day1,day9").load(root))
+    assert(err.getMessage.contains("neither a snapshot id nor a tag") &&
+      err.getMessage.contains("day2"), err.getMessage)
+    StreamTable.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("incremental-between-timestamp floors each endpoint to its snapshot") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("v2_inc_ts_").toString
@@ -3669,5 +3767,48 @@ class V2ConnectorSpec extends AnyFunSuite {
     assert(lt == 8 && lx <= 2, s"linear sort must skip on x: $lx/$lt")
     assert(gc.tableOptions("db", "zc").get("compact.order-strategy")
       .contains("sort"))
+  }
+
+  test("dynamic bucket table: V2 point lookup prunes under the scanned " +
+      "generation's count; the V2 sink refuses") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("v2_dynb_wh_").toString
+    val gc = new graft.table.GraftCatalog(spark, wh)
+    val t = gc.createTable("db", "dynb", Map("primary-key" -> "k",
+      "bucket" -> "-1", "dynamic-bucket.target-row-num" -> "10",
+      "dynamic-bucket.initial-buckets" -> "1"))
+    t.appendBatch((1L to 40L).map(k => (k, k * 10)).toDF("k", "v"), 0L)
+    val n = gc.getTable("db", "dynb").currentBuckets
+    assert(n > 1, s"the 10-row target must have split, got $n")
+    val cat = s"graft_dynb_${Integer.toHexString(wh.hashCode).take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val df = spark.sql(s"SELECT k, v FROM $cat.db.dynb WHERE k = 17")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((17L, 170L)))
+    // the lookup planned a single bucket of the CURRENT generation — the
+    // scan's merge groups collapse to one
+    val desc = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.get
+    assert(desc.contains("buckets=1"), desc)
+    // the native V2 streaming sink cannot follow splits mid-stream: refuse
+    val e = intercept[Exception] {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val src = MemoryStream[(Long, Long)]
+      src.addData((99L, 990L))
+      src.toDF().toDF("k", "v").writeStream.format("graft")
+        .option("path", t.root)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("v2_dynb_chk_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("dynamic-bucket")), e.toString)
   }
 }
