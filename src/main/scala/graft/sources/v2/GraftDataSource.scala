@@ -481,10 +481,24 @@ class GraftV2Table(tableName: String, val table: StreamTable,
       declaredSchema, Some(snapshotId), renameMap)
   }
 
-  private[v2] def liveFiles: Seq[DataFileMeta] = atSnapshot match {
-    case Some(id) => table.snapshotAt(id).map(_.files).getOrElse(Seq.empty)
-    case None => table.latestSnapshot.map(_.files).getOrElse(Seq.empty)
+  private[v2] def liveSnapshot: Option[graft.table.Snapshot] = atSnapshot match {
+    case Some(id) => table.snapshotAt(id)
+    case None => table.latestSnapshot
   }
+
+  private[v2] def liveFiles: Seq[DataFileMeta] =
+    liveSnapshot.map(_.files).getOrElse(Seq.empty)
+
+  /** The bucket count `files` (captured from ONE snapshot read) were
+    * labeled under — the count bucket-prune hashing must use. Callers
+    * capture files and count from the SAME [[liveSnapshot]] value: a
+    * dynamic table's inline split can commit between two separate disk
+    * reads, and hashing a key under the new count against old-generation
+    * labels prunes the wrong bucket. None = no provable count (legacy
+    * dynamic snapshot): skip pruning. */
+  private[v2] def bucketCountOf(snap: Option[graft.table.Snapshot]): Option[Int] =
+    if (!table.isDynamicBucket) Some(table.numBuckets).filter(_ > 0)
+    else snap.flatMap(_.bucketCount)
 
   override def name(): String = tableName
 
@@ -1471,7 +1485,10 @@ class GraftScan(table: GraftV2Table, required: StructType,
     if (nameMap.isEmpty) pushed else pushed.map(GraftScan.translate(_, nameMap))
 
   // ---- driver-side file skipping (eager: explain shows the real counts) --
-  private val allFiles = table.liveFiles
+  // ONE snapshot read: files AND (dynamic mode) the bucket count they were
+  // labeled under — two separate disk reads could straddle an inline split
+  private val scanSnap = table.liveSnapshot
+  private val allFiles = scanSnap.map(_.files).getOrElse(Seq.empty)
   private var kept: Seq[DataFileMeta] = {
     // bucket pruning first (pure arithmetic, no footer I/O): a point lookup
     // `bucketKey = v` can only live in bucket pmod(murmur3(v), n) — on a
@@ -1509,8 +1526,9 @@ class GraftScan(table: GraftV2Table, required: StructType,
     val t = table.table
     for {
       k <- t.bucketKey
-      // dynamic bucket mode: hash with the SCANNED generation's count
-      n <- t.bucketCountAt(table.atSnapshot)
+      // dynamic bucket mode: hash with the SCANNED generation's count,
+      // captured from the SAME snapshot read as the file list
+      n <- table.bucketCountOf(scanSnap)
       dt <- table.schema().find(_.name == k).map(_.dataType)
       if dt == LongType || dt == IntegerType
       v <- pushed.collectFirst { case EqualTo(a, v: Number) if a == k => v }

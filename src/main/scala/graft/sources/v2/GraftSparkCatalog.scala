@@ -106,14 +106,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // `t$branch_<name>` (Paimon's branch read): the branch's own
           // chain as a full V2 table — scans, time travel, even writes
           // resolve against the branch root (write-audit-publish's audit
-          // surface). Same structural semantics: the branch carries the
-          // parent's options file.
+          // surface). Structural semantics and evolution come from the
+          // branch's FROZEN options copy (taken at create_branch): a
+          // post-branch ALTER on main must not re-shape the branch — the
+          // same data would otherwise serve two schemas depending on the
+          // door (the path open already reads the frozen copy).
           val bt = t.branchTable(sys.stripPrefix("branch_"))
-          val (declared, renames) = GraftV2Table.evolutionOf(
-            backing.tableOptions(db(ident.namespace()), base))
+          val bOpts = graft.table.GraftCatalog.pathOptions(bt.root) match {
+            case o if o.nonEmpty => o
+            case _ => backing.tableOptions(db(ident.namespace()), base)
+          }
+          val (declared, renames) = GraftV2Table.evolutionOf(bOpts)
           return new GraftV2Table(
             s"$catalogName.${db(ident.namespace())}.${ident.name()}",
-            bt, SparkSession.active, declared, renameMap = renames)
+            graft.table.GraftCatalog.tableFromOptions(
+              SparkSession.active, bt.root, bOpts),
+            SparkSession.active, declared, renameMap = renames)
         }
         if (sys == "audit_log" || sys == "changelog") {
           // data-sized — a DISTRIBUTED scan, never a driver-local metadata

@@ -173,7 +173,10 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
           s"auto-heal of ${table.name()} lost to concurrent maintenance " +
             s"(reads are unaffected): ${e.getMessage}")
     }
-  private val allFiles = table.liveFiles
+  // ONE snapshot read: files AND (dynamic mode) the bucket count they were
+  // labeled under — two separate disk reads could straddle an inline split
+  private val scanSnap = table.liveSnapshot
+  private val allFiles = scanSnap.map(_.files).getOrElse(Seq.empty)
   private val kept: Seq[DataFileMeta] = {
     // bucket point lookup: an equality on the bucket key pins the single
     // bucket that can hold the key — 1/numBuckets of the table cut before
@@ -198,10 +201,11 @@ class GraftPkScan(table: GraftV2Table, fullSchema: StructType,
   private def bucketLookup: Option[Set[Int]] =
     for {
       k <- t.bucketKey
-      // dynamic bucket mode: hash with the SCANNED generation's count (it
-      // rides the snapshot) — a head-count hash against a time-traveled
-      // pre-split state would prune the wrong bucket
-      n <- t.bucketCountAt(table.atSnapshot)
+      // dynamic bucket mode: hash with the SCANNED generation's count,
+      // captured from the SAME snapshot read as the file list — a fresher
+      // count (time travel, or an inline split landing mid-plan) against
+      // these labels would prune the wrong bucket
+      n <- table.bucketCountOf(scanSnap)
       dt <- fullSchema.find(_.name == k).map(_.dataType)
       if dt == LongType || dt == IntegerType
       vals <- pushed.collectFirst {

@@ -1465,14 +1465,20 @@ object V2Queries {
     stagedDynBucket.computeIfAbsent(d, { _ =>
       val (catName, wh) = ordersCatalog(s, d)
       val cat = new GraftCatalog(s, wh)
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_acctbal").as("bal"))
+      // target ∝ data so the FINAL count stays bounded (~8-16 buckets) at
+      // every sf while still forcing several doublings from 1 — mirroring
+      // production, where the 2M-row default yields sane counts; a fixed
+      // tiny target would mint thousands of buckets at the larger sfs (the
+      // tiny-file storm the target exists to prevent)
+      val target = math.max(30L, c.count() / 12)
       val tbl = cat.createTable("v2db", "dynb_cust",
         Map("primary-key" -> "c_custkey", "bucket" -> "-1",
-          "dynamic-bucket.target-row-num" -> "60",
+          "dynamic-bucket.target-row-num" -> target.toString,
           "dynamic-bucket.initial-buckets" -> "1"))
       require(tbl.isDynamicBucket && tbl.currentBuckets == 1,
         "a fresh dynamic table starts at its initial count")
-      val c = Tables.customer(s, d).select(col("c_custkey"),
-        col("c_acctbal").as("bal"))
       tbl.appendBatch(c.where(col("c_custkey") % 2 === 0), 0L)
       val t1 = cat.getTable("v2db", "dynb_cust")
       val n1 = t1.currentBuckets

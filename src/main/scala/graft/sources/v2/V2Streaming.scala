@@ -48,6 +48,15 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
   // interval's delta manifests ([[StreamTable.addedBetween]])
   private def snaps = table.snapshotHeaders
 
+  // FILE-level names of columns added with DEFAULT (EXISTS_DEFAULT metadata
+  // rides the schema): the initial catch-up delivers PRE-ADD files whose
+  // rows READ the default — the "absent ⇒ all null" IS NOT NULL skip must
+  // not drop them (the batch scan's exact rule, GraftScan)
+  private val defaultedCols: Set[String] = schema.fields.iterator
+    .filter(_.metadata.contains(org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+    .map(_.name).toSet
+
   /** AvailableNow contract: pin the end offset when the trigger starts, so
     * the run drains exactly the commits that existed then and stops. */
   @volatile private var availableEnd: Option[Offset] = None
@@ -114,7 +123,7 @@ class GraftMicroBatchStream(table: StreamTable, schema: StructType,
         val conf = new org.apache.hadoop.conf.Configuration()
         newFiles.filter { f =>
           val (mins, maxs) = StreamTable.skipStats(f, conf)
-          pushed.forall(FileSkip.keep(_, mins, maxs, Some(f)))
+          pushed.forall(FileSkip.keep(_, mins, maxs, Some(f), defaultedCols))
         }
       }
     lastPlanned = kept.map(_.path)

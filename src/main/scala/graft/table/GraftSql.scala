@@ -259,11 +259,15 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
                 s"subqueries/CTEs are not rewritable: $select")
           val fm = fms.head
           val (fact, factAlias) = (fm.group(1), Option(fm.group(2)).getOrElse(fm.group(1)))
-          // the rewrite converts the FIRST fact reference only — a second
-          // one (self-join, subquery) would silently keep reading the batch
-          // snapshot while the first streams
-          val factRefs = ("(?i)\\b" + java.util.regex.Pattern.quote(fact) +
-            "\\b").r.findAllMatchIn(cleaned).size
+          // the rewrite converts the FIRST fact TABLE reference only — a
+          // second one (self-join, subquery) would silently keep reading the
+          // batch snapshot while the first streams. Qualified COLUMN
+          // references (`fact.col` — the unaliased-fact idiom) are fine: the
+          // rewrite aliases the streaming view back to the fact name, so
+          // they keep resolving — exclude `fact.`-shaped matches (and
+          // `.fact`, a column named like the table) from the count.
+          val factRefs = ("(?i)(?<!\\.)\\b" + java.util.regex.Pattern.quote(fact) +
+            "\\b(?!\\s*\\.)").r.findAllMatchIn(cleaned).size
           if (factRefs != 1)
             throw new IllegalArgumentException(
               s"the fact table '$fact' is referenced $factRefs times — a " +
@@ -345,10 +349,18 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
     val onCond = OnCondRe.findFirstMatchIn(cleaned.substring(jm.end))
       .map(_.group(1).trim).getOrElse(throw new IllegalArgumentException(
         s"cannot locate the ON condition of the SYSTEM_TIME join: $cleaned"))
+    // a further JOIN after the temporal one would ride INSIDE the captured
+    // ON text and surface as an opaque parser error at drain time — refuse
+    // with the same shape as the other ambiguity checks
+    if ("(?i)\\bJOIN\\b".r.findFirstIn(onCond).isDefined)
+      throw new IllegalArgumentException(
+        "a retry-on-miss enrichment supports exactly ONE join (the " +
+          "temporal one — its ON condition defines a \"miss\"); further " +
+          s"joins are not rewritable: $cleaned")
     val retryDir = Paths.get(table.root, "lookup-retry")
     Files.createDirectories(retryDir)
     val factView = s"${fact}__retry_batch"
-    table.writeStream(
+    try table.writeStream(
       factT.readStream(factT.read.schema),
       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       transform = (batch, absId) => {
@@ -383,6 +395,10 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         input.drop("__attempts").createOrReplaceTempView(factView)
         conformToDeclared(t, s.sql(rewrittenFor(factView)))
       }).awaitTermination()
+    // the per-batch temp view references a pending-<id> dir a later drain's
+    // GC deletes — a stale registration would poison later statements that
+    // happen to resolve the name (the sibling path's exact discipline)
+    finally spark.catalog.dropTempView(factView)
     ok(s"enrichment pipe into $t drained (lookup join: $dim AS OF " +
       s"processing time; retry-on-miss honored, max-attempts=$maxAttempts)")
   }
@@ -406,8 +422,16 @@ class GraftSql(spark: SparkSession, defaultWarehouse: String) {
         s"INSERT provides ${df.columns.length} columns, $t declares ${decl.length}")
       df = df.toDF(target.take(df.columns.length).map(_._1): _*)
       val have = df.columns.toSet
+      // a column added via ADD COLUMN … DEFAULT materializes its CURRENT
+      // default when omitted (the V2 door's contract — the two doors must
+      // store the same bytes for the same statement); the stored literal is
+      // keyed by the DECLARED name
+      val opts = catalog.tableOptions(currentDb, t)
       df = df.select(target.map { case (n, ty) =>
-        val c = if (have.contains(n)) col(n) else lit(null)
+        val c =
+          if (have.contains(n)) col(n)
+          else opts.get(s"ddl.default.$n").filter(_.nonEmpty)
+            .map(expr).getOrElse(lit(null))
         sparkType(ty).map(c.cast).getOrElse(c).as(n)
       }: _*)
     }

@@ -1929,15 +1929,17 @@ class StreamTable(
     val groups = files.groupBy(f =>
       columnDefaults.keySet.filter(c => f.fileCols.exists(!_.contains(c))))
     if (groups.keySet == Set(Set.empty[String])) return readFilesRaw(files)
-    val parts = groups.toSeq.map { case (absent, fs) =>
+    // newest schema generation first (fewest absent columns): its column
+    // order IS the full current layout, so the union needs no extra footer
+    // pass just to recover ordering — the groups' own schemas (already read
+    // by readFilesRaw) carry it
+    val parts = groups.toSeq.sortBy(_._1.size).map { case (absent, fs) =>
       absent.foldLeft(readFilesRaw(fs))((df, c) =>
         df.withColumn(c, expr(columnDefaults(c))))
     }
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    val baseOrder = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(_.path): _*).schema.fieldNames.toSeq
-    val order = baseOrder ++
-      columnDefaults.keys.filterNot(baseOrder.contains).toSeq.sorted
+    val order = parts.map(_.columns.toSeq)
+      .reduce((a, b) => a ++ b.filterNot(a.contains))
     unioned.select(order.filter(unioned.columns.contains).map(col): _*)
   }
 

@@ -300,4 +300,47 @@ class PropertySpec extends AnyFunSuite {
       assert(s >= off + 1 && e <= off + 160 + 1, s"island ($s,$e) off=$off")
     }
   }
+
+  test("dynamic bucket table: read view ≡ LWW fold under random batching, " +
+      "splits, and a mid-stream compaction") {
+    // random upsert streams into a dynamic-bucket table with an absurdly
+    // small growth target: every batch may trigger a split (the count is
+    // data-driven), and the resolved view must STILL equal the in-memory
+    // last-writer-wins fold — splits relabel whole generations, so key
+    // co-location (and therefore the merge) must survive any number of them
+    val dynOps: Gen[List[(Long, Long, Long)]] = {
+      val op = for {
+        key <- Gen.choose(0L, 40L)
+        seq <- Gen.choose(0L, 1000L)
+        v   <- Gen.choose(0L, 1000000L)
+      } yield (key, seq, v)
+      Gen.listOfN(60, op)
+    }
+    for (seed <- 1L to 3L) {
+      val ops = dynOps.apply(Gen.Parameters.default, Seed(seed)).get
+      val t = new StreamTable(Files.createTempDirectory("graft_dynp_").toString,
+        spark, primaryKey = Some(Seq("id")), seqCol = Some("seq"),
+        bucketKey = Some("id"), numBuckets = -1,
+        dynBucketTargetRows = 8L, dynBucketInitial = 1)
+      val batches = ops.grouped(20).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        t.appendBatch(b.toDF("id", "seq", "v"), i.toLong)
+        if (i == 1) t.compact(targetFileCount = 2)
+      }
+      val expect = ops.zipWithIndex.map { case ((k, sq, v), i) =>
+        (k, sq, v, i / 20) }
+        .groupBy(_._1)
+        .map { case (k, g) => k -> g.maxBy(x => (x._2, x._4))._3 }
+      val got = t.read.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expect, s"seed=$seed count=${t.currentBuckets}")
+      // structural invariants: a stamped power-of-two count, every live
+      // file labeled inside it
+      val snap = t.latestSnapshot.get
+      val n = snap.bucketCount.get
+      assert(n >= 1 && Integer.bitCount(n) == 1, s"count $n")
+      assert(snap.files.forall(_.bucket.exists(b => b >= 0 && b < n)))
+      // and the growth actually engaged (8-row target, ~41 keys)
+      assert(n > 1, "the tiny target must have forced at least one split")
+    }
+  }
 }

@@ -369,6 +369,21 @@ class SqlSpec extends AnyFunSuite {
              |        ON m.sensor_id = sensor_info.sensor_id""".stripMargin)
     assert(sh.sql("SELECT count(*) AS n FROM enriched2")
       .collect().head.getLong(0) == 8L)
+
+    // an UNALIASED fact with qualified column references (`measurements.x`)
+    // must drain, not refuse: only TABLE references count toward the
+    // fact-uniqueness check — the rewrite aliases the streaming view back
+    // to the fact name, so qualified refs keep resolving
+    sh.sql("""CREATE TABLE enriched3 (
+             |    sensor_id BIGINT, reading DECIMAL(5, 1), latitude DOUBLE
+             |) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')""".stripMargin)
+    sh.sql("""INSERT INTO enriched3
+             |SELECT measurements.sensor_id, measurements.reading, s.latitude
+             |FROM measurements
+             |    JOIN sensor_info FOR SYSTEM_TIME AS OF measurements.event_time AS s
+             |        ON measurements.sensor_id = s.sensor_id""".stripMargin)
+    assert(sh.sql("SELECT count(*) AS n FROM enriched3")
+      .collect().head.getLong(0) == 8L)
   }
 
   test("LOOKUP retry hint HONORED (guide.md:122-129): a planted dim miss " +
@@ -447,6 +462,18 @@ class SqlSpec extends AnyFunSuite {
       sh.sql(stmt.replace("allow_unordered", "ordered"))
     }
     assert(e.getMessage.contains("allow_unordered"), e.getMessage)
+    // the per-batch temp view must not outlive the drain: it references a
+    // pending-<id> dir a later drain's GC deletes (the sibling path's
+    // stale-view poisoning, on this door)
+    assert(!spark.catalog.tableExists("meas_r__retry_batch"),
+      "the retry path must drop its per-batch temp view after the drain")
+    // a second JOIN after the temporal one rides inside the captured ON
+    // text — refuse with a shaped message, not an opaque parse error
+    val ej = intercept[IllegalArgumentException] {
+      sh.sql(stmt.replace("ON m.sensor_id = s.sensor_id",
+        "ON m.sensor_id = s.sensor_id JOIN dim_r d2 ON m.sensor_id = d2.sensor_id"))
+    }
+    assert(ej.getMessage.contains("exactly ONE join"), ej.getMessage)
   }
 
   test("SYSTEM_TIME rewrite refuses ambiguous fact-table shapes (CTE, " +

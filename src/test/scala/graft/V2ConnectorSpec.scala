@@ -3811,4 +3811,68 @@ class V2ConnectorSpec extends AnyFunSuite {
       if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
     assert(msgs(e).exists(_.contains("dynamic-bucket")), e.toString)
   }
+
+  test("streaming file-skip serves pre-ADD files of a DEFAULT column " +
+      "(IS NOT NULL must not drop them — they read the default)") {
+    import org.apache.spark.sql.functions.col
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.sdflt (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.sdflt VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $cat.db.sdflt ADD COLUMNS (score BIGINT DEFAULT 7)")
+    spark.sql(s"INSERT INTO $cat.db.sdflt VALUES (3, 'c', NULL)")
+    val root = gc.getTable("db", "sdflt").root
+    val out = java.nio.file.Files.createTempDirectory("sdflt_out").toString
+    spark.readStream.format("graft").load(root)
+      .filter(col("score").isNotNull)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sdflt_chk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    // rows 1 and 2 live in PRE-ADD files (no physical score column): the
+    // stream's manifest skip must keep those files — their rows read the
+    // default, which IS NOT NULL. Row 3's explicit NULL filters row-side.
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("branches freeze schema/options at create_branch: a post-branch " +
+      "ALTER on main does not re-shape the branch door") {
+    val (cat, gc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.brz (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.brz VALUES (1, 'a')")
+    spark.sql(s"CALL $cat.sys.create_branch('db.brz', 'wip')")
+    spark.sql(s"ALTER TABLE $cat.db.brz RENAME COLUMN v TO label")
+    // main serves the new name; the branch still serves its FROZEN schema —
+    // the same data must not read under two shapes depending on the door
+    assert(spark.sql(s"SELECT label FROM $cat.db.brz")
+      .collect().head.getString(0) == "a")
+    assert(spark.sql(s"SELECT v FROM $cat.db.`brz$$branch_wip`")
+      .collect().head.getString(0) == "a")
+    intercept[Exception] {
+      spark.sql(s"SELECT label FROM $cat.db.`brz$$branch_wip`").collect()
+    }
+  }
+
+  test("shell-door INSERT omitting a DEFAULT column materializes the " +
+      "current default like the V2 door (same statement, same bytes)") {
+    import spark.implicits._
+    val (cat, gc) = freshCatalog()
+    val sh = new graft.table.GraftSql(spark, gc.warehouse)
+    sh.sql("CREATE DATABASE IF NOT EXISTS db"); sh.sql("USE db")
+    sh.sql("CREATE TABLE shdf (id BIGINT, v STRING) WITH " +
+      "('bucket' = '1', 'bucket-key' = 'id')")
+    spark.sql(s"ALTER TABLE $cat.db.shdf ADD COLUMNS (score BIGINT DEFAULT 7)")
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("shdf_seed")
+    sh.sql("INSERT INTO shdf SELECT id, v FROM shdf_seed")
+    // the stored file CARRIES the column (materialized, not absent)…
+    val t = gc.getTable("db", "shdf")
+    assert(t.latestSnapshot.get.files.exists(
+      _.fileCols.exists(_.contains("score"))),
+      "the shell INSERT must materialize the default into the file")
+    // …with the default's value, in both doors
+    assert(spark.sql(s"SELECT score FROM $cat.db.shdf")
+      .collect().head.getLong(0) == 7L)
+    assert(t.read.selectExpr("score").collect().head.getLong(0) == 7L)
+  }
 }
