@@ -788,7 +788,10 @@ object Curation {
       val e0 = li.select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      pageRankMicro(e0, iters = 5)
+      // reciprocalFree: every forward edge is (even → odd) and every
+      // reversed edge (odd → even) — the two halves of the symmetric
+      // closure cannot collide, so its dedup pass is skipped
+      pageRankMicro(e0, iters = 5, reciprocalFree = true)
         .select(col("id").as("node_id"),
           expr("CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END").as("node_type"),
           expr("id div 2").as("key"),
@@ -1170,11 +1173,16 @@ object Curation {
     * pr' = (15000000 + 85·Σ(pr div outdeg)) div 100. Per round: ONE
     * shuffle join (outdeg pre-folded onto the edges) + a map-side-combined
     * long sum; IterCkpt truncates lineage and frees superseded rounds. */
-  def pageRankMicro(e0: org.apache.spark.sql.DataFrame, iters: Int)
-      : org.apache.spark.sql.DataFrame = {
+  def pageRankMicro(e0: org.apache.spark.sql.DataFrame, iters: Int,
+      reciprocalFree: Boolean = false): org.apache.spark.sql.DataFrame = {
     val s = e0.sparkSession
-    val edges = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    // the symmetric closure must be DEDUPED (an input already containing a
+    // reciprocal pair must not double its edge weight) — unless the caller
+    // PROVES forward and reversed copies cannot collide (reciprocalFree),
+    // in which case the second distinct is a wasted full exchange+agg
+    val edges = if (reciprocalFree) sym else sym.distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .withColumnRenamed("src", "id")
     // fold outdeg onto the edge relation once: each iteration then needs
@@ -1182,14 +1190,25 @@ object Curation {
     val (edgesD, edgeIds) = graft.IterCkpt.step(
       edges.join(deg, edges("src") === deg("id"))
         .select(col("src"), col("dst"), col("outdeg")))
-    var (pr, prIds) = graft.IterCkpt.step(
-      deg.select(col("id"), lit(1000000L).as("pr")))
-    for (_ <- 1 to iters) {
-      val next = edgesD.join(pr, edgesD("src") === pr("id"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy("dst")
+    def aggNext(contrib: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      contrib.groupBy("dst")
         .agg(expr("CAST((15000000 + 85 * sum(c)) div 100 AS BIGINT)").as("pr"))
         .withColumnRenamed("dst", "id")
+    // round 1 folds the CONSTANT initial rank (1e6 micros on every node)
+    // straight over the checkpointed edge relation — the rank frame, its
+    // checkpoint, the round's join and its broadcast all drop out; the key
+    // set is unchanged (symmetric edges ⇒ distinct dst = distinct src).
+    // iters = 0 keeps the explicit initial frame.
+    var (pr, prIds) =
+      if (iters == 0)
+        graft.IterCkpt.step(deg.select(col("id"), lit(1000000L).as("pr")))
+      else
+        graft.IterCkpt.step(aggNext(edgesD.select(col("dst"),
+          expr("CAST(1000000 AS BIGINT) div outdeg").as("c"))))
+    for (_ <- 2 to iters) {
+      val next = aggNext(edgesD.join(pr, edgesD("src") === pr("id"))
+        .select(col("dst"), expr("pr div outdeg").as("c")))
       val (ck, ids) = graft.IterCkpt.step(next, prIds)
       pr = ck
       prIds = ids

@@ -391,7 +391,7 @@ object Pipeline {
         |FROM win w JOIN dup USING (wh)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
       val win = strideWindows(Tables.documents(s, d))
-      win.join(dupDigests(win), "wh")
+      joinDupWindows(win)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("dup_windows"),
           countDistinct("wh").as("dup_distinct"))
@@ -527,7 +527,7 @@ object Pipeline {
         |  CAST(count(*) AS BIGINT) AS n_islands
         |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val win = sampledWindows(Tables.documents(s, d))
-      islandUnion(win.join(dupDigests(win), "wh").select("doc_id", "start"))
+      islandUnion(joinDupWindows(win).select("doc_id", "start"))
         .groupBy("doc_id")
         .agg(sum(col("e") - col("s")).cast("long").as("dup_chars"),
           count(lit(1)).as("n_islands"))
@@ -596,7 +596,21 @@ object Pipeline {
   private[graft] def dupIslands(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val win = strideWindows(docs)
-    islandUnion(win.join(dupDigests(win), "wh").select("doc_id", "start"))
+    islandUnion(joinDupWindows(win).select("doc_id", "start"))
+  }
+
+  /** Windows joined to their cross-doc dup digests with the window stream
+    * computed ONCE: an explicit wh-repartition becomes one shared exchange
+    * that BOTH the dup-digest aggregation (hash(wh) satisfies every
+    * clustering the distinct-agg chain needs) and the probe side consume —
+    * Spark's exchange reuse materializes the digest pass a single time,
+    * halving the dominant per-position md5 CPU and dropping the agg side's
+    * two private exchanges. Shuffles only (doc_id, start, 8-hex digest)
+    * rows — never text — so the trade holds at any corpus size. */
+  private[graft] def joinDupWindows(win: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val winP = win.repartition(col("wh"))
+    winP.join(dupDigests(winP), "wh")
   }
 
   /** Affected docs with their duplicated islands cut out: (doc_id, clean).
