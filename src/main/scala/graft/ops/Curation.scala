@@ -380,11 +380,10 @@ object Curation {
         |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin) { (s, d) =>
       val (_, _, cand) = minhashPipeline(s, d)
       val fwd = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
-      // endpoints via ONE explode (a self-union of the same plan instance
-      // trips Union's constraint rewrite, and this is one pass anyway)
-      val nodes = fwd.select(explode(array(col("src"), col("dst"))).as("id"))
-        .distinct()
-      ccMinLabel(fwd, nodes)
+      // node relation derived INSIDE ccMinLabel from the checkpointed
+      // symmetric closure — passing endpoints built from `fwd` here would
+      // re-evaluate the whole banded-candidate pipeline a second time
+      ccMinLabel(fwd)
         .groupBy(col("comp").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc"))
         .orderBy("cluster_id")
@@ -1071,12 +1070,18 @@ object Curation {
     val corpus = docs.unionByName(docs.filter(col("doc_id") < 30)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" graft dup probe")).as("text")))
-    val g = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val g0 = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(TextOps.shingles(3)).as("sh"))
+    // the returned g carries ONE explicit doc_id exchange that every direct
+    // consumer (sizes / intersection probes) shares via stage reuse — the
+    // shingle explode runs once for all of them instead of once per use;
+    // sig stays on the RAW explode so its 8 md5-min aggregates keep their
+    // map-side partial combine (per-doc partials, not shingles, shuffle)
+    val g = g0.repartition(col("doc_id"))
     val sigAggs = (0 until 8).map(i =>
       min(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 16)).as(s"m$i"))
-    val sig = g.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sig = g0.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
       .withColumn("band0", concat_ws("|", col("m0"), col("m1"), col("m2"), col("m3")))
       .withColumn("band1", concat_ws("|", col("m4"), col("m5"), col("m6"), col("m7")))
     def pairs(band: String) = sig.as("a").join(sig.as("b"),
@@ -1106,31 +1111,65 @@ object Curation {
     * Pointer jumping doubles label distance per round → O(log diameter)
     * rounds, not O(diameter). */
   private[graft] def ccMinLabel(fwd: org.apache.spark.sql.DataFrame,
-      nodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      nodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ccMinLabelImpl(fwd, Some(nodes))
+
+  /** [[ccMinLabel]] over the edge endpoints alone (no isolated nodes): the
+    * node relation derives from the CHECKPOINTED symmetric closure instead
+    * of re-evaluating the caller's (possibly expensive) edge pipeline. */
+  private[graft] def ccMinLabel(fwd: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = ccMinLabelImpl(fwd, None)
+
+  private def ccMinLabelImpl(fwd: org.apache.spark.sql.DataFrame,
+      nodesOpt: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
     val s = fwd.sparkSession
     // IterCkpt each round: an iterative plan that nests its predecessor
     // grows exponentially and blows up analysis long before the DATA is
     // large — truncating the lineage keeps every round's plan flat
     val (edges, edgeIds) = graft.IterCkpt.step(fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))))
-    var (labels, labelIds) = graft.IterCkpt.step(
-      nodes.select(col("id"), col("id").as("comp")))
+    var labels: org.apache.spark.sql.DataFrame = null
+    var labelIds: Seq[Int] = Nil
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var round = 0
     while (!converged && round < 50) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("comp"))
+      // round 0 folds the IDENTITY initial labels straight into the
+      // propagation (comp := src) — no initial label frame, its checkpoint,
+      // or the first round's join; later rounds join the checkpointed
+      // labels as before. Without a caller node relation the self label
+      // folds as least(id, min neighbor) over the closure alone (every
+      // endpoint occurs as a dst), which also avoids unioning two
+      // projections of the SAME checkpoint instance (Union's constraint
+      // rewrite cannot handle the shared attribute ids).
+      val hopIn =
+        if (labels != null)
+          labels.unionByName(edges.join(labels, col("src") === col("id"))
+              .select(col("dst").as("id"), col("comp")))
+            .groupBy("id").agg(min("comp").as("comp"))
+        else nodesOpt match {
+          case Some(nodes) =>
+            nodes.select(col("id"), col("id").as("comp"))
+              .unionByName(edges.select(col("dst").as("id"), col("src").as("comp")))
+              .groupBy("id").agg(min("comp").as("comp"))
+          case None =>
+            edges.select(col("dst").as("id"), col("src").as("comp"))
+              .groupBy("id").agg(min("comp").as("mc"))
+              .select(col("id"), least(col("mc"), col("id")).as("comp"))
+        }
       // materialize the hop before the self-join below — a lazy `hop`
       // would embed (and can re-execute) the propagation join + min
       // aggregate on BOTH sides of that join every round
-      val (hop, hopIds) = graft.IterCkpt.step(labels.unionByName(prop)
-        .groupBy("id").agg(min("comp").as("comp")))
+      val (hop, hopIds) = graft.IterCkpt.step(hopIn)
       // pointer jumping: follow the label's own label (comp := comp[comp],
       // a label is always a node id)
+      // x.id stays UNALIASED: re-aliasing it makes the checkpoint capture a
+      // constraint on the pre-alias attribute, which the next round's Union
+      // constraint rewrite cannot map (strict AttributeMap) and throws
       val (lck, lids) = graft.IterCkpt.step(hop.as("x")
         .join(hop.as("y"), col("x.comp") === col("y.id"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id"),
           least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp")),
         labelIds ++ hopIds)
       labels = lck
