@@ -628,8 +628,12 @@ object Curation {
           expr("transform(sequence(1, size(ws) - 7), " +
             "i -> md5(concat_ws(' ', slice(ws, i, 8))))"))
           .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("gh"))
-      val own = sh.groupBy("gh").agg(min("doc_id").as("owner"))
-      sh.join(own, Seq("gh"))
+      // one explicit gh-repartition that BOTH the first-owner aggregation
+      // and the probe consume (stage reuse): the 8-gram md5 explode runs
+      // once, not once per side; only 32-hex digests shuffle
+      val shP = sh.repartition(col("gh"))
+      val own = shP.groupBy("gh").agg(min("doc_id").as("owner"))
+      shP.join(own, Seq("gh"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
@@ -898,8 +902,12 @@ object Curation {
         .select(col("doc_id"),
           explode(graft.ops.TextOps.shingles(3)).as("g"))
         .select(col("doc_id"), md5(col("g")).as("gh"))
-      val df = sh.groupBy("gh").agg(count(lit(1)).as("df"))
-      sh.join(df, Seq("gh"))
+      // one explicit gh-repartition shared by the document-frequency
+      // aggregation and the probe (stage reuse): the distinct-3-gram
+      // explode + md5 runs once, not once per side
+      val shP = sh.repartition(col("gh"))
+      val df = shP.groupBy("gh").agg(count(lit(1)).as("df"))
+      shP.join(df, Seq("gh"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))

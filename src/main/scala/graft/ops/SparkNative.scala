@@ -144,15 +144,25 @@ object SparkNative {
     // agreeing with a direct whole-table sketch — the merge loses nothing.
     QDef.noOracle("q_agg_hll_sketch") { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val perFlag = li.groupBy(col("l_returnflag").as("scope"))
-        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
-          countDistinct(col("l_partkey")).as("exact_nd"))
+      // HLL insertion is idempotent (a duplicate value maxes the same
+      // register), so sketching the DEDUPED (flag, key) relation yields the
+      // identical sketch for a fraction of the insertions — and the same
+      // map-side-combined dedup pass serves the per-flag exact counts, the
+      // global exact count, and the sketches: ONE scan, everything
+      // downstream |distinct|-bounded. The old shape scanned lineitem twice
+      // and ran two separate count-distinct Expands over the raw rows.
+      val pairs = li.select(col("l_returnflag").as("scope"),
+        col("l_partkey").as("pk")).distinct()
+      val perFlag = pairs.groupBy("scope")
+        .agg(expr("hll_sketch_agg(pk, 14)").as("sk"),
+          count(lit(1)).as("exact_nd"))
       val groups = perFlag.select(col("scope"),
         expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est"),
         col("exact_nd"))
       val allRow = perFlag
         .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk, false)) AS BIGINT)").as("est"))
-        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_nd")))
+        .crossJoin(pairs.select("pk").distinct()
+          .agg(count(lit(1)).as("exact_nd")))
         .select(lit("ALL").as("scope"), col("est"), col("exact_nd"))
       groups.unionByName(allRow).orderBy("scope")
     },

@@ -29,7 +29,7 @@ object R14Plans {
       val df = SparkEntry.queries(name)(spark, sf)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      df.write.mode("overwrite").format("noop").save()
+      df.collect() // finalize AQE so the executed dump shows reused stages
       val executed = df.queryExecution.executedPlan.toString
       val clean = (s: String) => s.replaceAll("#\\d+[L]?", "")
       val out = s"== $name ($tag) — explain formatted (initial plan, AQE not yet finalized) ==\n\n" +
