@@ -142,9 +142,23 @@ class PipelineSpec extends AnyFunSuite {
       o.select("o_orderstatus").distinct().count())
     assert(byCol("o_orderkey").getString(4) == "0")
     assert(byCol("o_orderkey").getString(5) == (n - 1).toString)
-    // the profile is ONE aggregation pass: a single scan in the plan
-    val scans = "Scan parquet".r
-      .findAllIn(run("q_ext_null_profile").queryExecution.executedPlan.toString)
-    assert(scans.size == 1, "profile must not re-scan per column")
+    // the profile is two COLUMN-DISJOINT passes (numeric multi-distinct
+    // HashAggregate + string value census) that together read each column
+    // exactly once: exactly two scans, each pruned to its own column set
+    val plan = run("q_ext_null_profile").queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"profile must read the table in exactly 2 column-disjoint passes, saw $scans")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val colSets = schemas.map(_.split(",").map(_.takeWhile(_ != ':').trim).toSet)
+    assert(colSets.size == 2 && colSets(0).intersect(colSets(1)).isEmpty,
+      s"the two passes must prune to disjoint column sets, saw $schemas")
+    // the numeric multi-distinct Expand branch must stay HashAggregate
+    // (string min/max demotes it to interpreted SortAggregate); the only
+    // SortAggregate allowed is the census-side min/max over the BOUNDED
+    // (col, value) relation, which sits above the census's own HashAggregate
+    val expandBranch = plan.split("SortAggregate").head
+    assert(expandBranch.contains("Expand") && expandBranch.contains("HashAggregate"),
+      "numeric profile pass must run as HashAggregate over Expand before any SortAggregate appears")
   }
 }
