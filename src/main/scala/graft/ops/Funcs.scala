@@ -33,7 +33,20 @@ object Funcs {
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       // split() is exercised, but the dumped column is a joined string: the
       // driver's comparator sorts output columns and cannot sort array cells.
+      //
+      // Derived columns compute AFTER the sort (here and in the sibling
+      // map-only queries below): a global orderBy's range exchange runs a
+      // sampling pass that executes the child plan a second time to pick
+      // partition boundaries, so every expression below the Sort is
+      // evaluated twice — and its output bytes cross the exchange. Sorting
+      // the raw rows by the UNIQUE key first (p_partkey is the part PK, so
+      // the total order is unchanged) and projecting afterwards evaluates
+      // each derived column once and shuffles only the raw columns
+      // (optimization guide §2.3 "project before the exchange" — the
+      // expensive projection moves above it instead).
       Tables.part(s, d)
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
         .select(col("p_partkey"),
           upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
           substring(col("p_name"), 1, 5).as("sub5"),
@@ -44,7 +57,6 @@ object Funcs {
           array_join(split(col("p_name"), " "), "|").as("words"),
           size(split(col("p_name"), " ")).as("n_words"),
           col("p_name").like("%bolt%").as("has_bolt"))
-        .orderBy("p_partkey")
     },
 
     QDef(
